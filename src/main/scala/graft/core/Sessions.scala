@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkSession factory for the graft engine.
+  *
+  * Local defaults mirror the driver harness (local[N], shuffle
+  * partitions = cores, UTC, UI off) but every knob here is the one we
+  * would also set on a 1000-executor cluster: AQE on (runtime skew-join
+  * and partition coalescing), broadcast threshold generous enough that
+  * every TPC-H dimension table broadcasts.
+  */
+object Sessions {
+
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+
+  def local(appName: String = "graft", cores: Int = cpus): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
+      // rejects by default; read it as long nanoseconds instead.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver's TPC-H-ish parquet testdata (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan of one table; relies on Catalyst pushdown — callers
+    * filter/select and the scan prunes columns + row groups.
+    *
+    * `events.ts` is TIMESTAMP(NANOS); with the nanosAsLong conf (set
+    * here too, for sessions not built by [[Sessions]]) it surfaces as
+    * LongType epoch-nanos — see [[graft.ext.EventQueries]].
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}

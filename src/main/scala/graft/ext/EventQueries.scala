@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Batch-expressible analogs of the reference pipeline's operators,
+  * phrased over the driver's `events` table (event_type ≙ `type`,
+  * event_id ≙ `eventId`, ts ≙ `timestamp` — FIXTURES.md §2).
+  *
+  * Reference citations (SURVEY.md §2): struct flatten P2
+  * (bronze.py:18), day filter P6 (gold.py:24-27), dedup A4
+  * (silver.py:23), gold agg A1 (gold.py:26-33), distinct P7
+  * (ingest_raw.scala:133), time format F8 (silver.py:24-27),
+  * mergeSchema union ST9 (ingest.scala:165-170).
+  *
+  * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 cannot read as
+  * a timestamp; with spark.sql.legacy.parquet.nanosAsLong (set by
+  * [[graft.core.Tables.load]]) it surfaces as LongType epoch-nanos.
+  * All time logic below is integer math on that long (div is exact;
+  * truncation to seconds is monotone so max/order agree with the
+  * oracle, which sees real ns timestamps), and no query ever outputs a
+  * raw nanosecond value.
+  */
+object EventQueries {
+
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private val Ns = 1000000000L
+
+  /** Epoch seconds from the long-nanos ts (exact integer division). */
+  private def tsSec: Column = expr("ts div 1000000000")
+
+  private def tsTimestamp: Column = timestamp_seconds(tsSec)
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+
+  /** P1/P2/P3: pack into a struct then flatten `parsedValue.*` with a
+    * derived column — the bronze stage's shape (bronze.py:18).
+    */
+  def qFlattenProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .select(struct($"event_id", $"event_type", $"user_id", to_date(tsTimestamp).as("day"))
+        .as("parsedValue"), $"value")
+      .select($"parsedValue.*", ($"value" * lit(2.0d)).as("value2"))
+      .orderBy($"event_id")
+  }
+
+  /** P6 intent ("events since day X") on a true timestamp type — the
+    * reference compares dd-MM-yyyy strings lexicographically
+    * (gold.py:24-27, hazard SURVEY.md §7.5.1); we keep TimestampType.
+    */
+  def qFilterDay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .where($"ts" >= lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * Ns))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum2($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  /** A4 as a deterministic batch dedup: first event per (user_id,
+    * event_type) by arrival. `dropDuplicates` itself is
+    * order-nondeterministic, so the oracle-checked form is the
+    * row_number()=1 window (same semantics the streaming dedup has
+    * when fed in order).
+    */
+  def qDedupFirstEvent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy(tsSec, $"event_id")
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id".as("first_event_id"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** A1: the gold aggregate — counts + latest-activity per group, with
+    * the reference's non-deterministic last(timestamp) (gold.py:29)
+    * expressed as max over second-truncated time (SURVEY.md §7.5.2).
+    */
+  def qGoldAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        max(tsSec).as("last_ts_sec"),
+        dsum2($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  /** P7: distinct event types (HashAggregate, no sort needed). */
+  def qDistinctTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir).select($"event_type").distinct().orderBy($"event_type")
+  }
+
+  /** A3: count(*) validation query (bronze.py:31). */
+  def qCountEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir).agg(count(lit(1)).as("n"))
+  }
+
+  /** F8: epoch→formatted-string bucketing, silver's timestamp
+    * normalization shape (silver.py:24-27) — here grouped per hour.
+    */
+  def qEventHourMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy(date_format(tsTimestamp, "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour")
+  }
+
+  /** ST9: schema-evolution union — a "v1" projection (no value column)
+    * unioned by name with a "v2" projection, missing columns
+    * null-padded, mirroring mergeSchema on append
+    * (ingest.scala:165-170 → unionByName(allowMissingColumns)).
+    */
+  def qMergeUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val v1 = e.filter($"event_id" % 3 === 0).select($"event_id", $"event_type")
+    val v2 = e.filter($"event_id" % 3 =!= 0).select($"event_id", $"event_type", $"value")
+    v1.unionByName(v2, allowMissingColumns = true).orderBy($"event_id")
+  }
+
+  /** Extension (SURVEY.md §7.3): JSON props → typed column
+    * (from_json/get_json_object over the props string).
+    */
+  def qPropsJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"), $"value")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), dsum2($"value").as("total_value"))
+      .orderBy($"k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_flatten_project" -> (qFlattenProject _),
+    "q_filter_day" -> (qFilterDay _),
+    "q_dedup_first_event" -> (qDedupFirstEvent _),
+    "q_gold_agg" -> (qGoldAgg _),
+    "q_distinct_types" -> (qDistinctTypes _),
+    "q_count_events" -> (qCountEvents _),
+    "q_event_hour_mix" -> (qEventHourMix _),
+    "q_merge_union" -> (qMergeUnion _),
+    "q_props_json" -> (qPropsJson _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_flatten_project" ->
+      """SELECT event_id, event_type, user_id, CAST(ts AS DATE) AS day, value * 2.0 AS value2
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_filter_day" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_dedup_first_event" ->
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ms(ts) // 1000, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_gold_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MAX(epoch_ms(ts) // 1000) AS last_ts_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q_count_events" ->
+      "SELECT COUNT(*) AS n FROM events",
+    "q_event_hour_mix" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_merge_union" ->
+      """SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM events WHERE event_id % 3 <> 0
+        |ORDER BY event_id""".stripMargin,
+    "q_props_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+  )
+}

@@ -1,0 +1,252 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Relational query surface over the TPC-H-ish testdata.
+  *
+  * The reference pipeline itself contains no joins/windows/sorts
+  * (SURVEY.md §2.4/§2.6); these are the engine extensions that make the
+  * library usable for real analytics, expressed Spark-first so Catalyst
+  * plans them (broadcast hash joins for dims, partial+final hash
+  * aggregation, AQE skew handling).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *   - double sums go through DECIMAL(18,2|4) so results are exact and
+  *     independent of aggregation order (a straight double sum differs
+  *     between engines in the last ulps);
+  *   - every output is totally ordered with explicit tie-breakers;
+  *   - NULL ordering is pinned (nulls first) on rollup outputs.
+  */
+object Relational {
+
+  /** Order-insensitive exact sum of a double column: cast to decimal,
+    * sum exactly, return double.
+    */
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy groupBy-agg; Catalyst
+    * plans partial+final HashAggregate, shipdate predicate pushed to
+    * parquet row groups.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum2($"l_quantity").as("sum_qty"),
+        dsum2($"l_extendedprice").as("sum_base_price"),
+        dsum4(($"l_extendedprice" * (lit(1.0d) - $"l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Fact-to-dim equi join; dim side broadcast (customer is tiny
+    * relative to orders at every SF — at 100 TB the customer dim still
+    * broadcasts at tens of MB).
+    */
+  def qJoinOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum2($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** TPC-H Q5-shaped snowflake join: lineitem ⋈ orders shuffle join on
+    * the fact keys, all dims broadcast.
+    */
+  def qJoinMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left-semi join: customers having orders (EXISTS). */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Top-3 orders per customer by spend: rank window, no global sort of
+    * the fact — only a shuffle on o_custkey.
+    */
+  def qWindowTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rnk", $"o_totalprice")
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  /** Global top-10 by totalprice: TakeOrderedAndProject, not a full sort. */
+  def qOrderByLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  /** Set difference: customers that never ordered (EXCEPT = distinct). */
+  def qExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select($"c_custkey")
+      .except(t(s, dir, "orders").select($"o_custkey".as("c_custkey")))
+      .orderBy($"c_custkey")
+  }
+
+  /** Running per-customer spend: cumulative window sum (decimal-exact). */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(ord).cast("long").as("order_seq"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast("double").as("running_spend"))
+      .orderBy($"o_custkey", $"order_seq")
+  }
+
+  /** lag(): days between consecutive orders per customer. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        datediff(to_date($"o_orderdate"), to_date(lag($"o_orderdate", 1).over(w)))
+          .cast("long").as("days_since_prev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** ROLLUP over status×priority with pinned NULLS FIRST ordering. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Exact count-distinct (expand + two-phase agg under the hood). */
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_customers"), count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_join_orders_customer" -> (qJoinOrdersCustomer _),
+    "q_join_multi" -> (qJoinMulti _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_topk" -> (qWindowTopK _),
+    "q_orderby_limit" -> (qOrderByLimit _),
+    "q_except" -> (qExcept _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_rollup" -> (qRollup _),
+    "q_count_distinct" -> (qCountDistinct _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_orders_customer" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_orderby_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER w AS order_seq,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  DATE_DIFF('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * All vector math is phrased as higher-order array functions
+  * (`zip_with`/`transform`/`aggregate`), which Catalyst evaluates
+  * without UDF serialization overhead. Arithmetic is done in double:
+  * float×float widened to double is exact, and the fold is
+  * sequential, so results are bit-reproducible and match the DuckDB
+  * oracle; scores are quantized to DECIMAL(10,4) so ranking is
+  * engine-independent.
+  *
+  * Scale design: brute-force top-k is the baseline (one pass, no
+  * shuffle besides TakeOrdered); the 100 TB path is
+  * [[annCandidates]] — sign-LSH bucketing so a query only scans its
+  * bucket (and 1-bit-probe neighbors), turning O(N) scans into
+  * O(N / 2^bits) with the bucket id as a partition/cluster key.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  /** Brute-force cosine top-10 neighbors of vec_id 0. The single query
+    * row is broadcast; the scan stays whole-stage-codegen'd; LIMIT
+    * after ORDER BY plans as TakeOrderedAndProject (no global sort).
+    */
+  def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    e.filter($"vec_id" =!= 0)
+      .join(broadcast(q))
+      .select($"vec_id",
+        cosine($"embedding", $"qvec").cast(DecimalType(10, 4)).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** Per-label centroid, emitted as (label, dim, sum_scaled, n) with
+    * values scaled to round(x·1e6) longs — integer-exact in any
+    * engine; callers divide sum_scaled/(1e6·n) for the double
+    * centroid. Plans as posexplode + one hash aggregate.
+    */
+  def qEmbeddingCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim0", "e")))
+      .groupBy($"label", ($"dim0" + 1).cast("long").as("dim"))
+      .agg(
+        sum(round($"e".cast("double") * lit(1000000.0d)).cast("long")).as("sum_scaled"),
+        count(lit(1)).as("n"))
+      .orderBy($"label", $"dim")
+  }
+
+  /** Deterministic sign-LSH hyperplanes (seeded, fixed across runs). */
+  private[ext] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)).toIndexedSeq: _*)
+
+  /** Adds an LSH `bucket` column: one sign bit per hyperplane packed
+    * into an int. At scale, write the table clustered by this column.
+    */
+  def withLshBucket(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(col(vecCol), planeLit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** ANN candidate set for a query bucket: same bucket plus all
+    * 1-bit-flip probe buckets (multi-probe keeps recall high while
+    * scanning ~(nPlanes+1)/2^nPlanes of the data).
+    */
+  def annCandidates(bucketed: DataFrame, queryBucket: Int, nPlanes: Int): DataFrame = {
+    val probes = queryBucket +: (0 until nPlanes).map(i => queryBucket ^ (1 << i))
+    bucketed.where(col("bucket").isin(probes.map(Integer.valueOf): _*))
+  }
+
+  /** LSH-accelerated cosine top-10 for vec_id 0 (rows-only check: the
+    * bucketing is not expressible in the oracle's SQL dialect).
+    */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nPlanes = 8
+    val planes = hyperplanes(nPlanes, 64)
+    val e = withLshBucket(emb(s, dir), "embedding", planes)
+    val qRow = e.filter($"vec_id" === 0).select($"embedding", $"bucket").head()
+    val qBucket = qRow.getInt(1)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    annCandidates(e, qBucket, nPlanes)
+      .filter($"vec_id" =!= 0)
+      .join(broadcast(q))
+      .select($"vec_id", $"bucket",
+        cosine($"embedding", $"qvec").cast(DecimalType(10, 4)).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk" -> (qCosineTopK _),
+    "q_embedding_centroid" -> (qEmbeddingCentroid _),
+    "q_ann_lsh" -> (qAnnLsh _),
+  )
+
+  /** q_ann_lsh intentionally absent → driver records rows-only check. */
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(qvec, qvec))) AS DECIMAL(10,4)) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embedding_centroid" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        |  SUM(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS sum_scaled,
+        |  COUNT(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+  )
+}

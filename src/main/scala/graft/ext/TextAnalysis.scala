@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extension surface (tokenization, token
+  * stats, quality counters, exact fingerprint dedup, n-gram Jaccard
+  * near-dup). All shuffle-light: tokenize/count is map-side work +
+  * one hash aggregate; the Jaccard pair-join is the only O(pairs)
+  * operator and goes through an inverted shingle index (join on
+  * shingle), never a cross product — the 100 TB-safe shape.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (documents text carries
+    * trailing spaces). Kept as a Column so it stays inside codegen.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  private val stopwordsSql = "('the','a','and','of','to','in')"
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  /** UDTF axis (explode): global token frequencies, top 30. */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(30)
+  }
+
+  /** Per-document token/char/stopword counters (integer-only outputs —
+    * ratios are left to callers so the oracle never hits
+    * round-half-even vs half-up divergence).
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        size(filter(tokens($"text"), t => t.isin("the", "a", "and", "of", "to", "in")))
+          .cast("long").as("n_stopwords"),
+        length($"text").cast("long").as("len"))
+      .orderBy($"doc_id")
+  }
+
+  /** F1–F5 analog: substring/length column ops. */
+  def qSubstringOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        substring($"text", 1, 12).as("prefix"),
+        upper(substring($"source", 1, 4)).as("src"),
+        length($"text").cast("long").as("len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus stats per language tag. */
+  def qLangStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
+  /** Exact dedup by content fingerprint: md5 of the normalized text,
+    * keeper = min doc_id per fingerprint. At 100 TB this is the
+    * hash-groupBy dedup: one shuffle on a 16-byte key.
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy(md5(to_binary(trim($"text"), lit("utf-8"))).as("fingerprint"))
+      .agg(count(lit(1)).as("n_dupes"), min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"fingerprint")
+  }
+
+  /** Near-duplicate pairs by exact 3-word-shingle Jaccard ≥ 0.5 via an
+    * inverted index: distinct (doc, shingle) → self-join on shingle →
+    * per-pair intersection counts vs set sizes. The ≥0.5 test is the
+    * integer inequality 3·|A∩B| ≥ |A|+|B| so no floating point is
+    * involved. Scale path: this is the verify stage; at 100 TB the
+    * candidate generation is MinHash-LSH (MinHashDedup) and this join
+    * runs only on candidate buckets.
+    */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .where(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .where(lit(3) * $"common" >= col("sa.sz") + col("sb.sz"))
+      .select($"doc_a", $"doc_b", $"common",
+        (col("sa.sz") + col("sb.sz") - $"common").as("union_sz"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_substring_ops" -> (qSubstringOps _),
+    "q_lang_stats" -> (qLangStats _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |  len(list_filter(string_split(text, ' '), x -> x IN $stopwordsSql)) AS n_stopwords,
+         |  length(text) AS len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_substring_ops" ->
+      """SELECT doc_id, substring(text, 1, 12) AS prefix,
+        |  upper(substring(source, 1, 4)) AS src, length(text) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(trim(text)) AS fingerprint, COUNT(*) AS n_dupes,
+        |  MIN(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common, sa.sz + sb.sz - common AS union_sz
+        |FROM common
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE 3 * common >= sa.sz + sb.sz
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}
