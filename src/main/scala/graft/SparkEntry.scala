@@ -1,8 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+import graft.codec.ConfluentWire
 import graft.ext.{EventQueries, Relational, Similarity, TextAnalysis}
+import graft.gen.{EventGenerator, KafkaEnvelope}
+import graft.pipeline.Pipeline
+import graft.schema.InMemorySchemaRegistry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,9 +25,22 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    EventQueries.qGoldAgg(spark, "/root/testdata/sf0.001")
+  /** Flagship: the reference's full DAG — seeded Avro producer →
+    * Kafka-shaped stream → schema-registry demux ingest → bronze →
+    * silver (stateful dedup) → gold aggregate — run end-to-end in
+    * process; returns the gold table (driver smoke-checks rows>0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gen = new EventGenerator(seed = 42)
+    val registry = new InMemorySchemaRegistry
+    val stream = MemoryStream[KafkaEnvelope]
+    stream.addData(gen.envelopes(gen.events(900, duplicateEvery = 9), registry, ConfluentWire))
+    val base = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    Pipeline.run(spark, stream.toDF(), registry, ConfluentWire,
+      Pipeline.Paths(base), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

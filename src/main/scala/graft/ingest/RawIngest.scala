@@ -1,0 +1,92 @@
+package graft.ingest
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.codec.{ConfluentWire, GlueWire, WireFormat}
+import graft.functions.AvroDecode
+import graft.schema.SchemaRegistry
+
+/** Kafka(-shaped) → raw table ingest with per-record schema-registry
+  * resolution — the reference's signature algorithm (ST10): per
+  * micro-batch, collect the distinct schema keys, resolve each id
+  * against the registry, decode each group with its own writer schema,
+  * and append all groups to one raw table whose schema widens as new
+  * versions appear (ingest.scala:123-177, ingest_raw.scala:119-156).
+  *
+  * 100 TB notes (SURVEY.md §7.5.8): the driver-side collect is over
+  * the *distinct schema ids* of a batch — bounded by registry size
+  * (~handfuls), never O(rows); the per-group loop is O(#schemas)
+  * appends; decode happens executor-side inside [[AvroDecode]] after
+  * the schema-key filter, so each row is decoded exactly once.
+  */
+object RawIngest {
+
+  /** Metadata columns carried into the raw table (ingest.scala:155-161). */
+  private val metaCols = Seq("topic", "partition", "offset", "timestamp", "timestampType", "key")
+
+  /** Demux one (micro-)batch into per-schema decoded groups and run
+    * `action` on them while the keyed batch is cached (the reference
+    * caches the batch across group passes, P9 at ingest.scala:127 —
+    * but leaks it; we release on exit). Group column layout: kafka
+    * metadata + `parsedValue` struct.
+    */
+  def demux[T](batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
+               permissive: Boolean = false)(action: Seq[DataFrame] => T): T = {
+    val keyed = batch
+      .withColumn("schemaKey", wire.schemaKeyCol(col("value")))
+      .withColumn("payload", wire.payloadCol(col("value")))
+      .persist()
+    try {
+      // P7/P8: tiny distinct set of schema keys crosses to the driver
+      val keys = keyed.select(col("schemaKey")).distinct().collect().map(_.getAs[Array[Byte]](0))
+      val groups = keys.toSeq.map { keyBytes =>
+        val schema = wire match {
+          // Confluent's schemaKeyCol is already just the 4 id bytes (F2)
+          case ConfluentWire => registry.getById(ByteBuffer.wrap(keyBytes).getInt)
+          case GlueWire => registry.getByUuid(GlueWire.uuidOf(keyBytes))
+        }
+        val json = schema.toString
+        val decoded = keyed
+          .filter(col("schemaKey") === lit(keyBytes)) // P5: group filter before decode (O4)
+          .select(metaCols.map(col) :+
+            AvroDecode.fromAvro(col("payload"), json, json, permissive).as("parsedValue"): _*)
+        if (permissive) decoded.filter(col("parsedValue").isNotNull) else decoded
+      }
+      action(groups)
+    } finally keyed.unpersist()
+  }
+
+  /** Demux + append each group to the raw parquet table. Appending
+    * files of different (widening) schemas emulates Delta's
+    * mergeSchema=true (ST9); [[readRaw]] merges on read.
+    */
+  def demuxToTable(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
+                   rawPath: String, permissive: Boolean = false): Unit =
+    demux(batch, registry, wire, permissive) { groups =>
+      groups.foreach(_.write.mode("append").parquet(rawPath)) // SNK4 analog
+    }
+
+  /** Raw table scan with schema merging across v1/v2-era files. */
+  def readRaw(spark: SparkSession, rawPath: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(rawPath)
+
+  /** Streaming ingest: foreachBatch demux (SNK3), checkpointed,
+    * AvailableNow (the Spark-4 successor of the reference's
+    * Trigger.Once, ST1).
+    */
+  def run(source: DataFrame, registry: SchemaRegistry, wire: WireFormat,
+          rawPath: String, checkpoint: String, permissive: Boolean = false,
+          queryName: String = "graftRawIngest"): StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        demuxToTable(batch, registry, wire, rawPath, permissive)
+      }
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

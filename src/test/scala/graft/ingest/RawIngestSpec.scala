@@ -1,0 +1,60 @@
+package graft.ingest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.codec.{ConfluentWire, GlueWire}
+import graft.gen.EventGenerator
+import graft.schema.InMemorySchemaRegistry
+
+class RawIngestSpec extends SparkTestBase {
+
+  test("demux splits a mixed v1/v2 batch by schema and decodes each group (Confluent)") {
+    val gen = new EventGenerator(seed = 1)
+    val registry = new InMemorySchemaRegistry
+    val es = gen.events(90)
+    val batch = gen.envelopeDF(spark, es, registry, ConfluentWire)
+    val raw = tmpDir("raw-confluent")
+    RawIngest.demuxToTable(batch, registry, ConfluentWire, raw)
+    val out = RawIngest.readRaw(spark, raw).select(col("parsedValue.*"))
+    assert(out.count() == 90)
+    // 1:2 v1:v2 mix — v1 rows decode with the v1 schema, so size/color are null after merge
+    assert(out.filter(col("size").isNull).count() == 30)
+    assert(out.filter(col("color") === "red").count() > 0)
+    // every eventId survived exactly once
+    assert(out.select("eventId").distinct().count() == 90)
+  }
+
+  test("demux works for the Glue wire format (uuid header demux)") {
+    val gen = new EventGenerator(seed = 2)
+    val registry = new InMemorySchemaRegistry
+    val batch = gen.envelopeDF(spark, gen.events(30), registry, GlueWire)
+    val raw = tmpDir("raw-glue")
+    RawIngest.demuxToTable(batch, registry, GlueWire, raw)
+    val out = RawIngest.readRaw(spark, raw)
+    assert(out.count() == 30)
+    assert(out.select("parsedValue.productId").distinct().count() <= 3)
+  }
+
+  test("permissive ingest drops corrupt rows; failfast propagates") {
+    val gen = new EventGenerator(seed = 3)
+    val registry = new InMemorySchemaRegistry
+    val good = gen.envelopeDF(spark, gen.events(12), registry, ConfluentWire)
+    // corrupt: valid framing + valid schema id, truncated payload
+    val id = registry.latest("product-value").get._1
+    val corruptValue = ConfluentWire.frame(id, Array[Byte](1))
+    val corrupt = gen.envelopeDF(spark, gen.events(1), registry, ConfluentWire)
+      .withColumn("value", lit(corruptValue))
+    val batch = good.unionByName(corrupt)
+
+    val rawPermissive = tmpDir("raw-permissive")
+    RawIngest.demuxToTable(batch, registry, ConfluentWire, rawPermissive, permissive = true)
+    assert(RawIngest.readRaw(spark, rawPermissive).count() == 12)
+
+    val rawFailfast = tmpDir("raw-failfast")
+    intercept[Exception] {
+      RawIngest.demuxToTable(batch, registry, ConfluentWire, rawFailfast, permissive = false)
+    }
+  }
+}
