@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{EventQueries, Relational, Similarity, TextAnalysis}
+import graft.ext.{EventQueries, LangTools, MinHashDedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.pipeline.Pipeline
 import graft.schema.InMemorySchemaRegistry
@@ -23,6 +23,9 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
       (Similarity.queries, Similarity.oracle),
+      (MinHashDedup.queries, MinHashDedup.oracle),
+      (Multimodal.queries, Multimodal.oracle),
+      (LangTools.queries, LangTools.oracle),
     )
 
   /** Flagship: the reference's full DAG — seeded Avro producer →

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Language identification, BPE-ish token counting, and winnowing
+  * document fingerprints — the text-pipeline operators beyond plain
+  * tokenization.
+  */
+object LangTools {
+
+  /** Tiny stopword profiles per language (public common-word lists).
+    * Real deployments plug in fastText/CLD profiles; the operator
+    * shape (score per language → argmax) is what matters at scale:
+    * it's a single map-side pass, no shuffle.
+    */
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"))
+
+  /** Predict language by max stopword-profile hits (ties → first
+    * alphabetically: argmax over (score, -alphabetical_rank)).
+    */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val scored = profiles.toSeq.sortBy(_._1).zipWithIndex.map { case ((lang, words), i) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(-i).as("pref"), lit(lang).as("lang"))
+    }
+    df.withColumn("lang_best", array_max(array(scored: _*)))
+      .withColumn("lang_pred", col("lang_best.lang"))
+      .withColumn("lang_best_score", col("lang_best.score").cast("long"))
+      .drop("lang_best")
+  }
+
+  /** BPE-ish subword-ish token count: words, numbers, and punctuation
+    * runs counted separately (regexp-based approximation of a
+    * tokenizer's pre-tokenization pass).
+    */
+  def withTokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_word_tokens",
+        size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).cast("long"))
+      .withColumn("n_num_tokens",
+        size(expr(s"regexp_extract_all($textCol, '[0-9]+', 0)")).cast("long"))
+      .withColumn("n_punct_tokens",
+        size(expr(s"regexp_extract_all($textCol, '[^a-zA-Z0-9 ]', 0)")).cast("long"))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each
+    * w-token shingle, keep the min hash of every window of `win`
+    * consecutive shingles → a sparse, position-robust fingerprint set.
+    * All builtins: explode + window min + distinct.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+                         w: Int = 3, win: Int = 4): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))"))
+        .as(Seq("pos", "shingle")))
+      .withColumn("h", xxhash64(col("shingle")))
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, win - 1)
+    sh.withColumn("fp", min(col("h")).over(winMin))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /** Rows-only: predicted language + confidence per doc. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    withLangId(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang_pred"), col("lang_best_score"))
+      .orderBy(col("doc_id"))
+
+  /** Token-count stats per source (oracle-able: DuckDB has
+    * regexp_extract_all with the same simple char-class patterns).
+    */
+  def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    withTokenCounts(Tables.load(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_word_tokens")).as("word_tokens"),
+        sum(col("n_num_tokens")).as("num_tokens"),
+        sum(col("n_punct_tokens")).as("punct_tokens"))
+      .orderBy(col("source"))
+
+  /** Rows-only: winnowing fingerprint count per doc (xxhash64 has no
+    * oracle equivalent).
+    */
+  def qWinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.load(s, dir, "documents"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fingerprints"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> (qLangId _),
+    "q_token_counts" -> (qTokenCounts _),
+    "q_winnow_fingerprints" -> (qWinnowFingerprints _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_token_counts" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS word_tokens,
+        |  SUM(len(regexp_extract_all(text, '[0-9]+'))) AS num_tokens,
+        |  SUM(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))) AS punct_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** MinHash + LSH near-duplicate detection over documents — the scale
+  * path for fuzzy dedup (SURVEY.md §7.5.8): shingle → minhash
+  * signature → banded bucket join → exact-Jaccard verify on the
+  * candidate pairs only. At 100 TB the candidate join touches
+  * O(near-dupes), never O(n²): per-band buckets are the join key, and
+  * the final verify joins the inverted shingle index restricted to
+  * candidates.
+  *
+  * Hash family: h_i(x) = a_i·xxhash64(shingle) + b_i over Z/2^64
+  * (odd a_i), seeded deterministically — xxhash64 is a codegen'd
+  * builtin, so signature computation is one explode + one hash
+  * aggregate with k min() columns, no UDFs.
+  */
+object MinHashDedup {
+
+  /** Distinct (doc_id, shingle) pairs: w-word shingles. */
+  def shingles(docs: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** k-minhash signature per doc, one column per hash fn. Each hash
+    * fn is xxhash64 seeded by a distinct leading literal (ANSI-safe —
+    * Spark 4's default ANSI mode rejects wraparound `a·x+b` Longs).
+    */
+  def signatures(sh: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val mins = (0 until k).map { i =>
+      min(xxhash64(lit(seed + i), col("shingle"))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: equal banded signature slice in ≥1 band. */
+  def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(j).as("band"), hash(cols: _*).as("bh"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification restricted to candidate pairs; the
+    * threshold test is integer-only (j ≥ n/d ⇔ d·common ≥ n·union).
+    */
+  def verifiedPairs(sh: DataFrame, candidates: DataFrame,
+                    thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .withColumn("union_sz", col("za.sz") + col("zb.sz") - col("common"))
+      .where(col("common") * lit(thresholdDen) >= col("union_sz") * lit(thresholdNum))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("union_sz"))
+  }
+
+  /** End-to-end MinHash-LSH near-dup query (rows-only check — xxhash64
+    * has no oracle-dialect equivalent; correctness is covered by the
+    * MinHashSpec recall test against the exact q_ngram_jaccard).
+    */
+  def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.load(s, dir, "documents"))
+    val sig = signatures(sh, k = 32)
+    val cand = candidatePairs(sig, bands = 16, rowsPerBand = 2)
+    verifiedPairs(sh, cand).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash fingerprints: 64-bit, bit j set iff Σ_tokens ±1 > 0
+    * (sign of the j-th bit of xxhash64(token), weighted by term
+    * frequency). One explode over (token × bit) then two hash aggs.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("token")))
+    toks
+      .select(col("doc_id"), col("tf"), col("th"),
+        explode(expr("sequence(0, 63)")).as("j"))
+      .withColumn("contrib",
+        when(expr("(th >> cast(j as int)) & 1") === 1, col("tf")).otherwise(-col("tf")))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: 4×16-bit band join, verify Hamming
+    * distance ≤ maxHamming via bit_count(xor).
+    */
+  def qSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val fp = simhash(Tables.load(s, dir, "documents"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("chunk", expr("(simhash >> (band * 16)) & 65535"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .where(expr(s"bit_count(fp_a ^ fp_b) <= $maxHamming"))
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_pairs" -> ((s, d) => qMinhashPairs(s, d)),
+    "q_simhash_pairs" -> ((s, d) => qSimhashPairs(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map.empty // rows-only by design
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators beyond the reference's surface (the reference
+  * uses no watermarks, no windows, no custom state — SURVEY.md
+  * §2.8 ST4/ST5): the production-correct variants the 100 TB design
+  * needs, all on public Structured Streaming APIs.
+  */
+object StreamOps {
+
+  /** Bounded-state streaming dedup: watermark + eventId-first-wins
+    * within the watermark horizon — the production fix for silver's
+    * unbounded dropDuplicates state (hazard SURVEY.md §7.5.3).
+    */
+  def dedupWithinWatermark(events: DataFrame, eventTimeCol: String, idCol: String,
+                           delay: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Tumbling-window streaming aggregate — the sound version of
+    * gold's "daily" static predicate (ST5): per (window, keys) counts
+    * that late data within the watermark still updates.
+    */
+  def windowedCounts(events: DataFrame, eventTimeCol: String, windowLen: String,
+                     delay: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+
+  case class SessionEvent(userId: Long, eventTime: Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
+                        nEvents: Long, closed: Boolean)
+
+  /** Session windows via mapGroupsWithState (the custom-state axis):
+    * events within `gapMs` of each other merge into one session; an
+    * event-time timeout (watermark-driven — deterministic, unlike
+    * processing-time timeouts) closes idle sessions once the
+    * watermark passes sessionEnd + gap.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withWatermark("eventTime", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, closed = true)
+          } else {
+            val times = rows.map(_.eventTime.getTime).toSeq.sorted
+            val prev = state.getOption
+            val merged = prev match {
+              case Some(s) if times.nonEmpty && times.head - s.end <= gapMs =>
+                SessionState(s.start, math.max(s.end, times.last), s.n + times.size)
+              case Some(s) if times.isEmpty => s
+              case _ => SessionState(times.head, times.last, times.size.toLong)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.end + gapMs)
+            SessionOut(userId, new Timestamp(merged.start), new Timestamp(merged.end),
+              merged.n, closed = false)
+          }
+      }
+  }
+}

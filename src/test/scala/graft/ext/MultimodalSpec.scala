@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("binary asset plumbing: synthesize, decode meta, extract features") {
+    val assets = Multimodal.syntheticAssets(spark, dir)
+    assert(assets.schema("media").dataType.typeName == "binary")
+
+    val decoded = Multimodal.withDecodedMeta(assets)
+    val row = decoded.orderBy("doc_id").first()
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getAs[Int]("width") >= 64)
+    assert(meta.getAs[Long]("n_bytes") > 0)
+
+    // decode is deterministic: same input -> same meta
+    val twice = Multimodal.withDecodedMeta(assets).select("doc_id", "meta.width")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val again = Multimodal.withDecodedMeta(assets).select("doc_id", "meta.width")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(twice == again)
+
+    val feats = Multimodal.withFeatures(assets).select("features").first()
+      .getSeq[Float](0)
+    assert(feats.size == 16)
+  }
+
+  test("frame sampling emits every k-th fixed-size chunk with index") {
+    val assets = Multimodal.syntheticAssets(spark, dir)
+    val frames = Multimodal.sampleFrames(assets, chunkBytes = 16, everyK = 2)
+    assert(frames.count() > 0)
+    assert(frames.where(col("frame_idx") % 2 =!= 0).count() == 0)
+    val lens = frames.select(length(col("frame")).as("l")).distinct()
+      .collect().map(_.getInt(0))
+    assert(lens.forall(_ <= 16))
+  }
+
+  test("multimodal features join the ANN path") {
+    val assets = Multimodal.withFeatures(Multimodal.syntheticAssets(spark, dir))
+    val planes = Similarity.hyperplanes(4, 16)
+    val bucketed = Similarity.withLshBucket(assets, "features", planes)
+    assert(bucketed.select("bucket").distinct().count() > 1)
+  }
+}

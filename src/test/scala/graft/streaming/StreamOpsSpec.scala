@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+case class TsEvent(id: String, ts: Timestamp, v: Long)
+
+class StreamOpsSpec extends SparkTestBase {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked dedup removes in-horizon duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TsEvent]
+    val out = StreamOps.dedupWithinWatermark(stream.toDF(), "ts", "id", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(
+      TsEvent("a", t("2024-01-01 00:00:00"), 1),
+      TsEvent("a", t("2024-01-01 00:00:05"), 2), // dup within horizon
+      TsEvent("b", t("2024-01-01 00:01:00"), 3))
+    q.processAllAvailable()
+    stream.addData(TsEvent("a", t("2024-01-01 00:02:00"), 4)) // still within horizon
+    q.processAllAvailable()
+    val n = spark.table("dedup_wm").count()
+    q.stop()
+    assert(n == 2) // one "a", one "b"
+  }
+
+  test("tumbling window counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TsEvent]
+    val out = StreamOps.windowedCounts(stream.toDF(), "ts", "5 minutes", "1 minute", Seq("id"))
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(
+      TsEvent("a", t("2024-01-01 00:00:10"), 1),
+      TsEvent("a", t("2024-01-01 00:01:10"), 2),
+      TsEvent("a", t("2024-01-01 00:06:10"), 3),
+      TsEvent("b", t("2024-01-01 00:02:10"), 4))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select(col("window.start").cast("string"), col("id"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 00:00:00", "a", 2L)))
+    assert(rows.contains(("2024-01-01 00:05:00", "a", 1L)))
+    assert(rows.contains(("2024-01-01 00:00:00", "b", 1L)))
+  }
+
+  test("sessionize merges events within the gap and closes idle sessions on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(stream.toDS(), gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(
+      StreamOps.SessionEvent(1L, t("2024-01-01 00:00:00")),
+      StreamOps.SessionEvent(1L, t("2024-01-01 00:00:30")),
+      StreamOps.SessionEvent(2L, t("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    val s1 = spark.table("sessions").where(col("userId") === 1)
+      .orderBy(desc("sessionEnd")).first()
+    assert(s1.getAs[Long]("nEvents") == 2)
+    assert(!s1.getAs[Boolean]("closed"))
+
+    // a much later event advances the watermark past user 1's
+    // sessionEnd + gap -> event-time timeout closes the session
+    stream.addData(StreamOps.SessionEvent(3L, t("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    stream.addData(StreamOps.SessionEvent(3L, t("2024-01-01 01:00:01")))
+    q.processAllAvailable()
+    val closed = spark.table("sessions")
+      .where(col("userId") === 1 && col("closed")).count()
+    q.stop()
+    assert(closed == 1)
+  }
+}
