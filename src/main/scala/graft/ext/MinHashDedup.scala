@@ -41,20 +41,24 @@ object MinHashDedup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: equal banded signature slice in ≥1 band. */
+  /** LSH candidate pairs: equal banded signature slice in ≥1 band.
+    * Expressed as a per-bucket pair expansion (groupBy bucket →
+    * collect members → emit pairs) rather than a self-join — one pass
+    * over the banded table instead of two recomputed join branches,
+    * and the bucket aggregate is where a production job would apply a
+    * skew cap (giant bucket = near-identical cluster).
+    */
   def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(j).as("band"), hash(cols: _*).as("bh"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("b")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(TextAnalysis.allPairs(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -114,18 +118,21 @@ object MinHashDedup {
     */
   def qSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     val fp = simhash(Tables.load(s, dir, "documents"))
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    // band the 64-bit fingerprint into 4×16-bit chunks; per-chunk
+    // bucket pair expansion (no self-join), then exact hamming verify
+    fp.select(struct(col("doc_id"), col("simhash")).as("d"),
         explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("chunk", expr("(simhash >> (band * 16)) & 65535"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .withColumn("chunk", expr("(d.simhash >> (band * 16)) & 65535"))
+      .groupBy(col("band"), col("chunk"))
+      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(TextAnalysis.allPairs(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.simhash").as("fp_a"), col("p.b.simhash").as("fp_b"))
       .distinct()
       .where(expr(s"bit_count(fp_a ^ fp_b) <= $maxHamming"))
-      .select(col("doc_a"), col("doc_b"), expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

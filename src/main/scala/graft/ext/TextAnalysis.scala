@@ -23,6 +23,20 @@ object TextAnalysis {
 
   private val stopwordsSql = "('the','a','and','of','to','in')"
 
+  /** All ordered pairs (a<b) from a SORTED id array — the
+    * aggregation-side replacement for an inverted-index self-join:
+    * groupBy(key) → collect+sort ids → expand pairs. One pass over
+    * the index instead of two join branches (which Spark would
+    * otherwise recompute — exchange reuse does not fire across the
+    * broadcast/shuffle asymmetry AQE introduces). Same O(Σ bucket²)
+    * pair work as the join, minus a recomputation + shuffle of the
+    * whole left side.
+    */
+  def allPairs(sorted: Column): Column =
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted) - i - lit(1)),
+        y => struct(x.as("a"), y.as("b")))))
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
 
   /** UDTF axis (explode): global token frequencies, top 30. */
@@ -101,9 +115,14 @@ object TextAnalysis {
         .as("shingle"))
       .distinct()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // inverted index → per-shingle pair expansion (no self-join):
+    // every co-occurring (a<b) pair once per shared shingle, then
+    // one count aggregate = |A∩B|
+    val common = sh
+      .groupBy($"shingle").agg(array_sort(collect_list($"doc_id")).as("ds"))
+      .where(size($"ds") > 1)
+      .select(explode(allPairs($"ds")).as("p"))
+      .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
