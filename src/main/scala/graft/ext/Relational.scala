@@ -168,7 +168,96 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Full outer join, aggregated per key from either side. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "full_outer")
+      .groupBy(coalesce($"c_custkey", $"o_custkey").as("custkey"))
+      .agg(count($"o_orderkey").as("n_orders"),
+        max(when($"c_custkey".isNotNull, 1).otherwise(0)).cast("long").as("has_customer"))
+      .orderBy($"custkey")
+  }
+
+  /** GROUPING SETS via the spark.sql entry point (SRC5 analog: SQL
+    * strings over registered views are first-class in the engine).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** Correlated EXISTS subquery (planned as a semi join). */
+  def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer_v
+        |WHERE EXISTS (SELECT 1 FROM orders_v
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Scalar subquery: orders above the (decimal-exact) average price. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders_v
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_v)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** HAVING-style post-aggregation filter. */
+  def qHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"), dsum2($"c_acctbal").as("total_bal"))
+      .where($"n_customers" >= 3)
+      .orderBy($"c_nationkey")
+  }
+
+  /** Pivot: order counts by priority × status (statuses become
+    * columns; list pinned so Spark needs no extra distinct pass and
+    * the oracle can mirror with conditional aggregation).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Cross join (small × small) + string expression surface. */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .where($"c_name".like("%1%"))
+      .select($"c_custkey",
+        upper($"c_name").as("name_upper"),
+        concat($"c_mktsegment", lit("#"), $"c_name").as("tagged"),
+        regexp_replace($"c_name", "[0-9]", "x").as("name_masked"),
+        length($"c_name").cast("long").as("name_len"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (qFullOuter _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_having" -> (qHaving _),
+    "q_pivot" -> (qPivot _),
+    "q_string_funcs" -> (qStringFuncs _),
     "q1_agg" -> (q1Agg _),
     "q_join_orders_customer" -> (qJoinOrdersCustomer _),
     "q_join_multi" -> (qJoinMulti _),
@@ -184,6 +273,45 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(MAX(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS has_customer
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  concat(c_mktsegment, '#', c_name) AS tagged,
+        |  regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked,
+        |  length(c_name) AS name_len
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

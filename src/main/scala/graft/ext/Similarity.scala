@@ -25,7 +25,10 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two array columns, in double
+    * (higher-order builtins; used where inputs are mixed float/double
+    * such as the literal LSH hyperplanes).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -33,7 +36,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over float vectors: the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]] — one fused loop instead
+    * of three array traversals); bit-identical to the fold form.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
 

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-surface registration of graft's custom expressions so they are
+  * callable as `graft_cosine(...)` / `graft_from_avro(...)` from
+  * `spark.sql` — wired either at session build time via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or into a
+  * live session with [[GraftFunctions.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def strLit(e: Expression, arg: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$arg must be a string literal, got $other")
+  }
+
+  /** (name, info, builder) triples shared by the extension and the
+    * live-session registrar.
+    */
+  val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_from_avro",
+      new ExpressionInfo(classOf[AvroDecode].getName, "graft_from_avro"),
+      (es: Seq[Expression]) => es match {
+        case Seq(child, writer) =>
+          val w = strLit(writer, "writerSchemaJson")
+          AvroDecode(child, w, w, permissive = false)
+        case Seq(child, writer, reader) =>
+          AvroDecode(child, strLit(writer, "writerSchemaJson"),
+            strLit(reader, "readerSchemaJson"), permissive = false)
+        case Seq(child, writer, reader, permissive) =>
+          AvroDecode(child, strLit(writer, "writerSchemaJson"),
+            strLit(reader, "readerSchemaJson"),
+            permissive.eval(null).asInstanceOf[Boolean])
+        case other => throw new IllegalArgumentException(
+          s"graft_from_avro expects 2-4 args, got ${other.size}")
+      }))
+
+  /** Register all graft functions into a live session's registry. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}
