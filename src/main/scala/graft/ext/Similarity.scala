@@ -77,6 +77,23 @@ object Similarity {
       .orderBy($"label", $"dim")
   }
 
+  /** Embedding-cosine near-duplicate pairs with label blocking: only
+    * same-label pairs are compared (the blocking-key pattern — at
+    * 100 TB the blocking key is an LSH bucket / IVF cell, never a full
+    * cross product). Threshold chosen for this corpus (random vectors,
+    * max intra-label cosine ≈ 0.47).
+    */
+  def qCosineDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"label", $"embedding")
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).cast(DecimalType(10, 4)).as("cosine"))
+      .where($"cosine" >= 0.40)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** Deterministic sign-LSH hyperplanes (seeded, fixed across runs). */
   private[ext] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -128,6 +145,7 @@ object Similarity {
     "q_cosine_topk" -> (qCosineTopK _),
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_cosine_dups" -> (qCosineDups _),
   )
 
   /** q_ann_lsh intentionally absent → driver records rows-only check. */
@@ -140,6 +158,15 @@ object Similarity {
         |     sqrt(list_dot_product(qvec, qvec))) AS DECIMAL(10,4)) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_cosine_dups" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(10,4)) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(10,4)) >= 0.40
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_embedding_centroid" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
         |  SUM(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS sum_scaled,
