@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.CentroidAggregator
+
+/** IVF (inverted-file) ANN index: a coarse k-means quantizer assigns
+  * every vector to its nearest centroid cell; a query scans only the
+  * nProbe nearest cells. The 100 TB shape: train the quantizer on a
+  * driver-side sample (centroids are tiny and broadcast as plan
+  * literals), assign with one map-side pass (no shuffle), store the
+  * table clustered by `cell`, and answer queries by pruning to
+  * nProbe cells — complementary to the sign-LSH path in
+  * [[Similarity]].
+  */
+object IvfIndex {
+
+  /** Squared L2 distance between a vector column and a literal
+    * centroid (fused higher-order expression, stays in codegen).
+    */
+  private def sqDist(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, array(centroid.map(lit(_)).toIndexedSeq: _*),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Nearest-centroid cell id (deterministic argmin: ties break on
+    * the lower cell index via struct ordering).
+    */
+  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(vec, c).as("dist"), lit(i).as("cell"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** Lloyd iterations entirely in DataFrame ops: init = vectors of
+    * the nCells smallest ids (deterministic), update = per-cell
+    * centroid via the typed [[CentroidAggregator]]. Centroids are
+    * collected to the driver each round — they are nCells×dim
+    * doubles, independent of data size.
+    */
+  def train(emb: DataFrame, vecCol: String, idCol: String, nCells: Int, dim: Int,
+            iters: Int = 2): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+    (1 to iters).foreach { _ =>
+      val agg = new CentroidAggregator(dim).toColumn
+      val updated = emb
+        .withColumn("cell", assignCell(col(vecCol), centroids))
+        .select(col("cell"), col(vecCol).as("v"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg)
+        .collect().toMap
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** The nProbe cells nearest to a query vector (driver-side). */
+  def probeCells(query: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }
+      .sortBy(_._1).take(nProbe).map(_._2).toSeq
+
+  /** IVF-accelerated cosine top-10 for vec_id 0 (rows-only check:
+    * quantizer training is not oracle-expressible; recall vs brute
+    * force is asserted in IvfSpec).
+    */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = train(emb, "embedding", "vec_id", nCells = 16, dim = 64)
+    val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val cells = probeCells(query.map(_.toDouble), centroids, nProbe = 4)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    emb
+      .withColumn("cell", assignCell($"embedding", centroids))
+      .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
+      .join(broadcast(q))
+      .select($"vec_id", $"cell",
+        Similarity.cosine($"embedding", $"qvec").cast(DecimalType(10, 4)).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf" -> (qAnnIvf _),
+  )
+}
