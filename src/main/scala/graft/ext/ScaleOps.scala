@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Scale-path utilities: sketch aggregates, Bloom-filter incremental
+  * dedup, and salted aggregation for skewed keys — the techniques the
+  * 100 TB deployment leans on (SURVEY.md §7.5.8).
+  */
+object ScaleOps {
+
+  /** Approximate distinct/percentile sketch summary (HyperLogLog++ /
+    * QuantileSummaries — both mergeable, partial-aggregated map-side;
+    * rows-only: sketch internals differ across engines by design.
+    * ApproxSpec asserts error bounds against exact values.)
+    */
+  def qApproxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx($"value", lit(0.99), lit(10000)).as("p99_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Incremental dedup against an existing corpus via a Bloom filter:
+    * build the filter over the existing keys (one pass, mergeable,
+    * broadcast as a few MB even for billions of keys), drop new rows
+    * that *might* be present only after an exact semi-join on the
+    * (tiny) possibly-duplicate subset. Two-phase: the Bloom pass is
+    * map-side and prunes the shuffle to candidate rows only.
+    */
+  def bloomDedup(newRows: DataFrame, existing: DataFrame, keyCol: String,
+                 expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // Spark's bloomFilter over zero rows yields a filter whose bits
+    // never materialize (NPE on mightContain) — and an empty corpus
+    // can't contain anything anyway
+    if (existing.isEmpty) return newRows
+    val bloom = existing.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val bloomBc = newRows.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    // definitely-new rows skip the shuffle entirely; only the ~fpp
+    // false-positive candidates pay the exact anti-join
+    val definitelyNew = newRows.where(!mightContain(col(keyCol)))
+    val verifiedNew = newRows.where(mightContain(col(keyCol)))
+      .join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+
+  /** Skew-resistant aggregation: salt the key into `saltFactor`
+    * subkeys, aggregate partially per (key, salt), then re-aggregate
+    * per key — caps any single reducer's load at 1/saltFactor of the
+    * hottest key. (AQE skew-join handles join skew; this is the
+    * aggregation analog for algebraic aggregates.)
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
+                     saltFactor: Int): DataFrame = {
+    val salted = df
+      .withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltFactor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
+    salted.groupBy(col(key))
+      .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_stats" -> (qApproxStats _),
+  )
+}

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Tables
+
+class ScaleOpsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx sketches stay within bounds of exact values") {
+    val approx = ScaleOps.qApproxStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("approx_users"), r.getAs[Long]("n"))).toMap
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (tpe, (approxUsers, _)) =>
+      val d = exact(tpe)
+      assert(math.abs(approxUsers - d).toDouble / d <= 0.1,
+        s"$tpe: approx $approxUsers vs exact $d")
+    }
+  }
+
+  test("bloom dedup keeps exactly the genuinely-new keys") {
+    import spark.implicits._
+    val existing = (0L until 500L).map(i => (i, s"old$i")).toDF("id", "payload")
+    val incoming = (250L until 750L).map(i => (i, s"new$i")).toDF("id", "payload")
+    val out = ScaleOps.bloomDedup(incoming, existing, "id", expectedKeys = 1000)
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (500L until 750L).toSet)
+
+    // empty corpus: Spark's zero-row bloom filter NPEs on mightContain;
+    // the guard must pass everything through
+    val none = existing.where(org.apache.spark.sql.functions.lit(false))
+    assert(ScaleOps.bloomDedup(incoming, none, "id", expectedKeys = 10).count() == 500)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.load(spark, dir, "events")
+    val direct = ev.groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    val salted = ScaleOps.saltedSumCount(ev, "event_type",
+        col("value").cast("decimal(18,2)"), saltFactor = 8)
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+}
