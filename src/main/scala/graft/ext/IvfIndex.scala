@@ -81,7 +81,10 @@ object IvfIndex {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    val centroids = train(emb, "embedding", "vec_id", nCells = 16, dim = 64)
+    // quantizer trains on a deterministic ~20% sample — at 100 TB the
+    // coarse quantizer is always trained on a sample, never the corpus
+    val sample = emb.where($"vec_id" % 5 === 0)
+    val centroids = train(sample, "embedding", "vec_id", nCells = 16, dim = 64)
     val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
     val cells = probeCells(query.map(_.toDouble), centroids, nProbe = 4)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))

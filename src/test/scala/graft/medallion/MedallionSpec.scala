@@ -56,6 +56,36 @@ class MedallionSpec extends SparkTestBase {
     assert(gold.filter(col("size").isNull).count() > 0)
   }
 
+  test("pipeline works identically over the Glue wire format") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gen = new EventGenerator(seed = 21)
+    val registry = new InMemorySchemaRegistry
+    val stream = MemoryStream[KafkaEnvelope]
+    val paths = Pipeline.Paths(tmpDir("pipeline-glue"))
+    stream.addData(gen.envelopes(gen.events(45), registry, graft.codec.GlueWire))
+    val gold = Pipeline.run(spark, stream.toDF(), registry, graft.codec.GlueWire, paths,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(gold.agg(sum("count_type")).collect().head.getLong(0) == 45)
+  }
+
+  test("permissive pipeline drops corrupt payloads and completes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gen = new EventGenerator(seed = 23)
+    val registry = new InMemorySchemaRegistry
+    val good = gen.envelopes(gen.events(30), registry, ConfluentWire)
+    val id = registry.latest("product-value").get._1
+    val corrupt = good.head.copy(
+      value = ConfluentWire.frame(id, Array[Byte](9)), offset = 999L)
+    val stream = MemoryStream[KafkaEnvelope]
+    stream.addData(good :+ corrupt)
+    val paths = Pipeline.Paths(tmpDir("pipeline-permissive"))
+    val gold = Pipeline.run(spark, stream.toDF(), registry, ConfluentWire, paths,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), permissive = true)
+    assert(gold.agg(sum("count_type")).collect().head.getLong(0) == 30)
+  }
+
   test("incremental: re-running the pipeline with same checkpoints processes only new data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
