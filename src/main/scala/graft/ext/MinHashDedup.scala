@@ -92,26 +92,26 @@ object MinHashDedup {
     verifiedPairs(sh, cand).orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash fingerprints: 64-bit, bit j set iff Σ_tokens ±1 > 0
+  /** SimHash fingerprints: 64-bit, bit j set iff Σ_tokens ±tf > 0
     * (sign of the j-th bit of xxhash64(token), weighted by term
-    * frequency). One explode over (token × bit) then two hash aggs.
+    * frequency). Shape: one (doc, token) aggregate + one collect_list
+    * per doc, with the 64-bit fold evaluated inside a single
+    * higher-order expression — no (doc × token × bit) explode, so the
+    * shuffle is O(distinct tokens), not 64× that.
     */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("token")))
-    toks
-      .select(col("doc_id"), col("tf"), col("th"),
-        explode(expr("sequence(0, 63)")).as("j"))
-      .withColumn("contrib",
-        when(expr("(th >> cast(j as int)) & 1") === 1, col("tf")).otherwise(-col("tf")))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(0L))
-        .as("simhash"))
-  }
+      .select(col("doc_id"), struct(xxhash64(col("token")).as("th"), col("tf")).as("p"))
+      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("ps"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(sequence(0, 63), j ->
+          |    IF(aggregate(ps, 0L,
+          |         (acc, p) -> acc + IF(((p.th >> j) & 1) = 1, p.tf, -p.tf)) > 0,
+          |       shiftleft(1L, j), 0L)),
+          |  0L, (a, b) -> a + b)""".stripMargin).as("simhash"))
 
   /** Near-dup pairs by SimHash: 4×16-bit band join, verify Hamming
     * distance ≤ maxHamming via bit_count(xor).

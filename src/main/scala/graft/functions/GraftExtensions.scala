@@ -27,6 +27,18 @@ object GraftFunctions {
       s"$arg must be a string literal, got $other")
   }
 
+  /** Parse eagerly so a bad schema string fails at analysis time with
+    * a useful message, not mid-job on the first row.
+    */
+  private def validatedSchema(json: String, arg: String): String = {
+    try new org.apache.avro.Schema.Parser().parse(json)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$arg is not a valid Avro schema: ${e.getMessage}")
+    }
+    json
+  }
+
   /** (name, info, builder) triples shared by the extension and the
     * live-session registrar.
     */
@@ -36,19 +48,23 @@ object GraftFunctions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("graft_from_avro",
       new ExpressionInfo(classOf[AvroDecode].getName, "graft_from_avro"),
-      (es: Seq[Expression]) => es match {
-        case Seq(child, writer) =>
-          val w = strLit(writer, "writerSchemaJson")
-          AvroDecode(child, w, w, permissive = false)
-        case Seq(child, writer, reader) =>
-          AvroDecode(child, strLit(writer, "writerSchemaJson"),
-            strLit(reader, "readerSchemaJson"), permissive = false)
-        case Seq(child, writer, reader, permissive) =>
-          AvroDecode(child, strLit(writer, "writerSchemaJson"),
-            strLit(reader, "readerSchemaJson"),
-            permissive.eval(null).asInstanceOf[Boolean])
-        case other => throw new IllegalArgumentException(
-          s"graft_from_avro expects 2-4 args, got ${other.size}")
+      (es: Seq[Expression]) => {
+        def schemaArg(e: Expression, arg: String): String =
+          validatedSchema(strLit(e, arg), arg)
+        es match {
+          case Seq(child, writer) =>
+            val w = schemaArg(writer, "writerSchemaJson")
+            AvroDecode(child, w, w, permissive = false)
+          case Seq(child, writer, reader) =>
+            AvroDecode(child, schemaArg(writer, "writerSchemaJson"),
+              schemaArg(reader, "readerSchemaJson"), permissive = false)
+          case Seq(child, writer, reader, permissive) =>
+            AvroDecode(child, schemaArg(writer, "writerSchemaJson"),
+              schemaArg(reader, "readerSchemaJson"),
+              permissive.eval(null).asInstanceOf[Boolean])
+          case other => throw new IllegalArgumentException(
+            s"graft_from_avro expects 2-4 args, got ${other.size}")
+        }
       }))
 
   /** Register all graft functions into a live session's registry. */

@@ -34,6 +34,23 @@ object StreamOps {
       .groupBy(window(col(eventTimeCol), windowLen) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within `horizon` before it. Both sides carry
+    * watermarks so the join state is bounded (Spark retains each side
+    * only up to watermark + interval — the production-safe form).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame, delay: String,
+                       horizon: String): DataFrame = {
+    val c = clicks.withWatermark("click_time", delay)
+    val p = purchases.withWatermark("purchase_time", delay)
+    p.join(c,
+      expr(s"""
+        |p_user_id = c_user_id AND
+        |purchase_time >= click_time AND
+        |purchase_time <= click_time + INTERVAL $horizon
+      """.stripMargin))
+  }
+
   case class SessionEvent(userId: Long, eventTime: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,

@@ -55,6 +55,30 @@ class StreamOpsSpec extends SparkTestBase {
     assert(rows.contains(("2024-01-01 00:00:00", "b", 1L)))
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[TsEvent]
+    val purchases = MemoryStream[TsEvent]
+    val out = StreamOps.clickAttribution(
+      clicks.toDF().toDF("c_user_id", "click_time", "c_v"),
+      purchases.toDF().toDF("p_user_id", "purchase_time", "p_v"),
+      delay = "1 minute", horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      TsEvent("7", t("2024-01-01 00:00:00"), 1),  // within horizon
+      TsEvent("7", t("2024-01-01 00:20:00"), 2),  // after the purchase
+      TsEvent("8", t("2024-01-01 00:01:00"), 3))  // other user
+    purchases.addData(TsEvent("7", t("2024-01-01 00:05:00"), 10))
+    q.processAllAvailable()
+    val rows = spark.table("attrib")
+      .select(col("p_user_id"), col("c_v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows == Set(("7", 1L)))
+  }
+
   test("sessionize merges events within the gap and closes idle sessions on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
