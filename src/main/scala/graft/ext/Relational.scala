@@ -29,6 +29,11 @@ object Relational {
     */
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  // 6 decimals: the exact scale of a product of three 2-decimal
+  // factors, so the decimal cast never faces a rounding tie (a tie at
+  // scale 4 is hit by ~1% of such products and engines break it
+  // differently)
+  private def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
@@ -45,6 +50,12 @@ object Relational {
         dsum2($"l_quantity").as("sum_qty"),
         dsum2($"l_extendedprice").as("sum_base_price"),
         dsum4(($"l_extendedprice" * (lit(1.0d) - $"l_discount"))).as("sum_disc_price"),
+        dsum6(($"l_extendedprice" * (lit(1.0d) - $"l_discount") * (lit(1.0d) + $"l_tax")))
+          .as("sum_charge"),
+        // averages as exact-decimal-sum / count: identical double both engines
+        (dsum2($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (dsum2($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        (dsum4($"l_discount") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -124,6 +135,15 @@ object Relational {
     import s.implicits._
     t(s, dir, "customer").select($"c_custkey")
       .except(t(s, dir, "orders").select($"o_custkey".as("c_custkey")))
+      .orderBy($"c_custkey")
+  }
+
+  /** Set intersection: high-balance customers who placed big orders. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").where($"c_acctbal" > 5000.0).select($"c_custkey")
+      .intersect(t(s, dir, "orders").where($"o_totalprice" > 100000.0)
+        .select($"o_custkey".as("c_custkey")))
       .orderBy($"c_custkey")
   }
 
@@ -266,6 +286,7 @@ object Relational {
     "q_window_topk" -> (qWindowTopK _),
     "q_orderby_limit" -> (qOrderByLimit _),
     "q_except" -> (qExcept _),
+    "q_intersect" -> (qIntersect _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag" -> (qWindowLag _),
     "q_rollup" -> (qRollup _),
@@ -317,6 +338,10 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -354,6 +379,10 @@ object Relational {
     "q_except" ->
       """SELECT c_custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+        |ORDER BY c_custkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  ROW_NUMBER() OVER w AS order_seq,

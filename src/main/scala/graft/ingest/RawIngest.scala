@@ -35,7 +35,8 @@ object RawIngest {
     * metadata + `parsedValue` struct.
     */
   def demux[T](batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
-               permissive: Boolean = false)(action: Seq[DataFrame] => T): T = {
+               permissive: Boolean = false, deadLetterPath: Option[String] = None)
+              (action: Seq[DataFrame] => T): T = {
     val keyed = batch
       .withColumn("schemaKey", wire.schemaKeyCol(col("value")))
       .withColumn("payload", wire.payloadCol(col("value")))
@@ -43,12 +44,34 @@ object RawIngest {
     try {
       // P7/P8: tiny distinct set of schema keys crosses to the driver
       val keys = keyed.select(col("schemaKey")).distinct().collect().map(_.getAs[Array[Byte]](0))
-      val groups = keys.toSeq.map { keyBytes =>
-        val schema = wire match {
-          // Confluent's schemaKeyCol is already just the 4 id bytes (F2)
-          case ConfluentWire => registry.getById(ByteBuffer.wrap(keyBytes).getInt)
-          case GlueWire => registry.getByUuid(GlueWire.uuidOf(keyBytes))
+      val resolved = keys.toSeq.map { keyBytes =>
+        val schema = try {
+          Some(wire match {
+            // Confluent's schemaKeyCol is already just the 4 id bytes (F2)
+            case ConfluentWire => registry.getById(ByteBuffer.wrap(keyBytes).getInt)
+            case GlueWire => registry.getByUuid(GlueWire.uuidOf(keyBytes))
+          })
+        } catch {
+          // unknown schema id: a producer ahead of this consumer's
+          // registry view. With a dead-letter path the group is
+          // preserved raw for replay; without one, fail the batch
+          // (silent drops would violate at-least-once).
+          case e: NoSuchElementException =>
+            if (deadLetterPath.isEmpty) throw e
+            None
         }
+        (keyBytes, schema)
+      }
+      deadLetterPath.foreach { dlq =>
+        val unknown = resolved.collect { case (k, None) => k }
+        if (unknown.nonEmpty) {
+          keyed
+            .filter(col("schemaKey").isin(unknown.map(x => x: Any): _*))
+            .select((metaCols :+ "value").map(col): _*)
+            .write.mode("append").parquet(dlq)
+        }
+      }
+      val groups = resolved.collect { case (keyBytes, Some(schema)) =>
         val json = schema.toString
         val decoded = keyed
           .filter(col("schemaKey") === lit(keyBytes)) // P5: group filter before decode (O4)
@@ -65,8 +88,9 @@ object RawIngest {
     * mergeSchema=true (ST9); [[readRaw]] merges on read.
     */
   def demuxToTable(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
-                   rawPath: String, permissive: Boolean = false): Unit =
-    demux(batch, registry, wire, permissive) { groups =>
+                   rawPath: String, permissive: Boolean = false,
+                   deadLetterPath: Option[String] = None): Unit =
+    demux(batch, registry, wire, permissive, deadLetterPath) { groups =>
       groups.foreach(_.write.mode("append").parquet(rawPath)) // SNK4 analog
     }
 
@@ -80,10 +104,11 @@ object RawIngest {
     */
   def run(source: DataFrame, registry: SchemaRegistry, wire: WireFormat,
           rawPath: String, checkpoint: String, permissive: Boolean = false,
-          queryName: String = "graftRawIngest"): StreamingQuery =
+          queryName: String = "graftRawIngest",
+          deadLetterPath: Option[String] = None): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        demuxToTable(batch, registry, wire, rawPath, permissive)
+        demuxToTable(batch, registry, wire, rawPath, permissive, deadLetterPath)
       }
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)

@@ -37,6 +37,30 @@ class RawIngestSpec extends SparkTestBase {
     assert(out.select("parsedValue.productId").distinct().count() <= 3)
   }
 
+  test("unknown schema id: fails the batch by default, dead-letters when configured") {
+    val gen = new EventGenerator(seed = 5)
+    val registry = new InMemorySchemaRegistry
+    val good = gen.envelopeDF(spark, gen.events(9), registry, ConfluentWire)
+    // a record framed with an id the consumer registry has never seen
+    val strangerValue = ConfluentWire.frame(9999, gen.encode(gen.next(1)))
+    val stranger = gen.envelopeDF(spark, gen.events(1), registry, ConfluentWire)
+      .withColumn("value", lit(strangerValue))
+    val batch = good.unionByName(stranger)
+
+    intercept[NoSuchElementException] {
+      RawIngest.demuxToTable(batch, registry, ConfluentWire, tmpDir("raw-unknown"))
+    }
+
+    val raw = tmpDir("raw-dlq-main")
+    val dlq = tmpDir("raw-dlq")
+    RawIngest.demuxToTable(batch, registry, ConfluentWire, raw, deadLetterPath = Some(dlq))
+    assert(RawIngest.readRaw(spark, raw).count() == 9)
+    val dead = spark.read.parquet(dlq)
+    assert(dead.count() == 1)
+    // dead letters keep the raw framed value for replay
+    assert(dead.select("value").collect().head.getAs[Array[Byte]](0).sameElements(strangerValue))
+  }
+
   test("permissive ingest drops corrupt rows; failfast propagates") {
     val gen = new EventGenerator(seed = 3)
     val registry = new InMemorySchemaRegistry
