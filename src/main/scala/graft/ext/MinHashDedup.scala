@@ -95,9 +95,10 @@ object MinHashDedup {
   /** SimHash fingerprints: 64-bit, bit j set iff Σ_tokens ±tf > 0
     * (sign of the j-th bit of xxhash64(token), weighted by term
     * frequency). Shape: one (doc, token) aggregate + one collect_list
-    * per doc, with the 64-bit fold evaluated inside a single
-    * higher-order expression — no (doc × token × bit) explode, so the
-    * shuffle is O(distinct tokens), not 64× that.
+    * per doc, folded to 64 bits by the codegen'd
+    * [[graft.functions.SimHashFold]] — no (doc × token × bit)
+    * explode, so the shuffle is O(distinct tokens), not 64× that, and
+    * the bit loop runs as generated Java, not interpreted lambdas.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
@@ -105,13 +106,7 @@ object MinHashDedup {
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .select(col("doc_id"), struct(xxhash64(col("token")).as("th"), col("tf")).as("p"))
       .groupBy(col("doc_id")).agg(collect_list(col("p")).as("ps"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(sequence(0, 63), j ->
-          |    IF(aggregate(ps, 0L,
-          |         (acc, p) -> acc + IF(((p.th >> j) & 1) = 1, p.tf, -p.tf)) > 0,
-          |       shiftleft(1L, j), 0L)),
-          |  0L, (a, b) -> a + b)""".stripMargin).as("simhash"))
+      .select(col("doc_id"), graft.functions.SimHashFold(col("ps")).as("simhash"))
 
   /** Near-dup pairs by SimHash: 4×16-bit band join, verify Hamming
     * distance ≤ maxHamming via bit_count(xor).

@@ -86,12 +86,24 @@ object RawIngest {
   /** Demux + append each group to the raw parquet table. Appending
     * files of different (widening) schemas emulates Delta's
     * mergeSchema=true (ST9); [[readRaw]] merges on read.
+    *
+    * `unifiedWrite = false` mirrors the reference's per-schema-group
+    * append loop (ingest.scala:142-171), which is at-least-once if a
+    * later iteration fails (hazard SURVEY.md §7.5.6). `true` unions
+    * the groups by name (null-padding narrow schemas) and performs
+    * ONE append per micro-batch — all-or-nothing with the checkpoint,
+    * i.e. effectively exactly-once.
     */
   def demuxToTable(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
                    rawPath: String, permissive: Boolean = false,
-                   deadLetterPath: Option[String] = None): Unit =
+                   deadLetterPath: Option[String] = None,
+                   unifiedWrite: Boolean = false): Unit =
     demux(batch, registry, wire, permissive, deadLetterPath) { groups =>
-      groups.foreach(_.write.mode("append").parquet(rawPath)) // SNK4 analog
+      if (unifiedWrite && groups.nonEmpty)
+        groups.reduce(_.unionByName(_, allowMissingColumns = true))
+          .write.mode("append").parquet(rawPath)
+      else
+        groups.foreach(_.write.mode("append").parquet(rawPath)) // SNK4 analog
     }
 
   /** Raw table scan with schema merging across v1/v2-era files. */

@@ -37,6 +37,18 @@ class RawIngestSpec extends SparkTestBase {
     assert(out.select("parsedValue.productId").distinct().count() <= 3)
   }
 
+  test("unifiedWrite appends one merged batch with identical read semantics") {
+    val gen = new EventGenerator(seed = 6)
+    val registry = new InMemorySchemaRegistry
+    val batch = gen.envelopeDF(spark, gen.events(60), registry, ConfluentWire)
+    val raw = tmpDir("raw-unified")
+    RawIngest.demuxToTable(batch, registry, ConfluentWire, raw, unifiedWrite = true)
+    val out = RawIngest.readRaw(spark, raw).select(col("parsedValue.*"))
+    assert(out.count() == 60)
+    assert(out.filter(col("size").isNull).count() == 20) // v1 rows null-padded
+    assert(out.filter(col("color").isNotNull).count() == 40)
+  }
+
   test("unknown schema id: fails the batch by default, dead-letters when configured") {
     val gen = new EventGenerator(seed = 5)
     val registry = new InMemorySchemaRegistry
