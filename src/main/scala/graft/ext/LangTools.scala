@@ -104,7 +104,36 @@ object LangTools {
     "q_winnow_fingerprints" -> (qWinnowFingerprints _),
   )
 
+  /** The oracle mirrors the argmax with the same tie-break (ties go
+    * to the alphabetically-first language) as a CASE chain in
+    * alphabetical order with >= comparisons.
+    */
+  private val langIdOracle: String = {
+    val langs = profiles.keys.toSeq.sorted // de, en, es, fr, zh
+    val scoreCols = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'${w}'").mkString("(", ",", ")")
+      s"len(list_filter(toks, x -> x IN $list)) AS $lang"
+    }.mkString(",\n    ")
+    val caseArms = langs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1)
+      val cond = rest.map(o => s"$lang >= $o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n      ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE $caseArms ELSE '${langs.last}' END AS lang_pred,
+       |  CAST(greatest(${langs.mkString(", ")}) AS BIGINT) AS lang_best_score
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_lang_id" -> langIdOracle,
     "q_token_counts" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS word_tokens,
