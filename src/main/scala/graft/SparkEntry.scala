@@ -44,8 +44,13 @@ object SparkEntry {
     val stream = MemoryStream[KafkaEnvelope]
     stream.addData(gen.envelopes(gen.events(900, duplicateEvery = 9), registry, ConfluentWire))
     val base = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    // dayStart from the epoch, not Timestamp.valueOf: the latter
+    // parses in the JVM default TZ, which would empty the gold filter
+    // on a non-UTC JVM (generated events are fixed UTC epochs)
+    val dayStart = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
     Pipeline.run(spark, stream.toDF(), registry, ConfluentWire,
-      Pipeline.Paths(base), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      Pipeline.Paths(base), dayStart)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -61,9 +61,8 @@ object LangTools {
     val sh = docs
       .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))"))
-        .as(Seq("pos", "shingle")))
+      .select(col("doc_id"),
+        posexplode(expr(TextAnalysis.shingleExpr(w))).as(Seq("pos", "shingle")))
       .withColumn("h", xxhash64(col("shingle")))
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, win - 1)

@@ -20,15 +20,11 @@ import graft.core.Tables
   */
 object MinHashDedup {
 
-  /** Distinct (doc_id, shingle) pairs: w-word shingles. */
+  /** Distinct (doc_id, shingle) pairs — delegates to the single
+    * shingling definition in [[TextAnalysis.shingles]].
+    */
   def shingles(docs: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))"))
-        .as("shingle"))
-      .distinct()
+    TextAnalysis.shingles(docs, textCol, w)
 
   /** k-minhash signature per doc, one column per hash fn. Each hash
     * fn is xxhash64 seeded by a distinct leading literal (ANSI-safe —

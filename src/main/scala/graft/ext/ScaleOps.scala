@@ -37,15 +37,25 @@ object ScaleOps {
     */
   def bloomDedup(newRows: DataFrame, existing: DataFrame, keyCol: String,
                  expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     // Spark's bloomFilter over zero rows yields a filter whose bits
     // never materialize (NPE on mightContain) — and an empty corpus
     // can't contain anything anyway
     if (existing.isEmpty) return newRows
     val bloom = existing.stat.bloomFilter(keyCol, expectedKeys, fpp)
     val bloomBc = newRows.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
-    // definitely-new rows skip the shuffle entirely; only the ~fpp
-    // false-positive candidates pay the exact anti-join
+    // typed dispatch: bloomFilter hashes longs and strings differently
+    val mightContain = newRows.schema(keyCol).dataType match {
+      case LongType | IntegerType =>
+        udf((k: java.lang.Long) => k != null && bloomBc.value.mightContainLong(k))
+      case StringType =>
+        udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+      case other => throw new IllegalArgumentException(
+        s"bloomDedup supports long/int/string keys, got ${other.simpleString}")
+    }
+    // null keys can't be in the corpus → definitely new. The two
+    // branches re-scan newRows; at scale persist newRows (or stage
+    // it) before calling — left to the caller who owns the lifecycle.
     val definitelyNew = newRows.where(!mightContain(col(keyCol)))
     val verifiedNew = newRows.where(mightContain(col(keyCol)))
       .join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")

@@ -23,6 +23,22 @@ object TextAnalysis {
 
   private val stopwordsSql = "('the','a','and','of','to','in')"
 
+  /** w-word shingle array expression over a `toks` column — the ONE
+    * definition of shingling; qNgramJaccard, MinHashDedup and the
+    * winnowing fingerprints all build on it so they can never
+    * silently diverge.
+    */
+  def shingleExpr(w: Int): String =
+    s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))"
+
+  /** Distinct (doc_id, shingle) inverted-index rows. */
+  def shingles(docs: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(shingleExpr(w))).as("shingle"))
+      .distinct()
+
   /** All ordered pairs (a<b) from a SORTED id array — the
     * aggregation-side replacement for an inverted-index self-join:
     * groupBy(key) → collect+sort ids → expand pairs. One pass over
@@ -107,13 +123,7 @@ object TextAnalysis {
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docs(s, dir)
-      .select($"doc_id", tokens($"text").as("toks"))
-      .where(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-        .as("shingle"))
-      .distinct()
+    val sh = shingles(docs(s, dir))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     // inverted index → per-shingle pair expansion (no self-join):
     // every co-occurring (a<b) pair once per shared shingle, then

@@ -52,11 +52,13 @@ object RawIngest {
             case GlueWire => registry.getByUuid(GlueWire.uuidOf(keyBytes))
           })
         } catch {
-          // unknown schema id: a producer ahead of this consumer's
-          // registry view. With a dead-letter path the group is
-          // preserved raw for replay; without one, fail the batch
-          // (silent drops would violate at-least-once).
-          case e: NoSuchElementException =>
+          // Unresolvable group: unknown schema id (producer ahead of
+          // this consumer's registry view) or a malformed/truncated
+          // header (schemaKey shorter than the wire format —
+          // ByteBuffer/index errors). With a dead-letter path the
+          // group is preserved raw for replay; without one, fail the
+          // batch (silent drops would violate at-least-once).
+          case scala.util.control.NonFatal(e) =>
             if (deadLetterPath.isEmpty) throw e
             None
         }
@@ -117,10 +119,11 @@ object RawIngest {
   def run(source: DataFrame, registry: SchemaRegistry, wire: WireFormat,
           rawPath: String, checkpoint: String, permissive: Boolean = false,
           queryName: String = "graftRawIngest",
-          deadLetterPath: Option[String] = None): StreamingQuery =
+          deadLetterPath: Option[String] = None,
+          unifiedWrite: Boolean = false): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        demuxToTable(batch, registry, wire, rawPath, permissive, deadLetterPath)
+        demuxToTable(batch, registry, wire, rawPath, permissive, deadLetterPath, unifiedWrite)
       }
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)

@@ -47,7 +47,7 @@ object Medallion {
   /** silver: streaming first-wins dedup on eventId (A4/ST6,
     * silver.py:23 — state-store backed, deliberately unwatermarked to
     * match the reference; the bounded-state variant is
-    * [[graft.ext.Dedup.dedupStreamWithinWatermark]]) + timestamp
+    * [[graft.streaming.StreamOps.dedupWithinWatermark]]) + timestamp
     * normalization. The reference turns the epoch into a
     * `dd-MM-yyyy H:mm:ss` *string* (silver.py:24-27) whose `>=` is
     * chronologically unsound (hazard §7.5.1); we keep that column

@@ -56,11 +56,15 @@ object StreamOps {
   case class SessionOut(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
                         nEvents: Long, closed: Boolean)
 
-  /** Session windows via mapGroupsWithState (the custom-state axis):
-    * events within `gapMs` of each other merge into one session; an
-    * event-time timeout (watermark-driven — deterministic, unlike
-    * processing-time timeouts) closes idle sessions once the
-    * watermark passes sessionEnd + gap.
+  /** Session windows via flatMapGroupsWithState (the custom-state
+    * axis): events within `gapMs` of each other merge into one
+    * session. Gaps INSIDE a batch split sessions (essential under
+    * AvailableNow, where a backfill arrives in few large batches),
+    * and every closed session is emitted — whether closed by a
+    * later-than-gap event in the same key or by the event-time
+    * timeout (watermark-driven — deterministic, unlike
+    * processing-time timeouts) once the watermark passes
+    * sessionEnd + gap.
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
@@ -70,25 +74,41 @@ object StreamOps {
       .withWatermark("eventTime", watermarkDelay)
       .as[SessionEvent]
       .groupByKey(_.userId)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, closed = true)
+            Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end),
+              s.n, closed = true))
           } else {
             val times = rows.map(_.eventTime.getTime).toSeq.sorted
-            val prev = state.getOption
-            val merged = prev match {
-              case Some(s) if times.nonEmpty && times.head - s.end <= gapMs =>
-                SessionState(s.start, math.max(s.end, times.last), s.n + times.size)
-              case Some(s) if times.isEmpty => s
-              case _ => SessionState(times.head, times.last, times.size.toLong)
+            if (times.isEmpty) Iterator.empty
+            else {
+              // fold times into sessions, starting from carried state
+              var open = state.getOption
+              val closed = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+              times.foreach { t =>
+                open match {
+                  case Some(s) if t - s.end <= gapMs =>
+                    open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                  case Some(s) =>
+                    closed += s
+                    open = Some(SessionState(t, t, 1L))
+                  case None =>
+                    open = Some(SessionState(t, t, 1L))
+                }
+              }
+              val last = open.get
+              state.update(last)
+              state.setTimeoutTimestamp(last.end + gapMs)
+              closed.iterator.map(s =>
+                SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n,
+                  closed = true)) ++
+                Iterator(SessionOut(userId, new Timestamp(last.start),
+                  new Timestamp(last.end), last.n, closed = false))
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.end + gapMs)
-            SessionOut(userId, new Timestamp(merged.start), new Timestamp(merged.end),
-              merged.n, closed = false)
           }
       }
   }

@@ -73,6 +73,20 @@ class RawIngestSpec extends SparkTestBase {
     assert(dead.select("value").collect().head.getAs[Array[Byte]](0).sameElements(strangerValue))
   }
 
+  test("truncated value (shorter than the wire header) dead-letters instead of crashing") {
+    val gen = new EventGenerator(seed = 8)
+    val registry = new InMemorySchemaRegistry
+    val good = gen.envelopeDF(spark, gen.events(6), registry, ConfluentWire)
+    val poison = gen.envelopeDF(spark, gen.events(1), registry, ConfluentWire)
+      .withColumn("value", lit(Array[Byte](0, 1, 2))) // 3 bytes < 5-byte header
+    val batch = good.unionByName(poison)
+    val raw = tmpDir("raw-poison-main")
+    val dlq = tmpDir("raw-poison-dlq")
+    RawIngest.demuxToTable(batch, registry, ConfluentWire, raw, deadLetterPath = Some(dlq))
+    assert(RawIngest.readRaw(spark, raw).count() == 6)
+    assert(spark.read.parquet(dlq).count() == 1)
+  }
+
   test("permissive ingest drops corrupt rows; failfast propagates") {
     val gen = new EventGenerator(seed = 3)
     val registry = new InMemorySchemaRegistry

@@ -107,4 +107,33 @@ class StreamOpsSpec extends SparkTestBase {
     q.stop()
     assert(closed == 1)
   }
+
+  test("sessionize splits on intra-batch gaps and emits superseded sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(stream.toDS(), gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sessions_split")
+      .outputMode(OutputMode.Update()).start()
+    // one batch, two sessions for user 5 separated by > gap
+    stream.addData(
+      StreamOps.SessionEvent(5L, t("2024-01-01 00:00:00")),
+      StreamOps.SessionEvent(5L, t("2024-01-01 00:00:20")),
+      StreamOps.SessionEvent(5L, t("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_split").where(col("userId") === 5)
+      .select("sessionStart", "nEvents", "closed").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getBoolean(2))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", 2L, true)))  // intra-batch split, closed
+    assert(rows.contains(("2024-01-01 01:00:00.0", 1L, false))) // still open
+
+    // a later-than-gap event in a NEW batch must close+emit the open session
+    stream.addData(StreamOps.SessionEvent(5L, t("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    val closedLater = spark.table("sessions_split")
+      .where(col("userId") === 5 && col("closed") &&
+        col("sessionStart") === t("2024-01-01 01:00:00")).count()
+    q.stop()
+    assert(closedLater == 1)
+  }
 }
