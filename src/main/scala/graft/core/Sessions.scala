@@ -29,6 +29,9 @@ object Sessions {
       // testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
       // rejects by default; read it as long nanoseconds instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep managed tables (bucketing tests etc.) out of the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
