@@ -60,6 +60,35 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** TPC-H Q6-shaped forecast-revenue filter-sum: pure scan+filter,
+    * every predicate pushed to parquet.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.04d && $"l_discount" <= 0.08d && $"l_quantity" < 24.0d)
+      .agg(dsum4($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q3-shaped shipping-priority query: join, group, top-10 by
+    * revenue (TakeOrdered after partial agg).
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .where($"c_mktsegment" === "BUILDING" &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"l_orderkey", to_date($"o_orderdate").as("orderdate"), $"o_orderpriority")
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
   /** Fact-to-dim equi join; dim side broadcast (customer is tiny
     * relative to orders at every SF — at 100 TB the customer dim still
     * broadcasts at tens of MB).
@@ -279,6 +308,8 @@ object Relational {
     "q_pivot" -> (qPivot _),
     "q_string_funcs" -> (qStringFuncs _),
     "q1_agg" -> (q1Agg _),
+    "q6_forecast" -> (q6Forecast _),
+    "q3_shipping" -> (q3Shipping _),
     "q_join_orders_customer" -> (qJoinOrdersCustomer _),
     "q_join_multi" -> (qJoinMulti _),
     "q_semi_join" -> (qSemiJoin _),
@@ -345,6 +376,21 @@ object Relational {
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.08 AND l_quantity < 24.0""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_join_orders_customer" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
