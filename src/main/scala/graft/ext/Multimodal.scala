@@ -102,6 +102,21 @@ object Multimodal {
         .as(Seq("frame_idx", "frame")))
       .where(col("frame_idx") % everyK === 0)
 
+  /** Cross-modal join: text documents with their embedding vectors
+    * (doc_id = vec_id), aggregated per language — the join that ties
+    * the text and vector pipelines together (scaled-integer centroid
+    * of dim 1 keeps the oracle exact).
+    */
+  def qDocEmbedding(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .join(Tables.load(s, dir, "embeddings"),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(element_at(col("embedding"), 1).cast("double") * lit(1000000.0d))
+          .cast("long")).as("sum_dim1_scaled"))
+      .orderBy(col("lang"))
+
   /** Rows-only query: decode+measure the synthetic asset table. */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     withDecodedMeta(syntheticAssets(s, dir))
@@ -113,7 +128,15 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_doc_embedding" -> (qDocEmbedding _),
   )
 
-  val oracle: Map[String, String] = Map.empty // stubbed codec → rows-only
+  val oracle: Map[String, String] = Map(
+    // q_multimodal_decode stays rows-only (stubbed codec)
+    "q_doc_embedding" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_dim1_scaled
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+  )
 }
