@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, Relational, ScaleOps, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, Relational, ScaleOps, Similarity, TextAnalysis}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.pipeline.Pipeline
 import graft.schema.InMemorySchemaRegistry
@@ -27,6 +27,7 @@ object SparkEntry {
       (IvfIndex.queries, Map.empty[String, String]),
       (AsofJoin.queries, AsofJoin.oracle),
       (ScaleOps.queries, Map.empty[String, String]),
+      (DedupClusters.queries, DedupClusters.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (LangTools.queries, LangTools.oracle),
     )

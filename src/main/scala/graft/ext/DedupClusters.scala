@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Near-duplicate CLUSTERS: the end state of a dedup pipeline.
+  * Pairwise matches (from n-gram Jaccard / MinHash verification) are
+  * edges; connected components give the duplicate clusters; the
+  * minimum doc_id of each component is the canonical keeper.
+  *
+  * Components are computed by min-label propagation to fixpoint —
+  * deterministic (so oracle-checkable), and each round is one
+  * join+aggregate on the edge list: O(iters × |E|) shuffle, with
+  * iters ≤ the component diameter. Dedup clusters are overwhelmingly
+  * tiny (pairs/triples), so convergence is 2-3 rounds; for
+  * pathological giant components swap in the alternating
+  * small-star/large-star algorithm on the same edge DataFrame.
+  */
+object DedupClusters {
+
+  /** (id, component) for every vertex; component = min id reachable. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val spark = vertices.sparkSession
+    // symmetric edge list, reused every round
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+      .persist()
+    try {
+      var labels = vertices.select(col("id"), col("id").as("component")).persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // each vertex adopts min(own label, neighbours' labels)
+        val neighborMin = sym
+          .join(labels.withColumnRenamed("id", "y2"), col("y") === col("y2"))
+          .groupBy(col("x")).agg(min(col("component")).as("nmin"))
+        val next = labels
+          .join(neighborMin, col("id") === col("x"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nmin"), col("component")))
+              .as("component"))
+          .persist()
+        val changes = next.join(labels.withColumnRenamed("component", "old"), "id")
+          .where(col("component") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changes == 0
+        iter += 1
+      }
+      // materialize before releasing the cached inputs
+      val out = labels.localCheckpoint(eager = true)
+      labels.unpersist()
+      out
+    } finally sym.unpersist()
+  }
+
+  /** Dedup clusters over exact-Jaccard≥0.5 pairs: every doc with its
+    * component and keeper flag (keeper = min doc_id of the cluster).
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id".as("id"))
+    val pairs = TextAnalysis.qNgramJaccard(s, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    connectedComponents(docs, pairs)
+      .select($"id".as("doc_id"), $"component",
+        ($"id" === $"component").cast("boolean").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> (qDedupClusters _),
+  )
+
+  /** Oracle: transitive closure by recursive CTE, component = min
+    * reachable id (self-loops make singletons their own component).
+    */
+  val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    WITH toks AS (
+        |      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |      FROM documents),
+        |    sh AS (
+        |      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |      FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
+        |    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |    common AS (
+        |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |    SELECT doc_a, doc_b FROM common
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE 3 * c >= sa.sz + sb.sz)),
+        |edges AS (
+        |  SELECT doc_a AS x, doc_b AS y FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS doc_id, MIN(y) AS component,
+        |  (x = MIN(y)) AS is_keeper
+        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+  )
+}

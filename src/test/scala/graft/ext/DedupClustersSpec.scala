@@ -1,0 +1,33 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupClustersSpec extends SparkTestBase {
+
+  test("connected components merge transitive chains and keep singletons") {
+    import spark.implicits._
+    val vertices = (1L to 7L).toDF("id")
+    // 1-2-3 chain, 5-6 pair, 4 and 7 singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(5L) == 5L && cc(6L) == 5L)
+    assert(cc(4L) == 4L && cc(7L) == 7L)
+  }
+
+  test("q_dedup_clusters components are consistent with the pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val clusters = DedupClusters.qDedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = TextAnalysis.qNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every matched pair must land in the same component
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b), s"pair ($a,$b)") }
+    // keepers: exactly one per component
+    val keepers = clusters.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    keepers.foreach { case (comp, minId) => assert(comp == minId) }
+  }
+}
