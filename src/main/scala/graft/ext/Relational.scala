@@ -199,6 +199,23 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Wider window-function surface: ntile, percent_rank, first/last
+    * value over an explicit frame (percent_rank's (rank-1)/(n-1) is a
+    * pure-integer-derived double division — engine-identical).
+    */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        first($"o_totalprice").over(wFull).as("first_price"),
+        last($"o_totalprice").over(wFull).as("last_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** ROLLUP over status×priority with pinned NULLS FIRST ordering. */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -320,6 +337,7 @@ object Relational {
     "q_intersect" -> (qIntersect _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag" -> (qWindowLag _),
+    "q_window_funcs" -> (qWindowFuncs _),
     "q_rollup" -> (qRollup _),
     "q_count_distinct" -> (qCountDistinct _),
   )
@@ -443,6 +461,17 @@ object Relational {
         |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
         |    CAST(o_orderdate AS DATE)) AS days_since_prev
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER wf AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

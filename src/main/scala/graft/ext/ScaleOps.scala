@@ -79,7 +79,22 @@ object ScaleOps {
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
   }
 
+  /** Token heavy hitters over documents via the Misra-Gries sketch
+    * (rows-only: MG estimates are partition-order dependent; the
+    * frequency guarantee is asserted in ScaleOpsSpec).
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens($"text")).as("token"))
+      .agg(graft.functions.HeavyHitters($"token", 16).as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.token".as("token"), $"h.est_count".as("est_count"))
+      .orderBy($"est_count".desc, $"token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
   )
 }

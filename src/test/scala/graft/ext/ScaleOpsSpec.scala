@@ -37,6 +37,25 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ScaleOps.bloomDedup(incoming, none, "id", expectedKeys = 10).count() == 500)
   }
 
+  test("Misra-Gries heavy hitters: every token with freq > n/k survives, estimates bounded") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val k = 16
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = ScaleOps.qHeavyHitters(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.filter(_._2 > n / k).foreach { case (t, c) =>
+      assert(sketch.contains(t), s"missed heavy hitter $t ($c > ${n / k})")
+    }
+    sketch.foreach { case (t, est) =>
+      val true_ = exact(t)
+      assert(est <= true_ && est >= true_ - n / k, s"$t est=$est true=$true_")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.load(spark, dir, "events")
     val direct = ev.groupBy(col("event_type"))
