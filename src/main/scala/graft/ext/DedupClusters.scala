@@ -20,9 +20,54 @@ import graft.core.Tables
   */
 object DedupClusters {
 
-  /** (id, component) for every vertex; component = min id reachable. */
+  /** (id, component) for every vertex; component = min id reachable.
+    * Hybrid execution: below `driverEdgeThreshold` edges the
+    * component labels are computed by driver-side union-find (the
+    * edge set of a dedup run is tiny relative to the corpus — the
+    * expensive part was finding the pairs) and broadcast-joined back;
+    * above it, distributed min-label propagation. Results identical.
+    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          driverEdgeThreshold: Int = 100000): DataFrame = {
+    // one evaluation decides AND delivers: if limit(n+1) returns ≤ n
+    // rows, that IS the complete edge set
+    val sample = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .limit(driverEdgeThreshold + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (sample.length <= driverEdgeThreshold)
+      componentsViaUnionFind(vertices, sample)
+    else
+      componentsViaPropagation(vertices, edges, maxIter)
+  }
+
+  /** Driver union-find over a small collected edge list; labels join
+    * back as a broadcast map (component = min id, matching the
+    * distributed variant exactly).
+    */
+  private def componentsViaUnionFind(vertices: DataFrame,
+                                     es: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val labels = parent.keys.map(x => x -> find(x)).toMap
+    val bc = vertices.sparkSession.sparkContext.broadcast(labels)
+    val componentOf = udf((id: Long) => bc.value.getOrElse(id, id))
+    vertices.select(col("id"), componentOf(col("id")).as("component"))
+  }
+
+  /** Distributed min-label propagation (the >threshold path). */
+  private[ext] def componentsViaPropagation(vertices: DataFrame, edges: DataFrame,
+                                            maxIter: Int = 20): DataFrame = {
     val spark = vertices.sparkSession
     // symmetric edge list, reused every round
     val sym = edges.select(col("a").as("x"), col("b").as("y"))

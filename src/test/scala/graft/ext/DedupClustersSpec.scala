@@ -6,16 +6,18 @@ import graft.SparkTestBase
 
 class DedupClustersSpec extends SparkTestBase {
 
-  test("connected components merge transitive chains and keep singletons") {
+  test("connected components merge transitive chains and keep singletons (both paths)") {
     import spark.implicits._
     val vertices = (1L to 7L).toDF("id")
     // 1-2-3 chain, 5-6 pair, 4 and 7 singletons
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
-    val cc = DedupClusters.connectedComponents(vertices, edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+    val viaUf = DedupClusters.connectedComponents(vertices, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
-    assert(cc(5L) == 5L && cc(6L) == 5L)
-    assert(cc(4L) == 4L && cc(7L) == 7L)
+    assert(viaUf == expected)
+    val viaProp = DedupClusters.componentsViaPropagation(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaProp == expected)
   }
 
   test("q_dedup_clusters components are consistent with the pair set") {
