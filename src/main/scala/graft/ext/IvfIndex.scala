@@ -18,23 +18,20 @@ import graft.functions.CentroidAggregator
   */
 object IvfIndex {
 
-  /** Squared L2 distance between a vector column and a literal
-    * centroid (fused higher-order expression, stays in codegen).
-    */
-  private def sqDist(vec: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, array(centroid.map(lit(_)).toIndexedSeq: _*),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0d), (acc, v) => acc + v)
-
   /** Nearest-centroid cell id (deterministic argmin: ties break on
-    * the lower cell index via struct ordering).
+    * the lower cell index via struct ordering). The centroid matrix
+    * enters the plan as ONE nested-array literal and the argmin is a
+    * single higher-order expression — 16 inlined per-centroid dot
+    * expressions made whole-stage codegen compile for ~7s; this form
+    * compiles instantly and evaluates the same arithmetic.
     */
   def assignCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(vec, c).as("dist"), lit(i).as("cell"))
-    }
-    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+    val cs = typedLit(centroids.map(_.toSeq).toSeq)
+    val scored = transform(cs, (c, i) => struct(
+      aggregate(zip_with(vec, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0d), (acc, v) => acc + v).as("dist"),
+      i.as("cell")))
+    array_min(scored).getField("cell")
   }
 
   /** Lloyd iterations entirely in DataFrame ops: init = vectors of
