@@ -135,9 +135,9 @@ object LangTools {
     "q_lang_id" -> langIdOracle,
     "q_token_counts" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS word_tokens,
-        |  SUM(len(regexp_extract_all(text, '[0-9]+'))) AS num_tokens,
-        |  SUM(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))) AS punct_tokens
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS word_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS num_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))) AS BIGINT) AS punct_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

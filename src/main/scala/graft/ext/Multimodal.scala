@@ -113,8 +113,8 @@ object Multimodal {
         col("doc_id") === col("vec_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
-        sum(round(element_at(col("embedding"), 1).cast("double") * lit(1000000.0d))
-          .cast("long")).as("sum_dim1_scaled"))
+        sum(floor(element_at(col("embedding"), 1).cast("double") * lit(1048576.0d)))
+          .as("sum_dim1_scaled"))
       .orderBy(col("lang"))
 
   /** Rows-only query: decode+measure the synthetic asset table. */
@@ -135,7 +135,8 @@ object Multimodal {
     // q_multimodal_decode stays rows-only (stubbed codec)
     "q_doc_embedding" ->
       """SELECT lang, COUNT(*) AS n,
-        |  SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_dim1_scaled
+        |  CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_dim1_scaled
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
   )

@@ -9,13 +9,13 @@ import graft.core.Tables
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors).
   *
-  * All vector math is phrased as higher-order array functions
-  * (`zip_with`/`transform`/`aggregate`), which Catalyst evaluates
-  * without UDF serialization overhead. Arithmetic is done in double:
-  * float×float widened to double is exact, and the fold is
-  * sequential, so results are bit-reproducible and match the DuckDB
-  * oracle; scores are quantized to DECIMAL(10,4) so ranking is
-  * engine-independent.
+  * Oracle-checked scores use [[graft.functions.QuantizedCosine]]
+  * (`cosq = floor(cos·10⁴)` from integer-quantized components — see
+  * its Scaladoc for the engine-independence argument); raw-double
+  * cosine ([[graft.functions.CosineSimilarity]]) stays on the
+  * rows-only ANN paths. Vector math otherwise is higher-order array
+  * functions (`zip_with`/`transform`/`aggregate`), which Catalyst
+  * evaluates without UDF serialization overhead.
   *
   * Scale design: brute-force top-k is the baseline (one pass, no
   * shuffle besides TakeOrdered); the 100 TB path is
@@ -56,15 +56,17 @@ object Similarity {
     e.filter($"vec_id" =!= 0)
       .join(broadcast(q))
       .select($"vec_id",
-        cosine($"embedding", $"qvec").cast(DecimalType(10, 4)).as("cosine"))
-      .orderBy($"cosine".desc, $"vec_id")
+        graft.functions.QuantizedCosine($"embedding", $"qvec").as("cosq"))
+      .orderBy($"cosq".desc, $"vec_id")
       .limit(10)
   }
 
   /** Per-label centroid, emitted as (label, dim, sum_scaled, n) with
-    * values scaled to round(x·1e6) longs — integer-exact in any
-    * engine; callers divide sum_scaled/(1e6·n) for the double
-    * centroid. Plans as posexplode + one hash aggregate.
+    * values quantized to floor(x·2²⁰) longs — exact float→double
+    * scaling plus engine-unambiguous floor (round()'s half-way rule
+    * varies across engines/versions); callers divide
+    * sum_scaled/(2²⁰·n) for the double centroid. Plans as posexplode
+    * + one hash aggregate.
     */
   def qEmbeddingCentroid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -72,7 +74,7 @@ object Similarity {
       .select($"label", posexplode($"embedding").as(Seq("dim0", "e")))
       .groupBy($"label", ($"dim0" + 1).cast("long").as("dim"))
       .agg(
-        sum(round($"e".cast("double") * lit(1000000.0d)).cast("long")).as("sum_scaled"),
+        sum(floor($"e".cast("double") * lit(1048576.0d))).as("sum_scaled"),
         count(lit(1)).as("n"))
       .orderBy($"label", $"dim")
   }
@@ -80,8 +82,8 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs with label blocking: only
     * same-label pairs are compared (the blocking-key pattern — at
     * 100 TB the blocking key is an LSH bucket / IVF cell, never a full
-    * cross product). Threshold chosen for this corpus (random vectors,
-    * max intra-label cosine ≈ 0.47).
+    * cross product). Threshold cosq ≥ 4000 (cos ≥ 0.40), chosen for
+    * this corpus (random vectors, max intra-label cosine ≈ 0.47).
     */
   def qCosineDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -89,8 +91,8 @@ object Similarity {
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).cast(DecimalType(10, 4)).as("cosine"))
-      .where($"cosine" >= 0.40)
+        graft.functions.QuantizedCosine(col("a.embedding"), col("b.embedding")).as("cosq"))
+      .where($"cosq" >= 4000)
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -148,28 +150,60 @@ object Similarity {
     "q_cosine_dups" -> (qCosineDups _),
   )
 
+  /** Shared oracle CTEs: per-element floor(x·2²⁰) quantization and
+    * exact-int64 squared norms — the SQL mirror of
+    * [[graft.functions.QuantizedCosine]]'s recipe. Every SUM is
+    * wrapped in CAST(... AS BIGINT): DuckDB promotes integer SUMs to
+    * HUGEINT, whose hash representation varies by client version.
+    */
+  private val quantCtes: String =
+    """qn AS (
+      |  SELECT vec_id, i, CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |               generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |nrm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qn GROUP BY vec_id)""".stripMargin
+
   /** q_ann_lsh intentionally absent → driver records rows-only check. */
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  CAST(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
-        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-        |     sqrt(list_dot_product(qvec, qvec))) AS DECIMAL(10,4)) AS cosine
-        |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+      s"""WITH $quantCtes,
+         |dot AS (
+         |  SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS d
+         |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id = 0
+         |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+         |SELECT dot.vec_id,
+         |  CASE WHEN na.n2 = 0 OR nq.n2 = 0 THEN 0
+         |       ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |              sqrt(CAST(na.n2 AS DOUBLE) * CAST(nq.n2 AS DOUBLE)) * 10000.0)
+         |            AS BIGINT) END AS cosq
+         |FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+         |         JOIN nrm nq ON nq.vec_id = 0
+         |ORDER BY cosq DESC, dot.vec_id LIMIT 10""".stripMargin,
     "q_cosine_dups" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(10,4)) AS cosine
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(10,4)) >= 0.40
-        |ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH $quantCtes,
+         |pair AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id),
+         |dot AS (
+         |  SELECT p.vec_a, p.vec_b, CAST(SUM(x.v * y.v) AS BIGINT) AS d
+         |  FROM pair p JOIN qn x ON x.vec_id = p.vec_a
+         |              JOIN qn y ON y.vec_id = p.vec_b AND y.i = x.i
+         |  GROUP BY p.vec_a, p.vec_b)
+         |SELECT * FROM (
+         |  SELECT dot.vec_a, dot.vec_b,
+         |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
+         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
+         |              AS BIGINT) END AS cosq
+         |  FROM dot JOIN nrm na ON dot.vec_a = na.vec_id
+         |           JOIN nrm nb ON dot.vec_b = nb.vec_id)
+         |WHERE cosq >= 4000
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_embedding_centroid" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
-        |  SUM(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS sum_scaled,
+        |  CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_scaled,
         |  COUNT(*) AS n
         |FROM (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
         |      FROM embeddings)

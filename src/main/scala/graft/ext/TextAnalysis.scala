@@ -168,7 +168,7 @@ object TextAnalysis {
         |  upper(substring(source, 1, 4)) AS src, length(text) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(trim(text)) AS fingerprint, COUNT(*) AS n_dupes,

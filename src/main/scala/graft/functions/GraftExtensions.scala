@@ -46,6 +46,9 @@ object GraftFunctions {
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_cosine_q",
+      new ExpressionInfo(classOf[QuantizedCosine].getName, "graft_cosine_q"),
+      (es: Seq[Expression]) => QuantizedCosine(es(0), es(1))),
     ("graft_from_avro",
       new ExpressionInfo(classOf[AvroDecode].getName, "graft_from_avro"),
       (es: Seq[Expression]) => {

@@ -70,7 +70,7 @@ class FunctionsSpec extends SparkTestBase {
       .collect()
       .groupBy(_.getAs[Int]("label"))
       .view.mapValues(_.sortBy(_.getAs[Long]("dim"))
-        .map(r => r.getAs[Long]("sum_scaled").toDouble / 1e6 / r.getAs[Long]("n")))
+        .map(r => r.getAs[Long]("sum_scaled").toDouble / 1048576.0 / r.getAs[Long]("n")))
       .toMap
     for ((label, centroid) <- result) {
       val exp = expected(label)

@@ -41,11 +41,22 @@ for name in sorted(oracle):
     s_cols = t.column_names
     s_rows = [tuple(r[c] for c in s_cols) for r in t.to_pylist()]
     try:
-        res = con.execute(sql)
-        d_cols = [d[0] for d in res.description]
+        res = con.sql(sql)
+        d_cols = list(res.columns)
+        d_types = [str(t) for t in res.types]
         d_rows = res.fetchall()
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {e}");  fails += 1;  continue
+    # Version-portability guard: DuckDB promotes integer SUMs to
+    # HUGEINT and decimal outputs vary in client representation across
+    # versions — both have burned the driver-side hash before. Treat
+    # any such output column as a failure even if values match here.
+    drifty = [f"{c}:{t}" for c, t in zip(d_cols, d_types)
+              if t == "HUGEINT" or t.startswith("DECIMAL")]
+    if drifty:
+        print(f"FAIL {name}: version-fragile oracle output types {drifty} "
+              "(wrap in CAST(... AS BIGINT/DOUBLE))")
+        fails += 1;  continue
     sc, sr = canon(s_cols, s_rows)
     dc, dr = canon(d_cols, d_rows)
     if sc != dc:
@@ -64,5 +75,9 @@ rows_only = [n for n in glob.glob(f"{out_dir}/*/") if n.split('/')[-2] not in or
 for n in sorted(rows_only):
     name = n.split('/')[-2]
     t = pq.read_table(n)
-    print(f"ROWS {name}: {t.num_rows} rows {'OK' if t.num_rows > 0 else 'EMPTY!'}")
+    if t.num_rows == 0:
+        # driver contract: rows-only queries must return rows
+        print(f"FAIL {name}: rows-only query returned 0 rows");  fails += 1
+    else:
+        print(f"ROWS {name}: {t.num_rows} rows OK")
 sys.exit(1 if fails else 0)
