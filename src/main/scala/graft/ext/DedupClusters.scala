@@ -95,6 +95,12 @@ object DedupClusters {
         converged = changes == 0
         iter += 1
       }
+      // partial labels are silently wrong (chain components with
+      // diameter > maxIter) — fail loudly rather than return them
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter min-label rounds; " +
+            "raise maxIter or use small-star/large-star for giant components")
       // materialize before releasing the cached inputs
       val out = labels.localCheckpoint(eager = true)
       labels.unpersist()

@@ -13,28 +13,32 @@ import graft.core.Tables
   * the final verify joins the inverted shingle index restricted to
   * candidates.
   *
-  * Hash family: h_i(x) = a_i·xxhash64(shingle) + b_i over Z/2^64
-  * (odd a_i), seeded deterministically — xxhash64 is a codegen'd
-  * builtin, so signature computation is one explode + one hash
-  * aggregate with k min() columns, no UDFs.
+  * Hash family: h_i(x) = xxhash64(seed_i, xxhash64(shingle)) —
+  * re-hashing the per-doc shingle-hash array with k seeds, so
+  * signature computation is k array_min/transform expressions in one
+  * map-side projection (codegen'd builtins, no UDFs, no shuffle).
   */
 object MinHashDedup {
 
-  /** Distinct (doc_id, shingle) pairs — delegates to the single
-    * shingling definition in [[TextAnalysis.shingles]].
+  /** Per-doc sorted distinct shingle-hash sets — delegates to the
+    * single definition in [[TextAnalysis.docShingleSets]].
     */
-  def shingles(docs: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
-    TextAnalysis.shingles(docs, textCol, w)
+  def shingleSets(docs: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
+    TextAnalysis.docShingleSets(docs, textCol, w)
 
-  /** k-minhash signature per doc, one column per hash fn. Each hash
-    * fn is xxhash64 seeded by a distinct leading literal (ANSI-safe —
-    * Spark 4's default ANSI mode rejects wraparound `a·x+b` Longs).
+  /** k-minhash signature per doc, one column per hash fn, computed
+    * MAP-SIDE from the per-doc shingle-hash array (array_min over a
+    * re-hash of each element) — zero shuffles, vs the
+    * explode→groupBy→k·min() aggregate shape which shuffles the whole
+    * inverted index. Each hash fn is xxhash64 seeded by a distinct
+    * leading literal (ANSI-safe — Spark 4's default ANSI mode rejects
+    * wraparound `a·x+b` Longs).
     */
-  def signatures(sh: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
-    val mins = (0 until k).map { i =>
-      min(xxhash64(lit(seed + i), col("shingle"))).as(s"h$i")
+  def signatures(ds: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("hs"), x => xxhash64(lit(seed + i), x))).as(s"h$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    ds.select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH candidate pairs: equal banded signature slice in ≥1 band.
@@ -58,51 +62,47 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Exact-Jaccard verification restricted to candidate pairs; the
-    * threshold test is integer-only (j ≥ n/d ⇔ d·common ≥ n·union).
+  /** Exact-Jaccard verification restricted to candidate pairs: two
+    * joins against the per-doc hash arrays, intersection via
+    * array_intersect on sorted long arrays — vs the previous
+    * candidates×shingle-index double join + sizes join-backs (4 joins
+    * and a shuffle of the whole index). The threshold test is
+    * integer-only (j ≥ n/d ⇔ d·common ≥ n·union).
     */
-  def verifiedPairs(sh: DataFrame, candidates: DataFrame,
-                    thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val common = candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .withColumn("union_sz", col("za.sz") + col("zb.sz") - col("common"))
+  def verifiedPairs(ds: DataFrame, candidates: DataFrame,
+                    thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame =
+    candidates
+      .join(ds.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("union_sz", col("sza") + col("szb") - col("common"))
       .where(col("common") * lit(thresholdDen) >= col("union_sz") * lit(thresholdNum))
       .select(col("doc_a"), col("doc_b"), col("common"), col("union_sz"))
-  }
 
   /** End-to-end MinHash-LSH near-dup query (rows-only check — xxhash64
     * has no oracle-dialect equivalent; correctness is covered by the
     * MinHashSpec recall test against the exact q_ngram_jaccard).
     */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.load(s, dir, "documents"))
-    val sig = signatures(sh, k = 32)
+    val ds = shingleSets(Tables.load(s, dir, "documents"))
+    val sig = signatures(ds, k = 32)
     val cand = candidatePairs(sig, bands = 16, rowsPerBand = 2)
-    verifiedPairs(sh, cand).orderBy(col("doc_a"), col("doc_b"))
+    verifiedPairs(ds, cand).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash fingerprints: 64-bit, bit j set iff Σ_tokens ±tf > 0
     * (sign of the j-th bit of xxhash64(token), weighted by term
-    * frequency). Shape: one (doc, token) aggregate + one collect_list
-    * per doc, folded to 64 bits by the codegen'd
-    * [[graft.functions.SimHashFold]] — no (doc × token × bit)
-    * explode, so the shuffle is O(distinct tokens), not 64× that, and
-    * the bit loop runs as generated Java, not interpreted lambdas.
+    * frequency). Computed entirely MAP-SIDE: summing ±1 per token
+    * OCCURRENCE equals summing ±tf per distinct token, so no
+    * (doc, token) tf aggregate is needed at all — tokenize, hash each
+    * occurrence, and fold to 64 bits with the codegen'd
+    * [[graft.functions.SimHashFold]] in one projection, zero shuffles.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), struct(xxhash64(col("token")).as("th"), col("tf")).as("p"))
-      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("ps"))
-      .select(col("doc_id"), graft.functions.SimHashFold(col("ps")).as("simhash"))
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFold(
+        transform(TextAnalysis.tokens(col(textCol)),
+          t => struct(xxhash64(t).as("th"), lit(1L).as("tf")))).as("simhash"))
 
   /** Near-dup pairs by SimHash: 4×16-bit band join, verify Hamming
     * distance ≤ maxHamming via bit_count(xor).

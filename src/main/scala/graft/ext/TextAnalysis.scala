@@ -31,13 +31,33 @@ object TextAnalysis {
   def shingleExpr(w: Int): String =
     s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))"
 
-  /** Distinct (doc_id, shingle) inverted-index rows. */
+  /** Distinct (doc_id, shingle) inverted-index rows (string form —
+    * useful when the shingle text itself is needed; the set-algebra
+    * pipelines below use [[docShingleSets]] instead).
+    */
   def shingles(docs: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= w)
       .select(col("doc_id"), explode(expr(shingleExpr(w))).as("shingle"))
       .distinct()
+
+  /** Per-document sorted distinct 64-bit shingle-hash set, computed
+    * entirely map-side by the native codegen'd
+    * [[graft.functions.ShingleHashes]] — no explode→distinct shuffle,
+    * no second tokenization pass for set sizes (sz rides along).
+    * Downstream set algebra (Jaccard counts, minhash, intersection
+    * verify) then works on 8-byte longs instead of ~20-byte strings —
+    * at 100 TB that halves shuffle width and turns string comparisons
+    * into long compares.
+    */
+  def docShingleSets(docs: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes(col("toks"), w).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
 
   /** All ordered pairs (a<b) from a SORTED id array — the
     * aggregation-side replacement for an inverted-index self-join:
@@ -114,32 +134,32 @@ object TextAnalysis {
   }
 
   /** Near-duplicate pairs by exact 3-word-shingle Jaccard ≥ 0.5 via an
-    * inverted index: distinct (doc, shingle) → self-join on shingle →
-    * per-pair intersection counts vs set sizes. The ≥0.5 test is the
-    * integer inequality 3·|A∩B| ≥ |A|+|B| so no floating point is
-    * involved. Scale path: this is the verify stage; at 100 TB the
-    * candidate generation is MinHash-LSH (MinHashDedup) and this join
-    * runs only on candidate buckets.
+    * inverted hash index: [[docShingleSets]] (map-side) → explode to
+    * (hash, {doc_id, sz}) → per-hash pair expansion → one count
+    * aggregate = |A∩B|. Set sizes ride inside the pair structs, so
+    * there is NO join back to a sizes table — the whole query is two
+    * shuffles (bucket groupBy + pair groupBy). The ≥0.5 test is the
+    * integer inequality 3·|A∩B| ≥ |A|+|B|, no floating point.
+    *
+    * Scale path: per-bucket pair expansion is O(df²) in a shingle's
+    * document frequency. Fine when boilerplate shingles are rare (this
+    * corpus: max df 25); at 100 TB either run this as the verify stage
+    * behind MinHash-LSH candidates ([[MinHashDedup]]) or cap df with
+    * the lossless prefix filter (AllPairs/PPJoin) — rare-first global
+    * ordering, index only each doc's first ⌊sz/2⌋+1 shingles.
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(docs(s, dir))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    // inverted index → per-shingle pair expansion (no self-join):
-    // every co-occurring (a<b) pair once per shared shingle, then
-    // one count aggregate = |A∩B|
-    val common = sh
-      .groupBy($"shingle").agg(array_sort(collect_list($"doc_id")).as("ds"))
-      .where(size($"ds") > 1)
-      .select(explode(allPairs($"ds")).as("p"))
-      .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+    val ds = docShingleSets(docs(s, dir))
+    ds.select(struct($"doc_id", $"sz").as("d"), explode($"hs").as("h"))
+      .groupBy($"h").agg(array_sort(collect_list($"d")).as("dd"))
+      .where(size($"dd") > 1)
+      .select(explode(allPairs($"dd")).as("p"))
+      .groupBy($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
+        $"p.a.sz".as("sza"), $"p.b.sz".as("szb"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
-      .where(lit(3) * $"common" >= col("sa.sz") + col("sb.sz"))
-      .select($"doc_a", $"doc_b", $"common",
-        (col("sa.sz") + col("sb.sz") - $"common").as("union_sz"))
+      .where(lit(3) * $"common" >= $"sza" + $"szb")
+      .select($"doc_a", $"doc_b", $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
       .orderBy($"doc_a", $"doc_b")
   }
 
