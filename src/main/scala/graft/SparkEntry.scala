@@ -26,7 +26,7 @@ object SparkEntry {
       (MinHashDedup.queries, MinHashDedup.oracle),
       (IvfIndex.queries, Map.empty[String, String]),
       (AsofJoin.queries, AsofJoin.oracle),
-      (ScaleOps.queries, Map.empty[String, String]),
+      (ScaleOps.queries, ScaleOps.oracle),
       (DedupClusters.queries, DedupClusters.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (LangTools.queries, LangTools.oracle),

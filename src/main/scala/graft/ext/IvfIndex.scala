@@ -19,20 +19,16 @@ import graft.functions.CentroidAggregator
 object IvfIndex {
 
   /** Nearest-centroid cell id (deterministic argmin: ties break on
-    * the lower cell index via struct ordering). The centroid matrix
-    * enters the plan as ONE nested-array literal and the argmin is a
-    * single higher-order expression — 16 inlined per-centroid dot
-    * expressions made whole-stage codegen compile for ~7s; this form
-    * compiles instantly and evaluates the same arithmetic.
+    * the lower cell index). Delegates to the native codegen'd
+    * [[graft.functions.NearestCell]]: the centroid matrix rides as a
+    * single plan reference object and the distance loops run as
+    * generated Java — the earlier higher-order-function argmin
+    * evaluated nCells×dim interpreted lambdas per row, and the
+    * 16-inlined-dot-expressions form before it made whole-stage
+    * codegen compile for ~7 s.
     */
-  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val cs = typedLit(centroids.map(_.toSeq).toSeq)
-    val scored = transform(cs, (c, i) => struct(
-      aggregate(zip_with(vec, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0d), (acc, v) => acc + v).as("dist"),
-      i.as("cell")))
-    array_min(scored).getField("cell")
-  }
+  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCell(vec, centroids)
 
   /** Lloyd iterations entirely in DataFrame ops: init = vectors of
     * the nCells smallest ids (deterministic), update = per-cell

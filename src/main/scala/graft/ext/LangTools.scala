@@ -54,7 +54,12 @@ object LangTools {
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each
     * w-token shingle, keep the min hash of every window of `win`
     * consecutive shingles → a sparse, position-robust fingerprint set.
-    * All builtins: explode + window min + distinct.
+    * All builtins: explode + window min + distinct. The hash is md5
+    * (as a fixed-width hex string — lexicographic min ≡ numeric min),
+    * which exists identically in the oracle dialect, so the
+    * fingerprint counts are fully oracle-checkable; winnowing only
+    * needs SOME total order on hashes, and the window min dominates
+    * cost, not the hash fn.
     */
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
                          w: Int = 3, win: Int = 4): DataFrame = {
@@ -63,7 +68,7 @@ object LangTools {
       .where(size(col("toks")) >= w)
       .select(col("doc_id"),
         posexplode(expr(TextAnalysis.shingleExpr(w))).as(Seq("pos", "shingle")))
-      .withColumn("h", xxhash64(col("shingle")))
+      .withColumn("h", md5(to_binary(col("shingle"), lit("utf-8"))))
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, win - 1)
     sh.withColumn("fp", min(col("h")).over(winMin))
@@ -89,8 +94,8 @@ object LangTools {
         sum(col("n_punct_tokens")).as("punct_tokens"))
       .orderBy(col("source"))
 
-  /** Rows-only: winnowing fingerprint count per doc (xxhash64 has no
-    * oracle equivalent).
+  /** Winnowing fingerprint count per doc (oracle-checked: md5 + the
+    * same window-min recipe in SQL).
     */
   def qWinnowFingerprints(s: SparkSession, dir: String): DataFrame =
     winnowFingerprints(Tables.load(s, dir, "documents"))
@@ -133,6 +138,19 @@ object LangTools {
 
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdOracle,
+    "q_winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i + 1 : i + 3], ' ')) AS h
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
+        |fp AS (
+        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM sh)
+        |SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS word_tokens,

@@ -79,22 +79,53 @@ object ScaleOps {
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
   }
 
-  /** Token heavy hitters over documents via the Misra-Gries sketch
-    * (rows-only: MG estimates are partition-order dependent; the
-    * frequency guarantee is asserted in ScaleOpsSpec).
+  /** Token heavy hitters over documents: the classic two-pass
+    * sketch-then-verify. Pass 1 runs the Misra-Gries sketch
+    * ([[graft.functions.HeavyHitters]], mergeable O(k) buffers) and
+    * the total count in ONE aggregate job; MG guarantees every token
+    * with frequency > n/k is among its ≤ k−1 candidates. Pass 2
+    * exact-counts ONLY the candidate tokens (an `isin` filter prunes
+    * the shuffle to a handful of keys) and keeps those strictly above
+    * n/k. Output = exactly {token | freq > n/k} with exact counts —
+    * deterministic, so oracle-checkable, while the sketch remains the
+    * mechanism that makes pass 2 cheap at 100 TB.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
+    val k = 32
+    val toks = Tables.load(s, dir, "documents")
       .select(explode(TextAnalysis.tokens($"text")).as("token"))
-      .agg(graft.functions.HeavyHitters($"token", 16).as("hh"))
-      .select(explode($"hh").as("h"))
-      .select($"h.token".as("token"), $"h.est_count".as("est_count"))
-      .orderBy($"est_count".desc, $"token")
+    val row = toks
+      .agg(graft.functions.HeavyHitters($"token", k).as("hh"), count(lit(1)).as("n"))
+      .select($"hh.token".as("cand"), $"n")
+      .head()
+    val candidates = row.getSeq[String](0)
+    val total = row.getLong(1)
+    toks.where($"token".isin(candidates: _*))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .where($"n_occurrences" * k > total)
+      .orderBy($"n_occurrences".desc, $"token")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+  )
+
+  /** q_approx_stats stays rows-only (sketch internals are
+    * engine-specific by design); the two-pass heavy hitters output is
+    * exact and matches plain SQL.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT token FROM t WHERE token <> ''),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT token, COUNT(*) AS n_occurrences
+        |FROM tok, tot GROUP BY token, tot.n
+        |HAVING COUNT(*) * 32 > tot.n
+        |ORDER BY n_occurrences DESC, token""".stripMargin,
   )
 }

@@ -36,8 +36,8 @@ class DedupSpec extends SparkTestBase {
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
     // same content with a prefix shifted in — most fingerprints survive
     val b = Seq((2L, "prefix alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
-    val fa = LangTools.winnowFingerprints(a).select("fp").collect().map(_.getLong(0)).toSet
-    val fb = LangTools.winnowFingerprints(b).select("fp").collect().map(_.getLong(0)).toSet
+    val fa = LangTools.winnowFingerprints(a).select("fp").collect().map(_.getString(0)).toSet
+    val fb = LangTools.winnowFingerprints(b).select("fp").collect().map(_.getString(0)).toSet
     assert(fa.nonEmpty)
     assert((fa intersect fb).size >= fa.size / 2)
   }
