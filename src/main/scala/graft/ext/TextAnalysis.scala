@@ -163,6 +163,45 @@ object TextAnalysis {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Lossless prefix-filtered variant of [[qNgramJaccard]] (the
+    * AllPairs/PPJoin prefix principle — Bayardo et al. WWW'07, Xiao et
+    * al. PPJoin): under one global shingle order, two sets with
+    * Jaccard ≥ 1/2 MUST share a shingle within each one's first
+    * ⌊sz/2⌋+1 shingles (else |A∩B| ≤ sz − prefix < ⌈sz/2⌉ ≤ |A∩B|,
+    * contradiction). Ordering shingles rarest-first puts only LOW-df
+    * shingles in prefixes, so the per-bucket O(df²) pair expansion is
+    * driven by rare shingles — this is the form to run at 100 TB,
+    * where boilerplate shingles (licenses, headers) have df in the
+    * millions and the plain inverted index would explode. Candidates
+    * are then exact-verified with array_intersect on the full sets.
+    * Output is identical to [[qNgramJaccard]] (asserted in
+    * TextAnalysisSpec; both share the oracle SQL).
+    */
+  def qNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ds = docShingleSets(docs(s, dir))
+    val idx = ds.select(struct($"doc_id", $"sz").as("d"), explode($"hs").as("h"))
+    val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))
+    val prefix = idx.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"d.doc_id").orderBy($"df", $"h")))
+      .where($"rk" <= floor($"d.sz" / lit(2)) + 1)
+    val cand = prefix
+      .groupBy($"h").agg(array_sort(collect_list($"d")).as("dd"))
+      .where(size($"dd") > 1)
+      .select(explode(allPairs($"dd")).as("p"))
+      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(ds.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"sz".as("sza")), "doc_a")
+      .join(ds.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"sz".as("szb")), "doc_b")
+      .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
+      .where(lit(3) * $"common" >= $"sza" + $"szb")
+      .select($"doc_a", $"doc_b", $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
@@ -170,7 +209,27 @@ object TextAnalysis {
     "q_lang_stats" -> (qLangStats _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
   )
+
+  private val ngramJaccardOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common, sa.sz + sb.sz - common AS union_sz
+      |FROM common
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE 3 * common >= sa.sz + sb.sz
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -194,23 +253,8 @@ object TextAnalysis {
       """SELECT md5(trim(text)) AS fingerprint, COUNT(*) AS n_dupes,
         |  MIN(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
-    "q_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
-        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, common, sa.sz + sb.sz - common AS union_sz
-        |FROM common
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE 3 * common >= sa.sz + sb.sz
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardOracleSql,
+    // lossless prefix filter ⇒ identical output, identical oracle
+    "q_ngram_jaccard_prefix" -> ngramJaccardOracleSql,
   )
 }

@@ -19,6 +19,13 @@ class DedupSpec extends SparkTestBase {
     if (exact.nonEmpty) assert(lsh.size >= (exact.size * 0.8).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("prefix-filtered Jaccard join returns exactly the plain inverted-index result") {
+    val plain = TextAnalysis.qNgramJaccard(spark, dir).collect().map(_.toSeq).toSet
+    val pref = TextAnalysis.qNgramJaccardPrefix(spark, dir).collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty)
+    assert(pref == plain)
+  }
+
   test("SimHash: identical docs collide with hamming 0") {
     import spark.implicits._
     val docs = Seq(
