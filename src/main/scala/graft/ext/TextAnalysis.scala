@@ -202,7 +202,26 @@ object TextAnalysis {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Repetition scoring: total vs distinct 3-gram shingles per doc —
+    * the standard "repeated n-gram ratio" quality signal for training
+    * corpora (boilerplate/spam detection). Integer counters only;
+    * entirely map-side off [[graft.functions.ShingleHashes]] plus the
+    * raw shingle count (size(toks) − w + 1).
+    */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .where(size($"toks") >= 3)
+      .select($"doc_id",
+        (size($"toks") - 2).cast("long").as("n_shingles"),
+        size(graft.functions.ShingleHashes($"toks", 3)).cast("long").as("n_distinct_shingles"))
+      .withColumn("n_repeated", $"n_shingles" - $"n_distinct_shingles")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (qTextRepetition _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_substring_ops" -> (qSubstringOps _),
@@ -232,6 +251,17 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3))
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  COUNT(DISTINCT shingle) AS n_distinct_shingles,
+        |  COUNT(*) - COUNT(DISTINCT shingle) AS n_repeated
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
