@@ -1,0 +1,60 @@
+package graft.core
+
+import graft.{PlanDump, SparkEntry, SparkTestBase}
+
+/** Physical-plan shape regressions: the properties that make these
+  * queries scale are asserted, not just observed in `explain` — a
+  * future edit that sneaks in an extra shuffle or loses a broadcast
+  * fails here, at sf0.001, long before it burns a cluster.
+  *
+  * Counts are (shuffle exchanges, broadcast exchanges) over the
+  * initial adaptive plan, subqueries included.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def shape(q: String): (Int, Int) =
+    PlanDump.counts(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
+
+  test("q3_shipping: both dimensions broadcast, single agg shuffle") {
+    val (sh, bc) = shape("q3_shipping")
+    assert(sh == 1, s"expected 1 shuffle (agg), got $sh")
+    assert(bc == 2, s"expected orders+customer broadcast, got $bc")
+  }
+
+  test("q_cosine_topk: brute-force scan is shuffle-free (broadcast query row + TakeOrdered)") {
+    val (sh, bc) = shape("q_cosine_topk")
+    assert(sh == 0, s"expected 0 shuffles, got $sh")
+    assert(bc == 1, s"expected broadcast query vector, got $bc")
+  }
+
+  test("q_orderby_limit plans as TakeOrderedAndProject, no global sort exchange") {
+    val (sh, _) = shape("q_orderby_limit")
+    assert(sh == 0, s"expected 0 shuffles, got $sh")
+  }
+
+  test("q_join_orders_customer: dimension broadcasts, no sort-merge join") {
+    val plan = SparkEntry.queries("q_join_orders_customer")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(20).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"), "dimension join degraded to SortMergeJoin")
+  }
+
+  test("q_ngram_jaccard: exactly bucket + pair aggregates + output sort") {
+    val (sh, _) = shape("q_ngram_jaccard")
+    assert(sh <= 3, s"pair mining grew beyond bucket/pair/sort shuffles: $sh")
+  }
+
+  test("q_minhash_pairs: map-side signatures (band agg + distinct + sort only)") {
+    val (sh, bc) = shape("q_minhash_pairs")
+    assert(sh <= 3, s"signature computation should add no shuffle, got $sh")
+    assert(bc >= 2, s"verify stage should broadcast the doc-set table at this SF, got $bc")
+  }
+
+  test("q1_agg: partial+final aggregate, no join machinery") {
+    val (sh, bc) = shape("q1_agg")
+    assert(sh <= 2, s"expected agg + sort shuffles only, got $sh")
+    assert(bc == 0)
+  }
+}
