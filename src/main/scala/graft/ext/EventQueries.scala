@@ -144,7 +144,34 @@ object EventQueries {
       .orderBy($"k")
   }
 
+  /** Batch sessionization: split each user's event stream at >30-min
+    * gaps — lag to flag session starts, running sum for the session
+    * number, then one aggregate per session. Two window passes over
+    * the same (user_id, sec, event_id) sort order, so Spark plans ONE
+    * shuffle+sort and reuses it for both; all outputs are integer
+    * seconds (exact ns division), keeping the oracle byte-stable.
+    * The streaming analog (arbitrary state, event-time timeout) is
+    * `streaming/StreamOps.sessionize`; this is the backfill form.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    ev(s, dir)
+      .select($"user_id", $"event_id", tsSec.as("sec"))
+      .withColumn("new_sess",
+        when(lag($"sec", 1).over(w).isNull ||
+          ($"sec" - lag($"sec", 1).over(w)) > 1800, 1L).otherwise(0L))
+      .withColumn("sess_no",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_no")
+      .agg(min($"sec").as("session_start_sec"), max($"sec").as("session_end_sec"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"sess_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (qSessionize _),
     "q_flatten_project" -> (qFlattenProject _),
     "q_filter_day" -> (qFilterDay _),
     "q_dedup_first_event" -> (qDedupFirstEvent _),
@@ -157,6 +184,24 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |g AS (
+        |  SELECT user_id, sec,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM f)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        |  MIN(sec) AS session_start_sec, MAX(sec) AS session_end_sec,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin,
     "q_flatten_project" ->
       """SELECT event_id, event_type, user_id, CAST(ts AS DATE) AS day, value * 2.0 AS value2
         |FROM events ORDER BY event_id""".stripMargin,

@@ -52,6 +52,22 @@ object Multimodal {
       while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
       out
     }
+
+    /** Stubbed resize: a real codec decodes, scales to (w,h) and
+      * re-encodes; the stand-in samples the payload down/up to a byte
+      * budget proportional to the target area — deterministic, size-
+      * faithful, so downstream size accounting and schema are real.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // ??? real scaler unavailable in-container
+      val target = math.max(1, w * h / 64)
+      val out = new Array[Byte](target)
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < target) { out(i) = bytes((i.toLong * bytes.length / target).toInt); i += 1 }
+      }
+      out
+    }
   }
 
   /** Synthesize a deterministic media-asset table from `documents`
@@ -88,6 +104,20 @@ object Multimodal {
     */
   def withFeatures(assets: DataFrame): DataFrame =
     assets.withColumn("features", featureUdf(col("media")))
+
+  private def resizeUdf(w: Int, h: Int) =
+    udf { (bytes: Array[Byte]) => FakeCodec.resize(bytes, w, h) }
+
+  /** Resize: binary → binary at a target resolution, plus the typed
+    * meta struct for the new dimensions — same scan→project one-stage
+    * shape as decode (stubbed scaler, real plumbing).
+    */
+  def withResized(assets: DataFrame, w: Int = 256, h: Int = 256): DataFrame =
+    assets
+      .withColumn("media_resized", resizeUdf(w, h)(col("media")))
+      .withColumn("resized_meta", struct(
+        lit(w).as("width"), lit(h).as("height"),
+        length(col("media_resized")).cast("long").as("n_bytes")))
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size chunks and emit every k-th — the batch shape of a real

@@ -30,6 +30,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.size == 16)
   }
 
+  test("resize produces the target byte budget deterministically") {
+    val assets = Multimodal.syntheticAssets(spark, dir)
+    val r = Multimodal.withResized(assets, w = 128, h = 128)
+    val lens = r.select(length(col("media_resized")).as("l")).distinct()
+      .collect().map(_.getInt(0))
+    assert(lens.toSet == Set(128 * 128 / 64))
+    val metaW = r.select(col("resized_meta.width")).first().getInt(0)
+    assert(metaW == 128)
+    val a = r.orderBy("doc_id").select("media_resized").first().getAs[Array[Byte]](0)
+    val b = Multimodal.withResized(assets, w = 128, h = 128)
+      .orderBy("doc_id").select("media_resized").first().getAs[Array[Byte]](0)
+    assert(a.sameElements(b))
+  }
+
   test("frame sampling emits every k-th fixed-size chunk with index") {
     val assets = Multimodal.syntheticAssets(spark, dir)
     val frames = Multimodal.sampleFrames(assets, chunkBytes = 16, everyK = 2)
