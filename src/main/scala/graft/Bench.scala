@@ -17,22 +17,27 @@ object Bench {
     // untimed warmup: pay one-time JVM/codegen/scheduler/parquet-footer
     // costs outside the measured window (they are per-process, not
     // per-query) — one representative shape per hot table
-    try {
+    locally {
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1))).count()
-      spark.read.parquet(s"$sfDir/orders.parquet")
-        .join(spark.read.parquet(s"$sfDir/customer.parquet"),
-          col("o_custkey") === col("c_custkey")).count()
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .groupBy(col("event_type")).count().count()
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("t")).count().count()
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(posexplode(col("embedding"))).count()
-    } catch { case _: Throwable => () }
+      // independent try per table: one unreadable table must not skip
+      // the remaining warmups
+      val warmups: Seq[() => Any] = Seq(
+        () => spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1))).count(),
+        () => spark.read.parquet(s"$sfDir/orders.parquet")
+          .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+            col("o_custkey") === col("c_custkey")).count(),
+        () => spark.read.parquet(s"$sfDir/events.parquet")
+          .groupBy(col("event_type")).count().count(),
+        () => spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("t")).count().count(),
+        () => spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(posexplode(col("embedding"))).count(),
+      )
+      warmups.foreach(w => try w() catch { case _: Throwable => () })
+    }
     // a query that throws is reported as -1.0 (and listed in "failed"),
     // never as a normal-looking elapsed time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

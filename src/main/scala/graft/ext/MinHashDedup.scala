@@ -84,7 +84,9 @@ object MinHashDedup {
     * MinHashSpec recall test against the exact q_ngram_jaccard).
     */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ds = shingleSets(Tables.load(s, dir, "documents"))
+    // ds feeds the signature pass and both verify joins — persist the
+    // one tokenize+hash scan (lazy; LRU-evictable)
+    val ds = shingleSets(Tables.load(s, dir, "documents")).persist()
     val sig = signatures(ds, k = 32)
     val cand = candidatePairs(sig, bands = 16, rowsPerBand = 2)
     verifiedPairs(ds, cand).orderBy(col("doc_a"), col("doc_b"))
@@ -99,10 +101,16 @@ object MinHashDedup {
     * [[graft.functions.SimHashFold]] in one projection, zero shuffles.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.SimHashFold(
-        transform(TextAnalysis.tokens(col(textCol)),
-          t => struct(xxhash64(t).as("th"), lit(1L).as("tf")))).as("simhash"))
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      // token-less docs have no fingerprint (SimHashFold of an empty
+      // array would be 0L and every such doc would spuriously pair up
+      // at hamming 0) — drop them, as the explode-based shape did
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHashFold(
+          transform(col("toks"),
+            t => struct(xxhash64(t).as("th"), lit(1L).as("tf")))).as("simhash"))
 
   /** Near-dup pairs by SimHash: 4×16-bit band join, verify Hamming
     * distance ≤ maxHamming via bit_count(xor).

@@ -95,16 +95,19 @@ object ScaleOps {
     val k = 32
     val toks = Tables.load(s, dir, "documents")
       .select(explode(TextAnalysis.tokens($"text")).as("token"))
-    val row = toks
-      .agg(graft.functions.HeavyHitters($"token", k).as("hh"), count(lit(1)).as("n"))
-      .select($"hh.token".as("cand"), $"n")
-      .head()
-    val candidates = row.getSeq[String](0)
-    val total = row.getLong(1)
-    toks.where($"token".isin(candidates: _*))
+    // all lazy — no action inside the builder: candidates arrive as a
+    // broadcast semi-join build side (≤ k−1 rows), the total as a
+    // broadcast single-row join
+    val candidates = toks
+      .agg(graft.functions.HeavyHitters($"token", k).as("hh"))
+      .select(explode($"hh.token").as("token"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy($"token")
       .agg(count(lit(1)).as("n_occurrences"))
-      .where($"n_occurrences" * k > total)
+      .join(broadcast(total))
+      .where($"n_occurrences" * k > $"n")
+      .select($"token", $"n_occurrences")
       .orderBy($"n_occurrences".desc, $"token")
   }
 

@@ -180,7 +180,11 @@ object TextAnalysis {
   def qNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ds = docShingleSets(docs(s, dir))
+    // the doc-set table feeds dfreq, the prefix join, and both verify
+    // joins — persist it once instead of re-running tokenize +
+    // ShingleHashes four times (lazy: plan-only consumers pay nothing;
+    // blocks are ~1/3 of the text size and LRU-evictable)
+    val ds = docShingleSets(docs(s, dir)).persist()
     val idx = ds.select(struct($"doc_id", $"sz").as("d"), explode($"hs").as("h"))
     val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))
     val prefix = idx.join(dfreq, "h")

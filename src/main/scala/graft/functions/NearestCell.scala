@@ -19,22 +19,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * struct(dist, i))).cell` — struct ordering minimizes (dist, cell) —
   * which this replaces in [[graft.ext.IvfIndex.assignCell]].
   */
-case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
   extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) if centroids.nonEmpty => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"nearest_cell expects array<float> and a non-empty centroid matrix, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (centroids.isEmpty)
+      TypeCheckResult.TypeCheckFailure("nearest_cell centroid matrix is empty")
+    else child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell expects an array<float> input, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = IntegerType
 
+  // Seq gives the case class value equality (Array fields compare by
+  // reference, which would defeat semanticEquals/CSE/exchange reuse);
+  // the hot loop still runs over primitive arrays
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
   override def nullSafeEval(input: Any): Any =
-    NearestCell.compute(input.asInstanceOf[ArrayData], centroids)
+    NearestCell.compute(input.asInstanceOf[ArrayData], matrix)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cRef = ctx.addReferenceObj("centroids", matrix, "double[][]")
     nullSafeCodeGen(ctx, ev, arr =>
       s"${ev.value} = graft.functions.NearestCell.compute($arr, $cRef);")
   }
@@ -67,5 +76,6 @@ object NearestCell {
   }
 
   def apply(vec: Column, centroids: Array[Array[Double]]): Column =
-    GraftColumnBridge.column(NearestCell(GraftColumnBridge.expression(vec), centroids))
+    GraftColumnBridge.column(NearestCell(GraftColumnBridge.expression(vec),
+      centroids.map(_.toSeq).toSeq))
 }

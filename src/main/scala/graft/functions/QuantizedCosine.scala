@@ -18,10 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   *      multiplying a float by a power of two is exact in double, and
   *      floor is unambiguous in every engine (unlike round(), whose
   *      half-way rule differs by engine AND by version);
-  *   2. dot product and both squared norms in exact int64 arithmetic
-  *      (|x| ≤ 512 keeps 64 accumulated products < 2⁶³, far beyond
-  *      any normalized-embedding range) — order-independent, so
-  *      partitioning can never change the result;
+  *   2. dot product and both squared norms in exact int64 arithmetic —
+  *      order-independent, so partitioning can never change the
+  *      result. Overflow-safe while 64·(|x|·2²⁰)² < 2⁶³, i.e.
+  *      component magnitudes up to ~362 — two orders of magnitude
+  *      beyond any normalized-embedding range (this corpus: |x|<0.6);
+  *      callers with unnormalized vectors must rescale first;
   *   3. one double division `dot / sqrt(na · nb) · 10⁴` over exactly
   *      equal integer inputs — IEEE-754 ops are correctly rounded, so
   *      the double is bit-identical everywhere — then floor to long.
