@@ -30,4 +30,26 @@ object Layout {
     df.repartition(partitions, df(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes/targetBytes⌉ files. Streaming appends (AvailableNow
+    * micro-batches, per-schema demux writes) accumulate files far
+    * smaller than a scan's ideal split; at 100 TB the scheduled
+    * compaction pass is what keeps scan task counts sane. Uses
+    * coalesce (no shuffle) — pass a cluster key to [[writeClustered]]
+    * instead when re-clustering is wanted. Writes to a temp dir then
+    * swaps, so a crash never leaves the table half-compacted.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(src, true)
+    if (!fs.rename(tmp, src))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $src")
+  }
 }

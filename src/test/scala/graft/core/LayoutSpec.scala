@@ -40,4 +40,18 @@ class LayoutSpec extends SparkTestBase {
     val back = spark.read.parquet(out)
     assert(back.count() == Tables.load(spark, dir, "orders").count())
   }
+
+  test("compaction collapses a fragmented directory, preserving rows") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir("fragmented")
+    val orders = Tables.load(spark, dir, "orders")
+    orders.repartition(20).write.mode("overwrite").parquet(out)
+    def parquetFiles: Int = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 20)
+    val rows = orders.count()
+    Layout.compact(spark, out) // tiny table -> one file at default target
+    assert(parquetFiles == 1, s"expected 1 file after compaction, got $parquetFiles")
+    assert(spark.read.parquet(out).count() == rows)
+  }
 }

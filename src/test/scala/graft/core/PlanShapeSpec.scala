@@ -52,6 +52,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bc >= 2, s"verify stage should broadcast the doc-set table at this SF, got $bc")
   }
 
+  test("q_sessionize: session agg reuses the window's user_id partitioning") {
+    val (sh, _) = shape("q_sessionize")
+    assert(sh == 2, s"expected window sort + output sort only (agg piggybacks), got $sh")
+  }
+
   test("q1_agg: partial+final aggregate, no join machinery") {
     val (sh, bc) = shape("q1_agg")
     assert(sh <= 2, s"expected agg + sort shuffles only, got $sh")
