@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based laws for the native expressions' static kernels —
+  * pure JVM, no Spark session per case (CodecProps pattern). The
+  * DataFrame-level behavior is covered by the specs; these pin the
+  * arithmetic contracts the oracle SQL depends on.
+  */
+object ExprProps extends Properties("functions") {
+
+  private val genToken: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val genToks: Gen[Array[String]] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, genToken).map(_.toArray))
+
+  private def toArrayData(toks: Array[String]): GenericArrayData =
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
+
+  property("ShingleHashes output is strictly increasing (sorted + distinct)") =
+    Prop.forAll(genToks) { toks =>
+      val out = ShingleHashes.compute(toArrayData(toks), 3).toLongArray()
+      out.zip(out.drop(1)).forall { case (a, b) => a < b }
+    }
+
+  property("ShingleHashes size equals the number of distinct 3-token windows") =
+    Prop.forAll(genToks) { toks =>
+      val out = ShingleHashes.compute(toArrayData(toks), 3).numElements()
+      val expected = toks.sliding(3).filter(_.length == 3).map(_.toSeq).toSet.size
+      // modulo astronomically-unlikely 64-bit collisions
+      out == expected
+    }
+
+  property("ShingleHashes preserves token boundaries (no concat ambiguity)") =
+    Prop.forAll(genToken, genToken, genToken) { (a, b, c) =>
+      // ("ab","c") vs ("a","bc"): same concatenation, different tokens —
+      // chained per-token hashing must separate them
+      val h1 = ShingleHashes.compute(toArrayData(Array(a + b, c, c)), 3).getLong(0)
+      val h2 = ShingleHashes.compute(toArrayData(Array(a, b + c, c)), 3).getLong(0)
+      h1 != h2
+    }
+
+  private val genVec: Gen[Array[Float]] =
+    Gen.choose(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0f, 100.0f)).map(_.toArray))
+
+  private def cosq(a: Array[Float], b: Array[Float]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val t = ArrayType(FloatType, containsNull = false)
+    QuantizedCosine(Literal(new GenericArrayData(a), t), Literal(new GenericArrayData(b), t))
+      .eval(null).asInstanceOf[Long]
+  }
+
+  property("QuantizedCosine is symmetric") =
+    Prop.forAll(genVec, genVec) { (a, b) =>
+      cosq(a, b) == cosq(b, a)
+    }
+
+  property("QuantizedCosine is bounded by the quantized unit interval") =
+    Prop.forAll(genVec, genVec) { (a, b) =>
+      // Cauchy-Schwarz holds exactly on the int64 components; sqrt
+      // rounding can push the ratio one ulp past ±1, hence the -10001
+      val c = cosq(a, b)
+      c >= -10001L && c <= 10000L
+    }
+
+  property("QuantizedCosine of a vector with itself is ~1 (unless zero-quantized)") =
+    Prop.forAll(genVec) { a =>
+      val c = cosq(a, a)
+      c == 0L || c >= 9999L
+    }
+
+  private val genCentroids: Gen[Array[Array[Double]]] =
+    Gen.choose(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(4, Gen.choose(-10.0, 10.0)).map(_.toArray)).map(_.toArray))
+
+  private val genVec4: Gen[Array[Float]] =
+    Gen.listOfN(4, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
+
+  property("NearestCell returns the reference argmin with lower-index ties") =
+    Prop.forAll(genVec4, genCentroids) { (v, cs) =>
+      val got = NearestCell.compute(new GenericArrayData(v), cs)
+      val dists = cs.map(_.zip(v.map(_.toDouble)).map { case (c, x) => (x - c) * (x - c) }.sum)
+      val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      got == best
+    }
+}
