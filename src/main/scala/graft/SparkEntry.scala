@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, Relational, ScaleOps, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, TextAnalysis}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.pipeline.Pipeline
 import graft.schema.InMemorySchemaRegistry
@@ -25,6 +25,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (MinHashDedup.queries, MinHashDedup.oracle),
       (IvfIndex.queries, Map.empty[String, String]),
+      (PqIndex.queries, Map.empty[String, String]),
       (AsofJoin.queries, AsofJoin.oracle),
       (ScaleOps.queries, ScaleOps.oracle),
       (DedupClusters.queries, DedupClusters.oracle),

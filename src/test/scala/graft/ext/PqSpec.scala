@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PqSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("PQ codes are m small ids and encoding is deterministic") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+    val cb = PqIndex.trainSubCodebooks(sample, m = 8, k = 16)
+    assert(cb.length == 8 && cb.forall(_.length <= 16))
+    val codes = emb.select($"vec_id", PqIndex.encodeExpr($"embedding", cb).as("code"))
+    val c1 = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1.values.forall(c => c.length == 8 && c.forall(i => i >= 0 && i < 16)))
+    val c2 = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2)
+  }
+
+  test("ADC top-10 has usable recall vs exact L2 top-10") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val q = vecs.find(_._1 == 0L).get._2
+    val exact = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val approx = PqIndex.qAnnPq(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // deterministic pipeline; 0.8 measured on this corpus (isotropic
+    // random vectors are PQ's worst case), margin for codebook drift
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+  }
+}
