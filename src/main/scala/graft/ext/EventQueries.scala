@@ -170,8 +170,43 @@ object EventQueries {
       .orderBy($"user_id", $"sess_no")
   }
 
+  /** Fixed-width histogram of `value` per event type: bucket =
+    * floor(value / 50) — one IEEE division + floor on binary-identical
+    * doubles, so the bucketing is engine-exact (no percentile
+    * interpolation, no round()). Plans as a single hash aggregate.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy($"event_type", floor($"value" / lit(50.0d)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** Exact median by sort position: the ⌈n/2⌉-th value per event type
+    * under the total order (value, event_id). Selects an EXISTING
+    * value — no interpolation arithmetic — so the result is
+    * bit-identical in any engine; the deterministic tie-break makes
+    * the chosen row unique. One shuffle: the aggregate reuses the
+    * window's partitioning.
+    */
+  def qMedianValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    ev(s, dir)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .where($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"value".as("median_value"), $"n")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
+    "q_histogram" -> (qHistogram _),
+    "q_median_value" -> (qMedianValue _),
     "q_flatten_project" -> (qFlattenProject _),
     "q_filter_day" -> (qFilterDay _),
     "q_dedup_first_event" -> (qDedupFirstEvent _),
@@ -184,6 +219,19 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+    "q_median_value" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, value AS median_value, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec FROM events),
