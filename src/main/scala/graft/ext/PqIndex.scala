@@ -114,7 +114,9 @@ object PqIndex {
   def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id")
+    // bounded driver traffic: the training sample is capped, whatever
+    // the corpus size (production PQ trains on ~100k vectors max)
+    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
       .select($"embedding").as[Array[Float]].collect()
     val codebooks = trainSubCodebooks(sample, m = 8, k = 16)
     val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()

@@ -11,7 +11,7 @@ class PqSpec extends SparkTestBase {
   test("PQ codes are m small ids and encoding is deterministic") {
     import spark.implicits._
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
-    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id")
+    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
       .select($"embedding").as[Array[Float]].collect()
     val cb = PqIndex.trainSubCodebooks(sample, m = 8, k = 16)
     assert(cb.length == 8 && cb.forall(_.length <= 16))
