@@ -94,6 +94,40 @@ object LangTools {
         sum(col("n_punct_tokens")).as("punct_tokens"))
       .orderBy(col("source"))
 
+  /** PII-style redaction pass: emails, long digit runs, and IPv4s
+    * replaced with typed placeholder tags — the scrub stage every
+    * training-data pipeline runs before tokenization. Pure
+    * `regexp_replace` chain (codegen'd, map-side, no shuffle but the
+    * output sort); redaction counts ride along as integers so the
+    * oracle is byte-stable.
+    */
+  private[ext] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[ext] val IpRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[ext] val DigitsRe = "[0-9]{6,}"
+
+  def withRedaction(df: DataFrame, textCol: String = "text"): DataFrame =
+    // typed DSL, not expr(): SQL string literals would eat the regex
+    // backslashes (Spark treats \b as an escape inside '...')
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(IpRe), lit(0))).cast("long"))
+      .withColumn("n_digit_runs",
+        size(regexp_extract_all(col(textCol), lit(DigitsRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailRe, "<EMAIL>"), IpRe, "<IP>"), DigitsRe, "<NUM>"))
+
+  /** Redaction counts + scrubbed length per doc (oracle-checked; the
+    * documents corpus has few true hits, so the interesting assertions
+    * are in LangToolsSpec on synthetic PII).
+    */
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    withRedaction(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_digit_runs"),
+        length(col("redacted")).cast("long").as("redacted_len"))
+      .orderBy(col("doc_id"))
+
   /** Winnowing fingerprint count per doc (oracle-checked: md5 + the
     * same window-min recipe in SQL).
     */
@@ -106,6 +140,7 @@ object LangTools {
     "q_lang_id" -> (qLangId _),
     "q_token_counts" -> (qTokenCounts _),
     "q_winnow_fingerprints" -> (qWinnowFingerprints _),
+    "q_redact" -> (qRedact _),
   )
 
   /** The oracle mirrors the argmax with the same tie-break (ties go
@@ -138,6 +173,16 @@ object LangTools {
 
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdOracle,
+    "q_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$DigitsRe')) AS BIGINT) AS n_digit_runs,
+         |  CAST(length(
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'),
+         |      '$DigitsRe', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_winnow_fingerprints" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

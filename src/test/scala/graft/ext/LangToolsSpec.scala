@@ -27,4 +27,19 @@ class LangToolsSpec extends SparkTestBase {
     assert(r.getLong(1) == 1) // 42
     assert(r.getLong(2) == 1) // !
   }
+
+  test("redaction scrubs emails, IPs, and long digit runs with typed tags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 ref 1234567 ok"),
+      (2L, "clean text with short 123 number")
+    ).toDF("doc_id", "text")
+    val out = LangTools.withRedaction(docs)
+      .select("doc_id", "n_emails", "n_ips", "n_digit_runs", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "contact <EMAIL> or <IP> ref <NUM> ok")
+    assert(out(2L) == ((0L, 0L, 0L, "clean text with short 123 number")))
+  }
 }
