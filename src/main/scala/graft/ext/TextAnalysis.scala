@@ -224,7 +224,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic train/val/test split by content-independent key
+    * hash: the first 4 hex digits of md5(doc_id) partition [0000,ffff]
+    * into ~80/10/10 by plain string ranges (`< "cccc"` / `< "e666"`) —
+    * fixed-width lowercase hex makes lexicographic = numeric order, so
+    * no engine-specific hex parsing is needed. The standard
+    * reproducible-split technique: a doc's split never changes across
+    * runs, engines, partitionings, or corpus growth, unlike
+    * `sample()`/TABLESAMPLE which are partitioning-dependent. Entirely
+    * map-side; the aggregate is the verification view.
+    */
+  def qHashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h4 = substring(md5($"doc_id".cast("string").cast("binary")), 1, 4)
+    docs(s, dir)
+      .select($"lang", h4.as("h4"))
+      .withColumn("split",
+        when($"h4" < "cccc", "train").when($"h4" < "e666", "val").otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_split" -> (qHashSplit _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
@@ -255,6 +278,14 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_hash_split" ->
+      """SELECT lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
