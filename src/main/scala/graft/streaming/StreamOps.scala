@@ -112,4 +112,38 @@ object StreamOps {
           }
       }
   }
+
+  /** SCD1 upsert into a parquet target from inside foreachBatch — the
+    * MERGE emulation an append-only-format medallion needs for
+    * mutable dims: latest-per-key within the batch (deterministic
+    * tie-break on `versionCol` then batch arrival is NOT enough —
+    * callers supply a total-order version column), anti-join the
+    * target's survivors, rewrite once, atomically via temp-dir swap
+    * (same crash-safety pattern as [[graft.core.Layout.compact]]).
+    * At scale the rewrite is the known cost of upserts on immutable
+    * files — partition the target and restrict the rewrite to touched
+    * partitions, or move to a table format with a transaction log.
+    */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, targetPath: String,
+                  keyCol: String, versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col(keyCol))
+    val latest = batch
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val tp = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty pre-created directory is an initial load too
+    val hasData = fs.exists(tp) && fs.listStatus(tp).nonEmpty
+    val merged =
+      if (!hasData) latest
+      else spark.read.parquet(targetPath)
+        .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(latest)
+    val tmp = targetPath + "._upserting"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(targetPath)))
+      throw new java.io.IOException(s"upsert rename failed: $tmp -> $targetPath")
+  }
 }

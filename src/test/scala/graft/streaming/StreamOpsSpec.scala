@@ -14,6 +14,23 @@ class StreamOpsSpec extends SparkTestBase {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("upsertBatch merges by key with latest-version-wins, crash-safe layout") {
+    import spark.implicits._
+    val target = tmpDir("upsert")
+    // batch 1: initial load (target does not exist yet)
+    StreamOps.upsertBatch(spark,
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      target, "k", "ver")
+    // batch 2: update k=2 (two in-batch versions; 30 must win), insert k=3
+    StreamOps.upsertBatch(spark,
+      Seq((2L, "b2", 20L), (2L, "b3", 30L), (3L, "c", 20L)).toDF("k", "v", "ver"),
+      target, "k", "ver")
+    val got = spark.read.parquet(target)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ("a", 10L), 2L -> ("b3", 30L), 3L -> ("c", 20L)))
+    assert(!new java.io.File(target + "._upserting").exists())
+  }
+
   test("watermarked dedup removes in-horizon duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
