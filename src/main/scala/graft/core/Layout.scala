@@ -31,25 +31,61 @@ object Layout {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Crash-safe directory replacement: stage new contents via `write`
+    * into `path._staging`, swap the live dir to `path._backup`, rename
+    * staging in, drop the backup. Any crash leaves a recoverable
+    * state: [[recoverDir]] (called on entry here too) restores the
+    * backup when the live dir is missing, so no interleaving of crash
+    * + retry can lose the previous contents — unlike a naive
+    * delete-then-rename, where a crash between the two destroys the
+    * target. `write` may read `path` lazily: the live dir is untouched
+    * until staging has fully materialized.
+    */
+  def replaceDir(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
+    val backup = new org.apache.hadoop.fs.Path(path + "._backup")
+    fs.delete(staging, true)
+    write(staging.toString)
+    fs.delete(backup, true)
+    if (fs.exists(live) && !fs.rename(live, backup))
+      throw new java.io.IOException(s"swap-out rename failed: $live -> $backup")
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(
+        s"swap-in rename failed: $staging -> $live (backup preserved at $backup)")
+    fs.delete(backup, true)
+  }
+
+  /** Heal an interrupted [[replaceDir]]: if the live dir is missing
+    * but a backup exists, restore it. Idempotent; call before reading
+    * a replaceDir-managed directory outside replaceDir itself.
+    */
+  def recoverDir(spark: SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "._backup")
+    if (!fs.exists(live) && fs.exists(backup) && !fs.rename(backup, live))
+      throw new java.io.IOException(s"recovery rename failed: $backup -> $live")
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈bytes/targetBytes⌉ files. Streaming appends (AvailableNow
     * micro-batches, per-schema demux writes) accumulate files far
     * smaller than a scan's ideal split; at 100 TB the scheduled
     * compaction pass is what keeps scan task counts sane. Uses
     * coalesce (no shuffle) — pass a cluster key to [[writeClustered]]
-    * instead when re-clustering is wanted. Writes to a temp dir then
-    * swaps, so a crash never leaves the table half-compacted.
+    * instead when re-clustering is wanted; swaps via [[replaceDir]].
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(src).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
-    spark.read.parquet(path).coalesce(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(src, true)
-    if (!fs.rename(tmp, src))
-      throw new java.io.IOException(s"compaction rename failed: $tmp -> $src")
+    replaceDir(spark, path) { staging =>
+      spark.read.parquet(path).coalesce(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
   }
 }

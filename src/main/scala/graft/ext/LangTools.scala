@@ -107,16 +107,19 @@ object LangTools {
 
   def withRedaction(df: DataFrame, textCol: String = "text"): DataFrame =
     // typed DSL, not expr(): SQL string literals would eat the regex
-    // backslashes (Spark treats \b as an escape inside '...')
-    df.withColumn("n_emails",
-        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
-      .withColumn("n_ips",
-        size(regexp_extract_all(col(textCol), lit(IpRe), lit(0))).cast("long"))
-      .withColumn("n_digit_runs",
-        size(regexp_extract_all(col(textCol), lit(DigitsRe), lit(0))).cast("long"))
-      .withColumn("redacted",
+    // backslashes (Spark treats \b as an escape inside '...').
+    // Counts are of TAGS in the final output, not raw-text matches —
+    // the replacements run sequentially, so e.g. a digit run inside an
+    // email is consumed by <EMAIL> and must not count as <NUM>.
+    df.withColumn("redacted",
         regexp_replace(regexp_replace(regexp_replace(col(textCol),
           EmailRe, "<EMAIL>"), IpRe, "<IP>"), DigitsRe, "<NUM>"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("redacted"), lit("<EMAIL>"), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("redacted"), lit("<IP>"), lit(0))).cast("long"))
+      .withColumn("n_digit_runs",
+        size(regexp_extract_all(col("redacted"), lit("<NUM>"), lit(0))).cast("long"))
 
   /** Redaction counts + scrubbed length per doc (oracle-checked; the
     * documents corpus has few true hits, so the interesting assertions
@@ -174,15 +177,18 @@ object LangTools {
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> langIdOracle,
     "q_redact" ->
-      s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
-         |  CAST(len(regexp_extract_all(text, '$DigitsRe')) AS BIGINT) AS n_digit_runs,
-         |  CAST(length(
+      s"""WITH r AS (
+         |  SELECT doc_id,
          |    regexp_replace(regexp_replace(regexp_replace(text,
          |      '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'),
-         |      '$DigitsRe', '<NUM>', 'g')) AS BIGINT) AS redacted_len
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |      '$DigitsRe', '<NUM>', 'g') AS redacted
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(redacted, '<IP>')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(redacted, '<NUM>')) AS BIGINT) AS n_digit_runs,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_len
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_winnow_fingerprints" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -100,16 +100,19 @@ object PqIndex {
     * two-stage ADC+R shape (rows-only: codebook training is not
     * oracle-expressible; recall vs exact L2 is asserted in PqSpec):
     *
-    *   1. shortlist: ADC scores over the CODE column only — map-side
-    *      encode + m table lookups per row, TakeOrdered top-100, no
-    *      shuffle, no vector reads;
-    *   2. re-rank: exact L2 on just the broadcast shortlist.
+    *   1. shortlist: ADC scoring + TakeOrdered top-100, no shuffle.
+    *      HERE the encode runs on the fly (the scan still reads the
+    *      float vectors — this demo has no materialized code table);
+    *      at 100 TB you write the code column once
+    *      ([[encodeExpr]] + [[graft.core.Layout.writeClustered]]) and
+    *      stage 1 scans ONLY the m-int codes — 32× less I/O — which
+    *      is the entire point of PQ;
+    *   2. re-rank: exact L2 on just the broadcast shortlist (~100
+    *      full-vector fetches).
     *
     * Isotropic random vectors (this corpus) are PQ's worst case —
     * distance concentration makes raw ADC ranks noisy — which is
-    * exactly why production PQ always re-ranks a shortlist. At 100 TB
-    * stage 1 scans m-byte codes (32× less I/O than float vectors) and
-    * stage 2 fetches ~100 full vectors.
+    * exactly why production PQ always re-ranks a shortlist.
     */
   def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

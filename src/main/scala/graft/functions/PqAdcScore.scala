@@ -53,11 +53,14 @@ case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
 
 object PqAdcScore {
 
-  /** Static so generated code calls it directly. Codes past the table
-    * width (corrupt input) score +∞ rather than throwing mid-scan.
+  /** Static so generated code calls it directly. Corrupt input —
+    * wrong code length OR an id past the table width — scores +∞
+    * rather than throwing mid-scan (a truncated sum would rank the
+    * corrupt row spuriously HIGH in a distance shortlist).
     */
   def compute(code: ArrayData, table: Array[Array[Double]]): Double = {
-    val m = math.min(code.numElements(), table.length)
+    val m = table.length
+    if (code.numElements() != m) return Double.PositiveInfinity
     var s = 0.0
     var j = 0
     while (j < m) {

@@ -115,22 +115,27 @@ object StreamOps {
 
   /** SCD1 upsert into a parquet target from inside foreachBatch — the
     * MERGE emulation an append-only-format medallion needs for
-    * mutable dims: latest-per-key within the batch (deterministic
-    * tie-break on `versionCol` then batch arrival is NOT enough —
-    * callers supply a total-order version column), anti-join the
-    * target's survivors, rewrite once, atomically via temp-dir swap
-    * (same crash-safety pattern as [[graft.core.Layout.compact]]).
-    * At scale the rewrite is the known cost of upserts on immutable
-    * files — partition the target and restrict the rewrite to touched
+    * mutable dims. Latest-per-key within the batch by `versionCol`
+    * descending; EQUAL versions tie-break on a content hash of the
+    * full row, so a foreachBatch retry of the same data always picks
+    * the same winner (sink idempotence) — batch/partition order never
+    * decides. Survivor rows anti-join in, and the rewrite goes through
+    * [[graft.core.Layout.replaceDir]]'s backup-swap, so no crash +
+    * retry interleaving can lose the target. At scale the full
+    * rewrite is the known cost of upserts on immutable files —
+    * partition the target and restrict the rewrite to touched
     * partitions, or move to a table format with a transaction log.
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, targetPath: String,
                   keyCol: String, versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    if (batch.isEmpty) return // nothing to merge: skip the full rewrite
+    val contentHash = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc, col(keyCol))
+      .orderBy(col(versionCol).desc, contentHash.asc)
     val latest = batch
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    graft.core.Layout.recoverDir(spark, targetPath) // heal interrupted swaps
     val tp = new org.apache.hadoop.fs.Path(targetPath)
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an empty pre-created directory is an initial load too
@@ -140,10 +145,8 @@ object StreamOps {
       else spark.read.parquet(targetPath)
         .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(latest)
-    val tmp = targetPath + "._upserting"
-    merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(targetPath)))
-      throw new java.io.IOException(s"upsert rename failed: $tmp -> $targetPath")
+    graft.core.Layout.replaceDir(spark, targetPath) { staging =>
+      merged.write.mode("overwrite").parquet(staging)
+    }
   }
 }

@@ -42,4 +42,14 @@ class LangToolsSpec extends SparkTestBase {
     assert(out(1L)._4 == "contact <EMAIL> or <IP> ref <NUM> ok")
     assert(out(2L) == ((0L, 0L, 0L, "clean text with short 123 number")))
   }
+
+  test("redaction counts match tags in the output (digit run inside an email is not <NUM>)") {
+    import spark.implicits._
+    val docs = Seq((1L, "mail 1234567890@example.com now")).toDF("doc_id", "text")
+    val r = LangTools.withRedaction(docs)
+      .select("n_emails", "n_digit_runs", "redacted").first()
+    assert(r.getLong(0) == 1)
+    assert(r.getLong(1) == 0) // consumed by <EMAIL>, so it must not count
+    assert(r.getString(2) == "mail <EMAIL> now")
+  }
 }

@@ -28,7 +28,22 @@ class StreamOpsSpec extends SparkTestBase {
     val got = spark.read.parquet(target)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got == Map(1L -> ("a", 10L), 2L -> ("b3", 30L), 3L -> ("c", 20L)))
-    assert(!new java.io.File(target + "._upserting").exists())
+    assert(!new java.io.File(target + "._staging").exists())
+    assert(!new java.io.File(target + "._backup").exists())
+  }
+
+  test("upsertBatch equal-version ties resolve identically on replay (sink idempotence)") {
+    import spark.implicits._
+    def run(): Map[Long, String] = {
+      val target = tmpDir("upsert-tie")
+      StreamOps.upsertBatch(spark,
+        Seq((1L, "x", 10L), (1L, "y", 10L), (1L, "z", 10L)).toDF("k", "v", "ver"),
+        target, "k", "ver")
+      spark.read.parquet(target).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val a = run()
+    assert(a.size == 1)
+    assert(run() == a) // content-hash tie-break, not partition order
   }
 
   test("watermarked dedup removes in-horizon duplicates across batches") {
