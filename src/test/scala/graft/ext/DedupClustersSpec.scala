@@ -20,6 +20,17 @@ class DedupClustersSpec extends SparkTestBase {
     assert(viaProp == expected)
   }
 
+  test("unconverged propagation throws instead of returning partial labels") {
+    import spark.implicits._
+    val vertices = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    // diameter 4 > maxIter 2: must fail loudly (ADVICE r1), not
+    // silently return unconverged labels
+    assertThrows[IllegalStateException] {
+      DedupClusters.componentsViaPropagation(vertices, edges, maxIter = 2).collect()
+    }
+  }
+
   test("q_dedup_clusters components are consistent with the pair set") {
     val dir = "/root/testdata/sf0.001"
     val clusters = DedupClusters.qDedupClusters(spark, dir)
