@@ -79,6 +79,7 @@ object Layout {
     * instead when re-clustering is wanted; swaps via [[replaceDir]].
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
+    recoverDir(spark, path) // heal before statting: a prior crash may have left only the backup
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(src).getLength

@@ -97,10 +97,13 @@ object DedupClusters {
       }
       // partial labels are silently wrong (chain components with
       // diameter > maxIter) — fail loudly rather than return them
-      if (!converged)
+      // (releasing the cached labels first: no leak on the error path)
+      if (!converged) {
+        labels.unpersist()
         throw new IllegalStateException(
           s"connected components did not converge in $maxIter min-label rounds; " +
             "raise maxIter or use small-star/large-star for giant components")
+      }
       // materialize before releasing the cached inputs
       val out = labels.localCheckpoint(eager = true)
       labels.unpersist()

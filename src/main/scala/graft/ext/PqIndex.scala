@@ -135,7 +135,9 @@ object PqIndex {
       lit(0.0d), (acc, v) => acc + v)
     emb.join(broadcast(shortlist), "vec_id")
       .select($"vec_id", exactDist.as("dist"), $"adc_dist")
-      .orderBy($"dist".asc, $"vec_id")
+      // nulls LAST: a truncated vector folds to NULL dist and must
+      // rank like PqAdcScore's +Infinity, not win on nulls-first
+      .orderBy($"dist".asc_nulls_last, $"vec_id")
       .limit(10)
   }
 

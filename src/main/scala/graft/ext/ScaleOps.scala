@@ -82,9 +82,9 @@ object ScaleOps {
   /** Token heavy hitters over documents: the classic two-pass
     * sketch-then-verify. Pass 1 runs the Misra-Gries sketch
     * ([[graft.functions.HeavyHitters]], mergeable O(k) buffers) and
-    * the total count in ONE aggregate job; MG guarantees every token
-    * with frequency > n/k is among its ≤ k−1 candidates. Pass 2
-    * exact-counts ONLY the candidate tokens (an `isin` filter prunes
+    * the total count in one aggregate subtree; MG guarantees every
+    * token with frequency > n/k is among its ≤ k−1 candidates. Pass 2
+    * exact-counts ONLY the candidate tokens (a broadcast join prunes
     * the shuffle to a handful of keys) and keeps those strictly above
     * n/k. Output = exactly {token | freq > n/k} with exact counts —
     * deterministic, so oracle-checkable, while the sketch remains the
@@ -95,17 +95,16 @@ object ScaleOps {
     val k = 32
     val toks = Tables.load(s, dir, "documents")
       .select(explode(TextAnalysis.tokens($"text")).as("token"))
-    // all lazy — no action inside the builder: candidates arrive as a
-    // broadcast semi-join build side (≤ k−1 rows), the total as a
-    // broadcast single-row join
-    val candidates = toks
-      .agg(graft.functions.HeavyHitters($"token", k).as("hh"))
-      .select(explode($"hh.token").as("token"))
-    val total = toks.agg(count(lit(1)).as("n"))
-    toks.join(broadcast(candidates), Seq("token"), "left_semi")
-      .groupBy($"token")
+    // all lazy — no action inside the builder. Sketch and total come
+    // from ONE aggregate subtree (referenced once), exploded to
+    // (candidate token, n) rows ≤ k−1, which broadcast-join the token
+    // stream: pass 1 = one scan, pass 2 = one scan.
+    val candidatesWithTotal = toks
+      .agg(graft.functions.HeavyHitters($"token", k).as("hh"), count(lit(1)).as("n"))
+      .select(explode($"hh.token").as("token"), $"n")
+    toks.join(broadcast(candidatesWithTotal), Seq("token"))
+      .groupBy($"token", $"n")
       .agg(count(lit(1)).as("n_occurrences"))
-      .join(broadcast(total))
       .where($"n_occurrences" * k > $"n")
       .select($"token", $"n_occurrences")
       .orderBy($"n_occurrences".desc, $"token")

@@ -182,8 +182,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // the doc-set table feeds dfreq, the prefix join, and both verify
     // joins — persist it once instead of re-running tokenize +
-    // ShingleHashes four times (lazy: plan-only consumers pay nothing;
-    // blocks are ~1/3 of the text size and LRU-evictable)
+    // ShingleHashes four times. Lazy, so plan-only consumers pay
+    // nothing; never unpersisted because the (session, dir) => DF
+    // contract gives no post-action hook — a deliberate bounded leak
+    // (one ~⅓-of-text-size entry per process, LRU-evictable), the
+    // same call-site-owned-lifecycle tradeoff bloomDedup documents.
     val ds = docShingleSets(docs(s, dir)).persist()
     val idx = ds.select(struct($"doc_id", $"sz").as("d"), explode($"hs").as("h"))
     val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))

@@ -54,8 +54,10 @@ object ShingleHashes {
   private val Seed = 42L
 
   /** Static so generated code can call it: shingle-hash + sort +
-    * dedupe without leaving the JVM's hot loop. Null tokens hash as
-    * empty strings.
+    * dedupe without leaving the JVM's hot loop. A null token
+    * contributes a fixed sentinel hashing step (never a skip — a
+    * skipped position would merge ("a", null) with (null, "a") and
+    * lose the very token boundaries the chaining preserves).
     */
   def compute(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
@@ -67,7 +69,8 @@ object ShingleHashes {
       var h = Seed
       var j = 0
       while (j < w) {
-        if (!toks.isNullAt(i + j)) {
+        if (toks.isNullAt(i + j)) h = XXH64.hashLong(-1L, h)
+        else {
           val s = toks.getUTF8String(i + j)
           h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
         }

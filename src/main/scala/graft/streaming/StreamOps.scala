@@ -133,7 +133,10 @@ object StreamOps {
     val contentHash = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, contentHash.asc)
-    val latest = batch
+    // NULL keys cannot be merged (the anti-join's null-unsafe equality
+    // would append a fresh copy every batch) — reject them here;
+    // upstream owns keying its records
+    val latest = batch.where(col(keyCol).isNotNull)
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
     graft.core.Layout.recoverDir(spark, targetPath) // heal interrupted swaps
     val tp = new org.apache.hadoop.fs.Path(targetPath)
