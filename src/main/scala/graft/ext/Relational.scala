@@ -118,6 +118,50 @@ object Relational {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** TPC-H Q4 shape: order-priority counts for one quarter's orders
+    * having at least one late lineitem. The testdata carries no
+    * commit/receipt dates, so "late" = shipped more than 90 days
+    * after the order date; the SHAPE is the point — a correlated
+    * EXISTS with cross-table date arithmetic, planned as a left-semi
+    * join with a non-equi conjunct.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem"),
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q5 proper (local supplier volume): the same-nation
+    * customer⋈supplier constraint is the interesting part — supplier
+    * joins on BOTH the fact key (l_suppkey) and the customer's
+    * nationkey, so only same-nation flows count. Facts shuffle once on
+    * orderkey; every dimension broadcasts.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "ASIA" &&
+        $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"n_name")
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   /** Left-semi join: customers having orders (EXISTS). */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -327,6 +371,8 @@ object Relational {
     "q1_agg" -> (q1Agg _),
     "q6_forecast" -> (q6Forecast _),
     "q3_shipping" -> (q3Shipping _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "q_join_orders_customer" -> (qJoinOrdersCustomer _),
     "q_join_multi" -> (qJoinMulti _),
     "q_semi_join" -> (qSemiJoin _),
@@ -409,6 +455,28 @@ object Relational {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_orderkey, orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_join_orders_customer" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -49,6 +49,20 @@ object GraftFunctions {
     ("graft_cosine_q",
       new ExpressionInfo(classOf[QuantizedCosine].getName, "graft_cosine_q"),
       (es: Seq[Expression]) => QuantizedCosine(es(0), es(1))),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (es: Seq[Expression]) => es match {
+        case Seq(toks, w) => ShingleHashes(toks, w.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes w must be an int literal, got $other")
+        })
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hashes expects (array<string>, w), got ${other.size} args")
+      }),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHashFold(es(0))),
     ("graft_from_avro",
       new ExpressionInfo(classOf[AvroDecode].getName, "graft_from_avro"),
       (es: Seq[Expression]) => {
