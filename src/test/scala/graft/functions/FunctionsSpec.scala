@@ -58,6 +58,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(row.getString(0) == "shirt")
   }
 
+  test("graft_shingle_hashes and graft_simhash callable from SQL") {
+    GraftFunctions.registerAll(spark)
+    val n = spark.sql(
+      "SELECT size(graft_shingle_hashes(array('a','b','c','a','b','c'), 3)) AS n")
+      .first().getInt(0)
+    assert(n == 3) // 4 windows, 3 distinct shingles: abc, bca, cab
+    val fp = spark.sql(
+      "SELECT graft_simhash(array(struct(1234567890123456789L AS th, 2L AS tf))) AS fp")
+      .first().getLong(0)
+    assert(fp == 1234567890123456789L) // single positive-weight hash -> its own bits
+  }
+
   test("CentroidAggregator computes per-label centroids under shuffle") {
     import spark.implicits._
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -32,6 +32,31 @@ class StreamOpsSpec extends SparkTestBase {
     assert(!new java.io.File(target + "._backup").exists())
   }
 
+  test("upsertBatch as a writeStream.foreachBatch sink merges across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = tmpDir("upsert-stream")
+    val ckpt = tmpDir("upsert-stream-ckpt") // shared: batch 2 must be incremental
+    val stream = MemoryStream[(Long, String, Long)]
+    def runOnce(): Unit = {
+      val q = stream.toDF().toDF("k", "v", "ver")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamOps.upsertBatch(spark, b, target, "k", "ver"))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stream.addData((1L, "a", 1L), (2L, "b", 1L))
+    runOnce()
+    stream.addData((2L, "b2", 2L), (3L, "c", 1L))
+    runOnce()
+    val got = spark.read.parquet(target)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("upsertBatch equal-version ties resolve identically on replay (sink idempotence)") {
     import spark.implicits._
     def run(): Map[Long, String] = {
