@@ -162,6 +162,26 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** TPC-H Q14 shape (promotion effect): lineitem ⋈ part with a
+    * conditional aggregate — promo revenue and total revenue in ONE
+    * pass (CASE inside SUM, no second scan). Ratio left as two exact
+    * decimal-summed doubles; dividing is the caller's (oracle-hostile
+    * rounding) business. Part broadcasts at every scale.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .agg(
+        dsum4(when($"p_type" === "PROMO",
+            $"l_extendedprice" * (lit(1.0d) - $"l_discount"))
+          .otherwise(lit(0.0d))).as("promo_revenue"),
+        dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("total_revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
   /** Left-semi join: customers having orders (EXISTS). */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -373,6 +393,7 @@ object Relational {
     "q3_shipping" -> (q3Shipping _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q14_promo" -> (q14Promo _),
     "q_join_orders_customer" -> (qJoinOrdersCustomer _),
     "q_join_multi" -> (qJoinMulti _),
     "q_semi_join" -> (qSemiJoin _),
@@ -477,6 +498,17 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |         THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
     "q_join_orders_customer" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
