@@ -100,6 +100,14 @@ object MinHashDedup {
     * occurrence, and fold to 64 bits with the codegen'd
     * [[graft.functions.SimHashFold]] in one projection, zero shuffles.
     */
+  /** The simhash fingerprint as a single Column over a token-array
+    * column — shared by the batch pair-mining path and the streaming
+    * dedup filter ([[graft.streaming.StreamOps.dedupNearDupStream]]).
+    */
+  def simhashCol(toks: Column): Column =
+    graft.functions.SimHashFold(
+      transform(toks, t => struct(xxhash64(t).as("th"), lit(1L).as("tf"))))
+
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -107,10 +115,7 @@ object MinHashDedup {
       // array would be 0L and every such doc would spuriously pair up
       // at hamming 0) — drop them, as the explode-based shape did
       .where(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        graft.functions.SimHashFold(
-          transform(col("toks"),
-            t => struct(xxhash64(t).as("th"), lit(1L).as("tf")))).as("simhash"))
+      .select(col("doc_id"), simhashCol(col("toks")).as("simhash"))
 
   /** Near-dup pairs by SimHash: 4×16-bit band join, verify Hamming
     * distance ≤ maxHamming via bit_count(xor).

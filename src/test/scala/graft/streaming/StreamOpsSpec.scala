@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkTestBase
 
 case class TsEvent(id: String, ts: Timestamp, v: Long)
+case class TsDoc(doc_id: Long, ts: Timestamp, text: String)
 
 class StreamOpsSpec extends SparkTestBase {
 
@@ -30,6 +31,24 @@ class StreamOpsSpec extends SparkTestBase {
     assert(got == Map(1L -> ("a", 10L), 2L -> ("b3", 30L), 3L -> ("c", 20L)))
     assert(!new java.io.File(target + "._staging").exists())
     assert(!new java.io.File(target + "._backup").exists())
+  }
+
+  test("streaming fingerprint dedup drops token-identical docs within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TsDoc]
+    val out = StreamOps.dedupNearDupStream(stream.toDF(), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(
+      TsDoc(1L, t("2024-01-01 00:00:00"), "the quick brown fox"),
+      TsDoc(2L, t("2024-01-01 00:00:05"), "the quick brown fox"), // exact dup
+      TsDoc(3L, t("2024-01-01 00:00:06"), "  "),                  // token-less: filtered
+      TsDoc(4L, t("2024-01-01 00:00:10"), "a different document entirely"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("neardup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L))
   }
 
   test("upsertBatch as a writeStream.foreachBatch sink merges across micro-batches") {
