@@ -141,7 +141,46 @@ object PqIndex {
       .limit(10)
   }
 
+  /** IVF + PQ composed — the canonical billion-scale ANN layout
+    * (FAISS's IVFADC, modulo residual encoding, which production
+    * systems add on top of this exact shape): the coarse quantizer
+    * prunes the scan to nProbe cells, ADC scores only those cells'
+    * codes, and the exact re-rank touches ~100 vectors. Cell
+    * assignment and PQ encoding are both map-side [[NearestCell]]
+    * projections; at scale the table is clustered by `cell` with a
+    * materialized code column, so the stage-1 scan reads a pruned
+    * partition set of m-int codes.
+    */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val trainSample = emb.where($"vec_id" % 5 === 0)
+    val centroids = IvfIndex.train(trainSample, "embedding", "vec_id", nCells = 16, dim = 64)
+    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
+      .select($"embedding").as[Array[Float]].collect()
+    val codebooks = trainSubCodebooks(sample, m = 8, k = 16)
+    val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe = 8)
+    val table = adcTable(query, codebooks)
+    val shortlist = emb
+      .withColumn("cell", IvfIndex.assignCell($"embedding", centroids))
+      .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
+      .select($"vec_id",
+        PqAdcScore(encodeExpr($"embedding", codebooks), table).as("adc_dist"))
+      .orderBy($"adc_dist".asc, $"vec_id")
+      .limit(100)
+    val qlit = array(query.map(x => lit(x.toDouble)).toIndexedSeq: _*)
+    val exactDist = aggregate(
+      zip_with($"embedding", qlit, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    emb.join(broadcast(shortlist), "vec_id")
+      .select($"vec_id", exactDist.as("dist"), $"adc_dist")
+      .orderBy($"dist".asc_nulls_last, $"vec_id")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
   )
 }

@@ -22,6 +22,17 @@ class PqSpec extends SparkTestBase {
     assert(c1 == c2)
   }
 
+  test("IVF+PQ composition returns 10 rows with recall bounded by its parts") {
+    import spark.implicits._
+    val ivfpq = PqIndex.qAnnIvfPq(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfpq.size == 10)
+    // cell pruning can only remove candidates relative to full-scan PQ
+    val pqOnly = PqIndex.qAnnPq(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((ivfpq intersect pqOnly).nonEmpty)
+  }
+
   test("ADC top-10 has usable recall vs exact L2 top-10") {
     import spark.implicits._
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
