@@ -92,22 +92,22 @@ object MinHashDedup {
     verifiedPairs(ds, cand).orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash fingerprints: 64-bit, bit j set iff Σ_tokens ±tf > 0
-    * (sign of the j-th bit of xxhash64(token), weighted by term
-    * frequency). Computed entirely MAP-SIDE: summing ±1 per token
-    * OCCURRENCE equals summing ±tf per distinct token, so no
-    * (doc, token) tf aggregate is needed at all — tokenize, hash each
-    * occurrence, and fold to 64 bits with the codegen'd
-    * [[graft.functions.SimHashFold]] in one projection, zero shuffles.
-    */
-  /** The simhash fingerprint as a single Column over a token-array
-    * column — shared by the batch pair-mining path and the streaming
-    * dedup filter ([[graft.streaming.StreamOps.dedupNearDupStream]]).
+  /** The SimHash fingerprint as a single Column over a token-array
+    * column: 64-bit, bit j set iff Σ_tokens ±tf > 0 (sign of the j-th
+    * bit of xxhash64(token), weighted by term frequency). Computed
+    * entirely MAP-SIDE: summing ±1 per token OCCURRENCE equals
+    * summing ±tf per distinct token, so no (doc, token) tf aggregate
+    * is needed at all — hash each occurrence and fold to 64 bits with
+    * the codegen'd [[graft.functions.SimHashFold]] in one projection,
+    * zero shuffles. Shared by the batch pair-mining path and the
+    * streaming dedup filter
+    * ([[graft.streaming.StreamOps.dedupNearDupStream]]).
     */
   def simhashCol(toks: Column): Column =
     graft.functions.SimHashFold(
       transform(toks, t => struct(xxhash64(t).as("th"), lit(1L).as("tf"))))
 
+  /** Per-doc fingerprints over a `text` column — see [[simhashCol]]. */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))

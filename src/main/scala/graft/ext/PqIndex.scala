@@ -117,14 +117,39 @@ object PqIndex {
   def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    // bounded driver traffic: the training sample is capped, whatever
-    // the corpus size (production PQ trains on ~100k vectors max)
+    adcShortlistRerank(emb, emb.filter($"vec_id" =!= 0), trainedCodebooks(emb), queryVec(emb))
+  }
+
+  /** Capped deterministic training sample → sub-codebooks (bounded
+    * driver traffic whatever the corpus size; production PQ trains on
+    * ~100k vectors max).
+    */
+  private def trainedCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val s = emb.sparkSession
+    import s.implicits._
     val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
       .select($"embedding").as[Array[Float]].collect()
-    val codebooks = trainSubCodebooks(sample, m = 8, k = 16)
-    val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    trainSubCodebooks(sample, m = 8, k = 16)
+  }
+
+  private def queryVec(emb: DataFrame): Array[Float] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+  }
+
+  /** The shared ADC+R tail: score `candidates` by ADC over on-the-fly
+    * codes, TakeOrdered top-100, then exact-L2 re-rank of the
+    * broadcast shortlist against the full table. One definition so the
+    * full-scan and IVF-pruned queries can never diverge.
+    */
+  private def adcShortlistRerank(emb: DataFrame, candidates: DataFrame,
+                                 codebooks: Array[Array[Array[Double]]],
+                                 query: Array[Float]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val table = adcTable(query, codebooks)
-    val shortlist = emb.filter($"vec_id" =!= 0)
+    val shortlist = candidates
       .select($"vec_id",
         PqAdcScore(encodeExpr($"embedding", codebooks), table).as("adc_dist"))
       .orderBy($"adc_dist".asc, $"vec_id")
@@ -156,27 +181,12 @@ object PqIndex {
     val emb = Tables.load(s, dir, "embeddings")
     val trainSample = emb.where($"vec_id" % 5 === 0)
     val centroids = IvfIndex.train(trainSample, "embedding", "vec_id", nCells = 16, dim = 64)
-    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
-      .select($"embedding").as[Array[Float]].collect()
-    val codebooks = trainSubCodebooks(sample, m = 8, k = 16)
-    val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val query = queryVec(emb)
     val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe = 8)
-    val table = adcTable(query, codebooks)
-    val shortlist = emb
+    val pruned = emb
       .withColumn("cell", IvfIndex.assignCell($"embedding", centroids))
       .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
-      .select($"vec_id",
-        PqAdcScore(encodeExpr($"embedding", codebooks), table).as("adc_dist"))
-      .orderBy($"adc_dist".asc, $"vec_id")
-      .limit(100)
-    val qlit = array(query.map(x => lit(x.toDouble)).toIndexedSeq: _*)
-    val exactDist = aggregate(
-      zip_with($"embedding", qlit, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0d), (acc, v) => acc + v)
-    emb.join(broadcast(shortlist), "vec_id")
-      .select($"vec_id", exactDist.as("dist"), $"adc_dist")
-      .orderBy($"dist".asc_nulls_last, $"vec_id")
-      .limit(10)
+    adcShortlistRerank(emb, pruned, trainedCodebooks(emb), query)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -62,7 +62,11 @@ object GraftFunctions {
       }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash"),
-      (es: Seq[Expression]) => SimHashFold(es(0))),
+      (es: Seq[Expression]) => es match {
+        case Seq(pairs) => SimHashFold(pairs)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash expects one array<struct<th,tf>> arg, got ${other.size}")
+      }),
     ("graft_from_avro",
       new ExpressionInfo(classOf[AvroDecode].getName, "graft_from_avro"),
       (es: Seq[Expression]) => {

@@ -115,22 +115,30 @@ object StreamOps {
 
   /** Streaming fingerprint-level dedup of a document stream: map-side
     * SimHash ([[graft.ext.MinHashDedup.simhashCol]] — zero extra
-    * shuffles) + watermarked first-wins per fingerprint. Catches
-    * exact and token-multiset-identical duplicates in flight with
-    * bounded state; true NEAR-dup pairs (hamming ≤ k) need the banded
-    * batch path (`qSimhashPairs`) — banding is a self-join, which
-    * streaming state cannot express cheaply, so the stream filter
-    * removes the exact-fingerprint mass and the periodic batch job
-    * sweeps the rest (the standard split at 100 TB).
+    * shuffles) + watermarked one-per-fingerprint dedup. Catches exact
+    * and token-multiset-identical duplicates in flight with bounded
+    * state; true NEAR-dup pairs (hamming ≤ k) need the banded batch
+    * path (`qSimhashPairs`) — banding is a self-join, which streaming
+    * state cannot express cheaply, so the stream filter removes the
+    * exact-fingerprint mass and the periodic batch job sweeps the
+    * rest (the standard split at 100 TB).
+    *
+    * Semantics: exactly ONE doc per fingerprint per watermark horizon
+    * survives; WHICH doc is batch-internal arrival order, so a
+    * micro-batch replay may emit a different representative — key
+    * downstream sinks on the fingerprint, not the doc id, if replay
+    * identity matters. The watermark is set BEFORE the token filter:
+    * token-less docs still advance event time, otherwise a run of
+    * blank documents would stall state eviction.
     */
   def dedupNearDupStream(docs: DataFrame, eventTimeCol: String, delay: String,
                          textCol: String = "text"): DataFrame =
     docs
+      .withWatermark(eventTimeCol, delay)
       .withColumn("toks", graft.ext.TextAnalysis.tokens(col(textCol)))
       .where(size(col("toks")) > 0)
       .withColumn("simhash", graft.ext.MinHashDedup.simhashCol(col("toks")))
       .drop("toks")
-      .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("simhash")
 
   /** SCD1 upsert into a parquet target from inside foreachBatch — the

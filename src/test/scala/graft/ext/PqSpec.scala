@@ -22,15 +22,22 @@ class PqSpec extends SparkTestBase {
     assert(c1 == c2)
   }
 
-  test("IVF+PQ composition returns 10 rows with recall bounded by its parts") {
+  test("IVF+PQ composition keeps usable recall vs exact L2 top-10") {
     import spark.implicits._
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val q = vecs.find(_._1 == 0L).get._2
+    val exact = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
     val ivfpq = PqIndex.qAnnIvfPq(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ivfpq.size == 10)
-    // cell pruning can only remove candidates relative to full-scan PQ
-    val pqOnly = PqIndex.qAnnPq(spark, dir)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert((ivfpq intersect pqOnly).nonEmpty)
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    // deterministic; cell pruning at nProbe 8/16 stacked on ADC+R
+    assert(recall >= 0.5, s"IVF+PQ recall too low: $recall")
   }
 
   test("ADC top-10 has usable recall vs exact L2 top-10") {
