@@ -289,6 +289,18 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** CUBE — all 2ᵏ grouping combinations (completes the rollup /
+    * grouping-sets / cube trio; one Expand + hash aggregate, null
+    * ordering pinned on both sides).
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   /** Exact count-distinct (expand + two-phase agg under the hood). */
   def qCountDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -406,6 +418,7 @@ object Relational {
     "q_window_lag" -> (qWindowLag _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_count_distinct" -> (qCountDistinct _),
   )
 
@@ -576,6 +589,11 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
