@@ -301,6 +301,19 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** Deterministic string aggregation: the sorted distinct set joined
+    * to one string per group (collect_set is order-free; array_sort
+    * pins it — the only listagg form that can be oracle-checked).
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(concat_ws(",", array_sort(collect_set($"o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Exact count-distinct (expand + two-phase agg under the hood). */
   def qCountDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -419,6 +432,7 @@ object Relational {
     "q_window_funcs" -> (qWindowFuncs _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_string_agg" -> (qStringAgg _),
     "q_count_distinct" -> (qCountDistinct _),
   )
 
@@ -595,6 +609,11 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
