@@ -45,16 +45,23 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the JSON line well under the driver's
+    // tail-capture window (9-decimal doubles overflowed it in r1/r2 →
+    // "parsed": null despite a clean run)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // one clean JSON line; build.sbt sets run/outputStrategy :=
     // StdoutOutput so sbt passes it through WITHOUT the "[info] "
     // prefix that broke the driver's JSON parse in round 1
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    // a partial run must not look like a faster one: non-zero exit when
+    // any query failed, so automated total-comparisons can't misread it
+    if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -84,9 +84,11 @@ object MinHashDedup {
     * MinHashSpec recall test against the exact q_ngram_jaccard).
     */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // ds feeds the signature pass and both verify joins — persist the
-    // one tokenize+hash scan (lazy; LRU-evictable)
-    val ds = shingleSets(Tables.load(s, dir, "documents")).persist()
+    // ds feeds the signature pass and both verify joins — materialize
+    // the one tokenize+hash scan via eager localCheckpoint: blocks are
+    // ContextCleaner-released once the RDD is unreachable, vs persist()
+    // whose CacheManager entry leaked per (session, dir) invocation
+    val ds = shingleSets(Tables.load(s, dir, "documents")).localCheckpoint(eager = true)
     val sig = signatures(ds, k = 32)
     val cand = candidatePairs(sig, bands = 16, rowsPerBand = 2)
     verifiedPairs(ds, cand).orderBy(col("doc_a"), col("doc_b"))

@@ -181,13 +181,13 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // the doc-set table feeds dfreq, the prefix join, and both verify
-    // joins — persist it once instead of re-running tokenize +
-    // ShingleHashes four times. Lazy, so plan-only consumers pay
-    // nothing; never unpersisted because the (session, dir) => DF
-    // contract gives no post-action hook — a deliberate bounded leak
-    // (one ~⅓-of-text-size entry per process, LRU-evictable), the
-    // same call-site-owned-lifecycle tradeoff bloomDedup documents.
-    val ds = docShingleSets(docs(s, dir)).persist()
+    // joins — materialize it once via eager localCheckpoint instead of
+    // re-running tokenize + ShingleHashes four times. Unlike persist()
+    // (whose CacheManager entry outlives the query until LRU eviction —
+    // each (session, dir) call leaked one), checkpoint blocks are
+    // released by the ContextCleaner as soon as the RDD is unreachable,
+    // and the truncated lineage also shrinks every downstream plan.
+    val ds = docShingleSets(docs(s, dir)).localCheckpoint(eager = true)
     val idx = ds.select(struct($"doc_id", $"sz").as("d"), explode($"hs").as("h"))
     val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))
     val prefix = idx.join(dfreq, "h")

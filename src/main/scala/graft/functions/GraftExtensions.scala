@@ -52,11 +52,29 @@ object GraftFunctions {
     ("graft_shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (es: Seq[Expression]) => es match {
-        case Seq(toks, w) => ShingleHashes(toks, w.eval(null) match {
-          case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"graft_shingle_hashes w must be an int literal, got $other")
-        })
+        // accept any foldable integral literal (an integer SQL literal
+        // may arrive typed INT, BIGINT, or SMALLINT — e.g. 3L or a
+        // foldable cast); reject non-foldable args at analysis time
+        // with a typed message instead of an opaque eval error
+        case Seq(toks, w) =>
+          def toW(v: Any, src: Expression): Int = v match {
+            case i: Int => i
+            case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case _ => throw new IllegalArgumentException(
+              s"graft_shingle_hashes w must be an integral literal " +
+                s"(INT/BIGINT/SMALLINT in int range), got ${src.sql}")
+          }
+          ShingleHashes(toks, w match {
+            case Literal(v, _) => toW(v, w)
+            // a foldable non-literal (e.g. CAST(3 AS BIGINT) before
+            // constant folding) is still analysis-time evaluable
+            case e if e.foldable => toW(e.eval(null), e)
+            case other => throw new IllegalArgumentException(
+              s"graft_shingle_hashes w must be a foldable integral " +
+                s"literal, got the non-foldable expression ${other.sql}")
+          })
         case other => throw new IllegalArgumentException(
           s"graft_shingle_hashes expects (array<string>, w), got ${other.size} args")
       }),

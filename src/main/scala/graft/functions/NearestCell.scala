@@ -54,12 +54,13 @@ case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
 
 object NearestCell {
 
-  /** Static so generated code can call it directly. A vector shorter
-    * than the centroid dimension is corrupt input: returns -1 (an
-    * impossible cell) rather than a confidently wrong argmin over the
-    * truncated prefix — IVF probing never selects cell -1, and
-    * [[PqAdcScore.compute]] scores a -1 code +∞, so corrupt rows drop
-    * out of ANN results instead of polluting them.
+  /** Static so generated code can call it directly. A vector whose
+    * length differs from the centroid dimension (shorter OR longer) is
+    * corrupt input: returns -1 (an impossible cell) rather than a
+    * confidently wrong argmin over a truncated prefix — IVF probing
+    * never selects cell -1, and [[PqAdcScore.compute]] scores a -1
+    * code +∞, so corrupt rows drop out of ANN results instead of
+    * polluting them.
     */
   def compute(vec: ArrayData, cs: Array[Array[Double]]): Int = {
     var best = 0
@@ -67,7 +68,7 @@ object NearestCell {
     var c = 0
     while (c < cs.length) {
       val cent = cs(c)
-      if (vec.numElements() < cent.length) return -1
+      if (vec.numElements() != cent.length) return -1
       var d = 0.0
       var i = 0
       while (i < cent.length) {

@@ -51,7 +51,11 @@ case class QuantizedCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    // dot over the shared prefix, each norm over its FULL vector —
+    // exactly the oracle's shape (its nrm CTE unnests the whole array
+    // while the dot joins on shared indices), so ragged inputs agree
+    val nx = xs.numElements(); val ny = ys.numElements()
+    val n = math.min(nx, ny)
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
@@ -59,6 +63,15 @@ case class QuantizedCosine(left: Expression, right: Expression)
       val y = math.floor(ys.getFloat(i).toDouble * 1048576.0).toLong
       dot += x * y; na += x * x; nb += y * y
       i += 1
+    }
+    while (i < nx) {
+      val x = math.floor(xs.getFloat(i).toDouble * 1048576.0).toLong
+      na += x * x; i += 1
+    }
+    var j = n
+    while (j < ny) {
+      val y = math.floor(ys.getFloat(j).toDouble * 1048576.0).toLong
+      nb += y * y; j += 1
     }
     if (na == 0L || nb == 0L) 0L
     else math.floor(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble) * 10000.0).toLong
@@ -73,13 +86,25 @@ case class QuantizedCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |long $dot = 0L, $na = 0L, $nb = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $x = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1048576.0);
          |  long $y = (long) java.lang.Math.floor((double) $b.getFloat($i) * 1048576.0);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |for (int $i = $n; $i < $nx; $i++) {
+         |  long $x = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1048576.0);
+         |  $na += $x * $x;
+         |}
+         |for (int $i = $n; $i < $ny; $i++) {
+         |  long $y = (long) java.lang.Math.floor((double) $b.getFloat($i) * 1048576.0);
+         |  $nb += $y * $y;
          |}
          |${ev.value} = ($na == 0L || $nb == 0L) ? 0L :
          |  (long) java.lang.Math.floor((double) $dot /

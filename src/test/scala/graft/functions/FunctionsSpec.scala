@@ -70,6 +70,35 @@ class FunctionsSpec extends SparkTestBase {
     assert(fp == 1234567890123456789L) // single positive-weight hash -> its own bits
   }
 
+  test("graft_shingle_hashes accepts BIGINT/foldable w, rejects non-foldable") {
+    GraftFunctions.registerAll(spark)
+    // BIGINT literal (3L) and a foldable cast both resolve to w=3
+    val viaLong = spark.sql(
+      "SELECT size(graft_shingle_hashes(array('a','b','c','a','b','c'), 3L)) AS n")
+      .first().getInt(0)
+    assert(viaLong == 3)
+    val viaCast = spark.sql(
+      "SELECT size(graft_shingle_hashes(array('a','b','c','a','b','c'), CAST(3 AS BIGINT))) AS n")
+      .first().getInt(0)
+    assert(viaCast == 3)
+    // a non-foldable w fails at analysis time with a typed message
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes(array('a'), length('xyz') + rand()::int) AS x")
+        .first()
+    }
+    assert(err.getMessage.contains("foldable") || err.getMessage.contains("integral"))
+  }
+
+  test("NearestCell rejects dimension-mismatched vectors in both directions") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cs = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    def arr(xs: Float*) = ArrayData.toArrayData(xs.toArray)
+    assert(NearestCell.compute(arr(0.1f, 0.1f), cs) == 0)
+    assert(NearestCell.compute(arr(0.9f, 0.9f), cs) == 1)
+    assert(NearestCell.compute(arr(0.1f), cs) == -1)             // too short
+    assert(NearestCell.compute(arr(0.1f, 0.1f, 0.1f), cs) == -1) // too long
+  }
+
   test("CentroidAggregator computes per-label centroids under shuffle") {
     import spark.implicits._
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -49,4 +49,18 @@ class QuantizedCosineSpec extends SparkTestBase {
     val withNull = df.select(QuantizedCosine(lit(null).cast("array<float>"), $"b").as("c"))
     assert(withNull.collect().forall(_.isNullAt(0)))
   }
+
+  test("QuantizedCosine ragged inputs: norms over full vectors (oracle shape)") {
+    import spark.implicits._
+    // a = (1,0,1), b = (1,0): dot over shared prefix = 1·1 = 2^40 in
+    // quantized units; |a|² over ALL 3 elements = 2·2^40, |b|² = 2^40
+    // → cos = 1/√2 → floor(7071.06…) = 7071. The truncate-both shape
+    // would have returned 10000 (prefix-only norms see equal vectors).
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val both = df.select(
+      QuantizedCosine($"a", $"b").as("ab"),
+      QuantizedCosine($"b", $"a").as("ba")).head()
+    assert(both.getLong(0) == 7071L)
+    assert(both.getLong(1) == 7071L) // symmetric regardless of arg order
+  }
 }
