@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, TextAnalysis, TpchExtra}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.pipeline.Pipeline
 import graft.schema.InMemorySchemaRegistry
@@ -20,6 +20,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracle),
+      (TpchExtra.queries, TpchExtra.oracle),
       (EventQueries.queries, EventQueries.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
       (Similarity.queries, Similarity.oracle),

@@ -1,0 +1,481 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** The wider TPC-H-shaped query surface (Q7/8/9/10/12/13/15/17/18/19/
+  * 21/22), adapted to the testdata's columns: there is no partsupp
+  * table and lineitem carries no commit/receipt dates or ship modes
+  * (TESTDATA.md), so Q9 drops the supplycost term, Q12/Q21 define
+  * "late" as shipped >N days after the order date, and Q22 uses
+  * nation + order recency instead of phone prefixes. The PLAN SHAPES —
+  * which is what these queries exercise — are the TPC-H ones: two
+  * dimension-branch geography joins (Q7/Q8), conditional-aggregate
+  * shares (Q8/Q12), double aggregation (Q13), aggregate-derived scalar
+  * predicates (Q15/Q17/Q18/Q22), OR-of-ANDs pushdown (Q19), and the
+  * decorrelated existential stack of Q21.
+  *
+  * Scale notes (100 TB): every dim (customer, supplier, part, nation,
+  * region) broadcasts; lineitem⋈orders is the one shuffle join, on the
+  * order key both sides. Q21 is deliberately the AGGREGATE
+  * reformulation — one groupBy(l_orderkey) pass computing (distinct
+  * suppliers, distinct late suppliers, the unique late supplier)
+  * replaces the textbook EXISTS + NOT-EXISTS pair, which would plan as
+  * two more shuffled joins against lineitem and rescan the fact twice.
+  * Same for Q17: the per-part average joins back map-side off a
+  * broadcast of the (tiny) per-part aggregate instead of a correlated
+  * rescan of lineitem per row.
+  *
+  * Determinism contract with the DuckDB oracle: exact decimal sums
+  * cast back to double (order-independent), year() cast to long
+  * (Spark's is Int, DuckDB's BIGINT), conditional counts via
+  * CAST(SUM(CASE..) AS BIGINT) oracle-side (DuckDB promotes integer
+  * SUM to HUGEINT, which hashes differently across its versions),
+  * total ORDER BY with key tie-breakers everywhere.
+  */
+object TpchExtra {
+
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** supplier/customer key → region name, via the nation dim. Both
+    * legs broadcast (supplier and customer are dims at every SF).
+    */
+  private def suppRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"r_name".as("supp_region"), $"n_name".as("supp_nation"))
+  }
+
+  private def custRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"r_name".as("cust_region"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * geographies by year. Region-level (the testdata's 10 suppliers at
+    * sf0.001 don't populate every nation pair); the OR'd direction
+    * pair and the two independent dimension branches are the Q7 plan.
+    */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppRegion(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(custRegion(s, dir)), $"o_custkey" === $"c_custkey")
+      .where(($"supp_region" === "ASIA" && $"cust_region" === "EUROPE") ||
+        ($"supp_region" === "EUROPE" && $"cust_region" === "ASIA"))
+      .groupBy($"supp_region", $"cust_region",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"supp_region", $"cust_region", $"l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): one geography's share of
+    * a product segment's revenue in a market, by order year — the
+    * conditional aggregate computes numerator and denominator in ONE
+    * pass, and the share is a single IEEE division of two exact
+    * decimal-derived doubles (bit-identical across engines).
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0d) - $"l_discount")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").where($"p_type" === "ECONOMY")),
+        $"l_partkey" === $"p_partkey")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custRegion(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppRegion(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .where($"cust_region" === "ASIA")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        dsum4(when($"supp_region" === "EUROPE", vol).otherwise(lit(0.0d)))
+          .as("euro_revenue"),
+        dsum4(vol).as("total_revenue"))
+      .withColumn("mkt_share", $"euro_revenue" / $"total_revenue")
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit by supplier nation ×
+    * order year for a part-name segment. No partsupp table → profit
+    * omits the supplycost term; the plan (LIKE-filtered broadcast part
+    * dim, supplier-nation branch, year rollup of the fact join) is the
+    * Q9 one.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").where($"p_name".contains("widget"))),
+        $"l_partkey" === $"p_partkey")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppRegion(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"supp_nation".as("nation"),
+        year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** TPC-H Q10 (returned-item reporting): top 20 customers by revenue
+    * lost to returns in a half-year window. Fact-fact shuffle on the
+    * order key, customer + nation broadcast, TakeOrdered(20) instead
+    * of a global sort.
+    */
+  def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .where($"l_returnflag" === "R")
+      .join(t(s, dir, "orders")
+        .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-07-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name", $"c_mktsegment")
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (shipping-priority classes): high/low-priority
+    * line counts among LATE lineitems (shipped >60 days after order —
+    * the testdata has no ship modes or commit dates), grouped by line
+    * status. The two CASE-sums run in one aggregate pass.
+    */
+  def q12LatePriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .where($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** TPC-H Q13 (customer distribution): orders-per-customer histogram —
+    * a left outer join so order-less customers land in the 0 bucket,
+    * then a second aggregation over the counts.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q15 (top supplier): the quarter's max-revenue supplier(s) —
+    * the per-supplier revenue aggregate is tiny (dim cardinality), so
+    * its max broadcasts back as a one-row cross join; equality on the
+    * exact decimal-derived double is engine-stable.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = t(s, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
+    rev.crossJoin(broadcast(maxRev))
+      .where($"total_revenue" === $"max_revenue")
+      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    * under 20% of their part's average quantity. The per-part average
+    * is computed once and joined back (broadcast — it's bounded by the
+    * brand's part count), not re-scanned per row as the textbook
+    * correlated subquery would.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").where($"p_brand" === "Brand#3")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+    val avgQty = li.groupBy($"l_partkey".as("pk"))
+      .agg((dsum2($"l_quantity") / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), $"l_partkey" === $"pk")
+      .where($"l_quantity" < lit(0.2d) * $"avg_qty")
+      .agg(dsum2($"l_extendedprice").as("total_extprice"), count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q18 (large-volume orders): orders whose total quantity
+    * exceeds a threshold, with their customer — the HAVING-on-sum
+    * pre-aggregate runs on the fact FIRST (map-side partials), so the
+    * join only sees the qualifying ~1% of orders.
+    */
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(dsum2($"l_quantity").as("sum_qty"))
+      .where($"sum_qty" > 300.0d)
+    t(s, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        to_date($"o_orderdate").as("orderdate"), $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q19 (discounted revenue): the OR-of-ANDs predicate over
+    * brand × size × quantity bands — one broadcast-join pass; the
+    * disjunction stays inside whole-stage codegen.
+    */
+  def q19DiscRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .where(
+        ($"p_brand" === "Brand#5" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1.0d, 20.0d)) ||
+        ($"p_brand" === "Brand#12" && $"p_size".between(10, 30) &&
+          $"l_quantity".between(10.0d, 35.0d)) ||
+        ($"p_brand" === "Brand#22" && $"p_size".between(20, 50) &&
+          $"l_quantity".between(20.0d, 50.0d)))
+      .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): for
+    * finished orders with ≥2 suppliers where exactly ONE supplier
+    * shipped late (>90 days after order), count waits per supplier.
+    * Aggregate reformulation — one groupBy(l_orderkey) computes
+    * (#suppliers, #late suppliers, the unique late supplier), replacing
+    * the EXISTS + NOT-EXISTS correlated pair and its two extra fact
+    * scans; this is the formulation that survives 100 TB.
+    */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS")
+    val perOrder = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").where($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct(when(late, $"l_suppkey")).as("n_late_supps"),
+        min(when(late, $"l_suppkey")).as("late_supp"))
+      .where($"n_late_supps" === 1 && $"n_supps" >= 2)
+    perOrder
+      .join(broadcast(t(s, dir, "supplier")), $"late_supp" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
+  /** TPC-H Q22 shape (lapsed high-balance customers): customers with
+    * above-average positive balance and no order since 1999 (the
+    * testdata has no phone column, so nation replaces the country
+    * prefix), grouped by nation. Anti join against the recent-orders
+    * keys + a broadcast one-row scalar for the average.
+    */
+  def q22LapsedCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.where($"c_acctbal" > 0.0d)
+      .agg((dsum2($"c_acctbal") / count(lit(1))).as("avg_bal"))
+    cust
+      .join(t(s, dir, "orders")
+        .where($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+        .select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .where($"c_acctbal" > $"avg_bal")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"), dsum2($"c_acctbal").as("totacctbal"))
+      .orderBy($"n_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume" -> (q7Volume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q10_returned" -> (q10Returned _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q13_custdist" -> (q13CustDist _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q18_big_orders" -> (q18BigOrders _),
+    "q19_disc_revenue" -> (q19DiscRevenue _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q22_lapsed_customers" -> (q22LapsedCustomers _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q7_volume" ->
+      """WITH sr AS (SELECT s_suppkey, r_name AS supp_region FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |cr AS (SELECT c_custkey, r_name AS cust_region FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT supp_region, cust_region, year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sr ON l_suppkey = s_suppkey
+        |JOIN cr ON o_custkey = c_custkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((supp_region = 'ASIA' AND cust_region = 'EUROPE')
+        |    OR (supp_region = 'EUROPE' AND cust_region = 'ASIA'))
+        |GROUP BY supp_region, cust_region, l_year
+        |ORDER BY supp_region, cust_region, l_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH sr AS (SELECT s_suppkey, r_name AS supp_region FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |cr AS (SELECT c_custkey, r_name AS cust_region FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |base AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(SUM(CAST(CASE WHEN supp_region = 'EUROPE'
+        |           THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |         AS DECIMAL(18,4))) AS DOUBLE) AS euro_revenue,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cr ON o_custkey = c_custkey
+        |  JOIN sr ON l_suppkey = s_suppkey
+        |  WHERE cust_region = 'ASIA'
+        |  GROUP BY o_year)
+        |SELECT o_year, euro_revenue, total_revenue,
+        |  euro_revenue / total_revenue AS mkt_share
+        |FROM base ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """WITH sn AS (SELECT s_suppkey, n_name AS nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |avg_qty AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_extprice,
+        |  COUNT(*) AS n
+        |FROM li JOIN avg_qty ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300.0)
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disc_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1.0 AND 20.0)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10.0 AND 35.0)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20.0 AND 50.0)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supps,
+        |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |          THEN l_suppkey END) AS n_late_supps,
+        |    MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |        THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_late_supps = 1 AND n_supps >= 2
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_lapsed_customers" ->
+      """SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  )
+}
