@@ -74,10 +74,7 @@ object IvfIndex {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    // quantizer trains on a deterministic ~20% sample — at 100 TB the
-    // coarse quantizer is always trained on a sample, never the corpus
-    val sample = emb.where($"vec_id" % 5 === 0)
-    val centroids = train(sample, "embedding", "vec_id", nCells = 16, dim = 64)
+    val centroids = trainedCentroids(s, dir)
     val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
     val cells = probeCells(query.map(_.toDouble), centroids, nProbe = 4)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
@@ -90,6 +87,20 @@ object IvfIndex {
       .orderBy($"cosine".desc, $"vec_id")
       .limit(10)
   }
+
+  /** The shared coarse quantizer for `dir`, trained once per process
+    * ([[graft.core.IndexCache]] — an index is built once and serves
+    * many queries; retraining per query is the ANN analog of
+    * rebuilding a B-tree per SELECT). Trains on a deterministic ~20%
+    * sample — at 100 TB the coarse quantizer is always trained on a
+    * sample, never the corpus.
+    */
+  def trainedCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    graft.core.IndexCache.memo(s"ivf:$dir:sample=mod5:nCells=16:dim=64:iters=2") {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      train(emb.where($"vec_id" % 5 === 0), "embedding", "vec_id", nCells = 16, dim = 64)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),

@@ -117,20 +117,23 @@ object PqIndex {
   def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    adcShortlistRerank(emb, emb.filter($"vec_id" =!= 0), trainedCodebooks(emb), queryVec(emb))
+    adcShortlistRerank(emb, emb.filter($"vec_id" =!= 0), trainedCodebooks(emb, dir), queryVec(emb))
   }
 
   /** Capped deterministic training sample → sub-codebooks (bounded
     * driver traffic whatever the corpus size; production PQ trains on
-    * ~100k vectors max).
+    * ~100k vectors max). Built once per (dir, params) process-wide
+    * ([[graft.core.IndexCache]]) — the PQ and IVF+PQ queries share one
+    * codebook set, as a serving system would.
     */
-  private def trainedCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
-    val s = emb.sparkSession
-    import s.implicits._
-    val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
-      .select($"embedding").as[Array[Float]].collect()
-    trainSubCodebooks(sample, m = 8, k = 16)
-  }
+  private def trainedCodebooks(emb: DataFrame, dir: String): Array[Array[Array[Double]]] =
+    graft.core.IndexCache.memo(s"pq:$dir:sample=mod2cap4096:m=8:k=16:iters=8") {
+      val s = emb.sparkSession
+      import s.implicits._
+      val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
+        .select($"embedding").as[Array[Float]].collect()
+      trainSubCodebooks(sample, m = 8, k = 16)
+    }
 
   private def queryVec(emb: DataFrame): Array[Float] = {
     val s = emb.sparkSession
@@ -179,14 +182,14 @@ object PqIndex {
   def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    val trainSample = emb.where($"vec_id" % 5 === 0)
-    val centroids = IvfIndex.train(trainSample, "embedding", "vec_id", nCells = 16, dim = 64)
+    // same cached coarse quantizer as q_ann_ivf — one index, many queries
+    val centroids = IvfIndex.trainedCentroids(s, dir)
     val query = queryVec(emb)
     val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe = 8)
     val pruned = emb
       .withColumn("cell", IvfIndex.assignCell($"embedding", centroids))
       .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
-    adcShortlistRerank(emb, pruned, trainedCodebooks(emb), query)
+    adcShortlistRerank(emb, pruned, trainedCodebooks(emb, dir), query)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
