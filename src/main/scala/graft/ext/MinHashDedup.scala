@@ -27,26 +27,30 @@ object MinHashDedup {
     TextAnalysis.docShingleSets(docs, textCol, w)
 
   /** k-minhash signature per doc, one column per hash fn, computed
-    * MAP-SIDE from the per-doc shingle-hash array (array_min over a
-    * re-hash of each element) — zero shuffles, vs the
-    * explode→groupBy→k·min() aggregate shape which shuffles the whole
-    * inverted index. Each hash fn is xxhash64 seeded by a distinct
-    * leading literal (ANSI-safe — Spark 4's default ANSI mode rejects
-    * wraparound `a·x+b` Longs).
+    * MAP-SIDE from the per-doc shingle-hash array — zero shuffles, vs
+    * the explode→groupBy→k·min() aggregate shape which shuffles the
+    * whole inverted index. All k minima come from ONE native loop
+    * ([[graft.functions.MinHashSig]], bit-identical to the
+    * `array_min(transform(hs, x -> xxhash64(lit(seed+i), x)))` tower
+    * it replaces, which evaluated k·|set| interpreted lambdas per
+    * row). The two Projects stay separate — element_at references a
+    * non-cheap producer 32×, which CollapseProject refuses to inline —
+    * so the signature computes once per row.
     */
   def signatures(ds: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(col("hs"), x => xxhash64(lit(seed + i), x))).as(s"h$i")
-    }
-    ds.select(col("doc_id") +: sigs: _*)
+    val withSig = ds.select(col("doc_id"),
+      graft.functions.MinHashSig(col("hs"), k, seed).as("sig"))
+    val sigs = (0 until k).map(i => element_at(col("sig"), i + 1).as(s"h$i"))
+    withSig.select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH candidate pairs: equal banded signature slice in ≥1 band.
     * Expressed as a per-bucket pair expansion (groupBy bucket →
-    * collect members → emit pairs) rather than a self-join — one pass
-    * over the banded table instead of two recomputed join branches,
-    * and the bucket aggregate is where a production job would apply a
-    * skew cap (giant bucket = near-identical cluster).
+    * collect members → emit pairs via the codegen'd
+    * [[graft.functions.PairExpand]]) rather than a self-join — one
+    * pass over the banded table instead of two recomputed join
+    * branches, and the bucket aggregate is where a production job
+    * would apply a skew cap (giant bucket = near-identical cluster).
     */
   def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
@@ -57,7 +61,7 @@ object MinHashDedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .groupBy(col("b")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) > 1)
-      .select(explode(TextAnalysis.allPairs(col("ds"))).as("p"))
+      .select(explode(graft.functions.PairExpand(col("ds"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }

@@ -135,11 +135,14 @@ object TextAnalysis {
 
   /** Near-duplicate pairs by exact 3-word-shingle Jaccard ≥ 0.5 via an
     * inverted hash index: [[docShingleSets]] (map-side) → explode to
-    * (hash, {doc_id, sz}) → per-hash pair expansion → one count
-    * aggregate = |A∩B|. Set sizes ride inside the pair structs, so
-    * there is NO join back to a sizes table — the whole query is two
-    * shuffles (bucket groupBy + pair groupBy). The ≥0.5 test is the
-    * integer inequality 3·|A∩B| ≥ |A|+|B|, no floating point.
+    * (hash, packed member) → per-hash pair expansion → one count
+    * aggregate = |A∩B|. Each member travels as ONE long —
+    * (doc_id << 20) | sz — so the sort/expand/shuffle path moves bare
+    * longs instead of structs, and the expansion itself is the native
+    * codegen'd [[graft.functions.PairExpand]] (the HOF tower it
+    * replaces evaluated interpreted, one expression-tree walk per
+    * pair, on the O(Σ df²) hottest path). The ≥0.5 test is the integer
+    * inequality 3·|A∩B| ≥ |A|+|B|, no floating point.
     *
     * Scale path: per-bucket pair expansion is O(df²) in a shingle's
     * document frequency. Fine when boilerplate shingles are rare (this
@@ -150,16 +153,24 @@ object TextAnalysis {
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.PairExpand
+    val szMask = lit(PairExpand.SzMask)
     val ds = docShingleSets(docs(s, dir))
-    ds.select(struct($"doc_id", $"sz").as("d"), explode($"hs").as("h"))
-      .groupBy($"h").agg(array_sort(collect_list($"d")).as("dd"))
-      .where(size($"dd") > 1)
-      .select(explode(allPairs($"dd")).as("p"))
-      .groupBy($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
-        $"p.a.sz".as("sza"), $"p.b.sz".as("szb"))
+    // packed sort order == doc_id order (ids in the high bits), so the
+    // a<b pair orientation matches the struct form exactly
+    ds.select(shiftleft($"doc_id", PairExpand.SzBits).bitwiseOR($"sz").as("m"),
+        explode($"hs").as("h"))
+      .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
+      .where(size($"ms") > 1)
+      .select(explode(PairExpand($"ms")).as("p"))
+      .groupBy($"p.a".as("pa"), $"p.b".as("pb"))
       .agg(count(lit(1)).as("common"))
-      .where(lit(3) * $"common" >= $"sza" + $"szb")
-      .select($"doc_a", $"doc_b", $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
+      .where(lit(3) * $"common" >= $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
+      .select(
+        shiftrightunsigned($"pa", PairExpand.SzBits).as("doc_a"),
+        shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_b"),
+        $"common",
+        ($"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask) - $"common").as("union_sz"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -187,18 +198,24 @@ object TextAnalysis {
     // each (session, dir) call leaked one), checkpoint blocks are
     // released by the ContextCleaner as soon as the RDD is unreachable,
     // and the truncated lineage also shrinks every downstream plan.
+    import graft.functions.PairExpand
     val ds = docShingleSets(docs(s, dir)).localCheckpoint(eager = true)
-    val idx = ds.select(struct($"doc_id", $"sz").as("d"), explode($"hs").as("h"))
+    // members packed as (doc_id << 20) | sz — long sort/expand/shuffle
+    // path, codegen'd pair kernel (same recipe as qNgramJaccard)
+    val idx = ds.select(
+      shiftleft($"doc_id", PairExpand.SzBits).bitwiseOR($"sz").as("m"),
+      explode($"hs").as("h"))
     val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))
     val prefix = idx.join(dfreq, "h")
       .withColumn("rk", row_number().over(
-        Window.partitionBy($"d.doc_id").orderBy($"df", $"h")))
-      .where($"rk" <= floor($"d.sz" / lit(2)) + 1)
+        Window.partitionBy($"m").orderBy($"df", $"h")))
+      .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
     val cand = prefix
-      .groupBy($"h").agg(array_sort(collect_list($"d")).as("dd"))
-      .where(size($"dd") > 1)
-      .select(explode(allPairs($"dd")).as("p"))
-      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"))
+      .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
+      .where(size($"ms") > 1)
+      .select(explode(PairExpand($"ms")).as("p"))
+      .select(shiftrightunsigned($"p.a", PairExpand.SzBits).as("doc_a"),
+        shiftrightunsigned($"p.b", PairExpand.SzBits).as("doc_b"))
       .distinct()
     cand
       .join(ds.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"sz".as("sza")), "doc_a")

@@ -89,6 +89,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("foldable") || err.getMessage.contains("integral"))
   }
 
+  test("PairExpand emits all ordered pairs, matching the HOF allPairs form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Seq(3L, 7L, 9L, 12L), Seq(1L, 2L), Seq(5L), Seq.empty[Long])
+      .toDF("xs")
+    val got = df.select(PairExpand($"xs").as("ps"))
+      .select(explode($"ps").as("p")).select($"p.a", $"p.b")
+      .as[(Long, Long)].collect().toSet
+    val expected = Seq(Seq(3L, 7L, 9L, 12L), Seq(1L, 2L)).flatMap(xs =>
+      for (i <- xs.indices; j <- i + 1 until xs.size) yield (xs(i), xs(j))).toSet
+    assert(got == expected)
+    // equivalence with the interpreted HOF form it replaces
+    val viaHof = df.select(explode(graft.ext.TextAnalysis.allPairs(
+        transform($"xs", x => struct(x.as("a"), x.as("b"))))).as("p"))
+      .select($"p.a.a", $"p.b.a").as[(Long, Long)].collect().toSet
+    assert(got == viaHof)
+  }
+
   test("NearestCell rejects dimension-mismatched vectors in both directions") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val cs = Array(Array(0.0, 0.0), Array(1.0, 1.0))
