@@ -203,6 +203,23 @@ object TpchExtra {
       .orderBy($"s_suppkey")
   }
 
+  /** TPC-H Q16 shape (supplier variety per part segment): distinct
+    * suppliers per (brand, type, size) — no partsupp table, so the
+    * part↔supplier relation comes from lineitem facts; the plan shape
+    * (anti-selective dim predicates + distinct aggregate after the
+    * join) is the Q16 one.
+    */
+  def q16SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .where($"p_brand" =!= "Brand#5" && $"p_size".isin(1, 10, 20, 30, 40, 50))),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
   /** TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
     * under 20% of their part's average quantity. The per-part average
     * is computed once and joined back (broadcast — it's bounded by the
@@ -318,6 +335,7 @@ object TpchExtra {
     "q12_late_priority" -> (q12LatePriority _),
     "q13_custdist" -> (q13CustDist _),
     "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_variety" -> (q16SupplierVariety _),
     "q17_small_qty" -> (q17SmallQty _),
     "q18_big_orders" -> (q18BigOrders _),
     "q19_disc_revenue" -> (q19DiscRevenue _),
@@ -417,6 +435,13 @@ object TpchExtra {
         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 10, 20, 30, 40, 50)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q17_small_qty" ->
       """WITH li AS (
         |  SELECT l_partkey, l_quantity, l_extendedprice
