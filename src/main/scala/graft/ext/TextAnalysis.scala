@@ -206,7 +206,13 @@ object TextAnalysis {
       shiftleft($"doc_id", PairExpand.SzBits).bitwiseOR($"sz").as("m"),
       explode($"hs").as("h"))
     val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))
-    val prefix = idx.join(dfreq, "h")
+    // broadcast the document-frequency table: the index side stays
+    // unshuffled into the join (one less exchange of the wide side).
+    // At 100 TB the full dfreq doesn't broadcast — there you keep the
+    // shuffle join, or broadcast only the high-df (frequent-shingle)
+    // tail and default the rest, since ONLY high-df shingles change
+    // prefix membership materially
+    val prefix = idx.join(broadcast(dfreq), "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"m").orderBy($"df", $"h")))
       .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
