@@ -62,4 +62,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 2, s"expected agg + sort shuffles only, got $sh")
     assert(bc == 0)
   }
+
+  test("q10_returned: every dimension broadcasts; only the fact join shuffles") {
+    val (sh, bc) = shape("q10_returned")
+    assert(sh <= 2, s"expected fact-join/agg shuffles only, got $sh")
+    assert(bc >= 2, s"expected customer+nation (and filtered orders) broadcast, got $bc")
+  }
+
+  test("q7_volume: both geography branches broadcast") {
+    val (sh, bc) = shape("q7_volume")
+    assert(sh <= 2, s"expected fact shuffle + agg/sort only, got $sh")
+    assert(bc >= 4, s"expected supplier/customer geo branches broadcast, got $bc")
+  }
+
+  test("q18_big_orders: HAVING pre-aggregate runs before the join, dims broadcast") {
+    val (sh, bc) = shape("q18_big_orders")
+    assert(sh <= 2, s"expected qty pre-agg + fact join shuffles only, got $sh")
+    assert(bc >= 1, s"expected customer broadcast, got $bc")
+  }
+
+  test("q21_waiting_supplier: aggregate reformulation adds no correlated rescans") {
+    val plan = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one lineitem scan feeding one per-order aggregate — the textbook
+    // EXISTS/NOT-EXISTS form would plan two extra joins against lineitem
+    val factScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(factScans <= 1, s"expected a single lineitem scan, got $factScans")
+  }
 }
