@@ -203,7 +203,38 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Funnel / sequence analytics: per user, did a click follow the
+    * FIRST view, and a purchase follow that first qualifying click
+    * (strict event-time ordering)? The canonical conversion-funnel
+    * query, done in ONE shuffle: three stacked Window operators over
+    * the same user_id partitioning (each stage's "first qualifying
+    * ts" feeds the next stage's predicate), then the per-user
+    * aggregate piggybacks on the window's partitioning — same
+    * exchange-reuse trick as [[qSessionize]]. The join-chain
+    * formulation (stage tables re-joined on user) would shuffle the
+    * event log once per stage.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    ev(s, dir)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("first_view",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("first_click",
+        min(when($"event_type" === "click" && $"ts" > $"first_view", $"ts")).over(w))
+      .withColumn("first_purchase",
+        min(when($"event_type" === "purchase" && $"ts" > $"first_click", $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"first_view".isNotNull, 1L).otherwise(0L)).as("reached_view"),
+        max(when($"first_click".isNotNull, 1L).otherwise(0L)).as("reached_click"),
+        max(when($"first_purchase".isNotNull, 1L).otherwise(0L)).as("reached_purchase"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
     "q_sessionize" -> (qSessionize _),
     "q_histogram" -> (qHistogram _),
     "q_median_value" -> (qMedianValue _),
@@ -219,6 +250,25 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS first_view
+        |  FROM events),
+        |t2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS first_click
+        |  FROM t1),
+        |t3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS first_purchase
+        |  FROM t2)
+        |SELECT user_id,
+        |  CAST(MAX(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+        |  CAST(MAX(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+        |  CAST(MAX(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+        |FROM t3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM events GROUP BY event_type, bucket
