@@ -62,18 +62,44 @@ object LangTools {
     * cost, not the hash fn.
     */
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
-                         w: Int = 3, win: Int = 4): DataFrame = {
+                         w: Int = 3, win: Int = 4,
+                         carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
     val sh = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id") +: carryCols :+ TextAnalysis.tokens(col(textCol)).as("toks"): _*)
       .where(size(col("toks")) >= w)
-      .select(col("doc_id"),
-        posexplode(expr(TextAnalysis.shingleExpr(w))).as(Seq("pos", "shingle")))
+      .select(col("doc_id") +: carryCols :+
+        posexplode(expr(TextAnalysis.shingleExpr(w))).as(Seq("pos", "shingle")): _*)
       .withColumn("h", md5(to_binary(col("shingle"), lit("utf-8"))))
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, win - 1)
     sh.withColumn("fp", min(col("h")).over(winMin))
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id") +: carryCols :+ col("fp"): _*)
       .distinct()
+  }
+
+  /** Train/eval DECONTAMINATION — the overlap check every LLM data
+    * pipeline runs before training: which training documents share
+    * enough winnowed fingerprints with an evaluation set to be
+    * contamination? One fingerprint equi-join (the inverted
+    * fingerprint index is the join key — never a doc×doc product)
+    * followed by a pair aggregate with an integer threshold. At
+    * 100 TB the eval side's fingerprint set is small enough to
+    * broadcast — or to pre-filter the train side with a Bloom filter
+    * ([[ScaleOps.bloomDedup]]'s shape) before the exact join.
+    */
+  def qDecontaminate(s: SparkSession, dir: String,
+                     evalSource: String = "src0", minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(Tables.load(s, dir, "documents"), carry = Seq("source"))
+    val ev = fps.where(col("source") === evalSource)
+      .select(col("doc_id").as("eval_doc"), col("fp"))
+    val tr = fps.where(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_doc"), col("fp"))
+    tr.join(ev, "fp")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("train_doc"), col("eval_doc"))
   }
 
   /** Rows-only: predicted language + confidence per doc. */
@@ -144,6 +170,7 @@ object LangTools {
     "q_token_counts" -> (qTokenCounts _),
     "q_winnow_fingerprints" -> (qWinnowFingerprints _),
     "q_redact" -> (qRedact _),
+    "q_decontaminate" -> ((s, d) => qDecontaminate(s, d)),
   )
 
   /** The oracle mirrors the argmax with the same tie-break (ties go
@@ -189,6 +216,26 @@ object LangTools {
          |  CAST(len(regexp_extract_all(redacted, '<NUM>')) AS BIGINT) AS n_digit_runs,
          |  CAST(length(redacted) AS BIGINT) AS redacted_len
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, i AS pos, md5(array_to_string(t[i + 1 : i + 3], ' ')) AS h
+        |  FROM (SELECT doc_id, source, t, unnest(range(len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM sh),
+        |ev AS (SELECT doc_id AS eval_doc, fp FROM fp WHERE source = 'src0'),
+        |tr AS (SELECT doc_id AS train_doc, fp FROM fp WHERE source <> 'src0')
+        |SELECT train_doc, eval_doc, COUNT(DISTINCT tr.fp) AS n_shared
+        |FROM tr JOIN ev ON tr.fp = ev.fp
+        |GROUP BY train_doc, eval_doc
+        |HAVING COUNT(DISTINCT tr.fp) >= 2
+        |ORDER BY train_doc, eval_doc""".stripMargin,
     "q_winnow_fingerprints" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

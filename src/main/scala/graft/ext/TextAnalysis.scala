@@ -272,7 +272,31 @@ object TextAnalysis {
       .orderBy($"lang", $"split")
   }
 
+  /** Deterministic STRATIFIED sampling: per stratum (language), the
+    * ⌈n/10⌉ documents with the smallest md5(doc_id) — a fixed-quota,
+    * rerun-stable sample (unlike `sample()`/TABLESAMPLE, whose output
+    * depends on partitioning). Integer-only quota test:
+    * rn ≤ ⌈n/10⌉ ⇔ 10·rn ≤ n+9. One shuffle (the per-stratum rank
+    * window; the output sort rides the same partitioning). At 100 TB
+    * skip the global per-stratum rank: take hash < threshold for an
+    * approximate quota, or rank within size-bounded strata only.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"hx", $"doc_id")
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        md5($"doc_id".cast("string").cast("binary")).as("hx"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .where($"rn" * 10 <= $"n" + 9)
+      .select($"doc_id", $"lang", $"rn")
+      .orderBy($"lang", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_hash_split" -> (qHashSplit _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_tokens" -> (qTextTokens _),
@@ -304,6 +328,17 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn * 10 <= n + 9
+        |ORDER BY lang, rn""".stripMargin,
     "q_hash_split" ->
       """SELECT lang,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
