@@ -295,7 +295,41 @@ object TextAnalysis {
       .orderBy($"lang", $"rn")
   }
 
+  /** Top-3 TF-IDF-ranked terms per document. IDF needs no logarithm
+    * for RANKING (log is monotone), so the sort key is the single
+    * IEEE division tf/df — bit-identical across engines — with
+    * (term) as tie-break; tf, df ride along as integers and the
+    * caller applies its favorite idf curve. Two aggregates (term
+    * counts, document frequencies) + one rank window; df joins back
+    * BROADCAST (the vocabulary is tiny relative to the corpus — at
+    * 100 TB a real vocabulary still broadcasts at tens of MB, or cap
+    * it with a min-df filter first).
+    */
+  def qTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ONE shuffle of the exploded tokens: hash(doc_id) satisfies the
+    // clustering every downstream op needs — the (doc_id, term) tf
+    // aggregate and distinct (doc_id is a subset of their keys) and
+    // the per-doc rank window — so none of them re-exchanges; only the
+    // small distinct-(doc,term) set shuffles again for the df count
+    val toks = docs(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .repartition($"doc_id")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df".cast("double")).desc, $"term")
+    tf.join(broadcast(df), "term")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df")
+      .orderBy($"doc_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_hash_split" -> (qHashSplit _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -328,6 +362,20 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+        |       GROUP BY term),
+        |r AS (
+        |  SELECT doc_id, term, tf.tf AS tf, df.df AS df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, term) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
