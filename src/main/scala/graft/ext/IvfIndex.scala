@@ -95,12 +95,18 @@ object IvfIndex {
     * sample — at 100 TB the coarse quantizer is always trained on a
     * sample, never the corpus.
     */
-  def trainedCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    graft.core.IndexCache.memo(s"ivf:$dir:sample=mod5:nCells=16:dim=64:iters=2") {
+  def trainedCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+    // key derives from the SAME values passed to train() — a param
+    // change at the call site can never serve a stale cached index
+    val (nCells, dim, iters, sampleMod) = (16, 64, 2, 5)
+    graft.core.IndexCache.memo(
+      s"ivf:$dir:sample=mod$sampleMod:nCells=$nCells:dim=$dim:iters=$iters") {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      train(emb.where($"vec_id" % 5 === 0), "embedding", "vec_id", nCells = 16, dim = 64)
+      train(emb.where($"vec_id" % sampleMod === 0), "embedding", "vec_id",
+        nCells = nCells, dim = dim, iters = iters)
     }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),

@@ -90,7 +90,10 @@ object LangTools {
     */
   def qDecontaminate(s: SparkSession, dir: String,
                      evalSource: String = "src0", minShared: Int = 2): DataFrame = {
+    // both branches consume the fingerprint table — lazy checkpoint so
+    // the window-min + distinct run once, not once per branch
     val fps = winnowFingerprints(Tables.load(s, dir, "documents"), carry = Seq("source"))
+      .localCheckpoint(eager = false)
     val ev = fps.where(col("source") === evalSource)
       .select(col("doc_id").as("eval_doc"), col("fp"))
     val tr = fps.where(col("source") =!= evalSource)

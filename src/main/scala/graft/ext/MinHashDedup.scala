@@ -88,11 +88,12 @@ object MinHashDedup {
     * MinHashSpec recall test against the exact q_ngram_jaccard).
     */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // ds feeds the signature pass and both verify joins — materialize
-    // the one tokenize+hash scan via eager localCheckpoint: blocks are
-    // ContextCleaner-released once the RDD is unreachable, vs persist()
-    // whose CacheManager entry leaked per (session, dir) invocation
-    val ds = shingleSets(Tables.load(s, dir, "documents")).localCheckpoint(eager = true)
+    // ds feeds the signature pass and both verify joins — checkpoint
+    // the one tokenize+hash scan. LAZY (eager=false): plan-only
+    // consumers pay nothing, the first action materializes the blocks
+    // once, and the ContextCleaner releases them on GC (vs persist(),
+    // whose CacheManager entry leaked per (session, dir) invocation)
+    val ds = shingleSets(Tables.load(s, dir, "documents")).localCheckpoint(eager = false)
     val sig = signatures(ds, k = 32)
     val cand = candidatePairs(sig, bands = 16, rowsPerBand = 2)
     verifiedPairs(ds, cand).orderBy(col("doc_a"), col("doc_b"))

@@ -126,14 +126,18 @@ object PqIndex {
     * ([[graft.core.IndexCache]]) — the PQ and IVF+PQ queries share one
     * codebook set, as a serving system would.
     */
-  private def trainedCodebooks(emb: DataFrame, dir: String): Array[Array[Array[Double]]] =
-    graft.core.IndexCache.memo(s"pq:$dir:sample=mod2cap4096:m=8:k=16:iters=8") {
+  private def trainedCodebooks(emb: DataFrame, dir: String): Array[Array[Array[Double]]] = {
+    // key derives from the SAME values passed to the sampler/trainer —
+    // a param change at the call site can never serve stale codebooks
+    val (m, k, cap, sampleMod) = (8, 16, 4096, 2)
+    graft.core.IndexCache.memo(s"pq:$dir:sample=mod${sampleMod}cap$cap:m=$m:k=$k") {
       val s = emb.sparkSession
       import s.implicits._
-      val sample = emb.where($"vec_id" % 2 === 0).orderBy($"vec_id").limit(4096)
+      val sample = emb.where($"vec_id" % sampleMod === 0).orderBy($"vec_id").limit(cap)
         .select($"embedding").as[Array[Float]].collect()
-      trainSubCodebooks(sample, m = 8, k = 16)
+      trainSubCodebooks(sample, m = m, k = k)
     }
+  }
 
   private def queryVec(emb: DataFrame): Array[Float] = {
     val s = emb.sparkSession

@@ -151,6 +151,21 @@ object TextAnalysis {
     * the lossless prefix filter (AllPairs/PPJoin) — rare-first global
     * ordering, index only each doc's first ⌊sz/2⌋+1 shingles.
     */
+  /** (doc_id << SzBits) | sz as one long, failing LOUDLY on a set too
+    * large for the packed width (a ≥2²⁰-shingle document would
+    * otherwise corrupt the doc_id bits and emit pairs for nonexistent
+    * documents — the struct form this packing replaced had no limit,
+    * so the limit must be enforced, not assumed).
+    */
+  private def packedMember: Column = {
+    import graft.functions.PairExpand
+    when(col("sz") <= lit(PairExpand.SzMask),
+      shiftleft(col("doc_id"), PairExpand.SzBits).bitwiseOR(col("sz")))
+      .otherwise(raise_error(concat(
+        lit(s"shingle set larger than 2^${PairExpand.SzBits}-1 for doc_id "),
+        col("doc_id").cast("string"))).cast("long"))
+  }
+
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.PairExpand
@@ -158,8 +173,7 @@ object TextAnalysis {
     val ds = docShingleSets(docs(s, dir))
     // packed sort order == doc_id order (ids in the high bits), so the
     // a<b pair orientation matches the struct form exactly
-    ds.select(shiftleft($"doc_id", PairExpand.SzBits).bitwiseOR($"sz").as("m"),
-        explode($"hs").as("h"))
+    ds.select(packedMember.as("m"), explode($"hs").as("h"))
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
       .where(size($"ms") > 1)
       .select(explode(PairExpand($"ms")).as("p"))
@@ -191,20 +205,18 @@ object TextAnalysis {
   def qNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // the doc-set table feeds dfreq, the prefix join, and both verify
-    // joins — materialize it once via eager localCheckpoint instead of
-    // re-running tokenize + ShingleHashes four times. Unlike persist()
-    // (whose CacheManager entry outlives the query until LRU eviction —
-    // each (session, dir) call leaked one), checkpoint blocks are
-    // released by the ContextCleaner as soon as the RDD is unreachable,
-    // and the truncated lineage also shrinks every downstream plan.
     import graft.functions.PairExpand
-    val ds = docShingleSets(docs(s, dir)).localCheckpoint(eager = true)
+    // the doc-set table feeds dfreq, the prefix join, and both verify
+    // joins — checkpoint it once instead of re-running tokenize +
+    // ShingleHashes four times. LAZY (eager=false): plan-only
+    // consumers (PlanDump, plan tests) pay nothing, the first action
+    // materializes the blocks once, and unlike persist() (whose
+    // CacheManager entry outlives the query until LRU eviction) the
+    // ContextCleaner releases them as soon as the RDD is unreachable.
+    val ds = docShingleSets(docs(s, dir)).localCheckpoint(eager = false)
     // members packed as (doc_id << 20) | sz — long sort/expand/shuffle
     // path, codegen'd pair kernel (same recipe as qNgramJaccard)
-    val idx = ds.select(
-      shiftleft($"doc_id", PairExpand.SzBits).bitwiseOR($"sz").as("m"),
-      explode($"hs").as("h"))
+    val idx = ds.select(packedMember.as("m"), explode($"hs").as("h"))
     val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))
     // broadcast the document-frequency table: the index side stays
     // unshuffled into the join (one less exchange of the wide side).

@@ -51,7 +51,7 @@ object TpchExtra {
     t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
-      .select($"s_suppkey", $"r_name".as("supp_region"), $"n_name".as("supp_nation"))
+      .select($"s_suppkey", $"r_name".as("supp_region"))
   }
 
   private def custRegion(s: SparkSession, dir: String): DataFrame = {
@@ -117,13 +117,19 @@ object TpchExtra {
     */
   def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // nation-only supplier lookup, exactly mirroring the oracle's sn
+    // CTE — routing through the region join would silently drop a
+    // nation whose regionkey is absent from region, and broadcast an
+    // unused column
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part").where($"p_name".contains("widget"))),
         $"l_partkey" === $"p_partkey")
       .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(suppRegion(s, dir)), $"l_suppkey" === $"s_suppkey")
-      .groupBy($"supp_nation".as("nation"),
-        year($"o_orderdate").cast("long").as("o_year"))
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
       .agg(dsum4($"l_extendedprice" * (lit(1.0d) - $"l_discount")).as("sum_profit"))
       .orderBy($"nation", $"o_year".desc)
   }

@@ -19,9 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * per-seed prefixes are hashed once and the k×|set| body is two
   * XXH64 rounds per element in generated-code-callable Java.
   *
-  * Returns array<long> of length k (empty set → Long.MaxValue
-  * sentinels, matching array_min of an empty transform = null never
-  * arising because callers filter empty sets upstream).
+  * Returns array<long> of length k. An empty input set throws —
+  * see [[MinHashSig.compute]] (callers filter empty sets upstream).
   */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
   extends UnaryExpression {
@@ -53,13 +52,20 @@ object MinHashSig {
   private val SparkSqlSeed = 42L
 
   /** Static so generated code can call it directly. Null elements
-    * contribute nothing (matching xxhash64's null-skip inside the
-    * transform lambda: a null element left the running hash at the
-    * seed prefix — NOT skipped from the min — so we mirror exactly:
-    * a null element contributes the bare per-seed prefix hash).
+    * contribute the bare per-seed prefix hash (matching xxhash64's
+    * null-skip inside the transform lambda, which left the running
+    * hash at the seed prefix — NOT skipped from the min). An EMPTY set
+    * fails loudly: a sentinel signature would silently bucket every
+    * empty-set row together in LSH banding (the replaced SQL form's
+    * all-null signature had the same flood hazard) — callers must
+    * filter empty sets upstream, and this makes that contract
+    * self-enforcing.
     */
   def compute(hs: ArrayData, k: Int, seed: Long): ArrayData = {
     val n = hs.numElements()
+    if (n == 0) throw new IllegalArgumentException(
+      "minhash_sig of an empty set: filter size(hs) > 0 upstream " +
+        "(an empty-set signature would spuriously match every other empty set)")
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {

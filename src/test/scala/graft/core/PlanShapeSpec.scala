@@ -85,8 +85,10 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = SparkEntry.queries("q21_waiting_supplier")(spark, dir)
       .queryExecution.executedPlan.toString
     // one lineitem scan feeding one per-order aggregate — the textbook
-    // EXISTS/NOT-EXISTS form would plan two extra joins against lineitem
+    // EXISTS/NOT-EXISTS form would plan two extra joins against lineitem.
+    // == 1, not <= 1: proves the path is actually observable in the
+    // plan string (plan truncation yielding 0 must fail, not pass)
     val factScans = "lineitem\\.parquet".r.findAllIn(plan).size
-    assert(factScans <= 1, s"expected a single lineitem scan, got $factScans")
+    assert(factScans == 1, s"expected exactly one observable lineitem scan, got $factScans")
   }
 }
