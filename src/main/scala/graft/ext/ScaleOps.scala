@@ -110,9 +110,26 @@ object ScaleOps {
       .orderBy($"n_occurrences".desc, $"token")
   }
 
+  /** The salted two-phase aggregate as an ORACLE-VERIFIED query: per
+    * supplier, exact quantity sum and row count, computed through the
+    * (key, salt) partial / key final split — the oracle is the PLAIN
+    * group-by, so the hash compare proves salting changes nothing.
+    * Decimal partials make the double result order-independent (a raw
+    * double sum would differ between the one-phase and two-phase
+    * groupings in the last ulps).
+    */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    saltedSumCount(Tables.load(s, dir, "lineitem"), "l_suppkey",
+        col("l_quantity").cast(DecimalType(18, 2)), saltFactor = 8)
+      .select(col("l_suppkey"), col("total").cast("double").as("sum_qty"), col("n"))
+      .orderBy(col("l_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_salted_agg" -> (qSaltedAgg _),
   )
 
   /** q_approx_stats stays rows-only (sketch internals are
@@ -120,6 +137,11 @@ object ScaleOps {
     * exact and matches plain SQL.
     */
   val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
