@@ -88,4 +88,43 @@ object ExprProps extends Properties("functions") {
       val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
       got == best
     }
+
+  private val genLongs: Gen[Array[Long]] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.toArray))
+
+  property("PairExpand emits exactly the n(n-1)/2 ordered combinations in order") =
+    Prop.forAll(genLongs) { xs =>
+      val out = PairExpand.compute(new GenericArrayData(xs.map(x => x: Any)))
+      val expected = for {
+        i <- xs.indices
+        j <- i + 1 until xs.length
+      } yield (xs(i), xs(j))
+      out.numElements() == expected.size && expected.indices.forall { k =>
+        val row = out.getStruct(k, 2)
+        (row.getLong(0), row.getLong(1)) == expected(k)
+      }
+    }
+
+  property("MinHashSig is bit-identical to the per-seed xxhash64 min fold") =
+    Prop.forAll(genLongs.suchThat(_.nonEmpty), Gen.choose(1, 16), Gen.choose(-50L, 50L)) {
+      (hs, k, seed) =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val got = MinHashSig.compute(
+          new GenericArrayData(hs.map(x => x: Any)), k, seed).toLongArray()
+        // reference: Spark's two-arg xxhash64(seed + i, x) semantics —
+        // chain both longs from the fixed SQL seed 42
+        val expected = Array.tabulate(k) { i =>
+          hs.map(x => XXH64.hashLong(x, XXH64.hashLong(seed + i, 42L))).min
+        }
+        got.sameElements(expected)
+    }
+
+  property("MinHashSig min is monotone under set union (signature of A∪B ≤ both)") =
+    Prop.forAll(genLongs.suchThat(_.nonEmpty), genLongs.suchThat(_.nonEmpty)) { (a, b) =>
+      val k = 8
+      def sig(xs: Array[Long]) =
+        MinHashSig.compute(new GenericArrayData(xs.map(x => x: Any)), k, 42L).toLongArray()
+      val su = sig(a ++ b); val sa = sig(a); val sb = sig(b)
+      (0 until k).forall(i => su(i) == math.min(sa(i), sb(i)))
+    }
 }
