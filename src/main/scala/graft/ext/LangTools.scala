@@ -54,9 +54,12 @@ object LangTools {
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each
     * w-token shingle, keep the min hash of every window of `win`
     * consecutive shingles → a sparse, position-robust fingerprint set.
-    * All builtins: explode + window min + distinct. The hash is md5
-    * (as a fixed-width hex string — lexicographic min ≡ numeric min),
-    * which exists identically in the oracle dialect, so the
+    * All builtins: explode + window min + distinct. The hash is md5,
+    * carried as the 16-byte BINARY digest (`unhex(md5)`) — unsigned
+    * byte order is identical to hex-string order (hex chars are a
+    * monotone nibble encoding), so the window-min selects the SAME
+    * shingles as the oracle's string min while the sort/shuffle moves
+    * half the bytes. md5 exists identically in the oracle dialect, so
     * fingerprint counts are fully oracle-checkable; winnowing only
     * needs SOME total order on hashes, and the window min dominates
     * cost, not the hash fn.
@@ -70,7 +73,7 @@ object LangTools {
       .where(size(col("toks")) >= w)
       .select(col("doc_id") +: carryCols :+
         posexplode(expr(TextAnalysis.shingleExpr(w))).as(Seq("pos", "shingle")): _*)
-      .withColumn("h", md5(to_binary(col("shingle"), lit("utf-8"))))
+      .withColumn("h", unhex(md5(to_binary(col("shingle"), lit("utf-8")))))
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, win - 1)
     sh.withColumn("fp", min(col("h")).over(winMin))
