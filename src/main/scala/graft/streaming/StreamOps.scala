@@ -113,6 +113,57 @@ object StreamOps {
       }
   }
 
+  case class FunnelEvent(userId: Long, eventTime: Timestamp, eventType: String)
+  case class FunnelState(firstView: Long, firstClick: Long, firstPurchase: Long)
+  case class FunnelOut(userId: Long, reachedView: Boolean, reachedClick: Boolean,
+                       reachedPurchase: Boolean)
+
+  /** Streaming conversion funnel — the live counterpart of the batch
+    * [[graft.ext.EventQueries.qFunnel]]: a per-user state machine
+    * (view → click-after-view → purchase-after-click) advanced by
+    * mapGroupsWithState, emitting the user's current funnel stage
+    * every batch (Update mode; sink keeps the latest row per user).
+    * Events are replayed in event-time order WITHIN a batch; ACROSS
+    * batches the machine sees arrival order, so a view arriving after
+    * its click (late data beyond batch boundaries) does not
+    * retroactively unlock the click stage — the deterministic batch
+    * query is the backfill/repair path, the stream is the live
+    * counter (the standard lambda split). State is one fixed-size
+    * record per user; production adds an event-time timeout to retire
+    * inactive users ([[sessionize]] shows the mechanism).
+    */
+  def funnelStages(events: Dataset[FunnelEvent],
+                   watermarkDelay: String = "10 seconds"): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unset = -1L
+    events.toDF()
+      .withWatermark("eventTime", watermarkDelay)
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          rows.toSeq.sortBy(e => (e.eventTime.getTime, e.eventType)).foreach { e =>
+            val t = e.eventTime.getTime
+            e.eventType match {
+              case "view" if s.firstView == Unset =>
+                s = s.copy(firstView = t)
+              case "click" if s.firstClick == Unset &&
+                s.firstView != Unset && t > s.firstView =>
+                s = s.copy(firstClick = t)
+              case "purchase" if s.firstPurchase == Unset &&
+                s.firstClick != Unset && t > s.firstClick =>
+                s = s.copy(firstPurchase = t)
+              case _ =>
+            }
+          }
+          state.update(s)
+          FunnelOut(userId, s.firstView != Unset, s.firstClick != Unset,
+            s.firstPurchase != Unset)
+      }
+  }
+
   /** Streaming fingerprint-level dedup of a document stream: map-side
     * SimHash ([[graft.ext.MinHashDedup.simhashCol]] — zero extra
     * shuffles) + watermarked one-per-fingerprint dedup. Catches exact

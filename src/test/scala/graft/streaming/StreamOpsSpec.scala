@@ -212,4 +212,48 @@ class StreamOpsSpec extends SparkTestBase {
     q.stop()
     assert(closedLater == 1)
   }
+
+  test("funnelStages advances the per-user view->click->purchase machine across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.FunnelEvent]
+    val out = StreamOps.funnelStages(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+
+    // memory sink appends one row per (user, batch) in batch order —
+    // the last collected row is the user's current stage
+    def latest(userId: Long) = spark.table("funnel")
+      .where(col("userId") === userId).collect().lastOption
+
+    // batch 1: user 1 views then clicks; user 2 clicks with NO view
+    // (must not advance); user 3's click at the SAME instant as its
+    // view must not count (strict ordering)
+    stream.addData(
+      StreamOps.FunnelEvent(1L, t("2024-01-01 00:00:10"), "view"),
+      StreamOps.FunnelEvent(1L, t("2024-01-01 00:00:20"), "click"),
+      StreamOps.FunnelEvent(2L, t("2024-01-01 00:00:05"), "click"),
+      StreamOps.FunnelEvent(3L, t("2024-01-01 00:00:10"), "view"),
+      StreamOps.FunnelEvent(3L, t("2024-01-01 00:00:10"), "click"))
+    q.processAllAvailable()
+    val u1 = latest(1L).get
+    assert(u1.getAs[Boolean]("reachedView") && u1.getAs[Boolean]("reachedClick"))
+    assert(!u1.getAs[Boolean]("reachedPurchase"))
+    val u2 = latest(2L).get
+    assert(!u2.getAs[Boolean]("reachedView") && !u2.getAs[Boolean]("reachedClick"))
+    val u3 = latest(3L).get
+    assert(u3.getAs[Boolean]("reachedView") && !u3.getAs[Boolean]("reachedClick"))
+
+    // batch 2: user 1 purchases (full funnel, state carried across
+    // batches); user 2 now views — its old click must stay spent
+    stream.addData(
+      StreamOps.FunnelEvent(1L, t("2024-01-01 00:00:30"), "purchase"),
+      StreamOps.FunnelEvent(2L, t("2024-01-01 00:00:40"), "view"))
+    q.processAllAvailable()
+    val u1b = latest(1L).get
+    assert(u1b.getAs[Boolean]("reachedPurchase"))
+    val u2b = latest(2L).get
+    q.stop()
+    assert(u2b.getAs[Boolean]("reachedView") && !u2b.getAs[Boolean]("reachedClick"))
+  }
 }
