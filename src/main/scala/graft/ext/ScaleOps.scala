@@ -110,6 +110,27 @@ object ScaleOps {
       .orderBy($"n_occurrences".desc, $"token")
   }
 
+  /** The Bloom-prune incremental dedup as an ORACLE-VERIFIED query:
+    * documents from the "new" half of the corpus (src10-19) whose
+    * exact content fingerprint does not appear in the "existing" half
+    * (src0-9). The oracle is the plain NOT EXISTS anti-join, so the
+    * hash compare proves the Bloom prune + exact-verify split loses
+    * and invents nothing (false positives are re-checked exactly;
+    * false negatives cannot exist).
+    */
+  def qBloomNewDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fingerprinted = Tables.load(s, dir, "documents")
+      .withColumn("fingerprint", md5(to_binary(trim($"text"), lit("utf-8"))))
+    // source ids are src0..srcN — the numeric suffix splits the corpus
+    val srcNum = substring($"source", 4, 10).cast("int")
+    val existing = fingerprinted.where(srcNum < 10)
+    val newDocs = fingerprinted.where(srcNum >= 10)
+    bloomDedup(newDocs, existing, "fingerprint", expectedKeys = 100000L)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** The salted two-phase aggregate as an ORACLE-VERIFIED query: per
     * supplier, exact quantity sum and row count, computed through the
     * (key, salt) partial / key final split — the oracle is the PLAIN
@@ -130,6 +151,7 @@ object ScaleOps {
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_bloom_new_docs" -> (qBloomNewDocs _),
   )
 
   /** q_approx_stats stays rows-only (sketch internals are
@@ -137,6 +159,17 @@ object ScaleOps {
     * exact and matches plain SQL.
     */
   val oracle: Map[String, String] = Map(
+    "q_bloom_new_docs" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, md5(trim(text)) AS fingerprint,
+        |    CAST(substring(source, 4) AS INT) AS src_num
+        |  FROM documents)
+        |SELECT doc_id, source
+        |FROM f n
+        |WHERE src_num >= 10
+        |  AND NOT EXISTS (SELECT 1 FROM f e
+        |                  WHERE e.src_num < 10 AND e.fingerprint = n.fingerprint)
+        |ORDER BY doc_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_suppkey,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
