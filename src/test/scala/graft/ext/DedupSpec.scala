@@ -43,8 +43,12 @@ class DedupSpec extends SparkTestBase {
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
     // same content with a prefix shifted in — most fingerprints survive
     val b = Seq((2L, "prefix alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
-    val fa = LangTools.winnowFingerprints(a).select("fp").collect().map(_.getString(0)).toSet
-    val fb = LangTools.winnowFingerprints(b).select("fp").collect().map(_.getString(0)).toSet
+    // fp is a 16-byte binary digest; compare as hex so Set equality is by value
+    def hexSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("fp").collect()
+        .map(_.getAs[Array[Byte]](0).map("%02x".format(_)).mkString).toSet
+    val fa = hexSet(LangTools.winnowFingerprints(a))
+    val fb = hexSet(LangTools.winnowFingerprints(b))
     assert(fa.nonEmpty)
     assert((fa intersect fb).size >= fa.size / 2)
   }
