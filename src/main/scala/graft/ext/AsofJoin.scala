@@ -77,9 +77,33 @@ object AsofJoin {
       .orderBy($"bucket")
   }
 
+  /** The large-range-table scale path for the same semantics:
+    * [[graft.plans.BinnedRangeJoin]] turns the non-equi interval join
+    * into a shuffled equi-join on bin ids. 40 overlapping intervals
+    * ([5i, 5i+10), so every in-range value matches exactly two) keep
+    * the duplicate semantics honest; the oracle is the PLAIN range
+    * join in DuckDB — the rewrite provably changes nothing.
+    */
+  def qRangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = s.range(0, 40).select(
+      $"id".as("iv_id"),
+      ($"id" * 5.0d).as("lo"),
+      ($"id" * 5.0d + 10.0d).as("hi"))
+    val joined = graft.plans.BinnedRangeJoin(
+      Tables.load(s, dir, "events").select($"value"), iv,
+      pt = $"value", lo = $"lo", hi = $"hi", binWidth = 10.0,
+      condition = $"value" >= $"lo" && $"value" < $"hi")
+    joined.groupBy($"iv_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy($"iv_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_range_join_binned" -> (qRangeJoinBinned _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -101,5 +125,12 @@ object AsofJoin {
         |    (100.0, 150.0, 'high'), (150.0, 1000000000.0, 'extreme')) AS r(lo, hi, bucket)
         |  ON value >= lo AND value < hi
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_range_join_binned" ->
+      """WITH iv AS (SELECT i AS iv_id, i * 5.0 AS lo, i * 5.0 + 10.0 AS hi
+        |            FROM range(0, 40) t(i))
+        |SELECT iv_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN iv ON value >= lo AND value < hi
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
   )
 }

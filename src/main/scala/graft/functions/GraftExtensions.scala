@@ -13,10 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * live session with [[GraftFunctions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // no-op until spark.graft.rangeJoin.binWidth is set, so always safe
+    ext.injectOptimizerRule(_ => new graft.plans.RangeBinJoinRule)
+  }
 }
 
 object GraftFunctions {

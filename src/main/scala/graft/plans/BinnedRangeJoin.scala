@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned (bucketed) range join — the scale path for interval joins.
+  *
+  * Spark plans a pure non-equi join (`pt >= lo AND pt < hi`) as a
+  * broadcast nested loop (small side) or a cartesian product (two big
+  * sides): O(|points| x |intervals|) comparisons. The standard fix —
+  * published in the interval-join literature and shipped by Flink's
+  * interval join and DuckDB's IEJoin — is to quantize the domain into
+  * fixed-width bins so the join becomes an *equi* join on the bin id:
+  *
+  *   - each point lands in exactly one bin: `floor(pt / w)`;
+  *   - each interval is replicated into every bin it overlaps:
+  *     `explode(sequence(floor(lo/w), floor(hi/w)))`;
+  *   - the bins are equi-joined (hash/sort-merge — shuffled, skew-
+  *     handled, AQE-planned like any other join) and the ORIGINAL
+  *     predicate is re-applied as a residual filter.
+  *
+  * Correctness does not depend on the bin math being exact: a
+  * qualifying pair always shares the point's bin (floor and IEEE
+  * division are monotone, so `lo <= pt <= hi` implies
+  * `bin(lo) <= bin(pt) <= bin(hi)`), and any pair a bin collision
+  * *over*-generates is removed by the residual predicate. Bin errors
+  * can only lose pairs that the predicate would reject anyway.
+  *
+  * Cost model: work is O(|points| + |intervals| x bins_per_interval +
+  * |candidate pairs|). Choose `binWidth` near the typical interval
+  * length so each interval replicates into O(1) bins; a width far too
+  * small explodes the interval side, far too large degenerates toward
+  * per-bin cartesian products (both still correct).
+  *
+  * Preconditions (documented, enforced where cheap):
+  *   - interval bounds must be finite and non-null; rows with NaN /
+  *     infinite / null bounds or `lo > hi` are dropped (they cannot
+  *     participate in a finite-width binned join — encode open-ended
+  *     intervals with a finite domain sentinel, as `q_range_join`'s
+  *     `extreme` bucket does);
+  *   - `condition` must imply `lo <= pt AND pt <= hi` (any extra
+  *     conjuncts are fine — they ride along in the residual).
+  */
+object BinnedRangeJoin {
+
+  private val BinPt = "__graft_bin_pt"
+  private val BinIv = "__graft_bin_iv"
+
+  /** `floor(x / w)` as a total function: BIGINT, never throws (NaN
+    * folds to 0, infinities saturate) — safe because the residual
+    * predicate re-checks every candidate pair exactly.
+    */
+  private def bin(c: Column, w: Double): Column =
+    floor(c.cast("double") / lit(w))
+
+  private def finiteDouble(c: Column): Column = {
+    val d = c.cast("double")
+    // NaN sorts greatest in Spark, so both bounds also exclude it
+    d.isNotNull && d >= -Double.MaxValue && d <= Double.MaxValue
+  }
+
+  /** Join `points` to `intervals` on `condition` (which must imply
+    * `lo <= pt <= hi`) via bin-id equi-join. Output columns are
+    * `points.columns ++ intervals.columns`; duplicate semantics match
+    * the naive join exactly (each qualifying pair appears once —
+    * a point has exactly one bin, so replicated intervals cannot
+    * double-match).
+    */
+  def apply(points: DataFrame, intervals: DataFrame,
+            pt: Column, lo: Column, hi: Column,
+            binWidth: Double, condition: Column): DataFrame = {
+    require(binWidth > 0 && !binWidth.isNaN && !binWidth.isInfinite,
+      s"binWidth must be a positive finite double, got $binWidth")
+    val p = points.withColumn(BinPt, bin(pt, binWidth))
+    val iv = intervals
+      .where(finiteDouble(lo) && finiteDouble(hi) &&
+        lo.cast("double") <= hi.cast("double"))
+      .withColumn(BinIv,
+        explode(sequence(bin(lo, binWidth), bin(hi, binWidth), lit(1L))))
+    p.join(iv, col(BinPt) === col(BinIv) && condition)
+      .drop(BinPt, BinIv)
+  }
+}

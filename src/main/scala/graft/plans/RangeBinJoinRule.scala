@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Catalyst optimizer rule: rewrite a pure non-equi interval join into
+  * the binned equi-join of [[BinnedRangeJoin]] — automatically, so a
+  * user who writes the natural `a JOIN b ON pt >= lo AND pt <= hi`
+  * gets a shuffled hash/sort-merge join instead of a cartesian product
+  * or a broadcast nested loop.
+  *
+  * Opt-in via session conf (the bin width is domain knowledge only the
+  * user has):
+  *
+  *   SET spark.graft.rangeJoin.binWidth = <positive double>
+  *
+  * Wiring: injected by [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions`), or at runtime via
+  * `spark.experimental.extraOptimizations`. The rule is a no-op while
+  * the conf is unset, so it is always safe to install.
+  *
+  * Match shape: an INNER join whose condition, split into conjuncts,
+  * contains a lower bound (`pt >= lo` / `pt > lo`) and an upper bound
+  * (`pt <= hi` / `pt < hi`) on the same point expression, where the
+  * point references exactly one side and both bounds reference only
+  * the other side — and NO cross-side equi conjunct exists (if one
+  * does, Spark already plans a hash join on it, and the guard also
+  * makes the rewrite a fixpoint: the rewritten join carries a bin
+  * equi conjunct). The original condition is kept as a residual, so
+  * the rewrite can never add or lose a qualifying pair — see the
+  * correctness argument on [[BinnedRangeJoin]]. Interval rows with
+  * non-finite or null bounds are dropped (same documented
+  * precondition as the combinator).
+  */
+class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val ConfKey = "spark.graft.rangeJoin.binWidth"
+
+  private def binWidth: Option[Double] =
+    Option(conf.getConfString(ConfKey, ""))
+      .filter(_.nonEmpty).map(_.toDouble)
+      .filter(w => w > 0 && !w.isNaN && !w.isInfinite)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
+    case None => plan
+    case Some(w) =>
+      plan.transformUpWithPruning(_.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
+        case j @ Join(_, _, Inner, Some(cond), _) if eligible(j, cond) =>
+          rewrite(j, cond, w).getOrElse(j)
+      }
+  }
+
+  private def oneSided(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
+      e.deterministic && e.dataType.isInstanceOf[NumericType]
+
+  /** No cross-side equi conjunct (also the fixpoint guard). */
+  private def eligible(j: Join, cond: Expression): Boolean =
+    !splitConjunctivePredicates(cond).exists {
+      case Equality(a, b) =>
+        (oneSidedAny(a, j.left) && oneSidedAny(b, j.right)) ||
+          (oneSidedAny(a, j.right) && oneSidedAny(b, j.left))
+      case _ => false
+    }
+
+  private def oneSidedAny(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  private def rewrite(j: Join, cond: Expression, w: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    // normalize every inequality conjunct into (pt, bound, isLower)
+    def bounds(ptSide: LogicalPlan, ivSide: LogicalPlan)
+        : (Seq[(Expression, Expression)], Seq[(Expression, Expression)]) = {
+      val lowers = Seq.newBuilder[(Expression, Expression)]
+      val uppers = Seq.newBuilder[(Expression, Expression)]
+      conjuncts.foreach {
+        case GreaterThanOrEqual(a, b) =>
+          if (oneSided(a, ptSide) && oneSided(b, ivSide)) lowers += ((a, b))
+          else if (oneSided(b, ptSide) && oneSided(a, ivSide)) uppers += ((b, a))
+        case GreaterThan(a, b) =>
+          if (oneSided(a, ptSide) && oneSided(b, ivSide)) lowers += ((a, b))
+          else if (oneSided(b, ptSide) && oneSided(a, ivSide)) uppers += ((b, a))
+        case LessThanOrEqual(a, b) =>
+          if (oneSided(a, ptSide) && oneSided(b, ivSide)) uppers += ((a, b))
+          else if (oneSided(b, ptSide) && oneSided(a, ivSide)) lowers += ((b, a))
+        case LessThan(a, b) =>
+          if (oneSided(a, ptSide) && oneSided(b, ivSide)) uppers += ((a, b))
+          else if (oneSided(b, ptSide) && oneSided(a, ivSide)) lowers += ((b, a))
+        case _ => ()
+      }
+      (lowers.result(), uppers.result())
+    }
+
+    def firstPair(ptSide: LogicalPlan, ivSide: LogicalPlan)
+        : Option[(Expression, Expression, Expression)] = {
+      val (lowers, uppers) = bounds(ptSide, ivSide)
+      (for {
+        (pt, lo) <- lowers.view
+        (pt2, hi) <- uppers.view
+        if pt.semanticEquals(pt2)
+      } yield (pt, lo, hi)).headOption
+    }
+
+    firstPair(j.left, j.right)
+      .map { case (pt, lo, hi) => build(j, cond, w, pt, lo, hi, ptOnLeft = true) }
+      .orElse(firstPair(j.right, j.left)
+        .map { case (pt, lo, hi) => build(j, cond, w, pt, lo, hi, ptOnLeft = false) })
+  }
+
+  private def build(j: Join, cond: Expression, w: Double,
+                    pt: Expression, lo: Expression, hi: Expression,
+                    ptOnLeft: Boolean): LogicalPlan = {
+    val wLit = Literal(w, DoubleType)
+    // total function (NaN -> 0, infinities saturate): safe because the
+    // original condition stays as a residual — see BinnedRangeJoin
+    def binOf(e: Expression): Expression =
+      Floor(Divide(Cast(e, DoubleType), wLit))
+    def dbl(e: Expression): Expression = Cast(e, DoubleType)
+    def finite(e: Expression): Expression = And(
+      GreaterThanOrEqual(dbl(e), Literal(-Double.MaxValue, DoubleType)),
+      LessThanOrEqual(dbl(e), Literal(Double.MaxValue, DoubleType)))
+
+    val (ptSide, ivSide) = if (ptOnLeft) (j.left, j.right) else (j.right, j.left)
+
+    val binPt = Alias(binOf(pt), "__graft_bin_pt")()
+    val newPtSide = Project(ptSide.output :+ binPt, ptSide)
+
+    val ivFiltered = Filter(
+      And(And(finite(lo), finite(hi)),
+        LessThanOrEqual(dbl(lo), dbl(hi))), ivSide)
+    val binIv = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
+    // Sequence is TimeZoneAwareExpression: it resolves only with a
+    // concrete zone, even for integral sequences
+    val seq = Sequence(binOf(lo), binOf(hi), Some(Literal(1L)),
+      Some(conf.sessionLocalTimeZone))
+    val newIvSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binIv),
+      child = ivFiltered)
+
+    val newCond = And(EqualTo(binPt.toAttribute, binIv), cond)
+    val newJoin =
+      if (ptOnLeft) Join(newPtSide, newIvSide, Inner, Some(newCond), j.hint)
+      else Join(newIvSide, newPtSide, Inner, Some(newCond), j.hint)
+    // restore the original output (same attribute ids, bins dropped)
+    Project(j.output, newJoin)
+  }
+}
