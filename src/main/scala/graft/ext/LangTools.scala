@@ -51,34 +51,29 @@ object LangTools {
       .withColumn("n_punct_tokens",
         size(expr(s"regexp_extract_all($textCol, '[^a-zA-Z0-9 ]', 0)")).cast("long"))
 
-  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash each
-    * w-token shingle, keep the min hash of every window of `win`
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): md5 each
+    * w-token shingle, keep the min digest of every window of `win`
     * consecutive shingles → a sparse, position-robust fingerprint set.
-    * All builtins: explode + window min + distinct. The hash is md5,
-    * carried as the 16-byte BINARY digest (`unhex(md5)`) — unsigned
-    * byte order is identical to hex-string order (hex chars are a
-    * monotone nibble encoding), so the window-min selects the SAME
-    * shingles as the oracle's string min while the sort/shuffle moves
-    * half the bytes. md5 exists identically in the oracle dialect, so
-    * fingerprint counts are fully oracle-checkable; winnowing only
-    * needs SOME total order on hashes, and the window min dominates
-    * cost, not the hash fn.
+    *
+    * Computed entirely MAP-SIDE by the native
+    * [[graft.functions.WinnowFps]] expression (hash + window minima +
+    * sorted distinct in one codegen'd loop) — zero shuffles where the
+    * first cut paid a per-doc window exchange + sort AND a distinct
+    * exchange. At 100 TB this is the difference between a free map
+    * stage and reshuffling the whole exploded shingle index. See the
+    * expression's Scaladoc for why this must NOT be a
+    * transform/array_min lambda tower, and for the md5/byte-order
+    * argument that keeps the recipe oracle-replicable.
     */
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
                          w: Int = 3, win: Int = 4,
                          carry: Seq[String] = Nil): DataFrame = {
     val carryCols = carry.map(col)
-    val sh = docs
+    docs
       .select(col("doc_id") +: carryCols :+ TextAnalysis.tokens(col(textCol)).as("toks"): _*)
       .where(size(col("toks")) >= w)
       .select(col("doc_id") +: carryCols :+
-        posexplode(expr(TextAnalysis.shingleExpr(w))).as(Seq("pos", "shingle")): _*)
-      .withColumn("h", unhex(md5(to_binary(col("shingle"), lit("utf-8")))))
-    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, win - 1)
-    sh.withColumn("fp", min(col("h")).over(winMin))
-      .select(col("doc_id") +: carryCols :+ col("fp"): _*)
-      .distinct()
+        explode(graft.functions.WinnowFps(col("toks"), w, win)).as("fp"): _*)
   }
 
   /** Train/eval DECONTAMINATION — the overlap check every LLM data
@@ -93,10 +88,12 @@ object LangTools {
     */
   def qDecontaminate(s: SparkSession, dir: String,
                      evalSource: String = "src0", minShared: Int = 2): DataFrame = {
-    // both branches consume the fingerprint table — lazy checkpoint so
-    // the window-min + distinct run once, not once per branch
+    // fingerprinting is map-side (see winnowFingerprints), so each
+    // branch's source filter pushes down to its parquet scan — two
+    // pruned map scans beat one materialized checkpoint both here
+    // and at 100 TB (where `source` is a partition column and the
+    // eval branch reads ~nothing)
     val fps = winnowFingerprints(Tables.load(s, dir, "documents"), carry = Seq("source"))
-      .localCheckpoint(eager = false)
     val ev = fps.where(col("source") === evalSource)
       .select(col("doc_id").as("eval_doc"), col("fp"))
     val tr = fps.where(col("source") =!= evalSource)
