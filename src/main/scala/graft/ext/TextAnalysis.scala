@@ -345,7 +345,57 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** Token-budget sequence packing — the concatenate-and-cut step of
+    * a pretraining pipeline: documents are concatenated per source in
+    * doc_id order and cut into fixed `budget`-token packs; each doc
+    * reports its pack and whether it spans a pack boundary. The
+    * running offset is ONE per-source window sum (map-side partials,
+    * no driver state, parallel across sources — the greedy
+    * "open a new pack when full" variant is an inherently sequential
+    * recurrence, which is exactly why large pipelines pack by offset
+    * like this). All arithmetic is non-negative integer division, so
+    * Spark's truncating `div` and the oracle's floor `//` agree.
+    */
+  def qTokenPacking(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select($"doc_id", $"source", size(tokens($"text")).cast("long").as("n_tokens"))
+      .where($"n_tokens" >= 1)
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .withColumn("spans_boundary",
+        (expr(s"(cum - 1) div $budget") =!= $"pack_id").cast("long"))
+      .select($"doc_id", $"source", $"n_tokens", $"pack_id", $"spans_boundary")
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** Sliding-window document chunking — overlapping `chunk`-token
+    * windows every `stride` tokens (RAG/embedding-ingest shape). Pure
+    * map: per-doc `transform` over chunk starts + `posexplode`; the
+    * lambda only slices an already-bound token array (a handful of
+    * re-evaluations per doc — nothing like the quadratic md5 tower
+    * [[graft.functions.WinnowFps]] exists to avoid).
+    */
+  def qDocChunks(s: SparkSession, dir: String, chunk: Int = 32, stride: Int = 16): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .where(size($"toks") >= 1)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $stride), " +
+          s"k -> slice(toks, k * $stride + 1, $chunk))")).as(Seq("chunk_id", "ctoks")))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        size($"ctoks").cast("long").as("chunk_tokens"),
+        concat_ws(" ", $"ctoks").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_packing" -> ((s: SparkSession, d: String) => qTokenPacking(s, d)),
+    "q_doc_chunks" -> ((s: SparkSession, d: String) => qDocChunks(s, d)),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_hash_split" -> (qHashSplit _),
@@ -379,6 +429,33 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t WHERE n_tokens >= 1)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+        |  CAST(CASE WHEN (cum - 1) // 256 <> (cum - n_tokens) // 256
+        |       THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, k, toks[k * 16 + 1 : k * 16 + 32] AS ctoks
+        |  FROM (SELECT doc_id, toks, unnest(range((len(toks) - 1) // 16 + 1)) AS k
+        |        FROM t WHERE len(toks) >= 1))
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(len(ctoks) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(ctoks, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term

@@ -52,4 +52,44 @@ class InvariantsSpec extends SparkTestBase {
     assert(ab.count() == ba.count())
     assert(ab.where(col("value").isNull).count() == ba.where(col("value").isNull).count())
   }
+
+  test("token packing is a partition of each source's token stream") {
+    val rows = TextAnalysis.qTokenPacking(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per source: pack ids are non-decreasing, and the total token
+    // count of packs 0..p-1 is exactly p * budget at every boundary
+    // crossing (offset packing never leaves gaps or overlaps)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      var lastPack = 0L
+      docs.foreach { case (_, n, pack, spans) =>
+        assert(pack >= lastPack)
+        assert(pack == cum / 256, s"pack $pack != offset ${cum}/256")
+        assert((spans == 1) == ((cum + n - 1) / 256 != pack))
+        cum += n
+        lastPack = pack
+      }
+    }
+  }
+
+  test("doc chunks cover every token with the configured overlap") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .where(col("n") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = TextAnalysis.qDocChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (docId, cs) =>
+      val n = docs(docId)
+      // chunk count and lengths follow from n alone
+      assert(cs.length == (n - 1) / 16 + 1)
+      cs.sortBy(_._2).foreach { case (_, k, len) =>
+        assert(len == math.min(32L, n - k * 16), s"doc $docId chunk $k")
+      }
+    }
+  }
 }
