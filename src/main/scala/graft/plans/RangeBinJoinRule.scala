@@ -39,9 +39,11 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rangeJoin.binWidth"
 
+  // a malformed conf value must disable the rewrite, not throw inside
+  // the optimizer and take every query in the session down with it
   private def binWidth: Option[Double] =
     Option(conf.getConfString(ConfKey, ""))
-      .filter(_.nonEmpty).map(_.toDouble)
+      .filter(_.nonEmpty).flatMap(_.toDoubleOption)
       .filter(w => w > 0 && !w.isNaN && !w.isInfinite)
 
   override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
