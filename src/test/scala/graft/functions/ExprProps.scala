@@ -127,4 +127,43 @@ object ExprProps extends Properties("functions") {
       val su = sig(a ++ b); val sa = sig(a); val sb = sig(b)
       (0 until k).forall(i => su(i) == math.min(sa(i), sb(i)))
     }
+
+  // ---- WinnowFps: the kernel must equal the textbook definition ----
+
+  private def winnowRef(toks: Array[String], w: Int, win: Int): Seq[Seq[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = toks.sliding(w).filter(_.length == w)
+      .map(sh => md.digest(sh.mkString(" ").getBytes("UTF-8")).toSeq).toArray
+    def lt(a: Seq[Byte], b: Seq[Byte]): Boolean = {
+      val it = a.zip(b).iterator
+      while (it.hasNext) {
+        val (x, y) = it.next()
+        val c = java.lang.Integer.compare(x & 0xff, y & 0xff)
+        if (c != 0) return c < 0
+      }
+      a.length < b.length
+    }
+    digests.indices
+      .map(i => digests.slice(i, math.min(i + win, digests.length)).reduceLeft(
+        (a, b) => if (lt(b, a)) b else a))
+      .distinct.sortWith(lt)
+  }
+
+  property("WinnowFps equals the textbook window-min over md5 digests") =
+    Prop.forAll(genToks, Gen.choose(1, 6)) { (toks, win) =>
+      val got = WinnowFps.compute(toArrayData(toks), 3, win)
+      val gotSeq = (0 until got.numElements()).map(i => got.getBinary(i).toSeq)
+      gotSeq == winnowRef(toks, 3, win)
+    }
+
+  property("WinnowFps is position-robust: a prefix shift keeps most fingerprints") =
+    Prop.forAll(genToks.suchThat(_.length >= 10), genToken) { (toks, extra) =>
+      def fps(ts: Array[String]) = {
+        val out = WinnowFps.compute(toArrayData(ts), 3, 4)
+        (0 until out.numElements()).map(i => out.getBinary(i).toSeq).toSet
+      }
+      val base = fps(toks)
+      val shifted = fps(extra +: toks)
+      (base intersect shifted).size * 2 >= base.size
+    }
 }
