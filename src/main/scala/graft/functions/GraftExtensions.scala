@@ -88,6 +88,25 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_simhash expects one array<struct<th,tf>> arg, got ${other.size}")
       }),
+    ("graft_winnow_fps",
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow_fps"),
+      (es: Seq[Expression]) => es match {
+        case Seq(toks, w, win) =>
+          def intLit(e: Expression, arg: String): Int = e match {
+            case Literal(i: Int, _) => i
+            case e2 if e2.foldable => e2.eval(null) match {
+              case i: Int => i
+              case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+              case other => throw new IllegalArgumentException(
+                s"graft_winnow_fps $arg must be an integral literal, got $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"graft_winnow_fps $arg must be a foldable integral literal, got ${other.sql}")
+          }
+          WinnowFps(toks, intLit(w, "w"), intLit(win, "win"))
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow_fps expects (array<string>, w, win), got ${other.size} args")
+      }),
     ("graft_from_avro",
       new ExpressionInfo(classOf[AvroDecode].getName, "graft_from_avro"),
       (es: Seq[Expression]) => {
