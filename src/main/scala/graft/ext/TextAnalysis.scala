@@ -393,7 +393,23 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Deterministic corpus shuffle — the stable pseudo-random training
+    * order every pipeline needs: sort by md5(seed ‖ doc_id). Rerun-
+    * and partitioning-stable (unlike rand()/repartition), seed-
+    * switchable per epoch, and the global ORDER BY is planned as a
+    * range-partitioned parallel sort (sampled split points, every
+    * partition sorts independently) — not a single-node sort, so the
+    * same statement is the 100 TB shuffled-write recipe.
+    */
+  def qShuffleOrder(s: SparkSession, dir: String, seed: String = "epoch0"): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", md5(concat(lit(seed), lit(":"), $"doc_id".cast("string"))).as("shuffle_key"))
+      .orderBy($"shuffle_key", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_order" -> ((s: SparkSession, d: String) => qShuffleOrder(s, d)),
     "q_token_packing" -> ((s: SparkSession, d: String) => qTokenPacking(s, d)),
     "q_doc_chunks" -> ((s: SparkSession, d: String) => qDocChunks(s, d)),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
@@ -429,6 +445,9 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_shuffle_order" ->
+      """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     "q_token_packing" ->
       """WITH t AS (
         |  SELECT doc_id, source,
