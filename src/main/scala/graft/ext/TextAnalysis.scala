@@ -204,8 +204,9 @@ object TextAnalysis {
     */
   def qNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.PairExpand
-    // the doc-set table feeds dfreq, the prefix scan, and both verify
+    // the doc-set table feeds dfreq, the prefix join, and both verify
     // joins — checkpoint it once instead of re-running tokenize +
     // ShingleHashes four times. LAZY (eager=false): plan-only
     // consumers (PlanDump, plan tests) pay nothing, the first action
@@ -213,27 +214,26 @@ object TextAnalysis {
     // CacheManager entry outlives the query until LRU eviction) the
     // ContextCleaner releases them as soon as the RDD is unreachable.
     val ds = docShingleSets(docs(s, dir)).localCheckpoint(eager = false)
-    // document frequencies, collected once and broadcast: each doc's
-    // rarest-first prefix (sort ~sz hashes, take ⌊sz/2⌋+1) is then
-    // computed MAP-SIDE straight off the shingle-set table — no df
-    // join-back, no per-doc window (which cost an exchange + sort of
-    // the whole exploded index). Same scale posture as the broadcast
-    // join it replaces: at 100 TB the full dfreq fits neither a map
-    // nor a broadcast join — there, broadcast only the high-df
-    // (frequent-shingle) tail and default the rest to "rare", since
-    // ONLY high-df shingles change prefix membership materially
-    val dfMap: Map[Long, Long] = ds.select(explode($"hs").as("h"))
-      .groupBy($"h").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dfBc = s.sparkContext.broadcast(dfMap)
-    val prefixOf = udf((hs: Seq[Long], sz: Long) => {
-      val m = dfBc.value
-      hs.sortBy(h => (m.getOrElse(h, 1L), h)).take((sz / 2 + 1).toInt)
-    })
     // members packed as (doc_id << 20) | sz — long sort/expand/shuffle
     // path, codegen'd pair kernel (same recipe as qNgramJaccard)
-    val cand = ds
-      .select(packedMember.as("m"), explode(prefixOf($"hs", $"sz")).as("h"))
+    val idx = ds.select(packedMember.as("m"), explode($"hs").as("h"))
+    val dfreq = idx.groupBy($"h").agg(count(lit(1)).as("df"))
+    // broadcast the document-frequency table: the index side stays
+    // unshuffled into the join (one less exchange of the wide side).
+    // A driver-collected df MAP (prefix computed map-side, no window)
+    // was tried and reverted: it made plan construction eager and put
+    // an O(distinct shingles) structure on the DRIVER, breaking the
+    // bounded-collect invariant — broadcast() keeps the same bytes
+    // executor-side with a lazy plan. At 100 TB the full dfreq
+    // doesn't broadcast — there you keep the shuffle join, or
+    // broadcast only the high-df (frequent-shingle) tail and default
+    // the rest, since ONLY high-df shingles change prefix membership
+    // materially
+    val prefix = idx.join(broadcast(dfreq), "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"m").orderBy($"df", $"h")))
+      .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+    val cand = prefix
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
       .where(size($"ms") > 1)
       .select(explode(PairExpand($"ms")).as("p"))

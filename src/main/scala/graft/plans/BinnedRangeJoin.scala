@@ -32,14 +32,18 @@ import org.apache.spark.sql.functions._
   * small explodes the interval side, far too large degenerates toward
   * per-bin cartesian products (both still correct).
   *
-  * Preconditions (documented, enforced where cheap):
-  *   - interval bounds must be finite and non-null; rows with NaN /
-  *     infinite / null bounds or `lo > hi` are dropped (they cannot
-  *     participate in a finite-width binned join — encode open-ended
-  *     intervals with a finite domain sentinel, as `q_range_join`'s
-  *     `extreme` bucket does);
-  *   - `condition` must imply `lo <= pt AND pt <= hi` (any extra
-  *     conjuncts are fine — they ride along in the residual).
+  * Intervals that CANNOT be binned safely — wider than
+  * `maxBinsPerInterval` bins (a single 1e9-wide sentinel row would
+  * otherwise explode into a ~1e8-element array and OOM an executor),
+  * empty (`lo > hi`), or with NaN / infinite / null bounds — are
+  * routed through an exact fallback branch: a plain non-equi join of
+  * just those rows, unioned in. Such rows are few by construction
+  * (that is what makes them "wide"), so the fallback side stays
+  * broadcast-small and the result is EXACTLY the naive join for every
+  * input — no preconditions.
+  *
+  * `condition` must imply `lo <= pt AND pt <= hi` (any extra
+  * conjuncts are fine — they ride along in the residual).
   */
 object BinnedRangeJoin {
 
@@ -60,24 +64,37 @@ object BinnedRangeJoin {
   }
 
   /** Join `points` to `intervals` on `condition` (which must imply
-    * `lo <= pt <= hi`) via bin-id equi-join. Output columns are
+    * `lo <= pt <= hi`) via bin-id equi-join, with an exact plain-join
+    * fallback for unbinnable interval rows. Output columns are
     * `points.columns ++ intervals.columns`; duplicate semantics match
     * the naive join exactly (each qualifying pair appears once —
     * a point has exactly one bin, so replicated intervals cannot
-    * double-match).
+    * double-match, and the two branches partition the interval rows).
     */
   def apply(points: DataFrame, intervals: DataFrame,
             pt: Column, lo: Column, hi: Column,
-            binWidth: Double, condition: Column): DataFrame = {
+            binWidth: Double, condition: Column,
+            maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0 && !binWidth.isNaN && !binWidth.isInfinite,
       s"binWidth must be a positive finite double, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    val loD = lo.cast("double")
+    val hiD = hi.cast("double")
+    // double arithmetic (never overflows) — slightly conservative vs
+    // the exact bin count, which only moves rows between two branches
+    // that are each correct
+    val binnable = finiteDouble(lo) && finiteDouble(hi) && loD <= hiD &&
+      (hiD - loD) / lit(binWidth) <= lit(maxBinsPerInterval.toDouble)
     val p = points.withColumn(BinPt, bin(pt, binWidth))
-    val iv = intervals
-      .where(finiteDouble(lo) && finiteDouble(hi) &&
-        lo.cast("double") <= hi.cast("double"))
+    val ivNarrow = intervals.where(binnable)
       .withColumn(BinIv,
         explode(sequence(bin(lo, binWidth), bin(hi, binWidth), lit(1L))))
-    p.join(iv, col(BinPt) === col(BinIv) && condition)
+    val binned = p.join(ivNarrow, col(BinPt) === col(BinIv) && condition)
       .drop(BinPt, BinIv)
+    // null `binnable` (null bounds) rows can match nothing; routing
+    // them here keeps the branch predicates an exact partition
+    val ivWide = intervals.where(!coalesce(binnable, lit(false)))
+    binned.unionByName(points.join(ivWide, condition))
   }
 }

@@ -32,12 +32,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * equi conjunct). The original condition is kept as a residual, so
   * the rewrite can never add or lose a qualifying pair — see the
   * correctness argument on [[BinnedRangeJoin]]. Interval rows with
-  * non-finite or null bounds are dropped (same documented
-  * precondition as the combinator).
+  * non-finite or null bounds are dropped (they cannot satisfy the
+  * range predicate, so inner-join semantics are unchanged), and an
+  * interval spanning more than `spark.graft.rangeJoin.
+  * maxBinsPerInterval` bins (default 2^20) raises an actionable
+  * error instead of materializing an executor-OOM-sized array —
+  * lossless-or-loud, never silent drops. (The library combinator
+  * additionally routes wide rows through an exact plain-join
+  * fallback; a rule cannot build that self-union safely.)
   */
 class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   // a malformed conf value must disable the rewrite, not throw inside
   // the optimizer and take every query in the session down with it
@@ -45,6 +52,12 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     Option(conf.getConfString(ConfKey, ""))
       .filter(_.nonEmpty).flatMap(_.toDoubleOption)
       .filter(w => w > 0 && !w.isNaN && !w.isInfinite)
+
+  private def maxBins: Double =
+    Option(conf.getConfString(MaxBinsKey, ""))
+      .filter(_.nonEmpty).flatMap(_.toDoubleOption)
+      .filter(v => v >= 1 && !v.isNaN && !v.isInfinite)
+      .getOrElse((1 << 20).toDouble)
 
   override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
     case None => plan
@@ -136,9 +149,23 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       And(And(finite(lo), finite(hi)),
         LessThanOrEqual(dbl(lo), dbl(hi))), ivSide)
     val binIv = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
+    // a single over-wide interval (e.g. an open-end sentinel like
+    // hi = 1e9 with binWidth = 10) would explode into a huge per-row
+    // array and OOM an executor; fail LOUDLY with the remedy instead.
+    // (The library combinator routes such rows through an exact
+    // plain-join fallback branch; a self-union needs fresh exprIds
+    // everywhere, which an optimizer rule cannot do safely — so the
+    // rule's contract is lossless-or-error, never silent drops.)
+    val spanOk = LessThanOrEqual(
+      Divide(Subtract(dbl(hi), dbl(lo)), wLit), Literal(maxBins, DoubleType))
+    val guardedHi = If(spanOk, binOf(hi),
+      Cast(new RaiseError(Literal(
+        s"graft range-bin rewrite: an interval spans more than $MaxBinsKey " +
+          s"(${maxBins.toLong}) bins at $ConfKey = $w; raise the bin width " +
+          "or the cap, or unset the conf for this query")), LongType))
     // Sequence is TimeZoneAwareExpression: it resolves only with a
     // concrete zone, even for integral sequences
-    val seq = Sequence(binOf(lo), binOf(hi), Some(Literal(1L)),
+    val seq = Sequence(binOf(lo), guardedHi, Some(Literal(1L)),
       Some(conf.sessionLocalTimeZone))
     val newIvSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binIv),

@@ -53,6 +53,27 @@ class BinnedRangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("a tiny bin cap routes wide intervals through the exact fallback") {
+    val expected = naive
+    // cap of 3 bins at width 5 -> most intervals take the fallback path
+    val got = BinnedRangeJoin(points, intervals,
+      $"pt", $"lo", $"hi", 5.0, $"pt" >= $"lo" && $"pt" < $"hi",
+      maxBinsPerInterval = 3)
+      .select($"pid", $"ivid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("an open-end sentinel interval joins exactly instead of exploding") {
+    val p = Seq(1.0, 500.0, 2.0e9).toDF("pt")
+    val iv = Seq((0.0, 10.0, "low"), (150.0, 1.0e9, "extreme")).toDF("lo", "hi", "b")
+    val got = BinnedRangeJoin(p, iv, $"pt", $"lo", $"hi", 10.0,
+      $"pt" >= $"lo" && $"pt" < $"hi")
+      .select($"pt", $"b").collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    // 1e9/10 bins would have been ~1e8 elements without the fallback
+    assert(got == Set((1.0, "low"), (500.0, "extreme")))
+  }
+
   test("duplicate rows join once per qualifying pair, like the naive join") {
     val p = Seq(1.0, 1.0, 1.0).toDF("pt")
     val iv = Seq((0.0, 2.0), (0.0, 2.0)).toDF("lo", "hi")
@@ -61,12 +82,14 @@ class BinnedRangeJoinSpec extends SparkTestBase {
     assert(n == 6L) // 3 points x 2 intervals
   }
 
-  test("binned plan is an equi join — no nested loop, no cartesian") {
+  test("binned branch is an equi join; only the wide-tail fallback nests") {
     val plan = BinnedRangeJoin(points, intervals,
       $"pt", $"lo", $"hi", 10.0, $"pt" >= $"lo" && $"pt" < $"hi")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the main branch must be hash-joinable on the bin id; the exact
+    // fallback branch may nest over its (filtered, provably small) side
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
   test("optimizer rule rewrites a plain range join when the conf is set") {
@@ -88,6 +111,29 @@ class BinnedRangeJoinSpec extends SparkTestBase {
       assert(got == baseline)
     } finally {
       spark.conf.unset(rule.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  test("rule fails loudly, not with an OOM-sized array, on over-wide intervals") {
+    val rule = new RangeBinJoinRule
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      spark.conf.set(rule.ConfKey, "10.0")
+      spark.conf.set(rule.MaxBinsKey, "100")
+      val p = Seq(1.0, 500.0).toDF("pt")
+      val iv = Seq((0.0, 10.0), (150.0, 1.0e9)).toDF("lo", "hi")
+      val e = intercept[Exception] {
+        p.join(iv, $"pt" >= $"lo" && $"pt" < $"hi").count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("range-bin")), e.toString)
+    } finally {
+      spark.conf.unset(rule.ConfKey)
+      spark.conf.unset(rule.MaxBinsKey)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ eq rule)
     }
