@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Null/length semantics: null if either input is null; arrays are
   * traversed up to the shorter length (callers supply equal dims).
+  * A zero-norm input returns 0.0, not 0/0 = NaN — Spark sorts NaN
+  * ABOVE every double, so without the guard a garbage all-zeros
+  * vector would win any `orderBy(cosine.desc).limit(k)`
+  * ([[QuantizedCosine]] makes the same choice).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -50,7 +54,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0d || nb == 0.0d) 0.0d
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,7 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -59,6 +59,15 @@ object PairExpand {
   val SzBits = 20
   val SzMask = (1L << SzBits) - 1L
 
+  /** Hard ceiling on pairs per bucket (2^26 ≈ 67M ≈ an 11,586-member
+    * bucket). Beyond it the array itself is the problem — and without
+    * the guard `n*(n-1)/2` overflows Int at n ≥ 65,537, turning a
+    * boilerplate-shingle or giant-LSH-band bucket into a
+    * NegativeArraySizeException (or worse, a wrapped-positive size
+    * and silent index corruption).
+    */
+  val MaxPairs: Long = 1L << 26
+
   /** Static so generated code can call it directly. A null element is
     * treated as Long.MinValue (it cannot occur from collect_list,
     * which drops nulls — this is belt-and-braces for direct SQL use).
@@ -66,7 +75,12 @@ object PairExpand {
   def compute(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n * (n - 1) / 2)
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > MaxPairs) throw new IllegalStateException(
+      s"pair_expand: bucket of $n members expands to $nPairs pairs " +
+        s"(cap $MaxPairs) — cap the bucket's document frequency or use " +
+        "the prefix-filtered path (TextAnalysis.qNgramJaccardPrefix)")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

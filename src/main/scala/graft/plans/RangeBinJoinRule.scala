@@ -31,15 +31,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * makes the rewrite a fixpoint: the rewritten join carries a bin
   * equi conjunct). The original condition is kept as a residual, so
   * the rewrite can never add or lose a qualifying pair — see the
-  * correctness argument on [[BinnedRangeJoin]]. Interval rows with
-  * non-finite or null bounds are dropped (they cannot satisfy the
-  * range predicate, so inner-join semantics are unchanged), and an
-  * interval spanning more than `spark.graft.rangeJoin.
-  * maxBinsPerInterval` bins (default 2^20) raises an actionable
-  * error instead of materializing an executor-OOM-sized array —
-  * lossless-or-loud, never silent drops. (The library combinator
-  * additionally routes wide rows through an exact plain-join
-  * fallback; a rule cannot build that self-union safely.)
+  * correctness argument on [[BinnedRangeJoin]]. The only rows
+  * pre-filtered from the interval side are those that provably match
+  * nothing (`lo > hi` under Spark's total order, or a null bound —
+  * the range predicate is then null); anything else that cannot be
+  * binned — an infinite or NaN bound, or a span wider than
+  * `spark.graft.rangeJoin.maxBinsPerInterval` bins (default 2^20) —
+  * raises an actionable error instead of materializing an
+  * executor-OOM-sized array or silently dropping matchable rows:
+  * lossless-or-loud. (The library combinator additionally routes
+  * such rows through an exact plain-join fallback; a rule cannot
+  * build that self-union safely.)
   */
 class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -136,18 +138,21 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def binOf(e: Expression): Expression =
       Floor(Divide(Cast(e, DoubleType), wLit))
     def dbl(e: Expression): Expression = Cast(e, DoubleType)
-    def finite(e: Expression): Expression = And(
-      GreaterThanOrEqual(dbl(e), Literal(-Double.MaxValue, DoubleType)),
-      LessThanOrEqual(dbl(e), Literal(Double.MaxValue, DoubleType)))
 
     val (ptSide, ivSide) = if (ptOnLeft) (j.left, j.right) else (j.right, j.left)
 
     val binPt = Alias(binOf(pt), "__graft_bin_pt")()
     val newPtSide = Project(ptSide.output :+ binPt, ptSide)
 
-    val ivFiltered = Filter(
-      And(And(finite(lo), finite(hi)),
-        LessThanOrEqual(dbl(lo), dbl(hi))), ivSide)
+    // `lo <= hi` is the ONLY safe pre-filter: an empty interval can
+    // match no point under any comparison semantics (even NaN/∞ ones),
+    // and Sequence would reject the descending bounds at runtime.
+    // Non-finite bounds deliberately PASS this filter (±∞ sorts
+    // normally, NaN sorts greatest, so e.g. lo = -∞ or hi = NaN rows
+    // survive) and then fail the span guard below — an infinite or
+    // NaN span is never <= maxBins — so rows the original join could
+    // match are never silently dropped.
+    val ivFiltered = Filter(LessThanOrEqual(dbl(lo), dbl(hi)), ivSide)
     val binIv = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
     // a single over-wide interval (e.g. an open-end sentinel like
     // hi = 1e9 with binWidth = 10) would explode into a huge per-row

@@ -213,9 +213,18 @@ object StreamOps {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, contentHash.asc)
     // NULL keys cannot be merged (the anti-join's null-unsafe equality
-    // would append a fresh copy every batch) — reject them here;
-    // upstream owns keying its records
-    val latest = batch.where(col(keyCol).isNotNull)
+    // would append a fresh copy every batch) — FAIL the batch on the
+    // first one rather than filter it out: a silent drop would commit
+    // the checkpoint with the record lost forever, violating the same
+    // at-least-once principle RawIngest.demux upholds. raise_error
+    // rides the existing scan, no extra pass. Upstream owns keying
+    // its records (or dead-lettering the unkeyed ones before here).
+    val keyChecked = batch.withColumn(keyCol,
+      when(col(keyCol).isNull, raise_error(lit(
+        s"upsertBatch: null $keyCol in micro-batch — key or dead-letter " +
+          "records upstream; refusing to silently drop")))
+        .otherwise(col(keyCol)))
+    val latest = keyChecked
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
     graft.core.Layout.recoverDir(spark, targetPath) // heal interrupted swaps
     val tp = new org.apache.hadoop.fs.Path(targetPath)

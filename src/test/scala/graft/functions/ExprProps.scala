@@ -156,6 +156,26 @@ object ExprProps extends Properties("functions") {
       gotSeq == winnowRef(toks, 3, win)
     }
 
+  property("CosineSimilarity returns 0.0 (never NaN) for a zero-norm input") =
+    Prop.forAll(genVec) { v =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val t = ArrayType(FloatType, containsNull = false)
+      val zero = Array.fill(v.length)(0.0f)
+      val got = CosineSimilarity(
+        Literal(new GenericArrayData(zero), t),
+        Literal(new GenericArrayData(v), t)).eval(null).asInstanceOf[Double]
+      got == 0.0d
+    }
+
+  property("PairExpand fails loudly past the pair cap instead of overflowing Int") =
+    Prop.forAll(Gen.const(20000)) { n =>
+      // n(n-1)/2 ≈ 2e8 > 2^26 cap; without the Long guard, n >= 65537
+      // wraps Int and throws NegativeArraySizeException instead
+      val xs = new GenericArrayData(Array.tabulate(n)(i => i.toLong: Any))
+      Prop.throws(classOf[IllegalStateException])(PairExpand.compute(xs))
+    }
+
   property("WinnowFps is position-robust: a prefix shift keeps most fingerprints") =
     Prop.forAll(genToks.suchThat(_.length >= 10), genToken) { (toks, extra) =>
       def fps(ts: Array[String]) = {

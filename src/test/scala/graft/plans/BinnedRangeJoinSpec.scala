@@ -139,6 +139,28 @@ class BinnedRangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("rule raises on infinite bounds it cannot bin, instead of dropping them") {
+    val rule = new RangeBinJoinRule
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      spark.conf.set(rule.ConfKey, "10.0")
+      val p = Seq(1.0, 500.0).toDF("pt")
+      // an open-start sentinel: the original join matches pt <= 5
+      val iv = Seq((Double.NegativeInfinity, 5.0)).toDF("lo", "hi")
+      val e = intercept[Exception] {
+        p.join(iv, $"pt" >= $"lo" && $"pt" <= $"hi").count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("range-bin")), e.toString)
+    } finally {
+      spark.conf.unset(rule.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
   test("rule leaves equi joins and sub-range conditions alone") {
     val rule = new RangeBinJoinRule
     spark.experimental.extraOptimizations =
