@@ -96,6 +96,30 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** kNN similarity join: every vector's top-3 neighbors within its
+    * blocking key (label here; an IVF cell / LSH bucket at 100 TB —
+    * the same blocking argument as [[qCosineDups]], but producing the
+    * per-row top-k a retrieval-augmentation or SemDeDup-style
+    * pipeline consumes rather than a global threshold). The rank
+    * filter plans with Spark 4's two-phase `WindowGroupLimit`: each
+    * map partition keeps only its local top-3 per vec_id BEFORE the
+    * exchange, so the shuffled volume is O(k·N), not O(pairs).
+    */
+  def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir).select($"vec_id", $"label", $"embedding")
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+        graft.functions.QuantizedCosine(col("a.embedding"), col("b.embedding")).as("cosq"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cosq".desc, $"nbr")
+    pairs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 3)
+      .orderBy($"vec_id", $"rk")
+  }
+
   /** Deterministic sign-LSH hyperplanes (seeded, fixed across runs). */
   private[ext] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -148,6 +172,7 @@ object Similarity {
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_cosine_dups" -> (qCosineDups _),
+    "q_knn_join" -> (qKnnJoin _),
   )
 
   /** Shared oracle CTEs: per-element floor(x·2²⁰) quantization and
@@ -201,6 +226,31 @@ object Similarity {
          |           JOIN nrm nb ON dot.vec_b = nb.vec_id)
          |WHERE cosq >= 4000
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_knn_join" ->
+      s"""WITH $quantCtes,
+         |pair AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |dot AS (
+         |  SELECT p.vec_id, p.nbr, CAST(SUM(x.v * y.v) AS BIGINT) AS d
+         |  FROM pair p JOIN qn x ON x.vec_id = p.vec_id
+         |              JOIN qn y ON y.vec_id = p.nbr AND y.i = x.i
+         |  GROUP BY p.vec_id, p.nbr),
+         |scored AS (
+         |  SELECT dot.vec_id, dot.nbr,
+         |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
+         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
+         |              AS BIGINT) END AS cosq
+         |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+         |           JOIN nrm nb ON dot.nbr = nb.vec_id),
+         |rk AS (
+         |  SELECT vec_id, nbr, cosq,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, nbr) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT vec_id, nbr, cosq, rk FROM rk WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
     "q_embedding_centroid" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
         |  CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_scaled,

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class KnnJoinSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_knn_join: per-vector neighbor count, blocking, and rank contiguity") {
+    val out = Similarity.qKnnJoin(spark, dir).cache()
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    // expected rows: every vector gets min(3, |label group| - 1) neighbors
+    val expected = e.groupBy("label").count()
+      .select(sum(col("count") * least(lit(3), col("count") - 1)))
+      .head().getLong(0)
+    assert(out.count() == expected, s"expected $expected kNN rows")
+    // ranks are 1..k contiguous per vec_id
+    val badRank = out.groupBy("vec_id")
+      .agg(min("rk").as("lo"), max("rk").as("hi"), count(lit(1)).as("n"))
+      .where(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(badRank.isEmpty, "ranks not contiguous from 1")
+    // neighbors never cross the blocking key and never self-match
+    val labeled = out.join(e.withColumnRenamed("label", "la"), "vec_id")
+      .join(e.select(col("vec_id").as("nbr"), col("label").as("lb")), "nbr")
+    assert(labeled.where(col("la") =!= col("lb")).isEmpty, "neighbor crossed label block")
+    assert(out.where(col("vec_id") === col("nbr")).isEmpty, "self neighbor")
+    out.unpersist()
+  }
+
+  test("q_knn_join: rank-1 neighbor agrees with a direct argmax for one probe") {
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), col("label").as("qlabel"))
+    val best = e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.QuantizedCosine(col("embedding"), col("qvec")).as("cosq"))
+      .orderBy(col("cosq").desc, col("vec_id")).head()
+    val rk1 = Similarity.qKnnJoin(spark, dir)
+      .where(col("vec_id") === 0 && col("rk") === 1).head()
+    assert(rk1.getAs[Long]("nbr") == best.getAs[Long]("vec_id"))
+    assert(rk1.getAs[Long]("cosq") == best.getAs[Long]("cosq"))
+  }
+
+  test("q_knn_join plans with two-phase WindowGroupLimit (map-side partial top-k)") {
+    val plan = Similarity.qKnnJoin(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k filter did not plan as WindowGroupLimit:\n" +
+        plan.linesIterator.take(25).mkString("\n"))
+  }
+}
