@@ -125,8 +125,29 @@ object DedupClusters {
       .orderBy($"doc_id")
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al., 2023, arXiv:
+    * 2303.09540): embedding near-duplicate pairs (label-blocked
+    * engine-exact cosine ≥ 0.40, the [[Similarity.qCosineDups]]
+    * edge set — blocking key ≙ k-means cluster in the paper / IVF
+    * cell at 100 TB) → connected components → keeper = min vec_id.
+    * The expensive stage is pair mining inside blocks; the component
+    * pass rides the tiny edge set (union-find below the driver
+    * threshold, min-label propagation above it).
+    */
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.load(s, dir, "embeddings").select($"vec_id".as("id"))
+    val pairs = Similarity.qCosineDups(s, dir)
+      .select($"vec_a".as("a"), $"vec_b".as("b"))
+    connectedComponents(vecs, pairs)
+      .select($"id".as("vec_id"), $"component",
+        ($"id" === $"component").cast("boolean").as("is_keeper"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
   )
 
   /** Oracle: transitive closure by recursive CTE, component = min
@@ -162,5 +183,37 @@ object DedupClusters {
         |SELECT x AS doc_id, MIN(y) AS component,
         |  (x = MIN(y)) AS is_keeper
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE ${Similarity.quantCtes},
+         |pair AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id),
+         |dot AS (
+         |  SELECT p.vec_a, p.vec_b, CAST(SUM(x.v * y.v) AS BIGINT) AS d
+         |  FROM pair p JOIN qn x ON x.vec_id = p.vec_a
+         |              JOIN qn y ON y.vec_id = p.vec_b AND y.i = x.i
+         |  GROUP BY p.vec_a, p.vec_b),
+         |dup AS (
+         |  SELECT * FROM (
+         |    SELECT dot.vec_a, dot.vec_b,
+         |      CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
+         |           ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |                  sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
+         |                AS BIGINT) END AS cosq
+         |    FROM dot JOIN nrm na ON dot.vec_a = na.vec_id
+         |             JOIN nrm nb ON dot.vec_b = nb.vec_id)
+         |  WHERE cosq >= 4000),
+         |edges AS (
+         |  SELECT vec_a AS x, vec_b AS y FROM dup
+         |  UNION SELECT vec_b, vec_a FROM dup
+         |  UNION SELECT vec_id, vec_id FROM embeddings),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+         |SELECT x AS vec_id, MIN(y) AS component,
+         |  (x = MIN(y)) AS is_keeper
+         |FROM reach GROUP BY x ORDER BY vec_id""".stripMargin,
   )
 }

@@ -181,7 +181,7 @@ object Similarity {
     * wrapped in CAST(... AS BIGINT): DuckDB promotes integer SUMs to
     * HUGEINT, whose hash representation varies by client version.
     */
-  private val quantCtes: String =
+  private[ext] val quantCtes: String =
     """qn AS (
       |  SELECT vec_id, i, CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS v
       |  FROM (SELECT vec_id, unnest(embedding) AS e,

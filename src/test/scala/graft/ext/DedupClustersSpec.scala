@@ -43,4 +43,25 @@ class DedupClustersSpec extends SparkTestBase {
     val keepers = clusters.groupBy(_._2).view.mapValues(_.keys.min).toMap
     keepers.foreach { case (comp, minId) => assert(comp == minId) }
   }
+
+  test("q_semantic_dedup labels every vector and agrees with the cosine edge set") {
+    val dir = "/root/testdata/sf0.001"
+    val out = DedupClusters.qSemanticDedup(spark, dir)
+    val n = graft.core.Tables.load(spark, dir, "embeddings").count()
+    assert(out.count() == n, "every vector must be labeled exactly once")
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component is a reachable-min: never above the member's own id
+    labels.foreach { case (id, comp) => assert(comp <= id, s"component $comp > id $id") }
+    // both endpoints of every near-dup edge share a component
+    Similarity.qCosineDups(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(labels(a) == labels(b), s"edge ($a,$b) split across components")
+      }
+    // keeper flag is exactly component == id
+    out.collect().foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+    }
+  }
 }
