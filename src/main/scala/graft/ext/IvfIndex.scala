@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
@@ -87,6 +88,34 @@ object IvfIndex {
       .orderBy($"cosine".desc, $"vec_id")
       .limit(10)
   }
+
+  /** Streaming index maintenance: assign each arriving vector to its
+    * coarse cell map-side (the centroid matrix rides as a plan
+    * literal — no state, no shuffle) and append to the index table
+    * partitioned by `cell`, so probe-time reads prune to the nProbe
+    * cell directories on disk. Quantizer retraining is a separate
+    * offline job: cell ids are defined by the frozen centroids, so
+    * appended assignments stay valid for this index generation, and
+    * re-clustering writes a NEW generation. AvailableNow + checkpoint
+    * gives scheduled incremental batches with exactly-once file
+    * bookkeeping — the reference's trigger pattern
+    * (notebooks/medallion/bronze.py:25, partitionBy at :26) applied
+    * to ANN index upkeep.
+    */
+  def appendStream(vectors: DataFrame, vecCol: String,
+                   centroids: Array[Array[Double]],
+                   targetDir: String, checkpointDir: String): StreamingQuery =
+    vectors
+      .withColumn("cell", assignCell(col(vecCol), centroids))
+      .writeStream
+      .queryName("graft-ivf-append")
+      .outputMode("append")
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cell")
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** The shared coarse quantizer for `dir`, trained once per process
     * ([[graft.core.IndexCache]] — an index is built once and serves

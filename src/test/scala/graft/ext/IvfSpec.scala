@@ -1,8 +1,11 @@
 package graft.ext
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+
+case class StreamVec(vec_id: Long, embedding: Array[Float])
 
 class IvfSpec extends SparkTestBase {
 
@@ -30,5 +33,41 @@ class IvfSpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("appendStream maintains a cell-partitioned index incrementally with exactly-once bookkeeping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 4-dim toy quantizer: cell 0 ≈ e1, cell 1 ≈ e2
+    val centroids = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val target = tmpDir("ivf-index")
+    val ckpt = tmpDir("ivf-index-ckpt")
+    val stream = MemoryStream[StreamVec]
+    def runOnce(): Unit = {
+      val q = IvfIndex.appendStream(stream.toDF(), "embedding", centroids, target, ckpt)
+      q.awaitTermination()
+    }
+    stream.addData(
+      StreamVec(1L, Array(0.9f, 0.1f, 0f, 0f)),
+      StreamVec(2L, Array(0.2f, 0.8f, 0f, 0f)))
+    runOnce()
+    // second incremental batch against the same checkpoint
+    stream.addData(StreamVec(3L, Array(0.7f, 0.3f, 0f, 0f)))
+    runOnce()
+    val got = spark.read.parquet(target)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exactly-once: batch-1 rows are not re-appended by the re-run
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0), s"got $got")
+    // the layout is physically partitioned by cell...
+    val dirs = new java.io.File(target).listFiles().map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.toSet == Set("cell=0", "cell=1"))
+    // ...and a probe read prunes to the probed cell's directory
+    val probe = spark.read.parquet(target).where($"cell" === 0)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "cell predicate did not become a partition filter")
+    assert(probe.count() == 2)
   }
 }
