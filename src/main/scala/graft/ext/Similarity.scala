@@ -105,18 +105,29 @@ object Similarity {
     * map partition keeps only its local top-3 per vec_id BEFORE the
     * exchange, so the shuffled volume is O(k·N), not O(pairs).
     */
-  def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Library form of the kNN join: top-`k` neighbors of every row of
+    * `vectors` among rows sharing its `blockCol` value, scored by the
+    * engine-exact quantized cosine. Output: (idCol, nbr, cosq, rk)
+    * with rk 1-based, ties broken on the lower neighbor id.
+    */
+  def knnJoin(vectors: DataFrame, blockCol: String, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(s, dir).select($"vec_id", $"label", $"embedding")
+    val e = vectors.select(col(idCol), col(blockCol), col(vecCol))
     val pairs = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
-        graft.functions.QuantizedCosine(col("a.embedding"), col("b.embedding")).as("cosq"))
-    val w = Window.partitionBy($"vec_id").orderBy($"cosq".desc, $"nbr")
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(idCol), col(s"b.$idCol").as("nbr"),
+        graft.functions.QuantizedCosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosq"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cosq").desc, col("nbr"))
     pairs
       .withColumn("rk", row_number().over(w).cast("long"))
-      .where($"rk" <= 3)
+      .where(col("rk") <= k)
+  }
+
+  def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    knnJoin(emb(s, dir), "label", "vec_id", "embedding", k = 3)
       .orderBy($"vec_id", $"rk")
   }
 

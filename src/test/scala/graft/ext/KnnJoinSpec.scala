@@ -44,6 +44,35 @@ class KnnJoinSpec extends SparkTestBase {
     assert(rk1.getAs[Long]("cosq") == best.getAs[Long]("cosq"))
   }
 
+  test("knnJoin matches a brute-force reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40; val dim = 6; val k = 2
+    val data = (0L until n).map(i =>
+      (i, (i % 3).toInt, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = data.toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnJoin(df, "label", "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // reference: same quantization arithmetic, plain Scala
+    def cosq(a: Array[Float], b: Array[Float]): Long = {
+      val qa = a.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      val qb = b.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val na = qa.map(x => x * x).sum; val nb = qb.map(y => y * y).sum
+      if (na == 0L || nb == 0L) 0L
+      else math.floor(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble) * 10000.0).toLong
+    }
+    val expected = data.flatMap { case (id, lbl, v) =>
+      data.filter(o => o._2 == lbl && o._1 != id)
+        .map(o => (o._1, cosq(v, o._3)))
+        .sortBy { case (nbr, c) => (-c, nbr) }
+        .take(k).zipWithIndex
+        .map { case ((nbr, c), i) => (id, i + 1L) -> (nbr, c) }
+    }.toMap
+    assert(got == expected)
+  }
+
   test("q_knn_join plans with two-phase WindowGroupLimit (map-side partial top-k)") {
     val plan = Similarity.qKnnJoin(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
