@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, TextAnalysis, TpchExtra}
+import graft.ext.{AsofJoin, Curation, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, TextAnalysis, TpchExtra}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.pipeline.Pipeline
 import graft.schema.InMemorySchemaRegistry
@@ -32,6 +32,7 @@ object SparkEntry {
       (DedupClusters.queries, DedupClusters.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (LangTools.queries, LangTools.oracle),
+      (Curation.queries, Curation.oracle),
     )
 
   /** Flagship: the reference's full DAG — seeded Avro producer →

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The composed CURATION pass a training-data pipeline runs before
+  * tokenization: language gate + quality gate + exact-dedup keeper,
+  * in one job. Each stage reuses the standalone operator's exact
+  * semantics (q_lang_id / q_text_quality / q_dedup_exact), so the
+  * composition is oracle-checkable by joining their SQL mirrors.
+  *
+  * Scale shape: lang-id and the quality counters are pure map
+  * expressions; the only data shuffle is the fingerprint window that
+  * elects the keeper (hash partition on a 16-byte md5 — the same one
+  * shuffle q_dedup_exact pays). Filters short-circuit map-side, so
+  * at 100 TB the shuffled volume is keeper-candidates only, and both
+  * window aggregates (keeper + group size) share the single exchange.
+  */
+object Curation {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Curated corpus: docs that (a) are their fingerprint group's
+    * keeper (min doc_id per md5(trim(text)) — exact dedup), (b) have
+    * `minTokens <= n_tokens <= maxTokens`, (c) contain at least
+    * `minStopwords` stopword hits. Carries the per-doc evidence
+    * (predicted language, counters, duplicate-group size).
+    */
+  def curate(docs: DataFrame,
+             minTokens: Long = 20, maxTokens: Long = 80,
+             minStopwords: Long = 1): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val w = Window.partitionBy(md5(trim(col("text"))))
+    LangTools.withLangId(docs)
+      // both window aggregates in ONE select → one Window operator,
+      // one exchange (chained withColumn planned two separate
+      // Window+Exchange pairs: the recomputed md5 key defeats reuse)
+      .select(col("doc_id"), col("lang_pred"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(stopwords: _*))).cast("long").as("n_stopwords"),
+        min(col("doc_id")).over(w).as("keeper_id"),
+        count(lit(1)).over(w).cast("long").as("n_dupes"))
+      .where(col("keeper_id") === col("doc_id") &&
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("n_stopwords") >= minStopwords)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("n_stopwords"), col("n_dupes"))
+  }
+
+  def qCuration(s: SparkSession, dir: String): DataFrame =
+    curate(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation" -> (qCuration _),
+  )
+
+  /** Oracle: the three stage mirrors joined — lang-id CASE-chain
+    * argmax, integer quality counters, min-doc_id-per-fingerprint
+    * keeper election.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    ${LangTools.langIdScoreColsSql}
+         |  FROM t),
+         |lid AS (
+         |  SELECT doc_id, text,
+         |    CASE ${LangTools.langIdCaseArmsSql}
+         |      ELSE '${LangTools.langIdLangs.last}' END AS lang_pred
+         |  FROM s),
+         |q AS (
+         |  SELECT doc_id, lang_pred,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the','a','and','of','to','in'))) AS n_stopwords
+         |  FROM lid),
+         |fp AS (SELECT doc_id, md5(trim(text)) AS f FROM documents),
+         |grp AS (
+         |  SELECT f, MIN(doc_id) AS keeper, COUNT(*) AS n_dupes
+         |  FROM fp GROUP BY f)
+         |SELECT q.doc_id, q.lang_pred, q.n_tokens, q.n_stopwords,
+         |  CAST(grp.n_dupes AS BIGINT) AS n_dupes
+         |FROM q JOIN fp ON q.doc_id = fp.doc_id
+         |       JOIN grp ON fp.f = grp.f
+         |WHERE grp.keeper = q.doc_id
+         |  AND q.n_tokens BETWEEN 20 AND 80
+         |  AND q.n_stopwords >= 1
+         |ORDER BY q.doc_id""".stripMargin,
+  )
+}

@@ -179,17 +179,29 @@ object LangTools {
     * to the alphabetically-first language) as a CASE chain in
     * alphabetical order with >= comparisons.
     */
-  private val langIdOracle: String = {
-    val langs = profiles.keys.toSeq.sorted // de, en, es, fr, zh
-    val scoreCols = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+  private[ext] val langIdLangs: Seq[String] = profiles.keys.toSeq.sorted // de, en, es, fr, zh
+
+  /** Per-language stopword-hit score columns over a `toks` list —
+    * shared by the q_lang_id oracle and composed oracles (Curation).
+    */
+  private[ext] val langIdScoreColsSql: String =
+    profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'${w}'").mkString("(", ",", ")")
       s"len(list_filter(toks, x -> x IN $list)) AS $lang"
     }.mkString(",\n    ")
-    val caseArms = langs.init.zipWithIndex.map { case (lang, i) =>
-      val rest = langs.drop(i + 1)
+
+  /** The argmax CASE chain (ties → alphabetically-first language). */
+  private[ext] val langIdCaseArmsSql: String =
+    langIdLangs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langIdLangs.drop(i + 1)
       val cond = rest.map(o => s"$lang >= $o").mkString(" AND ")
       s"WHEN $cond THEN '$lang'"
     }.mkString("\n      ")
+
+  private val langIdOracle: String = {
+    val langs = langIdLangs
+    val scoreCols = langIdScoreColsSql
+    val caseArms = langIdCaseArmsSql
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
        |  FROM documents),
