@@ -312,6 +312,30 @@ object TextAnalysis {
       .orderBy($"lang", $"rn")
   }
 
+  /** Deterministic MIXTURE down-sampling: enforce target per-source
+    * weights (the data-mixing step of a training recipe) by a pure
+    * hash-rate filter — keep a doc iff the first 4 md5 hex digits of
+    * its seeded id hash fall below the source's cutoff (1.0 / 0.5 /
+    * 0.25 by source tier here; real recipes plug in their weight
+    * table). Zero shuffles before the output sort: the decision is a
+    * map-side predicate, rerun- and partitioning-stable, and composes
+    * with any downstream stage at 100 TB — unlike `sample()`, whose
+    * output changes with the physical split layout. Hex-string
+    * compares keep the oracle float-free.
+    */
+  def qSourceMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcIdx = substring($"source", 4, 10).cast("int")
+    val h4 = substring(
+      md5(concat(lit("mix:"), $"doc_id".cast("string")).cast("binary")), 1, 4)
+    docs(s, dir)
+      .select($"doc_id", $"source", srcIdx.cast("long").as("src_idx"), h4.as("h4"))
+      .where($"src_idx" < 5 ||
+        ($"src_idx" < 10 && $"h4" < "8000") ||
+        ($"src_idx" >= 10 && $"h4" < "4000"))
+      .orderBy($"doc_id")
+  }
+
   /** Top-3 TF-IDF-ranked terms per document. IDF needs no logarithm
     * for RANKING (log is monotone), so the sort key is the single
     * IEEE division tf/df — bit-identical across engines — with
@@ -414,6 +438,7 @@ object TextAnalysis {
     "q_doc_chunks" -> ((s: SparkSession, d: String) => qDocChunks(s, d)),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_source_mix" -> (qSourceMix _),
     "q_hash_split" -> (qHashSplit _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_tokens" -> (qTextTokens _),
@@ -445,6 +470,17 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_source_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(substring(source, 4) AS INT) AS BIGINT) AS src_idx,
+        |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+        |  FROM documents)
+        |SELECT doc_id, source, src_idx, h4 FROM m
+        |WHERE src_idx < 5
+        |   OR (src_idx < 10 AND h4 < '8000')
+        |   OR (src_idx >= 10 AND h4 < '4000')
+        |ORDER BY doc_id""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,

@@ -73,6 +73,29 @@ class InvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("source-mix sampling hits its weight tiers and keeps full-weight sources intact") {
+    val out = TextAnalysis.qSourceMix(spark, dir).cache()
+    val total = Tables.load(spark, dir, "documents")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idx(src: String) = src.drop(3).toInt
+    // tier 1.0: every doc of src0..src4 survives
+    total.keys.filter(idx(_) < 5).foreach(srcName =>
+      assert(kept.getOrElse(srcName, 0L) == total(srcName), s"$srcName lost docs at weight 1.0"))
+    // tier 0.5 / 0.25: aggregate keep-rate near the weight (hash-rate
+    // filter is binomial; bounds are generous for 25-doc sources)
+    def rate(p: String => Boolean): Double = {
+      val t = total.filter { case (k, _) => p(k) }.values.sum
+      val k = kept.filter { case (k2, _) => p(k2) }.values.sum
+      k.toDouble / t
+    }
+    val half = rate(s => idx(s) >= 5 && idx(s) < 10)
+    val quarter = rate(s => idx(s) >= 10)
+    assert(half > 0.3 && half < 0.7, s"0.5-tier keep rate $half")
+    assert(quarter > 0.1 && quarter < 0.4, s"0.25-tier keep rate $quarter")
+    out.unpersist()
+  }
+
   test("doc chunks cover every token with the configured overlap") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
