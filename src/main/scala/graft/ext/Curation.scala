@@ -15,13 +15,16 @@ import graft.core.Tables
   * Scale shape: lang-id and the quality counters are pure map
   * expressions; the only data shuffle is the fingerprint window that
   * elects the keeper (hash partition on a 16-byte md5 — the same one
-  * shuffle q_dedup_exact pays). Filters short-circuit map-side, so
-  * at 100 TB the shuffled volume is keeper-candidates only, and both
-  * window aggregates (keeper + group size) share the single exchange.
+  * shuffle q_dedup_exact pays), and both window aggregates (keeper +
+  * group size) share that single exchange. The WHOLE corpus crosses
+  * it: the gates reference window outputs and non-key columns, so
+  * they evaluate after the window — and must (keeper election has to
+  * see gate-failing docs, or a filtered-out keeper would silently
+  * promote its duplicate). To gate before electing keepers, filter
+  * the input DataFrame instead — a different pipeline, not a plan
+  * optimization.
   */
 object Curation {
-
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
   /** Curated corpus: docs that (a) are their fingerprint group's
     * keeper (min doc_id per md5(trim(text)) — exact dedup), (b) have
@@ -33,14 +36,15 @@ object Curation {
              minTokens: Long = 20, maxTokens: Long = 80,
              minStopwords: Long = 1): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val w = Window.partitionBy(md5(trim(col("text"))))
+    val w = Window.partitionBy(TextAnalysis.contentFingerprint(col("text")))
     LangTools.withLangId(docs)
       // both window aggregates in ONE select → one Window operator,
       // one exchange (chained withColumn planned two separate
       // Window+Exchange pairs: the recomputed md5 key defeats reuse)
       .select(col("doc_id"), col("lang_pred"),
         size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => t.isin(stopwords: _*))).cast("long").as("n_stopwords"),
+        size(filter(toks, t => t.isin(TextAnalysis.qualityStopwords: _*)))
+          .cast("long").as("n_stopwords"),
         min(col("doc_id")).over(w).as("keeper_id"),
         count(lit(1)).over(w).cast("long").as("n_dupes"))
       .where(col("keeper_id") === col("doc_id") &&
@@ -80,7 +84,7 @@ object Curation {
          |  SELECT doc_id, lang_pred,
          |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
          |    len(list_filter(string_split(text, ' '),
-         |      x -> x IN ('the','a','and','of','to','in'))) AS n_stopwords
+         |      x -> x IN ${TextAnalysis.stopwordsSql})) AS n_stopwords
          |  FROM lid),
          |fp AS (SELECT doc_id, md5(trim(text)) AS f FROM documents),
          |grp AS (

@@ -96,19 +96,14 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  /** kNN similarity join: every vector's top-3 neighbors within its
-    * blocking key (label here; an IVF cell / LSH bucket at 100 TB —
-    * the same blocking argument as [[qCosineDups]], but producing the
-    * per-row top-k a retrieval-augmentation or SemDeDup-style
-    * pipeline consumes rather than a global threshold). The rank
-    * filter plans with Spark 4's two-phase `WindowGroupLimit`: each
-    * map partition keeps only its local top-3 per vec_id BEFORE the
-    * exchange, so the shuffled volume is O(k·N), not O(pairs).
-    */
-  /** Library form of the kNN join: top-`k` neighbors of every row of
+  /** kNN similarity join: top-`k` neighbors of every row of
     * `vectors` among rows sharing its `blockCol` value, scored by the
     * engine-exact quantized cosine. Output: (idCol, nbr, cosq, rk)
     * with rk 1-based, ties broken on the lower neighbor id.
+    * The rank filter plans with Spark 4's two-phase
+    * `WindowGroupLimit`: each map partition keeps only its local
+    * top-k per id BEFORE the exchange, so the shuffled volume is
+    * O(k·N), not O(pairs).
     */
   def knnJoin(vectors: DataFrame, blockCol: String, idCol: String,
               vecCol: String, k: Int): DataFrame = {
@@ -125,6 +120,12 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** Per-vector top-3 neighbors within the label block (label here ≙
+    * an IVF cell / LSH bucket at 100 TB — the same blocking argument
+    * as [[qCosineDups]], but producing the per-row top-k a
+    * retrieval-augmentation or SemDeDup-style pipeline consumes
+    * rather than a global threshold).
+    */
   def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     knnJoin(emb(s, dir), "label", "vec_id", "embedding", k = 3)

@@ -21,7 +21,23 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  private val stopwordsSql = "('the','a','and','of','to','in')"
+  /** The ONE quality-gate stopword list — Scala and SQL forms derive
+    * from the same Seq so the Spark gates and the oracle mirrors can
+    * never silently diverge (used by qTextQuality, Curation, and
+    * their oracle SQL).
+    */
+  private[ext] val qualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  private[ext] val stopwordsSql: String =
+    qualityStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** The ONE exact-dedup content fingerprint: md5 over the utf-8
+    * bytes of the trimmed text (explicit encoding — an implicit
+    * string→binary cast is collation-sensitive). Shared by
+    * qDedupExact and Curation so the composed pass can never
+    * desynchronize from the standalone operator it mirrors.
+    */
+  private[ext] def contentFingerprint(text: Column): Column =
+    md5(to_binary(trim(text), lit("utf-8")))
 
   /** w-word shingle array expression over a `toks` column — the ONE
     * definition of shingling; qNgramJaccard, MinHashDedup and the
@@ -95,7 +111,7 @@ object TextAnalysis {
     docs(s, dir)
       .select($"doc_id",
         size(tokens($"text")).cast("long").as("n_tokens"),
-        size(filter(tokens($"text"), t => t.isin("the", "a", "and", "of", "to", "in")))
+        size(filter(tokens($"text"), t => t.isin(qualityStopwords: _*)))
           .cast("long").as("n_stopwords"),
         length($"text").cast("long").as("len"))
       .orderBy($"doc_id")
@@ -128,7 +144,7 @@ object TextAnalysis {
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .groupBy(md5(to_binary(trim($"text"), lit("utf-8"))).as("fingerprint"))
+      .groupBy(contentFingerprint($"text").as("fingerprint"))
       .agg(count(lit(1)).as("n_dupes"), min($"doc_id").as("keeper_doc_id"))
       .orderBy($"fingerprint")
   }

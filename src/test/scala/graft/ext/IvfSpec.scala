@@ -54,11 +54,13 @@ class IvfSpec extends SparkTestBase {
     // second incremental batch against the same checkpoint
     stream.addData(StreamVec(3L, Array(0.7f, 0.3f, 0f, 0f)))
     runOnce()
-    val got = spark.read.parquet(target)
+    val rows = spark.read.parquet(target)
       .select("vec_id", "cell").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // exactly-once: batch-1 rows are not re-appended by the re-run
-    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0), s"got $got")
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    // exactly-once: batch-1 rows are not re-appended by the re-run —
+    // compare as a row multiset (a Map compare would silently collapse
+    // re-appended duplicates and pass)
+    assert(rows.sorted == Seq(1L -> 0, 2L -> 1, 3L -> 0), s"got $rows")
     // the layout is physically partitioned by cell...
     val dirs = new java.io.File(target).listFiles().map(_.getName).filter(_.startsWith("cell="))
     assert(dirs.toSet == Set("cell=0", "cell=1"))
