@@ -91,4 +91,17 @@ class PlanShapeSpec extends SparkTestBase {
     val factScans = "lineitem\\.parquet".r.findAllIn(plan).size
     assert(factScans == 1, s"expected exactly one observable lineitem scan, got $factScans")
   }
+
+  test("q_source_mix: the mixing decision is a map-side predicate (output sort only)") {
+    val (sh, bc) = shape("q_source_mix")
+    assert(sh <= 1, s"expected the output sort as the only exchange, got $sh")
+    assert(bc == 0)
+  }
+
+  test("q_semantic_dedup: component labels join back without a data shuffle") {
+    val (sh, _) = shape("q_semantic_dedup")
+    // union-find path at this SF: labels ride a broadcast/literal map,
+    // the only exchange is the output sort
+    assert(sh <= 1, s"expected output sort only on the union-find path, got $sh")
+  }
 }

@@ -73,6 +73,14 @@ class KnnJoinSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("knnJoin and curate degrade to empty output on empty input (no throw)") {
+    import spark.implicits._
+    val emptyVecs = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    assert(Similarity.knnJoin(emptyVecs, "label", "vec_id", "embedding", 3).isEmpty)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.curate(emptyDocs).isEmpty)
+  }
+
   test("q_knn_join plans with two-phase WindowGroupLimit (map-side partial top-k)") {
     val plan = Similarity.qKnnJoin(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
