@@ -182,6 +182,78 @@ object StreamOps {
     * token-less docs still advance event time, otherwise a run of
     * blank documents would stall state eviction.
     */
+  case class AsofEvent(key: Long, eventTime: Timestamp, isLeft: Boolean, v: Double)
+  case class AsofBuf(lefts: Seq[(Long, Double)], rights: Seq[(Long, Double)])
+  case class AsofMatch(key: Long, ts: Timestamp, v: Double,
+                       rts: Option[Timestamp], rv: Option[Double])
+
+  /** Streaming AS-OF join — the live counterpart of the batch
+    * [[graft.ext.AsofJoin]]: each left row joins the LATEST right row
+    * of its key with `rts <= ts` and `ts - rts <= horizonMs`
+    * (carry-forward with bounded staleness; no match within the
+    * horizon emits None, never a stale value).
+    *
+    * Correctness under micro-batch disorder: a left row is emitted
+    * only once the WATERMARK has passed its event time — by the
+    * watermark contract every right row that could precede it has
+    * arrived, so the answer is final (Append output, no retractions).
+    * Both sides ride one union-tagged stream into a per-key
+    * `flatMapGroupsWithState` (the same union-and-carry-forward idea
+    * as the batch operator, with GroupState as the frontier): state
+    * holds the not-yet-ripe lefts plus only the rights still inside
+    * some future left's horizon — rights older than
+    * `min(pending, watermark) - horizonMs` can never match again and
+    * are pruned every invocation, so state is bounded by the horizon
+    * × arrival rate per key, not the stream length. An event-time
+    * timeout flushes ripe lefts (and eventually removes idle keys)
+    * even when the key receives no further input.
+    */
+  def asofJoinStream(left: DataFrame, right: DataFrame, horizonMs: Long,
+                     watermarkDelay: String = "10 seconds"): Dataset[AsofMatch] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val tagged = left.select(col("key"), col("eventTime"), lit(true).as("isLeft"),
+        col("v").cast("double").as("v"))
+      .unionByName(right.select(col("key"), col("eventTime"), lit(false).as("isLeft"),
+        col("rv").cast("double").as("v")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[AsofEvent]
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBuf, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofEvent], state: GroupState[AsofBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          var lefts = prev.lefts
+          var rights = prev.rights
+          rows.foreach { e =>
+            if (e.isLeft) lefts +:= ((e.eventTime.getTime, e.v))
+            else rights +:= ((e.eventTime.getTime, e.v))
+          }
+          val (ripe, pending) = lefts.partition(_._1 <= wm)
+          // deterministic emission order within the batch
+          val out = ripe.sortBy(identity).map { case (ts, v) =>
+            val candidates = rights.filter(r => r._1 <= ts && ts - r._1 <= horizonMs)
+            val best = if (candidates.isEmpty) None else Some(candidates.maxBy(identity))
+            AsofMatch(key, new Timestamp(ts), v,
+              best.map(b => new Timestamp(b._1)), best.map(_._2))
+          }
+          // a future left (pending, or arriving later with ts >= wm)
+          // can only reach rights inside its horizon
+          val minFutureLeft = (pending.map(_._1) :+ wm).min
+          val keptRights = rights.filter(_._1 >= minFutureLeft - horizonMs)
+          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsofBuf(pending, keptRights))
+            val flushAt =
+              if (pending.nonEmpty) pending.map(_._1).min
+              else keptRights.map(_._1).max + horizonMs
+            state.setTimeoutTimestamp(math.max(flushAt, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   def dedupNearDupStream(docs: DataFrame, eventTimeCol: String, delay: String,
                          textCol: String = "text"): DataFrame =
     docs

@@ -155,6 +155,46 @@ class StreamOpsSpec extends SparkTestBase {
     assert(rows == Set(("7", 1L)))
   }
 
+  test("asofJoinStream matches each left to the latest in-horizon right, final on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Long, Timestamp, Double)]
+    val rights = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.asofJoinStream(
+      lefts.toDF().toDF("key", "eventTime", "v"),
+      rights.toDF().toDF("key", "eventTime", "rv"),
+      horizonMs = 60000L, watermarkDelay = "10 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    // right arrives AFTER the left that must match it — the watermark
+    // hold is what makes this correct
+    lefts.addData(
+      (1L, t("2024-01-01 00:00:05"), 1.0),
+      (1L, t("2024-01-01 00:00:12"), 2.0),
+      (1L, t("2024-01-01 00:02:00"), 3.0)) // no right within 60 s -> None
+    rights.addData(
+      (1L, t("2024-01-01 00:00:00"), 10.0),
+      (1L, t("2024-01-01 00:00:10"), 20.0))
+    q.processAllAvailable()
+    // the watermark after batch 1 (00:02:00 - 10 s) finalizes the
+    // first two lefts in the follow-up batch processAllAvailable
+    // drains; the 00:02:00 left is still held as pending
+    assert(spark.table("asof_stream").count() == 2)
+    // push the watermark past the third left (03:00 - 10 s): it
+    // flushes via the event-time timeout path with NO match
+    rights.addData((99L, t("2024-01-01 00:03:00"), 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("asof_stream")
+      .select(col("key"), col("ts").cast("string"), col("v"), col("rts").cast("string"), col("rv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getString(3)), Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, "2024-01-01 00:00:05", 1.0, Some("2024-01-01 00:00:00"), Some(10.0)),
+      (1L, "2024-01-01 00:00:12", 2.0, Some("2024-01-01 00:00:10"), Some(20.0)),
+      (1L, "2024-01-01 00:02:00", 3.0, None, None)), rows.toString)
+  }
+
   test("sessionize merges events within the gap and closes idle sessions on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
