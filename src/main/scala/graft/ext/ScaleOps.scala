@@ -147,11 +147,52 @@ object ScaleOps {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Interval-concurrency by SWEEP LINE with a DISTRIBUTED prefix
+    * sum: how many orders are open on each calendar day (each order
+    * stays open `o_orderkey % 30` days — a deterministic synthetic
+    * duration). Each interval becomes two delta events (+1 at start,
+    * −1 past end); per-day nets aggregate once; the running total is
+    * computed scalably: an in-month cumulative window PARTITIONED by
+    * month plus a broadcast join of prior-month offsets — the only
+    * unpartitioned window runs over month totals (bounded by the
+    * calendar, thousands of rows at any corpus size), never over the
+    * data. This is the O(n log n) alternative to the naive
+    * point-in-interval range join (cf. [[graft.plans.BinnedRangeJoin]]
+    * when both sides are materialized tables), and the
+    * two-level-prefix-sum shape is the general recipe for any global
+    * cumulative at 100 TB.
+    */
+  def qOpenIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(s, dir, "orders")
+      .select(to_date($"o_orderdate").as("sd"),
+        ($"o_orderkey" % 30).cast("int").as("len"))
+    val net = o
+      .select(explode(array(
+        struct($"sd".as("d"), lit(1L).as("delta")),
+        struct(date_add($"sd", $"len" + lit(1)).as("d"), lit(-1L).as("delta")))).as("e"))
+      .select($"e.d".as("d"), $"e.delta".as("delta"))
+      .groupBy($"d").agg(sum($"delta").as("net"))
+      .withColumn("m", trunc($"d", "mm"))
+    val inMonth = net
+      .withColumn("cum_in", sum($"net").over(Window.partitionBy($"m").orderBy($"d")))
+    val offsets = net.groupBy($"m").agg(sum($"net").as("mt"))
+      .select($"m", coalesce(
+        sum($"mt").over(Window.orderBy($"m")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    inMonth.join(broadcast(offsets), "m")
+      .select($"d", $"net".cast("long").as("net"),
+        ($"cum_in" + $"off").cast("long").as("open"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_bloom_new_docs" -> (qBloomNewDocs _),
+    "q_open_intervals" -> (qOpenIntervals _),
   )
 
   /** q_approx_stats stays rows-only (sketch internals are
@@ -159,6 +200,18 @@ object ScaleOps {
     * exact and matches plain SQL.
     */
   val oracle: Map[String, String] = Map(
+    "q_open_intervals" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS sd,
+        |    CAST(o_orderkey % 30 AS INT) AS len
+        |  FROM orders),
+        |ev AS (
+        |  SELECT sd AS d, 1 AS delta FROM o
+        |  UNION ALL
+        |  SELECT sd + (len + 1), -1 FROM o),
+        |net AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM ev GROUP BY d)
+        |SELECT d, net, CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS open
+        |FROM net ORDER BY d""".stripMargin,
     "q_bloom_new_docs" ->
       """WITH f AS (
         |  SELECT doc_id, source, md5(trim(text)) AS fingerprint,

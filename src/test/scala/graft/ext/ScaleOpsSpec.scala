@@ -66,4 +66,20 @@ class ScaleOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
     assert(salted == direct)
   }
+
+  test("open-intervals two-level prefix sum equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val out = ScaleOps.qOpenIntervals(spark, dir).cache()
+    // reference: plain unpartitioned running total over the same nets
+    val naive = out.select(col("d"), col("net"))
+      .withColumn("open_ref", sum(col("net")).over(Window.orderBy(col("d"))).cast("long"))
+    val joined = out.join(naive.select(col("d"), col("open_ref")), "d")
+    assert(joined.where(col("open") =!= col("open_ref")).isEmpty,
+      "distributed prefix sum diverged from the naive cumsum")
+    // every +1 has a matching -1: concurrency closes at zero and never dips below
+    val rows = out.orderBy(col("d")).collect()
+    assert(rows.last.getAs[Long]("open") == 0L, "intervals did not all close")
+    assert(rows.forall(_.getAs[Long]("open") >= 0L), "negative concurrency")
+    out.unpersist()
+  }
 }
