@@ -168,6 +168,9 @@ object ScaleOps {
     val o = Tables.load(s, dir, "orders")
       .select(to_date($"o_orderdate").as("sd"),
         ($"o_orderkey" % 30).cast("int").as("len"))
+    // both the in-month window and the month totals consume the
+    // per-day nets — checkpoint them once (lazy; see
+    // MinHashDedup's doc-set table for the pattern rationale)
     val net = o
       .select(explode(array(
         struct($"sd".as("d"), lit(1L).as("delta")),
@@ -175,6 +178,7 @@ object ScaleOps {
       .select($"e.d".as("d"), $"e.delta".as("delta"))
       .groupBy($"d").agg(sum($"delta").as("net"))
       .withColumn("m", trunc($"d", "mm"))
+      .localCheckpoint(false)
     val inMonth = net
       .withColumn("cum_in", sum($"net").over(Window.partitionBy($"m").orderBy($"d")))
     val offsets = net.groupBy($"m").agg(sum($"net").as("mt"))
