@@ -203,6 +203,34 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Exact per-group quartiles by SORT POSITION (generalizing
+    * [[qMedianValue]]): the rows at rank ⌈k·n/4⌉, k ∈ {1,2,3}, under
+    * a total (value, event_id) order — no interpolation, so the
+    * result is an actual data point and engine-independent. One
+    * shuffle (the per-group rank window; the count piggybacks on the
+    * same partitioning). When positions coincide (tiny groups) the
+    * row reports its SMALLEST quartile index — mirrored by the
+    * oracle's CASE chain. The approximate counterpart at 100 TB is
+    * `approx_percentile` ([[graft.ext.ScaleOps.qApproxStats]]); this
+    * is the exact backfill/audit path.
+    */
+  def qGroupQuartiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    ev(s, dir)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .withColumn("q",
+        when($"rn" === expr("(n + 3) div 4"), 1L)
+          .when($"rn" === expr("(n + 1) div 2"), 2L)
+          .when($"rn" === expr("(3 * n + 3) div 4"), 3L))
+      .where($"q".isNotNull)
+      .select($"event_type", $"q", $"value".as("q_value"), $"n")
+      .orderBy($"event_type", $"q")
+  }
+
   /** Funnel / sequence analytics: per user, did a click follow the
     * FIRST view, and a purchase follow that first qualifying click
     * (strict event-time ordering)? The canonical conversion-funnel
@@ -238,6 +266,7 @@ object EventQueries {
     "q_sessionize" -> (qSessionize _),
     "q_histogram" -> (qHistogram _),
     "q_median_value" -> (qMedianValue _),
+    "q_group_quartiles" -> (qGroupQuartiles _),
     "q_flatten_project" -> (qFlattenProject _),
     "q_filter_day" -> (qFilterDay _),
     "q_dedup_first_event" -> (qDedupFirstEvent _),
@@ -282,6 +311,20 @@ object EventQueries {
         |SELECT event_type, value AS median_value, CAST(n AS BIGINT) AS n
         |FROM r WHERE rn = (n + 1) // 2
         |ORDER BY event_type""".stripMargin,
+    "q_group_quartiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(CASE WHEN rn = (n + 3) // 4 THEN 1
+        |            WHEN rn = (n + 1) // 2 THEN 2
+        |            ELSE 3 END AS BIGINT) AS q,
+        |  value AS q_value, n
+        |FROM r
+        |WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 3) // 4
+        |ORDER BY event_type, q""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec FROM events),
