@@ -164,24 +164,6 @@ object StreamOps {
       }
   }
 
-  /** Streaming fingerprint-level dedup of a document stream: map-side
-    * SimHash ([[graft.ext.MinHashDedup.simhashCol]] — zero extra
-    * shuffles) + watermarked one-per-fingerprint dedup. Catches exact
-    * and token-multiset-identical duplicates in flight with bounded
-    * state; true NEAR-dup pairs (hamming ≤ k) need the banded batch
-    * path (`qSimhashPairs`) — banding is a self-join, which streaming
-    * state cannot express cheaply, so the stream filter removes the
-    * exact-fingerprint mass and the periodic batch job sweeps the
-    * rest (the standard split at 100 TB).
-    *
-    * Semantics: exactly ONE doc per fingerprint per watermark horizon
-    * survives; WHICH doc is batch-internal arrival order, so a
-    * micro-batch replay may emit a different representative — key
-    * downstream sinks on the fingerprint, not the doc id, if replay
-    * identity matters. The watermark is set BEFORE the token filter:
-    * token-less docs still advance event time, otherwise a run of
-    * blank documents would stall state eviction.
-    */
   case class AsofEvent(key: Long, eventTime: Timestamp, isLeft: Boolean, v: Double)
   case class AsofBuf(lefts: Seq[(Long, Double)], rights: Seq[(Long, Double)])
   case class AsofMatch(key: Long, ts: Timestamp, v: Double,
@@ -254,6 +236,24 @@ object StreamOps {
       }
   }
 
+  /** Streaming fingerprint-level dedup of a document stream: map-side
+    * SimHash ([[graft.ext.MinHashDedup.simhashCol]] — zero extra
+    * shuffles) + watermarked one-per-fingerprint dedup. Catches exact
+    * and token-multiset-identical duplicates in flight with bounded
+    * state; true NEAR-dup pairs (hamming ≤ k) need the banded batch
+    * path (`qSimhashPairs`) — banding is a self-join, which streaming
+    * state cannot express cheaply, so the stream filter removes the
+    * exact-fingerprint mass and the periodic batch job sweeps the
+    * rest (the standard split at 100 TB).
+    *
+    * Semantics: exactly ONE doc per fingerprint per watermark horizon
+    * survives; WHICH doc is batch-internal arrival order, so a
+    * micro-batch replay may emit a different representative — key
+    * downstream sinks on the fingerprint, not the doc id, if replay
+    * identity matters. The watermark is set BEFORE the token filter:
+    * token-less docs still advance event time, otherwise a run of
+    * blank documents would stall state eviction.
+    */
   def dedupNearDupStream(docs: DataFrame, eventTimeCol: String, delay: String,
                          textCol: String = "text"): DataFrame =
     docs
