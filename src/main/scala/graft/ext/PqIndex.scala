@@ -196,6 +196,55 @@ object PqIndex {
     adcShortlistRerank(emb, pruned, trainedCodebooks(emb, dir), query)
   }
 
+  /** MATERIALIZE the PQ index — the production layout the on-the-fly
+    * demos reference: one row per vector holding its coarse cell and
+    * m-int code, written `partitionBy(cell)`. Encoding is a single
+    * map-side projection (two [[NearestCell]] families over the same
+    * scan); the write is the one-time cost that buys every subsequent
+    * query a scan of m ints instead of 64 floats, with nProbe cell
+    * pruning becoming partition pruning on disk.
+    */
+  def writeIndex(s: SparkSession, dir: String, targetDir: String): Unit = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val codebooks = trainedCodebooks(emb, dir)
+    val centroids = IvfIndex.trainedCentroids(s, dir)
+    emb.select($"vec_id",
+        IvfIndex.assignCell($"embedding", centroids).as("cell"),
+        encodeExpr($"embedding", codebooks).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(targetDir)
+  }
+
+  /** ADC+R over the MATERIALIZED index: stage 1 scans only the probed
+    * cell partitions of the code table (never the float vectors —
+    * `ReadSchema` is (vec_id, code), asserted in PqSpec); stage 2
+    * re-ranks the broadcast shortlist against the full table exactly
+    * as the on-the-fly form. Same cached codebooks/centroids as
+    * [[qAnnIvfPq]], so the two paths return identical neighbors.
+    */
+  def qAnnPqIndexed(s: SparkSession, dir: String, indexDir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val codebooks = trainedCodebooks(emb, dir)
+    val centroids = IvfIndex.trainedCentroids(s, dir)
+    val query = queryVec(emb)
+    val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe = 8)
+    val table = adcTable(query, codebooks)
+    val shortlist = s.read.parquet(indexDir)
+      .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
+      .select($"vec_id", PqAdcScore($"code", table).as("adc_dist"))
+      .orderBy($"adc_dist".asc, $"vec_id")
+      .limit(100)
+    val qlit = array(query.map(x => lit(x.toDouble)).toIndexedSeq: _*)
+    val exactDist = aggregate(
+      zip_with($"embedding", qlit, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    emb.join(broadcast(shortlist), "vec_id")
+      .select($"vec_id", exactDist.as("dist"), $"adc_dist")
+      .orderBy($"dist".asc_nulls_last, $"vec_id")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),

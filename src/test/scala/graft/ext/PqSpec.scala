@@ -57,4 +57,45 @@ class PqSpec extends SparkTestBase {
     // random vectors are PQ's worst case), margin for codebook drift
     assert(recall >= 0.6, s"PQ recall too low: $recall")
   }
+
+  test("materialized PQ index returns the on-the-fly IVF+PQ answer from a floats-free pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = tmpDir("pq-index")
+    PqIndex.writeIndex(spark, dir, indexDir)
+    // physically partitioned by coarse cell
+    val cellDirs = new java.io.File(indexDir).listFiles().map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "index not partitioned by cell")
+    val indexed = PqIndex.qAnnPqIndexed(spark, dir, indexDir)
+    // stage-1 scan of the index reads codes, never the float vectors,
+    // and the cell predicate prunes partitions
+    // walk through AdaptiveSparkPlanExec/subqueries (plain collect
+    // does not descend into the adaptive wrapper)
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.initialPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("pq-index")) =>
+          found += f
+        case _ =>
+      }
+      n.children.foreach(walk)
+      n.subqueries.foreach(walk)
+    }
+    walk(indexed.queryExecution.executedPlan)
+    val scans = found.toSeq
+    assert(scans.nonEmpty, "no scan over the materialized index found")
+    scans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.contains("code") && !cols.contains("embedding"),
+        s"index scan reads $cols — the 32x I/O win requires codes only")
+      assert(f.partitionFilters.nonEmpty, "cell probe did not become a partition filter")
+    }
+    // same cached codebooks + centroids -> identical neighbors
+    val a = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = PqIndex.qAnnIvfPq(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, s"materialized path diverged:\n$a\nvs\n$b")
+  }
 }
