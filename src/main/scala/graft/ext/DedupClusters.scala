@@ -185,25 +185,7 @@ object DedupClusters {
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE ${Similarity.quantCtes},
-         |pair AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id),
-         |dot AS (
-         |  SELECT p.vec_a, p.vec_b, CAST(SUM(x.v * y.v) AS BIGINT) AS d
-         |  FROM pair p JOIN qn x ON x.vec_id = p.vec_a
-         |              JOIN qn y ON y.vec_id = p.vec_b AND y.i = x.i
-         |  GROUP BY p.vec_a, p.vec_b),
-         |dup AS (
-         |  SELECT * FROM (
-         |    SELECT dot.vec_a, dot.vec_b,
-         |      CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
-         |           ELSE CAST(floor(CAST(d AS DOUBLE) /
-         |                  sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
-         |                AS BIGINT) END AS cosq
-         |    FROM dot JOIN nrm na ON dot.vec_a = na.vec_id
-         |             JOIN nrm nb ON dot.vec_b = nb.vec_id)
-         |  WHERE cosq >= 4000),
+         |${Similarity.dupPairsSql},
          |edges AS (
          |  SELECT vec_a AS x, vec_b AS y FROM dup
          |  UNION SELECT vec_b, vec_a FROM dup

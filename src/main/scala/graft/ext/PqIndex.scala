@@ -161,6 +161,17 @@ object PqIndex {
         PqAdcScore(encodeExpr($"embedding", codebooks), table).as("adc_dist"))
       .orderBy($"adc_dist".asc, $"vec_id")
       .limit(100)
+    exactRerank(emb, shortlist, query)
+  }
+
+  /** Stage 2 of ADC+R, shared by the on-the-fly and materialized
+    * paths — ONE definition so they can never diverge (the identity
+    * of the two paths is asserted in PqSpec).
+    */
+  private def exactRerank(emb: DataFrame, shortlist: DataFrame,
+                          query: Array[Float]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val qlit = array(query.map(x => lit(x.toDouble)).toIndexedSeq: _*)
     val exactDist = aggregate(
       zip_with($"embedding", qlit, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -235,14 +246,7 @@ object PqIndex {
       .select($"vec_id", PqAdcScore($"code", table).as("adc_dist"))
       .orderBy($"adc_dist".asc, $"vec_id")
       .limit(100)
-    val qlit = array(query.map(x => lit(x.toDouble)).toIndexedSeq: _*)
-    val exactDist = aggregate(
-      zip_with($"embedding", qlit, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0d), (acc, v) => acc + v)
-    emb.join(broadcast(shortlist), "vec_id")
-      .select($"vec_id", exactDist.as("dist"), $"adc_dist")
-      .orderBy($"dist".asc_nulls_last, $"vec_id")
-      .limit(10)
+    exactRerank(emb, shortlist, query)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

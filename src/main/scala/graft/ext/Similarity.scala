@@ -201,6 +201,34 @@ object Similarity {
       |        FROM embeddings)),
       |nrm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qn GROUP BY vec_id)""".stripMargin
 
+  /** Label-blocked near-duplicate pair CTEs (pair → integer dot →
+    * quantized-cosine CASE → threshold 4000), yielding `dup(vec_a,
+    * vec_b, cosq)`. ONE definition shared by the q_cosine_dups and
+    * q_semantic_dedup oracles — the Spark side already shares
+    * [[qCosineDups]], so the SQL mirror must not be able to drift
+    * either. Requires [[quantCtes]] in the same WITH clause.
+    */
+  private[ext] val dupPairsSql: String =
+    """pair AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |dot AS (
+      |  SELECT p.vec_a, p.vec_b, CAST(SUM(x.v * y.v) AS BIGINT) AS d
+      |  FROM pair p JOIN qn x ON x.vec_id = p.vec_a
+      |              JOIN qn y ON y.vec_id = p.vec_b AND y.i = x.i
+      |  GROUP BY p.vec_a, p.vec_b),
+      |dup AS (
+      |  SELECT * FROM (
+      |    SELECT dot.vec_a, dot.vec_b,
+      |      CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
+      |           ELSE CAST(floor(CAST(d AS DOUBLE) /
+      |                  sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
+      |                AS BIGINT) END AS cosq
+      |    FROM dot JOIN nrm na ON dot.vec_a = na.vec_id
+      |             JOIN nrm nb ON dot.vec_b = nb.vec_id)
+      |  WHERE cosq >= 4000)""".stripMargin
+
   /** q_ann_lsh intentionally absent → driver records rows-only check. */
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
@@ -219,24 +247,8 @@ object Similarity {
          |ORDER BY cosq DESC, dot.vec_id LIMIT 10""".stripMargin,
     "q_cosine_dups" ->
       s"""WITH $quantCtes,
-         |pair AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id),
-         |dot AS (
-         |  SELECT p.vec_a, p.vec_b, CAST(SUM(x.v * y.v) AS BIGINT) AS d
-         |  FROM pair p JOIN qn x ON x.vec_id = p.vec_a
-         |              JOIN qn y ON y.vec_id = p.vec_b AND y.i = x.i
-         |  GROUP BY p.vec_a, p.vec_b)
-         |SELECT * FROM (
-         |  SELECT dot.vec_a, dot.vec_b,
-         |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
-         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
-         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
-         |              AS BIGINT) END AS cosq
-         |  FROM dot JOIN nrm na ON dot.vec_a = na.vec_id
-         |           JOIN nrm nb ON dot.vec_b = nb.vec_id)
-         |WHERE cosq >= 4000
+         |$dupPairsSql
+         |SELECT vec_a, vec_b, cosq FROM dup
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_knn_join" ->
       s"""WITH $quantCtes,

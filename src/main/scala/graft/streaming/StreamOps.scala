@@ -184,7 +184,7 @@ object StreamOps {
     * as the batch operator, with GroupState as the frontier): state
     * holds the not-yet-ripe lefts plus only the rights still inside
     * some future left's horizon — rights older than
-    * `min(pending, watermark) - horizonMs` can never match again and
+    * `watermark - horizonMs` can never match again and
     * are pruned every invocation, so state is bounded by the horizon
     * × arrival rate per key, not the stream length. An event-time
     * timeout flushes ripe lefts (and eventually removes idle keys)
@@ -212,7 +212,11 @@ object StreamOps {
             if (e.isLeft) lefts +:= ((e.eventTime.getTime, e.v))
             else rights +:= ((e.eventTime.getTime, e.v))
           }
-          val (ripe, pending) = lefts.partition(_._1 <= wm)
+          // STRICTLY below the watermark: Spark's late filter drops
+          // only eventTime < watermark, so a right with rts == wm can
+          // still arrive in a later batch — a left at ts == wm is not
+          // final yet (it flushes once the watermark passes it)
+          val (ripe, pending) = lefts.partition(_._1 < wm)
           // deterministic emission order within the batch
           val out = ripe.sortBy(identity).map { case (ts, v) =>
             val candidates = rights.filter(r => r._1 <= ts && ts - r._1 <= horizonMs)
@@ -220,10 +224,10 @@ object StreamOps {
             AsofMatch(key, new Timestamp(ts), v,
               best.map(b => new Timestamp(b._1)), best.map(_._2))
           }
-          // a future left (pending, or arriving later with ts >= wm)
-          // can only reach rights inside its horizon
-          val minFutureLeft = (pending.map(_._1) :+ wm).min
-          val keptRights = rights.filter(_._1 >= minFutureLeft - horizonMs)
+          // every future left — pending or later-arriving — has
+          // ts >= wm (rows below the watermark are dropped by the
+          // late filter), so rights below wm - horizon never match again
+          val keptRights = rights.filter(_._1 >= wm - horizonMs)
           if (pending.isEmpty && keptRights.isEmpty) state.remove()
           else {
             state.update(AsofBuf(pending, keptRights))
