@@ -83,9 +83,14 @@ object MinHashDedup {
       .where(col("common") * lit(thresholdDen) >= col("union_sz") * lit(thresholdNum))
       .select(col("doc_a"), col("doc_b"), col("common"), col("union_sz"))
 
-  /** End-to-end MinHash-LSH near-dup query (rows-only check — xxhash64
-    * has no oracle-dialect equivalent; correctness is covered by the
-    * MinHashSpec recall test against the exact q_ngram_jaccard).
+  /** End-to-end MinHash-LSH near-dup query. Oracle-checked: the
+    * verified output is exactly the Jaccard≥1/2 pair set whenever LSH
+    * recall is 1.0 (asserted on this corpus in DedupSpec at both gate
+    * SFs), and the verify stage computes (common, union_sz) over the
+    * 64-bit shingle-hash sets, which equal the distinct-shingle counts
+    * barring xxhash64 collisions (~n²/2⁶⁵ — none on this data, and any
+    * collision would fail the equality assert). So the DuckDB oracle is
+    * the same exact-Jaccard SQL as q_ngram_jaccard.
     */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     // ds feeds the signature pass and both verify joins — checkpoint
@@ -99,12 +104,21 @@ object MinHashDedup {
     verifiedPairs(ds, cand).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 60-bit token hash: the first 15 hex chars of md5(utf-8 bytes).
+    * md5 (unlike xxhash64) exists in every SQL dialect, so fingerprints
+    * built from it are cross-engine reproducible — that is what lets
+    * q_simhash_pairs carry a DuckDB oracle. 60 bits keep the conv()
+    * parse inside a signed long on both engines.
+    */
+  private[ext] def tokenHash60(t: Column): Column =
+    conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+
   /** The SimHash fingerprint as a single Column over a token-array
-    * column: 64-bit, bit j set iff Σ_tokens ±tf > 0 (sign of the j-th
-    * bit of xxhash64(token), weighted by term frequency). Computed
-    * entirely MAP-SIDE: summing ±1 per token OCCURRENCE equals
-    * summing ±tf per distinct token, so no (doc, token) tf aggregate
-    * is needed at all — hash each occurrence and fold to 64 bits with
+    * column: 60-bit, bit j set iff Σ_tokens ±tf > 0 (sign of the j-th
+    * bit of [[tokenHash60]](token), weighted by term frequency).
+    * Computed entirely MAP-SIDE: summing ±1 per token OCCURRENCE
+    * equals summing ±tf per distinct token, so no (doc, token) tf
+    * aggregate is needed at all — hash each occurrence and fold with
     * the codegen'd [[graft.functions.SimHashFold]] in one projection,
     * zero shuffles. Shared by the batch pair-mining path and the
     * streaming dedup filter
@@ -112,7 +126,7 @@ object MinHashDedup {
     */
   def simhashCol(toks: Column): Column =
     graft.functions.SimHashFold(
-      transform(toks, t => struct(xxhash64(t).as("th"), lit(1L).as("tf"))))
+      transform(toks, t => struct(tokenHash60(t).as("th"), lit(1L).as("tf"))))
 
   /** Per-doc fingerprints over a `text` column — see [[simhashCol]]. */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -124,16 +138,24 @@ object MinHashDedup {
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), simhashCol(col("toks")).as("simhash"))
 
-  /** Near-dup pairs by SimHash: 4×16-bit band join, verify Hamming
-    * distance ≤ maxHamming via bit_count(xor).
+  /** Near-dup pairs by SimHash: 4×15-bit band join, verify Hamming
+    * distance ≤ maxHamming via bit_count(xor). With maxHamming < 4
+    * (the band count) recall is STRUCTURAL, not probabilistic: ≤3
+    * differing bits can dirty at most 3 of the 4 bands, so every
+    * qualifying pair shares a clean band (pigeonhole) — the banded
+    * output provably equals the all-pairs hamming filter, which is
+    * what the DuckDB oracle computes (md5-bit fingerprints are
+    * dialect-reproducible, see [[tokenHash60]]).
     */
-  def qSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+  def qSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"maxHamming=$maxHamming >= 4 bands breaks the structural recall guarantee")
     val fp = simhash(Tables.load(s, dir, "documents"))
-    // band the 64-bit fingerprint into 4×16-bit chunks; per-chunk
+    // band the 60-bit fingerprint into 4×15-bit chunks; per-chunk
     // bucket pair expansion (no self-join), then exact hamming verify
     fp.select(struct(col("doc_id"), col("simhash")).as("d"),
         explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("chunk", expr("(d.simhash >> (band * 16)) & 65535"))
+      .withColumn("chunk", expr("(d.simhash >> (band * 15)) & 32767"))
       .groupBy(col("band"), col("chunk"))
       .agg(array_sort(collect_list(col("d"))).as("ds"))
       .where(size(col("ds")) > 1)
@@ -152,5 +174,41 @@ object MinHashDedup {
     "q_simhash_pairs" -> ((s, d) => qSimhashPairs(s, d)),
   )
 
-  val oracle: Map[String, String] = Map.empty // rows-only by design
+  /** The all-pairs hamming≤3 filter over md5-bit SimHash fingerprints
+    * — structurally equal to the banded Spark output (see
+    * [[qSimhashPairs]]). The hex→int fold uses integer shifts, not
+    * power() (16¹⁴ > 2⁵³ loses doubles precision).
+    */
+  private val simhashOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |dt AS (SELECT DISTINCT t FROM toks),
+      |hv AS (
+      |  SELECT t, CAST(SUM(CAST(strpos('0123456789abcdef', substring(md5(t), p, 1)) - 1 AS BIGINT)
+      |                   << (4 * (15 - p))) AS BIGINT) AS hv
+      |  FROM dt, (SELECT unnest(range(1, 16)) AS p)
+      |  GROUP BY t),
+      |bs AS (
+      |  SELECT o.doc_id, b.bit,
+      |    SUM(CASE WHEN ((h.hv >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM toks o JOIN hv h ON o.t = h.t
+      |  CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+      |  GROUP BY o.doc_id, b.bit),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS fp
+      |  FROM bs GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // recall-1.0 LSH (asserted in DedupSpec) + exact verify ⇒ the
+    // output IS the exact-Jaccard pair set — same SQL as q_ngram_jaccard
+    "q_minhash_pairs" -> TextAnalysis.ngramJaccardOracleSql,
+    "q_simhash_pairs" -> simhashOracleSql,
+  )
 }

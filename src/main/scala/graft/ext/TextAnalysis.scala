@@ -466,7 +466,10 @@ object TextAnalysis {
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
   )
 
-  private val ngramJaccardOracleSql: String =
+  // shared with MinHashDedup: the LSH path's verified output is the
+  // SAME exact-Jaccard pair set (recall 1.0 asserted in DedupSpec), so
+  // it is checked against the same SQL
+  private[ext] val ngramJaccardOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents),

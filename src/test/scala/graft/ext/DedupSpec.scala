@@ -8,15 +8,32 @@ class DedupSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("MinHash-LSH pairs are a subset of exact Jaccard>=0.5 pairs with high recall") {
-    val exact = TextAnalysis.qNgramJaccard(spark, dir)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = MinHashDedup.qMinhashPairs(spark, dir)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // precision is exact by construction (candidates are re-verified)
-    assert(lsh.subsetOf(exact))
-    // recall: with k=32, b=16, r=2 a j>=0.5 pair is missed w.p. <= (1-0.25)^16 ~ 1%
-    if (exact.nonEmpty) assert(lsh.size >= (exact.size * 0.8).toInt, s"recall too low: ${lsh.size}/${exact.size}")
+  test("MinHash-LSH output EQUALS the exact Jaccard>=0.5 pair set (recall 1.0) at both gate SFs") {
+    // precision is exact by construction (candidates are re-verified);
+    // recall 1.0 on this corpus is what licenses the shared DuckDB
+    // oracle (a j>=0.5 pair escapes b=16,r=2 w.p. <= (1-0.25)^16 ~ 1%
+    // per pair — zero escapes here, and the pipeline is deterministic,
+    // so equality observed at these SFs holds at the driver's gate too)
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val exact = TextAnalysis.qNgramJaccard(spark, d).collect().map(_.toSeq).toSet
+      val lsh = MinHashDedup.qMinhashPairs(spark, d).collect().map(_.toSeq).toSet
+      assert(exact.nonEmpty)
+      assert(lsh == exact, s"LSH vs exact diverged at $d: ${lsh.size} vs ${exact.size} pairs")
+    }
+  }
+
+  test("SimHash banded pairs EQUAL the all-pairs hamming<=3 filter (structural recall)") {
+    import spark.implicits._
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val fp = MinHashDedup.simhash(graft.core.Tables.load(spark, d, "documents"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val brute = (for {
+        (a, fa) <- fp; (b, fb) <- fp if a < b
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+      } yield Seq(a, b, h.toLong)).toSet
+      val banded = MinHashDedup.qSimhashPairs(spark, d).collect().map(_.toSeq).toSet
+      assert(banded == brute, s"banded vs brute diverged at $d: ${banded.size} vs ${brute.size}")
+    }
   }
 
   test("prefix-filtered Jaccard join returns exactly the plain inverted-index result") {
