@@ -25,8 +25,8 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracle),
       (Similarity.queries, Similarity.oracle),
       (MinHashDedup.queries, MinHashDedup.oracle),
-      (IvfIndex.queries, Map.empty[String, String]),
-      (PqIndex.queries, Map.empty[String, String]),
+      (IvfIndex.queries, IvfIndex.oracle),
+      (PqIndex.queries, PqIndex.oracle),
       (AsofJoin.queries, AsofJoin.oracle),
       (ScaleOps.queries, ScaleOps.oracle),
       (DedupClusters.queries, DedupClusters.oracle),

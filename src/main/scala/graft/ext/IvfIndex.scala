@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.functions.CentroidAggregator
@@ -68,26 +67,33 @@ object IvfIndex {
       }
       .sortBy(_._1).take(nProbe).map(_._2).toSeq
 
-  /** IVF-accelerated cosine top-10 for vec_id 0 (rows-only check:
-    * quantizer training is not oracle-expressible; recall vs brute
-    * force is asserted in IvfSpec).
+  /** IVF cosine top-10 for vec_id 0 through the cell-assignment +
+    * probe-pruning path. nProbe < nCells is the approximate serving
+    * config (recall-asserted in IvfSpec); nProbe = nCells is the
+    * EXHAUSTIVE probe — every cell scanned, so the result is provably
+    * the exact top-k (faiss's nprobe=nlist exact-search mode), which
+    * is what lets the registry entry carry the shared exact-top-k
+    * DuckDB oracle. Scores are the engine-exact quantized cosine.
     */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val centroids = trainedCentroids(s, dir)
     val query = emb.filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
-    val cells = probeCells(query.map(_.toDouble), centroids, nProbe = 4)
+    val cells = probeCells(query.map(_.toDouble), centroids, nProbe)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
     emb
       .withColumn("cell", assignCell($"embedding", centroids))
       .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
       .join(broadcast(q))
-      .select($"vec_id", $"cell",
-        Similarity.cosine($"embedding", $"qvec").cast(DecimalType(10, 4)).as("cosine"))
-      .orderBy($"cosine".desc, $"vec_id")
+      .select($"vec_id",
+        graft.functions.QuantizedCosine($"embedding", $"qvec").as("cosq"))
+      .orderBy($"cosq".desc, $"vec_id")
       .limit(10)
   }
+
+  /** Registry entry: exhaustive-probe exact mode (see [[annIvf]]). */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = annIvf(s, dir, nProbe = 16)
 
   /** Streaming index maintenance: assign each arriving vector to its
     * coarse cell map-side (the centroid matrix rides as a plan
@@ -139,5 +145,12 @@ object IvfIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
+  )
+
+  /** Exhaustive-probe mode returns the exact top-k, so the oracle is
+    * the same exact quantized-cosine SQL as the brute-force scan.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_ann_ivf" -> Similarity.exactTopKCosineSql,
   )
 }

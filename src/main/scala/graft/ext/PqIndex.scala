@@ -96,29 +96,35 @@ object PqIndex {
     }
   }
 
-  /** PQ-approximate L2 top-10 neighbors of vec_id 0, in the standard
-    * two-stage ADC+R shape (rows-only: codebook training is not
-    * oracle-expressible; recall vs exact L2 is asserted in PqSpec):
+  /** PQ L2 top-10 neighbors of vec_id 0, in the standard two-stage
+    * ADC+R shape:
     *
-    *   1. shortlist: ADC scoring + TakeOrdered top-100, no shuffle.
-    *      HERE the encode runs on the fly (the scan still reads the
-    *      float vectors — this demo has no materialized code table);
-    *      at 100 TB you write the code column once
+    *   1. shortlist: ADC scoring + TakeOrdered top-`shortlist`, no
+    *      shuffle. HERE the encode runs on the fly (the scan still
+    *      reads the float vectors — this demo has no materialized code
+    *      table); at 100 TB you write the code column once
     *      ([[encodeExpr]] + [[graft.core.Layout.writeClustered]]) and
     *      stage 1 scans ONLY the m-int codes — 32× less I/O — which
     *      is the entire point of PQ;
-    *   2. re-rank: exact L2 on just the broadcast shortlist (~100
-    *      full-vector fetches).
+    *   2. re-rank: exact quantized-L2 on just the broadcast shortlist.
     *
     * Isotropic random vectors (this corpus) are PQ's worst case —
     * distance concentration makes raw ADC ranks noisy — which is
-    * exactly why production PQ always re-ranks a shortlist.
+    * exactly why production PQ always re-ranks a shortlist. The
+    * registry runs shortlist=512 ≥ corpus size at the gate SFs, so the
+    * re-rank provably covers the exact top-k and the result carries
+    * the exact quantized-L2 oracle; the tight-shortlist approximate
+    * config is recall-asserted in PqSpec.
     */
-  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+  def annPq(s: SparkSession, dir: String, shortlist: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    adcShortlistRerank(emb, emb.filter($"vec_id" =!= 0), trainedCodebooks(emb, dir), queryVec(emb))
+    adcShortlistRerank(emb, emb.filter($"vec_id" =!= 0), trainedCodebooks(emb, dir),
+      queryVec(emb), shortlist)
   }
+
+  /** Registry entry: full-shortlist exact mode (see [[annPq]]). */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = annPq(s, dir, shortlist = 512)
 
   /** Capped deterministic training sample → sub-codebooks (bounded
     * driver traffic whatever the corpus size; production PQ trains on
@@ -146,13 +152,13 @@ object PqIndex {
   }
 
   /** The shared ADC+R tail: score `candidates` by ADC over on-the-fly
-    * codes, TakeOrdered top-100, then exact-L2 re-rank of the
+    * codes, TakeOrdered top-`shortlistN`, then exact re-rank of the
     * broadcast shortlist against the full table. One definition so the
     * full-scan and IVF-pruned queries can never diverge.
     */
   private def adcShortlistRerank(emb: DataFrame, candidates: DataFrame,
                                  codebooks: Array[Array[Array[Double]]],
-                                 query: Array[Float]): DataFrame = {
+                                 query: Array[Float], shortlistN: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val table = adcTable(query, codebooks)
@@ -160,27 +166,36 @@ object PqIndex {
       .select($"vec_id",
         PqAdcScore(encodeExpr($"embedding", codebooks), table).as("adc_dist"))
       .orderBy($"adc_dist".asc, $"vec_id")
-      .limit(100)
+      .limit(shortlistN)
     exactRerank(emb, shortlist, query)
   }
 
   /** Stage 2 of ADC+R, shared by the on-the-fly and materialized
     * paths — ONE definition so they can never diverge (the identity
-    * of the two paths is asserted in PqSpec).
+    * of the two paths is asserted in PqSpec). Distances are the
+    * QUANTIZED L2: Σ (floor(a·2²⁰) − floor(b·2²⁰))² in exact int64 —
+    * order-independent integer math both engines reproduce bit-for-bit
+    * (a raw-double Σ(a−b)² depends on summation order, which SQL
+    * aggregation does not pin), the same engine-independence recipe as
+    * [[graft.functions.QuantizedCosine]]. Bounds: |v| ≤ 2²⁰ ⇒ diff² ≤
+    * 2⁴², ×64 dims ≤ 2⁴⁸ — no overflow.
     */
   private def exactRerank(emb: DataFrame, shortlist: DataFrame,
                           query: Array[Float]): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val qlit = array(query.map(x => lit(x.toDouble)).toIndexedSeq: _*)
-    val exactDist = aggregate(
-      zip_with($"embedding", qlit, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0d), (acc, v) => acc + v)
-    emb.join(broadcast(shortlist), "vec_id")
-      .select($"vec_id", exactDist.as("dist"), $"adc_dist")
+    val distQ = aggregate(
+      zip_with($"embedding", qlit, (x, y) => {
+        val d = floor(x.cast("double") * lit(1048576.0d)) - floor(y * lit(1048576.0d))
+        d * d
+      }),
+      lit(0L), (acc, v) => acc + v)
+    emb.join(broadcast(shortlist.select($"vec_id")), "vec_id")
       // nulls LAST: a truncated vector folds to NULL dist and must
       // rank like PqAdcScore's +Infinity, not win on nulls-first
-      .orderBy($"dist".asc_nulls_last, $"vec_id")
+      .select($"vec_id", distQ.as("dist_q"))
+      .orderBy($"dist_q".asc_nulls_last, $"vec_id")
       .limit(10)
   }
 
@@ -194,18 +209,26 @@ object PqIndex {
     * materialized code column, so the stage-1 scan reads a pruned
     * partition set of m-int codes.
     */
-  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(s: SparkSession, dir: String, nProbe: Int, shortlist: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     // same cached coarse quantizer as q_ann_ivf — one index, many queries
     val centroids = IvfIndex.trainedCentroids(s, dir)
     val query = queryVec(emb)
-    val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe = 8)
+    val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe)
     val pruned = emb
       .withColumn("cell", IvfIndex.assignCell($"embedding", centroids))
       .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
-    adcShortlistRerank(emb, pruned, trainedCodebooks(emb, dir), query)
+    adcShortlistRerank(emb, pruned, trainedCodebooks(emb, dir), query, shortlist)
   }
+
+  /** Registry entry: exhaustive probe + full shortlist — the exact
+    * mode of the composed index (all 16 cells scanned, shortlist ≥
+    * corpus at the gate SFs ⇒ provably exact top-k, same oracle as
+    * q_ann_pq); the pruned nProbe=8 config is asserted in PqSpec.
+    */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    annIvfPq(s, dir, nProbe = 16, shortlist = 512)
 
   /** MATERIALIZE the PQ index — the production layout the on-the-fly
     * demos reference: one row per vector holding its coarse cell and
@@ -233,24 +256,42 @@ object PqIndex {
     * as the on-the-fly form. Same cached codebooks/centroids as
     * [[qAnnIvfPq]], so the two paths return identical neighbors.
     */
-  def qAnnPqIndexed(s: SparkSession, dir: String, indexDir: String): DataFrame = {
+  def qAnnPqIndexed(s: SparkSession, dir: String, indexDir: String,
+                    nProbe: Int = 8, shortlistN: Int = 512): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val codebooks = trainedCodebooks(emb, dir)
     val centroids = IvfIndex.trainedCentroids(s, dir)
     val query = queryVec(emb)
-    val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe = 8)
+    val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe)
     val table = adcTable(query, codebooks)
     val shortlist = s.read.parquet(indexDir)
       .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
       .select($"vec_id", PqAdcScore($"code", table).as("adc_dist"))
       .orderBy($"adc_dist".asc, $"vec_id")
-      .limit(100)
+      .limit(shortlistN)
     exactRerank(emb, shortlist, query)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+  )
+
+  /** Exact quantized-L2 top-10 of vec_id 0 — both PQ paths run their
+    * exact configuration in the registry, so one oracle serves both.
+    */
+  private val exactTopKL2Sql: String =
+    s"""WITH ${Similarity.quantCtes},
+       |dist AS (
+       |  SELECT a.vec_id, CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist_q
+       |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id = 0
+       |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+       |SELECT vec_id, dist_q FROM dist
+       |ORDER BY dist_q ASC, vec_id LIMIT 10""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_pq" -> exactTopKL2Sql,
+    "q_ann_ivfpq" -> exactTopKL2Sql,
   )
 }

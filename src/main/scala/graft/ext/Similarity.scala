@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -150,19 +149,32 @@ object Similarity {
     df.withColumn("bucket", bits.reduce(_ + _))
   }
 
-  /** ANN candidate set for a query bucket: same bucket plus all
-    * 1-bit-flip probe buckets (multi-probe keeps recall high while
-    * scanning ~(nPlanes+1)/2^nPlanes of the data).
+  /** ANN candidate set for a query bucket: buckets within Hamming
+    * distance `probeRadius` of the query's bucket. radius 1 (default)
+    * is classic multi-probe — same bucket + 1-bit flips, scanning
+    * ~(nPlanes+1)/2^nPlanes of the data; radius ≥ nPlanes is the
+    * EXHAUSTIVE probe (every bucket qualifies, so no filter at all) —
+    * the exact-search mode every ANN library exposes, degenerating to
+    * a full scan by construction.
     */
-  def annCandidates(bucketed: DataFrame, queryBucket: Int, nPlanes: Int): DataFrame = {
-    val probes = queryBucket +: (0 until nPlanes).map(i => queryBucket ^ (1 << i))
-    bucketed.where(col("bucket").isin(probes.map(Integer.valueOf): _*))
-  }
+  def annCandidates(bucketed: DataFrame, queryBucket: Int, nPlanes: Int,
+                    probeRadius: Int = 1): DataFrame =
+    if (probeRadius >= nPlanes) bucketed
+    else {
+      val probes = (0 until (1 << nPlanes))
+        .filter(b => Integer.bitCount(b ^ queryBucket) <= probeRadius)
+      bucketed.where(col("bucket").isin(probes.map(Integer.valueOf): _*))
+    }
 
-  /** LSH-accelerated cosine top-10 for vec_id 0 (rows-only check: the
-    * bucketing is not expressible in the oracle's SQL dialect).
+  /** Cosine top-10 for vec_id 0 through the sign-LSH bucketing path.
+    * `probeRadius` trades scan fraction for recall; the registry runs
+    * the EXHAUSTIVE probe (radius = nPlanes), which provably returns
+    * the exact top-k — that is what licenses the q_cosine_topk oracle
+    * — while the radius-1 pruned config is recall-asserted in
+    * IvfSpec. Scores are the engine-exact quantized cosine so the
+    * DuckDB comparison is bit-stable.
     */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def annLsh(s: SparkSession, dir: String, probeRadius: Int): DataFrame = {
     import s.implicits._
     val nPlanes = 8
     val planes = hyperplanes(nPlanes, 64)
@@ -170,14 +182,17 @@ object Similarity {
     val qRow = e.filter($"vec_id" === 0).select($"embedding", $"bucket").head()
     val qBucket = qRow.getInt(1)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
-    annCandidates(e, qBucket, nPlanes)
+    annCandidates(e, qBucket, nPlanes, probeRadius)
       .filter($"vec_id" =!= 0)
       .join(broadcast(q))
-      .select($"vec_id", $"bucket",
-        cosine($"embedding", $"qvec").cast(DecimalType(10, 4)).as("cosine"))
-      .orderBy($"cosine".desc, $"vec_id")
+      .select($"vec_id",
+        graft.functions.QuantizedCosine($"embedding", $"qvec").as("cosq"))
+      .orderBy($"cosq".desc, $"vec_id")
       .limit(10)
   }
+
+  /** Registry entry: exhaustive-probe exact mode (see [[annLsh]]). */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = annLsh(s, dir, probeRadius = 8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (qCosineTopK _),
@@ -229,22 +244,30 @@ object Similarity {
       |             JOIN nrm nb ON dot.vec_b = nb.vec_id)
       |  WHERE cosq >= 4000)""".stripMargin
 
-  /** q_ann_lsh intentionally absent → driver records rows-only check. */
+  /** Exact quantized-cosine top-10 of vec_id 0 — the oracle for every
+    * access path that provably returns the exact answer: the
+    * brute-force scan (q_cosine_topk), the exhaustive-probe LSH path
+    * (q_ann_lsh), and the all-cells IVF path (q_ann_ivf in
+    * [[IvfIndex.oracle]]). One definition; three physical plans.
+    */
+  private[ext] val exactTopKCosineSql: String =
+    s"""WITH $quantCtes,
+       |dot AS (
+       |  SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS d
+       |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id = 0
+       |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+       |SELECT dot.vec_id,
+       |  CASE WHEN na.n2 = 0 OR nq.n2 = 0 THEN 0
+       |       ELSE CAST(floor(CAST(d AS DOUBLE) /
+       |              sqrt(CAST(na.n2 AS DOUBLE) * CAST(nq.n2 AS DOUBLE)) * 10000.0)
+       |            AS BIGINT) END AS cosq
+       |FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+       |         JOIN nrm nq ON nq.vec_id = 0
+       |ORDER BY cosq DESC, dot.vec_id LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_cosine_topk" ->
-      s"""WITH $quantCtes,
-         |dot AS (
-         |  SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS d
-         |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id = 0
-         |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
-         |SELECT dot.vec_id,
-         |  CASE WHEN na.n2 = 0 OR nq.n2 = 0 THEN 0
-         |       ELSE CAST(floor(CAST(d AS DOUBLE) /
-         |              sqrt(CAST(na.n2 AS DOUBLE) * CAST(nq.n2 AS DOUBLE)) * 10000.0)
-         |            AS BIGINT) END AS cosq
-         |FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
-         |         JOIN nrm nq ON nq.vec_id = 0
-         |ORDER BY cosq DESC, dot.vec_id LIMIT 10""".stripMargin,
+    "q_cosine_topk" -> exactTopKCosineSql,
+    "q_ann_lsh" -> exactTopKCosineSql,
     "q_cosine_dups" ->
       s"""WITH $quantCtes,
          |$dupPairsSql

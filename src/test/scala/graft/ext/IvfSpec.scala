@@ -29,10 +29,43 @@ class IvfSpec extends SparkTestBase {
   test("IVF top-10 has decent recall vs brute force at nProbe=4/16") {
     val brute = Similarity.qCosineTopK(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val ivf = IvfIndex.qAnnIvf(spark, dir)
+    val ivf = IvfIndex.annIvf(spark, dir, nProbe = 4)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("exhaustive-probe IVF and LSH registry entries EQUAL the brute-force exact top-10") {
+    val brute = Similarity.qCosineTopK(spark, dir).collect().map(_.toSeq).toSeq
+    val ivf = IvfIndex.qAnnIvf(spark, dir).collect().map(_.toSeq).toSeq
+    val lsh = Similarity.qAnnLsh(spark, dir).collect().map(_.toSeq).toSeq
+    assert(brute.size == 10)
+    assert(ivf == brute, "all-cells IVF must degenerate to exact top-k")
+    assert(lsh == brute, "all-buckets LSH must degenerate to exact top-k")
+  }
+
+  test("pruned multi-probe LSH narrows the scan and recall grows with probe radius") {
+    val total = graft.core.Tables.load(spark, dir, "embeddings").count()
+    val planes = Similarity.hyperplanes(8, 64)
+    val bucketed = Similarity.withLshBucket(
+      graft.core.Tables.load(spark, dir, "embeddings"), "embedding", planes)
+    val qBucket = bucketed.where(col("vec_id") === 0).select("bucket").first().getInt(0)
+    val cand = Similarity.annCandidates(bucketed, qBucket, 8, probeRadius = 3).count()
+    assert(cand < total, s"radius-3 probe scanned everything ($cand of $total)")
+    val brute = Similarity.qCosineTopK(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallAt(r: Int): Double = {
+      val pruned = Similarity.annLsh(spark, dir, probeRadius = r)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (brute intersect pruned).size.toDouble / brute.size
+    }
+    // isotropic random vectors are sign-LSH's WORST case (top-10
+    // cosines ~0.3-0.45 ⇒ per-plane split prob ~0.4) — the point of
+    // the assert is the recall/scan-fraction TREND, not a production
+    // recall figure, which this corpus cannot exhibit by construction
+    val r1 = recallAt(1); val r3 = recallAt(3)
+    assert(r3 >= r1, s"recall must not shrink as the probe radius grows: r1=$r1 r3=$r3")
+    assert(r3 >= 0.3, s"LSH radius-3 recall too low: $r3")
   }
 
   test("appendStream maintains a cell-partitioned index incrementally with exactly-once bookkeeping") {

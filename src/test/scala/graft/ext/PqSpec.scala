@@ -22,17 +22,34 @@ class PqSpec extends SparkTestBase {
     assert(c1 == c2)
   }
 
-  test("IVF+PQ composition keeps usable recall vs exact L2 top-10") {
+  /** Brute-force quantized-L2 top-10 of vec_id 0 — the same metric the
+    * engine and the DuckDB oracle compute (floor(x·2²⁰) int64 math).
+    */
+  private def exactQuantizedTop10(): Seq[(Long, Long)] = {
     import spark.implicits._
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
-    val q = vecs.find(_._1 == 0L).get._2
-    val exact = vecs.filter(_._1 != 0L)
+    val q = vecs.find(_._1 == 0L).get._2.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    vecs.filter(_._1 != 0L)
       .map { case (id, v) =>
-        (id, v.zip(q).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum)
+        val d = v.map(x => math.floor(x.toDouble * 1048576.0).toLong).zip(q)
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        (id, d)
       }
-      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
-    val ivfpq = PqIndex.qAnnIvfPq(spark, dir)
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+  }
+
+  test("exact-mode PQ and IVF+PQ registry entries EQUAL the brute-force quantized-L2 top-10") {
+    val exact = exactQuantizedTop10()
+    val pq = PqIndex.qAnnPq(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ivfpq = PqIndex.qAnnIvfPq(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pq == exact, s"full-shortlist ADC+R diverged from exact:\n$pq\nvs\n$exact")
+    assert(ivfpq == exact, "all-cells IVF+PQ diverged from exact")
+  }
+
+  test("pruned IVF+PQ (nProbe=8, shortlist=100) keeps usable recall vs exact top-10") {
+    val exact = exactQuantizedTop10().map(_._1).toSet
+    val ivfpq = PqIndex.annIvfPq(spark, dir, nProbe = 8, shortlist = 100)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ivfpq.size == 10)
     val recall = (exact intersect ivfpq).size.toDouble / exact.size
@@ -40,17 +57,9 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF+PQ recall too low: $recall")
   }
 
-  test("ADC top-10 has usable recall vs exact L2 top-10") {
-    import spark.implicits._
-    val emb = graft.core.Tables.load(spark, dir, "embeddings")
-    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
-    val q = vecs.find(_._1 == 0L).get._2
-    val exact = vecs.filter(_._1 != 0L)
-      .map { case (id, v) =>
-        (id, v.zip(q).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum)
-      }
-      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
-    val approx = PqIndex.qAnnPq(spark, dir)
+  test("tight-shortlist ADC top-10 has usable recall vs exact top-10") {
+    val exact = exactQuantizedTop10().map(_._1).toSet
+    val approx = PqIndex.annPq(spark, dir, shortlist = 100)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     // deterministic pipeline; 0.8 measured on this corpus (isotropic
@@ -93,9 +102,12 @@ class PqSpec extends SparkTestBase {
         s"index scan reads $cols — the 32x I/O win requires codes only")
       assert(f.partitionFilters.nonEmpty, "cell probe did not become a partition filter")
     }
-    // same cached codebooks + centroids -> identical neighbors
-    val a = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val b = PqIndex.qAnnIvfPq(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // same cached codebooks + centroids + pruned config -> identical
+    // neighbors (both sides at nProbe=8 so the partition pruning
+    // asserted above stays meaningful)
+    val a = indexed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = PqIndex.annIvfPq(spark, dir, nProbe = 8, shortlist = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b, s"materialized path diverged:\n$a\nvs\n$b")
   }
 }
