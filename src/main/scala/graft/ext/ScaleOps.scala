@@ -12,19 +12,53 @@ import graft.core.Tables
 object ScaleOps {
 
   /** Approximate distinct/percentile sketch summary (HyperLogLog++ /
-    * QuantileSummaries — both mergeable, partial-aggregated map-side;
-    * rows-only: sketch internals differ across engines by design.
-    * ApproxSpec asserts error bounds against exact values.)
+    * QuantileSummaries — both mergeable, partial-aggregated map-side).
+    * Sketch INTERNALS differ across engines by design, so the
+    * oracle-checkable output is (exact stats, sketch-bound flags): the
+    * HLL estimate must sit within 3·rsd of the exact distinct count,
+    * and each percentile estimate's exact rank must sit within the
+    * sketch's documented rank-error window (computed by a rank
+    * sandwich — strict/non-strict counts against the estimate — which
+    * is duplicate-value-safe). Both bound checks hold under ANY
+    * partial-merge order (HLL registers max-merge order-independently;
+    * GK's ε-guarantee survives merging), so the flags are stable
+    * whatever parallelism the driver runs with, and DuckDB reproduces
+    * the exact side. The sketches stay in the executed plan — this IS
+    * the distributed-sketch operator, with a machine-checkable
+    * contract instead of an unverifiable estimate dump.
     */
   def qApproxStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "events")
-      .groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
-        percentile_approx($"value", lit(0.5), lit(10000)).as("p50_value"),
-        percentile_approx($"value", lit(0.99), lit(10000)).as("p99_value"),
-        count(lit(1)).as("n"))
+    val ev = Tables.load(s, dir, "events")
+    val sk = ev.groupBy($"event_type").agg(
+      approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+      percentile_approx($"value", lit(0.5), lit(10000)).as("p50_est"),
+      percentile_approx($"value", lit(0.99), lit(10000)).as("p99_est"),
+      countDistinct($"user_id").as("exact_users"),
+      count(lit(1)).as("n"))
+    val ranks = ev
+      .join(broadcast(sk.select($"event_type".as("et"), $"p50_est", $"p99_est")),
+        $"event_type" === $"et")
+      .groupBy($"event_type").agg(
+        sum(when($"value" < $"p50_est", 1L).otherwise(0L)).as("lt50"),
+        sum(when($"value" <= $"p50_est", 1L).otherwise(0L)).as("le50"),
+        sum(when($"value" < $"p99_est", 1L).otherwise(0L)).as("lt99"),
+        sum(when($"value" <= $"p99_est", 1L).otherwise(0L)).as("le99"))
+    // rank slack: accuracy=10⁴ ⇒ ε·n = n/10⁴; merged GK summaries can
+    // double ε; keep an absolute floor for tiny groups → max(4, n/500)
+    val slack = greatest(lit(4L), ($"n" / 500L).cast("long"))
+    sk.join(ranks, "event_type")
+      .select($"event_type", $"n", $"exact_users",
+        // |hll − exact| ≤ 3·rsd·exact = 6% — integer-only comparison
+        (abs($"approx_users" - $"exact_users") * 100L <= $"exact_users" * 6L)
+          .cast("long").as("hll_ok"),
+        // exact rank of the p50 estimate within n/2 ± slack
+        ($"lt50" * 2L <= $"n" + slack * 2L && $"le50" * 2L >= $"n" - slack * 2L)
+          .cast("long").as("p50_ok"),
+        // exact rank of the p99 estimate within 0.99·n ± slack
+        ($"lt99" * 100L <= $"n" * 99L + slack * 100L &&
+          $"le99" * 100L >= $"n" * 99L - slack * 100L)
+          .cast("long").as("p99_ok"))
       .orderBy($"event_type")
   }
 
@@ -199,11 +233,18 @@ object ScaleOps {
     "q_open_intervals" -> (qOpenIntervals _),
   )
 
-  /** q_approx_stats stays rows-only (sketch internals are
-    * engine-specific by design); the two-pass heavy hitters output is
-    * exact and matches plain SQL.
+  /** The two-pass heavy hitters output is exact and matches plain SQL;
+    * q_approx_stats pins the exact stats and asserts the sketch flags
+    * all pass (see [[qApproxStats]]).
     */
   val oracle: Map[String, String] = Map(
+    "q_approx_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS hll_ok,
+        |  CAST(1 AS BIGINT) AS p50_ok,
+        |  CAST(1 AS BIGINT) AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_open_intervals" ->
       """WITH o AS (
         |  SELECT CAST(o_orderdate AS DATE) AS sd,

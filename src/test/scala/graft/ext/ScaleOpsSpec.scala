@@ -9,17 +9,15 @@ class ScaleOpsSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("approx sketches stay within bounds of exact values") {
-    val approx = ScaleOps.qApproxStats(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getAs[Long]("approx_users"), r.getAs[Long]("n"))).toMap
-    val exact = Tables.load(spark, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    approx.foreach { case (tpe, (approxUsers, _)) =>
-      val d = exact(tpe)
-      assert(math.abs(approxUsers - d).toDouble / d <= 0.1,
-        s"$tpe: approx $approxUsers vs exact $d")
+  test("approx sketches stay within bounds of exact values (the flags the oracle pins)") {
+    val rows = ScaleOps.qApproxStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      assert(r.getAs[Long]("hll_ok") == 1L, s"$tpe: HLL estimate outside 3-sigma bound")
+      assert(r.getAs[Long]("p50_ok") == 1L, s"$tpe: p50 sketch rank outside bound")
+      assert(r.getAs[Long]("p99_ok") == 1L, s"$tpe: p99 sketch rank outside bound")
+      assert(r.getAs[Long]("exact_users") > 0 && r.getAs[Long]("n") > 0)
     }
   }
 
