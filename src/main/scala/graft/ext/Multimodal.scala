@@ -10,13 +10,19 @@ import graft.core.Tables
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The real decoders (JPEG/PNG, PCM, video containers) are STUBBED —
-  * the media libraries are not in this container — behind
-  * [[FakeCodec]], a deterministic byte-level fake. Everything
-  * Spark-side is real and tested: schema, partition-friendly batch
-  * shape, per-partition decode (one codec instance per partition, the
-  * same shape a Pandas-UDF/mapInPandas pipeline has), and downstream
-  * joins with the embedding/ANN operators.
+  * Image and audio decode are REAL: PNG via `javax.imageio` and WAV
+  * via `javax.sound.sampled` — both JDK built-ins, so the executors
+  * genuinely parse the container formats (no new jars). Video decode
+  * stays a declared stub (the JDK has no video container parser);
+  * its metadata derives from the payload length only. The fixture
+  * generates real PNG/WAV payloads whose ground-truth metadata is an
+  * arithmetic function of doc_id, which is what lets the DuckDB
+  * oracle check the decode round-trip: the outputs match only if the
+  * encoder AND decoder actually speak the format.
+  *
+  * The per-row decode UDFs are the single-JVM analog of the
+  * mapInPandas batch-decode a PySpark deployment uses: scan →
+  * project(UDF), one stage, no shuffle, trivially partition-parallel.
   */
 object Multimodal {
 
@@ -28,23 +34,79 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("duration_ms", LongType)))
 
-  /** Deterministic stand-in for a real media decoder. A production
-    * deployment swaps this object for ImageIO/ffmpeg bindings (or
-    * routes the binary column through mapInPandas on a PySpark
-    * cluster); signatures and batch shape stay identical.
+  /** Real JDK codecs (encode for the fixture, decode for the
+    * operators) plus the declared video stub.
     */
-  object FakeCodec extends Serializable {
-    def decodeMeta(mediaType: String, bytes: Array[Byte]): (Int, Int, Long, Long) = {
-      // ??? real decode unavailable in-container: derive deterministic
-      // fake dimensions from the payload header instead
-      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-      val width = 64 + (b0 % 192) * 8
-      val height = 64 + (b1 % 108) * 8
-      val duration = if (mediaType == "image") 0L else 1000L + (bytes.length % 60) * 1000L
-      (width, height, bytes.length.toLong, duration)
+  object JdkCodec extends Serializable {
+
+    /** Solid-color PNG; every parameter is an arithmetic function of
+      * the id so an oracle can predict the decoded metadata.
+      */
+    def makePng(id: Long): Array[Byte] = {
+      val w = (16 + id % 17).toInt
+      val h = (16 + (id * 3) % 13).toInt
+      val rgb = (((id % 256) << 16) | (((id * 5) % 256) << 8) | ((id * 11) % 256)).toInt
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
+    /** 8-bit mono 8 kHz PCM WAV with 800 + (id%32)·40 frames (always a
+      * multiple of 8, so duration_ms = frames/8 is an exact integer).
+      */
+    def makeWav(id: Long): Array[Byte] = {
+      val frames = (800 + (id % 32) * 40).toInt
+      val data = Array.fill(frames)(128.toByte)
+      val bb = java.nio.ByteBuffer.allocate(44 + frames)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(8000) // sample rate, byte rate
+        .putShort(1).putShort(8) // block align, bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(frames)
+        .put(data)
+      bb.array()
+    }
+
+    /** Deterministic opaque "video" payload of 16·(id%7+1) bytes — the
+      * JDK cannot parse video containers, so only the length is
+      * meaningful downstream.
+      */
+    def makeVideo(id: Long): Array[Byte] =
+      Array.tabulate((16 * (id % 7 + 1)).toInt)(i => ((id * 31 + i) % 256).toByte)
+
+    /** Real PNG decode: (width, height, red channel of pixel (0,0)). */
+    def decodeImage(bytes: Array[Byte]): (Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      (img.getWidth.toLong, img.getHeight.toLong, ((img.getRGB(0, 0) >> 16) & 0xff).toLong)
+    }
+
+    /** Real WAV header parse: exact duration in ms from frame count ÷
+      * frame rate.
+      */
+    def decodeWavDurationMs(bytes: Array[Byte]): Long = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try math.round(in.getFrameLength * 1000.0 / in.getFormat.getFrameRate)
+      finally in.close()
+    }
+  }
+
+  /** Deterministic byte-level stand-ins for the transforms the JDK
+    * cannot do natively (feature nets, scalers); a production
+    * deployment swaps these for model/ffmpeg bindings — signatures
+    * and batch shape stay identical.
+    */
+  object FakeCodec extends Serializable {
     /** Fake feature vector: dim doubles folded from the bytes. */
     def features(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
       val out = new Array[Float](dim)
@@ -59,7 +121,6 @@ object Multimodal {
       * faithful, so downstream size accounting and schema are real.
       */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      // ??? real scaler unavailable in-container
       val target = math.max(1, w * h / 64)
       val out = new Array[Byte](target)
       if (bytes.nonEmpty) {
@@ -70,34 +131,52 @@ object Multimodal {
     }
   }
 
+  private val genUdf = udf { (id: Long, mediaType: String) =>
+    mediaType match {
+      case "image" => JdkCodec.makePng(id)
+      case "audio" => JdkCodec.makeWav(id)
+      case _       => JdkCodec.makeVideo(id)
+    }
+  }
+
   /** Synthesize a deterministic media-asset table from `documents`
-    * (doc_id, media_type, media binary) — the test fixture for the
-    * binary plumbing; payload bytes derive from the text.
+    * (doc_id, media_type, media binary) — REAL PNG and WAV payloads
+    * (plus opaque video bytes) whose ground-truth metadata is pure
+    * doc_id arithmetic, so decode outputs are oracle-predictable.
     */
   def syntheticAssets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        // repeat the md5 bytes to get variable-length payloads
-        to_binary(repeat(md5(col("text").cast("binary")), (col("doc_id") % 7 + 1).cast("int")),
-          lit("hex")).as("media"))
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+      .withColumn("media", genUdf(col("doc_id"), col("media_type")))
 
   private val decodeUdf = udf { (mediaType: String, bytes: Array[Byte]) =>
-    FakeCodec.decodeMeta(mediaType, bytes)
+    mediaType match {
+      case "image" =>
+        val (w, h, r) = JdkCodec.decodeImage(bytes)
+        (w, h, r, 0L)
+      case "audio" =>
+        (0L, 0L, -1L, JdkCodec.decodeWavDurationMs(bytes))
+      case _ =>
+        // declared stub: no JDK video parser — length-derived duration
+        (0L, 0L, -1L, 1000L + bytes.length.toLong * 10L)
+    }
   }
 
   private val featureUdf = udf { (bytes: Array[Byte]) => FakeCodec.features(bytes) }
 
-  /** Decode: binary → typed metadata struct (stubbed codec, real plan
-    * shape: scan → project(UDF) stays one stage, no shuffle).
+  /** Decode: binary → typed metadata struct (real PNG/WAV decode, see
+    * [[JdkCodec]]; plan shape: scan → project(UDF), one stage, no
+    * shuffle).
     */
   def withDecodedMeta(assets: DataFrame): DataFrame =
     assets
       .withColumn("d", decodeUdf(col("media_type"), col("media")))
       .select(col("doc_id"), col("media_type"), col("media"),
         struct(col("media_type"), col("d._1").as("width"), col("d._2").as("height"),
-          col("d._3").as("n_bytes"), col("d._4").as("duration_ms")).as("meta"))
+          col("d._3").as("px_r"), length(col("media")).cast("long").as("n_bytes"),
+          col("d._4").as("duration_ms")).as("meta"))
 
   /** Feature extraction: binary → Array[Float] embedding column,
     * joinable with the ANN operators in [[Similarity]].
@@ -147,14 +226,18 @@ object Multimodal {
           .as("sum_dim1_scaled"))
       .orderBy(col("lang"))
 
-  /** Rows-only query: decode+measure the synthetic asset table. */
+  /** Decode round-trip over the synthetic asset table: per-doc decoded
+    * metadata. The PNG/WAV rows match the oracle's doc_id arithmetic
+    * ONLY if `ImageIO`/`AudioSystem` really parsed the bytes the
+    * fixture encoded — this is the correctness check of the decode
+    * operator itself, not of the fixture.
+    */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     withDecodedMeta(syntheticAssets(s, dir))
-      .groupBy(col("media_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("meta.n_bytes")).as("total_bytes"),
-        avg(col("meta.width")).as("avg_width"))
-      .orderBy(col("media_type"))
+      .select(col("doc_id"), col("media_type"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.px_r").as("px_r"), col("meta.duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -162,7 +245,19 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
-    // q_multimodal_decode stays rows-only (stubbed codec)
+    // ground truth is doc_id arithmetic by fixture construction; a
+    // match proves the executors' ImageIO/AudioSystem decode was real
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 17 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 3) % 13 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 ELSE -1 END AS BIGINT) AS px_r,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+        |            WHEN doc_id % 3 = 1 THEN (800 + (doc_id % 32) * 40) // 8
+        |            ELSE 1000 + 16 * (doc_id % 7 + 1) * 10 END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_doc_embedding" ->
       """SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)

@@ -13,21 +13,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(assets.schema("media").dataType.typeName == "binary")
 
     val decoded = Multimodal.withDecodedMeta(assets)
-    val row = decoded.orderBy("doc_id").first()
+    val row = decoded.orderBy("doc_id").first() // doc_id 0 -> 16x16 PNG
     val meta = row.getStruct(row.fieldIndex("meta"))
-    assert(meta.getAs[Int]("width") >= 64)
+    assert(meta.getAs[Long]("width") == 16)
     assert(meta.getAs[Long]("n_bytes") > 0)
 
     // decode is deterministic: same input -> same meta
     val twice = Multimodal.withDecodedMeta(assets).select("doc_id", "meta.width")
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val again = Multimodal.withDecodedMeta(assets).select("doc_id", "meta.width")
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(twice == again)
 
     val feats = Multimodal.withFeatures(assets).select("features").first()
       .getSeq[Float](0)
     assert(feats.size == 16)
+  }
+
+  test("ImageIO/AudioSystem decode round-trips the fixture's ground truth per row") {
+    val rows = Multimodal.qMultimodalDecode(spark, dir).collect()
+    assert(rows.length > 0)
+    var (nImg, nWav) = (0, 0)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) match {
+        case "image" =>
+          nImg += 1
+          assert(r.getLong(2) == 16 + id % 17, s"doc $id width")
+          assert(r.getLong(3) == 16 + (id * 3) % 13, s"doc $id height")
+          assert(r.getLong(4) == id % 256, s"doc $id red channel")
+          assert(r.getLong(5) == 0L)
+        case "audio" =>
+          nWav += 1
+          assert(r.getLong(5) == (800 + (id % 32) * 40) / 8, s"doc $id wav duration")
+        case "video" =>
+          assert(r.getLong(5) == 1000 + 16 * (id % 7 + 1) * 10, s"doc $id stub duration")
+      }
+    }
+    assert(nImg > 0 && nWav > 0)
   }
 
   test("resize produces the target byte budget deterministically") {
