@@ -45,35 +45,37 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    // host-level CPU sharing makes single shots of the slower queries
-    // swing 2-3x run to run; queries over the threshold get ONE retry
-    // and report the min (steady state) — bounded extra wall time,
-    // and the fast majority still runs exactly once
-    val retryThreshold = 1.5
+    // UNIFORM min-of-2 for every query (round-3 advice: per-query
+    // retry thresholds made totals incomparable across rounds and
+    // flattered only the slow queries) — one policy, flagged in the
+    // JSON, so any two min2 rounds compare apples to apples, and the
+    // host's ±50% CPU-sharing noise is halved for everything
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = timeOnce(fn)
+      val a = timeOnce(fn)
+      val b = timeOnce(fn)
       val best =
-        if (first > retryThreshold) math.min(first, timeOnce(fn) match {
-          case bad if bad < 0 => first // a flaky retry must not mask a good run
-          case good => good
-        })
-        else first
+        if (a < 0) b // one transient failure must not mask a good run
+        else if (b < 0) a
+        else math.min(a, b)
       name -> best
     }
-    // millisecond precision keeps the JSON line well under the driver's
-    // tail-capture window (9-decimal doubles overflowed it in r1/r2 →
-    // "parsed": null despite a clean run)
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    // centisecond precision: 98 queries at 3 decimals overflowed the
+    // driver's ~3.5 KB tail window from the front in r1-r3 ("parsed":
+    // null); 2 decimals + the separate tiny total line fit comfortably
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v) if v < 0 => k }
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // one clean JSON line; build.sbt sets run/outputStrategy :=
-    // StdoutOutput so sbt passes it through WITHOUT the "[info] "
-    // prefix that broke the driver's JSON parse in round 1
+    // TWO clean JSON lines (build.sbt sets run/outputStrategy :=
+    // StdoutOutput so they pass through without sbt's "[info] "
+    // prefix): first a tiny machine-parseable total that can never be
+    // truncated, then the full per-query map
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"queries_n":${results.size},"policy":"min2","sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"policy":"min2","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     // a partial run must not look like a faster one: non-zero exit when
     // any query failed, so automated total-comparisons can't misread it
