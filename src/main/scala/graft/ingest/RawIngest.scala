@@ -108,6 +108,70 @@ object RawIngest {
         groups.foreach(_.write.mode("append").parquet(rawPath)) // SNK4 analog
     }
 
+  private def stagingPath(root: org.apache.hadoop.fs.Path, batchId: Long) =
+    new org.apache.hadoop.fs.Path(root, s".staging_ingest_batch=$batchId")
+
+  private def targetPath(root: org.apache.hadoop.fs.Path, batchId: Long) =
+    new org.apache.hadoop.fs.Path(root, s"ingest_batch=$batchId")
+
+  /** ATOMIC multi-schema batch commit (SURVEY §7.5.6). The per-group
+    * append loop above is at-least-once: a crash between group
+    * appends publishes a partial batch. Here every group is staged
+    * into a dot-prefixed directory — invisible to parquet discovery —
+    * and the whole batch becomes visible via ONE directory rename to
+    * `ingest_batch=<id>/` (atomic on a POSIX/HDFS namespace; on
+    * rename-less object stores this slot is where a manifest commit
+    * goes). Crash before the rename ⇒ readers see nothing of the
+    * batch; crash after ⇒ the foreachBatch replay finds the published
+    * dir and skips ⇒ exactly-once end to end, per batch not per
+    * group. The batch id lands as a partition column — free commit
+    * lineage, and old batches drop by partition predicate.
+    *
+    * Use on a table written exclusively through this mode (mixing
+    * root-level files with partition dirs breaks Spark's partition
+    * discovery).
+    */
+  def demuxToTableAtomic(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
+                         rawPath: String, batchId: Long, permissive: Boolean = false,
+                         deadLetterPath: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(targetPath(root, batchId))) return // replay of a published batch
+    stageBatch(batch, registry, wire, rawPath, batchId, permissive, deadLetterPath)
+    publishBatch(spark, rawPath, batchId)
+  }
+
+  /** Stage all decode groups of a batch into the invisible staging
+    * dir (step 1 of [[demuxToTableAtomic]]; package-visible so the
+    * crash-injection spec can stop between the steps).
+    */
+  private[graft] def stageBatch(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
+                                rawPath: String, batchId: Long, permissive: Boolean = false,
+                                deadLetterPath: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingPath(root, batchId)
+    fs.mkdirs(root)
+    fs.delete(staging, true) // half-staged leftovers from a prior crash
+    demux(batch, registry, wire, permissive, deadLetterPath) { groups =>
+      groups.foreach(_.write.mode("append").parquet(staging.toString))
+    }
+  }
+
+  /** Publish a staged batch with one atomic rename (step 2). */
+  private[graft] def publishBatch(spark: SparkSession, rawPath: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingPath(root, batchId)
+    val target = targetPath(root, batchId)
+    if (!fs.exists(staging)) return // empty batch staged nothing
+    if (fs.exists(target)) { fs.delete(staging, true); return }
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"batch publish rename failed: $staging -> $target")
+  }
+
   /** Raw table scan with schema merging across v1/v2-era files. */
   def readRaw(spark: SparkSession, rawPath: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(rawPath)
@@ -120,10 +184,14 @@ object RawIngest {
           rawPath: String, checkpoint: String, permissive: Boolean = false,
           queryName: String = "graftRawIngest",
           deadLetterPath: Option[String] = None,
-          unifiedWrite: Boolean = false): StreamingQuery =
+          unifiedWrite: Boolean = false,
+          atomic: Boolean = false): StreamingQuery =
     source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        demuxToTable(batch, registry, wire, rawPath, permissive, deadLetterPath, unifiedWrite)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (atomic)
+          demuxToTableAtomic(batch, registry, wire, rawPath, batchId, permissive, deadLetterPath)
+        else
+          demuxToTable(batch, registry, wire, rawPath, permissive, deadLetterPath, unifiedWrite)
       }
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)

@@ -49,6 +49,43 @@ class RawIngestSpec extends SparkTestBase {
     assert(out.filter(col("color").isNotNull).count() == 40)
   }
 
+  test("atomic commit: a crash between staging and publish leaves NOTHING visible; " +
+    "publish is one rename; replays are idempotent") {
+    val gen = new EventGenerator(seed = 11)
+    val registry = new InMemorySchemaRegistry
+    val batch = gen.envelopeDF(spark, gen.events(60), registry, ConfluentWire)
+    val raw = tmpDir("raw-atomic")
+
+    // crash injection: stage the full multi-schema batch, then "die"
+    // before the publish rename — a reader must see an EMPTY table
+    // (the per-group append loop would already expose partial groups)
+    RawIngest.stageBatch(batch, registry, ConfluentWire, raw, batchId = 0L)
+    val rootFiles = new java.io.File(raw).listFiles()
+    assert(rootFiles != null && rootFiles.forall(_.getName.startsWith(".")),
+      "staged data leaked outside the invisible staging dir")
+    // parquet discovery sees no data files at all
+    intercept[Exception] { spark.read.parquet(raw).count() }
+
+    // recovery replay of the same batch: restages and publishes all
+    // groups in one rename
+    RawIngest.demuxToTableAtomic(batch, registry, ConfluentWire, raw, batchId = 0L)
+    val out = RawIngest.readRaw(spark, raw)
+    assert(out.count() == 60)
+    assert(out.select("parsedValue.eventId").distinct().count() == 60)
+    // the commit id is queryable lineage (discovery infers it as int)
+    assert(out.select("ingest_batch").distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSeq == Seq(0L))
+
+    // at-least-once replay of a PUBLISHED batch is a no-op (no dupes)
+    RawIngest.demuxToTableAtomic(batch, registry, ConfluentWire, raw, batchId = 0L)
+    assert(RawIngest.readRaw(spark, raw).count() == 60)
+
+    // a second batch publishes alongside the first
+    val batch2 = gen.envelopeDF(spark, gen.events(30), registry, ConfluentWire)
+    RawIngest.demuxToTableAtomic(batch2, registry, ConfluentWire, raw, batchId = 1L)
+    assert(RawIngest.readRaw(spark, raw).count() == 90)
+  }
+
   test("unknown schema id: fails the batch by default, dead-letters when configured") {
     val gen = new EventGenerator(seed = 5)
     val registry = new InMemorySchemaRegistry
