@@ -225,19 +225,105 @@ object ScaleOps {
       .orderBy($"d")
   }
 
+  /** Bucketed fact⋈fact tables for [[qJoinBucketed]], written ONCE per
+    * data directory ([[graft.core.IndexCache]] memo — the same
+    * build-once lifecycle as the ANN indexes: a real deployment
+    * buckets its fact tables at ingest, not per query). Both sides
+    * bucket+sort on the join key with equal bucket counts, so their
+    * scans report compatible HashPartitioning and the sort-merge join
+    * needs no Exchange on either side.
+    */
+  private def bucketedJoinTables(s: SparkSession, dir: String): (String, String) =
+    graft.core.IndexCache.memo(s"bucketed-join:$dir:buckets=16") {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]+", "_").stripPrefix("_").stripSuffix("_")
+      val li = s"lineitem_bkt_$tag"
+      val ord = s"orders_bkt_$tag"
+      // a previous PROCESS may have left the managed-table directory in
+      // the warehouse while this session's in-memory catalog has no
+      // such table — saveAsTable would then fail LOCATION_ALREADY_EXISTS;
+      // clear both sides before writing
+      Seq(li, ord).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      graft.core.Layout.writeBucketed(
+        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        li, "l_orderkey", buckets = 16)
+      graft.core.Layout.writeBucketed(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ord, "o_orderkey", buckets = 16)
+      (li, ord)
+    }
+
+  /** Shared body of the flat/bucketed join pair: revenue per order
+    * priority over lineitem ⋈ orders. The merge hint pins BOTH
+    * variants to a sort-merge join — at 100 TB neither side of a
+    * fact⋈fact join broadcasts, and holding the algorithm fixed
+    * isolates the layout effect the pair exists to measure. Decimal
+    * partials keep the double sum independent of partitioning
+    * (the [[qSaltedAgg]] convention).
+    */
+  private def joinRevenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    lineitem.join(orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The fact⋈fact join over the PLAIN parquet layout: both sides
+    * shuffle on the join key before the sort-merge join — the cost
+    * [[qJoinBucketed]] eliminates. Same oracle as the bucketed twin.
+    */
+  def qJoinFlat(s: SparkSession, dir: String): DataFrame =
+    joinRevenueByPriority(
+      Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+
+  /** The SAME join over the bucketed layout
+    * ([[graft.core.Layout.writeBucketed]]): the scans report the
+    * bucketing as HashPartitioning, so the sort-merge join plans with
+    * ZERO Exchange on either side (asserted in `PlanShapeSpec`;
+    * PLANS.md row) — at 100 TB this is the difference between moving
+    * both fact tables over the network per query and moving nothing.
+    * First call per directory pays the one-time bucketed write
+    * (memoized; the bench's min-of-2 policy reports the steady-state
+    * join, as in the ANN index queries).
+    */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedJoinTables(s, dir)
+    joinRevenueByPriority(s.table(li), s.table(ord))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_bloom_new_docs" -> (qBloomNewDocs _),
     "q_open_intervals" -> (qOpenIntervals _),
+    "q_join_flat" -> (qJoinFlat _),
+    "q_join_bucketed" -> (qJoinBucketed _),
   )
 
   /** The two-pass heavy hitters output is exact and matches plain SQL;
     * q_approx_stats pins the exact stats and asserts the sketch flags
     * all pass (see [[qApproxStats]]).
     */
+  private val joinRevenueSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_join_flat" -> joinRevenueSql,
+    // same oracle on purpose: the hash compare proves the bucketed
+    // layout changes the PLAN (PlanShapeSpec), never the answer
+    "q_join_bucketed" -> joinRevenueSql,
     "q_approx_stats" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -74,6 +74,16 @@ object BinnedRangeJoin {
     * the naive join exactly (each qualifying pair appears once —
     * a point has exactly one bin, so replicated intervals cannot
     * double-match, and the two branches partition the interval rows).
+    *
+    * PRECONDITION (round-3 advice): `points` and `intervals` must have
+    * distinct lineage and distinct column names — exactly the rule for
+    * writing `points.join(intervals, condition)` by hand, since the
+    * unqualified `pt`/`lo`/`hi`/`condition` Columns resolve against
+    * the join's combined output. A self-join (both sides derived from
+    * one DataFrame) trips Spark's ambiguous-self-join detection here
+    * just as it would on the naive join; disambiguate the usual way —
+    * re-read the source, or alias one side and qualify the Columns —
+    * before calling.
     */
   def apply(points: DataFrame, intervals: DataFrame,
             pt: Column, lo: Column, hi: Column,

@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   *
   *   SET spark.graft.rangeJoin.binWidth = <positive double>
   *
+  * Optionally scope it (round-3 advice — the conf is session-global,
+  * so an unrelated query's sentinel row could otherwise trip the loud
+  * span error) with a comma-separated allowlist of table/path
+  * substrings; the rewrite then fires only for joins over matching
+  * leaf relations, and every fire logs a warning naming the opt-out:
+  *
+  *   SET spark.graft.rangeJoin.onlyTables = events,intervals_gold
+  *
   * Wiring: injected by [[graft.functions.GraftExtensions]]
   * (`spark.sql.extensions`), or at runtime via
   * `spark.experimental.extraOptimizations`. The rule is a no-op while
@@ -47,6 +55,7 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rangeJoin.binWidth"
   val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+  val OnlyTablesKey = "spark.graft.rangeJoin.onlyTables"
 
   // a malformed conf value must disable the rewrite, not throw inside
   // the optimizer and take every query in the session down with it
@@ -61,13 +70,56 @@ class RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       .filter(v => v >= 1 && !v.isNaN && !v.isInfinite)
       .getOrElse((1 << 20).toDouble)
 
+  /** Blast-radius limiter (round-3 advice): binWidth alone applies
+    * session-globally, so one sentinel row in an UNRELATED query's
+    * interval table could raise the loud span error. When this
+    * comma-separated list of case-insensitive substrings is set, the
+    * rewrite fires only for joins whose leaf relations (catalog
+    * identifier or file path) match one of them — scoping the conf to
+    * the tables the bin width was actually chosen for.
+    */
+  private def onlyTables: Seq[String] =
+    Option(conf.getConfString(OnlyTablesKey, ""))
+      .map(_.split(",").iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def leafNames(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      r.catalogTable.map(_.identifier.unquotedString).toSeq ++ (r.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      })
+    case v: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      Seq(v.table.name())
+    case other => Seq(other.nodeName)
+  }
+
+  private def inScope(j: Join): Boolean = onlyTables match {
+    case Nil => true
+    case pats =>
+      val names = leafNames(j).map(_.toLowerCase(java.util.Locale.ROOT))
+      pats.exists(p => names.exists(_.contains(p)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
     case None => plan
     case Some(w) =>
       plan.transformUpWithPruning(_.containsPattern(
         org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
-        case j @ Join(_, _, Inner, Some(cond), _) if eligible(j, cond) =>
-          rewrite(j, cond, w).getOrElse(j)
+        case j @ Join(_, _, Inner, Some(cond), _) if eligible(j, cond) && inScope(j) =>
+          rewrite(j, cond, w) match {
+            case Some(rewritten) =>
+              // session-global conf, per-query effect: leave an audit
+              // trail so a surprising plan (or the loud span error) is
+              // traceable to this rewrite and its opt-out
+              logWarning(s"graft range-bin rewrite fired ($ConfKey=$w) on join " +
+                s"condition `${cond.sql}`; scope it with $OnlyTablesKey or unset " +
+                s"$ConfKey to opt out")
+              rewritten
+            case None => j
+          }
       }
   }
 

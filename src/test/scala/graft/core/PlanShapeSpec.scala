@@ -104,4 +104,28 @@ class PlanShapeSpec extends SparkTestBase {
     // the only exchange is the output sort
     assert(sh <= 1, s"expected output sort only on the union-find path, got $sh")
   }
+
+  test("q_join_bucketed: sort-merge join over bucketed scans has zero join-side exchanges") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+    def smjShuffles(q: String): Int = {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"$q must plan a SortMergeJoin:\n" +
+        plan.toString.linesIterator.take(20).mkString("\n"))
+      smj.get.collect { case e: ShuffleExchangeExec => e }.size
+    }
+
+    // the flat twin over the identical data pays one shuffle per side…
+    assert(smjShuffles("q_join_flat") == 2,
+      "flat layout should shuffle both join inputs")
+    // …which the bucketed layout eliminates entirely
+    assert(smjShuffles("q_join_bucketed") == 0,
+      "bucketed scans must feed the join with no Exchange")
+  }
 }

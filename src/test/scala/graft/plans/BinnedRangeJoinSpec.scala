@@ -161,6 +161,36 @@ class BinnedRangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("onlyTables allowlist scopes the rewrite to matching relations") {
+    val rule = new RangeBinJoinRule
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      spark.conf.set(rule.ConfKey, "10.0")
+      // a parquet-backed point side, so the leaf carries a file path
+      val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select($"value".as("pt"))
+      val q = () => ev.join(intervals, $"pt" >= $"lo" && $"pt" < $"hi")
+
+      // non-matching allowlist: the join must stay un-rewritten
+      spark.conf.set(rule.OnlyTablesKey, "no_such_table, other")
+      assert(!q().queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+
+      // matching (by path substring): rewrite fires again
+      spark.conf.set(rule.OnlyTablesKey, "EVENTS.parquet")
+      assert(q().queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+
+      // unset = unscoped, the pre-advice behavior
+      spark.conf.unset(rule.OnlyTablesKey)
+      assert(q().queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    } finally {
+      spark.conf.unset(rule.ConfKey)
+      spark.conf.unset(rule.OnlyTablesKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
   test("rule leaves equi joins and sub-range conditions alone") {
     val rule = new RangeBinJoinRule
     spark.experimental.extraOptimizations =
