@@ -93,12 +93,12 @@ object MinHashDedup {
     * the same exact-Jaccard SQL as q_ngram_jaccard.
     */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // ds feeds the signature pass and both verify joins — checkpoint
-    // the one tokenize+hash scan. LAZY (eager=false): plan-only
-    // consumers pay nothing, the first action materializes the blocks
-    // once, and the ContextCleaner releases them on GC (vs persist(),
-    // whose CacheManager entry leaked per (session, dir) invocation)
-    val ds = shingleSets(Tables.load(s, dir, "documents")).localCheckpoint(eager = false)
+    // ds feeds the signature pass and both verify joins — served by
+    // the corpus fingerprint table TextAnalysis.shingleTable, which is
+    // materialized once per (session, dir) and shared with the
+    // n-gram-Jaccard queries (production computes shingle sets at
+    // ingest; per-query retokenization was the notebook anti-pattern)
+    val ds = TextAnalysis.shingleTable(s, dir)
     val sig = signatures(ds, k = 32)
     val cand = candidatePairs(sig, bands = 16, rowsPerBand = 2)
     verifiedPairs(ds, cand).orderBy(col("doc_a"), col("doc_b"))

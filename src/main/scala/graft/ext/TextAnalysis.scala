@@ -75,6 +75,24 @@ object TextAnalysis {
         graft.functions.ShingleHashes(col("toks"), w).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
 
+  /** The corpus doc-fingerprint table — [[docShingleSets]] at the
+    * default (text, w=3) — materialized ONCE per (session, directory)
+    * and shared by every near-dup query ([[qNgramJaccard]],
+    * [[qNgramJaccardPrefix]], [[MinHashDedup.qMinhashPairs]]): a
+    * production pipeline computes shingle sets at ingest and every
+    * dedup job reads that one table, the same build-once lifecycle as
+    * the ANN indexes ([[graft.core.IndexCache]]). Lazily checkpointed,
+    * so plan-only consumers (PlanDump, plan tests) pay nothing and the
+    * first action materializes the blocks; the memo then keeps them
+    * alive for the session (the point — per-query rebuild was the
+    * notebook anti-pattern), sized by the corpus' token count.
+    */
+  private[ext] def shingleTable(s: SparkSession, dir: String): DataFrame =
+    graft.core.IndexCache.memo(
+      s"shingle-table:${s.sparkContext.applicationId}:$dir") {
+      docShingleSets(docs(s, dir)).localCheckpoint(eager = false)
+    }
+
   /** All ordered pairs (a<b) from a SORTED id array — the
     * aggregation-side replacement for an inverted-index self-join:
     * groupBy(key) → collect+sort ids → expand pairs. One pass over
@@ -186,7 +204,7 @@ object TextAnalysis {
     import s.implicits._
     import graft.functions.PairExpand
     val szMask = lit(PairExpand.SzMask)
-    val ds = docShingleSets(docs(s, dir))
+    val ds = shingleTable(s, dir)
     // packed sort order == doc_id order (ids in the high bits), so the
     // a<b pair orientation matches the struct form exactly
     ds.select(packedMember.as("m"), explode($"hs").as("h"))
@@ -223,13 +241,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.PairExpand
     // the doc-set table feeds dfreq, the prefix join, and both verify
-    // joins — checkpoint it once instead of re-running tokenize +
-    // ShingleHashes four times. LAZY (eager=false): plan-only
-    // consumers (PlanDump, plan tests) pay nothing, the first action
-    // materializes the blocks once, and unlike persist() (whose
-    // CacheManager entry outlives the query until LRU eviction) the
-    // ContextCleaner releases them as soon as the RDD is unreachable.
-    val ds = docShingleSets(docs(s, dir)).localCheckpoint(eager = false)
+    // joins — the shared corpus fingerprint table serves all of them
+    // (and the other near-dup queries) from one materialization
+    val ds = shingleTable(s, dir)
     // members packed as (doc_id << 20) | sz — long sort/expand/shuffle
     // path, codegen'd pair kernel (same recipe as qNgramJaccard)
     val idx = ds.select(packedMember.as("m"), explode($"hs").as("h"))
