@@ -1,0 +1,153 @@
+package graft.core
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TxTableSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def table(): TxTable = new TxTable(spark, tmpDir("txtable"))
+
+  test("append/read round trip; every commit bumps the version") {
+    val t = table()
+    assert(t.version == -1L)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(t.version == 0L)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.version == 1L)
+    assert(t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("data files without a manifest are invisible (crash atomicity)") {
+    val t = table()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // a writer that crashed after staging data but before its commit:
+    // the file sits in the table dir with no manifest referencing it
+    val stray = Seq((99L, "ghost")).toDF("id", "v")
+    stray.write.mode("overwrite").parquet(t.tablePath + "/_staging-crash")
+    val dir = new java.io.File(t.tablePath + "/_staging-crash")
+    val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(t.tablePath, "part-crashed.parquet"))
+    assert(t.read().count() == 1L)
+
+    // and a crashed manifest attempt (tmp file in the log) is ignored
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.tablePath, TxTable.LogDirName, ".tmp-crashed"),
+      """{"a":"add","path":"part-crashed.parquet"}""")
+    assert(t.read().count() == 1L)
+    t.append(Seq((2L, "b")).toDF("id", "v")) // and does not block new commits
+    assert(t.read().count() == 2L)
+  }
+
+  test("concurrent appends all commit, none lost (optimistic concurrency)") {
+    val t = table()
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (0 until 8).map { w =>
+      Future {
+        (0 until 3).foreach { i =>
+          t.append(Seq((w.toLong * 100 + i, s"w$w-$i")).toDF("id", "v"))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(t.version == 23L) // 24 commits: v0..v23, no version lost to a race
+    val got = t.read().select("id").as[Long].collect().toSet
+    val expected = (for (w <- 0 until 8; i <- 0 until 3) yield w.toLong * 100 + i).toSet
+    assert(got == expected)
+  }
+
+  test("appendBatch is exactly-once per (writer, batchId) under redelivery") {
+    val t = table()
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    t.appendBatch(b0, "ingest", 0L)
+    t.appendBatch(b0, "ingest", 0L) // foreachBatch retry after checkpoint loss
+    t.appendBatch(Seq((2L, "b")).toDF("id", "v"), "ingest", 1L)
+    t.appendBatch(b0, "ingest", 0L) // stale redelivery below the high-water mark
+    assert(t.read().count() == 2L)
+    // a different writer's batch 0 is independent
+    t.appendBatch(Seq((3L, "c")).toDF("id", "v"), "backfill", 0L)
+    assert(t.read().count() == 3L)
+  }
+
+  test("overwrite replaces contents atomically; time travel sees history") {
+    val t = table()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v0 = t.version
+    t.overwrite(Seq((10L, "x")).toDF("id", "v"))
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(10L))
+    assert(t.readAt(v0).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException](t.readAt(t.version + 5))
+  }
+
+  test("schema evolution adds nullable columns; type changes fail loudly") {
+    val t = table()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b", 3.5)).toDF("id", "v", "score"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(2), "pre-evolution rows must read the new column as null")
+    assert(rows(1).getDouble(2) == 3.5)
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((3, "c")).toDF("id", "v")) // id: int vs committed bigint
+    }
+    assert(e.getMessage.contains("conflicts"), e.getMessage)
+  }
+
+  test("compact swaps the live set in one commit and preserves time travel") {
+    val t = table()
+    (0 until 6).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    val preVersion = t.version
+    def liveFiles = t.state().files.size
+    assert(liveFiles == 6)
+    t.compact()
+    assert(liveFiles == 1, "six tiny files should compact to one")
+    assert(t.read().count() == 6L)
+    // the pre-compaction snapshot still reads (files are only
+    // logically removed until vacuum)
+    assert(t.readAt(preVersion).count() == 6L)
+  }
+
+  test("vacuum physically drops unreferenced files; the live read survives") {
+    val t = table()
+    (0 until 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    t.compact()
+    def parquetOnDisk = new java.io.File(t.tablePath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetOnDisk == 5) // 4 logically-removed + 1 compacted
+    t.vacuum(retainVersions = 0, olderThanMs = 0L)
+    assert(parquetOnDisk == 1)
+    assert(t.read().count() == 4L)
+  }
+
+  test("streaming foreachBatch into TxTable is exactly-once across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = table()
+    val ckpt = tmpDir("txtable-ckpt")
+    val stream = MemoryStream[Long]
+    def runOnce(): Unit = {
+      val q = stream.toDF().toDF("id")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          t.appendBatch(b, "stream", id))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stream.addData(1L, 2L)
+    runOnce()
+    runOnce() // restart with no new data: no duplicate commit
+    stream.addData(3L)
+    runOnce()
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}
