@@ -94,6 +94,7 @@ class TxTable(spark: SparkSession, val tablePath: String) {
         case Meta(ddl) => schema = Some(StructType.fromDDL(ddl))
         case Txn(app, batch) =>
           txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
+        case RewriteMarker => ()
       }
     }
     State(replay.lastOption.getOrElse(-1L), files, schema, txns)
@@ -110,6 +111,45 @@ class TxTable(spark: SparkSession, val tablePath: String) {
     require(s.version == version,
       s"version $version not committed (latest contiguous: ${s.version})")
     readState(s)
+  }
+
+  /** Incremental scan: the rows of files ADDED by commits in
+    * `(fromVersion, toVersion]` — the mechanism behind a table-format
+    * streaming source (each micro-batch is a version range of the add
+    * log). An append-only consumer that remembers its last-processed
+    * version reads exactly the new rows per run, never rescanning the
+    * table. Compaction commits carry a rewrite marker and are
+    * SKIPPED — they re-add existing rows in new files, which an
+    * incremental consumer already saw. Any other remove in the range
+    * is rejected loudly: after an overwrite a version-range read is
+    * not a row-level change feed, and silently returning rewritten
+    * files would double-count — re-sync from a full [[read]] instead
+    * (the same contract a format's streaming source enforces).
+    */
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    val head = state()
+    require(toVersion <= head.version,
+      s"toVersion $toVersion not committed (latest contiguous: ${head.version})")
+    require(fromVersion <= toVersion,
+      s"empty or inverted range ($fromVersion, $toVersion]")
+    val fsv = fs
+    var added = Vector.empty[String]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val actions = readManifest(fsv, v)
+      // a rewrite commit (compaction) re-adds EXISTING rows in new
+      // files: invisible to an incremental consumer by definition
+      if (!actions.exists(_ == RewriteMarker)) actions.foreach {
+        case Add(p) => added :+= p
+        case Remove(p) => throw new IllegalStateException(
+          s"version $v of $tablePath removes $p outside a rewrite commit: the " +
+            s"range ($fromVersion, $toVersion] spans an overwrite and is not " +
+            "append-only — re-sync this consumer from a full read()")
+        case _ => ()
+      }
+    }
+    if (added.isEmpty) readState(State(toVersion, Nil, head.schema, Map.empty))
+    else spark.read.schema(head.schema.get)
+      .parquet(added.map(f => new Path(root, f).toString): _*)
   }
 
   private def readState(s: State): DataFrame = s.schema match {
@@ -176,7 +216,9 @@ class TxTable(spark: SparkSession, val tablePath: String) {
           s"compaction inputs were removed by a concurrent commit on $tablePath; " +
             "rerun compact() against the new state")
       }
-      Some(snap.files.map(Remove(_)) ++ staged.map(Add(_)))
+      // the RewriteMarker tells incremental consumers (readChanges)
+      // this commit moves no NEW rows — only existing data changed files
+      Some(RewriteMarker +: (snap.files.map(Remove(_)) ++ staged.map(Add(_))))
     }
   }
 
@@ -321,6 +363,12 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("txn"),
       "writerId" -> JString(writerId), "batchId" -> JLong(batchId))
   }
+  /** Marks a commit that only rewrites existing rows into new files
+    * (compaction): skipped by incremental consumers.
+    */
+  private[core] case object RewriteMarker extends Action {
+    def toJson: JObject = JObject("a" -> JString("rewrite"))
+  }
 
   private[core] object Action {
     def fromJson(line: String): Action = {
@@ -334,6 +382,7 @@ object TxTable {
         case JString("add") => Add(str("path"))
         case JString("remove") => Remove(str("path"))
         case JString("meta") => Meta(str("schemaDdl"))
+        case JString("rewrite") => RewriteMarker
         case JString("txn") => (j \ "batchId") match {
           case JLong(b) => Txn(str("writerId"), b)
           case JInt(b) => Txn(str("writerId"), b.toLong)

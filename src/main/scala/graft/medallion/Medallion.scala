@@ -21,11 +21,40 @@ object Medallion {
   private def mergedSchema(spark: SparkSession, path: String): StructType =
     spark.read.option("mergeSchema", "true").parquet(path).schema
 
-  private def streamFrom(spark: SparkSession, path: String): DataFrame =
+  private[medallion] def streamFrom(spark: SparkSession, path: String): DataFrame =
     spark.readStream
       .schema(mergedSchema(spark, path))
       .option("mergeSchema", "true")
       .parquet(path)
+
+  // ---- the three stage TRANSFORMS, separated from their sinks so the
+  // parquet-staging chain below and the TxTable-backed ACID chain
+  // ([[TxMedallion]]) share one definition of the semantics ----
+
+  /** bronze: flatten the raw envelope's parsedValue struct (P2). */
+  private[medallion] def bronzeTransform(raw: DataFrame): DataFrame =
+    raw.select(col("parsedValue.*"))
+
+  /** silver's column normalization: the reference's string timestamp
+    * kept byte-for-byte (silver.py:24-27, chronologically unsound —
+    * hazard §7.5.1) plus the sound TimestampType `event_time`.
+    */
+  private[medallion] def silverColumns(df: DataFrame): DataFrame =
+    df.withColumn("timestamp_str", from_unixtime(col("timestamp"), "dd-MM-yyyy H:mm:ss"))
+      .withColumn("event_time", timestamp_seconds(col("timestamp")))
+
+  /** gold: the day-filtered product-mix aggregate (gold.py:14-42). */
+  private[medallion] def goldAgg(silver: DataFrame,
+                                 dayStart: java.sql.Timestamp): DataFrame =
+    silver
+      .where(col("event_time") >= lit(dayStart)) // P6, on a sound timestamp type
+      .groupBy(col("type"), col("color"), col("size"))
+      .agg(
+        count(col("type")).as("count_type"),
+        count(col("color")).as("count_color"),
+        count(col("size")).as("count_size"),
+        last(col("timestamp_str")).as("last"),
+        max(col("event_time")).as("last_event_time"))
 
   /** bronze: flatten the raw table's parsedValue struct to top-level
     * columns, partition the layout by product type (bronze.py:14-27;
@@ -34,8 +63,7 @@ object Medallion {
     */
   def bronze(spark: SparkSession, rawPath: String, bronzePath: String,
              checkpoint: String): StreamingQuery =
-    streamFrom(spark, rawPath)
-      .select(col("parsedValue.*"))
+    bronzeTransform(streamFrom(spark, rawPath))
       .writeStream
       .queryName("graftBronze")
       .outputMode("append")
@@ -56,10 +84,7 @@ object Medallion {
     */
   def silver(spark: SparkSession, bronzePath: String, silverPath: String,
              checkpoint: String): StreamingQuery =
-    streamFrom(spark, bronzePath)
-      .dropDuplicates("eventId")
-      .withColumn("timestamp_str", from_unixtime(col("timestamp"), "dd-MM-yyyy H:mm:ss"))
-      .withColumn("event_time", timestamp_seconds(col("timestamp")))
+    silverColumns(streamFrom(spark, bronzePath).dropDuplicates("eventId"))
       .writeStream
       .queryName("graftSilver")
       .outputMode("append")
@@ -79,15 +104,7 @@ object Medallion {
     */
   def gold(spark: SparkSession, silverPath: String, goldPath: String,
            checkpoint: String, dayStart: java.sql.Timestamp): StreamingQuery =
-    streamFrom(spark, silverPath)
-      .where(col("event_time") >= lit(dayStart)) // P6, on a sound timestamp type
-      .groupBy(col("type"), col("color"), col("size"))
-      .agg(
-        count(col("type")).as("count_type"),
-        count(col("color")).as("count_color"),
-        count(col("size")).as("count_size"),
-        last(col("timestamp_str")).as("last"),
-        max(col("event_time")).as("last_event_time"))
+    goldAgg(streamFrom(spark, silverPath), dayStart)
       .writeStream
       .queryName("graftGold")
       .outputMode("complete")

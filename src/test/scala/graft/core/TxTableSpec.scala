@@ -127,6 +127,29 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().count() == 4L)
   }
 
+  test("readChanges returns exactly the appended rows, skips compactions, rejects overwrites") {
+    val t = table()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val v1 = t.version
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    // only the commit after v1
+    assert(t.readChanges(v1, t.version).select("id").as[Long].collect().toSeq == Seq(3L))
+    // the full history from before v0
+    assert(t.readChanges(-1L, t.version).count() == 3L)
+    // a compaction in the range is invisible to the incremental reader
+    val v2 = t.version
+    t.compact()
+    assert(t.readChanges(v2, t.version).count() == 0L)
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(t.readChanges(v2, t.version).select("id").as[Long].collect().toSeq == Seq(4L))
+    // an overwrite breaks append-only semantics: loud, not silent
+    val v3 = t.version
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    val e = intercept[IllegalStateException](t.readChanges(v3, t.version).count())
+    assert(e.getMessage.contains("re-sync"), e.getMessage)
+  }
+
   test("streaming foreachBatch into TxTable is exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
