@@ -41,15 +41,18 @@ import org.json4s.jackson.JsonMethods
   *     added later read as null from older files (mergeSchema
   *     semantics without the per-read footer merge).
   *
-  * Scale notes. State reconstruction replays the manifest list —
-  * O(commits); production formats checkpoint the state every N
-  * commits (the paper's parquet checkpoint) to make it O(1) + tail,
-  * a mechanical extension of [[TxTable.state]]. Data paths are stored
-  * relative, so the table directory is relocatable. The commit
-  * throughput ceiling (one manifest per commit) is the known design
-  * property shared with the original: batch small writes upstream.
+  * Scale notes. State reconstruction replays from the newest
+  * CHECKPOINT (written every `checkpointInterval` commits — the
+  * paper's parquet checkpoint, JSON here) plus the manifest tail:
+  * O(1) + tail, not O(commits); [[truncateLog]] then prunes manifests
+  * below the checkpoint (the log-retention trade: older time travel
+  * dies). Data paths are stored relative, so the table directory is
+  * relocatable. The commit throughput ceiling (one manifest per
+  * commit) is the known design property shared with the original:
+  * batch small writes upstream.
   */
-class TxTable(spark: SparkSession, val tablePath: String) {
+class TxTable(spark: SparkSession, val tablePath: String,
+              checkpointInterval: Int = 16) {
 
   import TxTable._
 
@@ -76,28 +79,42 @@ class TxTable(spark: SparkSession, val tablePath: String) {
   private def stateAt(upTo: Option[Long]): State = {
     val fsv = fs
     if (!fsv.exists(logDir)) return State(-1L, Nil, None, Map.empty)
-    val versions = fsv.listStatus(logDir).iterator
-      .flatMap(s => manifestVersion(s.getPath.getName))
-      .toArray.sorted
-    var expect = 0L
-    val contiguous = versions.takeWhile { v =>
-      val ok = v == expect; expect += 1; ok
-    }
-    val replay = upTo.fold(contiguous)(u => contiguous.filter(_ <= u))
-    var files = Vector.empty[String]
-    var schema: Option[StructType] = None
-    var txns = Map.empty[String, Long]
-    replay.foreach { v =>
-      readManifest(fsv, v).foreach {
-        case Add(p) => files :+= p
-        case Remove(p) => files = files.filterNot(_ == p)
-        case Meta(ddl) => schema = Some(StructType.fromDDL(ddl))
-        case Txn(app, batch) =>
-          txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
-        case RewriteMarker => ()
+    val names = fsv.listStatus(logDir).map(_.getPath.getName)
+    val manifests = names.flatMap(manifestVersion(_)).sorted
+    val limit = upTo.getOrElse(Long.MaxValue)
+    // newest checkpoint at or below the target is the replay base —
+    // O(1) + manifest tail instead of O(commits) (the paper's parquet
+    // checkpoint, in JSON here)
+    val base = names.flatMap(checkpointVersion(_)).filter(_ <= limit).sorted.lastOption
+      .map(readCheckpoint(fsv, _))
+      .getOrElse {
+        if (manifests.nonEmpty && manifests.head > 0L)
+          throw new IllegalStateException(
+            s"$tablePath: log starts at v${manifests.head} with no checkpoint at " +
+              s"or below ${if (limit == Long.MaxValue) "head" else s"v$limit"} — " +
+              "the requested version predates log truncation")
+        State(-1L, Nil, None, Map.empty)
       }
+    var expect = base.version + 1
+    val replay = manifests.dropWhile(_ <= base.version).takeWhile { v =>
+      val ok = v == expect && v <= limit; expect += 1; ok
     }
-    State(replay.lastOption.getOrElse(-1L), files, schema, txns)
+    replay.foldLeft(base)((st, v) => applyManifest(st, v, readManifest(fsv, v)))
+  }
+
+  private def applyManifest(st: State, version: Long, actions: Seq[Action]): State = {
+    var files = st.files.toVector
+    var schema = st.schema
+    var txns = st.txns
+    actions.foreach {
+      case Add(p) => files :+= p
+      case Remove(p) => files = files.filterNot(_ == p)
+      case Meta(ddl) => schema = Some(StructType.fromDDL(ddl))
+      case Txn(app, batch) =>
+        txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
+      case RewriteMarker => ()
+    }
+    State(version, files, schema, txns)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -287,6 +304,73 @@ class TxTable(spark: SparkSession, val tablePath: String) {
       case None => ()
       case Some(actions) =>
         if (!tryClaim(st.version + 1, actions)) commitLoop(what, attempt + 1)(build)
+        else maybeCheckpoint(applyManifest(st, st.version + 1, actions))
+    }
+  }
+
+  /** Every `checkpointInterval` commits, persist the fully-resolved
+    * state next to the log (the paper's checkpoint): readers replay
+    * from the newest checkpoint instead of from v0, and manifests
+    * below it become prunable ([[truncateLog]]). Written AFTER the
+    * claim, derived deterministically from the log — a crash before
+    * the write loses nothing (the next interval hit rewrites it), and
+    * two racers writing the same checkpoint write identical bytes.
+    */
+  private def maybeCheckpoint(st: State): Unit =
+    if (st.version > 0 && st.version % checkpointInterval == 0) {
+      val fsv = fs
+      val body = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JLong(st.version),
+        "files" -> JArray(st.files.map(JString(_)).toList),
+        "schemaDdl" -> st.schema.map(s => JString(s.toDDL)).getOrElse(JNothing),
+        "txns" -> JObject(st.txns.toList.map { case (k, v) => k -> (JLong(v): JValue) })
+      ))).getBytes("UTF-8")
+      val out = fsv.create(new Path(logDir, checkpointName(st.version)), true)
+      try { out.write(body) } finally out.close()
+    }
+
+  private def readCheckpoint(fsv: FileSystem, version: Long): State = {
+    val in = fsv.open(new Path(logDir, checkpointName(version)))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString("UTF-8")
+    } finally in.close()
+    val j = JsonMethods.parse(text)
+    val files = (j \ "files") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val schema = (j \ "schemaDdl") match {
+      case JString(ddl) => Some(StructType.fromDDL(ddl))
+      case _ => None
+    }
+    val txns = (j \ "txns") match {
+      case JObject(fields) => fields.collect {
+        case (k, JLong(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toLong
+      }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    State(version, files, schema, txns)
+  }
+
+  /** Prune manifests below the newest checkpoint (and older
+    * checkpoints): state reads and time travel at or above the
+    * checkpoint are unaffected; earlier versions — and `readChanges`
+    * ranges reaching below it — become unreadable and fail loudly, the
+    * documented metadata-retention trade (the paper's log retention).
+    */
+  def truncateLog(): Unit = {
+    val fsv = fs
+    if (!fsv.exists(logDir)) return
+    val names = fsv.listStatus(logDir).map(_.getPath.getName)
+    names.flatMap(checkpointVersion(_)).sorted.lastOption.foreach { ckpt =>
+      names.foreach { n =>
+        val stale = manifestVersion(n).exists(_ < ckpt) ||
+          checkpointVersion(n).exists(_ < ckpt)
+        if (stale) fsv.delete(new Path(logDir, n), false)
+      }
     }
   }
 
@@ -342,10 +426,16 @@ object TxTable {
   private[core] val LogDirName = "_graft_log"
   private val MaxCommitAttempts = 30
   private val ManifestRe = """v(\d{20})\.json""".r
+  private val CheckpointRe = """v(\d{20})\.ckpt\.json""".r
 
   private def manifestName(v: Long): String = f"v$v%020d.json"
   private def manifestVersion(name: String): Option[Long] = name match {
     case ManifestRe(d) => Some(d.toLong)
+    case _ => None
+  }
+  private def checkpointName(v: Long): String = f"v$v%020d.ckpt.json"
+  private def checkpointVersion(name: String): Option[Long] = name match {
+    case CheckpointRe(d) => Some(d.toLong)
     case _ => None
   }
 

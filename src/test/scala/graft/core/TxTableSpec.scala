@@ -150,6 +150,44 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("re-sync"), e.getMessage)
   }
 
+  test("checkpoints bound state replay; truncateLog prunes history below them") {
+    val dir = tmpDir("txtable-ckpt-log")
+    val t = new TxTable(spark, dir, checkpointInterval = 4)
+    (0 until 10).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    val logFiles = new java.io.File(dir, TxTable.LogDirName).list().sorted
+    assert(logFiles.count(_.endsWith(".ckpt.json")) == 2, // v4 and v8
+      logFiles.mkString(","))
+
+    // a fresh handle resolves state through the checkpoint path
+    val t2 = new TxTable(spark, dir, checkpointInterval = 4)
+    assert(t2.version == 9L)
+    assert(t2.read().count() == 10L)
+    assert(t2.readAt(2L).count() == 3L) // below the checkpoint, manifests intact
+
+    t2.truncateLog()
+    val after = new java.io.File(dir, TxTable.LogDirName).list().sorted
+    assert(!after.exists(n => n.startsWith("v0000000000000000000") &&
+      n.stripPrefix("v").take(20).toLong < 8 && n.endsWith(".json") && !n.endsWith(".ckpt.json")),
+      after.mkString(","))
+    // head state and post-checkpoint time travel survive truncation
+    assert(t2.read().count() == 10L)
+    assert(t2.version == 9L)
+    assert(t2.readAt(8L).count() == 9L)
+    // pre-checkpoint history is gone — loudly, not silently empty
+    val e = intercept[IllegalStateException](t2.readAt(2L))
+    assert(e.getMessage.contains("truncation"), e.getMessage)
+    // appends continue normally on the truncated log
+    t2.append(Seq((10L, "r10")).toDF("id", "v"))
+    assert(t2.read().count() == 11L)
+    // exactly-once txn marks survive via the checkpoint: the writer
+    // high-water recorded before truncation still dedupes
+    val t3 = new TxTable(spark, tmpDir("txtable-ckpt-txn"), checkpointInterval = 2)
+    (0 until 4).foreach(i => t3.appendBatch(Seq((i.toLong, "x")).toDF("id", "v"), "w", i.toLong))
+    t3.truncateLog()
+    t3.appendBatch(Seq((0L, "x")).toDF("id", "v"), "w", 0L) // redelivery below the mark
+    assert(t3.read().count() == 4L)
+  }
+
   test("streaming foreachBatch into TxTable is exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
