@@ -62,10 +62,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Resolved table state at one version: live files, merged schema,
-    * and the high-water batch id per streaming writer.
+    * the high-water batch id per streaming writer, and per-file
+    * column stats (for data skipping; absent for files committed
+    * without them).
     */
   case class State(version: Long, files: Seq[String], schema: Option[StructType],
-                   txns: Map[String, Long])
+                   txns: Map[String, Long],
+                   stats: Map[String, FileStats] = Map.empty)
 
   /** Newest contiguous committed state (empty state at version -1 for
     * a table with no commits). Contiguity guards a listing that races
@@ -82,11 +85,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val names = fsv.listStatus(logDir).map(_.getPath.getName)
     val manifests = names.flatMap(manifestVersion(_)).sorted
     val limit = upTo.getOrElse(Long.MaxValue)
-    // newest checkpoint at or below the target is the replay base —
-    // O(1) + manifest tail instead of O(commits) (the paper's parquet
-    // checkpoint, in JSON here)
-    val base = names.flatMap(checkpointVersion(_)).filter(_ <= limit).sorted.lastOption
-      .map(readCheckpoint(fsv, _))
+    // newest READABLE checkpoint at or below the target is the replay
+    // base — O(1) + manifest tail instead of O(commits) (the paper's
+    // parquet checkpoint, in JSON here). Checkpoints are derived data:
+    // an unreadable one (e.g. listed mid-write by a lagging store)
+    // falls back to the next older, then to full replay.
+    val base = names.flatMap(checkpointVersion(_)).filter(_ <= limit)
+      .sorted.reverseIterator
+      .flatMap(v => scala.util.Try(readCheckpoint(fsv, v)).toOption)
+      .nextOption()
       .getOrElse {
         if (manifests.nonEmpty && manifests.head > 0L)
           throw new IllegalStateException(
@@ -106,21 +113,83 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var files = st.files.toVector
     var schema = st.schema
     var txns = st.txns
+    var stats = st.stats
     actions.foreach {
-      case Add(p) => files :+= p
-      case Remove(p) => files = files.filterNot(_ == p)
+      case Add(p, fstats) =>
+        files :+= p
+        fstats.foreach(s => stats += p -> s)
+      case Remove(p) =>
+        files = files.filterNot(_ == p)
+        stats -= p
       case Meta(ddl) => schema = Some(StructType.fromDDL(ddl))
       case Txn(app, batch) =>
         txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
       case RewriteMarker => ()
     }
-    State(version, files, schema, txns)
+    State(version, files, schema, txns, stats)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
     * files without later-added columns surface them as null).
     */
   def read(): DataFrame = readState(state())
+
+  /** Data-skipping scan: open only the files whose manifest stats
+    * might satisfy `predicate`, then re-apply the predicate exactly.
+    * File-level skipping on top of parquet's own row-group pushdown is
+    * what a manifest buys at 100 TB: a time- or key-clustered table
+    * answers a range probe by opening a handful of files, with no
+    * listing of — or footer reads against — the rest. Supported
+    * conjunct shapes: `col (=, <, <=, >, >=) literal` (either
+    * orientation) on long/double/string columns, plus
+    * `isNull`/`isNotNull`; anything else — and any file committed
+    * without stats — is read, never skipped, so the result ALWAYS
+    * equals `read().where(predicate)`.
+    */
+  def scan(predicate: org.apache.spark.sql.Column): DataFrame = {
+    val s = state()
+    val kept = prunedFiles(s, predicate)
+    readState(s.copy(files = kept)).where(predicate)
+  }
+
+  /** The file names [[scan]] would read — exposed so tests (and scale
+    * audits) can assert the skipping itself, not just the result.
+    */
+  private[core] def prunedFiles(s: State,
+                                predicate: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, NullShape, conjunctShapes}
+    val conjuncts = conjunctShapes(predicate)
+    // a conjunct that proves a file empty ⇒ the file cannot match the AND
+    def provesEmpty(fstats: FileStats,
+                    shape: org.apache.spark.sql.GraftColumnBridge.PredShape): Boolean =
+      shape match {
+        case NullShape(name, true) => fstats.cols.get(name).exists(_.nulls == 0L)
+        case NullShape(_, false) =>
+          false // recorded min/max imply at least one non-null value
+        case CmpShape(name, op, litV) =>
+          (fstats.cols.get(name), literalJ(litV)) match {
+            case (Some(cs), Some(v)) => op match {
+              // needs col ≥/> v: empty when max </≤ v
+              case ">" => cmpJ(cs.max, v).exists(_ <= 0)
+              case ">=" => cmpJ(cs.max, v).exists(_ < 0)
+              // needs col ≤/< v: empty when min >/≥ v
+              case "<" => cmpJ(cs.min, v).exists(_ >= 0)
+              case "<=" => cmpJ(cs.min, v).exists(_ > 0)
+              case "=" | "==" =>
+                cmpJ(cs.max, v).exists(_ < 0) || cmpJ(cs.min, v).exists(_ > 0)
+              case _ => false
+            }
+            case _ => false
+          }
+        case _ => false
+      }
+    s.files.filter { f =>
+      s.stats.get(f) match {
+        case None => true // no stats recorded: always read
+        case Some(fstats) => !conjuncts.exists(provesEmpty(fstats, _))
+      }
+    }
+  }
 
   /** Time travel: the table exactly as of `version`. */
   def readAt(version: Long): DataFrame = {
@@ -156,7 +225,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       // a rewrite commit (compaction) re-adds EXISTING rows in new
       // files: invisible to an incremental consumer by definition
       if (!actions.exists(_ == RewriteMarker)) actions.foreach {
-        case Add(p) => added :+= p
+        case Add(p, _) => added :+= p
         case Remove(p) => throw new IllegalStateException(
           s"version $v of $tablePath removes $p outside a rewrite commit: the " +
             s"range ($fromVersion, $toVersion] spans an overwrite and is not " +
@@ -189,11 +258,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val staged = stageData(df)
     commitLoop(s"append to $tablePath") { st =>
       if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
-        staged.foreach(f => fs.delete(new Path(root, f), false))
+        staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
         None // already committed by a previous attempt of this batch
       } else {
         val schema = mergeSchemas(st.schema, df.schema)
-        Some(staged.map(Add(_)) ++
+        Some(staged.map { case (p, s) => Add(p, s) } ++
           Seq(Meta(schema.toDDL)) ++
           txn.map(t => Txn(t.writerId, t.batchId)).toSeq)
       }
@@ -208,7 +277,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
   def overwrite(df: DataFrame): Unit = {
     val staged = stageData(df)
     commitLoop(s"overwrite of $tablePath") { st =>
-      Some(st.files.map(Remove(_)) ++ staged.map(Add(_)) :+ Meta(df.schema.toDDL))
+      Some(st.files.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } :+
+        Meta(df.schema.toDDL))
     }
   }
 
@@ -228,14 +298,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val staged = stageData(readState(snap).coalesce(nFiles))
     commitLoop(s"compaction of $tablePath") { st =>
       if (!snap.files.forall(st.files.contains)) {
-        staged.foreach(f => fsv.delete(new Path(root, f), false))
+        staged.foreach { case (f, _) => fsv.delete(new Path(root, f), false) }
         throw new java.util.ConcurrentModificationException(
           s"compaction inputs were removed by a concurrent commit on $tablePath; " +
             "rerun compact() against the new state")
       }
       // the RewriteMarker tells incremental consumers (readChanges)
       // this commit moves no NEW rows — only existing data changed files
-      Some(RewriteMarker +: (snap.files.map(Remove(_)) ++ staged.map(Add(_))))
+      Some(RewriteMarker +: (snap.files.map(Remove(_)) ++
+        staged.map { case (p, s) => Add(p, s) }))
     }
   }
 
@@ -270,9 +341,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
   // ---- commit machinery ----
 
   /** Write df's rows as uniquely-named parquet files in the table root
-    * (invisible until a manifest references them); returns the names.
+    * (invisible until a manifest references them); returns each name
+    * with its footer-derived column stats (one cheap footer read per
+    * staged file — the write-side cost of data skipping).
     */
-  private def stageData(df: DataFrame): Seq[String] = {
+  private def stageData(df: DataFrame): Seq[(String, Option[FileStats])] = {
     val fsv = fs
     fsv.mkdirs(root)
     val staging = new Path(root, s"_staging-${UUID.randomUUID()}")
@@ -281,13 +354,68 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { part =>
         val name = s"part-${UUID.randomUUID()}.parquet"
-        if (!fsv.rename(part.getPath, new Path(root, name)))
+        val target = new Path(root, name)
+        if (!fsv.rename(part.getPath, target))
           throw new java.io.IOException(s"failed to stage ${part.getPath} -> $name")
-        name
+        name -> footerStats(target)
       }.toVector
     fsv.delete(staging, true)
     names
   }
+
+  /** Per-file (rows, per-column min/max/nullCount) from the parquet
+    * footer — long/double/string columns only; anything else simply
+    * never prunes. Stats collection is best-effort: a footer we cannot
+    * read yields None, which only disables skipping for that file.
+    */
+  private def footerStats(p: Path): Option[FileStats] = try {
+    import org.apache.parquet.column.statistics._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      // fold row-group stats per column; a column is usable only if
+      // EVERY block carries comparable stats for it
+      var cols = Map.empty[String, ColStats]
+      var dropped = Set.empty[String]
+      blocks.foreach(_.getColumns.asScala.foreach { c =>
+        val name = c.getPath.toDotString
+        if (!dropped.contains(name) && !name.contains(".")) {
+          val st = c.getStatistics
+          val isString = c.getPrimitiveType.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val mm: Option[(JValue, JValue)] =
+            if (st == null || !st.hasNonNullValue) None
+            else st match {
+              case s: IntStatistics => Some((JLong(s.getMin.toLong), JLong(s.getMax.toLong)))
+              case s: LongStatistics => Some((JLong(s.getMin), JLong(s.getMax)))
+              case s: FloatStatistics =>
+                Some((JDouble(s.getMin.toDouble), JDouble(s.getMax.toDouble)))
+              case s: DoubleStatistics => Some((JDouble(s.getMin), JDouble(s.getMax)))
+              case s: BinaryStatistics if isString =>
+                Some((JString(s.genericGetMin.toStringUsingUTF8),
+                  JString(s.genericGetMax.toStringUsingUTF8)))
+              case _ => None
+            }
+          mm match {
+            case None => dropped += name; cols -= name // conservative: no skip
+            case Some((mn, mx)) =>
+              val nulls = if (st.isNumNullsSet) st.getNumNulls else 0L
+              cols = cols.updatedWith(name) {
+                case None => Some(ColStats(mn, mx, nulls))
+                case Some(prev) => Some(ColStats(
+                  minJ(prev.min, mn), maxJ(prev.max, mx), prev.nulls + nulls))
+              }
+          }
+        }
+      })
+      Some(FileStats(rows, cols))
+    } finally reader.close()
+  } catch { case _: Throwable => None }
 
   /** Optimistic-concurrency loop: build actions against the freshest
     * state, try to claim head+1, reload on a lost race. `build`
@@ -323,10 +451,29 @@ class TxTable(spark: SparkSession, val tablePath: String,
         "version" -> JLong(st.version),
         "files" -> JArray(st.files.map(JString(_)).toList),
         "schemaDdl" -> st.schema.map(s => JString(s.toDDL)).getOrElse(JNothing),
-        "txns" -> JObject(st.txns.toList.map { case (k, v) => k -> (JLong(v): JValue) })
+        "txns" -> JObject(st.txns.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
+        "stats" -> JObject(st.stats.toList.map { case (k, v) => k -> (v.toJson: JValue) })
       ))).getBytes("UTF-8")
-      val out = fsv.create(new Path(logDir, checkpointName(st.version)), true)
+      // never expose a half-written checkpoint: stage fully, then move
+      // into place atomically (racers write identical bytes, so a
+      // replace is harmless; readers also tolerate a torn listing by
+      // falling back to the previous checkpoint)
+      val target = new Path(logDir, checkpointName(st.version))
+      val tmp = new Path(logDir, s".tmpckpt-${UUID.randomUUID()}")
+      val out = fsv.create(tmp, true)
       try { out.write(body) } finally out.close()
+      if (fsv.getScheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // the raw move bypasses ChecksumFileSystem: drop the stale crc
+        fsv.delete(new Path(logDir, s".${tmp.getName}.crc"), false)
+      } else {
+        fsv.delete(target, false)
+        if (!fsv.rename(tmp, target)) fsv.delete(tmp, false)
+      }
     }
 
   private def readCheckpoint(fsv: FileSystem, version: Long): State = {
@@ -352,7 +499,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }.toMap
       case _ => Map.empty[String, Long]
     }
-    State(version, files, schema, txns)
+    val stats = (j \ "stats") match {
+      case JObject(fields) =>
+        fields.flatMap { case (k, v) => fileStatsFromJson(v).map(k -> _) }.toMap
+      case _ => Map.empty[String, FileStats]
+    }
+    State(version, files, schema, txns, stats)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -423,6 +575,79 @@ object TxTable {
   /** Streaming-writer identity for idempotent commits. */
   case class TxnId(writerId: String, batchId: Long)
 
+  /** Per-column footer stats (JSON-typed so they serialize into the
+    * manifest verbatim: JLong, JDouble, or JString).
+    */
+  case class ColStats(min: JValue, max: JValue, nulls: Long) {
+    def toJson: JObject =
+      JObject("min" -> min, "max" -> max, "nulls" -> JLong(nulls))
+  }
+  /** Per-file stats carried on the Add action: the data-skipping index. */
+  case class FileStats(rows: Long, cols: Map[String, ColStats]) {
+    def toJson: JObject = JObject(
+      "rows" -> JLong(rows),
+      "cols" -> JObject(cols.toList.map { case (k, v) => k -> (v.toJson: JValue) }))
+  }
+
+  private[core] def fileStatsFromJson(j: JValue): Option[FileStats] = j match {
+    case o: JObject =>
+      val rows = (o \ "rows") match {
+        case JLong(n) => n
+        case JInt(n) => n.toLong
+        case _ => return None
+      }
+      val cols = (o \ "cols") match {
+        case JObject(fields) => fields.flatMap { case (name, cj) =>
+          ((cj \ "min"), (cj \ "max"), (cj \ "nulls")) match {
+            case (mn, mx, JLong(n)) => Some(name -> ColStats(mn, mx, n))
+            case (mn, mx, JInt(n)) => Some(name -> ColStats(mn, mx, n.toLong))
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty[String, ColStats]
+      }
+      Some(FileStats(rows, cols))
+    case _ => None
+  }
+
+  private[core] def minJ(a: JValue, b: JValue): JValue =
+    if (cmpJ(a, b).exists(_ <= 0)) a else b
+  private[core] def maxJ(a: JValue, b: JValue): JValue =
+    if (cmpJ(a, b).exists(_ >= 0)) a else b
+
+  /** Compare two stat values; None when incomparable (mixed kinds). */
+  private[core] def cmpJ(a: JValue, b: JValue): Option[Int] = (a, b) match {
+    case (JString(x), JString(y)) => Some(x.compareTo(y).sign)
+    case _ => (numOf(a), numOf(b)) match {
+      case (Some(x), Some(y)) => Some(x.compare(y).sign)
+      case _ => None
+    }
+  }
+
+  private def numOf(j: JValue): Option[BigDecimal] = j match {
+    case JLong(v) => Some(BigDecimal(v))
+    case JInt(v) => Some(BigDecimal(v))
+    case JDouble(v) if !v.isNaN => Some(BigDecimal(v))
+    case JDecimal(v) => Some(v)
+    case _ => None
+  }
+
+  /** A Scala literal value (from a Catalyst Literal) as a stat JValue. */
+  private[core] def literalJ(v: Any): Option[JValue] = v match {
+    case null => None
+    case b: Byte => Some(JLong(b.toLong))
+    case s: Short => Some(JLong(s.toLong))
+    case i: Int => Some(JLong(i.toLong))
+    case l: Long => Some(JLong(l))
+    case f: Float => Some(JDouble(f.toDouble))
+    case d: Double => Some(JDouble(d))
+    case d: java.math.BigDecimal => Some(JDecimal(BigDecimal(d)))
+    case d: org.apache.spark.sql.types.Decimal => Some(JDecimal(d.toBigDecimal))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(JString(s.toString))
+    case s: String => Some(JString(s))
+    case _ => None
+  }
+
   private[core] val LogDirName = "_graft_log"
   private val MaxCommitAttempts = 30
   private val ManifestRe = """v(\d{20})\.json""".r
@@ -440,8 +665,11 @@ object TxTable {
   }
 
   private[core] sealed trait Action { def toJson: JObject }
-  private[core] case class Add(path: String) extends Action {
-    def toJson: JObject = JObject("a" -> JString("add"), "path" -> JString(path))
+  private[core] case class Add(path: String, stats: Option[FileStats] = None)
+      extends Action {
+    def toJson: JObject = JObject(
+      List("a" -> (JString("add"): JValue), "path" -> (JString(path): JValue)) ++
+        stats.map(s => "stats" -> (s.toJson: JValue)).toList)
   }
   private[core] case class Remove(path: String) extends Action {
     def toJson: JObject = JObject("a" -> JString("remove"), "path" -> JString(path))
@@ -469,7 +697,7 @@ object TxTable {
           s"manifest field $f: expected string, got $other in $line")
       }
       (j \ "a") match {
-        case JString("add") => Add(str("path"))
+        case JString("add") => Add(str("path"), fileStatsFromJson(j \ "stats"))
         case JString("remove") => Remove(str("path"))
         case JString("meta") => Meta(str("schemaDdl"))
         case JString("rewrite") => RewriteMarker

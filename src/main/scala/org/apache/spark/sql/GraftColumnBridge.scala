@@ -11,4 +11,49 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** The Column's API-side node tree (internal.ColumnNode) — what a
+    * Column built by `col`/`lit`/operators actually carries in Spark 4
+    * before analysis; pattern-matchable without a plan.
+    */
+  def node(c: Column): internal.ColumnNode = c.node
+
+  /** Normalized conjunct shapes of a predicate Column, for stat-based
+    * file pruning ([[graft.core.TxTable.scan]]): the AND tree is
+    * flattened and each conjunct classified as `col op literal`
+    * (orientation normalized to attribute-first), a null check, or
+    * Opaque (anything a stats range cannot reason about). Lives here
+    * because Spark 4's ColumnNode classes are private[sql].
+    */
+  sealed trait PredShape
+  case class CmpShape(name: String, op: String, value: Any) extends PredShape
+  case class NullShape(name: String, isNull: Boolean) extends PredShape
+  case object OpaqueShape extends PredShape
+
+  def conjunctShapes(predicate: Column): Seq[PredShape] = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal => ULit,
+      UnresolvedAttribute => UAttr, UnresolvedFunction => UFn}
+    def split(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UFn if f.functionName == "and" => f.arguments.flatMap(split)
+      case other => Seq(other)
+    }
+    def flip(op: String): String = op match {
+      case ">" => "<"
+      case ">=" => "<="
+      case "<" => ">"
+      case "<=" => ">="
+      case other => other // "=" is symmetric
+    }
+    split(predicate.node).map {
+      case f: UFn => (f.functionName, f.arguments) match {
+        case ("isNull", Seq(a: UAttr)) => NullShape(a.nameParts.mkString("."), isNull = true)
+        case ("isNotNull", Seq(a: UAttr)) => NullShape(a.nameParts.mkString("."), isNull = false)
+        case (op @ (">" | ">=" | "<" | "<=" | "=" | "=="), Seq(a: UAttr, l: ULit)) =>
+          CmpShape(a.nameParts.mkString("."), op, l.value)
+        case (op @ (">" | ">=" | "<" | "<=" | "=" | "=="), Seq(l: ULit, a: UAttr)) =>
+          CmpShape(a.nameParts.mkString("."), flip(op), l.value)
+        case _ => OpaqueShape
+      }
+      case _ => OpaqueShape
+    }
+  }
 }

@@ -150,6 +150,39 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("re-sync"), e.getMessage)
   }
 
+  test("scan skips files by manifest stats and equals the unpruned filtered read") {
+    val t = table()
+    // four commits with disjoint id ranges -> four range-clustered files
+    t.append(Seq((0L, "a0"), (9L, "a9")).toDF("id", "v").coalesce(1))
+    t.append(Seq((10L, "b0"), (19L, "b9")).toDF("id", "v").coalesce(1))
+    t.append(Seq((20L, "c0"), (29L, "c9")).toDF("id", "v").coalesce(1))
+    t.append(Seq((30L, "d0"), (39L, "d9")).toDF("id", "v").coalesce(1))
+    val s = t.state()
+    assert(s.files.size == 4)
+    assert(s.stats.size == 4, "every staged file should carry footer stats")
+    def kept(p: org.apache.spark.sql.Column) = t.prunedFiles(s, p).size
+    assert(kept(col("id") > 25L) == 2)
+    assert(kept(col("id") === 15L) == 1)
+    assert(kept(col("id") < 5L) == 1)
+    assert(kept(col("id") >= 10L && col("id") <= 19L) == 1)
+    assert(kept(lit(25L) < col("id")) == 2) // reversed orientation
+    assert(kept(col("v") >= "c") == 2) // string stats
+    assert(kept(col("id").isNull) == 0) // nulls: 0 everywhere -> all skipped
+    assert(kept(col("id").isNotNull) == 4)
+    assert(kept(col("v").contains("x")) == 4) // unsupported shape: never skips
+    // the skipped scan returns exactly the plain filtered read
+    assert(t.scan(col("id") > 25L).select("id").as[Long].collect().sorted.toSeq
+      == Seq(29L, 30L, 39L))
+    assert(t.scan(col("id") === 15L).count() == 0L) // pruned to 1 file, no match
+    assert(t.scan(col("v") >= "c").count() == 4L)
+
+    // stats ride the rewrite: after compaction the scan is still exact
+    t.compact()
+    assert(t.state().stats.size == 1)
+    assert(t.scan(col("id") > 25L).select("id").as[Long].collect().sorted.toSeq
+      == Seq(29L, 30L, 39L))
+  }
+
   test("checkpoints bound state replay; truncateLog prunes history below them") {
     val dir = tmpDir("txtable-ckpt-log")
     val t = new TxTable(spark, dir, checkpointInterval = 4)
