@@ -1,0 +1,133 @@
+package graft.schema
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.avro.Schema
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** A real HTTP client for the Confluent Schema Registry REST API —
+  * the live counterpart the reference constructs at
+  * /root/reference/notebooks/confluent/scala/ingest_raw.scala:129-131
+  * (`CachedSchemaRegistryClient`). Speaks the PUBLIC registry wire
+  * protocol over JDK `java.net.http` (no vendor jar):
+  *
+  *   - `POST /subjects/{subject}/versions` `{"schema": <json string>}`
+  *     → `{"id": N}` (idempotent: re-posting an identical schema
+  *     returns the existing id)
+  *   - `GET /schemas/ids/{id}` → `{"schema": <json string>}`
+  *   - `GET /subjects/{subject}/versions/latest` → `{..,"id","schema"}`
+  *   - `GET /subjects` (only for the Glue-style UUID fallback scan)
+  *
+  * Like the reference's client, every response is CACHED: a schema id
+  * is fetched at most once per process, so the per-record decode path
+  * never touches the network. Glue's 16-byte schema-version UUID is
+  * derived deterministically from the schema text (same rule as
+  * [[InMemorySchemaRegistry]]); resolving an unseen UUID falls back to
+  * one subjects scan, then serves from cache.
+  *
+  * Serializable for closure capture (executors resolve through the
+  * driver-populated cache; the HTTP client itself is transient and
+  * rebuilt on demand).
+  */
+class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry with Serializable {
+
+  private val base = baseUrl.stripSuffix("/")
+
+  @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
+
+  private val idCache = new TrieMap[Int, Schema]
+  private val uuidCache = new TrieMap[UUID, Int]
+
+  private def schemaUuid(schema: Schema): UUID =
+    UUID.nameUUIDFromBytes(schema.toString.getBytes(StandardCharsets.UTF_8))
+
+  private def cachePut(id: Int, schema: Schema): Unit = {
+    idCache.put(id, schema)
+    uuidCache.put(schemaUuid(schema), id)
+  }
+
+  private def request(method: String, path: String, body: Option[String]): JValue = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+    val req = (body match {
+      case Some(payload) =>
+        b.method(method, HttpRequest.BodyPublishers.ofString(payload, StandardCharsets.UTF_8))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 404)
+      throw new NoSuchElementException(s"schema registry: $method $path -> 404")
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"schema registry: $method $path -> ${resp.statusCode()}: ${resp.body().take(200)}")
+    JsonMethods.parse(resp.body())
+  }
+
+  private def jStr(j: JValue, field: String): String = (j \ field) match {
+    case JString(s) => s
+    case other => throw new java.io.IOException(
+      s"schema registry: expected string field '$field', got $other")
+  }
+
+  private def jInt(j: JValue, field: String): Int = (j \ field) match {
+    case JInt(n) => n.toInt
+    case JLong(n) => n.toInt
+    case other => throw new java.io.IOException(
+      s"schema registry: expected int field '$field', got $other")
+  }
+
+  override def register(subject: String, schema: Schema): Int = {
+    // the registry API takes the schema as a JSON-encoded STRING field
+    val body = JsonMethods.compact(JsonMethods.render(
+      JObject("schema" -> JString(schema.toString))))
+    val id = jInt(request("POST", s"/subjects/$subject/versions", Some(body)), "id")
+    cachePut(id, schema)
+    id
+  }
+
+  override def getById(id: Int): Schema =
+    idCache.getOrElse(id, {
+      val schema = new Schema.Parser().parse(
+        jStr(request("GET", s"/schemas/ids/$id", None), "schema"))
+      cachePut(id, schema)
+      schema
+    })
+
+  override def getByUuid(uuid: UUID): Schema = getById(idFor(uuid))
+
+  override def uuidFor(id: Int): UUID = schemaUuid(getById(id))
+
+  override def idFor(uuid: UUID): Int =
+    uuidCache.getOrElse(uuid, {
+      // Confluent's API has no UUID lookup (that is Glue's notion) —
+      // one subjects scan repopulates the cache, then we either know
+      // it or the registry genuinely does not hold this schema text
+      request("GET", "/subjects", None) match {
+        case JArray(subjects) => subjects.foreach {
+          case JString(s) =>
+            val latestJ = request("GET", s"/subjects/$s/versions/latest", None)
+            cachePut(jInt(latestJ, "id"),
+              new Schema.Parser().parse(jStr(latestJ, "schema")))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      uuidCache.getOrElse(uuid,
+        throw new NoSuchElementException(s"schema uuid $uuid not in registry"))
+    })
+
+  override def latest(subject: String): Option[(Int, Schema)] =
+    try {
+      val j = request("GET", s"/subjects/$subject/versions/latest", None)
+      val schema = new Schema.Parser().parse(jStr(j, "schema"))
+      val id = jInt(j, "id")
+      cachePut(id, schema)
+      Some((id, schema))
+    } catch { case _: NoSuchElementException => None }
+}

@@ -59,4 +59,7 @@ class InMemorySchemaRegistry extends SchemaRegistry with Serializable {
 
   override def latest(subject: String): Option[(Int, Schema)] =
     subjects.get(subject).flatMap(_.lastOption).map(id => (id, byId(id)))
+
+  /** Registered subject names (the REST API's `GET /subjects`). */
+  def subjectNames: Seq[String] = subjects.keys.toSeq.sorted
 }

@@ -1,0 +1,147 @@
+package graft.schema
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.codec.{ConfluentWire, GlueWire}
+import graft.gen.{EventGenerator, KafkaEnvelope}
+import graft.pipeline.Pipeline
+
+/** In-process Confluent-REST-API server (JDK HttpServer, port 0) over
+  * an [[InMemorySchemaRegistry]] — the fixture that lets the REAL HTTP
+  * client be exercised without a network: same endpoints, same JSON
+  * shapes, same 404 semantics as the public API.
+  */
+class TestSchemaRegistryServer {
+  private val delegate = new InMemorySchemaRegistry
+  val requests = new AtomicInteger(0)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/vnd.schemaregistry.v1+json")
+    x.sendResponseHeaders(code, bytes.length)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+
+  server.createContext("/", (x: HttpExchange) => try {
+    requests.incrementAndGet()
+    val path = x.getRequestURI.getPath
+    val SubjectsVersions = "/subjects/([^/]+)/versions".r
+    val SubjectsLatest = "/subjects/([^/]+)/versions/latest".r
+    val SchemaById = "/schemas/ids/(\\d+)".r
+    (x.getRequestMethod, path) match {
+      case ("POST", SubjectsVersions(subject)) =>
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        (JsonMethods.parse(body) \ "schema") match {
+          case JString(schemaText) =>
+            val id = delegate.register(subject,
+              new org.apache.avro.Schema.Parser().parse(schemaText))
+            respond(x, 200, s"""{"id":$id}""")
+          case _ => respond(x, 422, """{"error_code":42201,"message":"bad schema"}""")
+        }
+      case ("GET", SubjectsLatest(subject)) =>
+        delegate.latest(subject) match {
+          case Some((id, schema)) =>
+            val j = JObject("subject" -> JString(subject), "version" -> JInt(1),
+              "id" -> JInt(id), "schema" -> JString(schema.toString))
+            respond(x, 200, JsonMethods.compact(JsonMethods.render(j)))
+          case None =>
+            respond(x, 404, """{"error_code":40401,"message":"subject not found"}""")
+        }
+      case ("GET", SchemaById(id)) =>
+        try respond(x, 200, JsonMethods.compact(JsonMethods.render(
+          JObject("schema" -> JString(delegate.getById(id.toInt).toString)))))
+        catch { case _: NoSuchElementException =>
+          respond(x, 404, """{"error_code":40403,"message":"schema not found"}""")
+        }
+      case ("GET", "/subjects") =>
+        respond(x, 200, JsonMethods.compact(JsonMethods.render(
+          JArray(delegate.subjectNames.map(JString(_)).toList))))
+      case _ =>
+        respond(x, 404, """{"error_code":404,"message":"no such route"}""")
+    }
+  } catch { case e: Throwable => respond(x, 500, s"""{"message":"${e.getMessage}"}""") })
+
+  server.start()
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+}
+
+class HttpSchemaRegistrySpec extends SparkTestBase {
+
+  private def withServer[T](f: TestSchemaRegistryServer => T): T = {
+    val s = new TestSchemaRegistryServer
+    try f(s) finally s.stop()
+  }
+
+  test("register/getById/latest round-trip over real HTTP, idempotent re-register") {
+    withServer { srv =>
+      val reg = new HttpSchemaRegistry(srv.url)
+      val v1 = graft.schema.ProductSchemas.v1
+      val v2 = graft.schema.ProductSchemas.v2
+      val id1 = reg.register("product-value", v1)
+      val id2 = reg.register("product-value", v2)
+      assert(id1 != id2)
+      assert(reg.register("product-value", v1) == id1, "re-register must return the same id")
+      // a FRESH client resolves ids it never registered (server-side state)
+      val reader = new HttpSchemaRegistry(srv.url)
+      assert(reader.getById(id1).toString == v1.toString)
+      assert(reader.latest("product-value").map(_._1).contains(id2))
+      assert(reader.latest("no-such-subject").isEmpty)
+      intercept[NoSuchElementException](reader.getById(9999))
+    }
+  }
+
+  test("responses are cached: repeated decode never goes back to the network") {
+    withServer { srv =>
+      val reg = new HttpSchemaRegistry(srv.url)
+      val id = reg.register("p", graft.schema.ProductSchemas.v1)
+      val reader = new HttpSchemaRegistry(srv.url)
+      reader.getById(id)
+      val after = srv.requests.get()
+      (0 until 50).foreach(_ => reader.getById(id))
+      (0 until 50).foreach(_ => reader.uuidFor(id))
+      assert(srv.requests.get() == after, "cached lookups must not re-fetch")
+    }
+  }
+
+  test("Glue-style UUID resolution falls back to one subjects scan on a fresh client") {
+    withServer { srv =>
+      val writer = new HttpSchemaRegistry(srv.url)
+      val id = writer.register("product-value", graft.schema.ProductSchemas.v1)
+      val uuid = writer.uuidFor(id)
+      val reader = new HttpSchemaRegistry(srv.url) // cold cache
+      assert(reader.idFor(uuid) == id)
+      assert(reader.getByUuid(uuid).toString == graft.schema.ProductSchemas.v1.toString)
+      intercept[NoSuchElementException](
+        reader.idFor(java.util.UUID.randomUUID()))
+    }
+  }
+
+  test("the full pipeline runs against the HTTP registry over both wire formats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withServer { srv =>
+      for ((wire, tag) <- Seq((ConfluentWire, "confluent"), (GlueWire, "glue"))) {
+        val reg = new HttpSchemaRegistry(srv.url)
+        val gen = new EventGenerator(seed = 61)
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaEnvelope]
+        stream.addData(gen.envelopes(gen.events(40), reg, wire))
+        val gold = Pipeline.run(spark, stream.toDF(), reg, wire,
+          Pipeline.Paths(tmpDir(s"http-reg-$tag")),
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        assert(gold.agg(sum("count_type")).collect().head.getLong(0) == 40L,
+          s"wire format $tag through the HTTP registry")
+      }
+    }
+  }
+}
