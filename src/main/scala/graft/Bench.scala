@@ -73,12 +73,13 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // TWO clean JSON lines (build.sbt sets run/outputStrategy :=
     // StdoutOutput so they pass through without sbt's "[info] "
-    // prefix): first a tiny machine-parseable total that can never be
-    // truncated, then the full per-query map
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"queries_n":${results.size},"policy":"min2","sf":"$sfDir"}""")
+    // prefix): the full per-query map FIRST, then the tiny
+    // machine-parseable total LAST — the driver keeps the tail of the
+    // output, so the final line must be the one that always survives
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"policy":"min2","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"queries_n":${results.size},"policy":"min2","sf":"$sfDir"}""")
     spark.stop()
     // a partial run must not look like a faster one: non-zero exit when
     // any query failed, so automated total-comparisons can't misread it

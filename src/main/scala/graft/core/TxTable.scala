@@ -322,8 +322,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val head = state()
     if (head.version < 0) return
     val keepFrom = math.max(0L, head.version - retainVersions)
+    // after truncateLog a retention window reaching below the newest
+    // checkpoint contains versions that can no longer be resolved;
+    // retain what CAN be resolved instead of crashing — the
+    // unresolvable versions are unreadable anyway, so retention for
+    // them is moot (head.files is always kept regardless)
     val referenced = (keepFrom to head.version)
-      .flatMap(v => stateAt(Some(v)).files).toSet ++ head.files
+      .flatMap(v => scala.util.Try(stateAt(Some(v)).files)
+        .getOrElse(Seq.empty[String])).toSet ++ head.files
     val cutoff = System.currentTimeMillis() - olderThanMs
     fsv.listStatus(root).iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -404,11 +410,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
           mm match {
             case None => dropped += name; cols -= name // conservative: no skip
             case Some((mn, mx)) =>
-              val nulls = if (st.isNumNullsSet) st.getNumNulls else 0L
+              // a footer may legally omit the null count; -1 = unknown,
+              // and unknown is contagious across row groups — an isNull
+              // prune must never treat "unrecorded" as "zero nulls"
+              val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
               cols = cols.updatedWith(name) {
                 case None => Some(ColStats(mn, mx, nulls))
                 case Some(prev) => Some(ColStats(
-                  minJ(prev.min, mn), maxJ(prev.max, mx), prev.nulls + nulls))
+                  minJ(prev.min, mn), maxJ(prev.max, mx),
+                  if (prev.nulls < 0 || nulls < 0) -1L else prev.nulls + nulls))
               }
           }
         }
@@ -551,11 +561,24 @@ class TxTable(spark: SparkSession, val tablePath: String,
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally fsv.delete(tmp, false)
     } else {
+      // never create(target) directly: a concurrent reader could list
+      // and parse a half-written manifest, and a torn prefix of
+      // newline-delimited actions parses cleanly — a silent partial
+      // commit. Write a fully-flushed temp file, then rename into
+      // place: HDFS rename is atomic and FAILS when the destination
+      // exists, which is exactly the claim primitive (Delta's
+      // HDFSLogStore does the same).
+      val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+      val out = fsv.create(tmp, true)
+      try { out.write(body) } finally out.close()
       try {
-        val out = fsv.create(target, false)
-        try { out.write(body) } finally out.close()
-        true
-      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+        if (fsv.exists(target)) { fsv.delete(tmp, false); false }
+        else if (fsv.rename(tmp, target)) true
+        else { fsv.delete(tmp, false); false }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fsv.delete(tmp, false); false
+      }
     }
   }
 
@@ -576,7 +599,9 @@ object TxTable {
   case class TxnId(writerId: String, batchId: Long)
 
   /** Per-column footer stats (JSON-typed so they serialize into the
-    * manifest verbatim: JLong, JDouble, or JString).
+    * manifest verbatim: JLong, JDouble, or JString). `nulls == -1`
+    * means the footer did not record a null count — an isNull prune
+    * requires a KNOWN-zero count, never an absent one.
     */
   case class ColStats(min: JValue, max: JValue, nulls: Long) {
     def toJson: JObject =
@@ -615,13 +640,31 @@ object TxTable {
   private[core] def maxJ(a: JValue, b: JValue): JValue =
     if (cmpJ(a, b).exists(_ >= 0)) a else b
 
-  /** Compare two stat values; None when incomparable (mixed kinds). */
+  /** Compare two stat values; None when incomparable (mixed kinds).
+    * Strings compare as UNSIGNED UTF-8 bytes — the order parquet
+    * computed the binary min/max in. Java's String.compareTo is UTF-16
+    * code-unit order, which diverges for supplementary (non-BMP)
+    * characters and would let a range predicate wrongly prune a file.
+    */
   private[core] def cmpJ(a: JValue, b: JValue): Option[Int] = (a, b) match {
-    case (JString(x), JString(y)) => Some(x.compareTo(y).sign)
+    case (JString(x), JString(y)) => Some(utf8Cmp(x, y))
     case _ => (numOf(a), numOf(b)) match {
       case (Some(x), Some(y)) => Some(x.compare(y).sign)
       case _ => None
     }
+  }
+
+  private[core] def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return Integer.signum(d)
+      i += 1
+    }
+    Integer.signum(a.length - b.length)
   }
 
   private def numOf(j: JValue): Option[BigDecimal] = j match {

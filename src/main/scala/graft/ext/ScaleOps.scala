@@ -234,7 +234,12 @@ object ScaleOps {
     * needs no Exchange on either side.
     */
   private def bucketedJoinTables(s: SparkSession, dir: String): (String, String) =
-    graft.core.IndexCache.memo(s"bucketed-join:$dir:buckets=16") {
+    // keyed by applicationId as well as directory (the shingle-table
+    // convention): table registrations live in one session's in-memory
+    // catalog, so a memo hit from an earlier SparkSession would hand a
+    // later one table names its own catalog never saw (TABLE_NOT_FOUND)
+    graft.core.IndexCache.memo(
+      s"bucketed-join:${s.sparkContext.applicationId}:$dir:buckets=16") {
       val tag = dir.replaceAll("[^a-zA-Z0-9]+", "_").stripPrefix("_").stripSuffix("_")
       val li = s"lineitem_bkt_$tag"
       val ord = s"orders_bkt_$tag"

@@ -221,6 +221,46 @@ class TxTableSpec extends SparkTestBase {
     assert(t3.read().count() == 4L)
   }
 
+  test("vacuum survives log truncation: retains what it can resolve, never crashes") {
+    val dir = tmpDir("txtable-vac-trunc")
+    val t = new TxTable(spark, dir, checkpointInterval = 4)
+    (0 until 10).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    t.truncateLog()
+    // retention window reaches below the newest checkpoint: versions
+    // there are unresolvable after truncation — vacuum must clamp to
+    // what it can resolve, not throw
+    t.vacuum(retainVersions = 100, olderThanMs = 0L)
+    assert(t.read().count() == 10L)
+    // and with a zero window the live set still survives
+    t.vacuum(retainVersions = 0, olderThanMs = 0L)
+    assert(t.read().count() == 10L)
+  }
+
+  test("string stat comparison is unsigned UTF-8 byte order, not UTF-16") {
+    // U+FFFD (3 UTF-8 bytes, 0xEF..) vs U+1F600 (4 bytes, 0xF0..):
+    // UTF-16 code-unit order inverts — the exact divergence that would
+    // let a range predicate wrongly prune a file
+    assert("�".compareTo("😀") > 0) // Java order (wrong for parquet)
+    assert(TxTable.utf8Cmp("�", "😀") < 0) // parquet binary order
+    assert(TxTable.utf8Cmp("a", "a") == 0)
+    assert(TxTable.utf8Cmp("a", "ab") < 0)
+    assert(TxTable.utf8Cmp("b", "a") > 0)
+  }
+
+  test("isNull prune requires a KNOWN-zero null count, never an absent one") {
+    import org.json4s.JLong
+    val t = table()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val st = t.state()
+    val f = st.files.head
+    def withNulls(n: Long) = st.copy(stats = Map(
+      f -> TxTable.FileStats(1L, Map("id" -> TxTable.ColStats(JLong(0), JLong(9), n)))))
+    // unknown count (-1, footer omitted numNulls): the file MUST be read
+    assert(t.prunedFiles(withNulls(-1L), col("id").isNull) == st.files)
+    // known-zero count: provably no nulls — skip is correct
+    assert(t.prunedFiles(withNulls(0L), col("id").isNull).isEmpty)
+  }
+
   test("streaming foreachBatch into TxTable is exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
