@@ -10,15 +10,19 @@ import graft.core.Tables
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * Image and audio decode are REAL: PNG via `javax.imageio` and WAV
-  * via `javax.sound.sampled` — both JDK built-ins, so the executors
-  * genuinely parse the container formats (no new jars). Video decode
-  * stays a declared stub (the JDK has no video container parser);
-  * its metadata derives from the payload length only. The fixture
-  * generates real PNG/WAV payloads whose ground-truth metadata is an
-  * arithmetic function of doc_id, which is what lets the DuckDB
-  * oracle check the decode round-trip: the outputs match only if the
-  * encoder AND decoder actually speak the format.
+  * Image, audio AND video decode are REAL: PNG via `javax.imageio`,
+  * WAV via `javax.sound.sampled` (both JDK built-ins), and MP4 via a
+  * hand-written ISO BMFF box reader ([[JdkCodec.decodeMp4]]) — the JDK
+  * has no video parser, so the fixture hand-frames a minimal
+  * `ftyp`+`moov`(`mvhd`+`trak`/`tkhd`)+`mdat` container (the WAV
+  * approach: RIFF is hand-written too) and the decoder walks the box
+  * tree for timescale/duration and the tkhd 16.16 fixed-point
+  * width/height. Only the mdat PAYLOAD (actual codec bitstream) is
+  * synthetic — frame decode would need a real codec. The fixture
+  * generates payloads whose ground-truth metadata is an arithmetic
+  * function of doc_id, which is what lets the DuckDB oracle check the
+  * decode round-trip: the outputs match only if the encoder AND
+  * decoder actually speak the format.
   *
   * The per-row decode UDFs are the single-JVM analog of the
   * mapInPandas batch-decode a PySpark deployment uses: scan →
@@ -35,7 +39,7 @@ object Multimodal {
     StructField("duration_ms", LongType)))
 
   /** Real JDK codecs (encode for the fixture, decode for the
-    * operators) plus the declared video stub.
+    * operators): PNG, WAV, and a minimal-but-real MP4 container.
     */
   object JdkCodec extends Serializable {
 
@@ -77,17 +81,109 @@ object Multimodal {
       bb.array()
     }
 
-    /** Deterministic opaque "video" payload of 16·(id%7+1) bytes — the
-      * JDK cannot parse video containers, so only the length is
-      * meaningful downstream.
+    /** Minimal REAL MP4 (ISO BMFF): `ftyp` + `moov`(`mvhd` +
+      * `trak`/`tkhd`) + `mdat`. The movie header carries timescale
+      * 1000 and duration 2000+(id%30)·100 (so duration units == ms,
+      * exactly), the track header carries width/height as 16.16
+      * fixed-point, and the mdat payload is the old deterministic
+      * byte stream (16·(id%7+1) bytes). Every field a real demuxer
+      * reads for stream metadata is present and spec-placed; only the
+      * codec bitstream inside mdat is synthetic.
       */
-    def makeVideo(id: Long): Array[Byte] =
-      Array.tabulate((16 * (id % 7 + 1)).toInt)(i => ((id * 31 + i) % 256).toByte)
+    def makeMp4(id: Long): Array[Byte] = {
+      val w = (320 + (id % 5) * 16).toInt
+      val h = (180 + (id % 4) * 30).toInt
+      val durMs = (2000 + (id % 30) * 100).toInt // timescale 1000 ⇒ units are ms
+      def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length) // big-endian
+        bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+        bb.array()
+      }
+      val unityMatrix = { // 3×3 transform, 16.16/2.30 fixed-point identity
+        val bb = java.nio.ByteBuffer.allocate(36)
+        bb.putInt(0x10000).putInt(0).putInt(0)
+          .putInt(0).putInt(0x10000).putInt(0)
+          .putInt(0).putInt(0).putInt(0x40000000)
+        bb.array()
+      }
+      val ftyp = box("ftyp", {
+        val bb = java.nio.ByteBuffer.allocate(12)
+        bb.put("isom".getBytes("US-ASCII")).putInt(0x200)
+          .put("isom".getBytes("US-ASCII"))
+        bb.array()
+      })
+      val mvhd = box("mvhd", {
+        val bb = java.nio.ByteBuffer.allocate(100) // version-0 layout
+        bb.putInt(0) // version + flags
+          .putInt(0).putInt(0) // creation, modification
+          .putInt(1000) // timescale
+          .putInt(durMs) // duration (in timescale units)
+          .putInt(0x00010000) // rate 1.0
+          .putShort(0x0100.toShort) // volume 1.0
+          .put(new Array[Byte](10)) // reserved
+          .put(unityMatrix)
+          .put(new Array[Byte](24)) // pre_defined
+          .putInt(2) // next_track_ID
+        bb.array()
+      })
+      val tkhd = box("tkhd", {
+        val bb = java.nio.ByteBuffer.allocate(84) // version-0 layout
+        bb.putInt(0x000007) // version 0, flags enabled|in_movie|in_preview
+          .putInt(0).putInt(0) // creation, modification
+          .putInt(1) // track_ID
+          .putInt(0) // reserved
+          .putInt(durMs) // duration
+          .put(new Array[Byte](8)) // reserved
+          .putShort(0).putShort(0) // layer, alternate_group
+          .putShort(0) // volume (0 for video tracks)
+          .putShort(0) // reserved
+          .put(unityMatrix)
+          .putInt(w << 16).putInt(h << 16) // 16.16 fixed-point extent
+        bb.array()
+      })
+      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      val mdat = box("mdat",
+        Array.tabulate((16 * (id % 7 + 1)).toInt)(i => ((id * 31 + i) % 256).toByte))
+      ftyp ++ moov ++ mdat
+    }
 
     /** Real PNG decode: (width, height, red channel of pixel (0,0)). */
     def decodeImage(bytes: Array[Byte]): (Long, Long, Long) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       (img.getWidth.toLong, img.getHeight.toLong, ((img.getRGB(0, 0) >> 16) & 0xff).toLong)
+    }
+
+    /** Real MP4 box-tree parse: (width, height, duration_ms).
+      * Walks the top-level boxes to `moov`, reads timescale+duration
+      * from `mvhd` (version-0 offsets 12/16) and the 16.16 fixed-point
+      * width/height from the LAST 8 bytes of the first `trak`'s
+      * `tkhd` — the spec-placed positions a real demuxer reads.
+      * Malformed containers throw (loudly, like ImageIO on bad PNG);
+      * 64-bit box sizes (size==1) are out of this minimal profile.
+      */
+    def decodeMp4(bytes: Array[Byte]): (Long, Long, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // ISO BMFF is big-endian
+      def findBox(start: Int, end: Int, typ: String): (Int, Int) = {
+        var off = start
+        while (off + 8 <= end) {
+          val size = bb.getInt(off)
+          if (size < 8) throw new java.io.IOException(
+            s"malformed MP4: box size $size at offset $off")
+          val t = new String(bytes, off + 4, 4, "US-ASCII")
+          if (t == typ) return (off + 8, off + size)
+          off += size
+        }
+        throw new java.io.IOException(s"malformed MP4: no '$typ' box in [$start,$end)")
+      }
+      val (moovS, moovE) = findBox(0, bytes.length, "moov")
+      val (mvhdS, _) = findBox(moovS, moovE, "mvhd")
+      val timescale = bb.getInt(mvhdS + 12) & 0xffffffffL
+      val duration = bb.getInt(mvhdS + 16) & 0xffffffffL
+      val (trakS, trakE) = findBox(moovS, moovE, "trak")
+      val (_, tkhdE) = findBox(trakS, trakE, "tkhd")
+      val w = (bb.getInt(tkhdE - 8) >>> 16).toLong
+      val h = (bb.getInt(tkhdE - 4) >>> 16).toLong
+      (w, h, math.round(duration * 1000.0 / timescale))
     }
 
     /** Real WAV header parse: exact duration in ms from frame count ÷
@@ -135,13 +231,13 @@ object Multimodal {
     mediaType match {
       case "image" => JdkCodec.makePng(id)
       case "audio" => JdkCodec.makeWav(id)
-      case _       => JdkCodec.makeVideo(id)
+      case _       => JdkCodec.makeMp4(id)
     }
   }
 
   /** Synthesize a deterministic media-asset table from `documents`
-    * (doc_id, media_type, media binary) — REAL PNG and WAV payloads
-    * (plus opaque video bytes) whose ground-truth metadata is pure
+    * (doc_id, media_type, media binary) — REAL PNG, WAV and MP4
+    * containers whose ground-truth metadata is pure
     * doc_id arithmetic, so decode outputs are oracle-predictable.
     */
   def syntheticAssets(s: SparkSession, dir: String): DataFrame =
@@ -159,14 +255,14 @@ object Multimodal {
       case "audio" =>
         (0L, 0L, -1L, JdkCodec.decodeWavDurationMs(bytes))
       case _ =>
-        // declared stub: no JDK video parser — length-derived duration
-        (0L, 0L, -1L, 1000L + bytes.length.toLong * 10L)
+        val (w, h, d) = JdkCodec.decodeMp4(bytes)
+        (w, h, -1L, d)
     }
   }
 
   private val featureUdf = udf { (bytes: Array[Byte]) => FakeCodec.features(bytes) }
 
-  /** Decode: binary → typed metadata struct (real PNG/WAV decode, see
+  /** Decode: binary → typed metadata struct (real PNG/WAV/MP4 decode, see
     * [[JdkCodec]]; plan shape: scan → project(UDF), one stage, no
     * shuffle).
     */
@@ -227,10 +323,11 @@ object Multimodal {
       .orderBy(col("lang"))
 
   /** Decode round-trip over the synthetic asset table: per-doc decoded
-    * metadata. The PNG/WAV rows match the oracle's doc_id arithmetic
-    * ONLY if `ImageIO`/`AudioSystem` really parsed the bytes the
-    * fixture encoded — this is the correctness check of the decode
-    * operator itself, not of the fixture.
+    * metadata. The PNG/WAV/MP4 rows match the oracle's doc_id
+    * arithmetic ONLY if `ImageIO`/`AudioSystem`/the BMFF box reader
+    * really parsed the bytes the fixture encoded — this is the
+    * correctness check of the decode operator itself, not of the
+    * fixture.
     */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     withDecodedMeta(syntheticAssets(s, dir))
@@ -246,17 +343,22 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     // ground truth is doc_id arithmetic by fixture construction; a
-    // match proves the executors' ImageIO/AudioSystem decode was real
+    // match proves the executors' ImageIO/AudioSystem/BMFF-box decode
+    // was real
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS media_type,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 17 ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 3) % 13 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 17
+        |            WHEN doc_id % 3 = 2 THEN 320 + (doc_id % 5) * 16
+        |            ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 3) % 13
+        |            WHEN doc_id % 3 = 2 THEN 180 + (doc_id % 4) * 30
+        |            ELSE 0 END AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 ELSE -1 END AS BIGINT) AS px_r,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
         |            WHEN doc_id % 3 = 1 THEN (800 + (doc_id % 32) * 40) // 8
-        |            ELSE 1000 + 16 * (doc_id % 7 + 1) * 10 END AS BIGINT) AS duration_ms
+        |            ELSE 2000 + (doc_id % 30) * 100 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_doc_embedding" ->
       """SELECT lang, COUNT(*) AS n,

@@ -47,7 +47,9 @@ class MultimodalSpec extends SparkTestBase {
           nWav += 1
           assert(r.getLong(5) == (800 + (id % 32) * 40) / 8, s"doc $id wav duration")
         case "video" =>
-          assert(r.getLong(5) == 1000 + 16 * (id % 7 + 1) * 10, s"doc $id stub duration")
+          assert(r.getLong(2) == 320 + (id % 5) * 16, s"doc $id mp4 width")
+          assert(r.getLong(3) == 180 + (id % 4) * 30, s"doc $id mp4 height")
+          assert(r.getLong(5) == 2000 + (id % 30) * 100, s"doc $id mp4 duration")
       }
     }
     assert(nImg > 0 && nWav > 0)
