@@ -221,6 +221,57 @@ class TxTableSpec extends SparkTestBase {
     assert(t3.read().count() == 4L)
   }
 
+  test("two JVMs appending concurrently: every commit lands, versions contiguous") {
+    val dir = tmpDir("txtable-2jvm")
+    val t = new TxTable(spark, dir)
+    t.append(Seq(("seed", 0L)).toDF("k", "v")) // v0: schema exists for both writers
+    val n = 6
+    // the claim primitive is cross-process by construction (hard-link
+    // create fails iff the target exists, arbitrated by the kernel,
+    // not JVM state) — this exercises it for real: a second JVM with
+    // its own SparkSession races the in-process writer on the same log
+    val javaBin = sys.props("java.home") + "/bin/java"
+    // reuse this JVM's --add-opens flags (JDK17 + Spark); they arrive
+    // either as one "--add-opens=..." token or as a flag/value pair
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toVector
+    }
+    val addOpens = jvmArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports")
+        Seq(a, jvmArgs(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports="))
+        Seq(a)
+      else Nil
+    }
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", sys.props("java.class.path"),
+      "graft.core.TxTableRaceHelper", dir, n.toString, "child")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() =>
+      org.apache.hadoop.io.IOUtils.copyBytes(proc.getInputStream, out, 8192, false))
+    drain.setDaemon(true)
+    drain.start()
+    (0 until n).foreach(i => t.append(Seq((s"local-$i", 1L)).toDF("k", "v")))
+    assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      { proc.destroyForcibly(); "helper JVM timed out" })
+    drain.join(10000)
+    assert(proc.exitValue() == 0,
+      s"helper JVM failed:\n${out.toString("UTF-8").takeRight(4000)}")
+    // all 2n+1 commits landed; contiguity is enforced by state() itself
+    // (replay stops at the first version gap, so a lost commit would
+    // surface as a lower head version)
+    assert(t.version == 2L * n)
+    val keys = t.read().select("k").as[String].collect().toSet
+    val expected = Set("seed") ++
+      (0 until n).map(i => s"local-$i") ++ (0 until n).map(i => s"child-$i")
+    assert(keys == expected)
+  }
+
   test("vacuum survives log truncation: retains what it can resolve, never crashes") {
     val dir = tmpDir("txtable-vac-trunc")
     val t = new TxTable(spark, dir, checkpointInterval = 4)
