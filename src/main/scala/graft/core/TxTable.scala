@@ -213,6 +213,19 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * (the same contract a format's streaming source enforces).
     */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    val added = changedFiles(fromVersion, toVersion)
+    val schema = state().schema
+    if (added.isEmpty) readState(State(toVersion, Nil, schema, Map.empty))
+    else spark.read.schema(schema.get).parquet(added: _*)
+  }
+
+  /** The ABSOLUTE paths of files added by commits in `(fromVersion,
+    * toVersion]` — the file-list form of [[readChanges]], for the
+    * streaming source ([[graft.streaming.TxTableSource]]), which must
+    * build its own streaming-tagged relation over them. Same contract:
+    * rewrite commits are skipped, any other remove rejects loudly.
+    */
+  private[graft] def changedFiles(fromVersion: Long, toVersion: Long): Seq[String] = {
     val head = state()
     require(toVersion <= head.version,
       s"toVersion $toVersion not committed (latest contiguous: ${head.version})")
@@ -233,10 +246,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
         case _ => ()
       }
     }
-    if (added.isEmpty) readState(State(toVersion, Nil, head.schema, Map.empty))
-    else spark.read.schema(head.schema.get)
-      .parquet(added.map(f => new Path(root, f).toString): _*)
+    added.map(f => new Path(root, f).toString)
   }
+
+  /** The table's current merged schema (None until the first commit). */
+  def schemaOption: Option[StructType] = state().schema
 
   private def readState(s: State): DataFrame = s.schema match {
     case None => spark.emptyDataFrame

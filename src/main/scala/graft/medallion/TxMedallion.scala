@@ -91,4 +91,60 @@ object TxMedallion {
 
     t.gold.overwrite(Medallion.goldAgg(t.silver.read(), dayStart))
   }
+
+  /** The same chain with silver and gold as REAL `readStream` queries
+    * over the ACID tables' commit logs
+    * ([[graft.streaming.TxTableSource]]) — the reference's
+    * Delta-as-streaming-source pattern
+    * (/root/reference/notebooks/medallion/bronze.py:14-17) on the
+    * native log. Differences from [[run]]'s batch-incremental silver:
+    * progress lives in the streaming checkpoint (offset = table
+    * version) instead of a txn cursor, dedup is the state-store
+    * `dropDuplicates` (the silver.py semantics) instead of an
+    * anti-join, and exactly-once is the checkpoint + idempotent
+    * `appendBatch` pair — redelivery of a batch after a
+    * sink-success/checkpoint-fail crash is a no-op. Gold is a
+    * complete-mode streaming aggregate whose every emission lands as
+    * one atomic `overwrite`. Safe to re-run any time; AvailableNow
+    * drains exactly the unconsumed commits.
+    */
+  def runStreaming(spark: SparkSession, rawPath: String, t: Tables,
+                   checkpointBase: String, dayStart: java.sql.Timestamp): Unit = {
+    val bronzeQ = Medallion.bronzeTransform(Medallion.streamFrom(spark, rawPath))
+      .writeStream
+      .queryName("graftTxBronzeStream")
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        t.bronze.appendBatch(batch, "bronze", id))
+      .option("checkpointLocation", s"$checkpointBase/bronze_tx")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    bronzeQ.awaitTermination()
+    if (t.bronze.version < 0) return // nothing ingested yet: no schema to stream
+
+    val silverQ = Medallion.silverColumns(
+        spark.readStream.format("graft-txtable")
+          .option("path", t.bronze.tablePath).load()
+          .dropDuplicates("eventId"))
+      .writeStream
+      .queryName("graftTxSilverStream")
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        t.silver.appendBatch(batch, "silver-stream", id))
+      .option("checkpointLocation", s"$checkpointBase/silver_tx_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    silverQ.awaitTermination()
+    if (t.silver.version < 0) return
+
+    val goldQ = Medallion.goldAgg(
+        spark.readStream.format("graft-txtable")
+          .option("path", t.silver.tablePath).load(), dayStart)
+      .writeStream
+      .queryName("graftTxGoldStream")
+      .outputMode("complete")
+      .foreachBatch((batch: DataFrame, _: Long) => t.gold.overwrite(batch))
+      .option("checkpointLocation", s"$checkpointBase/gold_tx_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    goldQ.awaitTermination()
+  }
 }

@@ -1,0 +1,37 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.types.StructType
+
+/** Bridge into Spark's private[sql] plumbing for building the
+  * DataFrame a streaming `Source.getBatch` must return: a relation
+  * over an explicit file list whose logical plan is tagged
+  * `isStreaming = true` (MicroBatchExecution rejects a batch-tagged
+  * plan). This is exactly how Spark's own FileStreamSource — and
+  * Delta's streaming source — construct their batches; the classes
+  * involved (`DataSource`, `LogicalRelation`, `Dataset.ofRows`) are
+  * package-private, hence this bridge.
+  */
+object GraftStreamBridge {
+
+  /** A parquet relation over `paths` (absolute file paths) with the
+    * given schema, tagged as a streaming batch. Empty `paths` yields
+    * an empty streaming batch of the same schema. The relation is a
+    * normal HadoopFsRelation, so per-micro-batch column pruning and
+    * filter pushdown work unchanged.
+    */
+  def streamingParquetBatch(spark: SparkSession, schema: StructType,
+                            paths: Seq[String]): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (paths.isEmpty)
+      cs.internalCreateDataFrame(
+        cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        schema, isStreaming = true)
+    else {
+      import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+      val ds = DataSource(cs, className = "parquet", paths = paths,
+        userSpecifiedSchema = Some(schema))
+      classic.Dataset.ofRows(cs,
+        LogicalRelation(ds.resolveRelation(checkFilesExist = false), isStreaming = true))
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.SparkTestBase
+import graft.core.TxTable
+
+class TxTableSourceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // memory-sink queries cannot recover from a checkpoint, so the
+  // restart tests drain through foreachBatch (which can) into a
+  // driver-side buffer of ids
+  private def drainIds(dir: String, ckpt: String): Seq[Long] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-txtable").option("path", dir).load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq.sorted
+  }
+
+  test("micro-batches read exactly the commits added since the checkpointed version") {
+    val dir = tmpDir("txsrc-inc")
+    val ckpt = tmpDir("txsrc-inc-ckpt")
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    assert(drainIds(dir, ckpt) == Seq(1L, 2L))
+
+    // two more commits; the restarted stream (same checkpoint) must
+    // read ONLY the delta — offset replay is the table version, not a
+    // table rescan
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(drainIds(dir, ckpt) == Seq(3L, 4L))
+
+    // no new commits: a rerun moves nothing
+    assert(drainIds(dir, ckpt) == Seq.empty)
+  }
+
+  test("compaction commits are invisible; an overwrite in range fails loudly") {
+    val dir = tmpDir("txsrc-rw")
+    val ckpt = tmpDir("txsrc-rw-ckpt")
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(drainIds(dir, ckpt) == Seq(1L, 2L))
+
+    // compaction rewrites existing rows into new files — an
+    // incremental consumer must NOT see them again
+    t.compact()
+    assert(drainIds(dir, ckpt) == Seq.empty,
+      "compaction must not be re-read as new data")
+
+    // an overwrite breaks append-only: the stream must fail loudly
+    // (the re-sync contract), never silently double-count
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    val e = intercept[StreamingQueryException](drainIds(dir, ckpt))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null)
+      && causes(e).exists(c => Option(c.getMessage).exists(_.contains("re-sync"))),
+      s"expected the append-only violation to surface, got: $e")
+  }
+
+  test("filters and projections push into the per-batch parquet scan") {
+    val dir = tmpDir("txsrc-push")
+    val ckpt = tmpDir("txsrc-push-ckpt")
+    val t = new TxTable(spark, dir)
+    t.append((1L to 100L).map(i => (i, s"v$i", i * 2.0)).toDF("id", "v", "x"))
+    val q = spark.readStream.format("graft-txtable").option("path", dir).load()
+      .where(col("id") > 90).select("id")
+      .writeStream.format("memory").queryName("txsrc_push")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("txsrc_push").as[Long].collect().sorted.toSeq
+      == (91L to 100L))
+    // the executed batch plan reads a real file relation (pushdown
+    // applies); cheap structural check: last progress reports rows in,
+    // and the query completed without a full-table collect
+    assert(q.lastProgress.sources.nonEmpty)
+  }
+
+  test("streaming from an empty table without a schema fails loudly") {
+    val dir = tmpDir("txsrc-empty")
+    val e = intercept[IllegalStateException] {
+      spark.readStream.format("graft-txtable").option("path", dir).load()
+    }
+    assert(e.getMessage.contains("no commits"), e.getMessage)
+  }
+}
