@@ -155,7 +155,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
   /** The file names [[scan]] would read — exposed so tests (and scale
     * audits) can assert the skipping itself, not just the result.
     */
-  private[core] def prunedFiles(s: State,
+  private[graft] def prunedFiles(s: State,
                                 predicate: org.apache.spark.sql.Column): Seq[String] = {
     import org.apache.spark.sql.GraftColumnBridge.{CmpShape, NullShape, conjunctShapes}
     val conjuncts = conjunctShapes(predicate)

@@ -304,6 +304,69 @@ object ScaleOps {
     joinRevenueByPriority(s.table(li), s.table(ord))
   }
 
+  // January 1996 as epoch-day bounds — the ~1.3% range probe the
+  // clustered table answers by opening ~1 of 16 files
+  private[ext] val TxSkipLo = 9496L
+  private[ext] val TxSkipHi = 9526L
+
+  private def datekey: Column =
+    floor(unix_timestamp(col("o_orderdate")) / 86400L).cast("long")
+
+  /** ACID orders table clustered by epoch-day (`repartitionByRange` +
+    * in-file sort), built ONCE per (session, data dir) — the at-ingest
+    * lifecycle: a production table is written time-clustered so its
+    * per-file footer stats make every later time probe open only the
+    * overlapping files ([[graft.core.TxTable.scan]]).
+    */
+  private[ext] def clusteredOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-skip:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txskip_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(datekey.as("o_datekey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_datekey"))
+        .sortWithinPartitions("o_datekey"))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  private def txWindowAgg(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The time-window aggregate over the PLAIN parquet layout: the scan
+    * reads every file (the predicate still pushes to row groups, but
+    * file listing and footer reads are O(table)). Same oracle as the
+    * skipped twin.
+    */
+  def qTxFlat(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(Tables.load(s, dir, "orders")
+      .select(datekey.as("o_datekey"), col("o_orderpriority"), col("o_totalprice"))
+      .where(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
+
+  /** The SAME aggregate through [[graft.core.TxTable.scan]] on the
+    * clustered ACID table: manifest min/max stats prune the file list
+    * BEFORE any footer is opened — at 100 TB the difference between
+    * listing+reading stats for every file of the table and opening
+    * only the ~1 file whose range overlaps the probe. First call per
+    * directory pays the one-time clustered write (memoized; min-of-2
+    * reports the steady state, as with the ANN indexes).
+    */
+  def qTxSkip(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(clusteredOrdersTable(s, dir)
+      .scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -312,6 +375,8 @@ object ScaleOps {
     "q_open_intervals" -> (qOpenIntervals _),
     "q_join_flat" -> (qJoinFlat _),
     "q_join_bucketed" -> (qJoinBucketed _),
+    "q_tx_flat" -> (qTxFlat _),
+    "q_tx_skip" -> (qTxSkip _),
   )
 
   /** The two-pass heavy hitters output is exact and matches plain SQL;
@@ -324,11 +389,26 @@ object ScaleOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Same window aggregate both the flat and file-skipped variants
+    * must answer (the joinRevenueSql convention: identical oracle,
+    * different physical file set).
+    */
+  private val txWindowSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM orders
+       |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) BETWEEN $TxSkipLo AND $TxSkipHi
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_join_flat" -> joinRevenueSql,
     // same oracle on purpose: the hash compare proves the bucketed
     // layout changes the PLAN (PlanShapeSpec), never the answer
     "q_join_bucketed" -> joinRevenueSql,
+    "q_tx_flat" -> txWindowSql,
+    // same oracle: data skipping changes the FILE SET read (asserted
+    // in ScaleOpsSpec via prunedFiles), never the answer
+    "q_tx_skip" -> txWindowSql,
     "q_approx_stats" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -65,6 +65,24 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
+  test("tx data skipping: the clustered scan reads a strict file subset, same answer") {
+    val t = ScaleOps.clusteredOrdersTable(spark, dir)
+    val st = t.state()
+    val pred = col("o_datekey") >= ScaleOps.TxSkipLo &&
+      col("o_datekey") <= ScaleOps.TxSkipHi
+    val kept = t.prunedFiles(st, pred)
+    assert(st.files.size > 1, "fixture must produce multiple range-clustered files")
+    assert(kept.size < st.files.size,
+      s"manifest stats must prune files (kept ${kept.size} of ${st.files.size})")
+    info(s"data skipping kept ${kept.size} of ${st.files.size} files")
+    assert(kept.nonEmpty, "the probe window overlaps the data: something must survive")
+    // the skipped scan and the flat scan agree exactly
+    val flat = ScaleOps.qTxFlat(spark, dir).collect().toSeq
+    val skip = ScaleOps.qTxSkip(spark, dir).collect().toSeq
+    assert(flat == skip)
+    assert(flat.nonEmpty)
+  }
+
   test("open-intervals two-level prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val out = ScaleOps.qOpenIntervals(spark, dir).cache()
