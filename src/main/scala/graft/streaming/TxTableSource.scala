@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.{DataFrame, Dataset, GraftStreamBridge, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.core.TxTable
@@ -65,11 +66,45 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
   override def toString: String = s"TxTableSource[$tablePath]"
 }
 
+/** Streaming sink side of the format: `writeStream
+  * .format("graft-txtable").option("path", dir)`. Append mode is
+  * EXACTLY-ONCE: each micro-batch commits via
+  * [[TxTable.appendBatch]] under (queryId, batchId) — the query id is
+  * stable across restarts (it lives in the checkpoint), so a batch
+  * redelivered after a sink-success/checkpoint-fail crash is a no-op.
+  * Complete mode lands every emission as one atomic [[TxTable
+  * .overwrite]] (idempotent on redelivery by content). Update mode is
+  * rejected loudly — an append-only log has no row-replace primitive.
+  */
+class TxTableSink(sqlContext: SQLContext, tablePath: String,
+                  mode: OutputMode) extends Sink {
+
+  private val table = new TxTable(sqlContext.sparkSession, tablePath)
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // the micro-batch DF is streaming-tagged; re-wrap as a batch DF
+    // (what ForeachBatchSink does) so the table can .write it
+    val batchDF = GraftStreamBridge.asBatchDF(data)
+    if (mode == OutputMode.Complete()) table.overwrite(batchDF)
+    else {
+      // the checkpointed streaming query id — the writer identity the
+      // (writerId, batchId) idempotence key needs to survive restarts
+      val queryId = Option(sqlContext.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        .getOrElse(s"graft-txtable-sink:$tablePath")
+      table.appendBatch(batchDF, queryId, batchId)
+    }
+  }
+
+  override def toString: String = s"TxTableSink[$tablePath]"
+}
+
 /** `spark.readStream.format("graft-txtable").option("path", dir)` —
   * registered via META-INF/services (DataSourceRegister), or by the
   * fully-qualified class name.
   */
-class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txtable"
 
@@ -89,4 +124,15 @@ class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new TxTableSource(sqlContext, path(parameters), schema)
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-txtable sink does not support partitionBy: the table layout is " +
+        "flat files + manifest stats (cluster at write time instead)")
+    require(outputMode != OutputMode.Update(),
+      "graft-txtable sink supports append and complete modes only")
+    new TxTableSink(sqlContext, path(parameters), outputMode)
+  }
 }

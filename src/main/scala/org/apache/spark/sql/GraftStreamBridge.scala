@@ -19,6 +19,18 @@ object GraftStreamBridge {
     * normal HadoopFsRelation, so per-micro-batch column pruning and
     * filter pushdown work unchanged.
     */
+  /** The inverse direction, for a V1 `Sink.addBatch`: the micro-batch
+    * DataFrame arrives streaming-tagged (so `.write` refuses it);
+    * re-wrap its physical rows as a plain batch DataFrame — the same
+    * re-wrap ForeachBatchSink performs before invoking the user
+    * function. Lazy: the rows execute when the batch DF is consumed.
+    */
+  def asBatchDF(data: Dataset[Row]): DataFrame = {
+    val cs = data.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
+
   def streamingParquetBatch(spark: SparkSession, schema: StructType,
                             paths: Seq[String]): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
