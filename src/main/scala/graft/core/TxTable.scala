@@ -324,6 +324,91 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Copy-on-write upsert (MERGE): target rows whose key matches a
+    * source row are replaced by that source row; unmatched source rows
+    * insert. Only files that ACTUALLY contain a matching key are
+    * rewritten — found by a file-provenance semi-join (`input_file_name`
+    * against the source keys, the published Delta MERGE strategy), so a
+    * merge touching 0.1% of the keys of a key-clustered table rewrites
+    * the few overlapping files, never the table. The swap lands in ONE
+    * atomic commit (readers see the old or the new rows, never a mix);
+    * if a concurrent overwrite/compaction removed a touched file, the
+    * merge aborts loudly — rerun against the new state. Source keys
+    * must be unique (checked): duplicate matches would make the result
+    * depend on row order. Schema merges by name (new source columns
+    * append, nullable).
+    */
+  def merge(source: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val dupes = source.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
+        "a multi-match replace would be row-order-dependent")
+    val snap = state()
+    if (snap.files.isEmpty) { append(source); return }
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val touched = readState(snap).withColumn("__file", input_file_name())
+      .join(srcKeys, keys, "left_semi")
+      .select("__file").distinct().collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
+    // survivors of the touched files (keys not replaced) + all source
+    // rows; files without a matching key are untouched by construction
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(readState(snap.copy(files = touched)).join(srcKeys, keys, "left_anti"))
+    val newData = survivors match {
+      case None => source
+      case Some(sv) => sv.unionByName(source, allowMissingColumns = true)
+    }
+    val staged = stageData(newData)
+    commitLoop(s"merge into $tablePath") { st =>
+      if (!touched.forall(st.files.contains)) {
+        staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+        throw new java.util.ConcurrentModificationException(
+          s"merge inputs were removed by a concurrent commit on $tablePath; " +
+            "rerun merge() against the new state")
+      }
+      Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } :+
+        Meta(mergeSchemas(st.schema, newData.schema).toDDL))
+    }
+  }
+
+  /** Copy-on-write DELETE of the rows where `predicate` is TRUE (rows
+    * where it is false or null survive — SQL DELETE semantics). File
+    * pruning is two-stage: manifest stats first (files whose ranges
+    * cannot match are never opened), then a provenance scan keeps only
+    * files that ACTUALLY contain a matching row; only those are
+    * rewritten, in one atomic commit. Same concurrency contract as
+    * [[merge]].
+    */
+  def delete(predicate: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val snap = state()
+    if (snap.files.isEmpty) return
+    val candidates = prunedFiles(snap, predicate)
+    if (candidates.isEmpty) return
+    val touched = readState(snap.copy(files = candidates))
+      .withColumn("__file", input_file_name())
+      .where(predicate)
+      .select("__file").distinct().collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
+    if (touched.isEmpty) return
+    val survivors = readState(snap.copy(files = touched))
+      .where(not(coalesce(predicate, lit(false))))
+    val staged = stageData(survivors)
+    commitLoop(s"delete from $tablePath") { st =>
+      if (!touched.forall(st.files.contains)) {
+        staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+        throw new java.util.ConcurrentModificationException(
+          s"delete inputs were removed by a concurrent commit on $tablePath; " +
+            "rerun delete() against the new state")
+      }
+      Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) })
+    }
+  }
+
   /** Physically delete data files no live snapshot in the retention
     * window references: files removed at or before `version -
     * retainVersions` and older than `olderThanMs` (the age guard keeps

@@ -367,6 +367,75 @@ object ScaleOps {
     txWindowAgg(clusteredOrdersTable(s, dir)
       .scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
 
+  /** Key-clustered ACID clone of orders with a deterministic MERGE
+    * applied — price bump for keys divisible by 100 (updates), shifted
+    * keys divisible by 1000 (inserts) — built once per (session, dir).
+    * The copy-on-write rewrite touches only the files whose key range
+    * contains a matched key ([[graft.core.TxTable.merge]]).
+    */
+  private[ext] def mergedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-merge:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txmerge_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      t.append(base.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      val updates = base.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10000.0d))
+      val inserts = base.where(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      t.merge(updates.unionByName(inserts), Seq("o_orderkey"))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-MERGE table aggregated by priority: matches the oracle's
+    * SQL reconstruction (anti-join + union) ONLY if the upsert
+    * replaced exactly the matched keys, inserted exactly the new ones,
+    * and left every other row byte-identical — the correctness check
+    * of the copy-on-write merge itself.
+    */
+  def qTxMerge(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(mergedOrdersTable(s, dir).read())
+
+  /** Key-clustered ACID clone of orders with the January-1996 window
+    * DELETED (copy-on-write: manifest stats keep non-overlapping files
+    * from even being scanned; only files actually containing matches
+    * rewrite), built once per (session, dir).
+    */
+  private[ext] def deletedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-delete:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txdelete_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(datekey.as("o_datekey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_datekey"))
+        .sortWithinPartitions("o_datekey"))
+      t.delete(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi)
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-DELETE table aggregated by priority: matches the
+    * oracle's `WHERE NOT window` reconstruction only if delete removed
+    * exactly the predicate-true rows and nothing else.
+    */
+  def qTxDelete(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(deletedOrdersTable(s, dir).read())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -377,6 +446,8 @@ object ScaleOps {
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_tx_flat" -> (qTxFlat _),
     "q_tx_skip" -> (qTxSkip _),
+    "q_tx_merge" -> (qTxMerge _),
+    "q_tx_delete" -> (qTxDelete _),
   )
 
   /** The two-pass heavy hitters output is exact and matches plain SQL;
@@ -409,6 +480,31 @@ object ScaleOps {
     // same oracle: data skipping changes the FILE SET read (asserted
     // in ScaleOpsSpec via prunedFiles), never the answer
     "q_tx_skip" -> txWindowSql,
+    // SQL reconstruction of the upsert: target rows not matched by a
+    // source key, plus all source rows — matches only if the
+    // copy-on-write merge replaced/inserted exactly the right rows
+    "q_tx_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 10000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // complement of the skip window: matches only if delete removed
+    // exactly the predicate-true rows
+    "q_tx_delete" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders
+         |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) NOT BETWEEN $TxSkipLo AND $TxSkipHi
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_approx_stats" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

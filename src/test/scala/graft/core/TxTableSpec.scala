@@ -221,6 +221,63 @@ class TxTableSpec extends SparkTestBase {
     assert(t3.read().count() == 4L)
   }
 
+  test("merge upserts matched keys, inserts new ones, rewrites only touched files") {
+    val dir = tmpDir("txtable-merge")
+    val t = new TxTable(spark, dir)
+    // three key-clustered files: [0,9], [10,19], [20,29]
+    (0 until 3).foreach { b =>
+      t.append((b * 10 until b * 10 + 10).map(i => (i.toLong, s"old$i")).toDF("k", "v")
+        .coalesce(1))
+    }
+    val before = t.state()
+    assert(before.files.size == 3)
+    // source touches keys 12 and 15 (file 2 only) and inserts key 100
+    t.merge(Seq((12L, "NEW12"), (15L, "NEW15"), (100L, "NEW100")).toDF("k", "v"),
+      Seq("k"))
+    val after = t.state()
+    // exactly one of the three original files was rewritten
+    assert(before.files.count(after.files.contains) == 2,
+      s"merge must rewrite only the touched file: ${after.files}")
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 31)
+    assert(rows(12L) == "NEW12" && rows(15L) == "NEW15" && rows(100L) == "NEW100")
+    assert(rows(11L) == "old11" && rows(25L) == "old25")
+    // history: the pre-merge snapshot is intact one version back
+    assert(t.readAt(before.version).count() == 30)
+    // duplicate source keys are rejected loudly
+    val e = intercept[IllegalArgumentException](
+      t.merge(Seq((1L, "a"), (1L, "b")).toDF("k", "v"), Seq("k")))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // merge into an empty table is an insert-all
+    val t2 = new TxTable(spark, tmpDir("txtable-merge-empty"))
+    t2.merge(Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    assert(t2.read().count() == 1)
+  }
+
+  test("delete removes exactly the predicate-true rows, pruning untouched files") {
+    val dir = tmpDir("txtable-del")
+    val t = new TxTable(spark, dir)
+    (0 until 3).foreach { b =>
+      t.append((b * 10 until b * 10 + 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1))
+    }
+    val before = t.state()
+    // predicate hits only the middle file's range: manifest stats keep
+    // the other two from even being scanned, and only one file rewrites
+    t.delete(col("k") >= 13L && col("k") <= 17L)
+    val after = t.state()
+    assert(before.files.count(after.files.contains) == 2,
+      s"delete must rewrite only the matching file: ${after.files}")
+    assert(t.read().count() == 25)
+    assert(t.read().where(col("k").between(13, 17)).count() == 0)
+    // a predicate matching nothing commits nothing
+    val v = t.version
+    t.delete(col("k") > 1000L)
+    assert(t.version == v, "no matching rows: delete must not commit")
+    // history intact
+    assert(t.readAt(before.version).count() == 30)
+  }
+
   test("two JVMs appending concurrently: every commit lands, versions contiguous") {
     val dir = tmpDir("txtable-2jvm")
     val t = new TxTable(spark, dir)
