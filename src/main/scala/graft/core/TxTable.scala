@@ -324,6 +324,63 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Z-ORDER clustering maintenance (the OPTIMIZE ZORDER role):
+    * rewrite the live file set ordered by the interleaved bits of each
+    * row's per-column quantile buckets, so manifest min/max stats
+    * prune file lists for range/point predicates on ANY clustered
+    * column — a linear sort serves only its leading column. Numeric
+    * columns only (buckets come from one `approxQuantile` pass, so
+    * skewed distributions still split evenly). Rows are unchanged, so
+    * the commit carries the rewrite marker (invisible to incremental
+    * consumers, like [[compact]]); aborts loudly if a concurrent
+    * commit removed an input file. One-time cost O(table) — the same
+    * maintenance economics as compaction, typically scheduled
+    * together.
+    */
+  def cluster(cols: Seq[String], targetFiles: Int = 16,
+              bitsPerCol: Int = 8): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{array, col, filter, lit, shiftleft,
+      shiftright, size}
+    require(cols.nonEmpty, "cluster needs at least one column")
+    require(cols.size * bitsPerCol <= 62,
+      s"${cols.size} cols x $bitsPerCol bits exceeds the 62-bit z-value budget")
+    val snap = state()
+    if (snap.files.isEmpty) return
+    val df = readState(snap)
+    val nBuckets = 1 << bitsPerCol
+    // per-column quantile boundaries (driver-side: k doubles per col)
+    val bounds = cols.map { c =>
+      c -> df.stat.approxQuantile(c,
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
+    }.toMap
+    def bucket(c: String): Column = {
+      // bucket index = number of boundaries <= value (nulls land in 0)
+      val arr = array(bounds(c).toIndexedSeq.map(lit(_)): _*)
+      size(filter(arr, b => b <= col(c).cast("double")))
+    }
+    val z = (0 until bitsPerCol).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.plus(shiftleft(shiftright(bucket(c), i).bitwiseAND(lit(1)).cast("long"),
+          i * cols.size + j))
+      }
+    }
+    val staged = stageData(df.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z"))
+    commitLoop(s"z-order cluster of $tablePath") { st =>
+      if (!snap.files.forall(st.files.contains)) {
+        staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+        throw new java.util.ConcurrentModificationException(
+          s"cluster inputs were removed by a concurrent commit on $tablePath; " +
+            "rerun cluster() against the new state")
+      }
+      Some(RewriteMarker +: (snap.files.map(Remove(_)) ++
+        staged.map { case (p, s) => Add(p, s) }))
+    }
+  }
+
   /** Copy-on-write upsert (MERGE): target rows whose key matches a
     * source row are replaced by that source row; unmatched source rows
     * insert. Only files that ACTUALLY contain a matching key are

@@ -221,6 +221,37 @@ class TxTableSpec extends SparkTestBase {
     assert(t3.read().count() == 4L)
   }
 
+  test("z-order clustering prunes on BOTH clustered columns") {
+    val dir = tmpDir("txtable-zorder")
+    val t = new TxTable(spark, dir)
+    // 64x64 grid appended in row-major order: a plain layout clusters
+    // x only, so a y-range predicate alone prunes nothing
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    t.append(grid.toDF("x", "y").repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x", "y"))
+    val linear = t.state()
+    val probe = col("x") >= 0L && col("x") <= 7L && col("y") >= 0L && col("y") <= 7L
+    val yOnly = col("y") >= 0L && col("y") <= 7L
+    // linear layout: x-range prunes, y-range cannot
+    assert(t.prunedFiles(linear, yOnly).size == linear.files.size,
+      "row-major layout must NOT prune on the trailing column (the problem z-order solves)")
+
+    t.cluster(Seq("x", "y"), targetFiles = 16)
+    val zed = t.state()
+    assert(zed.files.size == 16, zed.files.size.toString)
+    // the z-layout localizes BOTH dimensions: an (x,y) tile probe
+    // opens a small corner of the table, and even y-alone prunes
+    val tile = t.prunedFiles(zed, probe)
+    assert(tile.size <= 4, s"z-order tile probe opened ${tile.size} of 16 files")
+    assert(t.prunedFiles(zed, yOnly).size < zed.files.size,
+      "z-order must prune on the non-leading column too")
+    // rows unchanged, scan still exact
+    assert(t.read().count() == 64L * 64)
+    assert(t.scan(probe).count() == 64L)
+    // the rewrite is invisible to incremental consumers (like compact)
+    assert(t.changedFiles(linear.version, zed.version).isEmpty)
+  }
+
   test("merge upserts matched keys, inserts new ones, rewrites only touched files") {
     val dir = tmpDir("txtable-merge")
     val t = new TxTable(spark, dir)
