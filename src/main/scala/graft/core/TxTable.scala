@@ -421,11 +421,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
     val staged = stageData(newData)
     commitLoop(s"merge into $tablePath") { st =>
-      if (!touched.forall(st.files.contains)) {
+      // STRICT conflict rule (Delta's ConcurrentAppendException): any
+      // commit since the snapshot aborts — a concurrent append could
+      // carry rows with matched keys into an untouched file, silently
+      // breaking the replace-by-key contract if we proceeded
+      if (st.version != snap.version) {
         staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
         throw new java.util.ConcurrentModificationException(
-          s"merge inputs were removed by a concurrent commit on $tablePath; " +
-            "rerun merge() against the new state")
+          s"table $tablePath changed concurrently (v${snap.version} -> " +
+            s"v${st.version}) during merge; rerun merge() against the new state")
       }
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } :+
         Meta(mergeSchemas(st.schema, newData.schema).toDDL))
@@ -456,11 +460,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .where(not(coalesce(predicate, lit(false))))
     val staged = stageData(survivors)
     commitLoop(s"delete from $tablePath") { st =>
-      if (!touched.forall(st.files.contains)) {
+      // same strict rule as merge: a concurrent append could add
+      // predicate-matching rows that this delete would then miss
+      if (st.version != snap.version) {
         staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
         throw new java.util.ConcurrentModificationException(
-          s"delete inputs were removed by a concurrent commit on $tablePath; " +
-            "rerun delete() against the new state")
+          s"table $tablePath changed concurrently (v${snap.version} -> " +
+            s"v${st.version}) during delete; rerun delete() against the new state")
       }
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) })
     }
