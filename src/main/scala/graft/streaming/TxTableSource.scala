@@ -31,10 +31,57 @@ import graft.core.TxTable
   * exactly-once end to end.
   */
 class TxTableSource(sqlContext: SQLContext, tablePath: String,
-                    userSchema: Option[StructType]) extends Source {
+                    userSchema: Option[StructType],
+                    maxVersionsPerTrigger: Option[Long] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private val spark = sqlContext.sparkSession
   private val table = new TxTable(spark, tablePath)
+
+  // Trigger.AvailableNow drains to the head version captured HERE, so
+  // the run has a fixed end even while writers keep committing — and
+  // implementing the interface ourselves (instead of letting the
+  // engine wrap the source) is what makes the engine honor
+  // maxVersionsPerTrigger: the generic wrapper discards read limits.
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.version)
+
+  /** Admission control (`option("maxVersionsPerTrigger", n)`): cap
+    * each micro-batch at n commits past the start offset, so a
+    * consumer catching up after downtime processes the backlog as
+    * bounded batches instead of one giant one — the FileStreamSource
+    * maxFilesPerTrigger pattern. When the engine asks for a capped
+    * batch we advance at most n versions; AvailableNow keeps
+    * triggering until the prepared end is reached.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head = availableNowEnd.getOrElse(table.version)
+    if (head < 0) return null
+    val capped = (maxVersionsPerTrigger, limit) match {
+      // an allAvailable probe asks for the drain TARGET — never cap
+      // it, or the stream would end early
+      case (Some(n), l) if !l.isInstanceOf[
+          org.apache.spark.sql.connector.read.streaming.ReadAllAvailable] =>
+        val start = Option(startOffset).map(_.json.trim.toLong).getOrElse(-1L)
+        math.min(head, start + n)
+      case _ => head
+    }
+    LongOffset(capped)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = table.version
+    if (v < 0) null else LongOffset(v)
+  }
 
   /** Fixed at stream start (the streaming contract); columns added to
     * the table later surface on restart, reading as null from older
@@ -123,7 +170,12 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new TxTableSource(sqlContext, path(parameters), schema)
+    new TxTableSource(sqlContext, path(parameters), schema,
+      parameters.get("maxVersionsPerTrigger").map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      })
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],

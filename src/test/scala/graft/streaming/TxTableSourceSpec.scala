@@ -93,6 +93,33 @@ class TxTableSourceSpec extends SparkTestBase {
     assert(q.lastProgress.sources.nonEmpty)
   }
 
+  test("maxVersionsPerTrigger caps each micro-batch at n commits (admission control)") {
+    val dir = tmpDir("txsrc-rate")
+    val ckpt = tmpDir("txsrc-rate-ckpt")
+    val t = new TxTable(spark, dir)
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-txtable")
+      .option("path", dir)
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    // 6 single-row commits at 2 versions per trigger: 3 batches of 2,
+    // and AvailableNow still drains the whole backlog
+    assert(sizes.sum == 6, sizes.toString)
+    assert(sizes.forall(_ <= 2), s"a batch exceeded the version cap: $sizes")
+    assert(sizes.size >= 3, sizes.toString)
+  }
+
   test("format sink: append mode is exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
