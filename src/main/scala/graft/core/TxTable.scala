@@ -124,6 +124,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case Meta(ddl) => schema = Some(StructType.fromDDL(ddl))
       case Txn(app, batch) =>
         txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
+      case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
     State(version, files, schema, txns, stats)
@@ -251,6 +252,56 @@ class TxTable(spark: SparkSession, val tablePath: String,
 
   /** The table's current merged schema (None until the first commit). */
   def schemaOption: Option[StructType] = state().schema
+
+  /** Row-level change feed for `(fromVersion, toVersion]`: every row
+    * carries `_change_type` (insert / update_preimage /
+    * update_postimage / delete) and `_commit_version`. Appends
+    * synthesize inserts from their added files; merge/delete commits
+    * serve the change files they staged atomically with the rewrite
+    * ([[merge]]/[[delete]]) — so unlike [[readChanges]], an
+    * incremental consumer SURVIVES upstream row mutations.
+    * Compactions and clusterings are invisible (no row changed).
+    * Overwrites carry no row-level record and fail loudly — re-sync
+    * from a full [[read]], the same boundary a format's CDC draws
+    * without `replaceWhere` tracking.
+    */
+  def readChangeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val head = state()
+    require(toVersion <= head.version,
+      s"toVersion $toVersion not committed (latest contiguous: ${head.version})")
+    require(fromVersion <= toVersion,
+      s"empty or inverted range ($fromVersion, $toVersion]")
+    val fsv = fs
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val actions = readManifest(fsv, v)
+      val cdf = actions.collect { case Cdf(p) => p }
+      if (cdf.nonEmpty)
+        Some(spark.read.parquet(cdf.map(f => new Path(root, f).toString): _*)
+          .withColumn(CommitVersionCol, lit(v)))
+      else if (actions.exists(_ == RewriteMarker)) None // rows unchanged
+      else if (actions.exists(_.isInstanceOf[Remove]))
+        throw new IllegalStateException(
+          s"version $v of $tablePath removes files with no change record " +
+            "(an overwrite): the range is not feed-readable — re-sync this " +
+            "consumer from a full read()")
+      else {
+        val added = actions.collect { case Add(p, _) => p }
+        if (added.isEmpty) None
+        else Some(spark.read.schema(head.schema.get)
+          .parquet(added.map(f => new Path(root, f).toString): _*)
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(v)))
+      }
+    }
+    parts match {
+      case Seq() =>
+        val schema = head.schema.getOrElse(StructType(Nil))
+          .add(ChangeTypeCol, "string").add(CommitVersionCol, "long")
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
 
   private def readState(s: State): DataFrame = s.schema match {
     case None => spark.emptyDataFrame
@@ -420,18 +471,40 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case Some(sv) => sv.unionByName(source, allowMissingColumns = true)
     }
     val staged = stageData(newData)
+    // row-level change record, committed ATOMICALLY with the rewrite:
+    // replaced target rows (pre-image), their replacements
+    // (post-image), and genuinely new keys (insert) — what lets an
+    // incremental consumer survive an upstream merge (readChangeFeed)
+    // instead of hard-failing on the removes
+    val stagedCdf = {
+      import org.apache.spark.sql.functions.lit
+      val touchedRows = readState(snap.copy(files = touched))
+      val pre = touchedRows.join(srcKeys, keys, "left_semi")
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+      val tgtKeys = touchedRows.select(keys.map(col): _*).distinct()
+      val post = source.join(tgtKeys, keys, "left_semi")
+        .withColumn(ChangeTypeCol, lit("update_postimage"))
+      val ins = source.join(tgtKeys, keys, "left_anti")
+        .withColumn(ChangeTypeCol, lit("insert"))
+      stageData(pre.unionByName(post, allowMissingColumns = true)
+        .unionByName(ins, allowMissingColumns = true),
+        prefix = "cdf", collectStats = false)
+    }
     commitLoop(s"merge into $tablePath") { st =>
       // STRICT conflict rule (Delta's ConcurrentAppendException): any
       // commit since the snapshot aborts — a concurrent append could
       // carry rows with matched keys into an untouched file, silently
       // breaking the replace-by-key contract if we proceeded
       if (st.version != snap.version) {
-        staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+        (staged ++ stagedCdf).foreach { case (f, _) =>
+          fs.delete(new Path(root, f), false)
+        }
         throw new java.util.ConcurrentModificationException(
           s"table $tablePath changed concurrently (v${snap.version} -> " +
             s"v${st.version}) during merge; rerun merge() against the new state")
       }
-      Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } :+
+      Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+        stagedCdf.map { case (p, _) => Cdf(p) } :+
         Meta(mergeSchemas(st.schema, newData.schema).toDDL))
     }
   }
@@ -459,16 +532,23 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val survivors = readState(snap.copy(files = touched))
       .where(not(coalesce(predicate, lit(false))))
     val staged = stageData(survivors)
+    val stagedCdf = stageData(
+      readState(snap.copy(files = touched)).where(predicate)
+        .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")),
+      prefix = "cdf", collectStats = false)
     commitLoop(s"delete from $tablePath") { st =>
       // same strict rule as merge: a concurrent append could add
       // predicate-matching rows that this delete would then miss
       if (st.version != snap.version) {
-        staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+        (staged ++ stagedCdf).foreach { case (f, _) =>
+          fs.delete(new Path(root, f), false)
+        }
         throw new java.util.ConcurrentModificationException(
           s"table $tablePath changed concurrently (v${snap.version} -> " +
             s"v${st.version}) during delete; rerun delete() against the new state")
       }
-      Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) })
+      Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+        stagedCdf.map { case (p, _) => Cdf(p) })
     }
   }
 
@@ -492,10 +572,18 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val referenced = (keepFrom to head.version)
       .flatMap(v => scala.util.Try(stateAt(Some(v)).files)
         .getOrElse(Seq.empty[String])).toSet ++ head.files
+    // change-feed files are not live data but stay readable for as
+    // long as their manifest exists: keep any cdf referenced by a
+    // still-present manifest (truncateLog bounds this set)
+    val cdfReferenced = fsv.listStatus(logDir).iterator
+      .flatMap(st => manifestVersion(st.getPath.getName))
+      .flatMap(v => scala.util.Try(readManifest(fsv, v)).toOption.getOrElse(Nil))
+      .collect { case Cdf(p) => p }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     fsv.listStatus(root).iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .filter(st => !referenced.contains(st.getPath.getName))
+      .filter(st => !referenced.contains(st.getPath.getName)
+        && !cdfReferenced.contains(st.getPath.getName))
       .filter(_.getModificationTime < cutoff)
       .foreach(st => fsv.delete(st.getPath, false))
   }
@@ -513,7 +601,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * with its footer-derived column stats (one cheap footer read per
     * staged file — the write-side cost of data skipping).
     */
-  private def stageData(df: DataFrame): Seq[(String, Option[FileStats])] = {
+  private def stageData(df: DataFrame, prefix: String = "part",
+                        collectStats: Boolean = true): Seq[(String, Option[FileStats])] = {
     val fsv = fs
     fsv.mkdirs(root)
     val staging = new Path(root, s"_staging-${UUID.randomUUID()}")
@@ -521,11 +610,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val names = fsv.listStatus(staging).iterator
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { part =>
-        val name = s"part-${UUID.randomUUID()}.parquet"
+        val name = s"$prefix-${UUID.randomUUID()}.parquet"
         val target = new Path(root, name)
         if (!fsv.rename(part.getPath, target))
           throw new java.io.IOException(s"failed to stage ${part.getPath} -> $name")
-        name -> footerStats(target)
+        name -> (if (collectStats) footerStats(target) else None)
       }.toVector
     fsv.delete(staging, true)
     names
@@ -854,6 +943,9 @@ object TxTable {
   }
 
   private[core] val LogDirName = "_graft_log"
+  /** Change-feed column names ([[TxTable.readChangeFeed]]). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
   private val MaxCommitAttempts = 30
   private val ManifestRe = """v(\d{20})\.json""".r
   private val CheckpointRe = """v(\d{20})\.ckpt\.json""".r
@@ -878,6 +970,13 @@ object TxTable {
   }
   private[core] case class Remove(path: String) extends Action {
     def toJson: JObject = JObject("a" -> JString("remove"), "path" -> JString(path))
+  }
+  /** A parquet file of row-level changes (`_change_type` column) for
+    * the commit that carries it — the change-data-feed record a
+    * merge/delete stages alongside its data rewrite.
+    */
+  private[core] case class Cdf(path: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("cdf"), "path" -> JString(path))
   }
   private[core] case class Meta(schemaDdl: String) extends Action {
     def toJson: JObject = JObject("a" -> JString("meta"), "schemaDdl" -> JString(schemaDdl))
@@ -904,6 +1003,7 @@ object TxTable {
       (j \ "a") match {
         case JString("add") => Add(str("path"), fileStatsFromJson(j \ "stats"))
         case JString("remove") => Remove(str("path"))
+        case JString("cdf") => Cdf(str("path"))
         case JString("meta") => Meta(str("schemaDdl"))
         case JString("rewrite") => RewriteMarker
         case JString("txn") => (j \ "batchId") match {

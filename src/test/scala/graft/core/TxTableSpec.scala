@@ -309,6 +309,43 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readAt(before.version).count() == 30)
   }
 
+  test("change feed: appends, merges and deletes yield row-level change records") {
+    val dir = tmpDir("txtable-cdf")
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")) // v0
+    t.merge(Seq((2L, "B2"), (9L, "i9")).toDF("k", "v"), Seq("k")) // v1
+    t.delete(col("k") === 3L) // v2
+    t.compact() // v3: rows unchanged, must be invisible to the feed
+
+    def feed(from: Long, to: Long) =
+      t.readChangeFeed(from, to)
+        .select("k", "v", TxTable.ChangeTypeCol, TxTable.CommitVersionCol)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+
+    // append commit: synthesized inserts
+    assert(feed(-1, 0) == Set((1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 0L)))
+    // merge commit: pre/post images for the matched key, insert for the new
+    assert(feed(0, 1) == Set((2L, "b", "update_preimage", 1L),
+      (2L, "B2", "update_postimage", 1L), (9L, "i9", "insert", 1L)))
+    // delete commit: the removed row
+    assert(feed(1, 2) == Set((3L, "c", "delete", 2L)))
+    // whole range unions; the compaction contributes nothing
+    assert(feed(-1, 3).size == 7)
+    // readChanges (file-level) still rejects the merge range — the
+    // feed is the row-level alternative that survives it
+    intercept[IllegalStateException](t.readChanges(0, 1))
+    // an overwrite has no row-level record: loud failure, not silence
+    t.overwrite(Seq((7L, "z")).toDF("k", "v")) // v4
+    val e = intercept[IllegalStateException](t.readChangeFeed(3, 4))
+    assert(e.getMessage.contains("re-sync"), e.getMessage)
+
+    // vacuum keeps referenced change files readable
+    t.vacuum(retainVersions = 100, olderThanMs = 0L)
+    assert(feed(0, 1).size == 3, "cdf files must survive vacuum while referenced")
+  }
+
   test("two JVMs appending concurrently: every commit lands, versions contiguous") {
     val dir = tmpDir("txtable-2jvm")
     val t = new TxTable(spark, dir)
