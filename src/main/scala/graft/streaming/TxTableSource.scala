@@ -32,7 +32,8 @@ import graft.core.TxTable
   */
 class TxTableSource(sqlContext: SQLContext, tablePath: String,
                     userSchema: Option[StructType],
-                    maxVersionsPerTrigger: Option[Long] = None)
+                    maxVersionsPerTrigger: Option[Long] = None,
+                    changeFeed: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -87,11 +88,16 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
     * the table later surface on restart, reading as null from older
     * files — the table's own mergeSchema semantics.
     */
-  override val schema: StructType = userSchema
-    .orElse(table.schemaOption)
-    .getOrElse(throw new IllegalStateException(
-      s"$tablePath has no commits yet and no schema was supplied — " +
-        "commit once or pass .schema(...) before streaming from it"))
+  override val schema: StructType = {
+    val base = userSchema
+      .orElse(table.schemaOption)
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath has no commits yet and no schema was supplied — " +
+          "commit once or pass .schema(...) before streaming from it"))
+    if (changeFeed)
+      base.add(TxTable.ChangeTypeCol, "string").add(TxTable.CommitVersionCol, "long")
+    else base
+  }
 
   override def getOffset: Option[Offset] = {
     val v = table.version
@@ -103,9 +109,21 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
   // json() handles both without caring which class arrived
   private def versionOf(o: Offset): Long = o.json.trim.toLong
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
-    GraftStreamBridge.streamingParquetBatch(spark, schema,
-      table.changedFiles(start.map(versionOf).getOrElse(-1L), versionOf(end)))
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val (from, to) = (start.map(versionOf).getOrElse(-1L), versionOf(end))
+    if (changeFeed) {
+      // row-level mode (`option("readChangeFeed", "true")`): the batch
+      // is the feed union (literal columns + per-version parts), not a
+      // plain file relation — re-tag its rows as a streaming batch.
+      // This is what lets a readStream SURVIVE upstream merge/delete.
+      import org.apache.spark.sql.functions.col
+      GraftStreamBridge.asStreamingDF(
+        table.readChangeFeed(from, to)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*))
+    } else
+      GraftStreamBridge.streamingParquetBatch(spark, schema,
+        table.changedFiles(from, to))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -161,11 +179,20 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema
+                            parameters: Map[String, String]): (String, StructType) = {
+    val base = schema
       .orElse(new TxTable(sqlContext.sparkSession, path(parameters)).schemaOption)
       .getOrElse(throw new IllegalStateException(
-        s"${path(parameters)} has no commits yet and no schema was supplied")))
+        s"${path(parameters)} has no commits yet and no schema was supplied"))
+    // the feed mode widens the row with its change-tracking columns —
+    // the logical stream schema must match what getBatch produces
+    val widened =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        base.add(TxTable.ChangeTypeCol, "string")
+          .add(TxTable.CommitVersionCol, "long")
+      else base
+    (shortName(), widened)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -175,7 +202,8 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
         val n = v.toLong
         require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
         n
-      })
+      },
+      changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],

@@ -31,6 +31,16 @@ object GraftStreamBridge {
       data.queryExecution.toRdd, data.schema, isStreaming = false)
   }
 
+  /** Tag an arbitrary batch DataFrame's rows as a streaming batch —
+    * for `Source.getBatch` results that are not a plain file relation
+    * (e.g. a change-feed union with literal columns).
+    */
+  def asStreamingDF(data: Dataset[Row]): DataFrame = {
+    val cs = data.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = true)
+  }
+
   def streamingParquetBatch(spark: SparkSession, schema: StructType,
                             paths: Seq[String]): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]

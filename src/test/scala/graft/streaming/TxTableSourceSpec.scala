@@ -120,6 +120,43 @@ class TxTableSourceSpec extends SparkTestBase {
     assert(sizes.size >= 3, sizes.toString)
   }
 
+  test("readChangeFeed mode: the stream survives upstream merges and deletes") {
+    val dir = tmpDir("txsrc-cdf")
+    val ckpt = tmpDir("txsrc-cdf-ckpt")
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-txtable")
+        .option("path", dir)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k", "v", TxTable.ChangeTypeCol).collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1), r.getString(2))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == Set((1L, "a", "insert"), (2L, "b", "insert")))
+    got.clear()
+
+    // an upstream MERGE would kill the file-level stream; the feed
+    // stream keeps going with row-level semantics
+    t.merge(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    t.delete(col("k") === 1L)
+    drain()
+    assert(got.asScala.toSet == Set(
+      (2L, "b", "update_preimage"), (2L, "B2", "update_postimage"),
+      (3L, "c", "insert"), (1L, "a", "delete")))
+  }
+
   test("format sink: append mode is exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
