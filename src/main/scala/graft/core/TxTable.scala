@@ -253,6 +253,23 @@ class TxTable(spark: SparkSession, val tablePath: String,
   /** The table's current merged schema (None until the first commit). */
   def schemaOption: Option[StructType] = state().schema
 
+  /** (schema, absolute file paths) of one snapshot — head when
+    * `versionAsOf` is None — for the batch relation provider
+    * (`spark.read.format("graft-txtable")`).
+    */
+  private[graft] def snapshot(versionAsOf: Option[Long] = None)
+      : (Option[StructType], Seq[String]) = {
+    val s = versionAsOf match {
+      case Some(v) =>
+        val st = stateAt(Some(v))
+        require(st.version == v,
+          s"version $v not committed (latest contiguous: ${st.version})")
+        st
+      case None => state()
+    }
+    (s.schema, s.files.map(f => new Path(root, f).toString))
+  }
+
   /** Row-level change feed for `(fromVersion, toVersion]`: every row
     * carries `_change_type` (insert / update_preimage /
     * update_postimage / delete) and `_commit_version`. Appends

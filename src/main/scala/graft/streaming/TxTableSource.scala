@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, GraftStreamBridge, Row, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -169,7 +169,7 @@ class TxTableSink(sqlContext: SQLContext, tablePath: String,
   * fully-qualified class name.
   */
 class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txtable"
 
@@ -204,6 +204,22 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
         n
       },
       changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+
+  /** Batch read: `spark.read.format("graft-txtable").option("path", dir)`,
+    * optionally `.option("versionAsOf", v)` for time travel. Resolves
+    * the snapshot's file list to a plain parquet HadoopFsRelation, so
+    * batch pushdown and pruning work unchanged; the snapshot is pinned
+    * at load time (readers are isolated from later commits).
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val t = new TxTable(sqlContext.sparkSession, path(parameters))
+    val (schemaOpt, files) = t.snapshot(parameters.get("versionAsOf").map(_.toLong))
+    val schema = schemaOpt.getOrElse(throw new IllegalStateException(
+      s"${path(parameters)} has no commits yet — nothing to read"))
+    org.apache.spark.sql.GraftStreamBridge.parquetRelation(
+      sqlContext.sparkSession, schema, files)
+  }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],

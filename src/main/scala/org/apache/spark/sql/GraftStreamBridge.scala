@@ -41,6 +41,30 @@ object GraftStreamBridge {
       data.queryExecution.toRdd, data.schema, isStreaming = true)
   }
 
+  /** A resolved parquet BaseRelation over an explicit file list — the
+    * batch-read analog of [[streamingParquetBatch]], for a
+    * RelationProvider (`spark.read.format(...)`): a plain
+    * HadoopFsRelation, so pushdown and pruning work unchanged.
+    */
+  def parquetRelation(spark: SparkSession, schema: StructType,
+                      paths: Seq[String]): sources.BaseRelation = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (paths.isEmpty) {
+      // empty snapshot: a trivially empty scan with the right schema
+      val s = schema
+      new sources.BaseRelation with sources.TableScan {
+        override val sqlContext: SQLContext = cs.sqlContext
+        override val schema: StructType = s
+        override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+          cs.sparkContext.emptyRDD[Row]
+      }
+    } else {
+      import org.apache.spark.sql.execution.datasources.DataSource
+      DataSource(cs, className = "parquet", paths = paths,
+        userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
+    }
+  }
+
   def streamingParquetBatch(spark: SparkSession, schema: StructType,
                             paths: Seq[String]): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]

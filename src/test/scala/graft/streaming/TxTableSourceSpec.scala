@@ -214,6 +214,32 @@ class TxTableSourceSpec extends SparkTestBase {
     assert(t.version >= 1L)
   }
 
+  test("batch read: spark.read.format with versionAsOf time travel") {
+    val dir = tmpDir("txsrc-batch")
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v1
+    t.merge(Seq((2L, "B2")).toDF("id", "v"), Seq("id")) // v2
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+
+    val head = spark.read.format("graft-txtable").option("path", dir).load()
+    assert(ids(head) == Seq(1L, 2L, 3L))
+    assert(head.where(col("v") === "B2").count() == 1)
+    // time travel to before the merge and before the second append
+    assert(ids(spark.read.format("graft-txtable").option("path", dir)
+      .option("versionAsOf", "1").load()) == Seq(1L, 2L, 3L))
+    val v1 = spark.read.format("graft-txtable").option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(v1.where(col("v") === "B2").count() == 0, "v1 predates the merge")
+    assert(ids(spark.read.format("graft-txtable").option("path", dir)
+      .option("versionAsOf", "0").load()) == Seq(1L, 2L))
+    // pushdown: a filtered count over the relation plans a parquet scan
+    // with the predicate pushed (smoke: executes and is correct)
+    assert(head.where(col("id") > 2L).count() == 1)
+  }
+
   test("streaming from an empty table without a schema fails loudly") {
     val dir = tmpDir("txsrc-empty")
     val e = intercept[IllegalStateException] {
