@@ -214,10 +214,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * (the same contract a format's streaming source enforces).
     */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
-    val added = changedFiles(fromVersion, toVersion)
-    val schema = state().schema
-    if (added.isEmpty) readState(State(toVersion, Nil, schema, Map.empty))
-    else spark.read.schema(schema.get).parquet(added: _*)
+    val head = state()
+    val added = changedFilesFrom(head, fromVersion, toVersion)
+    if (added.isEmpty) readState(State(toVersion, Nil, head.schema, Map.empty))
+    else spark.read.schema(head.schema.get).parquet(added: _*)
   }
 
   /** The ABSOLUTE paths of files added by commits in `(fromVersion,
@@ -226,8 +226,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * build its own streaming-tagged relation over them. Same contract:
     * rewrite commits are skipped, any other remove rejects loudly.
     */
-  private[graft] def changedFiles(fromVersion: Long, toVersion: Long): Seq[String] = {
-    val head = state()
+  private[graft] def changedFiles(fromVersion: Long, toVersion: Long): Seq[String] =
+    changedFilesFrom(state(), fromVersion, toVersion)
+
+  private def changedFilesFrom(head: State, fromVersion: Long,
+                               toVersion: Long): Seq[String] = {
     require(toVersion <= head.version,
       s"toVersion $toVersion not committed (latest contiguous: ${head.version})")
     require(fromVersion <= toVersion,
@@ -311,13 +314,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
           .withColumn(CommitVersionCol, lit(v)))
       }
     }
-    parts match {
-      case Seq() =>
-        val schema = head.schema.getOrElse(StructType(Nil))
-          .add(ChangeTypeCol, "string").add(CommitVersionCol, "long")
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
-    }
+    // seed the union with an empty frame of the CURRENT feed schema:
+    // change files written before a later schema evolution lack the
+    // newer columns, and a consumer selecting the full schema would
+    // otherwise fail on exactly those batches (deterministically, so
+    // the stream could never progress past them) — the pad surfaces
+    // missing columns as null, the table's own evolution semantics
+    val feedSchema = head.schema.getOrElse(StructType(Nil))
+      .add(ChangeTypeCol, "string").add(CommitVersionCol, "long")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), feedSchema)
+    (empty +: parts).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def readState(s: State): DataFrame = s.schema match {
@@ -478,35 +485,43 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .join(srcKeys, keys, "left_semi")
       .select("__file").distinct().collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
-    // survivors of the touched files (keys not replaced) + all source
-    // rows; files without a matching key are untouched by construction
-    val survivors =
-      if (touched.isEmpty) None
-      else Some(readState(snap.copy(files = touched)).join(srcKeys, keys, "left_anti"))
-    val newData = survivors match {
-      case None => source
-      case Some(sv) => sv.unionByName(source, allowMissingColumns = true)
-    }
-    val staged = stageData(newData)
-    // row-level change record, committed ATOMICALLY with the rewrite:
-    // replaced target rows (pre-image), their replacements
-    // (post-image), and genuinely new keys (insert) — what lets an
-    // incremental consumer survive an upstream merge (readChangeFeed)
-    // instead of hard-failing on the removes
-    val stagedCdf = {
-      import org.apache.spark.sql.functions.lit
-      val touchedRows = readState(snap.copy(files = touched))
-      val pre = touchedRows.join(srcKeys, keys, "left_semi")
-        .withColumn(ChangeTypeCol, lit("update_preimage"))
-      val tgtKeys = touchedRows.select(keys.map(col): _*).distinct()
-      val post = source.join(tgtKeys, keys, "left_semi")
-        .withColumn(ChangeTypeCol, lit("update_postimage"))
-      val ins = source.join(tgtKeys, keys, "left_anti")
-        .withColumn(ChangeTypeCol, lit("insert"))
-      stageData(pre.unionByName(post, allowMissingColumns = true)
-        .unionByName(ins, allowMissingColumns = true),
-        prefix = "cdf", collectStats = false)
-    }
+    // ONE cached read of the touched files feeds the survivor set AND
+    // the change record — without the cache the rewrite would rescan
+    // them once per consumer
+    val touchedRows = readState(snap.copy(files = touched))
+    if (touched.nonEmpty) touchedRows.persist()
+    val (staged, stagedCdf, newData) = try {
+      // survivors of the touched files (keys not replaced) + all
+      // source rows; files without a matching key are untouched by
+      // construction
+      val survivors =
+        if (touched.isEmpty) None
+        else Some(touchedRows.join(srcKeys, keys, "left_anti"))
+      val data = survivors match {
+        case None => source
+        case Some(sv) => sv.unionByName(source, allowMissingColumns = true)
+      }
+      val s1 = stageData(data)
+      // row-level change record, committed ATOMICALLY with the
+      // rewrite: replaced target rows (pre-image), their replacements
+      // (post-image), and genuinely new keys (insert) — what lets an
+      // incremental consumer survive an upstream merge
+      // (readChangeFeed) instead of hard-failing on the removes
+      val s2 = {
+        import org.apache.spark.sql.functions.lit
+        val pre = touchedRows.join(srcKeys, keys, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val tgtKeys = touchedRows.select(keys.map(col): _*).distinct()
+        val post = source.join(tgtKeys, keys, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = source.join(tgtKeys, keys, "left_anti")
+          .withColumn(ChangeTypeCol, lit("insert"))
+        stageData(pre.unionByName(post, allowMissingColumns = true)
+          .unionByName(ins, allowMissingColumns = true),
+          prefix = "cdf", collectStats = false)
+      }
+      (s1, s2, data)
+    } finally if (touched.nonEmpty) touchedRows.unpersist()
     commitLoop(s"merge into $tablePath") { st =>
       // STRICT conflict rule (Delta's ConcurrentAppendException): any
       // commit since the snapshot aborts — a concurrent append could
@@ -546,13 +561,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .select("__file").distinct().collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
     if (touched.isEmpty) return
-    val survivors = readState(snap.copy(files = touched))
-      .where(not(coalesce(predicate, lit(false))))
-    val staged = stageData(survivors)
-    val stagedCdf = stageData(
-      readState(snap.copy(files = touched)).where(predicate)
-        .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")),
-      prefix = "cdf", collectStats = false)
+    // one cached read of the touched files feeds both the survivor
+    // rewrite and the delete change record
+    val touchedRows = readState(snap.copy(files = touched)).persist()
+    val (staged, stagedCdf) = try {
+      (stageData(touchedRows.where(not(coalesce(predicate, lit(false))))),
+        stageData(touchedRows.where(predicate)
+          .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")),
+          prefix = "cdf", collectStats = false))
+    } finally touchedRows.unpersist()
     commitLoop(s"delete from $tablePath") { st =>
       // same strict rule as merge: a concurrent append could add
       // predicate-matching rows that this delete would then miss
@@ -583,22 +600,41 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val keepFrom = math.max(0L, head.version - retainVersions)
     // after truncateLog a retention window reaching below the newest
     // checkpoint contains versions that can no longer be resolved;
-    // retain what CAN be resolved instead of crashing — the
-    // unresolvable versions are unreadable anyway, so retention for
-    // them is moot (head.files is always kept regardless)
+    // retain what CAN be resolved instead of crashing — but ONLY the
+    // specific unresolvable-truncation failure may be skipped: any
+    // other error (a transient store fault, a torn read) must abort
+    // the vacuum, because silently dropping that version's files from
+    // the referenced set would DELETE data a readable snapshot needs
     val referenced = (keepFrom to head.version)
-      .flatMap(v => scala.util.Try(stateAt(Some(v)).files)
-        .getOrElse(Seq.empty[String])).toSet ++ head.files
+      .flatMap { v =>
+        try stateAt(Some(v)).files
+        catch {
+          case e: IllegalStateException
+              if e.getMessage != null && e.getMessage.contains("truncation") =>
+            Seq.empty[String]
+        }
+      }.toSet ++ head.files
+    val rootListing = fsv.listStatus(root).filter(_.isFile).toSeq
     // change-feed files are not live data but stay readable for as
     // long as their manifest exists: keep any cdf referenced by a
-    // still-present manifest (truncateLog bounds this set)
-    val cdfReferenced = fsv.listStatus(logDir).iterator
-      .flatMap(st => manifestVersion(st.getPath.getName))
-      .flatMap(v => scala.util.Try(readManifest(fsv, v)).toOption.getOrElse(Nil))
-      .collect { case Cdf(p) => p }.toSet
+    // still-present manifest. The manifest sweep is skipped entirely
+    // when no cdf-* file exists (the pure-append common case), and is
+    // otherwise bounded by truncateLog. Manifest read failures abort
+    // (same rationale as above). NOTE the documented asymmetry, shared
+    // with the original design: the feed's synthesized inserts for
+    // APPEND commits read ordinary data files, whose retention is the
+    // normal window — a feed range older than the vacuum window can
+    // fail on append commits even though merge/delete change files
+    // survive.
+    val cdfReferenced =
+      if (!rootListing.exists(_.getPath.getName.startsWith("cdf-"))) Set.empty[String]
+      else fsv.listStatus(logDir).iterator
+        .flatMap(st => manifestVersion(st.getPath.getName))
+        .flatMap(v => readManifest(fsv, v))
+        .collect { case Cdf(p) => p }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    fsv.listStatus(root).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    rootListing.iterator
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
       .filter(st => !referenced.contains(st.getPath.getName)
         && !cdfReferenced.contains(st.getPath.getName))
       .filter(_.getModificationTime < cutoff)

@@ -388,8 +388,13 @@ object ScaleOps {
         .sortWithinPartitions("o_orderkey"))
       val updates = base.where(col("o_orderkey") % 100 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + lit(10000.0d))
+      // shift derived from the data, not a constant: a fixed offset
+      // collides with real keys once max(o_orderkey) outgrows it
+      // (TPC-H keys reach 6M·SF), and colliding keys would make the
+      // source self-duplicate and abort the merge
       val inserts = base.where(col("o_orderkey") % 1000 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderkey",
+          col("o_orderkey") + base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L)
       t.merge(updates.unionByName(inserts), Seq("o_orderkey"))
       p
     }
@@ -488,7 +493,8 @@ object ScaleOps {
         |  SELECT o_orderkey, o_orderpriority, o_totalprice + 10000 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 100 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+        |    o_orderpriority, o_totalprice
         |  FROM orders WHERE o_orderkey % 1000 = 0),
         |merged AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

@@ -346,6 +346,21 @@ class TxTableSpec extends SparkTestBase {
     assert(feed(0, 1).size == 3, "cdf files must survive vacuum while referenced")
   }
 
+  test("change feed pads pre-evolution change files with later-added columns") {
+    val t = table()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    t.merge(Seq((2L, "B")).toDF("k", "v"), Seq("k")) // v1: cdf written with (k, v)
+    t.append(Seq((3L, "c", 9L)).toDF("k", "v", "w")) // v2: schema evolves
+    // a range serving ONLY the pre-evolution change file must still
+    // surface the current schema (w as null), or a consumer selecting
+    // the full schema would wedge on exactly that batch forever
+    val feed = t.readChangeFeed(0, 1)
+    assert(feed.columns.toSet ==
+      Set("k", "v", "w", TxTable.ChangeTypeCol, TxTable.CommitVersionCol))
+    assert(feed.count() == 2) // pre + post image
+    assert(feed.where(col("w").isNotNull).count() == 0)
+  }
+
   test("two JVMs appending concurrently: every commit lands, versions contiguous") {
     val dir = tmpDir("txtable-2jvm")
     val t = new TxTable(spark, dir)
