@@ -142,7 +142,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * answers a range probe by opening a handful of files, with no
     * listing of — or footer reads against — the rest. Supported
     * conjunct shapes: `col (=, <, <=, >, >=) literal` (either
-    * orientation) on long/double/string columns, plus
+    * orientation) on long/double/decimal/string columns,
+    * `col.isin(literals)`, plus
     * `isNull`/`isNotNull`; anything else — and any file committed
     * without stats — is read, never skipped, so the result ALWAYS
     * equals `read().where(predicate)`.
@@ -158,7 +159,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   private[graft] def prunedFiles(s: State,
                                 predicate: org.apache.spark.sql.Column): Seq[String] = {
-    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, NullShape, conjunctShapes}
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape, NullShape, conjunctShapes}
     val conjuncts = conjunctShapes(predicate)
     // a conjunct that proves a file empty ⇒ the file cannot match the AND
     def provesEmpty(fstats: FileStats,
@@ -181,6 +182,16 @@ class TxTable(spark: SparkSession, val tablePath: String,
               case _ => false
             }
             case _ => false
+          }
+        case InShape(name, values) =>
+          // provably empty iff EVERY value lies outside [min, max].
+          // Null list entries can never make IN true and are ignored;
+          // a non-null value literalJ cannot type (e.g. a timestamp)
+          // blocks the prune — unprovable, not skippable.
+          fstats.cols.get(name).exists { cs =>
+            val js = values.filter(_ != null).map(literalJ)
+            js.forall(_.isDefined) && js.flatten.forall(v =>
+              cmpJ(cs.max, v).exists(_ < 0) || cmpJ(cs.min, v).exists(_ > 0))
           }
         case _ => false
       }
@@ -471,8 +482,19 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * append, nullable).
     */
   def merge(source: DataFrame, keys: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
     require(keys.nonEmpty, "merge needs at least one key column")
+    // ONE materialization of the source: it otherwise re-evaluates for
+    // the duplicate-key check, the provenance semi-join, the rewrite
+    // union and both CDF joins — and pinning a non-deterministic
+    // source (a rand()-derived column, a table mutating mid-merge) to
+    // a single evaluation is what makes the dup check prove the SAME
+    // rows the commit writes
+    source.persist()
+    try merge0(source, keys) finally source.unpersist()
+  }
+
+  private def merge0(source: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val dupes = source.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dupes == 0,
@@ -598,23 +620,31 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val head = state()
     if (head.version < 0) return
     val keepFrom = math.max(0L, head.version - retainVersions)
-    // after truncateLog a retention window reaching below the newest
-    // checkpoint contains versions that can no longer be resolved;
-    // retain what CAN be resolved instead of crashing — but ONLY the
-    // specific unresolvable-truncation failure may be skipped: any
-    // other error (a transient store fault, a torn read) must abort
-    // the vacuum, because silently dropping that version's files from
-    // the referenced set would DELETE data a readable snapshot needs
-    val referenced = (keepFrom to head.version)
-      .flatMap { v =>
-        try stateAt(Some(v)).files
-        catch {
-          case e: IllegalStateException
-              if e.getMessage != null && e.getMessage.contains("truncation") =>
-            Seq.empty[String]
-        }
-      }.toSet ++ head.files
-    val rootListing = fsv.listStatus(root).filter(_.isFile).toSeq
+    // Resolve the window's start state ONCE, then fold each manifest
+    // forward — O(window) manifest reads instead of O(window × log)
+    // full state resolutions (each of which re-lists the log dir and
+    // re-reads the checkpoint). A start below a truncateLog cutoff
+    // clamps to the oldest checkpoint (always resolvable by
+    // construction); any OTHER failure aborts the vacuum, because
+    // silently dropping a resolvable version's files from the
+    // referenced set would DELETE data a readable snapshot needs.
+    var cur =
+      try stateAt(Some(keepFrom))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("truncation") =>
+          val oldestCkpt = fsv.listStatus(logDir).iterator
+            .flatMap(st => checkpointVersion(st.getPath.getName))
+            .minOption.getOrElse(throw e)
+          stateAt(Some(math.max(keepFrom, oldestCkpt)))
+      }
+    var referenced = cur.files.toSet
+    while (cur.version < head.version) {
+      cur = applyManifest(cur, cur.version + 1, readManifest(fsv, cur.version + 1))
+      referenced ++= cur.files
+    }
+    referenced ++= head.files
+    val rootListing = fsv.listStatus(root).toSeq
     // change-feed files are not live data but stay readable for as
     // long as their manifest exists: keep any cdf referenced by a
     // still-present manifest. The manifest sweep is skipped entirely
@@ -634,11 +664,19 @@ class TxTable(spark: SparkSession, val tablePath: String,
         .collect { case Cdf(p) => p }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     rootListing.iterator
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .filter(st => !referenced.contains(st.getPath.getName)
         && !cdfReferenced.contains(st.getPath.getName))
       .filter(_.getModificationTime < cutoff)
       .foreach(st => fsv.delete(st.getPath, false))
+    // a writer that crashed inside stageData leaves its whole
+    // _staging-<uuid> directory behind, never referenced by any
+    // manifest — without this sweep it would leak forever; the same
+    // age guard keeps an IN-FLIGHT writer's staging safe
+    rootListing.iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging-"))
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => fsv.delete(st.getPath, true))
   }
 
   /** Exactly-once foreachBatch sink body:
@@ -696,13 +734,29 @@ class TxTable(spark: SparkSession, val tablePath: String,
         val name = c.getPath.toDotString
         if (!dropped.contains(name) && !name.contains(".")) {
           val st = c.getStatistics
-          val isString = c.getPrimitiveType.getLogicalTypeAnnotation
-            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+          val isString =
+            logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          // int32/int64-backed DECIMAL stats are raw UNSCALED values;
+          // they must be rescaled here or every comparison against a
+          // scaled literal (e.g. lit(BigDecimal("5.00"))) is off by
+          // 10^scale and prunes files that contain matching rows.
+          // Dates/timestamps stay ints and never match a literal kind
+          // literalJ produces, so they are safely never pruned.
+          val decScale: Option[Int] = logical match {
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(d.getScale)
+            case _ => None
+          }
+          def intJ(unscaled: Long): JValue = decScale match {
+            case Some(sc) => JDecimal(BigDecimal(BigInt(unscaled), sc))
+            case None => JLong(unscaled)
+          }
           val mm: Option[(JValue, JValue)] =
             if (st == null || !st.hasNonNullValue) None
             else st match {
-              case s: IntStatistics => Some((JLong(s.getMin.toLong), JLong(s.getMax.toLong)))
-              case s: LongStatistics => Some((JLong(s.getMin), JLong(s.getMax)))
+              case s: IntStatistics => Some((intJ(s.getMin.toLong), intJ(s.getMax.toLong)))
+              case s: LongStatistics => Some((intJ(s.getMin), intJ(s.getMax)))
               case s: FloatStatistics =>
                 Some((JDouble(s.getMin.toDouble), JDouble(s.getMax.toDouble)))
               case s: DoubleStatistics => Some((JDouble(s.getMin), JDouble(s.getMax)))
@@ -797,7 +851,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
       bytes.toString("UTF-8")
     } finally in.close()
-    val j = JsonMethods.parse(text)
+    // same big-decimal mode as Action.fromJson: checkpointed decimal
+    // stats must keep full precision
+    val j = JsonMethods.parse(text, useBigDecimalForDouble = true)
     val files = (j \ "files") match {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => Nil
@@ -832,6 +888,16 @@ class TxTable(spark: SparkSession, val tablePath: String,
     if (!fsv.exists(logDir)) return
     val names = fsv.listStatus(logDir).map(_.getPath.getName)
     names.flatMap(checkpointVersion(_)).sorted.lastOption.foreach { ckpt =>
+      // PROVE the surviving checkpoint is readable before deleting the
+      // older checkpoints and manifests `stateAt` would otherwise fall
+      // back to — pruning below a torn/unreadable checkpoint (crash
+      // mid-publish on a non-atomic store) would leave the table
+      // permanently unresolvable
+      if (scala.util.Try(readCheckpoint(fsv, ckpt)).isFailure)
+        throw new IllegalStateException(
+          s"refusing to truncate log of $tablePath: newest checkpoint " +
+            s"v$ckpt is unreadable — the older manifests are the only " +
+            "remaining way to resolve table state")
       names.foreach { n =>
         val stale = manifestVersion(n).exists(_ < ckpt) ||
           checkpointVersion(n).exists(_ < ckpt)
@@ -887,7 +953,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
   }
 
   private def readManifest(fsv: FileSystem, version: Long): Seq[Action] = {
-    val in = fsv.open(new Path(logDir, manifestName(version)))
+    // a pruned manifest must surface as the documented re-sync contract
+    // error, not a bare missing-file stack trace — this is what an
+    // incremental consumer checkpointed below a truncateLog cutoff hits
+    val in = try fsv.open(new Path(logDir, manifestName(version)))
+    catch {
+      case e: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"version $version of $tablePath predates log truncation " +
+            "(its manifest was pruned by truncateLog) — re-sync this " +
+            "consumer from the current table state", e)
+    }
     val text = try {
       val bytes = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
@@ -1047,7 +1123,10 @@ object TxTable {
 
   private[core] object Action {
     def fromJson(line: String): Action = {
-      val j = JsonMethods.parse(line)
+      // big-decimal mode: decimal column stats (JDecimal) must round-trip
+      // the manifest at full precision — a decimal(38) read back through
+      // a double would shift min/max and mis-prune boundary files
+      val j = JsonMethods.parse(line, useBigDecimalForDouble = true)
       def str(f: String): String = (j \ f) match {
         case JString(s) => s
         case other => throw new IllegalArgumentException(

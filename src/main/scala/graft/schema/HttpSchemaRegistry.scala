@@ -107,13 +107,23 @@ class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry with Serializab
     uuidCache.getOrElse(uuid, {
       // Confluent's API has no UUID lookup (that is Glue's notion) —
       // one subjects scan repopulates the cache, then we either know
-      // it or the registry genuinely does not hold this schema text
+      // it or the registry genuinely does not hold this schema text.
+      // EVERY version of every subject is fetched, not just latest:
+      // data on disk is routinely one schema evolution behind, and its
+      // UUID resolves to an OLDER version the registry still holds
       request("GET", "/subjects", None) match {
         case JArray(subjects) => subjects.foreach {
           case JString(s) =>
-            val latestJ = request("GET", s"/subjects/$s/versions/latest", None)
-            cachePut(jInt(latestJ, "id"),
-              new Schema.Parser().parse(jStr(latestJ, "schema")))
+            request("GET", s"/subjects/$s/versions", None) match {
+              case JArray(versions) => versions.foreach {
+                case v @ (JInt(_) | JLong(_)) =>
+                  val vj = request("GET", s"/subjects/$s/versions/${v.values}", None)
+                  cachePut(jInt(vj, "id"),
+                    new Schema.Parser().parse(jStr(vj, "schema")))
+                case _ => ()
+              }
+              case _ => ()
+            }
           case _ => ()
         }
         case _ => ()

@@ -62,4 +62,10 @@ class InMemorySchemaRegistry extends SchemaRegistry with Serializable {
 
   /** Registered subject names (the REST API's `GET /subjects`). */
   def subjectNames: Seq[String] = subjects.keys.toSeq.sorted
+
+  /** A subject's schema ids in registration (version) order (the REST
+    * API's `GET /subjects/{s}/versions`, where version n maps to the
+    * n-th registered id).
+    */
+  def versionIds(subject: String): Seq[Int] = subjects.getOrElse(subject, Nil)
 }

@@ -153,10 +153,19 @@ class TxTableSink(sqlContext: SQLContext, tablePath: String,
     if (mode == OutputMode.Complete()) table.overwrite(batchDF)
     else {
       // the checkpointed streaming query id — the writer identity the
-      // (writerId, batchId) idempotence key needs to survive restarts
+      // (writerId, batchId) idempotence key needs to survive restarts.
+      // A missing identity must fail LOUDLY: any path-keyed fallback
+      // would put two different queries (each with its own batchId
+      // counter restarting at 0) in one idempotence key space, and the
+      // second query's batches would be silently dropped as
+      // "redeliveries" of the first's
       val queryId = Option(sqlContext.sparkContext
           .getLocalProperty("sql.streaming.queryId"))
-        .getOrElse(s"graft-txtable-sink:$tablePath")
+        .getOrElse(throw new IllegalStateException(
+          "graft-txtable sink: no sql.streaming.queryId local property — " +
+            "addBatch was invoked outside a streaming query; call " +
+            "TxTable.appendBatch(df, writerId, batchId) with an explicit " +
+            "writer identity instead"))
       table.appendBatch(batchDF, queryId, batchId)
     }
   }

@@ -27,6 +27,8 @@ object GraftColumnBridge {
   sealed trait PredShape
   case class CmpShape(name: String, op: String, value: Any) extends PredShape
   case class NullShape(name: String, isNull: Boolean) extends PredShape
+  /** `col.isin(v1, v2, ...)` — literal values only. */
+  case class InShape(name: String, values: Seq[Any]) extends PredShape
   case object OpaqueShape extends PredShape
 
   def conjunctShapes(predicate: Column): Seq[PredShape] = {
@@ -51,6 +53,10 @@ object GraftColumnBridge {
           CmpShape(a.nameParts.mkString("."), op, l.value)
         case (op @ (">" | ">=" | "<" | "<=" | "=" | "=="), Seq(l: ULit, a: UAttr)) =>
           CmpShape(a.nameParts.mkString("."), flip(op), l.value)
+        case ("in", (a: UAttr) +: rest)
+            if rest.nonEmpty && rest.forall(_.isInstanceOf[ULit]) =>
+          InShape(a.nameParts.mkString("."),
+            rest.map(_.asInstanceOf[ULit].value))
         case _ => OpaqueShape
       }
       case _ => OpaqueShape

@@ -169,6 +169,12 @@ class TxTableSpec extends SparkTestBase {
     assert(kept(col("v") >= "c") == 2) // string stats
     assert(kept(col("id").isNull) == 0) // nulls: 0 everywhere -> all skipped
     assert(kept(col("id").isNotNull) == 4)
+    // IN-list: only files whose [min,max] covers at least one value
+    assert(kept(col("id").isin(5L, 15L)) == 2)
+    assert(kept(col("id").isin(100L, 200L)) == 0)
+    assert(kept(col("v").isin("a0", "zz")) == 1) // string IN
+    assert(t.scan(col("id").isin(5L, 19L, 29L)).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(19L, 29L))
     assert(kept(col("v").contains("x")) == 4) // unsupported shape: never skips
     // the skipped scan returns exactly the plain filtered read
     assert(t.scan(col("id") > 25L).select("id").as[Long].collect().sorted.toSeq
@@ -474,5 +480,70 @@ class TxTableSpec extends SparkTestBase {
     stream.addData(3L)
     runOnce()
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("decimal column stats prune correctly (rescaled, not raw unscaled)") {
+    import org.apache.spark.sql.types.DecimalType
+    val t = table()
+    // two files with disjoint decimal(15,2) ranges (INT64-backed in
+    // parquet, whose footer stats are raw UNSCALED longs: 100..499 and
+    // 500..999 — comparing those against a scaled literal unrescaled
+    // would prune the lo file for `< 5.00` and silently drop its rows)
+    def df(vals: String*) = vals.toDF("s")
+      .select(col("s").cast(DecimalType(15, 2)).as("price")).coalesce(1)
+    t.append(df("1.00", "4.99"))
+    t.append(df("5.00", "9.99"))
+    // a FRESH handle so stats round-trip the manifest JSON too
+    val t2 = new TxTable(spark, t.tablePath)
+    val s = t2.state()
+    assert(s.files.size == 2)
+    val under5 = col("price") < new java.math.BigDecimal("5.00")
+    assert(t2.scan(under5).count() == 2L,
+      "scan must keep the file whose rows match the scaled literal")
+    assert(t2.prunedFiles(s, under5).size == 1,
+      "and still prune the file whose rescaled range cannot match")
+    val eq999 = col("price") === new java.math.BigDecimal("9.99")
+    assert(t2.scan(eq999).count() == 1L)
+    assert(t2.prunedFiles(s, eq999).size == 1)
+  }
+
+  test("vacuum sweeps orphaned staging directories from crashed writers") {
+    val dir = tmpDir("txtable-vac-staging")
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // a writer that crashed inside stageData: the whole staging dir
+    // remains, referenced by no manifest
+    val staging = new java.io.File(dir, "_staging-deadbeef")
+    Seq((9L, "ghost")).toDF("id", "v").write.parquet(staging.toString)
+    assert(staging.exists())
+    t.vacuum(olderThanMs = -5000L) // negative age: sweep regardless of mtime
+    assert(!staging.exists(), "orphaned staging dir must be swept")
+    assert(t.read().count() == 1L)
+  }
+
+  test("truncateLog refuses when the newest checkpoint is unreadable") {
+    val dir = tmpDir("txtable-trunc-torn")
+    val t = new TxTable(spark, dir, checkpointInterval = 2)
+    (0 until 3).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    // tear the v2 checkpoint (a crash mid-publish on a non-atomic store)
+    val ckpt = new java.io.File(dir, TxTable.LogDirName).listFiles()
+      .find(_.getName.endsWith(".ckpt.json")).get
+    java.nio.file.Files.writeString(ckpt.toPath, """{"version": 2, "files": [""")
+    val e = intercept[IllegalStateException](t.truncateLog())
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+    // because truncation was refused, the manifests below the torn
+    // checkpoint survive and a fresh handle still resolves full state
+    assert(new TxTable(spark, dir).read().count() == 3L)
+  }
+
+  test("an incremental read below a truncation cutoff fails with the re-sync error") {
+    val dir = tmpDir("txtable-changes-trunc")
+    val t = new TxTable(spark, dir, checkpointInterval = 2)
+    (0 until 5).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    t.truncateLog()
+    val e = intercept[IllegalStateException](t.readChanges(0L, t.version))
+    assert(e.getMessage.contains("truncation"), e.getMessage)
+    // ranges wholly above the cutoff still read
+    assert(t.readChanges(3L, 4L).count() == 1L)
   }
 }

@@ -37,6 +37,7 @@ class TestSchemaRegistryServer {
     val path = x.getRequestURI.getPath
     val SubjectsVersions = "/subjects/([^/]+)/versions".r
     val SubjectsLatest = "/subjects/([^/]+)/versions/latest".r
+    val SubjectsVersionN = "/subjects/([^/]+)/versions/(\\d+)".r
     val SchemaById = "/schemas/ids/(\\d+)".r
     (x.getRequestMethod, path) match {
       case ("POST", SubjectsVersions(subject)) =>
@@ -57,6 +58,21 @@ class TestSchemaRegistryServer {
           case None =>
             respond(x, 404, """{"error_code":40401,"message":"subject not found"}""")
         }
+      case ("GET", SubjectsVersionN(subject, n)) =>
+        delegate.versionIds(subject).lift(n.toInt - 1) match {
+          case Some(id) =>
+            val j = JObject("subject" -> JString(subject), "version" -> JInt(n.toInt),
+              "id" -> JInt(id), "schema" -> JString(delegate.getById(id).toString))
+            respond(x, 200, JsonMethods.compact(JsonMethods.render(j)))
+          case None =>
+            respond(x, 404, """{"error_code":40402,"message":"version not found"}""")
+        }
+      case ("GET", SubjectsVersions(subject)) =>
+        val ids = delegate.versionIds(subject)
+        if (ids.isEmpty)
+          respond(x, 404, """{"error_code":40401,"message":"subject not found"}""")
+        else respond(x, 200, JsonMethods.compact(JsonMethods.render(
+          JArray((1 to ids.size).map(JInt(_): JValue).toList))))
       case ("GET", SchemaById(id)) =>
         try respond(x, 200, JsonMethods.compact(JsonMethods.render(
           JObject("schema" -> JString(delegate.getById(id.toInt).toString)))))
@@ -117,11 +133,17 @@ class HttpSchemaRegistrySpec extends SparkTestBase {
   test("Glue-style UUID resolution falls back to one subjects scan on a fresh client") {
     withServer { srv =>
       val writer = new HttpSchemaRegistry(srv.url)
-      val id = writer.register("product-value", graft.schema.ProductSchemas.v1)
-      val uuid = writer.uuidFor(id)
+      // v1 AND v2 under one subject: data on disk is routinely one
+      // evolution behind, so the scan must surface OLDER versions the
+      // registry still holds, not just each subject's latest
+      val id1 = writer.register("product-value", graft.schema.ProductSchemas.v1)
+      val id2 = writer.register("product-value", graft.schema.ProductSchemas.v2)
+      val uuid1 = writer.uuidFor(id1)
       val reader = new HttpSchemaRegistry(srv.url) // cold cache
-      assert(reader.idFor(uuid) == id)
-      assert(reader.getByUuid(uuid).toString == graft.schema.ProductSchemas.v1.toString)
+      assert(reader.idFor(uuid1) == id1,
+        "a pre-evolution schema's UUID must resolve from the scan")
+      assert(reader.getByUuid(uuid1).toString == graft.schema.ProductSchemas.v1.toString)
+      assert(reader.idFor(writer.uuidFor(id2)) == id2)
       intercept[NoSuchElementException](
         reader.idFor(java.util.UUID.randomUUID()))
     }
