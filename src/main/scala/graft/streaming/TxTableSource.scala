@@ -33,7 +33,8 @@ import graft.core.TxTable
 class TxTableSource(sqlContext: SQLContext, tablePath: String,
                     userSchema: Option[StructType],
                     maxVersionsPerTrigger: Option[Long] = None,
-                    changeFeed: Boolean = false)
+                    changeFeed: Boolean = false,
+                    startingVersion: Option[String] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -41,6 +42,31 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
 
   private val spark = sqlContext.sparkSession
   private val table = new TxTable(spark, tablePath)
+
+  /** Where a FRESH (checkpoint-less) stream starts, as an exclusive
+    * from-offset: `option("startingVersion", n)` includes commits from
+    * version n on (the Delta-source option — also how a consumer
+    * starts cleanly AFTER an overwrite boundary); `"latest"` pins to
+    * the head at source creation, so only commits made after stream
+    * start flow. Default: -1, i.e. every commit from v0 (for an
+    * append-only table, exactly the initial snapshot).
+    */
+  private val numericFrom: Option[Long] = startingVersion match {
+    case None | Some("latest") => None
+    case Some(n) =>
+      val v = try n.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be a version number or 'latest', got '$n'")
+      }
+      require(v >= 0, s"startingVersion must be >= 0, got $v")
+      Some(v - 1)
+  }
+
+  private val initialFrom: Long = startingVersion match {
+    case None => -1L
+    case Some("latest") => table.version
+    case _ => numericFrom.get
+  }
 
   // Trigger.AvailableNow drains to the head version captured HERE, so
   // the run has a fixed end even while writers keep committing — and
@@ -72,7 +98,7 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
       // it, or the stream would end early
       case (Some(n), l) if !l.isInstanceOf[
           org.apache.spark.sql.connector.read.streaming.ReadAllAvailable] =>
-        val start = Option(startOffset).map(_.json.trim.toLong).getOrElse(-1L)
+        val start = Option(startOffset).map(_.json.trim.toLong).getOrElse(initialFrom)
         math.min(head, start + n)
       case _ => head
     }
@@ -110,7 +136,17 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
   private def versionOf(o: Offset): Long = o.json.trim.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val (from, to) = (start.map(versionOf).getOrElse(-1L), versionOf(end))
+    // a NUMERIC startingVersion stays authoritative over a lower
+    // engine offset: set beyond the current head, the stream yields
+    // empty batches until the log catches up (it WAITS, never crashes
+    // on an inverted range, and never serves the excluded versions).
+    // 'latest' must NOT clamp — it re-resolves to the new head on
+    // every restart, where the checkpointed offset is the truth.
+    val from = math.max(start.map(versionOf).getOrElse(initialFrom),
+      numericFrom.getOrElse(Long.MinValue))
+    val to = versionOf(end)
+    if (from >= to)
+      return GraftStreamBridge.streamingParquetBatch(spark, schema, Nil)
     if (changeFeed) {
       // row-level mode (`option("readChangeFeed", "true")`): the batch
       // is the feed union (literal columns + per-version parts), not a
@@ -186,9 +222,25 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-txtable source requires .option(\"path\", <table dir>)"))
 
+  /** Shared with [[TxTableSource]]'s constructor; ALSO run at
+    * `load()` time (sourceSchema) so a malformed option fails before
+    * the stream starts, not inside it.
+    */
+  private def validateStartingVersion(parameters: Map[String, String]): Unit =
+    parameters.get("startingVersion").foreach {
+      case "latest" => ()
+      case n =>
+        val v = try n.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be a version number or 'latest', got '$n'")
+        }
+        require(v >= 0, s"startingVersion must be >= 0, got $v")
+    }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
+    validateStartingVersion(parameters)
     val base = schema
       .orElse(new TxTable(sqlContext.sparkSession, path(parameters)).schemaOption)
       .getOrElse(throw new IllegalStateException(
@@ -212,7 +264,8 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
         require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
         n
       },
-      changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+      changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
+      startingVersion = parameters.get("startingVersion"))
 
   /** Batch read: `spark.read.format("graft-txtable").option("path", dir)`,
     * optionally `.option("versionAsOf", v)` for time travel. Resolves

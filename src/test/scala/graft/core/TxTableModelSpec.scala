@@ -57,13 +57,28 @@ class TxTableModelSpec extends SparkTestBase {
             t.overwrite(batch.toDF("k", "v"))
             model = batch.toVector
           case 5 => // maintenance: rows must not change
-            if (rnd.nextBoolean()) t.compact(targetBytes = 1L << 16)
-            else if (t.version >= 0 && t.read().count() > 0)
-              t.cluster(Seq("k"), targetFiles = 3, bitsPerCol = 4)
+            rnd.nextInt(3) match {
+              case 0 => t.compact(targetBytes = 1L << 16)
+              case 1 => if (t.version >= 0 && t.read().count() > 0)
+                t.cluster(Seq("k"), targetFiles = 3, bitsPerCol = 4)
+              case 2 =>
+                // full-window retention: every snapshot stays readable,
+                // only orphans go — exercises the referenced-set fold
+                if (t.version >= 0) t.vacuum(retainVersions = 1000, olderThanMs = -5000L)
+            }
         }
         if (t.version >= 0) {
           assert(readBack(t) == model.sorted,
             s"seed $seed: table diverged from model at v${t.version}")
+          // stat-pruned scans must ALWAYS equal the plain filtered
+          // read, whatever file layout the mutations produced
+          val probe = rnd.nextInt(3) match {
+            case 0 => col("k") >= rnd.nextInt(40).toLong
+            case 1 => col("k") === rnd.nextInt(40).toLong
+            case 2 => col("k").isin(rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+          }
+          assert(t.scan(probe).count() == t.read().where(probe).count(),
+            s"seed $seed: scan($probe) diverged from read().where at v${t.version}")
           snapshots += t.version -> model
         }
       }

@@ -247,4 +247,53 @@ class TxTableSourceSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("no commits"), e.getMessage)
   }
+
+  test("startingVersion: a fresh stream begins mid-log, 'latest' sees only new commits") {
+    val dir = tmpDir("txsrc-startv")
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+
+    def drainFrom(sv: String, ckpt: String): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft-txtable")
+        .option("path", dir).option("startingVersion", sv).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+            .collect().foreach(got.add)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+
+    // numeric: commits from version 1 INCLUSIVE (the Delta semantics)
+    assert(drainFrom("1", tmpDir("txsrc-startv-ckpt1")) == Seq(2L, 3L))
+    // latest: nothing yet — the head is pinned at stream start...
+    val latestCkpt = tmpDir("txsrc-startv-ckpt2")
+    assert(drainFrom("latest", latestCkpt) == Seq.empty)
+    // ...and only commits made AFTER it flow on the next run (the
+    // checkpointed offset takes over from startingVersion)
+    t.append(Seq((4L, "d")).toDF("id", "v")) // v3
+    assert(drainFrom("latest", latestCkpt) == Seq(4L))
+    // beyond the head: the stream waits (empty), never crashes, and
+    // picks up the commit once the log reaches it
+    val aheadCkpt = tmpDir("txsrc-startv-ckpt3")
+    assert(drainFrom("5", aheadCkpt) == Seq.empty)
+    t.append(Seq((5L, "e")).toDF("id", "v")) // v4
+    t.append(Seq((6L, "f")).toDF("id", "v")) // v5
+    assert(drainFrom("5", aheadCkpt) == Seq(6L))
+    // a malformed value fails loudly at load time
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-txtable")
+        .option("path", dir).option("startingVersion", "nope").load()
+    }
+    assert(e.getMessage.contains("startingVersion"), e.getMessage)
+  }
 }
