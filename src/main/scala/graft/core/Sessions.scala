@@ -29,6 +29,11 @@ object Sessions {
       // testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
       // rejects by default; read it as long nanoseconds instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as annotated INT64 micros, not INT96: INT96
+      // is deprecated, carries no usable min/max stats, and therefore
+      // can never be pruned — micros make time-range data skipping
+      // (TxTable.scan and parquet row-group pushdown) work
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // keep managed tables (bucketing tests etc.) out of the repo cwd
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")

@@ -748,12 +748,29 @@ class TxTable(spark: SparkSession, val tablePath: String,
               Some(d.getScale)
             case _ => None
           }
+          // TIMESTAMP stats normalize to MICROS — the unit literalJ
+          // produces for timestamp literals. NANOS is deliberately
+          // dropped: under spark.sql.legacy.parquet.nanosAsLong Spark
+          // reads that column as a plain LONG of nanos, so a micros
+          // comparison would mis-prune. DATE stats stay raw epoch-days
+          // (what literalJ produces for date literals). A timestamp
+          // unit we do not recognize drops the column (never prunes).
+          import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+          val tsScale: Option[Option[Long => Long]] = logical match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit match {
+                case TimeUnit.MICROS => Some(Some(identity[Long]))
+                case TimeUnit.MILLIS => Some(Some((v: Long) => math.multiplyExact(v, 1000L)))
+                case _ => Some(None) // NANOS or unknown: no stats
+              }
+            case _ => None
+          }
           def intJ(unscaled: Long): JValue = decScale match {
             case Some(sc) => JDecimal(BigDecimal(BigInt(unscaled), sc))
-            case None => JLong(unscaled)
+            case None => JLong(tsScale.flatten.map(_(unscaled)).getOrElse(unscaled))
           }
           val mm: Option[(JValue, JValue)] =
-            if (st == null || !st.hasNonNullValue) None
+            if (st == null || !st.hasNonNullValue || tsScale.contains(None)) None
             else st match {
               case s: IntStatistics => Some((intJ(s.getMin.toLong), intJ(s.getMax.toLong)))
               case s: LongStatistics => Some((intJ(s.getMin), intJ(s.getMax)))
@@ -1068,8 +1085,22 @@ object TxTable {
     case d: org.apache.spark.sql.types.Decimal => Some(JDecimal(d.toBigDecimal))
     case s: org.apache.spark.unsafe.types.UTF8String => Some(JString(s.toString))
     case s: String => Some(JString(s))
+    // timestamps as epoch MICROS, dates as epoch DAYS — the units
+    // footerStats normalizes column stats to. Cross-type comparisons
+    // (e.g. a long column against a timestamp literal) cannot
+    // mis-prune: Spark's analyzer rejects the query before the scan
+    // executes.
+    case t: java.sql.Timestamp => Some(JLong(instantMicros(t.toInstant)))
+    case i: java.time.Instant => Some(JLong(instantMicros(i)))
+    case dt: java.time.LocalDateTime => // TimestampNTZ literal
+      Some(JLong(instantMicros(dt.toInstant(java.time.ZoneOffset.UTC))))
+    case d: java.sql.Date => Some(JLong(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(JLong(d.toEpochDay))
     case _ => None
   }
+
+  private def instantMicros(i: java.time.Instant): Long =
+    math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
 
   private[core] val LogDirName = "_graft_log"
   /** Change-feed column names ([[TxTable.readChangeFeed]]). */

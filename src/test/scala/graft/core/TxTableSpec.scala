@@ -367,15 +367,10 @@ class TxTableSpec extends SparkTestBase {
     assert(feed.where(col("w").isNotNull).count() == 0)
   }
 
-  test("two JVMs appending concurrently: every commit lands, versions contiguous") {
-    val dir = tmpDir("txtable-2jvm")
-    val t = new TxTable(spark, dir)
-    t.append(Seq(("seed", 0L)).toDF("k", "v")) // v0: schema exists for both writers
-    val n = 6
-    // the claim primitive is cross-process by construction (hard-link
-    // create fails iff the target exists, arbitrated by the kernel,
-    // not JVM state) — this exercises it for real: a second JVM with
-    // its own SparkSession races the in-process writer on the same log
+  // Spawn a child JVM running TxTableRaceHelper and run `race` in this
+  // process while it writes; returns after asserting the child exited 0.
+  private def withChildWriter(dir: String, n: Int, tag: String, mode: String)
+                             (race: => Unit): Unit = {
     val javaBin = sys.props("java.home") + "/bin/java"
     // reuse this JVM's --add-opens flags (JDK17 + Spark); they arrive
     // either as one "--add-opens=..." token or as a flag/value pair
@@ -393,7 +388,7 @@ class TxTableSpec extends SparkTestBase {
     }
     val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
       "-cp", sys.props("java.class.path"),
-      "graft.core.TxTableRaceHelper", dir, n.toString, "child")
+      "graft.core.TxTableRaceHelper", dir, n.toString, tag, mode)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -402,12 +397,28 @@ class TxTableSpec extends SparkTestBase {
       org.apache.hadoop.io.IOUtils.copyBytes(proc.getInputStream, out, 8192, false))
     drain.setDaemon(true)
     drain.start()
-    (0 until n).foreach(i => t.append(Seq((s"local-$i", 1L)).toDF("k", "v")))
-    assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
-      { proc.destroyForcibly(); "helper JVM timed out" })
-    drain.join(10000)
-    assert(proc.exitValue() == 0,
-      s"helper JVM failed:\n${out.toString("UTF-8").takeRight(4000)}")
+    try race
+    finally {
+      assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        { proc.destroyForcibly(); "helper JVM timed out" })
+      drain.join(10000)
+      assert(proc.exitValue() == 0,
+        s"helper JVM failed:\n${out.toString("UTF-8").takeRight(4000)}")
+    }
+  }
+
+  test("two JVMs appending concurrently: every commit lands, versions contiguous") {
+    val dir = tmpDir("txtable-2jvm")
+    val t = new TxTable(spark, dir)
+    t.append(Seq(("seed", 0L)).toDF("k", "v")) // v0: schema exists for both writers
+    val n = 6
+    // the claim primitive is cross-process by construction (hard-link
+    // create fails iff the target exists, arbitrated by the kernel,
+    // not JVM state) — this exercises it for real: a second JVM with
+    // its own SparkSession races the in-process writer on the same log
+    withChildWriter(dir, n, "child", "append") {
+      (0 until n).foreach(i => t.append(Seq((s"local-$i", 1L)).toDF("k", "v")))
+    }
     // all 2n+1 commits landed; contiguity is enforced by state() itself
     // (replay stops at the first version gap, so a lost commit would
     // surface as a lower head version)
@@ -416,6 +427,27 @@ class TxTableSpec extends SparkTestBase {
     val expected = Set("seed") ++
       (0 until n).map(i => s"local-$i") ++ (0 until n).map(i => s"child-$i")
     assert(keys == expected)
+  }
+
+  test("cross-process merge: the strict abort rule holds against a racing appender") {
+    val dir = tmpDir("txtable-2jvm-merge")
+    val t = new TxTable(spark, dir)
+    t.append(Seq(("seed", 0L)).toDF("k", "v")) // v0: schema exists for both writers
+    val nMerges = 4
+    val nAppends = 6
+    // the child upserts ONE key with increasing values, retrying on
+    // the concurrent-commit abort, while this process keeps appending:
+    // every abort must be loud (never a silent lost update) and every
+    // retry must eventually land
+    withChildWriter(dir, nMerges, "shared", "merge") {
+      (0 until nAppends).foreach(i => t.append(Seq((s"local-$i", 1L)).toDF("k", "v")))
+    }
+    val rows = t.read().select("k", "v").as[(String, Long)].collect()
+    // the upserted key holds exactly its LAST merged value — one row,
+    // no duplicates from replayed merges, no lost appends
+    assert(rows.filter(_._1 == "shared").toSeq == Seq(("shared", (nMerges - 1).toLong)))
+    assert(rows.count(_._1.startsWith("local-")) == nAppends)
+    assert(rows.length == nAppends + 2) // + seed + shared
   }
 
   test("vacuum survives log truncation: retains what it can resolve, never crashes") {
@@ -505,6 +537,34 @@ class TxTableSpec extends SparkTestBase {
     val eq999 = col("price") === new java.math.BigDecimal("9.99")
     assert(t2.scan(eq999).count() == 1L)
     assert(t2.prunedFiles(s, eq999).size == 1)
+  }
+
+  test("timestamp and date column stats prune time-range scans") {
+    val t = table()
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // two files with disjoint day ranges — the time-clustered event
+    // table shape, where time-range skipping is the whole point
+    t.append(Seq((ts("2024-01-01T06:00:00Z"), d("2024-01-01"), 1L),
+      (ts("2024-01-01T18:00:00Z"), d("2024-01-01"), 2L))
+      .toDF("ts", "day", "id").coalesce(1))
+    t.append(Seq((ts("2024-01-02T06:00:00Z"), d("2024-01-02"), 3L),
+      (ts("2024-01-02T18:00:00Z"), d("2024-01-02"), 4L))
+      .toDF("ts", "day", "id").coalesce(1))
+    val t2 = new TxTable(spark, t.tablePath) // stats through the manifest
+    val s = t2.state()
+    assert(s.files.size == 2)
+    val beforeDay2 = col("ts") < lit(ts("2024-01-02T00:00:00Z"))
+    assert(t2.prunedFiles(s, beforeDay2).size == 1,
+      "timestamp range must prune the day-2 file")
+    assert(t2.scan(beforeDay2).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    val day2 = col("day") === lit(d("2024-01-02"))
+    assert(t2.prunedFiles(s, day2).size == 1, "date equality must prune day 1")
+    assert(t2.scan(day2).select("id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L))
+    // IN over dates composes with the same stats
+    assert(t2.prunedFiles(s, col("day").isin(d("2024-03-01"), d("2024-03-02"))).isEmpty)
   }
 
   test("vacuum sweeps orphaned staging directories from crashed writers") {
