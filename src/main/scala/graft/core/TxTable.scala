@@ -211,6 +211,33 @@ class TxTable(spark: SparkSession, val tablePath: String,
     readState(s)
   }
 
+  /** Wall-clock time travel: the newest version whose commit landed at
+    * or before `tsMillis` (epoch ms). Commit times are manifest file
+    * modification timestamps — the published Delta approach; they are
+    * only as durable as the log, so a timestamp below a truncateLog
+    * cutoff (or before the first commit) fails loudly.
+    */
+  def versionAsOfTimestamp(tsMillis: Long): Long = {
+    val fsv = fs
+    if (!fsv.exists(logDir))
+      throw new IllegalArgumentException(
+        s"$tablePath has no commits — no version exists at or before $tsMillis")
+    val candidates = fsv.listStatus(logDir).flatMap { st =>
+      manifestVersion(st.getPath.getName)
+        .filter(_ => st.getModificationTime <= tsMillis)
+    }
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"no commit of $tablePath at or before epoch-ms $tsMillis " +
+          "(before the first retained commit — older history may have " +
+          "been pruned by truncateLog)")
+    candidates.max
+  }
+
+  /** [[readAt]] by wall clock ([[versionAsOfTimestamp]]). */
+  def readAsOfTimestamp(tsMillis: Long): DataFrame =
+    readAt(versionAsOfTimestamp(tsMillis))
+
   /** Incremental scan: the rows of files ADDED by commits in
     * `(fromVersion, toVersion]` — the mechanism behind a table-format
     * streaming source (each micro-batch is a version range of the add
@@ -380,6 +407,60 @@ class TxTable(spark: SparkSession, val tablePath: String,
       Some(st.files.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } :+
         Meta(df.schema.toDDL))
     }
+  }
+
+  /** RESTORE: make the live table equal its state at `version` again,
+    * as a NEW commit — history is preserved, the rollback is itself
+    * time-travelable and shows in the change log. Metadata-only: the
+    * old snapshot's files are re-pointed, never copied, so restoring a
+    * 100 TB table is an O(files) log write. Fails loudly if any needed
+    * file was vacuumed away, BEFORE committing anything. Downstream
+    * incremental consumers see it as an overwrite boundary (re-sync),
+    * which it semantically is.
+    */
+  def restore(version: Long): Unit = {
+    val target = stateAt(Some(version))
+    require(target.version == version,
+      s"version $version not committed (latest contiguous: ${target.version})")
+    val fsv = fs
+    val missing = target.files.filterNot(f => fsv.exists(new Path(root, f)))
+    require(missing.isEmpty,
+      s"cannot restore $tablePath to v$version: ${missing.size} of its files " +
+        s"were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    commitLoop(s"restore of $tablePath to v$version") { st =>
+      if (st.files == target.files && st.schema.map(_.toDDL) == target.schema.map(_.toDDL))
+        None // already there: nothing to commit
+      else Some(
+        st.files.filterNot(target.files.contains).map(Remove(_)) ++
+          target.files.filterNot(st.files.contains).map(f =>
+            Add(f, target.stats.get(f))) ++
+          target.schema.map(s => Meta(s.toDDL)).toSeq)
+    }
+  }
+
+  /** DESCRIBE HISTORY: one row per commit — (version, commit timestamp
+    * from the manifest's mtime, operation kind inferred from its
+    * actions, files added, files removed). Versions below a
+    * truncateLog cutoff are absent (their manifests are gone).
+    */
+  def history(): Seq[TxTable.CommitInfo] = {
+    val fsv = fs
+    if (!fsv.exists(logDir)) return Nil
+    fsv.listStatus(logDir).toSeq
+      .flatMap(st => manifestVersion(st.getPath.getName).map(v => (v, st.getModificationTime)))
+      .sorted
+      .map { case (v, ts) =>
+        val actions = readManifest(fsv, v)
+        val adds = actions.count(_.isInstanceOf[Add])
+        val removes = actions.count(_.isInstanceOf[Remove])
+        val hasCdf = actions.exists(_.isInstanceOf[Cdf])
+        val op =
+          if (actions.contains(RewriteMarker)) "REWRITE" // compact/cluster
+          else if (hasCdf) "MERGE/DELETE" // row mutation with change record
+          else if (removes > 0) "OVERWRITE/RESTORE"
+          else "APPEND"
+        TxTable.CommitInfo(v, ts, op, adds, removes)
+      }
   }
 
   /** ACID small-file compaction: rewrite the CURRENT live set into
@@ -994,6 +1075,10 @@ object TxTable {
 
   /** Streaming-writer identity for idempotent commits. */
   case class TxnId(writerId: String, batchId: Long)
+
+  /** One [[TxTable.history]] row (DESCRIBE HISTORY). */
+  case class CommitInfo(version: Long, timestampMs: Long, operation: String,
+                        filesAdded: Int, filesRemoved: Int)
 
   /** Per-column footer stats (JSON-typed so they serialize into the
     * manifest verbatim: JLong, JDouble, or JString). `nulls == -1`

@@ -268,15 +268,30 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
       startingVersion = parameters.get("startingVersion"))
 
   /** Batch read: `spark.read.format("graft-txtable").option("path", dir)`,
-    * optionally `.option("versionAsOf", v)` for time travel. Resolves
-    * the snapshot's file list to a plain parquet HadoopFsRelation, so
+    * optionally `.option("versionAsOf", v)` or `.option("timestampAsOf",
+    * <epoch-ms | ISO-8601 instant>)` for time travel. Resolves the
+    * snapshot's file list to a plain parquet HadoopFsRelation, so
     * batch pushdown and pruning work unchanged; the snapshot is pinned
     * at load time (readers are isolated from later commits).
     */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val t = new TxTable(sqlContext.sparkSession, path(parameters))
-    val (schemaOpt, files) = t.snapshot(parameters.get("versionAsOf").map(_.toLong))
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "set versionAsOf or timestampAsOf, not both")
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { raw =>
+        val ms = raw.toLongOption.getOrElse {
+          try java.time.Instant.parse(raw).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"timestampAsOf must be epoch millis or an ISO-8601 instant, got '$raw'")
+          }
+        }
+        t.versionAsOfTimestamp(ms)
+      })
+    val (schemaOpt, files) = t.snapshot(version)
     val schema = schemaOpt.getOrElse(throw new IllegalStateException(
       s"${path(parameters)} has no commits yet — nothing to read"))
     org.apache.spark.sql.GraftStreamBridge.parquetRelation(

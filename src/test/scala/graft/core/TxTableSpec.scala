@@ -539,6 +539,48 @@ class TxTableSpec extends SparkTestBase {
     assert(t2.prunedFiles(s, eq999).size == 1)
   }
 
+  test("restore re-points the live set at an old snapshot without copying data") {
+    val t = table()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v1
+    t.merge(Seq((2L, "B2")).toDF("id", "v"), Seq("id")) // v2
+    val filesBefore = new java.io.File(t.tablePath).list().count(_.endsWith(".parquet"))
+    t.restore(1L) // v3: back to before the merge
+    assert(t.version == 3L)
+    assert(t.read().select("v").as[String].collect().sorted.toSeq
+      == Seq("a", "b", "c"))
+    // metadata-only: no new data files were written for the restore
+    assert(new java.io.File(t.tablePath).list().count(_.endsWith(".parquet"))
+      == filesBefore)
+    // the rollback itself is history: v2 still shows the merged row
+    assert(t.readAt(2L).where(col("v") === "B2").count() == 1L)
+    // restoring to the current state is a no-op commit
+    t.restore(3L)
+    assert(t.version == 3L)
+    // a restore whose files were vacuumed fails loudly BEFORE committing
+    t.overwrite(Seq((9L, "z")).toDF("id", "v")) // v4: v0-v3 files now dead
+    t.vacuum(retainVersions = 0, olderThanMs = -5000L)
+    val e = intercept[IllegalArgumentException](t.restore(1L))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(9L),
+      "failed restore must leave the table untouched")
+  }
+
+  test("history lists one classified row per commit") {
+    val t = table()
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+    t.compact() // v2
+    t.merge(Seq((2L, "B2")).toDF("id", "v"), Seq("id")) // v3
+    t.overwrite(Seq((9L, "z")).toDF("id", "v")) // v4
+    val h = t.history()
+    assert(h.map(_.version) == (0L to 4L))
+    assert(h.map(_.operation) ==
+      Seq("APPEND", "APPEND", "REWRITE", "MERGE/DELETE", "OVERWRITE/RESTORE"))
+    assert(h.forall(_.timestampMs > 0))
+    assert(h(4).filesRemoved > 0 && h(0).filesRemoved == 0)
+  }
+
   test("timestamp and date column stats prune time-range scans") {
     val t = table()
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))

@@ -240,6 +240,42 @@ class TxTableSourceSpec extends SparkTestBase {
     assert(head.where(col("id") > 2L).count() == 1)
   }
 
+  test("batch read: timestampAsOf resolves the newest commit at or before the clock") {
+    val dir = tmpDir("txsrc-tsasof")
+    val t = new TxTable(spark, dir)
+    val before = System.currentTimeMillis() - 5
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v0
+    Thread.sleep(50) // separate the manifests' mtimes
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(50)
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // epoch-ms form pins to v0; ISO form to the same instant agrees
+    assert(ids(spark.read.format("graft-txtable").option("path", dir)
+      .option("timestampAsOf", betweenMs.toString).load()) == Seq(1L))
+    assert(ids(spark.read.format("graft-txtable").option("path", dir)
+      .option("timestampAsOf",
+        java.time.Instant.ofEpochMilli(betweenMs).toString).load()) == Seq(1L))
+    // now (or later) sees the head
+    assert(ids(spark.read.format("graft-txtable").option("path", dir)
+      .option("timestampAsOf",
+        (System.currentTimeMillis() + 1000).toString).load()) == Seq(1L, 2L))
+    // before the first commit: loud, not silently empty
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-txtable").option("path", dir)
+        .option("timestampAsOf", before.toString).load()
+    }
+    assert(e.getMessage.contains("no commit"), e.getMessage)
+    // both time-travel options at once is ambiguous: rejected
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-txtable").option("path", dir)
+        .option("timestampAsOf", betweenMs.toString)
+        .option("versionAsOf", "0").load()
+    }
+  }
+
   test("streaming from an empty table without a schema fails loudly") {
     val dir = tmpDir("txsrc-empty")
     val e = intercept[IllegalStateException] {
