@@ -441,6 +441,54 @@ object ScaleOps {
   def qTxDelete(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(deletedOrdersTable(s, dir).read())
 
+  /** Snapshot-isolation TIME TRAVEL through the batch read path of the
+    * `graft-txtable` format: version 0 of [[mergedOrdersTable]] is the
+    * pre-merge base, so this aggregate matches the plain-orders oracle
+    * ONLY if the version pin really isolates the snapshot from the
+    * later MERGE commit — while [[qTxMerge]] oracles the same table's
+    * HEAD against the post-merge reconstruction. Metadata-only: the
+    * pinned file list resolves to a plain parquet relation, so
+    * pushdown/pruning are unchanged and no data is copied.
+    */
+  def qTxTimetravel(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(s.read.format("graft-txtable")
+      .option("path", mergedOrdersTable(s, dir).tablePath)
+      .option("versionAsOf", "0").load())
+
+  /** Key-clustered ACID clone of orders destructively OVERWRITTEN down
+    * to the keys divisible by 3, then RESTOREd to version 0 — the
+    * rollback re-points the base snapshot's files in one metadata
+    * commit (no data copied; on a 100 TB table an O(files) log write),
+    * built once per (session, dir).
+    */
+  private[ext] def restoredOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-restore:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txrestore_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      t.append(base.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")) // v0
+      t.overwrite(base.where(col("o_orderkey") % 3 === 0)) // v1: shrunk
+      t.restore(0L) // v2: metadata-only rollback to the full base
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-RESTORE table aggregated by priority: matches the full
+    * plain-orders oracle ONLY if restore re-pointed exactly the v0
+    * file set — a leftover of the overwrite (or a partial rollback)
+    * changes the counts and hash-mismatches.
+    */
+  def qTxRestore(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(restoredOrdersTable(s, dir).read())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -453,6 +501,8 @@ object ScaleOps {
     "q_tx_skip" -> (qTxSkip _),
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_delete" -> (qTxDelete _),
+    "q_tx_timetravel" -> (qTxTimetravel _),
+    "q_tx_restore" -> (qTxRestore _),
   )
 
   /** The two-pass heavy hitters output is exact and matches plain SQL;
@@ -476,8 +526,23 @@ object ScaleOps {
        |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) BETWEEN $TxSkipLo AND $TxSkipHi
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** The full-table aggregate both time-travel-shaped queries must
+    * answer: q_tx_timetravel pins the pre-merge version of the merged
+    * table, q_tx_restore rolls an overwritten table back to its base —
+    * both land on the unmodified orders set, by different mechanisms.
+    */
+  private val txFullSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_join_flat" -> joinRevenueSql,
+    // same oracle on purpose: two rollback mechanisms (version pin vs
+    // restore commit), one ground truth — the unmutated base table
+    "q_tx_timetravel" -> txFullSql,
+    "q_tx_restore" -> txFullSql,
     // same oracle on purpose: the hash compare proves the bucketed
     // layout changes the PLAN (PlanShapeSpec), never the answer
     "q_join_bucketed" -> joinRevenueSql,

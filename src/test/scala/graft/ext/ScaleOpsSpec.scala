@@ -83,6 +83,25 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(flat.nonEmpty)
   }
 
+  test("tx time travel and restore both land on the unmutated base aggregate") {
+    // ground truth: the plain orders aggregate, straight off parquet
+    val base = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    val pinned = ScaleOps.qTxTimetravel(spark, dir).collect().toSeq
+    val restored = ScaleOps.qTxRestore(spark, dir).collect().toSeq
+    assert(pinned == base, "versionAsOf=0 must see the pre-merge snapshot")
+    assert(restored == base, "restore(0) must re-point the full v0 file set")
+    // the pin has to MATTER: the same table's head includes the merge
+    val head = ScaleOps.qTxMerge(spark, dir).collect().toSeq
+    assert(head != pinned, "head and v0 must differ or the pin proves nothing")
+    // restore is metadata-only and classified in the commit history
+    val ops = ScaleOps.restoredOrdersTable(spark, dir).history().map(_.operation)
+    assert(ops == Seq("APPEND", "OVERWRITE/RESTORE", "OVERWRITE/RESTORE"), ops)
+  }
+
   test("open-intervals two-level prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val out = ScaleOps.qOpenIntervals(spark, dir).cache()
