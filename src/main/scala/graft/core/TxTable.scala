@@ -689,6 +689,76 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Copy-on-write UPDATE: rows where `predicate` is TRUE get each
+    * `set` expression applied (evaluated against the PRE-update row,
+    * SQL UPDATE semantics — `SET a = b, b = a` swaps); rows where it
+    * is false or null pass through byte-identical. Assignments cast to
+    * the column's existing type, so the table schema never drifts.
+    * File pruning is the same two-stage scheme as [[delete]]: manifest
+    * stats exclude files whose ranges cannot match, a provenance scan
+    * keeps only files ACTUALLY containing a matching row, and only
+    * those rewrite — an update touching one key of a key-clustered
+    * 100 TB table rewrites one file. The rewrite plus an
+    * update_preimage/update_postimage change record land in ONE atomic
+    * commit; same strict concurrency contract as [[merge]].
+    */
+  def update(predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val snap = state()
+    if (snap.files.isEmpty) return
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"table $tablePath has files but no recorded schema"))
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"update sets unknown column(s) ${unknown.mkString(", ")} — " +
+        s"table columns are ${schema.fieldNames.mkString(", ")}")
+    val candidates = prunedFiles(snap, predicate)
+    if (candidates.isEmpty) return
+    val touched = readState(snap.copy(files = candidates))
+      .withColumn("__file", input_file_name())
+      .where(predicate)
+      .select("__file").distinct().collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
+    if (touched.isEmpty) return
+    val cond = coalesce(predicate, lit(false))
+    // one projection evaluates every assignment against the original
+    // row, then swaps in the new values only where the predicate holds
+    def applySet(df: DataFrame): DataFrame = df.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(expr) =>
+          when(cond, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    // one cached read of the touched files feeds the rewrite and both
+    // sides of the change record
+    val touchedRows = readState(snap.copy(files = touched)).persist()
+    val (staged, stagedCdf) = try {
+      val pre = touchedRows.where(cond)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+      val post = applySet(touchedRows.where(cond))
+        .withColumn(ChangeTypeCol, lit("update_postimage"))
+      (stageData(applySet(touchedRows)),
+        stageData(pre.unionByName(post), prefix = "cdf", collectStats = false))
+    } finally touchedRows.unpersist()
+    commitLoop(s"update $tablePath") { st =>
+      // same strict rule as merge/delete: a concurrent append could
+      // add predicate-matching rows this update would then miss
+      if (st.version != snap.version) {
+        (staged ++ stagedCdf).foreach { case (f, _) =>
+          fs.delete(new Path(root, f), false)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"table $tablePath changed concurrently (v${snap.version} -> " +
+            s"v${st.version}) during update; rerun update() against the new state")
+      }
+      Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+        stagedCdf.map { case (p, _) => Cdf(p) })
+    }
+  }
+
   /** Physically delete data files no live snapshot in the retention
     * window references: files removed at or before `version -
     * retainVersions` and older than `olderThanMs` (the age guard keeps

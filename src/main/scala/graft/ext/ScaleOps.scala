@@ -489,6 +489,42 @@ object ScaleOps {
   def qTxRestore(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(restoredOrdersTable(s, dir).read())
 
+  /** Key-clustered ACID clone of orders with a deterministic UPDATE
+    * applied — keys divisible by 7 get a sentinel priority and a fixed
+    * price surcharge, both assignments in one statement evaluated
+    * against the pre-update row ([[graft.core.TxTable.update]]).
+    * Copy-on-write: only files whose key range holds a matching key
+    * rewrite. Built once per (session, dir).
+    */
+  private[ext] def updatedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-update:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txupdate_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      t.update(col("o_orderkey") % 7 === 0, Map(
+        "o_orderpriority" -> lit("9-UPDATED"),
+        "o_totalprice" -> (col("o_totalprice") + lit(5000.0d))))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-UPDATE table aggregated by priority: matches the
+    * oracle's CASE-expression reconstruction only if update rewrote
+    * exactly the predicate-true rows with the assigned values and left
+    * every other row byte-identical.
+    */
+  def qTxUpdate(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(updatedOrdersTable(s, dir).read())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -503,6 +539,7 @@ object ScaleOps {
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_timetravel" -> (qTxTimetravel _),
     "q_tx_restore" -> (qTxRestore _),
+    "q_tx_update" -> (qTxUpdate _),
   )
 
   /** The two-pass heavy hitters output is exact and matches plain SQL;
@@ -543,6 +580,18 @@ object ScaleOps {
     // restore commit), one ground truth — the unmutated base table
     "q_tx_timetravel" -> txFullSql,
     "q_tx_restore" -> txFullSql,
+    // the UPDATE reconstructed as a CASE projection — double addition
+    // is IEEE-deterministic, identical in Spark and DuckDB
+    "q_tx_update" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '9-UPDATED'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // same oracle on purpose: the hash compare proves the bucketed
     // layout changes the PLAN (PlanShapeSpec), never the answer
     "q_join_bucketed" -> joinRevenueSql,

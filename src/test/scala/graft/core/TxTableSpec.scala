@@ -315,6 +315,47 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readAt(before.version).count() == 30)
   }
 
+  test("update rewrites predicate-true rows in place, pruning untouched files") {
+    val dir = tmpDir("txtable-upd")
+    val t = new TxTable(spark, dir)
+    (0 until 3).foreach { b =>
+      t.append((b * 10 until b * 10 + 10).map(i => (i.toLong, s"v$i", i * 1.0))
+        .toDF("k", "v", "x").coalesce(1))
+    }
+    val before = t.state()
+    // predicate hits only the middle file's range; SET a = f(b), b = f(a)
+    // must evaluate against the PRE-update row (SQL UPDATE semantics)
+    t.update(col("k").between(13L, 17L), Map(
+      "v" -> org.apache.spark.sql.functions.concat(col("v"),
+        org.apache.spark.sql.functions.lit("!")),
+      "x" -> (col("x") + col("k"))))
+    val after = t.state()
+    assert(before.files.count(after.files.contains) == 2,
+      s"update must rewrite only the matching file: ${after.files}")
+    val rows = t.read().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(rows.size == 30, "update must never change the row count")
+    assert(rows(15L) == (("v15!", 30.0)) && rows(13L) == (("v13!", 26.0)))
+    assert(rows(12L) == (("v12", 12.0)) && rows(25L) == (("v25", 25.0)))
+    // assignments cast to the column's type: schema must not drift
+    assert(t.schemaOption.get == before.schema.get)
+    // row-level change record committed atomically with the rewrite
+    val cdf = t.readChangeFeed(before.version, t.version)
+      .select("k", "v", TxTable.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cdf == (13L to 17L).flatMap(i =>
+      Seq((i, s"v$i", "update_preimage"), (i, s"v$i!", "update_postimage"))).toSet)
+    // no-match predicate and unknown SET column: no commit, loud error
+    val v = t.version
+    t.update(col("k") > 1000L, Map("v" -> org.apache.spark.sql.functions.lit("z")))
+    assert(t.version == v, "no matching rows: update must not commit")
+    val e = intercept[IllegalArgumentException](
+      t.update(col("k") === 1L, Map("nope" -> col("v"))))
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+    // pre-update snapshot intact
+    assert(t.readAt(before.version).where(col("v") === "v15").count() == 1)
+  }
+
   test("change feed: appends, merges and deletes yield row-level change records") {
     val dir = tmpDir("txtable-cdf")
     val t = new TxTable(spark, dir)

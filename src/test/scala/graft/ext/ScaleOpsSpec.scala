@@ -102,6 +102,22 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ops == Seq("APPEND", "OVERWRITE/RESTORE", "OVERWRITE/RESTORE"), ops)
   }
 
+  test("tx update matches the CASE-projection reconstruction") {
+    val expected = Tables.load(spark, dir, "orders")
+      .select(
+        when(col("o_orderkey") % 7 === 0, lit("9-UPDATED"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 5000.0d)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(ScaleOps.qTxUpdate(spark, dir).collect().toSeq == expected)
+    // the sentinel priority group exists — the update demonstrably ran
+    assert(expected.exists(_.getString(0) == "9-UPDATED"))
+  }
+
   test("open-intervals two-level prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val out = ScaleOps.qOpenIntervals(spark, dir).cache()
