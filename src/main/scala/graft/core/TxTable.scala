@@ -294,6 +294,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
   /** The table's current merged schema (None until the first commit). */
   def schemaOption: Option[StructType] = state().schema
 
+  /** Make this table SQL-addressable as `graft_tx.<name>` (snapshot
+    * reads + `VERSION AS OF` / `TIMESTAMP AS OF`) — see
+    * [[TxSqlCatalog]]. Requires a session built with
+    * [[graft.functions.GraftExtensions]].
+    */
+  def registerSql(name: String): Unit = TxSqlCatalog.register(name, tablePath)
+
   /** (schema, absolute file paths) of one snapshot — head when
     * `versionAsOf` is None — for the batch relation provider
     * (`spark.read.format("graft-txtable")`).

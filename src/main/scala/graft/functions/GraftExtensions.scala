@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // no-op until spark.graft.rangeJoin.binWidth is set, so always safe
     ext.injectOptimizerRule(_ => new graft.plans.RangeBinJoinRule)
+    // SQL name surface for the ACID table format: resolves
+    // graft_tx.<name> (incl. VERSION/TIMESTAMP AS OF) — inert unless
+    // the reserved namespace is used, so always safe
+    ext.injectResolutionRule(s => new graft.core.TxRelationRule(s))
   }
 }
 
