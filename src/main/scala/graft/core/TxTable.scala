@@ -68,7 +68,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   case class State(version: Long, files: Seq[String], schema: Option[StructType],
                    txns: Map[String, Long],
-                   stats: Map[String, FileStats] = Map.empty)
+                   stats: Map[String, FileStats] = Map.empty,
+                   constraints: Map[String, String] = Map.empty)
 
   /** Newest contiguous committed state (empty state at version -1 for
     * a table with no commits). Contiguity guards a listing that races
@@ -114,6 +115,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var schema = st.schema
     var txns = st.txns
     var stats = st.stats
+    var constraints = st.constraints
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -124,10 +126,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case Meta(ddl) => schema = Some(StructType.fromDDL(ddl))
       case Txn(app, batch) =>
         txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
+      case Constr(n, e) => constraints += n -> e
+      case DropConstr(n) => constraints -= n
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
-    State(version, files, schema, txns, stats)
+    State(version, files, schema, txns, stats, constraints)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -301,6 +305,82 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def registerSql(name: String): Unit = TxSqlCatalog.register(name, tablePath)
 
+  /** CHECK constraints currently in force (name → SQL expression). */
+  def constraints: Map[String, String] = state().constraints
+
+  /** Add (or replace) a CHECK constraint: from this commit on, every
+    * append/overwrite/merge/update must satisfy `exprSql` on every row
+    * it writes (SQL CHECK semantics — NULL passes; use `c IS NOT NULL`
+    * for NOT NULL). Existing rows are validated FIRST, so a committed
+    * constraint is an invariant of the whole live table, and the DDL
+    * aborts if anything commits concurrently (that data would be
+    * unvalidated) — rerun against the new state. [[restore]] is the
+    * one documented bypass: restoring to a pre-constraint snapshot
+    * resurrects rows that were never validated (the published RESTORE
+    * designs share this trade — constraints are metadata, restore
+    * re-points data).
+    */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty, "constraint name must be non-empty")
+    val e = expr(exprSql) // parse eagerly: bad SQL fails the DDL, not the next append
+    val snap = state()
+    if (snap.files.nonEmpty) {
+      val bad = readState(snap).where(not(coalesce(e, lit(true)))).limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot add constraint $name CHECK ($exprSql) to $tablePath: an existing " +
+          s"row violates it — e.g. ${bad.headOption.getOrElse("")}")
+    }
+    commitLoop(s"add constraint on $tablePath") { st =>
+      if (st.version != snap.version)
+        throw new java.util.ConcurrentModificationException(
+          s"table $tablePath changed concurrently (v${snap.version} -> " +
+            s"v${st.version}) during addConstraint — the new data is unvalidated; " +
+            "rerun addConstraint() against the new state")
+      Some(Seq(Constr(name, exprSql)))
+    }
+  }
+
+  /** Drop a CHECK constraint; unknown names fail loudly. */
+  def dropConstraint(name: String): Unit =
+    commitLoop(s"drop constraint on $tablePath") { st =>
+      require(st.constraints.contains(name),
+        s"no constraint named $name on $tablePath " +
+          s"(have: ${st.constraints.keys.toSeq.sorted.mkString(", ")})")
+      Some(Seq(DropConstr(name)))
+    }
+
+  /** CHECK-constraint gate on a write's newly staged files: ONE scan
+    * of only those files (the input plan is never re-computed and
+    * untouched table files are never re-read; staged parquet is read
+    * under the post-commit schema, so a write omitting an evolved
+    * column checks it as NULL — which CHECK passes). On violation
+    * every file in `cleanup` is deleted and the write aborts loudly
+    * before any commit.
+    */
+  private def enforceConstraints(constraints: Map[String, String],
+      staged: Seq[(String, Option[FileStats])], schema: StructType,
+      cleanup: Seq[(String, Option[FileStats])], what: String): Unit = {
+    if (constraints.isEmpty || staged.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    def violates(sql: String) = not(coalesce(expr(sql), lit(true)))
+    val df = spark.read.schema(schema)
+      .parquet(staged.map { case (f, _) => new Path(root, f).toString }: _*)
+    val hit = df.where(constraints.values.map(violates).reduce(_ || _))
+      .limit(1).collect()
+    if (hit.nonEmpty) {
+      // one extra probe per constraint, only on the failure path
+      val broken = constraints.find { case (_, sql) =>
+        df.where(violates(sql)).limit(1).count() > 0
+      }
+      cleanup.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+      throw new IllegalArgumentException(
+        s"$what $tablePath violates CHECK constraint " +
+          s"${broken.map { case (n, s) => s"$n ($s)" }.getOrElse("?")} — " +
+          s"e.g. row ${hit.head}; nothing was committed")
+    }
+  }
+
   /** (schema, absolute file paths) of one snapshot — head when
     * `versionAsOf` is None — for the batch relation provider
     * (`spark.read.format("graft-txtable")`).
@@ -390,12 +470,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def append(df: DataFrame, txn: Option[TxnId] = None): Unit = {
     val staged = stageData(df)
+    var checkedFor: Map[String, String] = null // re-check only if a retry changed the set
     commitLoop(s"append to $tablePath") { st =>
       if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
         staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
         None // already committed by a previous attempt of this batch
       } else {
         val schema = mergeSchemas(st.schema, df.schema)
+        if (st.constraints != checkedFor) {
+          enforceConstraints(st.constraints, staged, schema, staged, "append to")
+          checkedFor = st.constraints
+        }
         Some(staged.map { case (p, s) => Add(p, s) } ++
           Seq(Meta(schema.toDDL)) ++
           txn.map(t => Txn(t.writerId, t.batchId)).toSeq)
@@ -410,7 +495,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def overwrite(df: DataFrame): Unit = {
     val staged = stageData(df)
+    var checkedFor: Map[String, String] = null
     commitLoop(s"overwrite of $tablePath") { st =>
+      if (st.constraints != checkedFor) {
+        enforceConstraints(st.constraints, staged, df.schema, staged, "overwrite of")
+        checkedFor = st.constraints
+      }
       Some(st.files.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } :+
         Meta(df.schema.toDDL))
     }
@@ -632,6 +722,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }
       (s1, s2, data)
     } finally if (touched.nonEmpty) touchedRows.unpersist()
+    // snap's constraint set is authoritative: any concurrent DDL bumps
+    // the version and the strict rule below aborts the merge anyway
+    enforceConstraints(snap.constraints, staged,
+      mergeSchemas(snap.schema, newData.schema), staged ++ stagedCdf, "merge into")
     commitLoop(s"merge into $tablePath") { st =>
       // STRICT conflict rule (Delta's ConcurrentAppendException): any
       // commit since the snapshot aborts — a concurrent append could
@@ -750,6 +844,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
       (stageData(applySet(touchedRows)),
         stageData(pre.unionByName(post), prefix = "cdf", collectStats = false))
     } finally touchedRows.unpersist()
+    enforceConstraints(snap.constraints, staged, schema,
+      staged ++ stagedCdf, "update of")
     commitLoop(s"update $tablePath") { st =>
       // same strict rule as merge/delete: a concurrent append could
       // add predicate-matching rows this update would then miss
@@ -995,7 +1091,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
         "files" -> JArray(st.files.map(JString(_)).toList),
         "schemaDdl" -> st.schema.map(s => JString(s.toDDL)).getOrElse(JNothing),
         "txns" -> JObject(st.txns.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
-        "stats" -> JObject(st.stats.toList.map { case (k, v) => k -> (v.toJson: JValue) })
+        "stats" -> JObject(st.stats.toList.map { case (k, v) => k -> (v.toJson: JValue) }),
+        "constraints" -> JObject(st.constraints.toList.map {
+          case (k, v) => k -> (JString(v): JValue) })
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -1049,7 +1147,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
         fields.flatMap { case (k, v) => fileStatsFromJson(v).map(k -> _) }.toMap
       case _ => Map.empty[String, FileStats]
     }
-    State(version, files, schema, txns, stats)
+    // absent in pre-constraint checkpoints: empty, not an error
+    val constraints = (j \ "constraints") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    State(version, files, schema, txns, stats, constraints)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -1313,6 +1416,17 @@ object TxTable {
   private[core] case object RewriteMarker extends Action {
     def toJson: JObject = JObject("a" -> JString("rewrite"))
   }
+  /** Add/replace a CHECK constraint (SQL expression over the table's
+    * columns): every later write must satisfy it ([[TxTable.addConstraint]]).
+    */
+  private[core] case class Constr(name: String, exprSql: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("constraint"),
+      "name" -> JString(name), "expr" -> JString(exprSql))
+  }
+  private[core] case class DropConstr(name: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("dropConstraint"),
+      "name" -> JString(name))
+  }
 
   private[core] object Action {
     def fromJson(line: String): Action = {
@@ -1331,6 +1445,8 @@ object TxTable {
         case JString("cdf") => Cdf(str("path"))
         case JString("meta") => Meta(str("schemaDdl"))
         case JString("rewrite") => RewriteMarker
+        case JString("constraint") => Constr(str("name"), str("expr"))
+        case JString("dropConstraint") => DropConstr(str("name"))
         case JString("txn") => (j \ "batchId") match {
           case JLong(b) => Txn(str("writerId"), b)
           case JInt(b) => Txn(str("writerId"), b.toLong)

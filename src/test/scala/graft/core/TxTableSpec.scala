@@ -356,6 +356,57 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readAt(before.version).where(col("v") === "v15").count() == 1)
   }
 
+  test("CHECK constraints gate every write path; existing data validated at DDL") {
+    val dir = tmpDir("txtable-chk")
+    val t = new TxTable(spark, dir, checkpointInterval = 4)
+    t.append(Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("k", "x")) // v0
+    // a constraint the existing data violates is rejected pre-commit
+    val e0 = intercept[IllegalArgumentException](t.addConstraint("x_big", "x > 15.0"))
+    assert(e0.getMessage.contains("existing"), e0.getMessage)
+    t.addConstraint("x_pos", "x > 0.0") // v1
+    assert(t.constraints == Map("x_pos" -> "x > 0.0"))
+
+    def liveParquet(): Int = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+
+    // violating APPEND aborts: no commit, no orphaned staged file
+    val before = (t.version, t.read().count(), liveParquet())
+    val e1 = intercept[IllegalArgumentException](
+      t.append(Seq((3L, Some(-1.0))).toDF("k", "x")))
+    assert(e1.getMessage.contains("x_pos"), e1.getMessage)
+    // violating UPDATE, MERGE and OVERWRITE abort the same way
+    intercept[IllegalArgumentException](
+      t.update(col("k") === 1L, Map("x" -> lit(-5.0))))
+    intercept[IllegalArgumentException](
+      t.merge(Seq((2L, Some(-9.0))).toDF("k", "x"), Seq("k")))
+    intercept[IllegalArgumentException](
+      t.overwrite(Seq((9L, Some(-2.0))).toDF("k", "x")))
+    assert((t.version, t.read().count(), liveParquet()) == before,
+      "a rejected write must leave no version, row, or file behind")
+
+    // NULL passes (SQL CHECK semantics), as does a batch omitting the
+    // column entirely (schema evolution reads it back as NULL)
+    t.append(Seq((4L, Option.empty[Double])).toDF("k", "x")) // v2
+    t.append(Seq(Tuple1(5L)).toDF("k")) // v3
+    assert(t.read().count() == 4)
+    // valid mutations still work under the constraint
+    t.update(col("k") === 1L, Map("x" -> lit(99.0))) // v4
+    // constraints survive a checkpoint + log truncation round trip
+    assert(t.version == 4L && t.version >= 4) // v4 hit checkpointInterval=4
+    t.truncateLog()
+    val reopened = new TxTable(spark, dir, checkpointInterval = 4)
+    assert(reopened.constraints == Map("x_pos" -> "x > 0.0"))
+    intercept[IllegalArgumentException](
+      reopened.append(Seq((6L, Some(-3.0))).toDF("k", "x")))
+
+    // drop: unknown name fails loudly; after a real drop the write lands
+    val e2 = intercept[IllegalArgumentException](t.dropConstraint("nope"))
+    assert(e2.getMessage.contains("x_pos"), e2.getMessage)
+    t.dropConstraint("x_pos") // v5
+    t.append(Seq((7L, Some(-1.0))).toDF("k", "x")) // v6: violating row now legal
+    assert(t.read().where(col("x") < 0).count() == 1)
+  }
+
   test("change feed: appends, merges and deletes yield row-level change records") {
     val dir = tmpDir("txtable-cdf")
     val t = new TxTable(spark, dir)
