@@ -560,22 +560,38 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }
   }
 
-  /** ACID small-file compaction: rewrite the CURRENT live set into
+  /** ACID small-file compaction: rewrite the selected live files into
     * ⌈bytes/targetBytes⌉ files and swap them in one commit — readers
     * see the old or the new layout, never a mix (vs [[Layout.compact]],
     * whose directory swap assumes a single writer). If a concurrent
     * overwrite/compaction removed any input file, this aborts loudly
     * (retrying would resurrect replaced data) — rerun on the new state.
+    *
+    * `smallerThan` bounds the rewrite to files BELOW that size — the
+    * production OPTIMIZE economics: a streaming table accretes many
+    * tiny per-trigger files next to a few well-sized ones, and at
+    * 100 TB rewriting the whole live set per maintenance pass is
+    * O(table) while bin-packing just the small tail is O(new data).
+    * Files at or above the threshold are untouched (their stats, and
+    * any clustering they carry, survive). With a bounded threshold the
+    * pass is a no-op unless at least two files qualify — compacting
+    * one file moves bytes without reducing the file count.
     */
-  def compact(targetBytes: Long = 128L << 20): Unit = {
+  def compact(targetBytes: Long = 128L << 20,
+              smallerThan: Long = Long.MaxValue): Unit = {
     val snap = state()
     if (snap.files.isEmpty) return
     val fsv = fs
-    val bytes = snap.files.map(f => fsv.getFileStatus(new Path(root, f)).getLen).sum
+    val picked = snap.files
+      .map(f => f -> fsv.getFileStatus(new Path(root, f)).getLen)
+      .filter(_._2 < smallerThan)
+    if (picked.isEmpty || (smallerThan != Long.MaxValue && picked.size < 2)) return
+    val bytes = picked.map(_._2).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val staged = stageData(readState(snap).coalesce(nFiles))
+    val inputs = picked.map(_._1)
+    val staged = stageData(readState(snap.copy(files = inputs)).coalesce(nFiles))
     commitLoop(s"compaction of $tablePath") { st =>
-      if (!snap.files.forall(st.files.contains)) {
+      if (!inputs.forall(st.files.contains)) {
         staged.foreach { case (f, _) => fsv.delete(new Path(root, f), false) }
         throw new java.util.ConcurrentModificationException(
           s"compaction inputs were removed by a concurrent commit on $tablePath; " +
@@ -583,7 +599,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }
       // the RewriteMarker tells incremental consumers (readChanges)
       // this commit moves no NEW rows — only existing data changed files
-      Some(RewriteMarker +: (snap.files.map(Remove(_)) ++
+      Some(RewriteMarker +: (inputs.map(Remove(_)) ++
         staged.map { case (p, s) => Add(p, s) }))
     }
   }

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, GraftStreamBridge, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Dataset, GraftStreamBridge, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -214,7 +214,7 @@ class TxTableSink(sqlContext: SQLContext, tablePath: String,
   * fully-qualified class name.
   */
 class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txtable"
 
@@ -296,6 +296,30 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
       s"${path(parameters)} has no commits yet — nothing to read"))
     org.apache.spark.sql.GraftStreamBridge.parquetRelation(
       sqlContext.sparkSession, schema, files)
+  }
+
+  /** Batch write: `df.write.format("graft-txtable").option("path", dir)
+    * .mode(...)` — the standard DataFrameWriter surface over the ACID
+    * commit paths. Append/Overwrite map to the atomic [[TxTable.append]]
+    * /[[TxTable.overwrite]]; ErrorIfExists requires a table with no
+    * commits; Ignore writes only then. CHECK constraints and the
+    * schema-evolution contract apply exactly as on the typed API.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val t = new TxTable(sqlContext.sparkSession, path(parameters))
+    mode match {
+      case SaveMode.Append => t.append(data)
+      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        require(t.version < 0,
+          s"${path(parameters)} already has commits (v${t.version}); " +
+            "use mode(\"append\") or mode(\"overwrite\")")
+        t.append(data)
+      case SaveMode.Ignore => if (t.version < 0) t.append(data)
+    }
+    createRelation(sqlContext, parameters)
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],

@@ -115,6 +115,30 @@ class TxTableSpec extends SparkTestBase {
     assert(t.readAt(preVersion).count() == 6L)
   }
 
+  test("bounded compaction bin-packs only the small-file tail") {
+    val t = table()
+    // one well-sized file (many rows), then a tail of tiny ones
+    t.append((0 until 5000).map(i => (i.toLong, s"bulk$i")).toDF("id", "v").coalesce(1))
+    (0 until 4).foreach(i => t.append(Seq((10000L + i, s"tiny$i")).toDF("id", "v")))
+    val snap = t.state()
+    val fsv = new java.io.File(t.tablePath)
+    def size(f: String) = new java.io.File(fsv, f).length()
+    val big = snap.files.maxBy(size)
+    // threshold below the big file: only the 4 tiny files qualify
+    t.compact(smallerThan = size(big))
+    val after = t.state()
+    assert(after.files.contains(big), "the well-sized file must be untouched")
+    assert(after.files.size == 2, s"4 tiny files should pack into 1: ${after.files}")
+    assert(t.read().count() == 5004L)
+    // a second pass finds a single small file -> no-op, no empty commit
+    val v = t.version
+    t.compact(smallerThan = size(big))
+    assert(t.version == v, "one qualifying file: bounded compaction must no-op")
+    // unbounded keeps full-rewrite semantics even for a single file
+    t.compact()
+    assert(t.state().files.size == 1)
+  }
+
   test("vacuum physically drops unreferenced files; the live read survives") {
     val t = table()
     (0 until 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))

@@ -276,6 +276,34 @@ class TxTableSourceSpec extends SparkTestBase {
     }
   }
 
+  test("batch write: every DataFrameWriter save mode maps to its ACID verb") {
+    val dir = tmpDir("txwrite")
+    def w(rows: Seq[(Long, String)]) =
+      rows.toDF("id", "v").write.format("graft-txtable").option("path", dir)
+    val t = new TxTable(spark, dir)
+
+    w(Seq((1L, "a"))).mode("errorifexists").save() // v0: table was empty
+    assert(t.read().count() == 1)
+    val e = intercept[Exception](w(Seq((9L, "x"))).mode("errorifexists").save())
+    assert(e.getMessage.contains("already has commits"), e.getMessage)
+
+    w(Seq((2L, "b"))).mode("append").save() // v1
+    assert(t.version == 1L && t.read().count() == 2)
+
+    w(Seq((9L, "x"))).mode("ignore").save() // non-empty table: no-op
+    assert(t.version == 1L && t.read().count() == 2)
+
+    w(Seq((7L, "z"))).mode("overwrite").save() // v2: atomic replace
+    assert(t.version == 2L &&
+      t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "z")))
+    // history intact through the writer surface
+    assert(t.readAt(1L).count() == 2)
+    // CHECK constraints bind the writer path too
+    t.addConstraint("id_pos", "id > 0")
+    intercept[IllegalArgumentException](w(Seq((-1L, "bad"))).mode("append").save())
+    assert(t.read().count() == 1)
+  }
+
   test("streaming from an empty table without a schema fails loudly") {
     val dir = tmpDir("txsrc-empty")
     val e = intercept[IllegalStateException] {
