@@ -61,6 +61,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // make the file-skipping optimizer rule active on this live session
+  // (same self-wiring a session built with GraftExtensions gets by
+  // injection; a duplicate instance would be idempotent, the exists
+  // check just keeps the rule list tidy)
+  if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.TxSkipRule]))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new graft.plans.TxSkipRule
+
   /** Resolved table state at one version: live files, merged schema,
     * the high-water batch id per streaming writer, and per-file
     * column stats (for data skipping; absent for files committed
@@ -162,50 +170,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * audits) can assert the skipping itself, not just the result.
     */
   private[graft] def prunedFiles(s: State,
-                                predicate: org.apache.spark.sql.Column): Seq[String] = {
-    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape, NullShape, conjunctShapes}
-    val conjuncts = conjunctShapes(predicate)
-    // a conjunct that proves a file empty ⇒ the file cannot match the AND
-    def provesEmpty(fstats: FileStats,
-                    shape: org.apache.spark.sql.GraftColumnBridge.PredShape): Boolean =
-      shape match {
-        case NullShape(name, true) => fstats.cols.get(name).exists(_.nulls == 0L)
-        case NullShape(_, false) =>
-          false // recorded min/max imply at least one non-null value
-        case CmpShape(name, op, litV) =>
-          (fstats.cols.get(name), literalJ(litV)) match {
-            case (Some(cs), Some(v)) => op match {
-              // needs col ≥/> v: empty when max </≤ v
-              case ">" => cmpJ(cs.max, v).exists(_ <= 0)
-              case ">=" => cmpJ(cs.max, v).exists(_ < 0)
-              // needs col ≤/< v: empty when min >/≥ v
-              case "<" => cmpJ(cs.min, v).exists(_ >= 0)
-              case "<=" => cmpJ(cs.min, v).exists(_ > 0)
-              case "=" | "==" =>
-                cmpJ(cs.max, v).exists(_ < 0) || cmpJ(cs.min, v).exists(_ > 0)
-              case _ => false
-            }
-            case _ => false
-          }
-        case InShape(name, values) =>
-          // provably empty iff EVERY value lies outside [min, max].
-          // Null list entries can never make IN true and are ignored;
-          // a non-null value literalJ cannot type (e.g. a timestamp)
-          // blocks the prune — unprovable, not skippable.
-          fstats.cols.get(name).exists { cs =>
-            val js = values.filter(_ != null).map(literalJ)
-            js.forall(_.isDefined) && js.flatten.forall(v =>
-              cmpJ(cs.max, v).exists(_ < 0) || cmpJ(cs.min, v).exists(_ > 0))
-          }
-        case _ => false
-      }
-    s.files.filter { f =>
-      s.stats.get(f) match {
-        case None => true // no stats recorded: always read
-        case Some(fstats) => !conjuncts.exists(provesEmpty(fstats, _))
-      }
-    }
-  }
+                                predicate: org.apache.spark.sql.Column): Seq[String] =
+    TxTable.filesToRead(s.files, s.stats,
+      org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate))
 
   /** Time travel: the table exactly as of `version`. */
   def readAt(version: Long): DataFrame = {
@@ -381,23 +348,6 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
-  /** (schema, absolute file paths) of one snapshot — head when
-    * `versionAsOf` is None — for the batch relation provider
-    * (`spark.read.format("graft-txtable")`).
-    */
-  private[graft] def snapshot(versionAsOf: Option[Long] = None)
-      : (Option[StructType], Seq[String]) = {
-    val s = versionAsOf match {
-      case Some(v) =>
-        val st = stateAt(Some(v))
-        require(st.version == v,
-          s"version $v not committed (latest contiguous: ${st.version})")
-        st
-      case None => state()
-    }
-    (s.schema, s.files.map(f => new Path(root, f).toString))
-  }
-
   /** Row-level change feed for `(fromVersion, toVersion]`: every row
     * carries `_change_type` (insert / update_preimage /
     * update_postimage / delete) and `_commit_version`. Appends
@@ -456,8 +406,41 @@ class TxTable(spark: SparkSession, val tablePath: String,
     case None => spark.emptyDataFrame
     case Some(schema) if s.files.isEmpty =>
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    case Some(schema) =>
-      spark.read.schema(schema).parquet(s.files.map(f => new Path(root, f).toString): _*)
+    case Some(_) => spark.baseRelationToDataFrame(relationFor(s))
+  }
+
+  /** The snapshot as a parquet BaseRelation, registered with
+    * [[graft.plans.TxSkipRegistry]] (when stats exist) so a filter
+    * over ANY declarative read path — `.where`, SQL, the batch format
+    * — gets manifest-stat file skipping from [[graft.plans.TxSkipRule]]
+    * at optimization time, not just the explicit [[scan]] API.
+    */
+  private def relationFor(s: State): org.apache.spark.sql.sources.BaseRelation = {
+    val schema = s.schema.getOrElse(StructType(Nil))
+    val rel = org.apache.spark.sql.GraftStreamBridge.parquetRelation(
+      spark, schema, s.files.map(f => new Path(root, f).toString))
+    if (s.files.nonEmpty && s.stats.nonEmpty)
+      graft.plans.TxSkipRegistry.register(rel,
+        graft.plans.TxSkipRegistry.SkipInfo(root.toString, s.files, s.stats, schema))
+    rel
+  }
+
+  /** Snapshot relation for the batch format provider
+    * (`spark.read.format("graft-txtable")`) — same registration as
+    * [[readState]], so format reads are skip-enabled too.
+    */
+  private[graft] def snapshotRelation(versionAsOf: Option[Long])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val s = versionAsOf match {
+      case Some(v) =>
+        val st = stateAt(Some(v))
+        require(st.version == v,
+          s"version $v not committed (latest contiguous: ${st.version})")
+        st
+      case None => state()
+    }
+    require(s.schema.isDefined, s"$tablePath has no commits yet — nothing to read")
+    relationFor(s)
   }
 
   /** Append `df` atomically. `txn` makes the commit idempotent per
@@ -978,7 +961,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
         name -> (if (collectStats) footerStats(target) else None)
       }.toVector
     fsv.delete(staging, true)
-    names
+    // a PROVABLY empty part (a delete that emptied a file, a skewed
+    // repartition) would live in the table forever, stats-free rows to
+    // scan and never prune — drop it here instead of committing it.
+    // Only a footer that says rows == 0 qualifies; an unreadable footer
+    // stays (never discard data on a guess).
+    val (empty, kept) = names.partition(_._2.exists(_.rows == 0L))
+    empty.foreach { case (f, _) => fsv.delete(new Path(root, f), false) }
+    kept
   }
 
   /** Per-file (rows, per-column min/max/nullCount) from the parquet
@@ -1311,6 +1301,56 @@ object TxTable {
       }
       Some(FileStats(rows, cols))
     case _ => None
+  }
+
+  /** The subset of `files` whose stats might satisfy ALL `conjuncts` —
+    * the shared data-skipping kernel behind [[TxTable.scan]] (Column
+    * shapes) and [[graft.plans.TxSkipRule]] (Catalyst shapes). A file
+    * without stats, or a conjunct a stats range cannot reason about,
+    * is always read — pruning only ever removes provably-empty files.
+    */
+  private[graft] def filesToRead(files: Seq[String], stats: Map[String, FileStats],
+      conjuncts: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape]): Seq[String] = {
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape, NullShape, PredShape}
+    // a conjunct that proves a file empty ⇒ the file cannot match the AND
+    def provesEmpty(fstats: FileStats, shape: PredShape): Boolean =
+      shape match {
+        case NullShape(name, true) => fstats.cols.get(name).exists(_.nulls == 0L)
+        case NullShape(_, false) =>
+          false // recorded min/max imply at least one non-null value
+        case CmpShape(name, op, litV) =>
+          (fstats.cols.get(name), literalJ(litV)) match {
+            case (Some(cs), Some(v)) => op match {
+              // needs col ≥/> v: empty when max </≤ v
+              case ">" => cmpJ(cs.max, v).exists(_ <= 0)
+              case ">=" => cmpJ(cs.max, v).exists(_ < 0)
+              // needs col ≤/< v: empty when min >/≥ v
+              case "<" => cmpJ(cs.min, v).exists(_ >= 0)
+              case "<=" => cmpJ(cs.min, v).exists(_ > 0)
+              case "=" | "==" =>
+                cmpJ(cs.max, v).exists(_ < 0) || cmpJ(cs.min, v).exists(_ > 0)
+              case _ => false
+            }
+            case _ => false
+          }
+        case InShape(name, values) =>
+          // provably empty iff EVERY value lies outside [min, max].
+          // Null list entries can never make IN true and are ignored;
+          // a non-null value literalJ cannot type blocks the prune —
+          // unprovable, not skippable.
+          fstats.cols.get(name).exists { cs =>
+            val js = values.filter(_ != null).map(literalJ)
+            js.forall(_.isDefined) && js.flatten.forall(v =>
+              cmpJ(cs.max, v).exists(_ < 0) || cmpJ(cs.min, v).exists(_ > 0))
+          }
+        case _ => false
+      }
+    files.filter { f =>
+      stats.get(f) match {
+        case None => true // no stats recorded: always read
+        case Some(fstats) => !conjuncts.exists(provesEmpty(fstats, _))
+      }
+    }
   }
 
   private[core] def minJ(a: JValue, b: JValue): JValue =

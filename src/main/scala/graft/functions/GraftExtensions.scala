@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft_tx.<name> (incl. VERSION/TIMESTAMP AS OF) — inert unless
     // the reserved namespace is used, so always safe
     ext.injectResolutionRule(s => new graft.core.TxRelationRule(s))
+    // manifest-stat file skipping for filters over TxTable snapshot
+    // relations — inert unless the relation is skip-registered
+    ext.injectOptimizerRule(_ => new graft.plans.TxSkipRule)
   }
 }
 

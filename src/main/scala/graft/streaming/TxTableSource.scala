@@ -291,11 +291,9 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
         }
         t.versionAsOfTimestamp(ms)
       })
-    val (schemaOpt, files) = t.snapshot(version)
-    val schema = schemaOpt.getOrElse(throw new IllegalStateException(
-      s"${path(parameters)} has no commits yet — nothing to read"))
-    org.apache.spark.sql.GraftStreamBridge.parquetRelation(
-      sqlContext.sparkSession, schema, files)
+    // skip-registered: a filter over this relation prunes files by
+    // manifest stats at optimization time (graft.plans.TxSkipRule)
+    t.snapshotRelation(version)
   }
 
   /** Batch write: `df.write.format("graft-txtable").option("path", dir)

@@ -31,6 +31,38 @@ object GraftColumnBridge {
   case class InShape(name: String, values: Seq[Any]) extends PredShape
   case object OpaqueShape extends PredShape
 
+  /** The same classification over a RESOLVED Catalyst predicate — what
+    * an optimizer rule sees after pushdown ([[graft.plans.TxSkipRule]]).
+    * Literal values here are catalyst-internal (UTF8String, Decimal,
+    * epoch-micros longs for timestamps, epoch-days ints for dates) —
+    * exactly the units the manifest stats are normalized to.
+    */
+  def conjunctShapesCatalyst(predicate: catalyst.expressions.Expression): Seq[PredShape] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    split(predicate).map {
+      case IsNull(a: AttributeReference) => NullShape(a.name, isNull = true)
+      case IsNotNull(a: AttributeReference) => NullShape(a.name, isNull = false)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => CmpShape(a.name, ">", v)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => CmpShape(a.name, "<", v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => CmpShape(a.name, ">=", v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => CmpShape(a.name, "<=", v)
+      case LessThan(a: AttributeReference, Literal(v, _)) => CmpShape(a.name, "<", v)
+      case LessThan(Literal(v, _), a: AttributeReference) => CmpShape(a.name, ">", v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => CmpShape(a.name, "<=", v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => CmpShape(a.name, ">=", v)
+      case EqualTo(a: AttributeReference, Literal(v, _)) => CmpShape(a.name, "=", v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => CmpShape(a.name, "=", v)
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        InShape(a.name, vs.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, vs) => InShape(a.name, vs.toSeq)
+      case _ => OpaqueShape
+    }
+  }
+
   def conjunctShapes(predicate: Column): Seq[PredShape] = {
     import org.apache.spark.sql.internal.{ColumnNode, Literal => ULit,
       UnresolvedAttribute => UAttr, UnresolvedFunction => UFn}
