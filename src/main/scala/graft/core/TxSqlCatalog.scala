@@ -83,7 +83,27 @@ class TxRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
     Math.floorDiv(micros.asInstanceOf[Long], 1000L)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // reject INSERT before the bare-relation case below resolves the
+    // target to a plain parquet relation: Spark would then plan a
+    // DIRECT parquet write into the table directory, bypassing the
+    // commit log — files a reader would (correctly) never see
+    plan.foreach {
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        i.table match {
+          case u: UnresolvedRelation if nameOf(u).isDefined =>
+            throw new IllegalArgumentException(
+              s"graft_tx.${nameOf(u).get} is read-only through SQL — write " +
+                "with df.write.format(\"graft-txtable\") or the TxTable API " +
+                "(append/overwrite/merge/update), where commits are atomic")
+          case _ => ()
+        }
+      case _ => ()
+    }
+    resolveRelations(plan)
+  }
+
+  private def resolveRelations(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     // RelationTimeTravel is an unresolved LEAF (its relation is a
     // field, not a child), so the bare UnresolvedRelation case below
     // can never fire on a time-travelled relation first

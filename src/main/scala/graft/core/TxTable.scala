@@ -932,6 +932,37 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .foreach(st => fsv.delete(st.getPath, true))
   }
 
+  /** In-place conversion body for [[TxTable.convert]]: claim v0 over
+    * the directory's EXISTING parquet files — footer stats collected
+    * per file (data skipping works immediately), no byte of data
+    * copied or moved. At 100 TB that is the entire point: migration to
+    * the ACID log is an O(files) metadata commit, not a rewrite.
+    * Flat directories only (the layout this log manages); refuses a
+    * directory that already has a log.
+    */
+  private[core] def convertInPlace(): Unit = {
+    val fsv = fs
+    require(fsv.exists(root), s"$tablePath does not exist")
+    require(!fsv.exists(logDir),
+      s"$tablePath already has a transaction log — nothing to convert")
+    val listing = fsv.listStatus(root).toSeq
+    require(!listing.exists(_.isDirectory),
+      s"convert supports flat parquet directories only; $tablePath has " +
+        s"subdirectories: ${listing.filter(_.isDirectory).map(_.getPath.getName).mkString(", ")}")
+    val parts = listing.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"no parquet files in $tablePath to convert")
+    // name-merged schema across every file: conversion must not pin
+    // the first file's schema on an already-evolved directory
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(parts.map(_.getPath.toString): _*).schema
+    val adds = parts.map(st => Add(st.getPath.getName, footerStats(st.getPath)))
+    commitLoop(s"convert of $tablePath") { st =>
+      require(st.version == -1L,
+        s"$tablePath gained commits while converting — already a table")
+      Some(adds :+ Meta(schema.toDDL))
+    }
+  }
+
   /** Exactly-once foreachBatch sink body:
     * `.foreachBatch((b, id) => table.appendBatch(b, "writer", id))`.
     */
@@ -1258,6 +1289,18 @@ class TxTable(spark: SparkSession, val tablePath: String,
 }
 
 object TxTable {
+
+  /** CONVERT an existing flat parquet directory into a transaction-log
+    * table IN PLACE: the files are claimed as version 0 with footer
+    * stats (skipping works immediately); no data is copied. After
+    * conversion the directory is a full TxTable — ACID appends,
+    * merge/update/delete, time travel, constraints, streaming.
+    */
+  def convert(spark: SparkSession, tablePath: String): TxTable = {
+    val t = new TxTable(spark, tablePath)
+    t.convertInPlace()
+    t
+  }
 
   /** Streaming-writer identity for idempotent commits. */
   case class TxnId(writerId: String, batchId: Long)

@@ -80,4 +80,18 @@ class TxSqlSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("99"), e2.getMessage)
     }
   }
+
+  test("INSERT INTO a graft_tx name is rejected before it can bypass the log") {
+    withExtensionSession { s =>
+      import s.implicits._
+      val t = new TxTable(s, tmpDir("txsql-ins"))
+      t.append(Seq((1L, "a")).toDF("k", "v"))
+      t.registerSql("readonly_t")
+      val e = intercept[Exception](
+        s.sql("INSERT INTO graft_tx.readonly_t VALUES (2, 'b')"))
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+      // nothing leaked into the table or its directory
+      assert(t.read().count() == 1)
+    }
+  }
 }

@@ -431,6 +431,34 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().where(col("x") < 0).count() == 1)
   }
 
+  test("convert claims an existing parquet directory in place, no data copied") {
+    val dir = tmpDir("txtable-convert")
+    // a pre-existing plain parquet directory, key-clustered into 4 files
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    new java.io.File(dir, "_SUCCESS").delete()
+    val preFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    val t = TxTable.convert(spark, dir)
+    assert(t.version == 0L)
+    assert(t.read().count() == 100)
+    // IN PLACE: the same files, byte-untouched
+    val postFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(postFiles == preFiles, "convert must not move or rewrite any file")
+    // footer stats were collected: skipping works immediately
+    assert(t.prunedFiles(t.state(), col("k").between(30L, 40L)).size < 4)
+    // the directory is now a full table: ACID verbs work on it
+    t.update(col("k") === 5L, Map("v" -> lit("FIVE")))
+    t.append(Seq((100L, "new")).toDF("k", "v"))
+    assert(t.read().where(col("v") === "FIVE").count() == 1 && t.read().count() == 101)
+    // a second convert refuses: there is a log now
+    val e = intercept[IllegalArgumentException](TxTable.convert(spark, dir))
+    assert(e.getMessage.contains("already has a transaction log"), e.getMessage)
+  }
+
   test("change feed: appends, merges and deletes yield row-level change records") {
     val dir = tmpDir("txtable-cdf")
     val t = new TxTable(spark, dir)
