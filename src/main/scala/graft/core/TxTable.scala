@@ -77,7 +77,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
   case class State(version: Long, files: Seq[String], schema: Option[StructType],
                    txns: Map[String, Long],
                    stats: Map[String, FileStats] = Map.empty,
-                   constraints: Map[String, String] = Map.empty)
+                   constraints: Map[String, String] = Map.empty,
+                   dvs: Map[String, DvRef] = Map.empty)
 
   /** Newest contiguous committed state (empty state at version -1 for
     * a table with no commits). Contiguity guards a listing that races
@@ -124,6 +125,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var txns = st.txns
     var stats = st.stats
     var constraints = st.constraints
+    var dvs = st.dvs
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -131,6 +133,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case Remove(p) =>
         files = files.filterNot(_ == p)
         stats -= p
+        dvs -= p // a removed file's masked rows die with it
+      case Dv(p, dv, n) =>
+        if (dv.isEmpty) dvs -= p else dvs += p -> DvRef(dv, n)
       case Meta(ddl) => schema = Some(StructType.fromDDL(ddl))
       case Txn(app, batch) =>
         txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
@@ -139,7 +144,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
-    State(version, files, schema, txns, stats, constraints)
+    State(version, files, schema, txns, stats, constraints, dvs)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -256,6 +261,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
           s"version $v of $tablePath removes $p outside a rewrite commit: the " +
             s"range ($fromVersion, $toVersion] spans an overwrite and is not " +
             "append-only — re-sync this consumer from a full read()")
+        case Dv(p, _, _) => throw new IllegalStateException(
+          s"version $v of $tablePath changes the deletion vector of $p: the " +
+            s"range ($fromVersion, $toVersion] spans a row-level delete and is " +
+            "not append-only — re-sync this consumer from a full read()")
         case _ => ()
       }
     }
@@ -375,6 +384,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
         Some(spark.read.parquet(cdf.map(f => new Path(root, f).toString): _*)
           .withColumn(CommitVersionCol, lit(v)))
       else if (actions.exists(_ == RewriteMarker)) None // rows unchanged
+      else if (actions.exists(_.isInstanceOf[Dv]))
+        throw new IllegalStateException(
+          s"version $v of $tablePath changes deletion vectors with no change " +
+            "record (a restore across a row-level delete): the range is not " +
+            "feed-readable — re-sync this consumer from a full read()")
       else if (actions.exists(_.isInstanceOf[Remove]))
         throw new IllegalStateException(
           s"version $v of $tablePath removes files with no change record " +
@@ -406,7 +420,62 @@ class TxTable(spark: SparkSession, val tablePath: String,
     case None => spark.emptyDataFrame
     case Some(schema) if s.files.isEmpty =>
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    case Some(_) => spark.baseRelationToDataFrame(relationFor(s))
+    case Some(schema) =>
+      val masked = s.files.filter(s.dvs.contains)
+      if (masked.isEmpty) spark.baseRelationToDataFrame(relationFor(s))
+      else {
+        // merge-on-read: files with a deletion vector read through the
+        // positional anti-join; the (typically much larger) unmasked
+        // rest keeps the plain skip-registered relation
+        val plain = s.files.filterNot(s.dvs.contains)
+        val maskedDf = dvFilteredRead(schema, masked, s.dvs)
+        if (plain.isEmpty) maskedDf
+        else spark.baseRelationToDataFrame(relationFor(s.copy(files = plain)))
+          .unionByName(maskedDf)
+      }
+  }
+
+  /** The merge-on-read half of a snapshot: the given files scanned
+    * WITH their deletion vectors applied — each row tagged with its
+    * physical position (`_metadata.file_name`/`row_index`, free
+    * metadata columns, no extra IO), then anti-joined against the
+    * sidecars' deleted positions. The deleted set is bounded by rows
+    * deleted (never table size — past `rewriteAtFraction` a file is
+    * rewritten instead) and broadcast when small, so the mask costs a
+    * map-side hash probe, not a shuffle of the data.
+    */
+  private def dvFilteredRead(schema: StructType, files: Seq[String],
+                             dvs: Map[String, DvRef]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val raw = spark.read.schema(schema)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
+      .withColumn(DvFileCol, col("_metadata.file_name"))
+      .withColumn(DvIdxCol, col("_metadata.row_index"))
+    val pairs = deletedPairs(files.map(f => f -> dvs(f).dvFile))
+    val hinted =
+      if (files.iterator.map(f => dvs(f).deleted).sum <= DvBroadcastRows)
+        broadcast(pairs)
+      else pairs
+    raw.join(hinted, Seq(DvFileCol, DvIdxCol), "left_anti")
+      .drop(DvFileCol, DvIdxCol)
+  }
+
+  /** The deleted (file, row-index) pairs of the given sidecars as a
+    * DataFrame — parsed on EXECUTORS (the sidecars live in table
+    * storage, reachable from any node), never collected to the driver.
+    */
+  private def deletedPairs(fileAndDv: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val rootStr = root.toString
+    val shc = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(fileAndDv)(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .flatMap { case (f, dv) =>
+        val rootP = new Path(rootStr)
+        readDvFile(rootP.getFileSystem(shc.value), new Path(rootP, dv))
+          .iterator.map(i => (f, i))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF(DvFileCol, DvIdxCol)
   }
 
   /** The snapshot as a parquet BaseRelation, registered with
@@ -440,7 +509,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case None => state()
     }
     require(s.schema.isDefined, s"$tablePath has no commits yet — nothing to read")
-    relationFor(s)
+    // a snapshot carrying deletion vectors cannot be a plain file
+    // relation (the mask is applied at read time): wrap the computed
+    // plan instead — pushdown happens inside it, not at the relation
+    if (s.files.exists(s.dvs.contains))
+      org.apache.spark.sql.GraftStreamBridge.dataFrameRelation(readState(s))
+    else relationFor(s)
   }
 
   /** Append `df` atomically. `txn` makes the commit idempotent per
@@ -503,18 +577,36 @@ class TxTable(spark: SparkSession, val tablePath: String,
     require(target.version == version,
       s"version $version not committed (latest contiguous: ${target.version})")
     val fsv = fs
-    val missing = target.files.filterNot(f => fsv.exists(new Path(root, f)))
+    val missing = (target.files ++ target.dvs.values.map(_.dvFile))
+      .filterNot(f => fsv.exists(new Path(root, f)))
     require(missing.isEmpty,
       s"cannot restore $tablePath to v$version: ${missing.size} of its files " +
         s"were vacuumed (first: ${missing.headOption.getOrElse("")})")
     commitLoop(s"restore of $tablePath to v$version") { st =>
-      if (st.files == target.files && st.schema.map(_.toDDL) == target.schema.map(_.toDDL))
+      if (st.files == target.files && st.dvs == target.dvs &&
+          st.schema.map(_.toDDL) == target.schema.map(_.toDDL))
         None // already there: nothing to commit
-      else Some(
-        st.files.filterNot(target.files.contains).map(Remove(_)) ++
-          target.files.filterNot(st.files.contains).map(f =>
-            Add(f, target.stats.get(f))) ++
-          target.schema.map(s => Meta(s.toDDL)).toSeq)
+      else {
+        // re-point deletion vectors along with the file set: a file
+        // whose target-version vector differs gets the target's (or an
+        // explicit clear — restoring to before a merge-on-read delete
+        // must resurrect its masked rows)
+        val dvFixes = target.files.flatMap { f =>
+          val cur = if (st.files.contains(f)) st.dvs.get(f) else None
+          val tgt = target.dvs.get(f)
+          if (cur == tgt) None
+          else Some(tgt match {
+            case Some(d) => Dv(f, d.dvFile, d.deleted)
+            case None => Dv(f, "", 0L)
+          })
+        }
+        Some(
+          st.files.filterNot(target.files.contains).map(Remove(_)) ++
+            target.files.filterNot(st.files.contains).map(f =>
+              Add(f, target.stats.get(f))) ++
+            dvFixes ++
+            target.schema.map(s => Meta(s.toDDL)).toSeq)
+      }
     }
   }
 
@@ -534,10 +626,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
         val adds = actions.count(_.isInstanceOf[Add])
         val removes = actions.count(_.isInstanceOf[Remove])
         val hasCdf = actions.exists(_.isInstanceOf[Cdf])
+        val hasDv = actions.exists(_.isInstanceOf[Dv])
         val op =
           if (actions.contains(RewriteMarker)) "REWRITE" // compact/cluster
+          else if (hasCdf && hasDv) "DELETE (DV)" // merge-on-read delete
           else if (hasCdf) "MERGE/DELETE" // row mutation with change record
-          else if (removes > 0) "OVERWRITE/RESTORE"
+          else if (removes > 0 || hasDv) "OVERWRITE/RESTORE"
           else "APPEND"
         TxTable.CommitInfo(v, ts, op, adds, removes)
       }
@@ -789,6 +883,142 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Merge-on-read DELETE (deletion vectors — the published Delta
+    * protocol feature): instead of rewriting every file that contains
+    * a matching row, record the matching rows' PHYSICAL POSITIONS in a
+    * per-file sidecar and commit one `Dv` action per file — readers
+    * apply the mask with a positional anti-join
+    * ([[dvFilteredRead]]). Deleting 100 rows spread over 100 × 128 MB
+    * files costs ~100 sidecar writes and one log commit, not a 12.8 GB
+    * rewrite — at 100 TB the difference between an O(deleted-rows)
+    * and an O(touched-bytes) delete.
+    *
+    * The rewrite trade is per file: a file whose cumulative deleted
+    * fraction would reach `rewriteAtFraction` is rewritten
+    * copy-on-write in the SAME commit (its mask is materialized and
+    * its vector dropped) — masks stay small, reads stay fast, and a
+    * fully-deleted file simply leaves the table. Repeated deletes
+    * union into one vector per file (the sidecars merge sorted
+    * position streams on executors). [[compact]] and [[cluster]] also
+    * purge vectors, since their rewrites read through the mask.
+    *
+    * Semantics are identical to [[delete]] (rows where `predicate` is
+    * null or false survive; same delete change record, same strict
+    * concurrency rule) — only the physical trade differs.
+    */
+  def deleteMergeOnRead(predicate: org.apache.spark.sql.Column,
+                        rewriteAtFraction: Double = 0.5): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(rewriteAtFraction > 0.0 && rewriteAtFraction <= 1.0,
+      s"rewriteAtFraction must be in (0, 1], got $rewriteAtFraction")
+    val snap = state()
+    if (snap.files.isEmpty) return
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"table $tablePath has files but no recorded schema"))
+    val candidates = prunedFiles(snap, predicate)
+    if (candidates.isEmpty) return
+    val fsv = fs
+    // matching rows with their physical positions; rows ALREADY masked
+    // by an existing vector are excluded (they are not live, must not
+    // re-enter the change feed, and their positions are already in the
+    // old sidecar the union merge brings forward)
+    val raw = spark.read.schema(schema)
+      .parquet(candidates.map(f => new Path(root, f).toString): _*)
+      .withColumn(DvFileCol, col("_metadata.file_name"))
+      .withColumn(DvIdxCol, col("_metadata.row_index"))
+      .where(coalesce(predicate, lit(false)))
+    val existingDv = candidates.flatMap(f => snap.dvs.get(f).map(d => f -> d.dvFile))
+    val hits = (if (existingDv.isEmpty) raw
+                else raw.join(deletedPairs(existingDv),
+                  Seq(DvFileCol, DvIdxCol), "left_anti")).persist()
+    try {
+      val written = writeDvSidecars(hits.select(DvFileCol, DvIdxCol),
+        snap.dvs.map { case (f, d) => f -> d.dvFile })
+      if (written.isEmpty) return
+      def totalRows(f: String): Option[Long] =
+        snap.stats.get(f).map(_.rows)
+          .orElse(footerStats(new Path(root, f)).map(_.rows))
+      // n is the file's CUMULATIVE masked count (old vector unioned in)
+      val (rewrite, keepDv) = written.partition { case (f, _, n) =>
+        totalRows(f).exists(t => n.toDouble >= t * rewriteAtFraction)
+      }
+      val rewriteFiles = rewrite.map(_._1)
+      // past-threshold files materialize: survivors = rows their OLD
+      // vector kept minus the new matches; their fresh sidecars die
+      val staged =
+        if (rewriteFiles.isEmpty) Seq.empty[(String, Option[FileStats])]
+        else stageData(readState(snap.copy(files = rewriteFiles))
+          .where(not(coalesce(predicate, lit(false)))))
+      rewrite.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
+      val stagedCdf = stageData(hits.drop(DvFileCol, DvIdxCol)
+        .withColumn(ChangeTypeCol, lit("delete")),
+        prefix = "cdf", collectStats = false)
+      commitLoop(s"merge-on-read delete from $tablePath") { st =>
+        // same strict rule as the copy-on-write verbs: a concurrent
+        // append could add predicate-matching rows this delete misses
+        if (st.version != snap.version) {
+          (staged ++ stagedCdf).foreach { case (f, _) =>
+            fsv.delete(new Path(root, f), false)
+          }
+          keepDv.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
+          throw new java.util.ConcurrentModificationException(
+            s"table $tablePath changed concurrently (v${snap.version} -> " +
+              s"v${st.version}) during delete; rerun deleteMergeOnRead() " +
+              "against the new state")
+        }
+        Some(rewriteFiles.map(Remove(_)) ++
+          staged.map { case (p, s) => Add(p, s) } ++
+          keepDv.map { case (f, dv, n) => Dv(f, dv, n) } ++
+          stagedCdf.map { case (p, _) => Cdf(p) })
+      }
+    } finally hits.unpersist()
+  }
+
+  /** One distributed job: repartition the new deleted positions by
+    * file, merge each file's sorted stream with its existing sidecar
+    * (disjoint by construction — the caller anti-joined), write one
+    * new sidecar per file on the EXECUTOR that holds its rows, and
+    * report (file, sidecar, cumulative count). Only the small summary
+    * returns to the driver; position data never does.
+    */
+  private def writeDvSidecars(pairs: DataFrame, oldDv: Map[String, String])
+      : Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    val rootStr = root.toString
+    val shc = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    pairs
+      .repartition(F.col(DvFileCol))
+      .sortWithinPartitions(F.col(DvFileCol), F.col(DvIdxCol))
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .mapPartitions { it =>
+        val rootP = new Path(rootStr)
+        val fsv = rootP.getFileSystem(shc.value)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var curFile: String = null
+        var buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def flush(): Unit = if (curFile != null) {
+          val merged = oldDv.get(curFile) match {
+            case Some(old) =>
+              mergeSortedDisjoint(readDvFile(fsv, new Path(rootP, old)), buf.toArray)
+            case None => buf.toArray
+          }
+          val name = s"dv-${UUID.randomUUID()}.bin"
+          writeDvFile(fsv, new Path(rootP, name), merged)
+          out += ((curFile, name, merged.length.toLong))
+        }
+        it.foreach { case (f, i) =>
+          if (f != curFile) {
+            flush(); curFile = f
+            buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+          buf += i
+        }
+        flush()
+        out.iterator
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
+      .collect().toSeq
+  }
+
   /** Copy-on-write UPDATE: rows where `predicate` is TRUE get each
     * `set` expression applied (evaluated against the PRE-update row,
     * SQL UPDATE semantics — `SET a = b, b = a` swaps); rows where it
@@ -892,11 +1122,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
           stateAt(Some(math.max(keepFrom, oldestCkpt)))
       }
     var referenced = cur.files.toSet
+    var dvReferenced = cur.dvs.values.map(_.dvFile).toSet
     while (cur.version < head.version) {
       cur = applyManifest(cur, cur.version + 1, readManifest(fsv, cur.version + 1))
       referenced ++= cur.files
+      dvReferenced ++= cur.dvs.values.map(_.dvFile)
     }
     referenced ++= head.files
+    dvReferenced ++= head.dvs.values.map(_.dvFile)
     val rootListing = fsv.listStatus(root).toSeq
     // change-feed files are not live data but stay readable for as
     // long as their manifest exists: keep any cdf referenced by a
@@ -909,6 +1142,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // normal window — a feed range older than the vacuum window can
     // fail on append commits even though merge/delete change files
     // survive.
+    // deletion-vector sidecars share the data files' retention rule:
+    // vectors of snapshots inside the window were folded into
+    // dvReferenced above; an older vector dies with the data files of
+    // its version (reading that snapshot is already impossible)
     val cdfReferenced =
       if (!rootListing.exists(_.getPath.getName.startsWith("cdf-"))) Set.empty[String]
       else fsv.listStatus(logDir).iterator
@@ -917,9 +1154,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
         .collect { case Cdf(p) => p }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     rootListing.iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .filter(st => !referenced.contains(st.getPath.getName)
-        && !cdfReferenced.contains(st.getPath.getName))
+      .filter(_.isFile)
+      .filter { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".parquet"))
+          !referenced.contains(n) && !cdfReferenced.contains(n)
+        else n.startsWith("dv-") && n.endsWith(".bin") && !dvReferenced.contains(n)
+      }
       .filter(_.getModificationTime < cutoff)
       .foreach(st => fsv.delete(st.getPath, false))
     // a writer that crashed inside stageData leaves its whole
@@ -1130,7 +1371,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
         "txns" -> JObject(st.txns.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
         "stats" -> JObject(st.stats.toList.map { case (k, v) => k -> (v.toJson: JValue) }),
         "constraints" -> JObject(st.constraints.toList.map {
-          case (k, v) => k -> (JString(v): JValue) })
+          case (k, v) => k -> (JString(v): JValue) }),
+        "dvs" -> JObject(st.dvs.toList.map { case (k, d) =>
+          k -> (JObject("dv" -> (JString(d.dvFile): JValue),
+            "n" -> (JLong(d.deleted): JValue)): JValue) })
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -1189,7 +1433,18 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
-    State(version, files, schema, txns, stats, constraints)
+    // absent in pre-deletion-vector checkpoints: empty, not an error
+    val dvs = (j \ "dvs") match {
+      case JObject(fields) => fields.flatMap { case (k, v) =>
+        ((v \ "dv"), (v \ "n")) match {
+          case (JString(dv), JLong(n)) => Some(k -> DvRef(dv, n))
+          case (JString(dv), JInt(n)) => Some(k -> DvRef(dv, n.toLong))
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty[String, DvRef]
+    }
+    State(version, files, schema, txns, stats, constraints, dvs)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -1304,6 +1559,70 @@ object TxTable {
 
   /** Streaming-writer identity for idempotent commits. */
   case class TxnId(writerId: String, batchId: Long)
+
+  /** A file's live deletion vector: sidecar name + masked-row count
+    * (the count drives the read path's broadcast decision and the
+    * delete path's rewrite-fraction policy without opening sidecars).
+    */
+  case class DvRef(dvFile: String, deleted: Long)
+
+  /** Helper columns the merge-on-read paths tag rows with — reserved
+    * names, dropped before any result surfaces.
+    */
+  private[core] val DvFileCol = "__graft_dv_file"
+  private[core] val DvIdxCol = "__graft_dv_idx"
+
+  /** Total masked rows at or below which a snapshot's deleted-position
+    * set broadcasts (~16 bytes/row → ≤64 MB hash side); above it the
+    * anti-join shuffles — still bounded by deleted rows, never data.
+    */
+  private[core] val DvBroadcastRows = 4L * 1024 * 1024
+
+  private val DvMagic = 0x47445631 // "GDV1"
+
+  /** Sidecar format: magic, row count, then the sorted deleted row
+    * indexes as big-endian longs. Dumb on purpose — positions are
+    * written once, streamed once per scan, and bounded by the rewrite
+    * fraction, so compressed bitmaps buy little here.
+    */
+  private[core] def writeDvFile(fsv: FileSystem, p: Path, idx: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fsv.create(p, false)))
+    try {
+      out.writeInt(DvMagic)
+      out.writeLong(idx.length.toLong)
+      idx.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  private[core] def readDvFile(fsv: FileSystem, p: Path): Array[Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fsv.open(p)))
+    try {
+      require(in.readInt() == DvMagic, s"$p is not a deletion-vector sidecar")
+      val n = in.readLong()
+      require(n >= 0 && n <= Int.MaxValue, s"$p: implausible vector size $n")
+      val a = new Array[Long](n.toInt)
+      var i = 0
+      while (i < a.length) { a(i) = in.readLong(); i += 1 }
+      a
+    } finally in.close()
+  }
+
+  /** Merge two sorted position arrays known to be disjoint (the new
+    * positions were anti-joined against the old vector before write).
+    */
+  private[core] def mergeSortedDisjoint(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { out(k) = a(i); i += 1 } else { out(k) = b(j); j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    out
+  }
 
   /** One [[TxTable.history]] row (DESCRIBE HISTORY). */
   case class CommitInfo(version: Long, timestampMs: Long, operation: String,
@@ -1495,6 +1814,18 @@ object TxTable {
   private[core] case class Remove(path: String) extends Action {
     def toJson: JObject = JObject("a" -> JString("remove"), "path" -> JString(path))
   }
+  /** Attach a deletion vector to a live data file (sidecar `dvFile`
+    * holds the file's deleted row positions, `deletedRows` its
+    * cardinality) — replacing any previous vector for that file. An
+    * EMPTY `dvFile` clears the vector (restore to a pre-delete
+    * snapshot). The merge-on-read half of DELETE
+    * ([[TxTable.deleteMergeOnRead]]).
+    */
+  private[core] case class Dv(path: String, dvFile: String, deletedRows: Long)
+      extends Action {
+    def toJson: JObject = JObject("a" -> JString("dv"), "path" -> JString(path),
+      "dv" -> JString(dvFile), "n" -> JLong(deletedRows))
+  }
   /** A parquet file of row-level changes (`_change_type` column) for
     * the commit that carries it — the change-data-feed record a
     * merge/delete stages alongside its data rewrite.
@@ -1541,6 +1872,12 @@ object TxTable {
       (j \ "a") match {
         case JString("add") => Add(str("path"), fileStatsFromJson(j \ "stats"))
         case JString("remove") => Remove(str("path"))
+        case JString("dv") => (j \ "n") match {
+          case JLong(n) => Dv(str("path"), str("dv"), n)
+          case JInt(n) => Dv(str("path"), str("dv"), n.toLong)
+          case other => throw new IllegalArgumentException(
+            s"manifest dv n: expected number, got $other in $line")
+        }
         case JString("cdf") => Cdf(str("path"))
         case JString("meta") => Meta(str("schemaDdl"))
         case JString("rewrite") => RewriteMarker
@@ -1578,4 +1915,24 @@ object TxTable {
         val newFields = incoming.filterNot(g => cur.exists(_.name == g.name))
         StructType((cur ++ newFields).map(f => StructField(f.name, f.dataType, nullable = true)))
     }
+}
+
+/** Hadoop's Configuration is not java-serializable and Spark's own
+  * wrapper is private[spark]; tasks that touch the FileSystem directly
+  * (deletion-vector sidecar IO) carry this minimal Writable-based
+  * clone instead.
+  */
+private[core] class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
 }

@@ -441,6 +441,48 @@ object ScaleOps {
   def qTxDelete(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(deletedOrdersTable(s, dir).read())
 
+  /** Key-clustered ACID clone of orders with one key in five deleted
+    * MERGE-ON-READ ([[graft.core.TxTable.deleteMergeOnRead]]): the
+    * delete touches every file, so copy-on-write would rewrite the
+    * whole table — instead each file gets a deletion-vector sidecar
+    * (O(deleted rows) written, zero data bytes moved) and readers
+    * reconstruct survivors through the positional anti-join. Built
+    * once per (session, dir); the builder asserts the no-rewrite
+    * invariant, so the query fails loudly if the physical story ever
+    * regresses to a rewrite.
+    */
+  private[ext] def dvDeletedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-dv:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txdv_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      val before = t.state().files.toSet
+      t.deleteMergeOnRead(col("o_orderkey") % 5 === 1)
+      val st = t.state()
+      require(st.files.toSet == before && st.dvs.keySet == before,
+        s"expected a pure merge-on-read delete (every file masked, none " +
+          s"rewritten); got files=${st.files.size}, masked=${st.dvs.size}")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The masked table aggregated by priority: matches the oracle's
+    * `WHERE key % 5 <> 1` reconstruction only if the vectors mask
+    * exactly the deleted positions — and the builder proves no file
+    * was rewritten to get there.
+    */
+  def qTxDv(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(dvDeletedOrdersTable(s, dir).read())
+
   /** Snapshot-isolation TIME TRAVEL through the batch read path of the
     * `graft-txtable` format: version 0 of [[mergedOrdersTable]] is the
     * pre-merge base, so this aggregate matches the plain-orders oracle
@@ -537,6 +579,7 @@ object ScaleOps {
     "q_tx_skip" -> (qTxSkip _),
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_delete" -> (qTxDelete _),
+    "q_tx_dv" -> (qTxDv _),
     "q_tx_timetravel" -> (qTxTimetravel _),
     "q_tx_restore" -> (qTxRestore _),
     "q_tx_update" -> (qTxUpdate _),
@@ -625,6 +668,14 @@ object ScaleOps {
          |FROM orders
          |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) NOT BETWEEN $TxSkipLo AND $TxSkipHi
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // complement of the masked keys: matches only if the deletion
+    // vectors mask exactly the predicate-true positions
+    "q_tx_dv" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 5 <> 1
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_approx_stats" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

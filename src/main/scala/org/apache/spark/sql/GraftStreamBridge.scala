@@ -80,4 +80,19 @@ object GraftStreamBridge {
         LogicalRelation(ds.resolveRelation(checkFilesExist = false), isStreaming = true))
     }
   }
+
+  /** Wrap a computed DataFrame as a TableScan BaseRelation — the batch
+    * format's escape hatch for snapshots that cannot be a plain file
+    * relation (deletion vectors applied at read time). Pushdown for
+    * such a snapshot happens inside the wrapped plan, not at the
+    * relation boundary.
+    */
+  def dataFrameRelation(df: DataFrame): sources.BaseRelation = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    new sources.BaseRelation with sources.TableScan {
+      override val sqlContext: SQLContext = cs.sqlContext
+      override val schema: StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = df.rdd
+    }
+  }
 }

@@ -459,6 +459,108 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("already has a transaction log"), e.getMessage)
   }
 
+  test("merge-on-read delete masks rows without touching any data file") {
+    val dir = tmpDir("txtable-mor")
+    val t = new TxTable(spark, dir)
+    t.append((0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val liveBefore = t.state().files.toSet
+    val mtimes = new java.io.File(dir).listFiles()
+      .filter(f => liveBefore(f.getName)).map(f => f.getName -> f.lastModified).toMap
+
+    t.deleteMergeOnRead(col("k") % 100L === 7L) // 10 rows across all 4 files
+    // no data file moved or rewritten: the delete is sidecars + one commit
+    assert(t.state().files.toSet == liveBefore)
+    assert(new java.io.File(dir).listFiles()
+      .filter(f => liveBefore(f.getName)).map(f => f.getName -> f.lastModified).toMap
+      == mtimes, "merge-on-read must not rewrite data files")
+    assert(t.state().dvs.size == 4 && t.state().dvs.values.map(_.deleted).sum == 10L)
+    assert(t.read().count() == 990)
+    assert(t.read().where(col("k") % 100L === 7L).count() == 0)
+    // time travel still sees the masked rows; scan stays exact
+    assert(t.readAt(0L).count() == 1000)
+    assert(t.scan(col("k") < 100L).count() ==
+      t.read().where(col("k") < 100L).count())
+    // a second delete unions into the per-file vectors
+    t.deleteMergeOnRead(col("k") % 100L === 8L)
+    assert(t.read().count() == 980)
+    assert(t.state().dvs.values.map(_.deleted).sum == 20L)
+    // both commits carry a full delete change record
+    val feed = t.readChangeFeed(0L, 2L)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "delete").count() == 20)
+    // deleting already-deleted rows is a no-op commit-wise
+    val v = t.version
+    t.deleteMergeOnRead(col("k") % 100L === 7L)
+    assert(t.version == v && t.read().count() == 980)
+    assert(t.history().exists(_.operation == "DELETE (DV)"))
+    // the batch format read applies the mask too
+    assert(spark.read.format("graft-txtable").option("path", dir).load().count() == 980)
+  }
+
+  test("merge-on-read delete rewrites files past the rewrite fraction") {
+    val dir = tmpDir("txtable-mor-rw")
+    val t = new TxTable(spark, dir)
+    t.append((0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    // seed a small vector first so the rewrite must fold it in
+    t.deleteMergeOnRead(col("k") === 300L)
+    assert(t.state().dvs.size == 1)
+    // delete the whole low half: the two low files cross the fraction
+    // (one fully deleted -> leaves the table; one part-deleted -> CoW)
+    t.deleteMergeOnRead(col("k") < 500L, rewriteAtFraction = 0.5)
+    val st = t.state()
+    assert(t.read().count() == 500)
+    assert(t.read().agg(min(col("k"))).head.getLong(0) == 500L)
+    // no vector survives on any rewritten file; untouched files carry none
+    assert(st.dvs.isEmpty, s"expected no vectors left, got ${st.dvs}")
+    // orphaned sidecars are swept by vacuum once aged
+    t.vacuum(retainVersions = 0, olderThanMs = -1000L)
+    val straySidecars = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("dv-"))
+    assert(straySidecars.isEmpty,
+      s"vacuum left ${straySidecars.map(_.getName).mkString(", ")}")
+  }
+
+  test("compact materializes deletion vectors; restore re-points them") {
+    val dir = tmpDir("txtable-mor-maint")
+    val t = new TxTable(spark, dir)
+    t.append((0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")) // v0
+    t.deleteMergeOnRead(col("k") % 10L === 3L) // v1: 100 rows masked
+    assert(t.read().count() == 900)
+
+    t.restore(0L) // v2: resurrect the masked rows, metadata-only
+    assert(t.read().count() == 1000 && t.state().dvs.isEmpty)
+    t.restore(1L) // v3: re-apply the vectors
+    assert(t.read().count() == 900 && t.state().dvs.size == 4)
+
+    t.compact(targetBytes = 1L << 30) // rewrite reads THROUGH the mask
+    assert(t.state().dvs.isEmpty, "compaction must purge vectors")
+    assert(t.read().count() == 900)
+    assert(t.read().where(col("k") % 10L === 3L).count() == 0)
+    // update on a masked table only sees live rows (v4 has no mask now,
+    // so mutate again first)
+    t.deleteMergeOnRead(col("k") % 10L === 4L)
+    t.update(col("k") < 10L, Map("v" -> lit("LOW")))
+    assert(t.read().where(col("v") === "LOW").count() == 8) // 3, 4 masked
+    assert(t.read().count() == 800)
+  }
+
+  test("deletion vectors survive checkpoint, log truncation and vacuum") {
+    val dir = tmpDir("txtable-mor-ckpt")
+    val t = new TxTable(spark, dir, checkpointInterval = 2)
+    t.append((0 until 100).map(i => (i.toLong, i % 5)).toDF("k", "m")) // v0
+    t.deleteMergeOnRead(col("m") === 2L) // v1: 20 rows masked
+    t.append(Seq((100L, 9)).toDF("k", "m")) // v2: checkpoint lands here
+    t.truncateLog()
+    t.vacuum(retainVersions = 0, olderThanMs = -1000L)
+    // a fresh instance replays from the checkpoint alone
+    val t2 = new TxTable(spark, dir, checkpointInterval = 2)
+    assert(t2.read().count() == 81)
+    assert(t2.read().where(col("m") === 2L).count() == 0)
+    assert(t2.state().dvs.values.map(_.deleted).sum == 20L)
+  }
+
   test("change feed: appends, merges and deletes yield row-level change records") {
     val dir = tmpDir("txtable-cdf")
     val t = new TxTable(spark, dir)

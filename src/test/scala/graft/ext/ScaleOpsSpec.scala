@@ -102,6 +102,21 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ops == Seq("APPEND", "OVERWRITE/RESTORE", "OVERWRITE/RESTORE"), ops)
   }
 
+  test("tx merge-on-read delete matches the key-complement reconstruction") {
+    val expected = Tables.load(spark, dir, "orders")
+      .where(col("o_orderkey") % 5 =!= 1)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(ScaleOps.qTxDv(spark, dir).collect().toSeq == expected)
+    // physical story: every file masked, none rewritten, one DV commit
+    val t = ScaleOps.dvDeletedOrdersTable(spark, dir)
+    val st = t.state()
+    assert(st.files.size == 8 && st.dvs.size == 8)
+    assert(t.history().map(_.operation) == Seq("APPEND", "DELETE (DV)"))
+  }
+
   test("tx update matches the CASE-projection reconstruction") {
     val expected = Tables.load(spark, dir, "orders")
       .select(
