@@ -819,18 +819,21 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // the version and the strict rule below aborts the merge anyway
     enforceConstraints(snap.constraints, staged,
       mergeSchemas(snap.schema, newData.schema), staged ++ stagedCdf, "merge into")
+    val mayMatch = addsMayMatchKeys(source, keys)
+    fireBeforeCommitHook()
     commitLoop(s"merge into $tablePath") { st =>
-      // STRICT conflict rule (Delta's ConcurrentAppendException): any
-      // commit since the snapshot aborts — a concurrent append could
-      // carry rows with matched keys into an untouched file, silently
-      // breaking the replace-by-key contract if we proceeded
-      if (st.version != snap.version) {
+      // LOGICAL conflict rule (Delta's ConcurrentAppend/DeleteRead
+      // exceptions): a concurrent commit aborts the merge only if it
+      // could break the replace-by-key contract — it touched a file
+      // this merge rewrites, changed schema/constraints, or appended
+      // files whose key ranges might overlap the source keys
+      findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
         (staged ++ stagedCdf).foreach { case (f, _) =>
           fs.delete(new Path(root, f), false)
         }
         throw new java.util.ConcurrentModificationException(
-          s"table $tablePath changed concurrently (v${snap.version} -> " +
-            s"v${st.version}) during merge; rerun merge() against the new state")
+          s"conflicting concurrent commit on $tablePath during merge: $why; " +
+            "rerun merge() against the new state")
       }
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
         stagedCdf.map { case (p, _) => Cdf(p) } :+
@@ -867,16 +870,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
           .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")),
           prefix = "cdf", collectStats = false))
     } finally touchedRows.unpersist()
+    val mayMatch = addsMayMatchPredicate(predicate)
+    fireBeforeCommitHook()
     commitLoop(s"delete from $tablePath") { st =>
-      // same strict rule as merge: a concurrent append could add
-      // predicate-matching rows that this delete would then miss
-      if (st.version != snap.version) {
+      // LOGICAL conflict rule: abort only when a concurrent commit
+      // touched a rewritten file, changed schema/constraints, or
+      // appended files that might hold predicate-matching rows this
+      // delete would then miss
+      findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
         (staged ++ stagedCdf).foreach { case (f, _) =>
           fs.delete(new Path(root, f), false)
         }
         throw new java.util.ConcurrentModificationException(
-          s"table $tablePath changed concurrently (v${snap.version} -> " +
-            s"v${st.version}) during delete; rerun delete() against the new state")
+          s"conflicting concurrent commit on $tablePath during delete: $why; " +
+            "rerun delete() against the new state")
       }
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
         stagedCdf.map { case (p, _) => Cdf(p) })
@@ -953,18 +960,21 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val stagedCdf = stageData(hits.drop(DvFileCol, DvIdxCol)
         .withColumn(ChangeTypeCol, lit("delete")),
         prefix = "cdf", collectStats = false)
+      val mayMatch = addsMayMatchPredicate(predicate)
+      fireBeforeCommitHook()
       commitLoop(s"merge-on-read delete from $tablePath") { st =>
-        // same strict rule as the copy-on-write verbs: a concurrent
-        // append could add predicate-matching rows this delete misses
-        if (st.version != snap.version) {
+        // LOGICAL conflict rule, same as the copy-on-write verbs; the
+        // "touched" set is every file whose vector this commit sets or
+        // drops — a concurrent Dv on one of those would be overwritten
+        // (lost update), so it conflicts via the Dv check
+        findConflict(snap, st, written.map(_._1).toSet, mayMatch).foreach { why =>
           (staged ++ stagedCdf).foreach { case (f, _) =>
             fsv.delete(new Path(root, f), false)
           }
           keepDv.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
           throw new java.util.ConcurrentModificationException(
-            s"table $tablePath changed concurrently (v${snap.version} -> " +
-              s"v${st.version}) during delete; rerun deleteMergeOnRead() " +
-              "against the new state")
+            s"conflicting concurrent commit on $tablePath during delete: $why; " +
+              "rerun deleteMergeOnRead() against the new state")
         }
         Some(rewriteFiles.map(Remove(_)) ++
           staged.map { case (p, s) => Add(p, s) } ++
@@ -1075,16 +1085,19 @@ class TxTable(spark: SparkSession, val tablePath: String,
     } finally touchedRows.unpersist()
     enforceConstraints(snap.constraints, staged, schema,
       staged ++ stagedCdf, "update of")
+    val mayMatch = addsMayMatchPredicate(predicate)
+    fireBeforeCommitHook()
     commitLoop(s"update $tablePath") { st =>
-      // same strict rule as merge/delete: a concurrent append could
-      // add predicate-matching rows this update would then miss
-      if (st.version != snap.version) {
+      // LOGICAL conflict rule, same as merge/delete: unrelated
+      // concurrent appends (stats-provably no matching row) commit
+      // freely; anything that could hide a matching row aborts
+      findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
         (staged ++ stagedCdf).foreach { case (f, _) =>
           fs.delete(new Path(root, f), false)
         }
         throw new java.util.ConcurrentModificationException(
-          s"table $tablePath changed concurrently (v${snap.version} -> " +
-            s"v${st.version}) during update; rerun update() against the new state")
+          s"conflicting concurrent commit on $tablePath during update: $why; " +
+            "rerun update() against the new state")
       }
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
         stagedCdf.map { case (p, _) => Cdf(p) })
@@ -1209,6 +1222,118 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def appendBatch(batch: DataFrame, writerId: String, batchId: Long): Unit =
     append(batch, Some(TxnId(writerId, batchId)))
+
+  // ---- logical conflict detection ----
+
+  /** One-shot hook fired by the row-mutating verbs right before they
+    * enter the commit loop — deterministic test instrumentation for
+    * the race window between snapshot and claim (a test installs a
+    * concurrent writer here; production never touches it).
+    */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+  private def fireBeforeCommitHook(): Unit = {
+    val h = beforeCommitHook
+    beforeCommitHook = () => ()
+    h()
+  }
+
+  /** Delta-style LOGICAL conflict check for a row-mutating verb
+    * (merge/update/delete) that read snapshot `snap` and is about to
+    * commit against head `st`: instead of aborting on ANY concurrent
+    * commit, replay the intervening manifests and abort only when one
+    * of them actually invalidates this operation —
+    *
+    *   - the table schema or constraint set changed (staged files were
+    *     written and validated under the old ones);
+    *   - a concurrent commit removed or re-masked a file this verb
+    *     rewrites (proceeding would resurrect replaced rows or lose
+    *     the concurrent delete's mask);
+    *   - a concurrent NON-rewrite commit added files that might
+    *     contain rows this verb should have seen (`addsMayMatch`,
+    *     stat-based: an append whose file stats PROVE no row matches
+    *     the verb's predicate/key range is no conflict). Rewrite
+    *     commits (compact/cluster) only move existing rows of files
+    *     the remove check already cleared, so their adds are benign.
+    *
+    * On a 100-TB table this is the difference between "a long-running
+    * DELETE aborts because an unrelated partition appended" and the
+    * published write-serializable behavior: unrelated writers never
+    * see each other. Conservative by construction — stats-free files
+    * and un-analyzable predicates conflict, never the reverse.
+    * Returns the human-readable reason, or None when safe to commit.
+    */
+  private def findConflict(snap: State, st: State, touched: Set[String],
+      addsMayMatch: Seq[(String, Option[FileStats])] => Boolean): Option[String] = {
+    if (st.version == snap.version) return None
+    // nullability is normalized away: any concurrent append re-commits
+    // the merged schema with all fields nullable (the evolution
+    // contract), and a nullable-widened schema still reads every
+    // staged file — only name/type/order changes invalidate the verb
+    def norm(s: Option[StructType]): Option[String] =
+      s.map(t => StructType(t.map(_.copy(nullable = true))).toDDL)
+    if (norm(st.schema) != norm(snap.schema))
+      return Some(s"the schema changed (v${snap.version} -> v${st.version})")
+    if (st.constraints != snap.constraints)
+      return Some(s"the constraint set changed (v${snap.version} -> v${st.version})")
+    val fsv = fs
+    ((snap.version + 1) to st.version).iterator.flatMap { v =>
+      val actions = readManifest(fsv, v)
+      val touchedHit = actions.collectFirst {
+        case Remove(p) if touched(p) =>
+          s"v$v removed $p, which this operation rewrites"
+        case Dv(p, _, _) if touched(p) =>
+          s"v$v changed the deletion vector of $p, which this operation rewrites"
+      }
+      touchedHit.orElse {
+        if (actions.contains(RewriteMarker)) None
+        else {
+          val adds = actions.collect { case Add(p, s) => (p, s) }
+          if (adds.nonEmpty && addsMayMatch(adds))
+            Some(s"v$v appended files that may hold rows this operation should see")
+          else None
+        }
+      }
+    }.nextOption()
+  }
+
+  /** `addsMayMatch` for the predicate verbs (update/delete): a
+    * concurrently-added file is benign iff its stats PROVE the verb's
+    * predicate matches no row — the same [[TxTable.filesToRead]]
+    * kernel the scan path prunes with, pointed at the appended files.
+    */
+  private def addsMayMatchPredicate(predicate: org.apache.spark.sql.Column)
+      : Seq[(String, Option[FileStats])] => Boolean = {
+    val shapes = org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate)
+    adds => {
+      val stats = adds.collect { case (p, Some(s)) => p -> s }.toMap
+      TxTable.filesToRead(adds.map(_._1), stats, shapes).nonEmpty
+    }
+  }
+
+  /** `addsMayMatch` for [[merge]]: a key-equality match requires every
+    * key column to land inside the source's [min, max] for that key —
+    * a necessary (not sufficient) condition, so range-disjoint appends
+    * are provably benign and anything else conservatively conflicts.
+    * Costs one tiny aggregate over the (already persisted) source.
+    */
+  private def addsMayMatchKeys(source: DataFrame, keys: Seq[String])
+      : Seq[(String, Option[FileStats])] => Boolean = {
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, PredShape}
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val row = source.agg(aggs.head, aggs.drop(1): _*).collect().head
+    val shapes: Seq[PredShape] = keys.zipWithIndex.flatMap { case (k, i) =>
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      if (mn == null || mx == null) Nil
+      else Seq(CmpShape(k, ">=", mn), CmpShape(k, "<=", mx))
+    }
+    adds =>
+      shapes.isEmpty || { // no usable bounds (empty/all-null source): conservative
+        val stats = adds.collect { case (p, Some(s)) => p -> s }.toMap
+        TxTable.filesToRead(adds.map(_._1), stats, shapes).nonEmpty
+      }
+  }
 
   // ---- commit machinery ----
 

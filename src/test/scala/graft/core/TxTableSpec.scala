@@ -675,16 +675,17 @@ class TxTableSpec extends SparkTestBase {
     assert(keys == expected)
   }
 
-  test("cross-process merge: the strict abort rule holds against a racing appender") {
+  test("cross-process merge: no lost update against a racing appender") {
     val dir = tmpDir("txtable-2jvm-merge")
     val t = new TxTable(spark, dir)
     t.append(Seq(("seed", 0L)).toDF("k", "v")) // v0: schema exists for both writers
     val nMerges = 4
     val nAppends = 6
-    // the child upserts ONE key with increasing values, retrying on
-    // the concurrent-commit abort, while this process keeps appending:
-    // every abort must be loud (never a silent lost update) and every
-    // retry must eventually land
+    // the child upserts ONE key with increasing values while this
+    // process keeps appending: under logical conflict detection a
+    // merge may commit PAST a key-disjoint append or abort-and-retry
+    // on an unprovable one — either way no update and no append may
+    // ever be lost, and every abort must be loud
     withChildWriter(dir, nMerges, "shared", "merge") {
       (0 until nAppends).foreach(i => t.append(Seq((s"local-$i", 1L)).toDF("k", "v")))
     }
@@ -893,5 +894,89 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("truncation"), e.getMessage)
     // ranges wholly above the cutoff still read
     assert(t.readChanges(3L, 4L).count() == 1L)
+  }
+
+  // ---- logical conflict detection (write-serializable verbs) ----
+
+  test("delete commits past a concurrent range-disjoint append") {
+    val t = table()
+    t.append((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    // an unrelated writer lands ids 100..110 in the race window
+    // between the delete's snapshot and its commit — stats prove no
+    // row matches id <= 5, so the delete must NOT abort
+    t.beforeCommitHook =
+      () => t.append((100L to 110L).map(i => (i, s"n$i")).toDF("id", "v"))
+    t.delete(col("id") <= 5L)
+    assert(t.version == 2L, "append v1 and delete v2 must both have committed")
+    val got = t.read().select("id").as[Long].collect().toSet
+    assert(got == ((6L to 10L) ++ (100L to 110L)).toSet)
+  }
+
+  test("delete aborts on a concurrent append that may hold matching rows") {
+    val t = table()
+    t.append((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.beforeCommitHook =
+      () => t.append(Seq((3L, "late")).toDF("id", "v")) // inside id <= 5
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.delete(col("id") <= 5L))
+    assert(e.getMessage.contains("appended files"), e.getMessage)
+    // nothing committed by the delete; the concurrent append survives
+    assert(t.version == 1L)
+    assert(t.read().count() == 11L)
+    // the retry the error demands then succeeds against the new state
+    t.delete(col("id") <= 5L)
+    assert(t.read().select("id").as[Long].collect().toSet == (6L to 10L).toSet)
+  }
+
+  test("delete aborts when a concurrent commit removes a file it rewrites") {
+    val t = table()
+    t.append((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.beforeCommitHook = () => t.overwrite(Seq((99L, "x")).toDF("id", "v"))
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.delete(col("id") <= 5L))
+    assert(e.getMessage.contains("removed"), e.getMessage)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(99L))
+  }
+
+  test("merge commits past a key-disjoint append, aborts on key overlap") {
+    val t = table()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // concurrent append far outside the source key range [1, 2]: benign
+    t.beforeCommitHook = () => t.append(Seq((50L, "z")).toDF("id", "v"))
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(t.read().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "B"), (3L, "c"), (50L, "z")))
+    // concurrent append INSIDE the source key range: the replace-by-key
+    // contract cannot be guaranteed, so the merge must abort
+    t.beforeCommitHook = () => t.append(Seq((4L, "dup")).toDF("id", "v"))
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.merge(Seq((4L, "D")).toDF("id", "v"), Seq("id")))
+    assert(e.getMessage.contains("appended files"), e.getMessage)
+  }
+
+  test("update commits past a disjoint append; schema change still aborts") {
+    val t = table()
+    t.append((1L to 5L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.beforeCommitHook = () => t.append(Seq((100L, "n")).toDF("id", "v"))
+    t.update(col("id") === 2L, Map("v" -> lit("UPDATED")))
+    assert(t.read().where(col("id") === 2L).select("v").as[String].head() == "UPDATED")
+    assert(t.read().count() == 6L)
+    // a concurrent schema evolution invalidates the staged rewrite
+    t.beforeCommitHook =
+      () => t.append(Seq((200L, "m", 1.0)).toDF("id", "v", "score"))
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.update(col("id") === 3L, Map("v" -> lit("X"))))
+    assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
+  test("merge-on-read delete commits past a disjoint append") {
+    val t = table()
+    t.append((1L to 100L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.beforeCommitHook =
+      () => t.append(Seq((1000L, "n")).toDF("id", "v"))
+    t.deleteMergeOnRead(col("id") <= 10L, rewriteAtFraction = 0.5)
+    assert(t.read().select("id").as[Long].collect().toSet
+      == ((11L to 100L) :+ 1000L).toSet)
   }
 }
