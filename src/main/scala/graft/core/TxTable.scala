@@ -524,9 +524,21 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * on a lost race the claim retries against the new head. Schema is
     * merged by name; a type change for an existing column fails the
     * commit (loudly — silent coercion would corrupt later reads).
+    *
+    * `partitionBy` is the table format's PARTITIONED WRITE (the
+    * reference partitions bronze by event type —
+    * /root/reference/notebooks/medallion/bronze.py:25): each named
+    * (low-cardinality) column's values are clustered into value-pure
+    * files, whose manifest stats (min = max = value) make
+    * [[scan]] / the optimizer rule prune partition predicates exactly
+    * — O(manifest) partition pruning without a hive directory layout,
+    * so files stay self-describing and every rewrite path is
+    * unchanged. A giant partition value writes through one task by
+    * default; `filesPerValue > 1` salts it across that many files.
     */
-  def append(df: DataFrame, txn: Option[TxnId] = None): Unit = {
-    val staged = stageData(df)
+  def append(df: DataFrame, txn: Option[TxnId] = None,
+             partitionBy: Seq[String] = Nil, filesPerValue: Int = 1): Unit = {
+    val staged = stageData(df, partitionBy = partitionBy, filesPerValue = filesPerValue)
     var checkedFor: Map[String, String] = null // re-check only if a retry changed the set
     commitLoop(s"append to $tablePath") { st =>
       if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
@@ -550,8 +562,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * the new head, so rows appended concurrently are also replaced —
     * last-writer-wins, with both versions in the history.
     */
-  def overwrite(df: DataFrame): Unit = {
-    val staged = stageData(df)
+  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val staged = stageData(df, partitionBy = partitionBy)
     var checkedFor: Map[String, String] = null
     commitLoop(s"overwrite of $tablePath") { st =>
       if (st.constraints != checkedFor) {
@@ -1220,8 +1232,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
   /** Exactly-once foreachBatch sink body:
     * `.foreachBatch((b, id) => table.appendBatch(b, "writer", id))`.
     */
-  def appendBatch(batch: DataFrame, writerId: String, batchId: Long): Unit =
-    append(batch, Some(TxnId(writerId, batchId)))
+  def appendBatch(batch: DataFrame, writerId: String, batchId: Long,
+                  partitionBy: Seq[String] = Nil): Unit =
+    append(batch, Some(TxnId(writerId, batchId)), partitionBy)
 
   // ---- logical conflict detection ----
 
@@ -1343,13 +1356,50 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * staged file — the write-side cost of data skipping).
     */
   private def stageData(df: DataFrame, prefix: String = "part",
-                        collectStats: Boolean = true): Seq[(String, Option[FileStats])] = {
+                        collectStats: Boolean = true,
+                        partitionBy: Seq[String] = Nil,
+                        filesPerValue: Int = 1): Seq[(String, Option[FileStats])] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val fsv = fs
     fsv.mkdirs(root)
     val staging = new Path(root, s"_staging-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val names = fsv.listStatus(staging).iterator
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    // Partitioned staging writes VALUE-PURE files: each partition
+    // value is clustered into its own task (hash repartition on the
+    // partition columns — plus a deterministic content-hash salt when
+    // filesPerValue > 1, the skew escape for a giant value), then the
+    // writer splits by a DUPLICATE of each partition column, so the
+    // data files keep the original columns and stay self-describing.
+    // A value-pure file's footer stats are min = max = value, which
+    // the existing manifest-skipping kernel prunes EXACTLY — hive-dir
+    // partition pruning with zero new read-path machinery, and every
+    // rewrite path (compact/cluster/merge/delete) untouched.
+    val dirs = partitionBy.map("__gpart_" + _) ++
+      (if (filesPerValue <= 1) Nil else Seq("__gpart_salt"))
+    val out = if (partitionBy.isEmpty) df else {
+      val missing = partitionBy.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"partition column(s) ${missing.mkString(", ")} not in " +
+          s"schema [${df.columns.mkString(", ")}]")
+      require(filesPerValue >= 1, s"filesPerValue must be >= 1, got $filesPerValue")
+      val dup = partitionBy.foldLeft(df)((d, c) => d.withColumn(s"__gpart_$c", col(c)))
+      // the salt is itself a split dir, so a giant value splits even
+      // when AQE coalesces the clustering shuffle into few tasks (the
+      // shuffle governs parallelism; the dirs govern file boundaries)
+      val salted = if (filesPerValue == 1) dup
+        else dup.withColumn("__gpart_salt",
+          pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(filesPerValue)))
+      salted.repartition(dirs.map(col): _*)
+    }
+    val writer = out.write.mode("overwrite")
+    (if (partitionBy.isEmpty) writer else writer.partitionBy(dirs: _*))
+      .parquet(staging.toString)
+    def leaves(p: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+      fsv.listStatus(p).iterator.flatMap { st =>
+        if (st.isDirectory) leaves(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Iterator(st)
+        else Iterator.empty
+      }
+    val names = leaves(staging)
       .map { part =>
         val name = s"$prefix-${UUID.randomUUID()}.parquet"
         val target = new Path(root, name)

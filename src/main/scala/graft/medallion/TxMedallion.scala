@@ -59,8 +59,11 @@ object TxMedallion {
     val bronzeQ = Medallion.bronzeTransform(Medallion.streamFrom(spark, rawPath))
       .writeStream
       .queryName("graftTxBronze")
+      // the reference's partitioned bronze layout (bronze.py:25,
+      // partitionBy("type")): value-pure files per type, so downstream
+      // type filters prune on manifest stats alone
       .foreachBatch((batch: DataFrame, id: Long) =>
-        t.bronze.appendBatch(batch, "bronze", id))
+        t.bronze.appendBatch(batch, "bronze", id, partitionBy = Seq("type")))
       .option("checkpointLocation", s"$checkpointBase/bronze_tx")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -114,7 +117,7 @@ object TxMedallion {
       .writeStream
       .queryName("graftTxBronzeStream")
       .foreachBatch((batch: DataFrame, id: Long) =>
-        t.bronze.appendBatch(batch, "bronze", id))
+        t.bronze.appendBatch(batch, "bronze", id, partitionBy = Seq("type")))
       .option("checkpointLocation", s"$checkpointBase/bronze_tx")
       .trigger(Trigger.AvailableNow())
       .start()

@@ -178,7 +178,7 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
   * rejected loudly — an append-only log has no row-replace primitive.
   */
 class TxTableSink(sqlContext: SQLContext, tablePath: String,
-                  mode: OutputMode) extends Sink {
+                  mode: OutputMode, partitionCols: Seq[String] = Nil) extends Sink {
 
   private val table = new TxTable(sqlContext.sparkSession, tablePath)
 
@@ -186,7 +186,7 @@ class TxTableSink(sqlContext: SQLContext, tablePath: String,
     // the micro-batch DF is streaming-tagged; re-wrap as a batch DF
     // (what ForeachBatchSink does) so the table can .write it
     val batchDF = GraftStreamBridge.asBatchDF(data)
-    if (mode == OutputMode.Complete()) table.overwrite(batchDF)
+    if (mode == OutputMode.Complete()) table.overwrite(batchDF, partitionCols)
     else {
       // the checkpointed streaming query id — the writer identity the
       // (writerId, batchId) idempotence key needs to survive restarts.
@@ -202,7 +202,7 @@ class TxTableSink(sqlContext: SQLContext, tablePath: String,
             "addBatch was invoked outside a streaming query; call " +
             "TxTable.appendBatch(df, writerId, batchId) with an explicit " +
             "writer identity instead"))
-      table.appendBatch(batchDF, queryId, batchId)
+      table.appendBatch(batchDF, queryId, batchId, partitionCols)
     }
   }
 
@@ -323,11 +323,11 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    require(partitionColumns.isEmpty,
-      "graft-txtable sink does not support partitionBy: the table layout is " +
-        "flat files + manifest stats (cluster at write time instead)")
     require(outputMode != OutputMode.Update(),
       "graft-txtable sink supports append and complete modes only")
-    new TxTableSink(sqlContext, path(parameters), outputMode)
+    // `.partitionBy(cols)` on the stream writer → value-pure files per
+    // micro-batch ([[TxTable.append]]'s partitioned write): partition
+    // predicates prune on manifest stats alone, no hive layout needed
+    new TxTableSink(sqlContext, path(parameters), outputMode, partitionColumns)
   }
 }

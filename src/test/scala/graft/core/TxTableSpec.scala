@@ -979,4 +979,50 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().select("id").as[Long].collect().toSet
       == ((11L to 100L) :+ 1000L).toSet)
   }
+
+  // ---- partitioned writes (value-pure files) ----
+
+  test("partitioned append writes value-pure files that prune exactly") {
+    val t = table()
+    val rows = (1L to 300L).map(i => (i, s"t${i % 3}", s"r$i"))
+    t.append(rows.toDF("id", "type", "v"), partitionBy = Seq("type"))
+    val s = t.state()
+    assert(s.files.size == 3, s"one value-pure file per type, got ${s.files.size}")
+    // each equality predicate prunes to exactly one file, and the
+    // per-value file sets tile the table disjointly
+    val perValue = (0 to 2).map(i => t.prunedFiles(s, col("type") === s"t$i").toSet)
+    assert(perValue.forall(_.size == 1), perValue.toString)
+    assert(perValue.reduce(_ ++ _) == s.files.toSet)
+    assert(perValue.combinations(2).forall(p => (p(0) & p(1)).isEmpty))
+    // the scan equals the filtered read, and the files stay
+    // self-describing: the partition column reads back like any other
+    assert(t.scan(col("type") === "t1").count() == 100L)
+    assert(t.read().columns.toSeq == Seq("id", "type", "v"))
+    assert(t.read().where(col("type") === "t1")
+      .select("id").as[Long].collect().sorted.toSeq
+      == (1L to 300L).filter(_ % 3 == 1))
+  }
+
+  test("partitioned append: null partition rows and filesPerValue salting") {
+    val t = table()
+    val df = (1L to 60L)
+      .map(i => (i, if (i % 6 == 0) None else Some(s"t${i % 2}")))
+      .toDF("id", "type")
+    t.append(df, partitionBy = Seq("type"), filesPerValue = 2)
+    val s = t.state()
+    // the salt splits each populous value across up to two files
+    assert(s.files.size >= 4 && s.files.size <= 6, s.files.toString)
+    // the 10 null-type rows live apart from every valued file, so an
+    // isNull scan prunes all value-pure files (known-zero null counts)
+    val nullFiles = t.prunedFiles(s, col("type").isNull).toSet
+    assert(nullFiles.size <= 2 && nullFiles.size < s.files.size, nullFiles.toString)
+    assert(t.scan(col("type").isNull).count() == 10L)
+    // equality still tiles: at most filesPerValue value-pure files per
+    // value (the all-null file has no min/max stats and is never
+    // pruned by equality — conservative, not wrong)
+    val t0 = t.prunedFiles(s, col("type") === "t0").toSet
+    assert((t0 -- nullFiles).size <= 2, t0.toString)
+    assert(t.scan(col("type") === "t0").count() == 20L)
+    assert(t.read().count() == 60L)
+  }
 }

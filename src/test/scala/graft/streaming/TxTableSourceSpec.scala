@@ -360,4 +360,28 @@ class TxTableSourceSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("startingVersion"), e.getMessage)
   }
+
+  test("format sink: partitionBy clusters each micro-batch into value-pure files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("txsink-part")
+    val ckpt = tmpDir("txsink-part-ckpt")
+    val stream = MemoryStream[Long]
+    stream.addData(1L to 40L: _*)
+    val q = stream.toDF().toDF("id")
+      .withColumn("type", concat(lit("t"), col("id") % 2))
+      .writeStream
+      .format("graft-txtable")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("type")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = new TxTable(spark, dir)
+    val s = t.state()
+    assert(s.files.size == 2, s.files.toString)
+    assert(t.prunedFiles(s, col("type") === "t1").size == 1)
+    assert(t.scan(col("type") === "t1").count() == 20L)
+  }
 }
