@@ -1476,8 +1476,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
             case Some(sc) => JDecimal(BigDecimal(BigInt(unscaled), sc))
             case None => JLong(tsScale.flatten.map(_(unscaled)).getOrElse(unscaled))
           }
+          // a block with NO non-null value but a recorded null count is
+          // ALL-NULL: record it as (JNull, JNull) — no comparison, IN,
+          // or isNotNull can ever hold on it, so the kernel may prune
+          // the file (for any column type; there are no values whose
+          // representation could matter). Delta records the same fact
+          // as nullCount == numRecords.
           val mm: Option[(JValue, JValue)] =
-            if (st == null || !st.hasNonNullValue || tsScale.contains(None)) None
+            if (st == null) None
+            else if (!st.hasNonNullValue)
+              if (st.isNumNullsSet) Some((JNull, JNull)) else None
+            else if (tsScale.contains(None)) None
             else st match {
               case s: IntStatistics => Some((intJ(s.getMin.toLong), intJ(s.getMax.toLong)))
               case s: LongStatistics => Some((intJ(s.getMin), intJ(s.getMax)))
@@ -1489,6 +1498,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
                   JString(s.genericGetMax.toStringUsingUTF8)))
               case _ => None
             }
+          // JNull is the identity when folding min/max across blocks:
+          // an all-null block constrains nothing
+          def jmin(a: JValue, b: JValue): JValue =
+            if (a == JNull) b else if (b == JNull) a else minJ(a, b)
+          def jmax(a: JValue, b: JValue): JValue =
+            if (a == JNull) b else if (b == JNull) a else maxJ(a, b)
           mm match {
             case None => dropped += name; cols -= name // conservative: no skip
             case Some((mn, mx)) =>
@@ -1499,7 +1514,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
               cols = cols.updatedWith(name) {
                 case None => Some(ColStats(mn, mx, nulls))
                 case Some(prev) => Some(ColStats(
-                  minJ(prev.min, mn), maxJ(prev.max, mx),
+                  jmin(prev.min, mn), jmax(prev.max, mx),
                   if (prev.nulls < 0 || nulls < 0) -1L else prev.nulls + nulls))
               }
           }
@@ -1850,11 +1865,21 @@ object TxTable {
       conjuncts: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape]): Seq[String] = {
     import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape, NullShape, PredShape}
     // a conjunct that proves a file empty ⇒ the file cannot match the AND
+    // min == JNull marks an ALL-NULL column (no non-null value in the
+    // file): comparisons, IN and isNotNull are never true on null, so
+    // any of them proves the file empty regardless of the literal
+    def allNull(cs: ColStats): Boolean = cs.min == JNull
     def provesEmpty(fstats: FileStats, shape: PredShape): Boolean =
       shape match {
         case NullShape(name, true) => fstats.cols.get(name).exists(_.nulls == 0L)
-        case NullShape(_, false) =>
-          false // recorded min/max imply at least one non-null value
+        case NullShape(name, false) =>
+          // recorded min/max imply a non-null value — unless the
+          // all-null marker says there is none
+          fstats.cols.get(name).exists(allNull)
+        case CmpShape(name, _, _)
+          if fstats.cols.get(name).exists(allNull) => true
+        case InShape(name, _)
+          if fstats.cols.get(name).exists(allNull) => true
         case CmpShape(name, op, litV) =>
           (fstats.cols.get(name), literalJ(litV)) match {
             case (Some(cs), Some(v)) => op match {

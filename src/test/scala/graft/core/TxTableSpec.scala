@@ -1018,11 +1018,34 @@ class TxTableSpec extends SparkTestBase {
     assert(nullFiles.size <= 2 && nullFiles.size < s.files.size, nullFiles.toString)
     assert(t.scan(col("type").isNull).count() == 10L)
     // equality still tiles: at most filesPerValue value-pure files per
-    // value (the all-null file has no min/max stats and is never
-    // pruned by equality — conservative, not wrong)
+    // value, and the all-null file is pruned too (its all-null marker
+    // proves no equality can hold)
     val t0 = t.prunedFiles(s, col("type") === "t0").toSet
-    assert((t0 -- nullFiles).size <= 2, t0.toString)
+    assert(t0.size <= 2, t0.toString)
+    assert((t0 & nullFiles).isEmpty)
     assert(t.scan(col("type") === "t0").count() == 20L)
     assert(t.read().count() == 60L)
+  }
+
+  test("all-null files are pruned by equality, range, IN and isNotNull") {
+    val t = table()
+    t.append(Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, None: Option[String]), (4L, None)).toDF("id", "v").coalesce(1))
+    // a fresh reader resolves stats from the manifests alone, so this
+    // also proves the all-null marker survives the JSON round trip
+    val t2 = new TxTable(spark, t.tablePath)
+    val s = t2.state()
+    assert(s.files.size == 2)
+    val nullFile = t2.prunedFiles(s, col("v").isNull)
+    assert(nullFile.size == 1)
+    def kept(p: org.apache.spark.sql.Column) = t2.prunedFiles(s, p)
+    assert(kept(col("v") === "a") == s.files.filterNot(nullFile.contains))
+    assert(kept(col("v") > "a").size == 1)
+    assert(kept(col("v").isin("a", "zz")).size == 1)
+    assert(kept(col("v").isNotNull).size == 1)
+    // and every scan still equals the unpruned filtered read
+    assert(t2.scan(col("v").isNotNull).count() == 2L)
+    assert(t2.scan(col("v") === "a").count() == 1L)
+    assert(t2.scan(col("v").isNull).count() == 2L)
   }
 }
