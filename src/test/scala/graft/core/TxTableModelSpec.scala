@@ -37,9 +37,14 @@ class TxTableModelSpec extends SparkTestBase {
 
       (0 until 10).foreach { _ =>
         rnd.nextInt(6) match {
-          case 0 | 1 => // append (duplicate keys allowed)
+          case 0 | 1 => // append (duplicate keys allowed); half the
+            // appends are PARTITIONED writes, so value-pure files and
+            // salt splits flow through every later mutation
             val batch = rows(1 + rnd.nextInt(5))
-            t.append(batch.toDF("k", "v"))
+            if (rnd.nextBoolean())
+              t.append(batch.toDF("k", "v"), partitionBy = Seq("k"),
+                filesPerValue = 1 + rnd.nextInt(2))
+            else t.append(batch.toDF("k", "v"))
             model = model ++ batch
           case 2 => // merge: unique-keyed upsert
             val src = rows(1 + rnd.nextInt(5))
@@ -52,9 +57,10 @@ class TxTableModelSpec extends SparkTestBase {
             val hi = lo + rnd.nextInt(10)
             t.delete(col("k") >= lo && col("k") <= hi)
             model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
-          case 4 => // overwrite
+          case 4 => // overwrite (sometimes partitioned by the string col)
             val batch = rows(1 + rnd.nextInt(4))
-            t.overwrite(batch.toDF("k", "v"))
+            if (rnd.nextBoolean()) t.overwrite(batch.toDF("k", "v"), Seq("v"))
+            else t.overwrite(batch.toDF("k", "v"))
             model = batch.toVector
           case 5 => // maintenance: rows must not change
             rnd.nextInt(3) match {
