@@ -306,16 +306,22 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
                               data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.execution.datasources.DataSourceUtils
     val t = new TxTable(sqlContext.sparkSession, path(parameters))
+    // `.partitionBy(cols)` on the batch writer arrives as the v1
+    // partitioning option — honor it as the table's partitioned write
+    // (value-pure files; see TxTable.append)
+    val partCols = parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(DataSourceUtils.decodePartitioningColumns).getOrElse(Nil)
     mode match {
-      case SaveMode.Append => t.append(data)
-      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.Append => t.append(data, partitionBy = partCols)
+      case SaveMode.Overwrite => t.overwrite(data, partCols)
       case SaveMode.ErrorIfExists =>
         require(t.version < 0,
           s"${path(parameters)} already has commits (v${t.version}); " +
             "use mode(\"append\") or mode(\"overwrite\")")
-        t.append(data)
-      case SaveMode.Ignore => if (t.version < 0) t.append(data)
+        t.append(data, partitionBy = partCols)
+      case SaveMode.Ignore => if (t.version < 0) t.append(data, partitionBy = partCols)
     }
     createRelation(sqlContext, parameters)
   }

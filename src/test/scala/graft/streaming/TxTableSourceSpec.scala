@@ -361,6 +361,19 @@ class TxTableSourceSpec extends SparkTestBase {
     assert(e.getMessage.contains("startingVersion"), e.getMessage)
   }
 
+  test("batch writer: partitionBy clusters into value-pure files") {
+    val dir = tmpDir("txwrite-part")
+    (1L to 40L).map(i => (i, s"t${i % 2}")).toDF("id", "type")
+      .write.format("graft-txtable").option("path", dir)
+      .partitionBy("type").mode("append").save()
+    val t = new TxTable(spark, dir)
+    val s = t.state()
+    assert(s.files.size == 2, s.files.toString)
+    assert(t.prunedFiles(s, col("type") === "t0").size == 1)
+    assert(t.scan(col("type") === "t0").count() == 20L)
+    assert(t.read().count() == 40L)
+  }
+
   test("format sink: partitionBy clusters each micro-batch into value-pure files") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
