@@ -80,4 +80,21 @@ class TxSkipRuleSpec extends SparkTestBase {
     assert(plannedFiles(old) == 1)
     assert(old.count() == 11)
   }
+
+  test("partition predicates over a partitioned write prune declaratively") {
+    val t = new TxTable(spark, tmpDir("txskip-part"))
+    t.append((1L to 90L).map(i => (i, s"t${i % 3}")).toDF("id", "type"),
+      partitionBy = Seq("type"))
+    // one value-pure file per type; a declarative .where on the
+    // partition column plans a single-file scan — partition pruning
+    // through the optimizer rule, no scan() call needed
+    assert(plannedFiles(t.read()) == 3)
+    val probe = t.read().where(col("type") === "t1")
+    assert(plannedFiles(probe) == 1, probe.queryExecution.optimizedPlan)
+    assert(probe.count() == 30L)
+    // composes with non-partition conjuncts
+    val mixed = t.read().where(col("type") === "t2" && col("id") > 10L)
+    assert(plannedFiles(mixed) == 1)
+    assert(mixed.count() == (1L to 90L).count(i => i % 3 == 2 && i > 10))
+  }
 }
