@@ -1381,6 +1381,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"partition column(s) ${missing.mkString(", ")} not in " +
           s"schema [${df.columns.mkString(", ")}]")
       require(filesPerValue >= 1, s"filesPerValue must be >= 1, got $filesPerValue")
+      val clash = df.columns.filter(c =>
+        c.startsWith("__gpart_") || c == "__gpart_salt")
+      require(clash.isEmpty,
+        s"column name(s) ${clash.mkString(", ")} collide with the partitioned " +
+          "write's reserved __gpart_ staging prefix")
       val dup = partitionBy.foldLeft(df)((d, c) => d.withColumn(s"__gpart_$c", col(c)))
       // the salt is itself a split dir, so a giant value splits even
       // when AQE coalesces the clustering shuffle into few tasks (the

@@ -1027,6 +1027,14 @@ class TxTableSpec extends SparkTestBase {
     assert(t.read().count() == 60L)
   }
 
+  test("partitioned append rejects reserved __gpart_ column names loudly") {
+    val t = table()
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((1L, "a", "x")).toDF("id", "type", "__gpart_type"),
+        partitionBy = Seq("type")))
+    assert(e.getMessage.contains("__gpart_"), e.getMessage)
+  }
+
   test("all-null files are pruned by equality, range, IN and isNotNull") {
     val t = table()
     t.append(Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "v").coalesce(1))
