@@ -26,8 +26,9 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
-      // rejects by default; read it as long nanoseconds instead.
+      // testdata events.ts has shipped as TIMESTAMP(NANOS) parquet in
+      // some regenerations, which Spark 4 rejects by default; read it
+      // as long nanoseconds (no-op for micros data — see EventTime).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write timestamps as annotated INT64 micros, not INT96: INT96
       // is deprecated, carries no usable min/max stats, and therefore
@@ -52,9 +53,10 @@ object Tables {
   /** Parquet scan of one table; relies on Catalyst pushdown — callers
     * filter/select and the scan prunes columns + row groups.
     *
-    * `events.ts` is TIMESTAMP(NANOS); with the nanosAsLong conf (set
-    * here too, for sessions not built by [[Sessions]]) it surfaces as
-    * LongType epoch-nanos — see [[graft.ext.EventQueries]].
+    * `events.ts` has shipped as both TIMESTAMP(NANOS) — surfacing as
+    * LongType epoch-nanos under the nanosAsLong conf (set here too,
+    * for sessions not built by [[Sessions]]) — and TIMESTAMP_MICROS
+    * (a real timestamp column); consumers adapt via [[EventTime]].
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{EventTime, Tables}
 
 /** As-of join — for each left row, the most recent right row with
   * right.time ≤ left.time within the same key — an operator Spark has
@@ -48,8 +48,8 @@ object AsofJoin {
     */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
-      .withColumn("s", expr("ts div 1000000000"))
+    val loaded = Tables.load(s, dir, "events")
+    val ev = loaded.withColumn("s", EventTime.sec(loaded))
     val clicks = ev.where($"event_type" === "click")
       .groupBy($"user_id", $"s").agg(max($"event_id").as("click_id"))
     val purchases = ev.where($"event_type" === "purchase")

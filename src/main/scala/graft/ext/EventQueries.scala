@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.core.Tables
+import graft.core.{EventTime, Tables}
 
 /** Batch-expressible analogs of the reference pipeline's operators,
   * phrased over the driver's `events` table (event_type ≙ `type`,
@@ -17,24 +17,22 @@ import graft.core.Tables
   * (ingest_raw.scala:133), time format F8 (silver.py:24-27),
   * mergeSchema union ST9 (ingest.scala:165-170).
   *
-  * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 cannot read as
-  * a timestamp; with spark.sql.legacy.parquet.nanosAsLong (set by
-  * [[graft.core.Tables.load]]) it surfaces as LongType epoch-nanos.
-  * All time logic below is integer math on that long (div is exact;
-  * truncation to seconds is monotone so max/order agree with the
-  * oracle, which sees real ns timestamps), and no query ever outputs a
-  * raw nanosecond value.
+  * events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (surfacing
+  * as LongType epoch-nanos under nanosAsLong) and TIMESTAMP_MICROS
+  * (surfacing as TIMESTAMP_NTZ) across testdata regenerations, so all
+  * time access goes through the type-adaptive [[graft.core.EventTime]]
+  * accessors. Every derivation truncates to whole seconds (exact and
+  * monotone in each encoding, so max/order agree with the oracle), and
+  * no query ever outputs a sub-second value.
   */
 object EventQueries {
 
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  private val Ns = 1000000000L
+  /** Epoch seconds from ts, adaptive to the loaded encoding. */
+  private def tsSec(e: DataFrame): Column = EventTime.sec(e)
 
-  /** Epoch seconds from the long-nanos ts (exact integer division). */
-  private def tsSec: Column = expr("ts div 1000000000")
-
-  private def tsTimestamp: Column = timestamp_seconds(tsSec)
+  private def tsTimestamp(e: DataFrame): Column = timestamp_seconds(tsSec(e))
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
 
@@ -43,21 +41,24 @@ object EventQueries {
     */
   def qFlattenProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ev(s, dir)
-      .select(struct($"event_id", $"event_type", $"user_id", to_date(tsTimestamp).as("day"))
+    val e = ev(s, dir)
+    e
+      .select(struct($"event_id", $"event_type", $"user_id", to_date(tsTimestamp(e)).as("day"))
         .as("parsedValue"), $"value")
       .select($"parsedValue.*", ($"value" * lit(2.0d)).as("value2"))
       .orderBy($"event_id")
   }
 
-  /** P6 intent ("events since day X") on a true timestamp type — the
-    * reference compares dd-MM-yyyy strings lexicographically
-    * (gold.py:24-27, hazard SURVEY.md §7.5.1); we keep TimestampType.
+  /** P6 intent ("events since day X") — the reference compares
+    * dd-MM-yyyy strings lexicographically (gold.py:24-27, hazard
+    * SURVEY.md §7.5.1); we compare the raw ts against a same-typed
+    * literal so the predicate pushes down to the parquet scan.
     */
   def qFilterDay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ev(s, dir)
-      .where($"ts" >= lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * Ns))
+    val e = ev(s, dir)
+    e
+      .where($"ts" >= EventTime.atUtc(e, "2024-01-15T00:00:00Z"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), dsum2($"value").as("total_value"))
       .orderBy($"event_type")
@@ -71,9 +72,10 @@ object EventQueries {
     */
   def qDedupFirstEvent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val e = ev(s, dir)
     val w = Window.partitionBy($"user_id", $"event_type")
-      .orderBy(tsSec, $"event_id")
-    ev(s, dir)
+      .orderBy(tsSec(e), $"event_id")
+    e
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"event_type", $"event_id".as("first_event_id"))
@@ -86,12 +88,13 @@ object EventQueries {
     */
   def qGoldAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ev(s, dir)
+    val e = ev(s, dir)
+    e
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct($"user_id").as("n_users"),
-        max(tsSec).as("last_ts_sec"),
+        max(tsSec(e)).as("last_ts_sec"),
         dsum2($"value").as("total_value"))
       .orderBy($"event_type")
   }
@@ -113,8 +116,9 @@ object EventQueries {
     */
   def qEventHourMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ev(s, dir)
-      .groupBy(date_format(tsTimestamp, "yyyy-MM-dd HH").as("hour"))
+    val e = ev(s, dir)
+    e
+      .groupBy(date_format(tsTimestamp(e), "yyyy-MM-dd HH").as("hour"))
       .agg(count(lit(1)).as("n"))
       .orderBy($"hour")
   }
@@ -157,8 +161,9 @@ object EventQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
-    ev(s, dir)
-      .select($"user_id", $"event_id", tsSec.as("sec"))
+    val e = ev(s, dir)
+    e
+      .select($"user_id", $"event_id", tsSec(e).as("sec"))
       .withColumn("new_sess",
         when(lag($"sec", 1).over(w).isNull ||
           ($"sec" - lag($"sec", 1).over(w)) > 1800, 1L).otherwise(0L))

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.core.Tables
+import graft.core.{EventTime, Tables}
 
 /** Spark-level invariance properties (SURVEY.md §5.2): dedup
   * idempotence, aggregation invariance under partitioning/row order.
@@ -34,7 +34,7 @@ class InvariantsSpec extends SparkTestBase {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          max(expr("ts div 1000000000")).as("last_ts_sec"),
+          max(EventTime.sec(ev)).as("last_ts_sec"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy(col("event_type"))
         .collect().map(_.toSeq).toSeq
