@@ -78,7 +78,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    txns: Map[String, Long],
                    stats: Map[String, FileStats] = Map.empty,
                    constraints: Map[String, String] = Map.empty,
-                   dvs: Map[String, DvRef] = Map.empty)
+                   dvs: Map[String, DvRef] = Map.empty,
+                   blooms: Map[String, BloomCfg] = Map.empty)
 
   /** Newest contiguous committed state (empty state at version -1 for
     * a table with no commits). Contiguity guards a listing that races
@@ -126,6 +127,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var stats = st.stats
     var constraints = st.constraints
     var dvs = st.dvs
+    var blooms = st.blooms
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -141,10 +143,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
         txns += app -> math.max(batch, txns.getOrElse(app, Long.MinValue))
       case Constr(n, e) => constraints += n -> e
       case DropConstr(n) => constraints -= n
+      case BloomIdx(c, items, fpp) => blooms += c -> BloomCfg(items, fpp)
+      case DropBloomIdx(c) => blooms -= c
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
-    State(version, files, schema, txns, stats, constraints, dvs)
+    State(version, files, schema, txns, stats, constraints, dvs, blooms)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -163,7 +167,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * `col.isin(literals)`, plus
     * `isNull`/`isNotNull`; anything else — and any file committed
     * without stats — is read, never skipped, so the result ALWAYS
-    * equals `read().where(predicate)`.
+    * equals `read().where(predicate)`. Equality/IN conjuncts on
+    * [[addBloomIndex]]ed columns additionally prune through the
+    * per-file bloom sidecars, the skip min/max stats cannot give on
+    * high-cardinality columns.
     */
   def scan(predicate: org.apache.spark.sql.Column): DataFrame = {
     val s = state()
@@ -173,11 +180,61 @@ class TxTable(spark: SparkSession, val tablePath: String,
 
   /** The file names [[scan]] would read — exposed so tests (and scale
     * audits) can assert the skipping itself, not just the result.
+    * Two stages: the manifest min/max kernel, then bloom sidecars for
+    * equality/IN conjuncts on indexed columns ([[addBloomIndex]]).
     */
   private[graft] def prunedFiles(s: State,
-                                predicate: org.apache.spark.sql.Column): Seq[String] =
-    TxTable.filesToRead(s.files, s.stats,
-      org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate))
+                                predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val shapes = org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate)
+    bloomPrune(s, TxTable.filesToRead(s.files, s.stats, shapes), shapes)
+  }
+
+  /** Second skip stage: a candidate file is dropped when an indexed
+    * equality/IN conjunct's value(s) are PROVABLY absent from its bloom
+    * sidecar. Bloom filters have no false negatives, so the prune is
+    * sound (scan ≡ read().where, always); false positives only cost a
+    * file read, bounded by the index's fpp. A missing or unreadable
+    * sidecar — or a literal whose type doesn't match the column's
+    * put-encoding — keeps the file.
+    */
+  private def bloomPrune(s: State, candidates: Seq[String],
+      shapes: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape]): Seq[String] = {
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape}
+    if (s.blooms.isEmpty) return candidates
+    val probes: Seq[(String, Seq[Any])] = shapes.collect {
+      case CmpShape(name, "=" | "==", v) if s.blooms.contains(name) && v != null =>
+        name -> Seq(v)
+      case InShape(name, vs) if s.blooms.contains(name) && vs.nonEmpty &&
+          vs.forall(_ != null) => name -> vs
+    }
+    if (probes.isEmpty) return candidates
+    val types = s.schema.map(sc => sc.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    candidates.filter { f =>
+      !probes.exists { case (colName, values) =>
+        types.get(colName).exists { dt =>
+          bloomFor(f, colName).exists { bf =>
+            values.forall(v => TxTable.bloomMightContain(bf, dt, v).contains(false))
+          }
+        }
+      }
+    }
+  }
+
+  private def bloomFor(file: String, colName: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    TxTable.cachedBloom(s"$tablePath#$file#$colName") {
+      val p = new Path(root, TxTable.bloomName(file, colName))
+      val fsv = fs
+      try {
+        if (!fsv.exists(p)) None
+        else {
+          val in = fsv.open(p)
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    }
 
   /** Time travel: the table exactly as of `version`. */
   def readAt(version: Long): DataFrame = {
@@ -325,6 +382,119 @@ class TxTable(spark: SparkSession, val tablePath: String,
           s"(have: ${st.constraints.keys.toSeq.sorted.mkString(", ")})")
       Some(Seq(DropConstr(name)))
     }
+
+  /** Register a BLOOM FILTER INDEX on `column` (Delta's bloom-filter
+    * index design): every data file carries a `bloom-<file>.<col>.bin`
+    * sidecar built from its non-null column values, and point lookups
+    * (`===` / `isin` conjuncts in [[scan]] and the predicate verbs)
+    * drop candidate files whose filter proves the value absent — the
+    * skip that min/max stats CANNOT give on a high-cardinality column
+    * whose values interleave across every file's range (a needle
+    * lookup on a 100 TB table clustered by something else opens ~fpp ×
+    * files instead of all of them). Existing files backfill here in
+    * one distributed pass; every later write stages sidecars for its
+    * own files before committing them ([[stageData]]), and rewrites
+    * (compact / cluster / merge / delete / update) re-index their
+    * outputs automatically. No false negatives ⇒ the prune is SOUND
+    * (`scan ≡ read().where`, always); a missing or unreadable sidecar
+    * simply reads the file. Files appended concurrently with this DDL
+    * lack sidecars until their next rewrite — never wrong, only
+    * unpruned. Integral, string and binary columns only; [[vacuum]]
+    * sweeps sidecars of dead files and dropped indexes.
+    */
+  def addBloomIndex(column: String, expectedItems: Long = 1000000L,
+                    fpp: Double = 0.03): Unit = {
+    import org.apache.spark.sql.types._
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val snap = state()
+    val field = snap.schema.flatMap(_.fields.find(_.name == column))
+    require(field.nonEmpty,
+      s"cannot bloom-index $column: not a column of $tablePath " +
+        "(index an empty table after its first append)")
+    field.get.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType => ()
+      case dt => throw new IllegalArgumentException(
+        s"bloom index on $column: unsupported type $dt " +
+          "(integral, string and binary columns only)")
+    }
+    buildBloomSidecars(snap.files, Map(column -> BloomCfg(expectedItems, fpp)))
+    commitLoop(s"add bloom index on $tablePath") { _ =>
+      Some(Seq(BloomIdx(column, expectedItems, fpp)))
+    }
+  }
+
+  /** Drop a bloom index; sidecars become garbage [[vacuum]] sweeps. */
+  def dropBloomIndex(column: String): Unit =
+    commitLoop(s"drop bloom index on $tablePath") { st =>
+      require(st.blooms.contains(column),
+        s"no bloom index on $column of $tablePath " +
+          s"(have: ${st.blooms.keys.toSeq.sorted.mkString(", ")})")
+      Some(Seq(DropBloomIdx(column)))
+    }
+
+  /** Build the per-(file, column) bloom sidecars for `fileNames`: one
+    * distributed pass per indexed column over ONLY those files —
+    * map-side partial filters fold per partition, merge per file, and
+    * each merged filter writes from the executor holding it (the DV
+    * sidecar pattern; the driver never materializes a bitset). A
+    * column a file doesn't have (pre-evolution data) or with an
+    * unsupported type contributes no sidecar — those files simply stay
+    * unpruned.
+    */
+  private def buildBloomSidecars(fileNames: Seq[String],
+      blooms: Map[String, BloomCfg]): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.util.sketch.BloomFilter
+    if (fileNames.isEmpty || blooms.isEmpty) return
+    val rootStr = root.toString
+    val shc = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(fileNames.map(f => new Path(root, f).toString): _*)
+    blooms.foreach { case (colName, cfg) =>
+      df.schema.fields.find(_.name == colName).foreach { field =>
+        val dt = field.dataType
+        val supported = dt match {
+          case LongType | IntegerType | ShortType | ByteType | StringType |
+               BinaryType => true
+          case _ => false
+        }
+        if (supported) {
+          val (items, fpp) = (cfg.items, cfg.fpp)
+          df.select(F.col("_metadata.file_name").as("__bfile"),
+              F.col(colName).as("__bval"))
+            .where(F.col("__bval").isNotNull)
+            .rdd.mapPartitions { it =>
+              val m = scala.collection.mutable.HashMap.empty[String, BloomFilter]
+              it.foreach { r =>
+                val bf = m.getOrElseUpdate(r.getString(0),
+                  BloomFilter.create(items, fpp))
+                dt match {
+                  case LongType => bf.putLong(r.getLong(1))
+                  case IntegerType => bf.putLong(r.getInt(1).toLong)
+                  case ShortType => bf.putLong(r.getShort(1).toLong)
+                  case ByteType => bf.putLong(r.getByte(1).toLong)
+                  case StringType => bf.putString(r.getString(1))
+                  case _ => bf.putBinary(r.getAs[Array[Byte]](1))
+                }
+              }
+              m.iterator
+            }
+            .reduceByKey { (a, b) => a.mergeInPlace(b); a }
+            .foreachPartition { it: Iterator[(String, BloomFilter)] =>
+              val rootP = new Path(rootStr)
+              val fsv = rootP.getFileSystem(shc.value)
+              it.foreach { case (file, bf) =>
+                val out = fsv.create(
+                  new Path(rootP, TxTable.bloomName(file, colName)), true)
+                try bf.writeTo(out) finally out.close()
+              }
+            }
+        }
+      }
+    }
+  }
 
   /** CHECK-constraint gate on a write's newly staged files: ONE scan
     * of only those files (the input plan is never re-computed and
@@ -853,6 +1023,157 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** SCD TYPE 2 merge — the history-preserving upsert every warehouse
+    * dimension load uses (Kimball's slowly-changing dimension): rows
+    * carry [[TxTable.ScdFromCol]]/[[TxTable.ScdToCol]] change-epoch
+    * columns forming the validity interval `[_scd_from, _scd_to)`,
+    * with `_scd_to IS NULL` marking each key's CURRENT row. For every
+    * source row, compared attribute-by-attribute (null-safely) against
+    * the key's current row:
+    *
+    *   - attributes differ → the current row is CLOSED (`_scd_to`
+    *     stamped with `version`) and the source row inserted as the new
+    *     current row (`_scd_from = version`), both in ONE atomic commit
+    *     (readers see the old dimension or the new, never a torn key);
+    *   - key has no current row → plain insert;
+    *   - attributes identical → provably a no-op — the key's file is
+    *     not even rewritten, so a full-dimension reload with 1% churn
+    *     rewrites ~1% of the current set, not the table.
+    *
+    * Only files holding a CURRENT row of a CHANGED key rewrite;
+    * history-only files never do, so cost is O(changed keys ×
+    * avg file span), independent of accumulated history depth — the
+    * property that keeps a years-deep 100 TB dimension loadable.
+    * `version` is the caller's change epoch (batch id, business date);
+    * it must exceed the `_scd_from` of every row it closes (checked:
+    * an equal or lower epoch would create an empty or inverted
+    * interval and make [[scdAsOf]] ambiguous).
+    *
+    * Concurrency and change-record contracts match [[merge]] (close =
+    * update_pre/postimage, new rows = insert, staged atomically), so
+    * change-feed consumers survive a dimension reload. Readers:
+    * [[scdCurrent]] (the live dimension) and [[scdAsOf]] (the
+    * dimension at a BUSINESS epoch — where [[snapshotAt]] time-travels
+    * by commit version, this travels by the data's own validity).
+    */
+  def mergeScd2(source: DataFrame, keys: Seq[String], version: Long): Unit = {
+    require(keys.nonEmpty, "mergeScd2 needs at least one key column")
+    val reserved = Seq(ScdFromCol, ScdToCol).filter(source.columns.contains)
+    require(reserved.isEmpty,
+      s"mergeScd2 source must not carry ${reserved.mkString(", ")} — " +
+        "validity intervals are table-managed")
+    // one materialization pins a non-deterministic source to a single
+    // evaluation — same contract as merge()
+    source.persist()
+    try scd2Merge0(source, keys, version) finally source.unpersist()
+  }
+
+  private def scd2Merge0(source: DataFrame, keys: Seq[String], version: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, when}
+    val dupes = source.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"mergeScd2 source has duplicate keys on (${keys.mkString(", ")}) — " +
+        "a key's new current row must be unique")
+    val snap = state()
+    val stamped = source
+      .withColumn(ScdFromCol, lit(version))
+      .withColumn(ScdToCol, lit(null).cast("long"))
+    if (snap.files.isEmpty) { append(stamped); return }
+    val tableCols = snap.schema.map(_.fieldNames.toSeq).getOrElse(Nil)
+    require(tableCols.contains(ScdFromCol) && tableCols.contains(ScdToCol),
+      s"$tablePath is not an SCD2 table (no $ScdFromCol/$ScdToCol columns) — " +
+        "seed it with mergeScd2 on an empty table")
+    val business = tableCols.filterNot(c => c == ScdFromCol || c == ScdToCol)
+    require(source.columns.toSet == business.toSet,
+      s"mergeScd2 source columns [${source.columns.sorted.mkString(", ")}] must " +
+        s"match the table's business columns [${business.sorted.mkString(", ")}] " +
+        "exactly — evolve the schema with a separate append first")
+    val attrs = business.filterNot(keys.contains)
+    val cur = readState(snap).where(col(ScdToCol).isNull)
+    // null-safe attribute comparison: any tracked attribute differing
+    // makes the key "changed"; a key-only table can never change
+    val joined = cur.alias("t").join(source.alias("s"), keys)
+    val differs = attrs.map(a => !(col(s"t.$a") <=> col(s"s.$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val nonMonotone = joined.where(differs && col(s"t.$ScdFromCol") >= version)
+      .limit(1).collect()
+    require(nonMonotone.isEmpty,
+      s"mergeScd2 version $version does not exceed $ScdFromCol of a current " +
+        s"row it closes (e.g. ${nonMonotone.headOption.getOrElse("")}) — " +
+        "change epochs must be strictly increasing per key")
+    val changedKeys = joined.where(differs)
+      .select(keys.map(col): _*).distinct().persist()
+    try {
+      // files to rewrite: ONLY those holding a current row of a changed
+      // key — history-only files are untouched by construction
+      val touched = readState(snap).withColumn("__file", input_file_name())
+        .where(col(ScdToCol).isNull)
+        .join(changedKeys, keys, "left_semi")
+        .select("__file").distinct().collect()
+        .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
+      // rows entering the table at this epoch: brand-new keys + the new
+      // current rows of changed keys (identical-attribute rows are in
+      // neither set — the no-op)
+      val newRows = stamped.join(cur, keys, "left_anti")
+        .unionByName(stamped.join(changedKeys, keys, "left_semi"))
+      if (touched.isEmpty && newRows.isEmpty) return // provable no-op
+      val touchedRows = readState(snap.copy(files = touched))
+      if (touched.nonEmpty) touchedRows.persist()
+      val (staged, stagedCdf) = try {
+        val marked = changedKeys.withColumn("__scd_chg", lit(1))
+        val rewritten = touchedRows.join(marked, keys, "left")
+          .withColumn(ScdToCol,
+            when(col(ScdToCol).isNull && col("__scd_chg") === 1, lit(version))
+              .otherwise(col(ScdToCol)))
+          .drop("__scd_chg")
+        val closingPre = touchedRows.where(col(ScdToCol).isNull)
+          .join(changedKeys, keys, "left_semi")
+        val s1 = stageData(rewritten.unionByName(newRows))
+        val s2 = stageData(
+          closingPre.withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(closingPre.withColumn(ScdToCol, lit(version))
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+            .unionByName(newRows.withColumn(ChangeTypeCol, lit("insert"))),
+          prefix = "cdf", collectStats = false)
+        (s1, s2)
+      } finally if (touched.nonEmpty) touchedRows.unpersist()
+      enforceConstraints(snap.constraints, staged,
+        snap.schema.get, staged ++ stagedCdf, "scd2 merge into")
+      val mayMatch = addsMayMatchKeys(source, keys)
+      fireBeforeCommitHook()
+      commitLoop(s"scd2 merge into $tablePath") { st =>
+        findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
+          (staged ++ stagedCdf).foreach { case (f, _) =>
+            fs.delete(new Path(root, f), false)
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting concurrent commit on $tablePath during scd2 merge: " +
+              s"$why; rerun mergeScd2() against the new state")
+        }
+        Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+          stagedCdf.map { case (p, _) => Cdf(p) })
+      }
+    } finally changedKeys.unpersist()
+  }
+
+  /** The live dimension: each key's current row ([[mergeScd2]]). */
+  def scdCurrent(): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    read().where(col(ScdToCol).isNull)
+  }
+
+  /** The dimension as of business epoch `epoch`: rows whose validity
+    * interval `[_scd_from, _scd_to)` contains it ([[mergeScd2]]) —
+    * time travel by the DATA's change epochs, not commit history, so
+    * it works across compaction/clustering and after vacuum.
+    */
+  def scdAsOf(epoch: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    read().where(col(ScdFromCol) <= epoch &&
+      (col(ScdToCol).isNull || col(ScdToCol) > epoch))
+  }
+
   /** Copy-on-write DELETE of the rows where `predicate` is TRUE (rows
     * where it is false or null survive — SQL DELETE semantics). File
     * pruning is two-stage: manifest stats first (files whose ranges
@@ -1184,7 +1505,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
         val n = st.getPath.getName
         if (n.endsWith(".parquet"))
           !referenced.contains(n) && !cdfReferenced.contains(n)
-        else n.startsWith("dv-") && n.endsWith(".bin") && !dvReferenced.contains(n)
+        else if (n.startsWith("dv-") && n.endsWith(".bin"))
+          !dvReferenced.contains(n)
+        else n.startsWith("bloom-") && n.endsWith(".bin") &&
+          // a bloom sidecar dies with its data file, or when its index
+          // was dropped (sidecars are derived data — sweeping one only
+          // disables a prune, never correctness)
+          TxTable.bloomParse(n).exists { case (dataFile, colName) =>
+            !referenced.contains(dataFile) || !head.blooms.contains(colName)
+          }
       }
       .filter(_.getModificationTime < cutoff)
       .foreach(st => fsv.delete(st.getPath, false))
@@ -1420,6 +1749,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // stays (never discard data on a guess).
     val (empty, kept) = names.partition(_._2.exists(_.rows == 0L))
     empty.foreach { case (f, _) => fsv.delete(new Path(root, f), false) }
+    // bloom-index sidecars are staged WITH the data files, before the
+    // commit that makes either visible — a reader can never see an
+    // indexed file without its sidecar. Change-record stages
+    // (collectStats = false) are not live data and are never indexed.
+    if (collectStats && kept.nonEmpty) {
+      val blooms = state().blooms
+      if (blooms.nonEmpty) buildBloomSidecars(kept.map(_._1), blooms)
+    }
     kept
   }
 
@@ -1569,7 +1906,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
           case (k, v) => k -> (JString(v): JValue) }),
         "dvs" -> JObject(st.dvs.toList.map { case (k, d) =>
           k -> (JObject("dv" -> (JString(d.dvFile): JValue),
-            "n" -> (JLong(d.deleted): JValue)): JValue) })
+            "n" -> (JLong(d.deleted): JValue)): JValue) }),
+        "blooms" -> JObject(st.blooms.toList.map { case (k, c) =>
+          k -> (JObject("items" -> (JLong(c.items): JValue),
+            "fpp" -> (JDouble(c.fpp): JValue)): JValue) })
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -1639,7 +1979,25 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }.toMap
       case _ => Map.empty[String, DvRef]
     }
-    State(version, files, schema, txns, stats, constraints, dvs)
+    // absent in pre-bloom-index checkpoints: empty, not an error
+    val blooms = (j \ "blooms") match {
+      case JObject(fields) => fields.flatMap { case (k, v) =>
+        val items = (v \ "items") match {
+          case JLong(x) => Some(x)
+          case JInt(x) => Some(x.toLong)
+          case _ => None
+        }
+        val fpp = (v \ "fpp") match {
+          case JDouble(x) => Some(x)
+          case JDecimal(x) => Some(x.toDouble)
+          case JInt(x) => Some(x.toDouble)
+          case _ => None
+        }
+        for (i <- items; f <- fpp) yield k -> BloomCfg(i, f)
+      }.toMap
+      case _ => Map.empty[String, BloomCfg]
+    }
+    State(version, files, schema, txns, stats, constraints, dvs, blooms)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -1994,6 +2352,12 @@ object TxTable {
   /** Change-feed column names ([[TxTable.readChangeFeed]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  /** SCD2 validity-interval column names ([[TxTable.mergeScd2]]):
+    * `[_scd_from, _scd_to)` in the caller's change-epoch domain,
+    * `_scd_to IS NULL` marking each key's current row.
+    */
+  val ScdFromCol = "_scd_from"
+  val ScdToCol = "_scd_to"
   private val MaxCommitAttempts = 30
   private val ManifestRe = """v(\d{20})\.json""".r
   private val CheckpointRe = """v(\d{20})\.ckpt\.json""".r
@@ -2030,6 +2394,77 @@ object TxTable {
       extends Action {
     def toJson: JObject = JObject("a" -> JString("dv"), "path" -> JString(path),
       "dv" -> JString(dvFile), "n" -> JLong(deletedRows))
+  }
+  /** Bloom-filter index config for a column ([[TxTable.addBloomIndex]]). */
+  case class BloomCfg(items: Long, fpp: Double)
+  private[core] case class BloomIdx(column: String, items: Long, fpp: Double)
+      extends Action {
+    def toJson: JObject = JObject("a" -> JString("bloomIndex"),
+      "column" -> JString(column), "items" -> JLong(items), "fpp" -> JDouble(fpp))
+  }
+  private[core] case class DropBloomIdx(column: String) extends Action {
+    def toJson: JObject =
+      JObject("a" -> JString("dropBloomIndex"), "column" -> JString(column))
+  }
+
+  /** Sidecar path of a (data file, indexed column) bloom filter. */
+  private[core] def bloomName(dataFile: String, colName: String): String =
+    s"bloom-$dataFile.$colName.bin"
+
+  /** Inverse of [[bloomName]]: (data file, column), or None if the name
+    * is not a well-formed bloom sidecar.
+    */
+  private[core] def bloomParse(sidecar: String): Option[(String, String)] = {
+    if (!sidecar.startsWith("bloom-") || !sidecar.endsWith(".bin")) None
+    else {
+      val body = sidecar.stripPrefix("bloom-").stripSuffix(".bin")
+      val i = body.lastIndexOf(".parquet.")
+      if (i < 0) None
+      else Some((body.substring(0, i + 8), body.substring(i + 9)))
+    }
+  }
+
+  /** Process-local cache of loaded bloom sidecars: data files are
+    * immutable and uniquely named, so an entry can never go stale —
+    * `None` (no sidecar) is cached too, safe because sidecars are
+    * always written BEFORE the commit that makes their file (or index
+    * registration) visible.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[
+      org.apache.spark.util.sketch.BloomFilter]]()
+  private[core] def cachedBloom(key: String)(
+      load: => Option[org.apache.spark.util.sketch.BloomFilter])
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.computeIfAbsent(key, _ => load)
+
+  /** Probe a sidecar filter with a predicate literal, or None when the
+    * literal's runtime type doesn't match the column's put-encoding
+    * (pruning on a mismatched encoding could false-negative, which
+    * would be an UNSOUND skip — mismatches must read the file).
+    */
+  private[core] def bloomMightContain(
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => v match {
+        case n: java.lang.Long => Some(bf.mightContainLong(n))
+        case n: java.lang.Integer => Some(bf.mightContainLong(n.longValue))
+        case n: java.lang.Short => Some(bf.mightContainLong(n.longValue))
+        case n: java.lang.Byte => Some(bf.mightContainLong(n.longValue))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some(bf.mightContainString(s))
+        case _ => None
+      }
+      case BinaryType => v match {
+        case b: Array[Byte] => Some(bf.mightContainBinary(b))
+        case _ => None
+      }
+      case _ => None
+    }
   }
   /** A parquet file of row-level changes (`_change_type` column) for
     * the commit that carries it — the change-data-feed record a
@@ -2088,6 +2523,22 @@ object TxTable {
         case JString("rewrite") => RewriteMarker
         case JString("constraint") => Constr(str("name"), str("expr"))
         case JString("dropConstraint") => DropConstr(str("name"))
+        case JString("bloomIndex") =>
+          val items = (j \ "items") match {
+            case JLong(n) => n
+            case JInt(n) => n.toLong
+            case other => throw new IllegalArgumentException(
+              s"manifest bloomIndex items: expected number, got $other in $line")
+          }
+          val fpp = (j \ "fpp") match {
+            case JDouble(d) => d
+            case JDecimal(d) => d.toDouble
+            case JInt(n) => n.toDouble
+            case other => throw new IllegalArgumentException(
+              s"manifest bloomIndex fpp: expected number, got $other in $line")
+          }
+          BloomIdx(str("column"), items, fpp)
+        case JString("dropBloomIndex") => DropBloomIdx(str("column"))
         case JString("txn") => (j \ "batchId") match {
           case JLong(b) => Txn(str("writerId"), b)
           case JInt(b) => Txn(str("writerId"), b.toLong)

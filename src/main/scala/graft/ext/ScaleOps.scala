@@ -567,6 +567,122 @@ object ScaleOps {
   def qTxUpdate(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(updatedOrdersTable(s, dir).read())
 
+  /** ACID orders clone scattered by HASH of the key across 16 files
+    * (each file's [min, max] key range spans nearly the whole domain,
+    * so manifest min/max stats prune NOTHING for a point lookup) with
+    * a BLOOM FILTER INDEX on the key
+    * ([[graft.core.TxTable.addBloomIndex]]) — built once per
+    * (session, dir). The builder asserts the bloom stage actually
+    * prunes a probe to a minority of files, so the query fails loudly
+    * if the index ever silently stops skipping.
+    */
+  private[ext] def bloomOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-bloom:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txbloom_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      t.append(base.repartition(16, col("o_orderkey")))
+      t.addBloomIndex("o_orderkey",
+        expectedItems = math.max(1L, base.count() / 8), fpp = 0.01)
+      val probe = col("o_orderkey") === base
+        .agg(min(col("o_orderkey"))).head.getLong(0)
+      val kept = t.prunedFiles(t.state(), probe).size
+      val total = t.state().files.size
+      require(kept * 2 < total,
+        s"bloom index stopped pruning: point probe kept $kept of $total files")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** Needle-in-haystack point lookups through the bloom-indexed scan:
+    * five deterministic keys fetched via `isin` — at 100 TB the
+    * difference between opening ~fpp × files and opening every file of
+    * a table clustered by something other than the probe key. Matches
+    * the oracle's plain IN reconstruction ONLY if bloom pruning never
+    * drops a file that held a matching row (the no-false-negative
+    * soundness contract).
+    */
+  def qTxBloom(s: SparkSession, dir: String): DataFrame = {
+    val t = bloomOrdersTable(s, dir)
+    // the same 5 keys the oracle SQL selects — a bounded driver-side
+    // collect (5 rows), not a data-scale operation
+    val keys = Tables.load(s, dir, "orders")
+      .where(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    t.scan(col("o_orderkey").isin(keys: _*))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SCD TYPE 2 customer dimension
+    * ([[graft.core.TxTable.mergeScd2]]), three change epochs applied
+    * once per (session, dir):
+    *   - epoch 1: full load of (custkey, mktsegment, acctbal);
+    *   - epoch 2: keys %10==0 arrive with acctbal+100 (close + insert);
+    *   - epoch 3: the SAME %10 source slice, but only keys %20==0
+    *     changed again (acctbal+250 vs base) — the %10-not-%20 rows are
+    *     byte-identical to their current rows and must be NO-OPS.
+    * Final history per key: %20==0 → two closed rows + current(+250);
+    * %10-not-%20 → one closed row + current(+100); else → the epoch-1
+    * row still current. The query aggregates current and closed rows
+    * separately plus the validity epochs, so the oracle reconstruction
+    * catches a wrong close, a missed no-op, or a mis-stamped interval.
+    */
+  private[ext] def scd2CustomerTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-scd2:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txscd2_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      t.mergeScd2(base.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions("c_custkey"), Seq("c_custkey"), 1L)
+      t.mergeScd2(base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0d)),
+        Seq("c_custkey"), 2L)
+      t.mergeScd2(base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") +
+          when(col("c_custkey") % 20 === 0, lit(250.0d)).otherwise(lit(100.0d))),
+        Seq("c_custkey"), 3L)
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** Per-segment summary of the SCD2 dimension: current and closed row
+    * counts, their balance sums, and the sum of current validity
+    * epochs. Matches the oracle's from-first-principles reconstruction
+    * ONLY if every close, insert, no-op and epoch stamp was exact.
+    */
+  def qTxScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toCol = col(graft.core.TxTable.ScdToCol)
+    val fromCol = col(graft.core.TxTable.ScdFromCol)
+    def dsum(c: Column): Column =
+      coalesce(sum(c.cast(DecimalType(18, 2))).cast("double"), lit(0.0d))
+    scd2CustomerTable(s, dir).read()
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(when(toCol.isNull, lit(1))).as("n_current"),
+        count(when(toCol.isNotNull, lit(1))).as("n_closed"),
+        dsum(when(toCol.isNull, col("c_acctbal"))).as("cur_bal"),
+        dsum(when(toCol.isNotNull, col("c_acctbal"))).as("closed_bal"),
+        sum(when(toCol.isNull, fromCol)).cast("long").as("from_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_stats" -> (qApproxStats _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -583,6 +699,8 @@ object ScaleOps {
     "q_tx_timetravel" -> (qTxTimetravel _),
     "q_tx_restore" -> (qTxRestore _),
     "q_tx_update" -> (qTxUpdate _),
+    "q_tx_scd2" -> (qTxScd2 _),
+    "q_tx_bloom" -> (qTxBloom _),
   )
 
   /** The two-pass heavy hitters output is exact and matches plain SQL;
@@ -711,6 +829,51 @@ object ScaleOps {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // plain IN reconstruction: matches only if the bloom-pruned scan
+    // read every file that held a probed key (soundness) — the builder
+    // separately asserts it read only a minority of files (the skip)
+    "q_tx_bloom" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderkey % 1000 = 0
+        |                     ORDER BY o_orderkey LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
+    // SCD2 reconstructed from first principles: the current row of a
+    // key is its LAST arriving distinct version (epoch 3 for %20==0,
+    // epoch 2 for %10-not-%20, epoch 1 otherwise); closed rows are
+    // every superseded version (the %10 epoch-2 rows closed at 3 ONLY
+    // where %20 changed again — the no-op must leave the rest open).
+    // Double additions are IEEE-deterministic, identical in DuckDB.
+    "q_tx_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_mktsegment,
+        |    c_acctbal + CASE WHEN c_custkey % 20 = 0 THEN 250.0
+        |                     WHEN c_custkey % 10 = 0 THEN 100.0
+        |                     ELSE 0.0 END AS bal,
+        |    CASE WHEN c_custkey % 20 = 0 THEN 3
+        |         WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS f
+        |  FROM customer),
+        |closed AS (
+        |  SELECT c_mktsegment, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal + 100.0
+        |  FROM customer WHERE c_custkey % 20 = 0),
+        |a AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_current,
+        |    CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS cur_bal,
+        |    CAST(SUM(f) AS BIGINT) AS from_sum
+        |  FROM cur GROUP BY 1),
+        |b AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_closed,
+        |    CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS closed_bal
+        |  FROM closed GROUP BY 1)
+        |SELECT a.c_mktsegment, a.n_current,
+        |  COALESCE(b.n_closed, 0) AS n_closed, a.cur_bal,
+        |  COALESCE(b.closed_bal, 0.0) AS closed_bal, a.from_sum
+        |FROM a LEFT JOIN b USING (c_mktsegment)
+        |ORDER BY a.c_mktsegment""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

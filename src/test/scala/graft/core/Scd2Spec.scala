@@ -1,0 +1,147 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** SCD Type 2 merge semantics ([[TxTable.mergeScd2]]): close/insert on
+  * change, plain insert on new keys, provable no-op on identical rows,
+  * history-only files never rewritten, monotone change epochs, and the
+  * business-time readers (scdCurrent/scdAsOf).
+  */
+class Scd2Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val F = TxTable.ScdFromCol
+  private val T = TxTable.ScdToCol
+
+  private def dim(rows: Seq[(Long, String)]) =
+    rows.toDF("id", "attr").coalesce(1)
+
+  /** (id, attr, from, to-or-null) tuples of the full table, sorted. */
+  private def hist(t: TxTable): Seq[(Long, String, Long, Option[Long])] =
+    t.read().select(col("id"), col("attr"), col(F), col(T))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq.sorted
+
+  test("close + insert on change, insert on new key, no-op on identical") {
+    val t = new TxTable(spark, tmpDir("scd2"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b", 3L -> "c")), Seq("id"), 1L)
+    assert(hist(t) == Seq(
+      (1L, "a", 1L, None), (2L, "b", 1L, None), (3L, "c", 1L, None)))
+
+    // key 1 changes, key 2 identical (no-op), key 4 is new; key 3 absent
+    // from the source and must stay current untouched
+    t.mergeScd2(dim(Seq(1L -> "a2", 2L -> "b", 4L -> "d")), Seq("id"), 2L)
+    assert(hist(t) == Seq(
+      (1L, "a", 1L, Some(2L)), (1L, "a2", 2L, None),
+      (2L, "b", 1L, None), (3L, "c", 1L, None), (4L, "d", 2L, None)))
+
+    assert(t.scdCurrent().select("id", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // business-time travel: epoch 1 predates key 4 and key 1's change
+    assert(t.scdAsOf(1L).select("id", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.scdAsOf(2L).count() == 4L)
+  }
+
+  test("an all-identical source is a provable no-op: no commit, no files") {
+    val t = new TxTable(spark, tmpDir("scd2-noop"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    val (v, files) = (t.version, t.state().files.toSet)
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 2L)
+    assert(t.version == v, "identical merge must not commit")
+    assert(t.state().files.toSet == files)
+  }
+
+  test("history-only files are never rewritten by a later merge") {
+    val t = new TxTable(spark, tmpDir("scd2-hist"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b", 3L -> "c")), Seq("id"), 1L)
+    // epoch 2 closes keys 1 and 2: the seed file rewrites (it held
+    // their current rows), the new current rows land in fresh files
+    t.mergeScd2(dim(Seq(1L -> "a2", 2L -> "b2")), Seq("id"), 2L)
+    val afterE2 = t.state().files.toSet
+    // epoch 3 changes only key 1, whose current row is in an epoch-2
+    // file — every file holding only history/unchanged-current rows
+    // must survive untouched
+    t.mergeScd2(dim(Seq(1L -> "a3")), Seq("id"), 3L)
+    val touched = afterE2 -- t.state().files.toSet
+    val kept = t.state().files.toSet & afterE2
+    assert(kept.nonEmpty, "expected untouched files to survive the merge")
+    // the touched set is exactly the files that held key 1's current row
+    touched.foreach { f =>
+      val rows = spark.read.parquet(s"${t.tablePath}/$f")
+      assert(rows.where(col("id") === 1L && col(T).isNull).count() > 0,
+        s"$f was rewritten but held no current row of the changed key")
+    }
+    assert(hist(t).collect { case (1L, a, f, to) => (a, f, to) } == Seq(
+      ("a", 1L, Some(2L)), ("a2", 2L, Some(3L)), ("a3", 3L, None)))
+  }
+
+  test("change epochs must be strictly increasing per closed key") {
+    val t = new TxTable(spark, tmpDir("scd2-mono"))
+    t.mergeScd2(dim(Seq(1L -> "a")), Seq("id"), 5L)
+    val e = intercept[IllegalArgumentException](
+      t.mergeScd2(dim(Seq(1L -> "a2")), Seq("id"), 5L))
+    assert(e.getMessage.contains("strictly increasing"))
+    // a merge that closes nothing tolerates any epoch (pure insert)
+    t.mergeScd2(dim(Seq(2L -> "b")), Seq("id"), 3L)
+    assert(t.scdCurrent().count() == 2L)
+  }
+
+  test("invalid sources fail loudly") {
+    val t = new TxTable(spark, tmpDir("scd2-invalid"))
+    // reserved columns
+    val r = intercept[IllegalArgumentException](t.mergeScd2(
+      dim(Seq(1L -> "a")).withColumn(F, lit(0L)), Seq("id"), 1L))
+    assert(r.getMessage.contains("table-managed"))
+    // duplicate keys
+    t.mergeScd2(dim(Seq(1L -> "a")), Seq("id"), 1L)
+    val d = intercept[IllegalArgumentException](
+      t.mergeScd2(dim(Seq(1L -> "x", 1L -> "y")), Seq("id"), 2L))
+    assert(d.getMessage.contains("duplicate keys"))
+    // business columns must match the table's exactly
+    val m = intercept[IllegalArgumentException](t.mergeScd2(
+      Seq((1L, "a", 9L)).toDF("id", "attr", "extra"), Seq("id"), 2L))
+    assert(m.getMessage.contains("business columns"))
+    // a non-SCD table rejects the verb
+    val plain = new TxTable(spark, tmpDir("scd2-plain"))
+    plain.append(dim(Seq(1L -> "a")))
+    val p = intercept[IllegalArgumentException](
+      plain.mergeScd2(dim(Seq(1L -> "b")), Seq("id"), 1L))
+    assert(p.getMessage.contains("not an SCD2 table"))
+  }
+
+  test("the change record carries close pre/post images and inserts") {
+    val t = new TxTable(spark, tmpDir("scd2-cdf"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    val v = t.version
+    t.mergeScd2(dim(Seq(1L -> "a2", 3L -> "c")), Seq("id"), 2L)
+    val feed = t.readChangeFeed(v, t.version)
+      .select(col("id"), col("attr"), col(TxTable.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (1L, "a", "update_preimage"),
+      (1L, "a", "update_postimage"), // post-image = the CLOSED row
+      (1L, "a2", "insert"),
+      (3L, "c", "insert")))
+  }
+
+  test("scdAsOf across compaction: business time survives log surgery") {
+    val t = new TxTable(spark, tmpDir("scd2-compact"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    t.mergeScd2(dim(Seq(1L -> "a2")), Seq("id"), 2L)
+    t.mergeScd2(dim(Seq(2L -> "b3")), Seq("id"), 3L)
+    val before = t.scdAsOf(2L).select("id", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    t.compact()
+    assert(t.scdAsOf(2L).select("id", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    assert(before == Set((1L, "a2"), (2L, "b")))
+  }
+}
