@@ -199,42 +199,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   private def bloomPrune(s: State, candidates: Seq[String],
       shapes: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape]): Seq[String] = {
-    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape}
-    if (s.blooms.isEmpty) return candidates
-    val probes: Seq[(String, Seq[Any])] = shapes.collect {
-      case CmpShape(name, "=" | "==", v) if s.blooms.contains(name) && v != null =>
-        name -> Seq(v)
-      case InShape(name, vs) if s.blooms.contains(name) && vs.nonEmpty &&
-          vs.forall(_ != null) => name -> vs
-    }
-    if (probes.isEmpty) return candidates
     val types = s.schema.map(sc => sc.fields.map(f => f.name -> f.dataType).toMap)
       .getOrElse(Map.empty)
-    candidates.filter { f =>
-      !probes.exists { case (colName, values) =>
-        types.get(colName).exists { dt =>
-          bloomFor(f, colName).exists { bf =>
-            values.forall(v => TxTable.bloomMightContain(bf, dt, v).contains(false))
-          }
-        }
-      }
-    }
+    TxTable.bloomPruneFiles(root.toString, types, s.blooms,
+      spark.sparkContext.hadoopConfiguration, candidates, shapes)
   }
-
-  private def bloomFor(file: String, colName: String)
-      : Option[org.apache.spark.util.sketch.BloomFilter] =
-    TxTable.cachedBloom(s"$tablePath#$file#$colName") {
-      val p = new Path(root, TxTable.bloomName(file, colName))
-      val fsv = fs
-      try {
-        if (!fsv.exists(p)) None
-        else {
-          val in = fsv.open(p)
-          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-          finally in.close()
-        }
-      } catch { case _: java.io.IOException => None }
-    }
 
   /** Time travel: the table exactly as of `version`. */
   def readAt(version: Long): DataFrame = {
@@ -660,7 +629,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
       spark, schema, s.files.map(f => new Path(root, f).toString))
     if (s.files.nonEmpty && s.stats.nonEmpty)
       graft.plans.TxSkipRegistry.register(rel,
-        graft.plans.TxSkipRegistry.SkipInfo(root.toString, s.files, s.stats, schema))
+        graft.plans.TxSkipRegistry.SkipInfo(root.toString, s.files, s.stats,
+          schema, s.blooms))
     rel
   }
 
@@ -2437,6 +2407,55 @@ object TxTable {
       load: => Option[org.apache.spark.util.sketch.BloomFilter])
       : Option[org.apache.spark.util.sketch.BloomFilter] =
     bloomCache.computeIfAbsent(key, _ => load)
+
+  /** The bloom skip stage, shared by [[TxTable.scan]] (via the
+    * instance wrapper) and the declarative
+    * [[graft.plans.TxSkipRule]] path: drop candidate files whose
+    * sidecar filter proves an indexed equality/IN conjunct's value(s)
+    * absent. Bloom filters have no false negatives, so the prune is
+    * sound; missing/unreadable sidecars and literal-type mismatches
+    * keep the file. Loaded sidecars cache process-wide (immutable,
+    * uniquely-named files).
+    */
+  private[graft] def bloomPruneFiles(rootStr: String,
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      blooms: Map[String, BloomCfg],
+      conf: org.apache.hadoop.conf.Configuration,
+      candidates: Seq[String],
+      shapes: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape]): Seq[String] = {
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape}
+    if (blooms.isEmpty || candidates.isEmpty) return candidates
+    val probes: Seq[(String, Seq[Any])] = shapes.collect {
+      case CmpShape(name, "=" | "==", v) if blooms.contains(name) && v != null =>
+        name -> Seq(v)
+      case InShape(name, vs) if blooms.contains(name) && vs.nonEmpty &&
+          vs.forall(_ != null) => name -> vs
+    }
+    if (probes.isEmpty) return candidates
+    val rootP = new Path(rootStr)
+    lazy val fsv = rootP.getFileSystem(conf)
+    def bloomFor(file: String, colName: String) =
+      cachedBloom(s"$rootStr#$file#$colName") {
+        val p = new Path(rootP, bloomName(file, colName))
+        try {
+          if (!fsv.exists(p)) None
+          else {
+            val in = fsv.open(p)
+            try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+            finally in.close()
+          }
+        } catch { case _: java.io.IOException => None }
+      }
+    candidates.filter { f =>
+      !probes.exists { case (colName, values) =>
+        types.get(colName).exists { dt =>
+          bloomFor(f, colName).exists { bf =>
+            values.forall(v => bloomMightContain(bf, dt, v).contains(false))
+          }
+        }
+      }
+    }
+  }
 
   /** Probe a sidecar filter with a predicate literal, or None when the
     * literal's runtime type doesn't match the column's put-encoding

@@ -17,7 +17,8 @@ import graft.core.TxTable
   */
 private[graft] object TxSkipRegistry {
   case class SkipInfo(root: String, files: Seq[String],
-                      stats: Map[String, TxTable.FileStats], schema: StructType)
+                      stats: Map[String, TxTable.FileStats], schema: StructType,
+                      blooms: Map[String, TxTable.BloomCfg] = Map.empty)
 
   private val infos =
     java.util.Collections.synchronizedMap(
@@ -57,11 +58,16 @@ class TxSkipRule extends Rule[LogicalPlan] {
       TxSkipRegistry.get(lr.relation) match {
         case None => f
         case Some(info) =>
-          val kept = TxTable.filesToRead(info.files, info.stats,
-            GraftColumnBridge.conjunctShapesCatalyst(cond))
+          val spark = SparkSession.active
+          val shapes = GraftColumnBridge.conjunctShapesCatalyst(cond)
+          // same two stages as TxTable.scan: min/max kernel, then the
+          // bloom sidecars for indexed equality/IN conjuncts
+          val kept = TxTable.bloomPruneFiles(info.root,
+            info.schema.fields.map(sf => sf.name -> sf.dataType).toMap,
+            info.blooms, spark.sparkContext.hadoopConfiguration,
+            TxTable.filesToRead(info.files, info.stats, shapes), shapes)
           if (kept.size >= info.files.size) f
           else {
-            val spark = SparkSession.active
             val pruned = GraftStreamBridge.parquetRelation(spark, info.schema,
               kept.map(n => new Path(info.root, n).toString))
             // reuse the original output attributes: downstream

@@ -153,6 +153,30 @@ class BloomIndexSpec extends SparkTestBase {
       == t.state().files.size)
   }
 
+  test("declarative reads bloom-prune through TxSkipRule") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+    val t = scattered()
+    t.addBloomIndex("id", expectedItems = N, fpp = 0.01)
+    // .where over read(): same two-stage prune as scan(), automatic
+    val probe = t.read().where(col("id") === 2718L)
+    assert(planned(t.read()) == Files)
+    val kept = planned(probe)
+    assert(kept >= 1 && kept <= 2, s"expected ~1 planned file, got $kept")
+    assert(probe.select("v").collect().map(_.getString(0)).toSeq == Seq("v2718"))
+    // the batch format path too
+    val viaFormat = spark.read.format("graft-txtable")
+      .option("path", t.tablePath).load().where(col("id") === 2718L)
+    assert(planned(viaFormat) <= 2, viaFormat.queryExecution.optimizedPlan)
+    assert(viaFormat.count() == 1L)
+  }
+
   test("DDL validation: unknown columns and unsupported types fail loudly") {
     val t = new TxTable(spark, tmpDir("bloom-bad"))
     t.append(Seq((1L, 2.5d)).toDF("id", "d"))

@@ -132,6 +132,47 @@ class Scd2Spec extends SparkTestBase {
       (3L, "c", "insert")))
   }
 
+  test("redelivery of the same (source, version) batch is a no-op") {
+    // a foreachBatch dimension loader that crashes after mergeScd2 and
+    // replays the batch must not double-close or re-insert: the replay
+    // sees every source row identical to its current row
+    val t = new TxTable(spark, tmpDir("scd2-redeliver"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    t.mergeScd2(dim(Seq(1L -> "a2", 3L -> "c")), Seq("id"), 2L)
+    val (v, rows) = (t.version, hist(t))
+    t.mergeScd2(dim(Seq(1L -> "a2", 3L -> "c")), Seq("id"), 2L) // replay
+    assert(t.version == v, "replayed batch must not commit")
+    assert(hist(t) == rows)
+  }
+
+  test("mergeScd2 as a writeStream.foreachBatch dimension loader") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = new TxTable(spark, tmpDir("scd2-stream"))
+    // (id, attr, epoch): each micro-batch carries one change epoch —
+    // the CDC-feed shape a dimension loader consumes
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = stream.toDF().toDF("id", "attr", "epoch").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val epochs = b.select(col("epoch")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        epochs.foreach { e =>
+          t.mergeScd2(
+            b.where(col("epoch") === e).select(col("id"), col("attr")), Seq("id"), e)
+        }
+      }
+      .option("checkpointLocation", tmpDir("scd2-stream-ckpt"))
+      .start()
+    stream.addData((1L, "a", 1L), (2L, "b", 1L))
+    q.processAllAvailable()
+    stream.addData((1L, "a2", 2L), (3L, "c", 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(hist(t) == Seq(
+      (1L, "a", 1L, Some(2L)), (1L, "a2", 2L, None),
+      (2L, "b", 1L, None), (3L, "c", 2L, None)))
+  }
+
   test("scdAsOf across compaction: business time survives log surgery") {
     val t = new TxTable(spark, tmpDir("scd2-compact"))
     t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
