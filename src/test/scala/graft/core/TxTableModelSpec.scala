@@ -36,7 +36,7 @@ class TxTableModelSpec extends SparkTestBase {
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
       (0 until 10).foreach { _ =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -71,6 +71,14 @@ class TxTableModelSpec extends SparkTestBase {
                 // full-window retention: every snapshot stays readable,
                 // only orphans go — exercises the referenced-set fold
                 if (t.version >= 0) t.vacuum(retainVersions = 1000, olderThanMs = -5000L)
+            }
+          case 6 => // bloom index DDL: rows must not change; every
+            // later ===/isin scan probe then runs the sidecar prune
+            // against whatever layout the other mutations produce
+            if (t.version >= 0) {
+              if (!t.state().blooms.contains("k"))
+                t.addBloomIndex("k", expectedItems = 200L, fpp = 0.01)
+              else if (rnd.nextBoolean()) t.dropBloomIndex("k")
             }
         }
         if (t.version >= 0) {
