@@ -447,6 +447,44 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Exact duplicated-span detection (the "Deduplicating Training Data
+    * Makes Language Models Better" substring-dedup shape, Lee et al.
+    * 2022): document pairs sharing at least one IDENTICAL
+    * `SpanTokens`-token window, with the count of distinct shared
+    * windows. Where the n-gram Jaccard queries measure whole-document
+    * set overlap, this finds verbatim runs — boilerplate, quoted
+    * passages, copy-paste — even between documents that are globally
+    * dissimilar.
+    *
+    * Shape: [[graft.functions.ShingleHashes]] at w = SpanTokens
+    * produces each doc's distinct window hashes map-side (one native
+    * loop, no string materialization), the inverted index groups by
+    * window hash, and the codegen'd
+    * [[graft.functions.PairExpand]] kernel emits per-bucket pairs —
+    * O(Σ df²) over windows with df > 1, never an all-pairs join. At
+    * 100 TB the df distribution is the knob: boilerplate windows with
+    * huge df get capped or prefix-filtered exactly like the jaccard
+    * path ([[qNgramJaccardPrefix]]); the output feeds span REMOVAL
+    * (cut the duplicated run, keep the doc), which is why the count of
+    * shared spans — not a similarity score — is the payload.
+    */
+  private[ext] val SpanTokens = 16
+
+  def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{PairExpand, ShingleHashes}
+    docs(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .where(size($"toks") >= SpanTokens)
+      .select($"doc_id", explode(ShingleHashes($"toks", SpanTokens)).as("h"))
+      .groupBy($"h").agg(array_sort(collect_list($"doc_id")).as("ds"))
+      .where(size($"ds") > 1)
+      .select(explode(PairExpand($"ds")).as("p"))
+      .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Deterministic corpus shuffle — the stable pseudo-random training
     * order every pipeline needs: sort by md5(seed ‖ doc_id). Rerun-
     * and partitioning-stable (unlike rand()/repartition), seed-
@@ -478,6 +516,7 @@ object TextAnalysis {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
+    "q_dup_spans" -> (qDupSpans _),
   )
 
   // shared with MinHashDedup: the LSH path's verified output is the
@@ -503,6 +542,22 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DISTINCT windows per doc (ShingleHashes dedupes map-side), join
+    // on the window STRING where the engine joins on the chained
+    // 64-bit window hash — identical counts absent a hash collision
+    "q_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 15)) AS i
+        |  FROM tok WHERE len(toks) >= 16),
+        |w AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+15], ' ') AS win
+        |  FROM idx)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_spans
+        |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "q_source_mix" ->
       """WITH m AS (
         |  SELECT doc_id, source,

@@ -46,6 +46,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 3, s"pair mining grew beyond bucket/pair/sort shuffles: $sh")
   }
 
+  test("q_dup_spans: window hashes map-side, bucket + pair aggregates + sort only") {
+    val (sh, _) = shape("q_dup_spans")
+    assert(sh <= 3, s"span mining grew beyond bucket/pair/sort shuffles: $sh")
+  }
+
   test("q_minhash_pairs: map-side signatures (band agg + distinct + sort only)") {
     val (sh, bc) = shape("q_minhash_pairs")
     assert(sh <= 3, s"signature computation should add no shuffle, got $sh")

@@ -145,6 +145,29 @@ class Scd2Spec extends SparkTestBase {
     assert(hist(t) == rows)
   }
 
+  test("mergeScd2 commits past a key-disjoint append, aborts on key overlap") {
+    val t = new TxTable(spark, tmpDir("scd2-conflict"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    def stamped(rows: Seq[(Long, String)], epoch: Long) =
+      dim(rows).withColumn(F, lit(epoch)).withColumn(T, lit(null).cast("long"))
+    // an unrelated writer lands key 50 in the race window between the
+    // merge's snapshot and its commit: stats prove it cannot hold the
+    // source key, so the merge must NOT abort (logical conflict rule)
+    t.beforeCommitHook = () => t.append(stamped(Seq(50L -> "z"), 1L))
+    t.mergeScd2(dim(Seq(1L -> "a2")), Seq("id"), 2L)
+    assert(t.scdCurrent().select("id", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a2"), (2L, "b"), (50L, "z")))
+    // a concurrent append INSIDE the source key range could hide a
+    // current row this merge should have closed — it must abort
+    t.beforeCommitHook = () => t.append(stamped(Seq(1L -> "late"), 2L))
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.mergeScd2(dim(Seq(1L -> "a3")), Seq("id"), 3L))
+    assert(e.getMessage.contains("appended files"), e.getMessage)
+    // the merge committed nothing; the concurrent append survives
+    assert(t.read().where(col("attr") === "a3").count() == 0L)
+  }
+
   test("mergeScd2 as a writeStream.foreachBatch dimension loader") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
