@@ -6,12 +6,15 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
-/** The wider TPC-H-shaped query surface (Q7/8/9/10/12/13/15/17/18/19/
-  * 21/22), adapted to the testdata's columns: there is no partsupp
-  * table and lineitem carries no commit/receipt dates or ship modes
-  * (TESTDATA.md), so Q9 drops the supplycost term, Q12/Q21 define
-  * "late" as shipped >N days after the order date, and Q22 uses
-  * nation + order recency instead of phone prefixes. The PLAN SHAPES —
+/** The wider TPC-H-shaped query surface (Q2/7/8/9/10/11/12/13/15/17/
+  * 18/19/20/21/22 — with Q1/3/4/5/6/14 in [[Relational]], all 22
+  * shapes are covered), adapted to the testdata's columns: there is no
+  * partsupp table and lineitem carries no commit/receipt dates or ship
+  * modes (TESTDATA.md), so the partsupp-centric Q2/Q11/Q20 derive the
+  * supply relation from DISTINCT lineitem (part, supplier) pairs, Q9
+  * drops the supplycost term, Q12/Q21 define "late" as shipped >N days
+  * after the order date, and Q22 uses nation + order recency instead
+  * of phone prefixes. The PLAN SHAPES —
   * which is what these queries exercise — are the TPC-H ones: two
   * dimension-branch geography joins (Q7/Q8), conditional-aggregate
   * shares (Q8/Q12), double aggregation (Q13), aggregate-derived scalar
@@ -333,7 +336,98 @@ object TpchExtra {
       .orderBy($"n_name")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated "supplier
+    * with the minimal metric among those supplying this part in a
+    * region" subquery, decorrelated to a per-part MIN aggregate joined
+    * back on (part, metric) equality — the canonical argmin-per-group
+    * plan. No partsupp table in the testdata, so the supply relation
+    * is DISTINCT (l_partkey, l_suppkey) from lineitem and s_acctbal
+    * stands in for ps_supplycost (joined on raw equality, no
+    * arithmetic — doubles compare engine-exact). The supply distinct
+    * is the one fact shuffle; the regional supplier dim and the tiny
+    * per-part min table broadcast.
+    */
+  def q2MinSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val supply = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val sr = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "AMERICA")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val cand = t(s, dir, "part").where($"p_size" % 10 === 0)
+      .join(supply, $"p_partkey" === $"l_partkey")
+      .join(broadcast(sr), $"l_suppkey" === $"s_suppkey")
+      .select($"p_partkey", $"p_name", $"s_name", $"s_acctbal", $"n_name")
+    val mn = cand.groupBy($"p_partkey".as("mk"))
+      .agg(min($"s_acctbal").as("min_bal"))
+    cand.join(broadcast(mn), $"p_partkey" === $"mk" && $"s_acctbal" === $"min_bal")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape (value concentration): per-group value with a
+    * HAVING against a fraction of the GLOBAL total — the scalar
+    * subquery decorrelated to a broadcast 1-row aggregate. All
+    * arithmetic stays in DECIMAL until the output cast (the sum and
+    * the ×1000 threshold compare exactly in both engines; a double
+    * threshold would be a boundary-row hash hazard). Supply value is
+    * lineitem revenue from ASIA-region suppliers, partsupp's stand-in.
+    */
+  def q11ValueConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "ASIA")
+      .select($"s_suppkey")
+    val v = t(s, dir, "lineitem")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0d) - $"l_discount"))
+        .cast(DecimalType(18, 4))).as("val"))
+    val tot = v.agg(sum($"val").as("total"))
+    v.crossJoin(broadcast(tot))
+      .where($"val" * 1000 > $"total")
+      .select($"l_partkey".as("p_partkey"), $"val".cast("double").as("value"))
+      .orderBy($"value".desc, $"p_partkey")
+  }
+
+  /** TPC-H Q20 shape (promotion-eligible suppliers): the nested
+    * IN-chain — suppliers having some part whose per-(part, supplier)
+    * shipped quantity exceeds half that part's total — decorrelated to
+    * ONE aggregation whose per-part total rides a window over the SAME
+    * partitioning (the second aggregate runs over the ~|supply pairs|
+    * aggregated rows, never a second pass over the fact), then a
+    * semi-join onto the regional supplier dim. Quantity comparisons
+    * stay in DECIMAL via an integer ×2 (no division, no float
+    * boundary).
+    */
+  def q20PromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ps = t(s, dir, "lineitem")
+      .where(year($"l_shipdate") === 1997)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("qty_ps"))
+      .withColumn("qty_p", sum($"qty_ps").over(Window.partitionBy($"l_partkey")))
+    val eligible = ps.where($"qty_ps" * 2 > $"qty_p")
+      .select($"l_suppkey").distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "EUROPE")
+      .join(broadcast(eligible), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_supplier" -> (q2MinSupplier _),
+    "q11_value_concentration" -> (q11ValueConcentration _),
+    "q20_promo_suppliers" -> (q20PromoSuppliers _),
     "q7_volume" -> (q7Volume _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -350,6 +444,43 @@ object TpchExtra {
   )
 
   val oracle: Map[String, String] = Map(
+    "q2_min_supplier" ->
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |sr AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |cand AS (SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        |  FROM part JOIN supply ON p_partkey = l_partkey
+        |  JOIN sr ON l_suppkey = s_suppkey
+        |  WHERE p_size % 10 = 0),
+        |mn AS (SELECT p_partkey, MIN(s_acctbal) AS min_bal FROM cand GROUP BY 1)
+        |SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name
+        |FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey AND c.s_acctbal = mn.min_bal
+        |ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+        |LIMIT 100""".stripMargin,
+    "q11_value_concentration" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |v AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS val
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1),
+        |tot AS (SELECT SUM(val) AS total FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v, tot WHERE val * 1000 > total
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q20_promo_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_ps
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1, 2),
+        |pp AS (SELECT *, SUM(qty_ps) OVER (PARTITION BY l_partkey) AS qty_p FROM ps),
+        |el AS (SELECT DISTINCT l_suppkey FROM pp WHERE qty_ps * 2 > qty_p)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM el)
+        |ORDER BY s_name""".stripMargin,
     "q7_volume" ->
       """WITH sr AS (SELECT s_suppkey, r_name AS supp_region FROM supplier
         |  JOIN nation ON s_nationkey = n_nationkey
