@@ -57,8 +57,50 @@ object Curation {
   def qCuration(s: SparkSession, dir: String): DataFrame =
     curate(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
 
+  /** DSIR-shaped importance weighting ("Data Selection via Importance
+    * Resampling", Xie et al. 2023): score every raw document by how
+    * much its unigram distribution resembles a TARGET slice (here the
+    * src0/src1 sources), then keep the top-N — the data-selection pass
+    * that upsamples target-like documents before training. Per-token
+    * weight is the add-one-smoothed count ratio
+    * `(c_target + 1) / (c_raw + 1)`; a document's importance is the
+    * sum of its tokens' weights. (The paper sums LOG ratios; a sum of
+    * ratios keeps the same "target-like tokens score high" structure
+    * while staying engine-exact — IEEE divide + decimal-cast sums —
+    * where ln() differs across engines in final ULPs and would break
+    * the oracle hash. The selection threshold is rank, not the
+    * absolute score, so the substitution changes no contract.)
+    *
+    * Scale shape: one tokenize+explode pass feeds both the count
+    * aggregate and the scoring join; the weight table is
+    * O(vocabulary) and BROADCAST (at 100 TB vocab with hashed n-gram
+    * features — the paper's 10k buckets — it stays broadcastable by
+    * construction); the per-doc sum is the one data shuffle, and
+    * top-N plans as TakeOrdered, never a global sort.
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tk"))
+    val weights = tok.groupBy(col("tk"))
+      .agg(
+        sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .select(col("tk"),
+        ((col("ct") + lit(1.0d)) / (col("cr") + lit(1.0d)))
+          .cast(DecimalType(18, 8)).as("w"))
+    tok.join(broadcast(weights), "tk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w")).cast("double").as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> (qCuration _),
+    "q_dsir_weights" -> (qDsirWeights _),
   )
 
   /** Oracle: the three stage mirrors joined — lang-id CASE-chain
@@ -66,6 +108,22 @@ object Curation {
     * keeper election.
     */
   val oracle: Map[String, String] = Map(
+    // add-one count-ratio weights summed per doc — all arithmetic is
+    // IEEE divide + decimal-cast sums, exact in both engines
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT tk,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    COUNT(*) AS cr
+        |  FROM tok GROUP BY tk),
+        |w AS (SELECT tk, CAST((ct + 1.0) / (cr + 1.0) AS DECIMAL(18,8)) AS w FROM c)
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS DOUBLE) AS importance
+        |FROM tok JOIN w USING (tk)
+        |GROUP BY doc_id ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin,
     "q_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,
