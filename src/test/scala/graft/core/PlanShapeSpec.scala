@@ -46,6 +46,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 3, s"pair mining grew beyond bucket/pair/sort shuffles: $sh")
   }
 
+  test("q2_min_supplier: dims and the per-part min broadcast; only supply shuffles") {
+    val (sh, bc) = shape("q2_min_supplier")
+    assert(sh <= 3, s"expected supply distinct + min agg + sort only, got $sh")
+    assert(bc >= 3, s"expected region dims + per-part min broadcast, got $bc")
+  }
+
+  test("q11_value_concentration: global total is a broadcast scalar, no fact rescan") {
+    val plan = SparkEntry.queries("q11_value_concentration")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val factScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    // the value table feeds the total via a reused exchange — the
+    // observable contract is ONE lineitem scan, not one per aggregate
+    assert(factScans <= 2, s"expected no correlated fact rescan, got $factScans scans")
+  }
+
+  test("q20_promo_suppliers: per-part total rides a window, one fact aggregation") {
+    val (sh, bc) = shape("q20_promo_suppliers")
+    assert(sh <= 4, s"expected fact agg + window + distinct + sort, got $sh")
+    assert(bc >= 2, s"expected dims + eligible-set broadcast, got $bc")
+  }
+
+  test("q_dsir_weights: weight table broadcasts; top-N is TakeOrdered") {
+    val (sh, bc) = shape("q_dsir_weights")
+    assert(sh <= 3, s"expected token agg + doc agg shuffles only, got $sh")
+    assert(bc >= 1, s"expected the vocabulary weight table broadcast, got $bc")
+    val plan = SparkEntry.queries("q_dsir_weights")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-N degraded to a global sort")
+  }
+
   test("q_dup_spans: window hashes map-side, bucket + pair aggregates + sort only") {
     val (sh, _) = shape("q_dup_spans")
     assert(sh <= 3, s"span mining grew beyond bucket/pair/sort shuffles: $sh")
