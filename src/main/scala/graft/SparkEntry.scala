@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, Curation, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, TextAnalysis, TpchExtra}
+import graft.ext.{AsofJoin, Curation, DedupClusters, EventQueries, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, SqIndex, TextAnalysis, TpchExtra}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.pipeline.Pipeline
 import graft.schema.InMemorySchemaRegistry
@@ -27,6 +27,7 @@ object SparkEntry {
       (MinHashDedup.queries, MinHashDedup.oracle),
       (IvfIndex.queries, IvfIndex.oracle),
       (PqIndex.queries, PqIndex.oracle),
+      (SqIndex.queries, SqIndex.oracle),
       (AsofJoin.queries, AsofJoin.oracle),
       (ScaleOps.queries, ScaleOps.oracle),
       (DedupClusters.queries, DedupClusters.oracle),

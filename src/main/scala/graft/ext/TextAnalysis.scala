@@ -500,8 +500,58 @@ object TextAnalysis {
       .orderBy($"shuffle_key", $"doc_id")
   }
 
+  /** Adjacent-token pair counts — the counting step of a BPE merge
+    * round (the subword-tokenizer training loop): the most frequent
+    * adjacent pair becomes the next merge rule. Pure map work
+    * (zip_with of the token array against its own tail — no
+    * positional self-join) + ONE hash aggregate; the top-50 plans as
+    * TakeOrderedAndProject (no global sort). At 100 TB this is the
+    * canonical tokenizer-training job shape: map-side partial counts
+    * shrink the shuffle to the distinct-pair table (bounded ≈ |vocab|²
+    * in practice, far below corpus scale), and successive merge
+    * rounds re-run the same aggregate over rewritten token arrays.
+    */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(tokens($"text").as("toks"))
+      .where(size($"toks") >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> struct(a, b))")).as("p"))
+      .groupBy($"p.a".as("w1"), $"p.b".as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  /** Frequency-cutoff vocabulary with stable contiguous ids — the
+    * other tokenizer-training artifact: terms with corpus count ≥
+    * `minCount`, id assigned by the total order (count desc, term).
+    * The corpus-scale counting is an ordinary distributed hash
+    * aggregate; the id window is a single partition BY CONSTRUCTION
+    * over the post-cutoff vocabulary — bounded by |vocab| (tens of MB
+    * even at 100 TB), the same bounded-small argument as the IVF
+    * centroid collect — so the non-partitioned window is safe here
+    * and ONLY here.
+    */
+  def qVocab(s: SparkSession, dir: String, minCount: Int = 10): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .where($"n" >= minCount)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy($"n".desc, $"term")) - 1).cast("long"))
+      .select($"token_id", $"term", $"n")
+      .orderBy($"token_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shuffle_order" -> ((s: SparkSession, d: String) => qShuffleOrder(s, d)),
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_vocab" -> ((s: SparkSession, d: String) => qVocab(s, d)),
     "q_token_packing" -> ((s: SparkSession, d: String) => qTokenPacking(s, d)),
     "q_doc_chunks" -> ((s: SparkSession, d: String) => qDocChunks(s, d)),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
@@ -542,6 +592,22 @@ object TextAnalysis {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |p AS (
+        |  SELECT t[i + 1] AS w1, t[i + 2] AS w2
+        |  FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM toks WHERE len(t) >= 2))
+        |SELECT w1, w2, COUNT(*) AS n FROM p GROUP BY w1, w2
+        |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_vocab" ->
+      """WITH c AS (
+        |  SELECT term, COUNT(*) AS n FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |    FROM documents) GROUP BY term HAVING COUNT(*) >= 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS token_id,
+        |  term, n
+        |FROM c ORDER BY token_id""".stripMargin,
     // DISTINCT windows per doc (ShingleHashes dedupes map-side), join
     // on the window STRING where the engine joins on the chained
     // 64-bit window hash — identical counts absent a hash collision

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming operators beyond the reference's surface (the reference
   * uses no watermarks, no windows, no custom state — SURVEY.md
@@ -111,6 +111,88 @@ object StreamOps {
             }
           }
       }
+  }
+
+  /** Session windows via the NATIVE `session_window` builtin — the
+    * declarative twin of the custom-state [[sessionize]]: Spark's
+    * streaming session aggregation merges gap-adjacent windows in the
+    * state store and emits each session once the watermark closes it
+    * (Append mode). Prefer THIS form whenever the per-session payload
+    * is an aggregate the builtin can express — it gets state
+    * merge/eviction, RocksDB layout and AQE-sized shuffles for free —
+    * and reach for flatMapGroupsWithState only when the session logic
+    * needs arbitrary state (the [[sessionize]] variant exists to show
+    * that axis, and emits open sessions too, which Append-mode
+    * session_window cannot).
+    */
+  def sessionWindowAgg(events: DataFrame, eventTimeCol: String, gap: String,
+                       delay: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(session_window(col(eventTimeCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keys.map(col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")): _*)
+
+  case class SeenEvent(userId: Long, eventTime: Timestamp)
+  case class SeenOut(userId: Long, n: Long, firstSeenMs: Long)
+
+  /** Per-user lifetime event counter on `transformWithState` — the
+    * Spark 4 arbitrary-state API (SPARK-45939, successor of
+    * mapGroupsWithState): typed `ValueState` handles with native TTL
+    * instead of a single monolithic state object and hand-rolled
+    * timeouts. The processor keeps (count, firstSeen) as two
+    * independently-evolvable states and emits the running total each
+    * batch (Update mode; sink keeps the latest row per user). State
+    * TTL (`ttl`) retires idle users inside the state store — at
+    * 100 TB the TTL is the knob that keeps an unbounded user universe
+    * from accreting unbounded state, with no timer bookkeeping in
+    * user code. Requires the RocksDB state store provider.
+    */
+  class RunningCountProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, SeenEvent, SeenOut] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var firstSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl == null) TTLConfig.NONE else TTLConfig(ttl)
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, cfg)
+      firstSeen = getHandle.getValueState[Long]("firstSeen", Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SeenEvent],
+                                 timerValues: TimerValues): Iterator[SeenOut] = {
+      var n = if (count.exists()) count.get() else 0L
+      var first = if (firstSeen.exists()) firstSeen.get() else Long.MaxValue
+      rows.foreach { e =>
+        n += 1
+        first = math.min(first, e.eventTime.getTime)
+      }
+      count.update(n)
+      firstSeen.update(first)
+      Iterator(SeenOut(key, n, first))
+    }
+  }
+
+  /** [[RunningCountProcessor]] wired to a stream (Update mode; the
+    * count is arrival-order by construction, so event-time finality
+    * buys nothing here). TimeMode is `None` unless a TTL is set:
+    * state TTL needs the processing-time clock, but a clocked time
+    * mode makes MicroBatchExecution schedule CONTINUOUS empty batches
+    * to advance timers — pure overhead (and an unbounded busy loop
+    * under the default 0-interval trigger) for a processor that
+    * registers none.
+    */
+  def runningCounts(events: Dataset[SeenEvent],
+                    ttl: java.time.Duration = null): Dataset[SeenOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new RunningCountProcessor(ttl), mode, OutputMode.Update())
   }
 
   case class FunnelEvent(userId: Long, eventTime: Timestamp, eventType: String)

@@ -308,6 +308,82 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("native session_window aggregate merges gap-adjacent events and closes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TsEvent]
+    val out = StreamOps.sessionWindowAgg(stream.toDF(), "ts",
+      gap = "1 minute", delay = "10 seconds", keys = Seq("id"))
+    val q = out.writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append()).start()
+    // user a: two events 30 s apart (one session); user b: one event
+    stream.addData(
+      TsEvent("a", t("2024-01-01 00:00:00"), 1),
+      TsEvent("a", t("2024-01-01 00:00:30"), 2),
+      TsEvent("b", t("2024-01-01 00:00:00"), 3))
+    q.processAllAvailable()
+    // far-future event pushes the watermark past every session end +
+    // gap; Append emits the closed sessions
+    stream.addData(TsEvent("z", t("2024-01-01 01:00:00"), 4))
+    q.processAllAvailable()
+    stream.addData(TsEvent("z", t("2024-01-01 01:00:01"), 5))
+    q.processAllAvailable()
+    val rows = spark.table("native_sessions")
+      .select(col("id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    // session end = last event + gap (the builtin's definition)
+    assert(rows.contains(("a", "2024-01-01 00:00:00", "2024-01-01 00:01:30", 2L)), rows.toString)
+    assert(rows.contains(("b", "2024-01-01 00:00:00", "2024-01-01 00:01:00", 1L)), rows.toString)
+  }
+
+  test("transformWithState running counts carry across batches and respect TTL-less state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // provider: transformWithState requires RocksDB. Changelog
+    // checkpointing + no per-file checksums: the defaults (full
+    // RocksDB snapshot per commit through the checksum file manager)
+    // cost ~minutes per micro-batch on a local FS — the production
+    // deployment enables changelog checkpointing anyway
+    val overrides = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    val stream = MemoryStream[StreamOps.SeenEvent]
+    val out = StreamOps.runningCounts(stream.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("running_counts")
+      .option("checkpointLocation", tmpDir("tws-ckpt"))
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(
+        StreamOps.SeenEvent(1L, t("2024-01-01 00:00:10")),
+        StreamOps.SeenEvent(1L, t("2024-01-01 00:00:05")),
+        StreamOps.SeenEvent(2L, t("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      stream.addData(StreamOps.SeenEvent(1L, t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // memory sink appends per batch in order; last row per user is
+      // the running total
+      def latest(u: Long) = spark.table("running_counts")
+        .where(col("userId") === u).collect().last
+      val u1 = latest(1L)
+      assert(u1.getAs[Long]("n") == 3L)
+      // firstSeen kept the earliest event time across both batches
+      assert(u1.getAs[Long]("firstSeenMs") ==
+        t("2024-01-01 00:00:05").getTime)
+      assert(latest(2L).getAs[Long]("n") == 1L)
+    } finally {
+      q.stop()
+      prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(old => spark.conf.set(k, old))
+      }
+    }
+  }
+
   test("funnelStages advances the per-user view->click->purchase machine across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
