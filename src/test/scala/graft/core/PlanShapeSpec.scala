@@ -140,6 +140,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 1, s"expected output sort only on the union-find path, got $sh")
   }
 
+  test("q_bpe_pairs: one pair aggregate, top-N as TakeOrdered") {
+    val (sh, bc) = shape("q_bpe_pairs")
+    assert(sh == 1, s"expected the pair hash aggregate as the only exchange, got $sh")
+    assert(bc == 0)
+    val plan = SparkEntry.queries("q_bpe_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-50 degraded to a global sort")
+  }
+
+  test("q_vocab: corpus count shuffles once; the id window runs over the bounded vocab") {
+    val (sh, _) = shape("q_vocab")
+    // term aggregate + the single-partition vocab window + output sort
+    assert(sh <= 3, s"expected count + vocab window + sort only, got $sh")
+  }
+
+  test("q_ann_sq8: stage 1 is a shuffle-free scan; shortlist and query broadcast") {
+    val (sh, bc) = shape("q_ann_sq8")
+    assert(sh == 0, s"expected 0 shuffles (TakeOrdered shortlist + re-rank), got $sh")
+    assert(bc >= 2, s"expected shortlist + query-row broadcasts, got $bc")
+  }
+
   test("q_join_bucketed: sort-merge join over bucketed scans has zero join-side exchanges") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
