@@ -715,6 +715,103 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Predicate-scoped atomic overwrite (the `replaceWhere` idiom —
+    * Delta's `option("replaceWhere", ...)` overwrite): in ONE commit,
+    * every live row matching `predicate` is deleted and `df`'s rows
+    * are inserted. Every row of `df` must itself MATCH the predicate —
+    * checked against the staged files before anything commits, so a
+    * mis-scoped backfill cannot silently leak rows outside its slice.
+    * The canonical use is idempotent slice backfill: recompute one
+    * day / partition and swap it in while readers see the old slice or
+    * the new, never both and never neither.
+    *
+    * Physical cost is O(files overlapping the predicate), not
+    * O(table): manifest stat + bloom pruning bounds the candidates, a
+    * matching-row scan narrows to files that truly hold matching rows,
+    * and only those rewrite (their non-matching survivor rows carried
+    * forward). On a value-pure partitioned layout
+    * ([[append]]`(partitionBy = ...)`) a partition-value predicate
+    * touches exactly that value's files — hive-style partition
+    * overwrite with no directory contract.
+    *
+    * Unlike [[overwrite]], the commit carries a complete row-level
+    * change record (delete rows for the replaced slice, insert rows
+    * for its replacement), so [[readChangeFeed]] consumers ride
+    * through the swap instead of hitting a re-sync boundary.
+    * Concurrency follows [[delete]]'s logical rule: abort only when a
+    * concurrent commit rewrote a touched file, changed
+    * schema/constraints, or appended files whose stats cannot prove
+    * them disjoint from the predicate.
+    */
+  def replaceWhere(predicate: org.apache.spark.sql.Column, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val snap = state()
+    val stagedNew = stageData(df)
+    val schema = mergeSchemas(snap.schema, df.schema)
+    // an empty replacement (all staged parts provably empty) is a pure
+    // slice delete; guard the zero-path reads below
+    def readStagedNew: DataFrame =
+      if (stagedNew.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), df.schema)
+      else spark.read.schema(df.schema)
+        .parquet(stagedNew.map { case (f, _) => new Path(root, f).toString }: _*)
+    // scope check on the STAGED files (one scan, same shape as
+    // constraint enforcement): a row outside the predicate would make
+    // "replace WHERE p" also an untracked insert elsewhere — reject
+    val leaked = readStagedNew
+      .where(not(coalesce(predicate, lit(false)))).limit(1).collect()
+    if (leaked.nonEmpty) {
+      stagedNew.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+      throw new IllegalArgumentException(
+        s"replaceWhere on $tablePath: replacement rows must all match the " +
+          s"predicate — e.g. row ${leaked.head} does not; nothing was committed")
+    }
+    enforceConstraints(snap.constraints, stagedNew, schema, stagedNew,
+      "replaceWhere into")
+    val candidates = prunedFiles(snap, predicate)
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else readState(snap.copy(files = candidates))
+        .withColumn("__file", input_file_name())
+        .where(predicate)
+        .select("__file").distinct().collect()
+        .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
+    if (touched.isEmpty && stagedNew.isEmpty) return // provable no-op
+    // one cached read of the touched files feeds the survivor rewrite
+    // and the delete half of the change record
+    val touchedRows = readState(snap.copy(files = touched))
+    if (touched.nonEmpty) touchedRows.persist()
+    val (stagedSurv, stagedCdf) = try {
+      val surv =
+        if (touched.isEmpty) Seq.empty[(String, Option[FileStats])]
+        else stageData(touchedRows.where(not(coalesce(predicate, lit(false)))))
+      val cdf = stageData(
+        touchedRows.where(predicate)
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(readStagedNew.withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = true),
+        prefix = "cdf", collectStats = false)
+      (surv, cdf)
+    } finally if (touched.nonEmpty) touchedRows.unpersist()
+    val mayMatch = addsMayMatchPredicate(predicate)
+    fireBeforeCommitHook()
+    commitLoop(s"replaceWhere into $tablePath") { st =>
+      findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
+        (stagedNew ++ stagedSurv ++ stagedCdf).foreach { case (f, _) =>
+          fs.delete(new Path(root, f), false)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"conflicting concurrent commit on $tablePath during replaceWhere: " +
+            s"$why; rerun replaceWhere() against the new state")
+      }
+      Some(touched.map(Remove(_)) ++
+        (stagedSurv ++ stagedNew).map { case (p, s) => Add(p, s) } ++
+        stagedCdf.map { case (p, _) => Cdf(p) } :+
+        Meta(schema.toDDL))
+    }
+  }
+
   /** RESTORE: make the live table equal its state at `version` again,
     * as a NEW commit — history is preserved, the rollback is itself
     * time-travelable and shows in the change log. Metadata-only: the

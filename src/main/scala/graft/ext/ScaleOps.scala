@@ -622,6 +622,53 @@ object ScaleOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Priority-partitioned ACID clone of orders with ONE partition
+    * slice atomically swapped by [[graft.core.TxTable.replaceWhere]]
+    * (the idempotent-backfill idiom: recompute a slice, swap it in,
+    * readers never see a torn table). The value-pure partitioned
+    * layout makes the swap exact: the builder asserts the other
+    * priorities' files survived BY NAME — replaceWhere rewrote only
+    * the slice it replaced, the property that keeps a one-partition
+    * backfill O(partition), not O(table), at 100 TB. Built once per
+    * (session, dir).
+    */
+  private[ext] def replacedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-replace:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txreplace_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      t.append(base, partitionBy = Seq("o_orderpriority"))
+      val before = t.state().files.toSet
+      // the recomputed slice: same keys, price restated (+2500.0 —
+      // IEEE-deterministic double addition, the q_tx_update convention)
+      val slice = base.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") + 2500.0).as("o_totalprice"))
+      t.replaceWhere(col("o_orderpriority") === "1-URGENT", slice)
+      val after = t.state().files.toSet
+      val removed = before -- after
+      require(removed.size == 1 && (before & after).size == before.size - 1,
+        s"replaceWhere should swap exactly the 1-URGENT file: " +
+          s"removed ${removed.size} of ${before.size}")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-swap table aggregated by priority: matches the oracle's
+    * CASE-projection reconstruction ONLY if replaceWhere deleted
+    * exactly the predicate slice and inserted exactly its replacement,
+    * leaving every other row byte-identical.
+    */
+  def qTxReplace(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(replacedOrdersTable(s, dir).read())
+
   /** SCD TYPE 2 customer dimension
     * ([[graft.core.TxTable.mergeScd2]]), three change epochs applied
     * once per (session, dir):
@@ -701,6 +748,7 @@ object ScaleOps {
     "q_tx_update" -> (qTxUpdate _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
+    "q_tx_replace" -> (qTxReplace _),
   )
 
   /** The two-pass heavy hitters output is exact and matches plain SQL;
@@ -786,6 +834,17 @@ object ScaleOps {
          |FROM orders
          |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) NOT BETWEEN $TxSkipLo AND $TxSkipHi
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the slice swap reconstructed as a CASE projection: matches only
+    // if replaceWhere swapped exactly the 1-URGENT slice (same keys,
+    // price restated) and left every other priority byte-identical
+    "q_tx_replace" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 2500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // complement of the masked keys: matches only if the deletion
     // vectors mask exactly the predicate-true positions
     "q_tx_dv" ->
