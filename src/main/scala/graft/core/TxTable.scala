@@ -859,6 +859,72 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Zero-copy CLONE: materialize this table's current snapshot as an
+    * INDEPENDENT table at `targetPath` without copying data bytes.
+    * Data files, deletion-vector sidecars and bloom sidecars are
+    * HARD-LINKED into the target root (O(files) metadata ops; a store
+    * that cannot link falls back to a per-file copy, still O(live
+    * set), never O(history)), and ONE v0 manifest commits the full
+    * snapshot: file set with stats, deletion vectors, schema, CHECK
+    * constraints and bloom-index configs all carry over. Streaming
+    * writer-idempotence markers (txns) deliberately do NOT — a clone
+    * is a new table, and its first batches must not be swallowed as
+    * the source's replays.
+    *
+    * This is the published shallow-clone contract made VACUUM-SAFE:
+    * because shared bytes are links rather than cross-table manifest
+    * pointers, the source's vacuum or overwrite can never dangle the
+    * clone (link counts keep shared bytes alive until the last
+    * referent drops them), and the two tables diverge freely from the
+    * moment of the clone — every mutation path writes NEW files
+    * (parquet files are immutable here), so divergence never writes
+    * through a shared inode. Dev/test forks of a 100 TB production
+    * table cost its file count, not its bytes.
+    */
+  def cloneTo(targetPath: String): TxTable = {
+    val snap = state()
+    val tgt = new TxTable(spark, targetPath, checkpointInterval)
+    require(tgt.state().version == -1L,
+      s"clone target $targetPath already has commits")
+    val fsv = fs
+    fsv.mkdirs(tgt.root)
+    def share(name: String, required: Boolean): Unit = {
+      val src = new Path(root, name)
+      val dst = new Path(tgt.root, name)
+      if (!fsv.exists(src)) {
+        if (required) throw new IllegalStateException(
+          s"cannot clone $tablePath: live file $name is missing (vacuumed?)")
+      } else if (fsv.getScheme == "file") {
+        try java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            org.apache.hadoop.fs.FileUtil.copy(fsv, src, fsv, dst, false,
+              spark.sparkContext.hadoopConfiguration)
+        }
+      } else org.apache.hadoop.fs.FileUtil.copy(fsv, src, fsv, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    snap.files.foreach(share(_, required = true))
+    snap.dvs.values.foreach(d => share(d.dvFile, required = true))
+    // a sidecar may legally be absent (the index reads such files
+    // unpruned), so absence is carried, not an error
+    for (f <- snap.files; c <- snap.blooms.keys)
+      share(TxTable.bloomName(f, c), required = false)
+    tgt.commitLoop(s"clone of $tablePath into $targetPath") { st =>
+      require(st.version == -1L,
+        s"clone target $targetPath gained commits concurrently")
+      Some(
+        snap.files.map(f => Add(f, snap.stats.get(f))) ++
+          snap.dvs.toSeq.map { case (f, d) => Dv(f, d.dvFile, d.deleted) } ++
+          snap.schema.map(s => Meta(s.toDDL)).toSeq ++
+          snap.constraints.toSeq.map { case (n, sql) => Constr(n, sql) } ++
+          snap.blooms.toSeq.map { case (c, b) => BloomIdx(c, b.items, b.fpp) })
+    }
+    tgt
+  }
+
   /** DESCRIBE HISTORY: one row per commit — (version, commit timestamp
     * from the manifest's mtime, operation kind inferred from its
     * actions, files added, files removed). Versions below a
