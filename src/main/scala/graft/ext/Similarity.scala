@@ -194,12 +194,51 @@ object Similarity {
   /** Registry entry: exhaustive-probe exact mode (see [[annLsh]]). */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = annLsh(s, dir, probeRadius = 8)
 
+  /** K-MEANS ASSIGNMENT (document clustering): every vector assigned
+    * to its nearest of `k` fixed seed centroids (the vectors with the
+    * k smallest ids — deterministic seeding, the same convention
+    * k-means|| implementations expose as a fixed-seed mode), scored by
+    * the engine-exact quantized cosine, ties to the lower centroid id.
+    * Output: per cluster, member count and the exact integer sum of
+    * member scores (the quantized analog of within-cluster cohesion).
+    *
+    * Scale shape: the k centroids ride the plan as array literals
+    * (O(k·dim) driver state, the IVF-centroid bound — broadcast them
+    * instead past ~10⁴ centroids); assignment is a map-side fused
+    * argmax over codegen'd expressions (`greatest` over (cosq, -cid)
+    * structs — no explode, no join, no per-centroid shuffle), then ONE
+    * hash aggregate. The full Lloyd loop at scale is this stage
+    * iterated (see [[graft.ext.IvfIndex]], whose training does
+    * exactly that); this query pins the assignment step's semantics.
+    */
+  def qKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val e = emb(s, dir)
+    // bounded collect: k rows of 64 floats — plan-literal centroids
+    val ctrs = e.filter($"vec_id" < k)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val scored = ctrs.map { case (cid, vec) =>
+      struct(
+        graft.functions.QuantizedCosine($"embedding", typedLit(vec)).as("cosq"),
+        lit(-cid).as("negid"))
+    }
+    val best = greatest(scored.toIndexedSeq: _*)
+    e.select((-best("negid")).as("cluster"), best("cosq").as("cosq"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), sum($"cosq").cast("long").as("sum_cosq"))
+      .orderBy($"cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (qCosineTopK _),
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_cosine_dups" -> (qCosineDups _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_kmeans_assign" -> (qKmeansAssign _),
   )
 
   /** Shared oracle CTEs: per-element floor(x·2²⁰) quantization and
@@ -268,6 +307,31 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" -> exactTopKCosineSql,
     "q_ann_lsh" -> exactTopKCosineSql,
+    // nearest-of-8-seeds reconstruction: all (vector, seed) quantized
+    // dots → cosq → argmax per vector with ties to the lower seed id,
+    // then the per-cluster rollup — matches only if Spark's fused
+    // argmax picks the identical centroid for every vector
+    "q_kmeans_assign" ->
+      s"""WITH $quantCtes,
+         |dot AS (
+         |  SELECT a.vec_id, b.vec_id AS cid, CAST(SUM(a.v * b.v) AS BIGINT) AS d
+         |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id < 8
+         |  GROUP BY a.vec_id, b.vec_id),
+         |scored AS (
+         |  SELECT dot.vec_id, dot.cid,
+         |    CASE WHEN na.n2 = 0 OR nc.n2 = 0 THEN 0
+         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) * 10000.0)
+         |              AS BIGINT) END AS cosq
+         |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+         |           JOIN nrm nc ON dot.cid = nc.vec_id),
+         |best AS (
+         |  SELECT vec_id, cid, cosq,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, cid) AS rk
+         |  FROM scored)
+         |SELECT cid AS cluster, COUNT(*) AS n, CAST(SUM(cosq) AS BIGINT) AS sum_cosq
+         |FROM best WHERE rk = 1
+         |GROUP BY cid ORDER BY cid""".stripMargin,
     "q_cosine_dups" ->
       s"""WITH $quantCtes,
          |$dupPairsSql

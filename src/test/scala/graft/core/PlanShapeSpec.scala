@@ -155,6 +155,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 3, s"expected count + vocab window + sort only, got $sh")
   }
 
+  test("q_kmeans_assign: plan-literal centroids — map-side argmax, one agg shuffle") {
+    val (sh, bc) = shape("q_kmeans_assign")
+    assert(sh <= 2, s"expected agg + output sort shuffles only, got $sh")
+    assert(bc == 0, s"centroids must ride as literals, not a join: got $bc broadcasts")
+  }
+
   test("q_ann_sq8: stage 1 is a shuffle-free scan; shortlist and query broadcast") {
     val (sh, bc) = shape("q_ann_sq8")
     assert(sh == 0, s"expected 0 shuffles (TakeOrdered shortlist + re-rank), got $sh")
