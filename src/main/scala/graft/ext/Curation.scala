@@ -98,9 +98,91 @@ object Curation {
       .limit(50)
   }
 
+  /** Naive-Bayes-shaped LINEAR TEXT CLASSIFIER, trained and evaluated
+    * in one job: per-class token weights — the smoothed likelihood
+    * ratio `P(tk|cls) / P(tk)` as the all-integer product ratio
+    * `((ct+1)(n_all+v)) / ((n_cls+v)(cr+1))`, so class priors cancel
+    * (a raw per-class count ratio just re-ranks by class size) —
+    * are fit on the md5-hash TRAIN half and applied to the TEST half
+    * as sums of ratios rather than sums of log-likelihoods, for the
+    * [[qDsirWeights]] engine-exactness reason; the output is the
+    * (actual, predicted) confusion matrix.
+    * This is the fastText-tier model-based quality/domain classifier
+    * of a curation stack (label "wiki-like" documents, route by
+    * predicted domain), built from public ingredients only.
+    *
+    * Scale shape: ONE tokenize+explode pass feeds both the training
+    * counts and the scoring join; the weight table is O(vocab ×
+    * classes) and BROADCAST (at 100 TB, hash tokens into a fixed
+    * bucket count to bound it by construction — the fastText trick);
+    * scoring is that broadcast join plus one (doc, class) aggregate;
+    * the argmax is a per-doc window over |classes| rows riding the
+    * aggregate's own partitioning. The train/test split is by md5
+    * prefix — rerun- and partitioning-stable, like
+    * [[TextAnalysis.qHashSplit]].
+    *
+    * Determinism: weights are one IEEE divide quantized to
+    * DECIMAL(18,8) (order-independent sums, identical in DuckDB);
+    * argmax ties break on the class name.
+    */
+  def classify(docs: DataFrame, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs
+      .select(col("doc_id"), col(labelCol).as("label"),
+        (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8")
+          .as("is_train"),
+        explode(TextAnalysis.tokens(col("text"))).as("tk"))
+    val train = tok.where(col("is_train"))
+    // ONE token-level aggregate; the per-token totals, per-class
+    // totals, and the (vocab, corpus-size) scalar all derive from the
+    // O(vocab × classes) result — never a second pass over the tokens
+    val classCounts = train.groupBy(col("tk"), col("label").as("cls"))
+      .agg(count(lit(1)).as("ct"))
+    val tokTotals = classCounts.groupBy(col("tk")).agg(sum(col("ct")).as("cr"))
+    val corpus = tokTotals.agg(count(lit(1)).as("v"), sum(col("cr")).as("n_all"))
+    val classes = classCounts.groupBy(col("cls")).agg(sum(col("ct")).as("n_cls"))
+    // w = ((ct+1)(n_all+v)) / ((n_cls+v)(cr+1)): smoothed
+    // P(tk|cls)/P(tk). Integer products (exact doubles below 2^53 —
+    // at 100 TB token counts, hash tokens into buckets and fit on a
+    // sample to stay inside that bound), ONE IEEE divide, quantized
+    // to decimal so score sums are order-independent.
+    val weights = tokTotals
+      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(classes))
+      .join(broadcast(classCounts), Seq("tk", "cls"), "left")
+      .select(col("tk"), col("cls"),
+        (((coalesce(col("ct"), lit(0L)) + lit(1L)) * (col("n_all") + col("v"))).cast("double") /
+          ((col("n_cls") + col("v")) * (col("cr") + lit(1L))).cast("double"))
+          .cast(DecimalType(18, 8)).as("w"))
+    val scored = tok.where(!col("is_train"))
+      .join(broadcast(weights), Seq("tk"))
+      .groupBy(col("doc_id"), col("label"), col("cls"))
+      .agg(sum(col("w")).as("score"))
+    val rkw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rk", row_number().over(rkw))
+      .where(col("rk") === 1)
+      .groupBy(col("label"), col("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("label"), col("cls").as("pred_label"), col("n_docs"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
+  /** [[classify]] against the `lang` column of the documents table.
+    * NOTE the testdata's `lang` label is INDEPENDENT of its token
+    * distribution (verified: per-token counts are uniform across
+    * langs), so the confusion matrix here is near-chance BY
+    * CONSTRUCTION — the oracle checks the trained-weight MECHANISM
+    * bit-for-bit, and `CurationSpec` proves the same code separates a
+    * corpus whose labels do follow the text.
+    */
+  def qClassify(s: SparkSession, dir: String): DataFrame =
+    classify(Tables.load(s, dir, "documents"), "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> (qCuration _),
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_classify" -> (qClassify _),
   )
 
   /** Oracle: the three stage mirrors joined — lang-id CASE-chain
@@ -124,6 +206,38 @@ object Curation {
         |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS DOUBLE) AS importance
         |FROM tok JOIN w USING (tk)
         |GROUP BY doc_id ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin,
+    // per-class count-ratio weights fit on the md5 train half, argmax
+    // scoring on the test half — one IEEE divide quantized to decimal,
+    // ties to the class name, the q_dsir_weights convention
+    "q_classify" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang AS label,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+        |  FROM documents),
+        |tr AS (SELECT * FROM tok WHERE is_train),
+        |tot AS (SELECT tk, COUNT(*) AS cr FROM tr GROUP BY tk),
+        |vv AS (SELECT COUNT(*) AS v, SUM(cr) AS n_all FROM tot),
+        |cls AS (SELECT label AS cls, COUNT(*) AS n_cls FROM tr GROUP BY label),
+        |cc AS (SELECT tk, label AS cls, COUNT(*) AS ct FROM tr GROUP BY tk, label),
+        |w AS (
+        |  SELECT tot.tk, cls.cls,
+        |    CAST(CAST((COALESCE(cc.ct, 0) + 1) * (vv.n_all + vv.v) AS DOUBLE) /
+        |         CAST((cls.n_cls + vv.v) * (tot.cr + 1) AS DOUBLE) AS DECIMAL(18,8)) AS w
+        |  FROM tot CROSS JOIN vv CROSS JOIN cls
+        |  LEFT JOIN cc ON cc.tk = tot.tk AND cc.cls = cls.cls),
+        |sc AS (
+        |  SELECT te.doc_id, te.label, w.cls, SUM(w.w) AS score
+        |  FROM tok te JOIN w ON te.tk = w.tk
+        |  WHERE NOT te.is_train
+        |  GROUP BY te.doc_id, te.label, w.cls),
+        |pred AS (
+        |  SELECT doc_id, label, cls,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+        |  FROM sc)
+        |SELECT label, cls AS pred_label, COUNT(*) AS n_docs
+        |FROM pred WHERE rk = 1
+        |GROUP BY label, cls ORDER BY label, pred_label""".stripMargin,
     "q_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

@@ -567,6 +567,28 @@ object ScaleOps {
   def qTxUpdate(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(updatedOrdersTable(s, dir).read())
 
+  /** The row-level CHANGE FEED of the UPDATE commit — versions (0, 1]
+    * of [[updatedOrdersTable]] through
+    * [[graft.core.TxTable.readChangeFeed]] — aggregated per change
+    * type and priority. Matches the oracle's pre/post-image
+    * reconstruction only if the feed carries exactly one
+    * `update_preimage` per matched row with the ORIGINAL values and
+    * one `update_postimage` with the assigned values, and nothing for
+    * untouched rows — the contract a downstream CDC consumer
+    * (an incremental gold table, a cache invalidator) depends on.
+    * Scale shape: the feed reads ONLY the change files the update
+    * staged (O(changed rows)), never the table; one aggregate shuffle.
+    */
+  def qTxCdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    updatedOrdersTable(s, dir).readChangeFeed(0L, 1L)
+      .groupBy(col("_change_type"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("_change_type"), col("o_orderpriority"))
+  }
+
   /** ACID orders clone scattered by HASH of the key across 16 files
     * (each file's [min, max] key range spans nearly the whole domain,
     * so manifest min/max stats prune NOTHING for a point lookup) with
@@ -746,6 +768,7 @@ object ScaleOps {
     "q_tx_timetravel" -> (qTxTimetravel _),
     "q_tx_restore" -> (qTxRestore _),
     "q_tx_update" -> (qTxUpdate _),
+    "q_tx_cdf" -> (qTxCdf _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
@@ -804,6 +827,20 @@ object ScaleOps {
     // same oracle on purpose: the hash compare proves the bucketed
     // layout changes the PLAN (PlanShapeSpec), never the answer
     "q_join_bucketed" -> joinRevenueSql,
+    // the UPDATE's change feed reconstructed from the base table: one
+    // preimage with the original values + one postimage with the
+    // assigned values per matched key, nothing else
+    "q_tx_cdf" ->
+      """WITH feed AS (
+        |  SELECT 'update_preimage' AS _change_type, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', '9-UPDATED', o_totalprice + 5000.0
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT _change_type, o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM feed GROUP BY _change_type, o_orderpriority
+        |ORDER BY _change_type, o_orderpriority""".stripMargin,
     "q_tx_flat" -> txWindowSql,
     // same oracle: data skipping changes the FILE SET read (asserted
     // in ScaleOpsSpec via prunedFiles), never the answer

@@ -304,6 +304,35 @@ object Similarity {
        |         JOIN nrm nq ON nq.vec_id = 0
        |ORDER BY cosq DESC, dot.vec_id LIMIT 10""".stripMargin
 
+  /** Label-blocked kNN ranking CTEs (pair → integer dot → quantized
+    * cosine → per-vector rank), yielding `rk(vec_id, nbr, cosq, rk)`.
+    * ONE definition shared by the q_knn_join and q_pagerank oracles —
+    * the Spark side shares [[knnJoin]], so the SQL mirror must not be
+    * able to drift either. Requires [[quantCtes]] in the same WITH.
+    */
+  private[ext] val knnRankCtes: String =
+    """pair AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |dot AS (
+      |  SELECT p.vec_id, p.nbr, CAST(SUM(x.v * y.v) AS BIGINT) AS d
+      |  FROM pair p JOIN qn x ON x.vec_id = p.vec_id
+      |              JOIN qn y ON y.vec_id = p.nbr AND y.i = x.i
+      |  GROUP BY p.vec_id, p.nbr),
+      |scored AS (
+      |  SELECT dot.vec_id, dot.nbr,
+      |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
+      |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+      |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
+      |              AS BIGINT) END AS cosq
+      |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+      |           JOIN nrm nb ON dot.nbr = nb.vec_id),
+      |rk AS (
+      |  SELECT vec_id, nbr, cosq,
+      |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, nbr) AS BIGINT) AS rk
+      |  FROM scored)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" -> exactTopKCosineSql,
     "q_ann_lsh" -> exactTopKCosineSql,
@@ -339,27 +368,7 @@ object Similarity {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_knn_join" ->
       s"""WITH $quantCtes,
-         |pair AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |dot AS (
-         |  SELECT p.vec_id, p.nbr, CAST(SUM(x.v * y.v) AS BIGINT) AS d
-         |  FROM pair p JOIN qn x ON x.vec_id = p.vec_id
-         |              JOIN qn y ON y.vec_id = p.nbr AND y.i = x.i
-         |  GROUP BY p.vec_id, p.nbr),
-         |scored AS (
-         |  SELECT dot.vec_id, dot.nbr,
-         |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
-         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
-         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
-         |              AS BIGINT) END AS cosq
-         |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
-         |           JOIN nrm nb ON dot.nbr = nb.vec_id),
-         |rk AS (
-         |  SELECT vec_id, nbr, cosq,
-         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, nbr) AS BIGINT) AS rk
-         |  FROM scored)
+         |$knnRankCtes
          |SELECT vec_id, nbr, cosq, rk FROM rk WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
     "q_embedding_centroid" ->

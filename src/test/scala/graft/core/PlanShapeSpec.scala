@@ -190,4 +190,48 @@ class PlanShapeSpec extends SparkTestBase {
     assert(smjShuffles("q_join_bucketed") == 0,
       "bucketed scans must feed the join with no Exchange")
   }
+
+  test("q_classify: weight table broadcasts; scoring pays score+argmax+matrix shuffles only") {
+    val (sh, bc) = shape("q_classify")
+    // the static plan repeats the classCounts aggregate under each
+    // derived table (tokTotals/corpus/classes chain to it) — at
+    // runtime AQE's stage cache collapses the repeats to
+    // ReusedExchange (observed), so the bound is on the static count:
+    // one token-level aggregate lineage + score agg + argmax window +
+    // matrix agg + output sort, and NOT one shuffle per class
+    assert(sh <= 12, s"classifier grew beyond its aggregate/window shuffles: $sh")
+    assert(bc >= 4, s"corpus scalar, classes, weight table must broadcast, got $bc")
+  }
+
+  test("q_pagerank: two exchanges per iteration (rank co-partition + mass aggregate)") {
+    val (sh, bc) = shape("q_pagerank")
+    // 5 iterations × (node-side co-partition + mass agg) with the
+    // rank join broadcast at this SF (at 100 TB it shuffles
+    // co-partitioned on src — still bounded per iteration)
+    assert(sh <= 10, s"pagerank exceeded 2 exchanges per iteration: $sh")
+    assert(bc >= 5, s"rank-vector joins should broadcast at this SF, got $bc")
+    val plan = SparkEntry.queries("q_pagerank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 degraded to a global sort")
+  }
+
+  test("q_tx_cdf: the change feed reads change files only, never the table") {
+    val df = SparkEntry.queries("q_tx_cdf")(spark, dir)
+    // every scanned file is a cdf sidecar; the 8 base data files of
+    // the clustered clone never appear in the feed's scan (descend
+    // through AQE's initialPlan — collect() stops at the AQE root)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.initialPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s) ++ p.children.flatMap(scansOf)
+      case _ => p.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val files = scans.flatMap(_.relation.location.inputFiles)
+    assert(files.nonEmpty && files.forall(_.contains("cdf")),
+      s"feed must scan only change files, got:\n${files.mkString("\n")}")
+  }
 }

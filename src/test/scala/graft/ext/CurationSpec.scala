@@ -38,6 +38,53 @@ class CurationSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q_classify covers every scored test doc exactly once and only emits trained classes") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val isTrain = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) < "8"
+    val trainLangs = docs.where(isTrain).select($"lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    // docs whose tokens all miss the train vocabulary drop out of
+    // scoring (documented); everything else must appear exactly once
+    val trainVocab = docs.where(isTrain)
+      .select(explode(TextAnalysis.tokens($"text")).as("tk"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val scoredTestDocs = docs.where(!isTrain)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tk"))
+      .where($"tk".isin(trainVocab.toSeq: _*))
+      .select($"doc_id").distinct().count()
+    val cm = Curation.qClassify(spark, dir).collect()
+    assert(cm.map(_.getLong(2)).sum == scoredTestDocs,
+      "confusion-matrix mass equals the scored test docs")
+    assert(cm.map(_.getString(1)).toSet.subsetOf(trainLangs),
+      "predictions only from classes seen in training")
+  }
+
+  test("classify separates a corpus whose labels follow the text") {
+    import spark.implicits._
+    // two token dialects with a shared filler vocabulary: class-pure
+    // content words decide, shared words carry no signal. The testdata
+    // can't prove this (its lang label is independent of its tokens —
+    // see qClassify's scaladoc), so the separability proof runs here.
+    val mk = (id: Long, cls: String, content: String) =>
+      (id, cls, s"filler common stuff $content $content filler")
+    val docs = ((0L until 40L).map { i =>
+      if (i % 2 == 0) mk(i, "tech", "kernel compiler tensor")
+      else mk(i, "cooking", "butter saffron skillet")
+    }).toDF("doc_id", "label", "text")
+    val cm = Curation.classify(docs, "label").collect()
+    val byLabel = cm.groupBy(_.getString(0))
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (label, rows) =>
+      val total = rows.map(_.getLong(2)).sum
+      val diag = rows.filter(_.getString(1) == label).map(_.getLong(2)).sum
+      assert(diag == total, s"$label: $diag of $total on the diagonal")
+    }
+    // both classes actually reached evaluation (the md5 split leaves
+    // test docs on each side for this id range)
+    assert(byLabel.keySet == Set("tech", "cooking"))
+  }
+
   test("curation pays a single data shuffle (both window aggregates share it)") {
     val df = Curation.qCuration(spark, dir)
     val (sh, _) = graft.PlanDump.counts(df.queryExecution.executedPlan)
