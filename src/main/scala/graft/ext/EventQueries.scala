@@ -175,6 +175,32 @@ object EventQueries {
       .orderBy($"user_id", $"sess_no")
   }
 
+  /** Cohort retention — the canonical product-analytics rollup: users
+    * are cohorted by their FIRST event's epoch-day, and each later
+    * active day counts them under (cohort_day, day_offset). All
+    * arithmetic is integer (second-truncated time, `div`), so the
+    * matrix is engine-exact. One data shuffle: the per-user first-day
+    * window partitions on user_id, the (cohort, offset) distinct-user
+    * aggregate is over the already-bounded (cohort × offset × user)
+    * projection, and the output sort rides on top. At 100 TB the
+    * cohort table is computed once at ingest and the offset aggregate
+    * is the only recurring job.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val w = Window.partitionBy($"user_id")
+    e
+      .select($"user_id", tsSec(e).as("sec"))
+      .select($"user_id", expr("sec div 86400").as("day"))
+      .withColumn("cohort_day", min($"day").over(w))
+      .select($"cohort_day", ($"day" - $"cohort_day").as("day_offset"), $"user_id")
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   /** Fixed-width histogram of `value` per event type: bucket =
     * floor(value / 50) — one IEEE division + floor on binary-identical
     * doubles, so the bucketing is engine-exact (no percentile
@@ -281,6 +307,7 @@ object EventQueries {
     "q_event_hour_mix" -> (qEventHourMix _),
     "q_merge_union" -> (qMergeUnion _),
     "q_props_json" -> (qPropsJson _),
+    "q_cohort_retention" -> (qCohortRetention _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -381,6 +408,17 @@ object EventQueries {
         |UNION ALL
         |SELECT event_id, event_type, value FROM events WHERE event_id % 3 <> 0
         |ORDER BY event_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM d),
+        |u AS (SELECT DISTINCT cohort_day, day - cohort_day AS day_offset, user_id FROM c)
+        |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+        |FROM u GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "q_props_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n,

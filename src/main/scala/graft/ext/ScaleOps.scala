@@ -567,6 +567,82 @@ object ScaleOps {
   def qTxUpdate(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(updatedOrdersTable(s, dir).read())
 
+  /** Grouped z-score OUTLIER DETECTION — the monitoring/data-quality
+    * primitive: per event type, mean and variance from ONE aggregate
+    * pass (decimal sums of the exactly-representable value and value²,
+    * so partial-aggregate order cannot perturb them), then each row's
+    * z = (x − μ)/σ flagged at |z| > 3. Every post-aggregate scalar op
+    * is a single IEEE double op on identical inputs — engine-exact
+    * without quantization (the testdata's values are 2-decimal, so
+    * their squares are exact 4-decimal rationals and both casts are
+    * unambiguous; document columns with full-precision doubles would
+    * quantize z like [[graft.functions.QuantizedCosine]] instead).
+    * Scale shape: one agg shuffle; the O(groups) stats table
+    * broadcasts back onto the scan; output sort.
+    */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"),
+        sum((col("value") * col("value")).cast(DecimalType(24, 4))).as("sv2"))
+      .select(col("event_type"),
+        (col("sv").cast("double") / col("n").cast("double")).as("mean"),
+        (col("sv2").cast("double") / col("n").cast("double")).as("ex2"))
+      .select(col("event_type"), col("mean"),
+        sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+    e.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("std")).as("z"))
+      .where(col("z") > lit(3.0d) || col("z") < lit(-3.0d))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** ACID orders clone deliberately fragmented into many SMALL files
+    * (four appends × 12-way repartition — the streaming-ingest
+    * pathology) then COMPACTED ([[graft.core.TxTable.compact]]) down
+    * to a handful, built once per (session, dir). The builder asserts
+    * the file count actually collapsed and that the compaction commit
+    * carries the rewrite marker (invisible to incremental consumers),
+    * so the query fails loudly if the maintenance op ever stops
+    * compacting.
+    */
+  private[ext] def compactedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-compact:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txcompact_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      (0 until 4).foreach { i =>
+        t.append(base.where(col("o_orderkey") % 4 === i).repartition(12))
+      }
+      val before = t.state().files.size
+      t.compact(targetBytes = 64L << 20)
+      val st = t.state()
+      require(st.files.size < before / 4,
+        s"compaction left ${st.files.size} of $before files")
+      require(t.history().exists(_.operation == "REWRITE"),
+        "compaction commit lost its rewrite marker")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-COMPACTION table against the UNMODIFIED full-table
+    * oracle: the maintenance op must change the file layout and
+    * nothing else — same philosophy as q_salted_agg (the optimization
+    * provably changes no answer), here for the ACID rewrite path.
+    */
+  def qTxCompact(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(compactedOrdersTable(s, dir).read())
+
   /** The row-level CHANGE FEED of the UPDATE commit — versions (0, 1]
     * of [[updatedOrdersTable]] through
     * [[graft.core.TxTable.readChangeFeed]] — aggregated per change
@@ -769,6 +845,8 @@ object ScaleOps {
     "q_tx_restore" -> (qTxRestore _),
     "q_tx_update" -> (qTxUpdate _),
     "q_tx_cdf" -> (qTxCdf _),
+    "q_tx_compact" -> (qTxCompact _),
+    "q_anomaly" -> (qAnomaly _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
@@ -812,6 +890,10 @@ object ScaleOps {
     // restore commit), one ground truth — the unmutated base table
     "q_tx_timetravel" -> txFullSql,
     "q_tx_restore" -> txFullSql,
+    // same oracle again on purpose: compaction changes the FILE
+    // LAYOUT (builder-asserted collapse + rewrite marker), never the
+    // answer
+    "q_tx_compact" -> txFullSql,
     // the UPDATE reconstructed as a CASE projection — double addition
     // is IEEE-deterministic, identical in Spark and DuckDB
     "q_tx_update" ->
@@ -890,6 +972,25 @@ object ScaleOps {
         |FROM orders
         |WHERE o_orderkey % 5 <> 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // decimal-sum moments → IEEE mean/std/z on identical scalars: the
+    // filter and the z values match bit-for-bit with no quantization
+    "q_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    SUM(CAST(value*value AS DECIMAL(24,4))) AS sv2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sv AS DOUBLE)/CAST(n AS DOUBLE) AS mean,
+        |    CAST(sv2 AS DOUBLE)/CAST(n AS DOUBLE) AS ex2
+        |  FROM s),
+        |t AS (SELECT event_type, mean, sqrt(ex2 - mean*mean) AS std FROM m)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - t.mean)/t.std AS z
+        |FROM events e JOIN t USING (event_type)
+        |WHERE (e.value - t.mean)/t.std > 3.0 OR (e.value - t.mean)/t.std < -3.0
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
     "q_approx_stats" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -215,6 +215,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), "top-20 degraded to a global sort")
   }
 
+  test("q_anomaly: one stats aggregate, stats broadcast back, output sort") {
+    val (sh, bc) = shape("q_anomaly")
+    assert(sh <= 2, s"anomaly detection grew beyond agg+sort shuffles: $sh")
+    assert(bc >= 1, s"the O(groups) stats table must broadcast, got $bc")
+  }
+
+  test("q_cohort_retention: user window + distinct + matrix agg share the pipeline") {
+    val (sh, _) = shape("q_cohort_retention")
+    assert(sh <= 4, s"retention grew beyond window/distinct/agg/sort shuffles: $sh")
+  }
+
   test("q_tx_cdf: the change feed reads change files only, never the table") {
     val df = SparkEntry.queries("q_tx_cdf")(spark, dir)
     // every scanned file is a cdf sidecar; the 8 base data files of
