@@ -79,7 +79,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    stats: Map[String, FileStats] = Map.empty,
                    constraints: Map[String, String] = Map.empty,
                    dvs: Map[String, DvRef] = Map.empty,
-                   blooms: Map[String, BloomCfg] = Map.empty)
+                   blooms: Map[String, BloomCfg] = Map.empty,
+                   renames: Map[String, String] = Map.empty) {
+    /** logical → physical (inverse of [[renames]]). */
+    def toPhysicalName: Map[String, String] =
+      renames.map { case (p, l) => l -> p }
+    /** A column's current surface name ([[renames]] or itself). */
+    def logicalName(physical: String): String =
+      renames.getOrElse(physical, physical)
+  }
 
   /** Newest contiguous committed state (empty state at version -1 for
     * a table with no commits). Contiguity guards a listing that races
@@ -128,6 +136,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var constraints = st.constraints
     var dvs = st.dvs
     var blooms = st.blooms
+    var renames = st.renames
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -145,16 +154,21 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case DropConstr(n) => constraints -= n
       case BloomIdx(c, items, fpp) => blooms += c -> BloomCfg(items, fpp)
       case DropBloomIdx(c) => blooms -= c
+      case RenameCol(p, l) =>
+        if (p == l) renames -= p else renames += p -> l
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
-    State(version, files, schema, txns, stats, constraints, dvs, blooms)
+    State(version, files, schema, txns, stats, constraints, dvs, blooms, renames)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
     * files without later-added columns surface them as null).
     */
-  def read(): DataFrame = readState(state())
+  def read(): DataFrame = {
+    val s = state()
+    logicalize(s, readState(s))
+  }
 
   /** Data-skipping scan: open only the files whose manifest stats
     * might satisfy `predicate`, then re-apply the predicate exactly.
@@ -175,7 +189,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
   def scan(predicate: org.apache.spark.sql.Column): DataFrame = {
     val s = state()
     val kept = prunedFiles(s, predicate)
-    readState(s.copy(files = kept)).where(predicate)
+    logicalize(s, readState(s.copy(files = kept))).where(predicate)
   }
 
   /** The file names [[scan]] would read — exposed so tests (and scale
@@ -185,7 +199,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   private[graft] def prunedFiles(s: State,
                                 predicate: org.apache.spark.sql.Column): Seq[String] = {
-    val shapes = org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate)
+    val shapes = physicalizeShapes(s,
+      org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate))
     bloomPrune(s, TxTable.filesToRead(s.files, s.stats, shapes), shapes)
   }
 
@@ -210,7 +225,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val s = stateAt(Some(version))
     require(s.version == version,
       s"version $version not committed (latest contiguous: ${s.version})")
-    readState(s)
+    // temporal naming: the snapshot's OWN renames, so a version below
+    // a rename shows the name the table had then
+    logicalize(s, readState(s))
   }
 
   /** Wall-clock time travel: the newest version whose commit landed at
@@ -256,8 +273,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val head = state()
     val added = changedFilesFrom(head, fromVersion, toVersion)
-    if (added.isEmpty) readState(State(toVersion, Nil, head.schema, Map.empty))
-    else spark.read.schema(head.schema.get).parquet(added: _*)
+    logicalize(head,
+      if (added.isEmpty) readState(State(toVersion, Nil, head.schema, Map.empty))
+      else spark.read.schema(head.schema.get).parquet(added: _*))
   }
 
   /** The ABSOLUTE paths of files added by commits in `(fromVersion,
@@ -297,8 +315,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
     added.map(f => new Path(root, f).toString)
   }
 
-  /** The table's current merged schema (None until the first commit). */
-  def schemaOption: Option[StructType] = state().schema
+  /** The table's current merged schema (None until the first commit),
+    * under SURFACE names ([[renameColumn]] applied).
+    */
+  def schemaOption: Option[StructType] = {
+    val s = state()
+    s.schema.map(sc => StructType(sc.fields.map(logicalField(s, _))))
+  }
 
   /** Make this table SQL-addressable as `graft_tx.<name>` (snapshot
     * reads + `VERSION AS OF` / `TIMESTAMP AS OF`) — see
@@ -325,8 +348,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
   def addConstraint(name: String, exprSql: String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     require(name.nonEmpty, "constraint name must be non-empty")
-    val e = expr(exprSql) // parse eagerly: bad SQL fails the DDL, not the next append
+    expr(exprSql) // parse eagerly: bad SQL fails the DDL, not the next append
     val snap = state()
+    // constraints BIND TO PHYSICAL NAMES (enforcement scans staged
+    // parquet under the physical schema): surface references are
+    // translated once at DDL time, so later renames never re-bind or
+    // orphan a stored expression
+    val physSql = physicalizeExprSql(snap, exprSql)
+    val e = expr(physSql)
     if (snap.files.nonEmpty) {
       val bad = readState(snap).where(not(coalesce(e, lit(true)))).limit(1).collect()
       require(bad.isEmpty,
@@ -339,9 +368,24 @@ class TxTable(spark: SparkSession, val tablePath: String,
           s"table $tablePath changed concurrently (v${snap.version} -> " +
             s"v${st.version}) during addConstraint — the new data is unvalidated; " +
             "rerun addConstraint() against the new state")
-      Some(Seq(Constr(name, exprSql)))
+      Some(Seq(Constr(name, physSql)))
     }
   }
+
+  /** Surface → physical rewrite of a stored SQL expression's column
+    * references (parsed, not string-matched). Identity when the table
+    * has no renames.
+    */
+  private def physicalizeExprSql(s: State, exprSql: String): String =
+    if (s.renames.isEmpty) exprSql
+    else {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UA}
+      val toPhys = s.toPhysicalName
+      spark.sessionState.sqlParser.parseExpression(exprSql).transform {
+        case a: UA if a.nameParts.size == 1 && toPhys.contains(a.nameParts.head) =>
+          UA(Seq(toPhys(a.nameParts.head)))
+      }.sql
+    }
 
   /** Drop a CHECK constraint; unknown names fail loudly. */
   def dropConstraint(name: String): Unit =
@@ -377,7 +421,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val snap = state()
-    val field = snap.schema.flatMap(_.fields.find(_.name == column))
+    // the index is keyed by the immutable PHYSICAL name: a later
+    // rename never invalidates sidecars
+    val physCol = physicalName(snap, column)
+    val field = snap.schema.flatMap(_.fields.find(_.name == physCol))
     require(field.nonEmpty,
       s"cannot bloom-index $column: not a column of $tablePath " +
         "(index an empty table after its first append)")
@@ -387,15 +434,16 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"bloom index on $column: unsupported type $dt " +
           "(integral, string and binary columns only)")
     }
-    buildBloomSidecars(snap.files, Map(column -> BloomCfg(expectedItems, fpp)))
+    buildBloomSidecars(snap.files, Map(physCol -> BloomCfg(expectedItems, fpp)))
     commitLoop(s"add bloom index on $tablePath") { _ =>
-      Some(Seq(BloomIdx(column, expectedItems, fpp)))
+      Some(Seq(BloomIdx(physCol, expectedItems, fpp)))
     }
   }
 
   /** Drop a bloom index; sidecars become garbage [[vacuum]] sweeps. */
-  def dropBloomIndex(column: String): Unit =
+  def dropBloomIndex(column0: String): Unit =
     commitLoop(s"drop bloom index on $tablePath") { st =>
+      val column = physicalName(st, column0)
       require(st.blooms.contains(column),
         s"no bloom index on $column of $tablePath " +
           s"(have: ${st.blooms.keys.toSeq.sorted.mkString(", ")})")
@@ -552,7 +600,94 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .add(ChangeTypeCol, "string").add(CommitVersionCol, "long")
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), feedSchema)
-    (empty +: parts).reduce(_.unionByName(_, allowMissingColumns = true))
+    logicalize(head,
+      (empty +: parts).reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Physical → logical projection of a snapshot's frame (column
+    * mapping): a single select with aliases, so chained renames can
+    * never collide mid-way. No-op (the same frame) when the table has
+    * no renames — the overwhelmingly common case pays nothing.
+    */
+  private def logicalize(s: State, df: DataFrame): DataFrame =
+    if (s.renames.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toIndexedSeq.map(c =>
+        col(s"`$c`").as(s.logicalName(c))): _*)
+    }
+
+  /** Logical → physical projection of an INCOMING frame before it is
+    * staged/merged: surface names map back to the on-disk names, so
+    * data files and stats stay keyed by the immutable physical name.
+    * A column equal to the RETIRED physical name of a renamed column
+    * is rejected loudly — silently landing it in the renamed column's
+    * files would resurrect the old name as a different column.
+    */
+  private def physicalize(s: State, df: DataFrame): DataFrame =
+    if (s.renames.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val toPhys = s.toPhysicalName
+      val retired = s.renames.collect {
+        case (p, l) if p != l && df.columns.contains(p) && !toPhys.contains(p) => p -> l
+      }
+      require(retired.isEmpty, retired.map { case (p, l) =>
+        s"column $p of $tablePath was renamed to $l; writing a NEW column under " +
+          s"the retired physical name would silently alias it — pick another name"
+      }.mkString("; "))
+      df.select(df.columns.toIndexedSeq.map(c =>
+        col(s"`$c`").as(toPhys.getOrElse(c, c))): _*)
+    }
+
+  /** A surface (logical) column name's physical form. */
+  private def physicalName(s: State, name: String): String =
+    s.toPhysicalName.getOrElse(name, name)
+
+  /** A physical StructField under its surface name. */
+  private def logicalField(s: State, f: StructField): StructField =
+    if (s.renames.isEmpty) f else f.copy(name = s.logicalName(f.name))
+
+  /** Shape names arrive in surface terms; stats are physical-keyed. */
+  private def physicalizeShapes(s: State,
+      shapes: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape])
+      : Seq[org.apache.spark.sql.GraftColumnBridge.PredShape] =
+    if (s.renames.isEmpty) shapes
+    else {
+      import org.apache.spark.sql.GraftColumnBridge._
+      shapes.map {
+        case CmpShape(n, op, v) => CmpShape(physicalName(s, n), op, v)
+        case NullShape(n, b) => NullShape(physicalName(s, n), b)
+        case InShape(n, vs) => InShape(physicalName(s, n), vs)
+        case o => o
+      }
+    }
+
+  /** METADATA-ONLY column rename (column mapping, the published
+    * table-format design): data files never rewrite — the log records
+    * physical → logical and every read projects the mapping, every
+    * write maps surface names back. O(1) at any table size where a
+    * rewrite would be O(table). Time travel keeps temporal naming:
+    * `readAt` below this commit still shows the old name. CHECK
+    * constraints and bloom indexes bind to PHYSICAL names (translated
+    * at their own DDL time), so a rename never re-binds or orphans
+    * them — [[constraints]] keeps showing the stored physical form.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(oldName.nonEmpty && newName.nonEmpty, "column names must be non-empty")
+    require(oldName != newName, s"rename $oldName -> $newName is a no-op")
+    commitLoop(s"rename column on $tablePath") { st =>
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"cannot rename $oldName on $tablePath: table has no schema yet"))
+      val logicalNames = schema.fields.map(f => st.logicalName(f.name)).toSet
+      require(logicalNames.contains(oldName),
+        s"no column named $oldName on $tablePath " +
+          s"(have: ${logicalNames.toSeq.sorted.mkString(", ")})")
+      require(!logicalNames.contains(newName),
+        s"cannot rename $oldName -> $newName on $tablePath: $newName exists")
+      val phys = physicalName(st, oldName)
+      Some(Seq(RenameCol(phys, newName)))
+    }
   }
 
   private def readState(s: State): DataFrame = s.schema match {
@@ -650,10 +785,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
     require(s.schema.isDefined, s"$tablePath has no commits yet — nothing to read")
     // a snapshot carrying deletion vectors cannot be a plain file
-    // relation (the mask is applied at read time): wrap the computed
-    // plan instead — pushdown happens inside it, not at the relation
-    if (s.files.exists(s.dvs.contains))
-      org.apache.spark.sql.GraftStreamBridge.dataFrameRelation(readState(s))
+    // relation (the mask is applied at read time), and one with
+    // column renames needs the surface projection: wrap the computed
+    // plan instead — pushdown still reaches the inner skip-registered
+    // relation (Catalyst rewrites predicates through the rename
+    // Project, so TxSkipRule prunes on the physical names as always)
+    if (s.files.exists(s.dvs.contains) || s.renames.nonEmpty)
+      org.apache.spark.sql.GraftStreamBridge.dataFrameRelation(
+        logicalize(s, readState(s)))
     else relationFor(s)
   }
 
@@ -676,15 +815,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * unchanged. A giant partition value writes through one task by
     * default; `filesPerValue > 1` salts it across that many files.
     */
-  def append(df: DataFrame, txn: Option[TxnId] = None,
+  def append(df0: DataFrame, txn: Option[TxnId] = None,
              partitionBy: Seq[String] = Nil, filesPerValue: Int = 1): Unit = {
-    val staged = stageData(df, partitionBy = partitionBy, filesPerValue = filesPerValue)
+    val snap = state()
+    val df = physicalize(snap, df0)
+    val staged = stageData(df,
+      partitionBy = partitionBy.map(physicalName(snap, _)),
+      filesPerValue = filesPerValue)
     var checkedFor: Map[String, String] = null // re-check only if a retry changed the set
     commitLoop(s"append to $tablePath") { st =>
       if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
         staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
         None // already committed by a previous attempt of this batch
       } else {
+        requireRenamesStable(snap, st, staged, "append to")
         val schema = mergeSchemas(st.schema, df.schema)
         if (st.constraints != checkedFor) {
           enforceConstraints(st.constraints, staged, schema, staged, "append to")
@@ -697,15 +841,32 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** A concurrent rename between a write's surface-name mapping and
+    * its commit claim would silently re-bind the write's columns:
+    * clean the staged files and abort loudly instead (retry re-maps
+    * against the new surface). Tables without renames — the common
+    * case — can never hit this.
+    */
+  private def requireRenamesStable(snap: State, st: State,
+      staged: Seq[(String, Option[FileStats])], what: String): Unit =
+    if (st.renames != snap.renames) {
+      staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+      throw new java.util.ConcurrentModificationException(
+        s"$what $tablePath raced a column rename; rerun against the new state")
+    }
+
   /** Replace the table contents atomically. Serializes after any
     * concurrent commit: on a lost race the remove-set is rebuilt from
     * the new head, so rows appended concurrently are also replaced —
     * last-writer-wins, with both versions in the history.
     */
-  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val staged = stageData(df, partitionBy = partitionBy)
+  def overwrite(df0: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val snap = state()
+    val df = physicalize(snap, df0)
+    val staged = stageData(df, partitionBy = partitionBy.map(physicalName(snap, _)))
     var checkedFor: Map[String, String] = null
     commitLoop(s"overwrite of $tablePath") { st =>
+      requireRenamesStable(snap, st, staged, "overwrite of")
       if (st.constraints != checkedFor) {
         enforceConstraints(st.constraints, staged, df.schema, staged, "overwrite of")
         checkedFor = st.constraints
@@ -743,9 +904,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * schema/constraints, or appended files whose stats cannot prove
     * them disjoint from the predicate.
     */
-  def replaceWhere(predicate: org.apache.spark.sql.Column, df: DataFrame): Unit = {
+  def replaceWhere(predicate: org.apache.spark.sql.Column, df0: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
     val snap = state()
+    val df = physicalize(snap, df0)
     val stagedNew = stageData(df)
     val schema = mergeSchemas(snap.schema, df.schema)
     // an empty replacement (all staged parts provably empty) is a pure
@@ -759,7 +921,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // scope check on the STAGED files (one scan, same shape as
     // constraint enforcement): a row outside the predicate would make
     // "replace WHERE p" also an untracked insert elsewhere — reject
-    val leaked = readStagedNew
+    val leaked = logicalize(snap, readStagedNew)
       .where(not(coalesce(predicate, lit(false)))).limit(1).collect()
     if (leaked.nonEmpty) {
       stagedNew.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
@@ -772,7 +934,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val candidates = prunedFiles(snap, predicate)
     val touched =
       if (candidates.isEmpty) Seq.empty[String]
-      else readState(snap.copy(files = candidates))
+      else logicalize(snap, readState(snap.copy(files = candidates)))
         .withColumn("__file", input_file_name())
         .where(predicate)
         .select("__file").distinct().collect()
@@ -780,23 +942,27 @@ class TxTable(spark: SparkSession, val tablePath: String,
     if (touched.isEmpty && stagedNew.isEmpty) return // provable no-op
     // one cached read of the touched files feeds the survivor rewrite
     // and the delete half of the change record
-    val touchedRows = readState(snap.copy(files = touched))
+    val touchedRows = logicalize(snap, readState(snap.copy(files = touched)))
     if (touched.nonEmpty) touchedRows.persist()
     val (stagedSurv, stagedCdf) = try {
       val surv =
         if (touched.isEmpty) Seq.empty[(String, Option[FileStats])]
-        else stageData(touchedRows.where(not(coalesce(predicate, lit(false)))))
-      val cdf = stageData(
+        else stageData(physicalize(snap,
+          touchedRows.where(not(coalesce(predicate, lit(false))))))
+      val cdf = stageData(physicalize(snap,
         touchedRows.where(predicate)
           .withColumn(ChangeTypeCol, lit("delete"))
-          .unionByName(readStagedNew.withColumn(ChangeTypeCol, lit("insert")),
-            allowMissingColumns = true),
+          .unionByName(
+            logicalize(snap, readStagedNew).withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = true)),
         prefix = "cdf", collectStats = false)
       (surv, cdf)
     } finally if (touched.nonEmpty) touchedRows.unpersist()
-    val mayMatch = addsMayMatchPredicate(predicate)
+    val mayMatch = addsMayMatchPredicate(snap, predicate)
     fireBeforeCommitHook()
     commitLoop(s"replaceWhere into $tablePath") { st =>
+      requireRenamesStable(snap, st, stagedNew ++ stagedSurv ++ stagedCdf,
+        "replaceWhere into")
       findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
         (stagedNew ++ stagedSurv ++ stagedCdf).foreach { case (f, _) =>
           fs.delete(new Path(root, f), false)
@@ -1009,15 +1175,16 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * maintenance economics as compaction, typically scheduled
     * together.
     */
-  def cluster(cols: Seq[String], targetFiles: Int = 16,
+  def cluster(cols0: Seq[String], targetFiles: Int = 16,
               bitsPerCol: Int = 8): Unit = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{array, col, filter, lit, shiftleft,
       shiftright, size}
-    require(cols.nonEmpty, "cluster needs at least one column")
-    require(cols.size * bitsPerCol <= 62,
-      s"${cols.size} cols x $bitsPerCol bits exceeds the 62-bit z-value budget")
+    require(cols0.nonEmpty, "cluster needs at least one column")
+    require(cols0.size * bitsPerCol <= 62,
+      s"${cols0.size} cols x $bitsPerCol bits exceeds the 62-bit z-value budget")
     val snap = state()
+    val cols = cols0.map(physicalName(snap, _))
     if (snap.files.isEmpty) return
     val df = readState(snap)
     val nBuckets = 1 << bitsPerCol
@@ -1079,15 +1246,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
     try merge0(source, keys) finally source.unpersist()
   }
 
-  private def merge0(source: DataFrame, keys: Seq[String]): Unit = {
+  private def merge0(source0: DataFrame, keys0: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name}
+    // surface → physical at the boundary; everything below is physical
+    val snap = state()
+    val source = physicalize(snap, source0)
+    val keys = keys0.map(physicalName(snap, _))
     val dupes = source.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dupes == 0,
-      s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
+      s"merge source has duplicate keys on (${keys0.mkString(", ")}) — " +
         "a multi-match replace would be row-order-dependent")
-    val snap = state()
-    if (snap.files.isEmpty) { append(source); return }
+    // the append path re-maps from the ORIGINAL surface frame: the
+    // already-physicalized one would trip the retired-name guard
+    if (snap.files.isEmpty) { append(source0); return }
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val touched = readState(snap).withColumn("__file", input_file_name())
       .join(srcKeys, keys, "left_semi")
@@ -1137,6 +1309,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val mayMatch = addsMayMatchKeys(source, keys)
     fireBeforeCommitHook()
     commitLoop(s"merge into $tablePath") { st =>
+      requireRenamesStable(snap, st, staged ++ stagedCdf, "merge into")
       // LOGICAL conflict rule (Delta's ConcurrentAppend/DeleteRead
       // exceptions): a concurrent commit aborts the merge only if it
       // could break the replace-by-key contract — it touched a file
@@ -1201,18 +1374,26 @@ class TxTable(spark: SparkSession, val tablePath: String,
     try scd2Merge0(source, keys, version) finally source.unpersist()
   }
 
-  private def scd2Merge0(source: DataFrame, keys: Seq[String], version: Long): Unit = {
+  private def scd2Merge0(source0: DataFrame, keys0: Seq[String], version: Long): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, when}
+    // surface → physical at the boundary; everything below is physical
+    val snap = state()
+    val source = physicalize(snap, source0)
+    val keys = keys0.map(physicalName(snap, _))
     val dupes = source.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dupes == 0,
-      s"mergeScd2 source has duplicate keys on (${keys.mkString(", ")}) — " +
+      s"mergeScd2 source has duplicate keys on (${keys0.mkString(", ")}) — " +
         "a key's new current row must be unique")
-    val snap = state()
+    if (snap.files.isEmpty) {
+      // seed via the ORIGINAL surface frame (append re-maps it)
+      append(source0.withColumn(ScdFromCol, lit(version))
+        .withColumn(ScdToCol, lit(null).cast("long")))
+      return
+    }
     val stamped = source
       .withColumn(ScdFromCol, lit(version))
       .withColumn(ScdToCol, lit(null).cast("long"))
-    if (snap.files.isEmpty) { append(stamped); return }
     val tableCols = snap.schema.map(_.fieldNames.toSeq).getOrElse(Nil)
     require(tableCols.contains(ScdFromCol) && tableCols.contains(ScdToCol),
       s"$tablePath is not an SCD2 table (no $ScdFromCol/$ScdToCol columns) — " +
@@ -1276,6 +1457,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val mayMatch = addsMayMatchKeys(source, keys)
       fireBeforeCommitHook()
       commitLoop(s"scd2 merge into $tablePath") { st =>
+      requireRenamesStable(snap, st, Nil, "scd2 merge into")
         findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
           (staged ++ stagedCdf).foreach { case (f, _) =>
             fs.delete(new Path(root, f), false)
@@ -1321,7 +1503,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     if (snap.files.isEmpty) return
     val candidates = prunedFiles(snap, predicate)
     if (candidates.isEmpty) return
-    val touched = readState(snap.copy(files = candidates))
+    val touched = logicalize(snap, readState(snap.copy(files = candidates)))
       .withColumn("__file", input_file_name())
       .where(predicate)
       .select("__file").distinct().collect()
@@ -1329,14 +1511,16 @@ class TxTable(spark: SparkSession, val tablePath: String,
     if (touched.isEmpty) return
     // one cached read of the touched files feeds both the survivor
     // rewrite and the delete change record
-    val touchedRows = readState(snap.copy(files = touched)).persist()
+    val touchedRows = logicalize(snap,
+      readState(snap.copy(files = touched))).persist()
     val (staged, stagedCdf) = try {
-      (stageData(touchedRows.where(not(coalesce(predicate, lit(false))))),
-        stageData(touchedRows.where(predicate)
-          .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete")),
+      (stageData(physicalize(snap,
+          touchedRows.where(not(coalesce(predicate, lit(false)))))),
+        stageData(physicalize(snap, touchedRows.where(predicate)
+          .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete"))),
           prefix = "cdf", collectStats = false))
     } finally touchedRows.unpersist()
-    val mayMatch = addsMayMatchPredicate(predicate)
+    val mayMatch = addsMayMatchPredicate(snap, predicate)
     fireBeforeCommitHook()
     commitLoop(s"delete from $tablePath") { st =>
       // LOGICAL conflict rule: abort only when a concurrent commit
@@ -1395,10 +1579,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // by an existing vector are excluded (they are not live, must not
     // re-enter the change feed, and their positions are already in the
     // old sidecar the union merge brings forward)
-    val raw = spark.read.schema(schema)
+    val raw = logicalize(snap, spark.read.schema(schema)
       .parquet(candidates.map(f => new Path(root, f).toString): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
-      .withColumn(DvIdxCol, col("_metadata.row_index"))
+      .withColumn(DvIdxCol, col("_metadata.row_index")))
       .where(coalesce(predicate, lit(false)))
     val existingDv = candidates.flatMap(f => snap.dvs.get(f).map(d => f -> d.dvFile))
     val hits = (if (existingDv.isEmpty) raw
@@ -1420,13 +1604,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
       // vector kept minus the new matches; their fresh sidecars die
       val staged =
         if (rewriteFiles.isEmpty) Seq.empty[(String, Option[FileStats])]
-        else stageData(readState(snap.copy(files = rewriteFiles))
-          .where(not(coalesce(predicate, lit(false)))))
+        else stageData(physicalize(snap,
+          logicalize(snap, readState(snap.copy(files = rewriteFiles)))
+            .where(not(coalesce(predicate, lit(false))))))
       rewrite.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
-      val stagedCdf = stageData(hits.drop(DvFileCol, DvIdxCol)
-        .withColumn(ChangeTypeCol, lit("delete")),
+      val stagedCdf = stageData(physicalize(snap, hits.drop(DvFileCol, DvIdxCol)
+        .withColumn(ChangeTypeCol, lit("delete"))),
         prefix = "cdf", collectStats = false)
-      val mayMatch = addsMayMatchPredicate(predicate)
+      val mayMatch = addsMayMatchPredicate(snap, predicate)
       fireBeforeCommitHook()
       commitLoop(s"merge-on-read delete from $tablePath") { st =>
         // LOGICAL conflict rule, same as the copy-on-write verbs; the
@@ -1516,13 +1701,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
     if (snap.files.isEmpty) return
     val schema = snap.schema.getOrElse(throw new IllegalStateException(
       s"table $tablePath has files but no recorded schema"))
-    val unknown = set.keySet -- schema.fieldNames
+    // assignments and predicate speak SURFACE (logical) names
+    val logicalFields = schema.fields.map(f => logicalField(snap, f))
+    val unknown = set.keySet -- logicalFields.map(_.name)
     require(unknown.isEmpty,
       s"update sets unknown column(s) ${unknown.mkString(", ")} — " +
-        s"table columns are ${schema.fieldNames.mkString(", ")}")
+        s"table columns are ${logicalFields.map(_.name).mkString(", ")}")
     val candidates = prunedFiles(snap, predicate)
     if (candidates.isEmpty) return
-    val touched = readState(snap.copy(files = candidates))
+    val touched = logicalize(snap, readState(snap.copy(files = candidates)))
       .withColumn("__file", input_file_name())
       .where(predicate)
       .select("__file").distinct().collect()
@@ -1531,7 +1718,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val cond = coalesce(predicate, lit(false))
     // one projection evaluates every assignment against the original
     // row, then swaps in the new values only where the predicate holds
-    def applySet(df: DataFrame): DataFrame = df.select(schema.fields.map { f =>
+    def applySet(df: DataFrame): DataFrame = df.select(logicalFields.map { f =>
       set.get(f.name) match {
         case Some(expr) =>
           when(cond, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
@@ -1540,18 +1727,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }.toIndexedSeq: _*)
     // one cached read of the touched files feeds the rewrite and both
     // sides of the change record
-    val touchedRows = readState(snap.copy(files = touched)).persist()
+    val touchedRows = logicalize(snap,
+      readState(snap.copy(files = touched))).persist()
     val (staged, stagedCdf) = try {
       val pre = touchedRows.where(cond)
         .withColumn(ChangeTypeCol, lit("update_preimage"))
       val post = applySet(touchedRows.where(cond))
         .withColumn(ChangeTypeCol, lit("update_postimage"))
-      (stageData(applySet(touchedRows)),
-        stageData(pre.unionByName(post), prefix = "cdf", collectStats = false))
+      (stageData(physicalize(snap, applySet(touchedRows))),
+        stageData(physicalize(snap, pre.unionByName(post)),
+          prefix = "cdf", collectStats = false))
     } finally touchedRows.unpersist()
     enforceConstraints(snap.constraints, staged, schema,
       staged ++ stagedCdf, "update of")
-    val mayMatch = addsMayMatchPredicate(predicate)
+    val mayMatch = addsMayMatchPredicate(snap, predicate)
     fireBeforeCommitHook()
     commitLoop(s"update $tablePath") { st =>
       // LOGICAL conflict rule, same as merge/delete: unrelated
@@ -1776,9 +1965,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * predicate matches no row — the same [[TxTable.filesToRead]]
     * kernel the scan path prunes with, pointed at the appended files.
     */
-  private def addsMayMatchPredicate(predicate: org.apache.spark.sql.Column)
+  private def addsMayMatchPredicate(snap: State,
+      predicate: org.apache.spark.sql.Column)
       : Seq[(String, Option[FileStats])] => Boolean = {
-    val shapes = org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate)
+    val shapes = physicalizeShapes(snap,
+      org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate))
     adds => {
       val stats = adds.collect { case (p, Some(s)) => p -> s }.toMap
       TxTable.filesToRead(adds.map(_._1), stats, shapes).nonEmpty
@@ -2042,7 +2233,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
             "n" -> (JLong(d.deleted): JValue)): JValue) }),
         "blooms" -> JObject(st.blooms.toList.map { case (k, c) =>
           k -> (JObject("items" -> (JLong(c.items): JValue),
-            "fpp" -> (JDouble(c.fpp): JValue)): JValue) })
+            "fpp" -> (JDouble(c.fpp): JValue)): JValue) }),
+        "renames" -> JObject(st.renames.toList.map {
+          case (p, l) => p -> (JString(l): JValue) })
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -2130,7 +2323,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }.toMap
       case _ => Map.empty[String, BloomCfg]
     }
-    State(version, files, schema, txns, stats, constraints, dvs, blooms)
+    // absent in pre-column-mapping checkpoints: empty, not an error
+    val renames = (j \ "renames") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    State(version, files, schema, txns, stats, constraints, dvs, blooms, renames)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -2679,6 +2877,17 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("dropConstraint"),
       "name" -> JString(name))
   }
+  /** COLUMN MAPPING (the metadata-only-rename design table formats
+    * publish): `physical` is the name data files and stats are keyed
+    * by — fixed at first write, never rewritten — and `logical` is
+    * the name the table surface shows from this commit on
+    * ([[TxTable.renameColumn]]). Re-renaming the same column replaces
+    * the entry (one physical → latest logical).
+    */
+  private[core] case class RenameCol(physical: String, logical: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("renameColumn"),
+      "phys" -> JString(physical), "logical" -> JString(logical))
+  }
 
   private[core] object Action {
     def fromJson(line: String): Action = {
@@ -2705,6 +2914,7 @@ object TxTable {
         case JString("rewrite") => RewriteMarker
         case JString("constraint") => Constr(str("name"), str("expr"))
         case JString("dropConstraint") => DropConstr(str("name"))
+        case JString("renameColumn") => RenameCol(str("phys"), str("logical"))
         case JString("bloomIndex") =>
           val items = (j \ "items") match {
             case JLong(n) => n

@@ -567,6 +567,57 @@ object ScaleOps {
   def qTxUpdate(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(updatedOrdersTable(s, dir).read())
 
+  /** ACID orders clone whose columns are RENAMED twice metadata-only
+    * ([[graft.core.TxTable.renameColumn]] — the column-mapping
+    * design: data files keep their immutable physical names, the log
+    * maps surface names), built once per (session, dir). The builder
+    * asserts zero data files changed across both renames — an O(1)
+    * schema change where a rewrite would be O(table).
+    */
+  private[ext] def renamedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-rename:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txrename_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(datekey.as("o_datekey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_datekey"))
+        .sortWithinPartitions("o_datekey"))
+      val before = t.state().files.toSet
+      t.renameColumn("o_orderpriority", "priority")
+      t.renameColumn("o_totalprice", "revenue_amount")
+      require(t.state().files.toSet == before,
+        "metadata-only rename must not touch data files")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The time-window aggregate through [[renamedOrdersTable]]'s NEW
+    * surface names, with the manifest-stat skip still keyed by the
+    * immutable physical names underneath: matches the plain-orders
+    * oracle only if the mapping projects values losslessly and the
+    * renamed-column predicate still prunes to the same file set.
+    */
+  def qTxRename(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = renamedOrdersTable(s, dir)
+    val kept = t.prunedFiles(t.state(),
+      col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi)
+    require(kept.size < t.state().files.size,
+      "range skip must survive the rename")
+    t.scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("revenue_amount").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("priority"))
+  }
+
   /** Grouped z-score OUTLIER DETECTION — the monitoring/data-quality
     * primitive: per event type, mean and variance from ONE aggregate
     * pass (decimal sums of the exactly-representable value and value²,
@@ -847,6 +898,7 @@ object ScaleOps {
     "q_tx_cdf" -> (qTxCdf _),
     "q_tx_compact" -> (qTxCompact _),
     "q_anomaly" -> (qAnomaly _),
+    "q_tx_rename" -> (qTxRename _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
@@ -894,6 +946,14 @@ object ScaleOps {
     // LAYOUT (builder-asserted collapse + rewrite marker), never the
     // answer
     "q_tx_compact" -> txFullSql,
+    // the window aggregate under the RENAMED surface names: matches
+    // only if the column mapping is lossless and the skip stays sound
+    "q_tx_rename" ->
+      s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders
+         |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) BETWEEN $TxSkipLo AND $TxSkipHi
+         |GROUP BY priority ORDER BY priority""".stripMargin,
     // the UPDATE reconstructed as a CASE projection — double addition
     // is IEEE-deterministic, identical in Spark and DuckDB
     "q_tx_update" ->

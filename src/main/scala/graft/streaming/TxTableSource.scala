@@ -156,9 +156,24 @@ class TxTableSource(sqlContext: SQLContext, tablePath: String,
       GraftStreamBridge.asStreamingDF(
         table.readChangeFeed(from, to)
           .select(schema.fieldNames.toIndexedSeq.map(col): _*))
-    } else
-      GraftStreamBridge.streamingParquetBatch(spark, schema,
-        table.changedFiles(from, to))
+    } else {
+      val st = table.state()
+      if (st.renames.isEmpty)
+        GraftStreamBridge.streamingParquetBatch(spark, schema,
+          table.changedFiles(from, to))
+      else {
+        // column mapping: data files carry PHYSICAL names — read under
+        // them, then project back to the stream's surface schema
+        import org.apache.spark.sql.functions.col
+        val toPhys = st.toPhysicalName
+        val physFields = schema.fields.map(f =>
+          f.copy(name = toPhys.getOrElse(f.name, f.name)))
+        GraftStreamBridge.streamingParquetBatch(spark,
+            StructType(physFields.toIndexedSeq), table.changedFiles(from, to))
+          .select(physFields.zip(schema.fields).map { case (p, l) =>
+            col(s"`${p.name}`").as(l.name) }.toIndexedSeq: _*)
+      }
+    }
   }
 
   override def commit(end: Offset): Unit = ()
