@@ -80,7 +80,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    constraints: Map[String, String] = Map.empty,
                    dvs: Map[String, DvRef] = Map.empty,
                    blooms: Map[String, BloomCfg] = Map.empty,
-                   renames: Map[String, String] = Map.empty) {
+                   renames: Map[String, String] = Map.empty,
+                   dropped: Set[String] = Set.empty) {
     /** logical → physical (inverse of [[renames]]). */
     def toPhysicalName: Map[String, String] =
       renames.map { case (p, l) => l -> p }
@@ -137,6 +138,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var dvs = st.dvs
     var blooms = st.blooms
     var renames = st.renames
+    var dropped = st.dropped
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -156,10 +158,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case DropBloomIdx(c) => blooms -= c
       case RenameCol(p, l) =>
         if (p == l) renames -= p else renames += p -> l
+      case DropCol(p) =>
+        dropped += p
+        renames -= p // the dropped slot keeps no surface name
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
-    State(version, files, schema, txns, stats, constraints, dvs, blooms, renames)
+    State(version, files, schema, txns, stats, constraints, dvs, blooms,
+      renames, dropped)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -320,7 +326,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def schemaOption: Option[StructType] = {
     val s = state()
-    s.schema.map(sc => StructType(sc.fields.map(logicalField(s, _))))
+    s.schema.map(sc => StructType(sc.fields
+      .filterNot(f => s.dropped.contains(f.name))
+      .map(logicalField(s, _))))
   }
 
   /** Make this table SQL-addressable as `graft_tx.<name>` (snapshot
@@ -356,6 +364,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // orphan a stored expression
     val physSql = physicalizeExprSql(snap, exprSql)
     val e = expr(physSql)
+    val deadRefs = snap.dropped.filter(exprReferencesColumn(physSql, _))
+    require(deadRefs.isEmpty,
+      s"cannot add constraint $name CHECK ($exprSql) to $tablePath: it references " +
+        s"dropped column(s) ${deadRefs.toSeq.sorted.mkString(", ")}")
     if (snap.files.nonEmpty) {
       val bad = readState(snap).where(not(coalesce(e, lit(true)))).limit(1).collect()
       require(bad.isEmpty,
@@ -610,11 +622,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * no renames — the overwhelmingly common case pays nothing.
     */
   private def logicalize(s: State, df: DataFrame): DataFrame =
-    if (s.renames.isEmpty) df
+    if (s.renames.isEmpty && s.dropped.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
-      df.select(df.columns.toIndexedSeq.map(c =>
-        col(s"`$c`").as(s.logicalName(c))): _*)
+      df.select(df.columns.toIndexedSeq
+        .filterNot(s.dropped.contains)
+        .map(c => col(s"`$c`").as(s.logicalName(c))): _*)
     }
 
   /** Logical → physical projection of an INCOMING frame before it is
@@ -625,7 +638,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * files would resurrect the old name as a different column.
     */
   private def physicalize(s: State, df: DataFrame): DataFrame =
-    if (s.renames.isEmpty) df
+    if (s.renames.isEmpty && s.dropped.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
       val toPhys = s.toPhysicalName
@@ -636,6 +649,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"column $p of $tablePath was renamed to $l; writing a NEW column under " +
           s"the retired physical name would silently alias it — pick another name"
       }.mkString("; "))
+      // a name whose physical slot was DROPPED cannot be written here:
+      // the schema-evolving verbs (append/overwrite) re-add it under a
+      // fresh physical slot; anywhere else it would resurrect the
+      // dropped column's files
+      val hitsDropped = df.columns.filter(c =>
+        s.dropped.contains(toPhys.getOrElse(c, c)))
+      require(hitsDropped.isEmpty,
+        s"column(s) ${hitsDropped.mkString(", ")} of $tablePath were dropped — " +
+          "re-add via append()/overwrite() (fresh physical slot) first")
       df.select(df.columns.toIndexedSeq.map(c =>
         col(s"`$c`").as(toPhys.getOrElse(c, c))): _*)
     }
@@ -679,7 +701,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     commitLoop(s"rename column on $tablePath") { st =>
       val schema = st.schema.getOrElse(throw new IllegalStateException(
         s"cannot rename $oldName on $tablePath: table has no schema yet"))
-      val logicalNames = schema.fields.map(f => st.logicalName(f.name)).toSet
+      val logicalNames = schema.fields.map(_.name)
+        .filterNot(st.dropped.contains).map(st.logicalName).toSet
       require(logicalNames.contains(oldName),
         s"no column named $oldName on $tablePath " +
           s"(have: ${logicalNames.toSeq.sorted.mkString(", ")})")
@@ -688,6 +711,53 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val phys = physicalName(st, oldName)
       Some(Seq(RenameCol(phys, newName)))
     }
+  }
+
+  /** METADATA-ONLY column drop (column mapping): existing data files
+    * are untouched — the physical column's values stay in them (time
+    * travel below this commit still reads them) but the surface hides
+    * the column from this commit on, every rewrite stops carrying it,
+    * and a later [[append]]/[[overwrite]] may RE-ADD the same surface
+    * name under a fresh physical slot. O(1) at any table size where a
+    * rewrite would be O(table). Refused while a CHECK constraint
+    * references the column (enforcement scans would break — drop the
+    * constraint first); a bloom index on it is dropped in the same
+    * commit (its prune could never be asked for again).
+    */
+  def dropColumn(name: String): Unit = {
+    require(name.nonEmpty, "column name must be non-empty")
+    commitLoop(s"drop column on $tablePath") { st =>
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"cannot drop $name on $tablePath: table has no schema yet"))
+      val live = schema.fields.map(_.name).filterNot(st.dropped.contains)
+      val logicalNames = live.map(st.logicalName)
+      require(logicalNames.contains(name),
+        s"no column named $name on $tablePath " +
+          s"(have: ${logicalNames.sorted.mkString(", ")})")
+      require(logicalNames.length > 1,
+        s"cannot drop $name: it is the last column of $tablePath")
+      val phys = physicalName(st, name)
+      val referenced = st.constraints.filter { case (_, sql) =>
+        exprReferencesColumn(sql, phys)
+      }
+      require(referenced.isEmpty,
+        s"cannot drop $name on $tablePath: referenced by CHECK constraint(s) " +
+          s"${referenced.keys.toSeq.sorted.mkString(", ")} — drop them first")
+      Some(Seq(DropCol(phys)) ++
+        (if (st.blooms.contains(phys)) Seq(DropBloomIdx(phys)) else Nil))
+    }
+  }
+
+  /** Does a stored (physical-name) SQL expression reference `column`?
+    * Parsed, not substring-matched — `a_b > 0` must not pin `a`.
+    */
+  private def exprReferencesColumn(exprSql: String, column: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UA}
+    val resolver = spark.sessionState.conf.resolver
+    try spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: UA if a.nameParts.size == 1 && resolver(a.nameParts.head, column) => a
+    }.nonEmpty
+    catch { case _: Exception => true } // unparseable: refuse, never guess
   }
 
   private def readState(s: State): DataFrame = s.schema match {
@@ -817,7 +887,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def append(df0: DataFrame, txn: Option[TxnId] = None,
              partitionBy: Seq[String] = Nil, filesPerValue: Int = 1): Unit = {
-    val snap = state()
+    val snap0 = state()
+    // RE-ADD after dropColumn: a surface name whose physical slot was
+    // dropped gets a FRESH physical slot, mapped in the same commit —
+    // the old files' values stay dead, the new column starts null
+    // everywhere it is absent (normal evolution semantics)
+    val readds = df0.columns
+      .filter(c => snap0.dropped.contains(snap0.toPhysicalName.getOrElse(c, c)))
+      .map(l => l -> s"${l}_${UUID.randomUUID().toString.take(8)}").toMap
+    val snap = snap0.copy(renames = snap0.renames ++ readds.map(_.swap))
     val df = physicalize(snap, df0)
     val staged = stageData(df,
       partitionBy = partitionBy.map(physicalName(snap, _)),
@@ -828,7 +906,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
         None // already committed by a previous attempt of this batch
       } else {
-        requireRenamesStable(snap, st, staged, "append to")
+        requireRenamesStable(snap0, st, staged, "append to")
         val schema = mergeSchemas(st.schema, df.schema)
         if (st.constraints != checkedFor) {
           enforceConstraints(st.constraints, staged, schema, staged, "append to")
@@ -836,6 +914,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         }
         Some(staged.map { case (p, s) => Add(p, s) } ++
           Seq(Meta(schema.toDDL)) ++
+          readds.map { case (l, f) => RenameCol(f, l) } ++
           txn.map(t => Txn(t.writerId, t.batchId)).toSeq)
       }
     }
@@ -861,17 +940,22 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * last-writer-wins, with both versions in the history.
     */
   def overwrite(df0: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val snap = state()
+    val snap0 = state()
+    val readds = df0.columns
+      .filter(c => snap0.dropped.contains(snap0.toPhysicalName.getOrElse(c, c)))
+      .map(l => l -> s"${l}_${UUID.randomUUID().toString.take(8)}").toMap
+    val snap = snap0.copy(renames = snap0.renames ++ readds.map(_.swap))
     val df = physicalize(snap, df0)
     val staged = stageData(df, partitionBy = partitionBy.map(physicalName(snap, _)))
     var checkedFor: Map[String, String] = null
     commitLoop(s"overwrite of $tablePath") { st =>
-      requireRenamesStable(snap, st, staged, "overwrite of")
+      requireRenamesStable(snap0, st, staged, "overwrite of")
       if (st.constraints != checkedFor) {
         enforceConstraints(st.constraints, staged, df.schema, staged, "overwrite of")
         checkedFor = st.constraints
       }
-      Some(st.files.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } :+
+      Some(st.files.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+        readds.map { case (l, f) => RenameCol(f, l) } :+
         Meta(df.schema.toDDL))
     }
   }
@@ -1398,7 +1482,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     require(tableCols.contains(ScdFromCol) && tableCols.contains(ScdToCol),
       s"$tablePath is not an SCD2 table (no $ScdFromCol/$ScdToCol columns) — " +
         "seed it with mergeScd2 on an empty table")
-    val business = tableCols.filterNot(c => c == ScdFromCol || c == ScdToCol)
+    val business = tableCols.filterNot(c =>
+      c == ScdFromCol || c == ScdToCol || snap.dropped.contains(c))
     require(source.columns.toSet == business.toSet,
       s"mergeScd2 source columns [${source.columns.sorted.mkString(", ")}] must " +
         s"match the table's business columns [${business.sorted.mkString(", ")}] " +
@@ -1701,8 +1786,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     if (snap.files.isEmpty) return
     val schema = snap.schema.getOrElse(throw new IllegalStateException(
       s"table $tablePath has files but no recorded schema"))
-    // assignments and predicate speak SURFACE (logical) names
-    val logicalFields = schema.fields.map(f => logicalField(snap, f))
+    // assignments and predicate speak SURFACE (logical) names;
+    // dropped physical columns are invisible here (and rewrites stop
+    // carrying them, by the same projection)
+    val logicalFields = schema.fields
+      .filterNot(f => snap.dropped.contains(f.name))
+      .map(f => logicalField(snap, f))
     val unknown = set.keySet -- logicalFields.map(_.name)
     require(unknown.isEmpty,
       s"update sets unknown column(s) ${unknown.mkString(", ")} — " +
@@ -2235,7 +2324,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
           k -> (JObject("items" -> (JLong(c.items): JValue),
             "fpp" -> (JDouble(c.fpp): JValue)): JValue) }),
         "renames" -> JObject(st.renames.toList.map {
-          case (p, l) => p -> (JString(l): JValue) })
+          case (p, l) => p -> (JString(l): JValue) }),
+        "droppedCols" -> JArray(st.dropped.toList.sorted.map(JString(_)))
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -2328,7 +2418,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
-    State(version, files, schema, txns, stats, constraints, dvs, blooms, renames)
+    val dropped = (j \ "droppedCols") match {
+      case JArray(xs) => xs.collect { case JString(v) => v }.toSet
+      case _ => Set.empty[String]
+    }
+    State(version, files, schema, txns, stats, constraints, dvs, blooms,
+      renames, dropped)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -2877,6 +2972,16 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("dropConstraint"),
       "name" -> JString(name))
   }
+  /** Metadata-only COLUMN DROP under column mapping: the physical
+    * column stays in existing files (time travel still sees it); the
+    * surface hides it from this commit on, rewrites stop carrying it,
+    * and a later append may RE-ADD the logical name under a fresh
+    * physical slot ([[TxTable.dropColumn]]).
+    */
+  private[core] case class DropCol(physical: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("dropColumn"),
+      "phys" -> JString(physical))
+  }
   /** COLUMN MAPPING (the metadata-only-rename design table formats
     * publish): `physical` is the name data files and stats are keyed
     * by — fixed at first write, never rewritten — and `logical` is
@@ -2915,6 +3020,7 @@ object TxTable {
         case JString("constraint") => Constr(str("name"), str("expr"))
         case JString("dropConstraint") => DropConstr(str("name"))
         case JString("renameColumn") => RenameCol(str("phys"), str("logical"))
+        case JString("dropColumn") => DropCol(str("phys"))
         case JString("bloomIndex") =>
           val items = (j \ "items") match {
             case JLong(n) => n

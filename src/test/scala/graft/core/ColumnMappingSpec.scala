@@ -153,6 +153,76 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(t.schemaOption.get.fieldNames.toSeq == Seq("id", "v", "price"))
   }
 
+  test("dropColumn is metadata-only: files untouched, surface hidden, time travel intact") {
+    val t = seeded()
+    val filesBefore = t.state().files.toSet
+    t.dropColumn("v")
+    assert(t.state().files.toSet == filesBefore, "no data file moved")
+    assert(t.read().columns.toSeq == Seq("id", "amount"))
+    assert(t.schemaOption.get.fieldNames.toSeq == Seq("id", "amount"))
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      t.read().select("v").collect())
+    // the version below the drop still reads the column
+    assert(t.readAt(0L).select("v").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b", "c"))
+  }
+
+  test("rewrites stop carrying a dropped column; re-add starts a fresh slot") {
+    val t = seeded()
+    t.dropColumn("v")
+    // a copy-on-write delete rewrites its touched files WITHOUT v
+    t.delete(col("id") === 1L)
+    assert(t.read().count() == 2)
+    // re-add the name: fresh physical slot, old values DEAD (null)
+    t.append(Seq((4L, 40.0, "fresh")).toDF("id", "amount", "v"))
+    val out = t.read().orderBy("id").collect()
+    assert(t.read().columns.sorted.toSeq == Seq("amount", "id", "v"))
+    assert(out.length == 3)
+    assert(out.last.getString(out.head.fieldIndex("v")) == "fresh")
+    assert(out.take(2).forall(_.isNullAt(out.head.fieldIndex("v"))),
+      "pre-re-add rows must read the NEW slot as null, not the dead values")
+    // and the mapping is to a fresh physical name, not the dropped one
+    val m = t.state().renames.find(_._2 == "v")
+    assert(m.exists(_._1 != "v"), s"expected fresh physical slot, got $m")
+    assert(t.state().dropped == Set("v"))
+  }
+
+  test("dropColumn validations: unknown, last column, constraint references") {
+    val t = seeded()
+    assertThrows[IllegalArgumentException](t.dropColumn("nope"))
+    t.addConstraint("pos", "amount > 0")
+    assertThrows[IllegalArgumentException](t.dropColumn("amount"))
+    t.dropConstraint("pos")
+    t.dropColumn("amount")
+    t.dropColumn("v")
+    // id is now the last column
+    assertThrows[IllegalArgumentException](t.dropColumn("id"))
+    // constraints on a dropped column are refused at DDL time
+    assertThrows[IllegalArgumentException](t.addConstraint("dead", "amount > 0"))
+  }
+
+  test("drop composes with rename: mapping bookkeeping stays consistent") {
+    val t = seeded()
+    t.renameColumn("amount", "price")
+    t.dropColumn("price") // drops the RENAMED column by surface name
+    assert(t.state().dropped == Set("amount"), "drop records the physical slot")
+    assert(t.state().renames.isEmpty, "the dropped slot keeps no surface name")
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    t.renameColumn("v", "text") // later renames unaffected
+    assert(t.read().columns.toSeq == Seq("id", "text"))
+  }
+
+  test("dropped set survives checkpoint replay") {
+    val t = new TxTable(spark, tmpDir("txmap"), checkpointInterval = 2)
+    t.append(Seq((1L, "a", 10.0)).toDF("id", "v", "amount"))
+    t.dropColumn("v")
+    (0 until 3).foreach(i => t.append(Seq((10L + i, 1.0)).toDF("id", "amount")))
+    t.truncateLog()
+    val fresh = new TxTable(spark, t.tablePath, checkpointInterval = 2)
+    assert(fresh.state().dropped == Set("v"))
+    assert(fresh.read().columns.toSeq == Seq("id", "amount"))
+  }
+
   test("streaming from a renamed table surfaces the new name") {
     val t = seeded()
     t.renameColumn("amount", "price")
