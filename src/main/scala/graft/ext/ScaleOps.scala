@@ -567,6 +567,44 @@ object ScaleOps {
   def qTxUpdate(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(updatedOrdersTable(s, dir).read())
 
+  /** Table PROFILING — the Deequ/dbt-test-style quality audit: every
+    * column's null count, distinct count and min/max (value for
+    * numerics, length for strings) in ONE aggregate pass over the
+    * corpus, unpivoted to long form (column, metric, value). The
+    * multi-count-distinct expands map-side (Spark's Expand), so the
+    * pass stays one scan + one aggregate exchange; at 100 TB swap the
+    * exact distincts for HLL sketches ([[qApproxStats]]) — the shape
+    * is otherwise identical. All metrics are integers: engine-exact.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    def dist(c: String) = countDistinct(col(c)).as(s"${c}_distinct")
+    val strCols = Seq("text", "lang", "source")
+    val numCols = Seq("doc_id", "n_chars")
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        (strCols ++ numCols).flatMap(c => Seq(nulls(c), dist(c))) ++
+        strCols.flatMap(c => Seq(
+          min(length(col(c)).cast("long")).as(s"${c}_min"),
+          max(length(col(c)).cast("long")).as(s"${c}_max"))) ++
+        numCols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val entries = Seq(("_table", "n_rows", "n_rows")) ++
+      (strCols ++ numCols).flatMap(c => Seq(
+        (c, "n_nulls", s"${c}_nulls"), (c, "n_distinct", s"${c}_distinct"))) ++
+      strCols.flatMap(c => Seq(
+        (c, "min_len", s"${c}_min"), (c, "max_len", s"${c}_max"))) ++
+      numCols.flatMap(c => Seq(
+        (c, "min", s"${c}_min"), (c, "max", s"${c}_max")))
+    val stackArgs = entries
+      .map { case (c, m, f) => s"'$c', '$m', `$f`" }.mkString(", ")
+    one.selectExpr(
+        s"stack(${entries.size}, $stackArgs) as (column_name, metric, value)")
+      .orderBy(col("column_name"), col("metric"))
+  }
+
   /** ACID orders clone whose columns are RENAMED twice metadata-only
     * ([[graft.core.TxTable.renameColumn]] — the column-mapping
     * design: data files keep their immutable physical names, the log
@@ -899,6 +937,7 @@ object ScaleOps {
     "q_tx_compact" -> (qTxCompact _),
     "q_anomaly" -> (qAnomaly _),
     "q_tx_rename" -> (qTxRename _),
+    "q_profile" -> (qProfile _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
@@ -1032,6 +1071,49 @@ object ScaleOps {
         |FROM orders
         |WHERE o_orderkey % 5 <> 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // one-pass profile reconstructed metric-by-metric; all integers
+    "q_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
+        |    COUNT(DISTINCT text) AS text_distinct,
+        |    MIN(length(text)) AS text_min, MAX(length(text)) AS text_max,
+        |    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+        |    COUNT(DISTINCT lang) AS lang_distinct,
+        |    MIN(length(lang)) AS lang_min, MAX(length(lang)) AS lang_max,
+        |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+        |    COUNT(DISTINCT source) AS source_distinct,
+        |    MIN(length(source)) AS source_min, MAX(length(source)) AS source_max,
+        |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id_nulls,
+        |    COUNT(DISTINCT doc_id) AS doc_id_distinct,
+        |    MIN(doc_id) AS doc_id_min, MAX(doc_id) AS doc_id_max,
+        |    SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
+        |    COUNT(DISTINCT n_chars) AS n_chars_distinct,
+        |    MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max
+        |  FROM documents)
+        |SELECT column_name, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '_table' AS column_name, 'n_rows' AS metric, n_rows AS value FROM a
+        |  UNION ALL SELECT 'text', 'n_nulls', text_nulls FROM a
+        |  UNION ALL SELECT 'text', 'n_distinct', text_distinct FROM a
+        |  UNION ALL SELECT 'text', 'min_len', text_min FROM a
+        |  UNION ALL SELECT 'text', 'max_len', text_max FROM a
+        |  UNION ALL SELECT 'lang', 'n_nulls', lang_nulls FROM a
+        |  UNION ALL SELECT 'lang', 'n_distinct', lang_distinct FROM a
+        |  UNION ALL SELECT 'lang', 'min_len', lang_min FROM a
+        |  UNION ALL SELECT 'lang', 'max_len', lang_max FROM a
+        |  UNION ALL SELECT 'source', 'n_nulls', source_nulls FROM a
+        |  UNION ALL SELECT 'source', 'n_distinct', source_distinct FROM a
+        |  UNION ALL SELECT 'source', 'min_len', source_min FROM a
+        |  UNION ALL SELECT 'source', 'max_len', source_max FROM a
+        |  UNION ALL SELECT 'doc_id', 'n_nulls', doc_id_nulls FROM a
+        |  UNION ALL SELECT 'doc_id', 'n_distinct', doc_id_distinct FROM a
+        |  UNION ALL SELECT 'doc_id', 'min', doc_id_min FROM a
+        |  UNION ALL SELECT 'doc_id', 'max', doc_id_max FROM a
+        |  UNION ALL SELECT 'n_chars', 'n_nulls', n_chars_nulls FROM a
+        |  UNION ALL SELECT 'n_chars', 'n_distinct', n_chars_distinct FROM a
+        |  UNION ALL SELECT 'n_chars', 'min', n_chars_min FROM a
+        |  UNION ALL SELECT 'n_chars', 'max', n_chars_max FROM a)
+        |ORDER BY column_name, metric""".stripMargin,
     // decimal-sum moments → IEEE mean/std/z on identical scalars: the
     // filter and the z values match bit-for-bit with no quantization
     "q_anomaly" ->
