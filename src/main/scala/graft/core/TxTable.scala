@@ -81,7 +81,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    dvs: Map[String, DvRef] = Map.empty,
                    blooms: Map[String, BloomCfg] = Map.empty,
                    renames: Map[String, String] = Map.empty,
-                   dropped: Set[String] = Set.empty) {
+                   dropped: Set[String] = Set.empty,
+                   protocol: (Int, Int) = (1, 1)) {
     /** logical → physical (inverse of [[renames]]). */
     def toPhysicalName: Map[String, String] =
       renames.map { case (p, l) => l -> p }
@@ -126,7 +127,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val replay = manifests.dropWhile(_ <= base.version).takeWhile { v =>
       val ok = v == expect && v <= limit; expect += 1; ok
     }
-    replay.foldLeft(base)((st, v) => applyManifest(st, v, readManifest(fsv, v)))
+    val st =
+      replay.foldLeft(base)((st, v) => applyManifest(st, v, readManifest(fsv, v)))
+    if (st.protocol._1 > TxTable.SupportedReaderVersion)
+      throw new IllegalStateException(
+        s"$tablePath requires reader protocol ${st.protocol._1} but this client " +
+          s"supports ${TxTable.SupportedReaderVersion} — upgrade before reading " +
+          "(serving this table anyway could return wrong results)")
+    st
   }
 
   private def applyManifest(st: State, version: Long, actions: Seq[Action]): State = {
@@ -139,6 +147,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var blooms = st.blooms
     var renames = st.renames
     var dropped = st.dropped
+    var protocol = st.protocol
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -161,11 +170,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case DropCol(p) =>
         dropped += p
         renames -= p // the dropped slot keeps no surface name
+      case Protocol(r, w) =>
+        protocol = (math.max(protocol._1, r), math.max(protocol._2, w))
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped)
+      renames, dropped, protocol)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -340,6 +351,25 @@ class TxTable(spark: SparkSession, val tablePath: String,
 
   /** CHECK constraints currently in force (name → SQL expression). */
   def constraints: Map[String, String] = state().constraints
+
+  /** The table's (minReader, minWriter) protocol requirement. */
+  def protocol: (Int, Int) = state().protocol
+
+  /** Raise the protocol requirement EXPLICITLY (feature DDL raises it
+    * implicitly). Monotone: lowering is refused — an older client
+    * could then commit under invariants it does not understand.
+    */
+  def upgradeProtocol(minReader: Int, minWriter: Int): Unit =
+    commitLoop(s"protocol upgrade on $tablePath") { st =>
+      require(minReader >= st.protocol._1 && minWriter >= st.protocol._2,
+        s"cannot lower protocol ${st.protocol} to ($minReader, $minWriter)")
+      require(minReader <= TxTable.SupportedReaderVersion &&
+        minWriter <= TxTable.SupportedWriterVersion,
+        s"this client supports (${TxTable.SupportedReaderVersion}, " +
+          s"${TxTable.SupportedWriterVersion}); cannot demand ($minReader, $minWriter)")
+      if ((minReader, minWriter) == st.protocol) None
+      else Some(Seq(Protocol(minReader, minWriter)))
+    }
 
   /** Add (or replace) a CHECK constraint: from this commit on, every
     * append/overwrite/merge/update must satisfy `exprSql` on every row
@@ -709,9 +739,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
       require(!logicalNames.contains(newName),
         s"cannot rename $oldName -> $newName on $tablePath: $newName exists")
       val phys = physicalName(st, oldName)
-      Some(Seq(RenameCol(phys, newName)))
+      Some(RenameCol(phys, newName) +: protocolBumpV2(st))
     }
   }
+
+  /** Column mapping and deletion vectors are v2 features: the first
+    * commit using one raises the table's protocol so pre-v2 clients
+    * refuse loudly instead of misreading.
+    */
+  private def protocolBumpV2(st: State): Seq[Action] =
+    if (st.protocol._1 >= 2 && st.protocol._2 >= 2) Nil
+    else Seq(Protocol(2, 2))
 
   /** METADATA-ONLY column drop (column mapping): existing data files
     * are untouched — the physical column's values stay in them (time
@@ -744,7 +782,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"cannot drop $name on $tablePath: referenced by CHECK constraint(s) " +
           s"${referenced.keys.toSeq.sorted.mkString(", ")} — drop them first")
       Some(Seq(DropCol(phys)) ++
-        (if (st.blooms.contains(phys)) Seq(DropBloomIdx(phys)) else Nil))
+        (if (st.blooms.contains(phys)) Seq(DropBloomIdx(phys)) else Nil) ++
+        protocolBumpV2(st))
     }
   }
 
@@ -1715,7 +1754,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
         Some(rewriteFiles.map(Remove(_)) ++
           staged.map { case (p, s) => Add(p, s) } ++
           keepDv.map { case (f, dv, n) => Dv(f, dv, n) } ++
-          stagedCdf.map { case (p, _) => Cdf(p) })
+          stagedCdf.map { case (p, _) => Cdf(p) } ++
+          (if (keepDv.nonEmpty) protocolBumpV2(st) else Nil))
       }
     } finally hits.unpersist()
   }
@@ -2290,6 +2330,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
       throw new java.util.ConcurrentModificationException(
         s"$what lost $MaxCommitAttempts consecutive version races; giving up")
     val st = state()
+    if (st.protocol._2 > TxTable.SupportedWriterVersion)
+      throw new IllegalStateException(
+        s"$tablePath requires writer protocol ${st.protocol._2} but this client " +
+          s"supports ${TxTable.SupportedWriterVersion} — a commit could corrupt " +
+          "invariants newer clients rely on")
     build(st) match {
       case None => ()
       case Some(actions) =>
@@ -2325,7 +2370,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
             "fpp" -> (JDouble(c.fpp): JValue)): JValue) }),
         "renames" -> JObject(st.renames.toList.map {
           case (p, l) => p -> (JString(l): JValue) }),
-        "droppedCols" -> JArray(st.dropped.toList.sorted.map(JString(_)))
+        "droppedCols" -> JArray(st.dropped.toList.sorted.map(JString(_))),
+        "protocol" -> JObject(
+          "minReader" -> (JLong(st.protocol._1.toLong): JValue),
+          "minWriter" -> (JLong(st.protocol._2.toLong): JValue))
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -2422,8 +2470,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case JArray(xs) => xs.collect { case JString(v) => v }.toSet
       case _ => Set.empty[String]
     }
+    def protoNum(f: String): Option[Int] = (j \ "protocol" \ f) match {
+      case JLong(n) => Some(n.toInt)
+      case JInt(n) => Some(n.toInt)
+      case _ => None
+    }
+    val protocol = (protoNum("minReader").getOrElse(1), protoNum("minWriter").getOrElse(1))
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped)
+      renames, dropped, protocol)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -2523,6 +2577,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
 }
 
 object TxTable {
+
+  /** Newest protocol this implementation understands. v1 = base log
+    * (adds/removes/meta/txn/stats/constraints/blooms/cdf/rewrite);
+    * v2 = column mapping + deletion vectors.
+    */
+  val SupportedReaderVersion = 2
+  val SupportedWriterVersion = 2
 
   /** CONVERT an existing flat parquet directory into a transaction-log
     * table IN PLACE: the files are claimed as version 0 with footer
@@ -2972,6 +3033,19 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("dropConstraint"),
       "name" -> JString(name))
   }
+  /** PROTOCOL gate (the published reader/writer feature-versioning
+    * design): a client must support `minReader` to read the table and
+    * `minWriter` to commit. Feature DDL that older clients would
+    * MISINTERPRET (not merely fail to parse) bumps it — v2 marks
+    * column mapping and deletion vectors, whose files/names an
+    * unversioned reader would serve with wrong columns or undeleted
+    * rows. Structurally-unknown future actions are already rejected
+    * by the manifest parser; the protocol closes the silent half.
+    */
+  private[core] case class Protocol(minReader: Int, minWriter: Int) extends Action {
+    def toJson: JObject = JObject("a" -> JString("protocol"),
+      "minReader" -> JLong(minReader.toLong), "minWriter" -> JLong(minWriter.toLong))
+  }
   /** Metadata-only COLUMN DROP under column mapping: the physical
     * column stays in existing files (time travel still sees it); the
     * surface hides it from this commit on, rewrites stop carrying it,
@@ -3021,6 +3095,14 @@ object TxTable {
         case JString("dropConstraint") => DropConstr(str("name"))
         case JString("renameColumn") => RenameCol(str("phys"), str("logical"))
         case JString("dropColumn") => DropCol(str("phys"))
+        case JString("protocol") =>
+          def num(f: String): Int = (j \ f) match {
+            case JLong(n) => n.toInt
+            case JInt(n) => n.toInt
+            case other => throw new IllegalArgumentException(
+              s"manifest protocol $f: expected number, got $other in $line")
+          }
+          Protocol(num("minReader"), num("minWriter"))
         case JString("bloomIndex") =>
           val items = (j \ "items") match {
             case JLong(n) => n
