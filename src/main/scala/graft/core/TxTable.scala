@@ -82,7 +82,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    blooms: Map[String, BloomCfg] = Map.empty,
                    renames: Map[String, String] = Map.empty,
                    dropped: Set[String] = Set.empty,
-                   protocol: (Int, Int) = (1, 1)) {
+                   protocol: (Int, Int) = (1, 1),
+                   lastCommitTs: Long = 0L) {
     /** logical → physical (inverse of [[renames]]). */
     def toPhysicalName: Map[String, String] =
       renames.map { case (p, l) => l -> p }
@@ -148,6 +149,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var renames = st.renames
     var dropped = st.dropped
     var protocol = st.protocol
+    var lastTs = st.lastCommitTs
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -172,11 +174,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
         renames -= p // the dropped slot keeps no surface name
       case Protocol(r, w) =>
         protocol = (math.max(protocol._1, r), math.max(protocol._2, w))
+      case CommitTs(ms) => lastTs = math.max(lastTs, ms)
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol)
+      renames, dropped, protocol, lastTs)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -260,7 +263,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"$tablePath has no commits — no version exists at or before $tsMillis")
     val candidates = fsv.listStatus(logDir).flatMap { st =>
       manifestVersion(st.getPath.getName)
-        .filter(_ => st.getModificationTime <= tsMillis)
+        .map(v => v -> commitTimeOf(fsv, v, st.getModificationTime))
+        .filter(_._2 <= tsMillis).map(_._1)
     }
     if (candidates.isEmpty)
       throw new IllegalArgumentException(
@@ -269,6 +273,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
           "been pruned by truncateLog)")
     candidates.max
   }
+
+  /** A commit's wall clock: the IN-COMMIT timestamp when the manifest
+    * carries one (monotone, copy/restore-proof), else the manifest
+    * mtime (pre-feature manifests — the documented weaker source).
+    */
+  private def commitTimeOf(fsv: FileSystem, version: Long, mtime: Long): Long =
+    readManifest(fsv, version)
+      .collectFirst { case CommitTs(ms) => ms }.getOrElse(mtime)
 
   /** [[readAt]] by wall clock ([[versionAsOfTimestamp]]). */
   def readAsOfTimestamp(tsMillis: Long): DataFrame =
@@ -1225,8 +1237,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
     fsv.listStatus(logDir).toSeq
       .flatMap(st => manifestVersion(st.getPath.getName).map(v => (v, st.getModificationTime)))
       .sorted
-      .map { case (v, ts) =>
+      .map { case (v, mtime) =>
         val actions = readManifest(fsv, v)
+        val ts = actions.collectFirst { case CommitTs(ms) => ms }.getOrElse(mtime)
         val adds = actions.count(_.isInstanceOf[Add])
         val removes = actions.count(_.isInstanceOf[Remove])
         val hasCdf = actions.exists(_.isInstanceOf[Cdf])
@@ -2337,7 +2350,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
           "invariants newer clients rely on")
     build(st) match {
       case None => ()
-      case Some(actions) =>
+      case Some(actions0) =>
+        // in-commit timestamp: monotone per table even under clock
+        // skew between writers (max with predecessor + 1)
+        val actions = actions0 :+
+          CommitTs(math.max(System.currentTimeMillis(), st.lastCommitTs + 1))
         if (!tryClaim(st.version + 1, actions)) commitLoop(what, attempt + 1)(build)
         else maybeCheckpoint(applyManifest(st, st.version + 1, actions))
     }
@@ -2373,7 +2390,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
         "droppedCols" -> JArray(st.dropped.toList.sorted.map(JString(_))),
         "protocol" -> JObject(
           "minReader" -> (JLong(st.protocol._1.toLong): JValue),
-          "minWriter" -> (JLong(st.protocol._2.toLong): JValue))
+          "minWriter" -> (JLong(st.protocol._2.toLong): JValue)),
+        "lastCommitTs" -> JLong(st.lastCommitTs)
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -2476,8 +2494,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case _ => None
     }
     val protocol = (protoNum("minReader").getOrElse(1), protoNum("minWriter").getOrElse(1))
+    val lastTs = (j \ "lastCommitTs") match {
+      case JLong(ms) => ms
+      case JInt(ms) => ms.toLong
+      case _ => 0L
+    }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol)
+      renames, dropped, protocol, lastTs)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -3033,6 +3056,15 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("dropConstraint"),
       "name" -> JString(name))
   }
+  /** IN-COMMIT TIMESTAMP (the published reliable-time-travel design):
+    * the commit's wall clock recorded IN the manifest, monotone per
+    * table, so `timestampAsOf` survives log copies/restores/backfills
+    * that rewrite file mtimes. Pre-feature manifests fall back to the
+    * mtime, the documented weaker source.
+    */
+  private[core] case class CommitTs(ms: Long) extends Action {
+    def toJson: JObject = JObject("a" -> JString("commitTs"), "ms" -> JLong(ms))
+  }
   /** PROTOCOL gate (the published reader/writer feature-versioning
     * design): a client must support `minReader` to read the table and
     * `minWriter` to commit. Feature DDL that older clients would
@@ -3095,6 +3127,12 @@ object TxTable {
         case JString("dropConstraint") => DropConstr(str("name"))
         case JString("renameColumn") => RenameCol(str("phys"), str("logical"))
         case JString("dropColumn") => DropCol(str("phys"))
+        case JString("commitTs") => (j \ "ms") match {
+          case JLong(ms) => CommitTs(ms)
+          case JInt(ms) => CommitTs(ms.toLong)
+          case other => throw new IllegalArgumentException(
+            s"manifest commitTs ms: expected number, got $other in $line")
+        }
         case JString("protocol") =>
           def num(f: String): Int = (j \ f) match {
             case JLong(n) => n.toInt
