@@ -51,6 +51,27 @@ object StreamOps {
       """.stripMargin))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase emits — attributed
+    * to an in-horizon click when one exists, with null click columns
+    * once the watermark PROVES none can still arrive (the engine holds
+    * the unmatched row in state until click_time's watermark passes
+    * the interval bound, then finalizes it — the "organic vs
+    * attributed conversion" split a marketing pipeline needs, which
+    * the inner form silently drops).
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame, delay: String,
+                            horizon: String): DataFrame = {
+    val c = clicks.withWatermark("click_time", delay)
+    val p = purchases.withWatermark("purchase_time", delay)
+    p.join(c,
+      expr(s"""
+        |p_user_id = c_user_id AND
+        |purchase_time >= click_time AND
+        |purchase_time <= click_time + INTERVAL $horizon
+      """.stripMargin),
+      "leftOuter")
+  }
+
   case class SessionEvent(userId: Long, eventTime: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,

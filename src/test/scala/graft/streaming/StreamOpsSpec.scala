@@ -131,6 +131,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(rows.contains(("2024-01-01 00:00:00", "b", 1L)))
   }
 
+  test("left-outer stream-stream join finalizes organic purchases on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[TsEvent]
+    val purchases = MemoryStream[TsEvent]
+    val out = StreamOps.clickAttributionOuter(
+      clicks.toDF().toDF("c_user_id", "click_time", "c_v"),
+      purchases.toDF().toDF("p_user_id", "purchase_time", "p_v"),
+      delay = "1 minute", horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(TsEvent("7", t("2024-01-01 00:00:00"), 1))
+    purchases.addData(
+      TsEvent("7", t("2024-01-01 00:05:00"), 10),  // attributed
+      TsEvent("9", t("2024-01-01 00:06:00"), 11))  // organic: no click
+    q.processAllAvailable()
+    // advance both watermarks far past the horizon so the engine can
+    // PROVE no click for user 9 can still arrive
+    clicks.addData(TsEvent("z", t("2024-01-01 01:00:00"), 99))
+    purchases.addData(TsEvent("z2", t("2024-01-01 01:00:00"), 99))
+    q.processAllAvailable()
+    clicks.addData(TsEvent("z", t("2024-01-01 02:00:00"), 99))
+    purchases.addData(TsEvent("z2", t("2024-01-01 02:00:00"), 99))
+    q.processAllAvailable()
+    val rows = spark.table("attrib_outer")
+      .select(col("p_user_id"), col("c_v")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(rows.contains(("7", 1L)), "attributed purchase joins its click")
+    assert(rows.contains(("9", -1L)), "organic purchase emits with null click")
+  }
+
   test("stream-stream interval join attributes purchases to in-horizon clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
