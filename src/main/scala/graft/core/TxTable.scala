@@ -83,7 +83,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    renames: Map[String, String] = Map.empty,
                    dropped: Set[String] = Set.empty,
                    protocol: (Int, Int) = (1, 1),
-                   lastCommitTs: Long = 0L) {
+                   lastCommitTs: Long = 0L,
+                   generated: Map[String, String] = Map.empty) {
     /** logical → physical (inverse of [[renames]]). */
     def toPhysicalName: Map[String, String] =
       renames.map { case (p, l) => l -> p }
@@ -150,6 +151,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var dropped = st.dropped
     var protocol = st.protocol
     var lastTs = st.lastCommitTs
+    var generated = st.generated
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -175,11 +177,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case Protocol(r, w) =>
         protocol = (math.max(protocol._1, r), math.max(protocol._2, w))
       case CommitTs(ms) => lastTs = math.max(lastTs, ms)
+      case GenCol(n, e) => generated += n -> e
+      case DropGenCol(n) => generated -= n
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol, lastTs)
+      renames, dropped, protocol, lastTs, generated)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -343,6 +347,86 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
     added.map(f => new Path(root, f).toString)
   }
+
+  /** GENERATED columns currently declared (surface name → stored
+    * physical expression).
+    */
+  def generatedColumns: Map[String, String] = {
+    val s = state()
+    s.generated.map { case (n, e) => s.logicalName(n) -> e }
+  }
+
+  /** Declare `name` GENERATED ALWAYS AS (exprSql): writes that omit
+    * the column get it computed; writes that carry it are validated
+    * (value must null-safe-equal the expression) by the same staged-
+    * file gate as CHECK constraints, aborting loudly on mismatch.
+    * If the column already exists, current rows must already satisfy
+    * the expression (checked at DDL time). The expression binds to
+    * PHYSICAL names (translated once here), so later renames of the
+    * column or its inputs never re-bind it; dropping a referenced
+    * input is refused while the declaration stands.
+    */
+  def addGeneratedColumn(name: String, exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty, "column name must be non-empty")
+    expr(exprSql) // parse eagerly
+    val snap = state()
+    val physSql = physicalizeExprSql(snap, exprSql)
+    val phys = physicalName(snap, name)
+    require(!snap.dropped.contains(phys),
+      s"cannot generate $name on $tablePath: the column was dropped")
+    val deadRefs = snap.dropped.filter(exprReferencesColumn(physSql, _))
+    require(deadRefs.isEmpty,
+      s"cannot generate $name AS ($exprSql): references dropped column(s) " +
+        deadRefs.toSeq.sorted.mkString(", "))
+    require(!exprReferencesColumn(physSql, phys),
+      s"cannot generate $name from itself")
+    val exists = snap.schema.exists(_.fieldNames.contains(phys))
+    if (exists && snap.files.nonEmpty) {
+      val bad = readState(snap)
+        .where(not(coalesce(expr(s"`$phys` <=> ($physSql)"), lit(false))))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot declare $name GENERATED AS ($exprSql) on $tablePath: an " +
+          s"existing row violates it — e.g. ${bad.headOption.getOrElse("")}")
+    }
+    commitLoop(s"add generated column on $tablePath") { st =>
+      if (st.version != snap.version)
+        throw new java.util.ConcurrentModificationException(
+          s"table $tablePath changed concurrently during addGeneratedColumn — " +
+            "the new data is unvalidated; rerun against the new state")
+      Some(Seq(GenCol(phys, physSql)))
+    }
+  }
+
+  /** Drop a generated-column declaration (the column itself stays). */
+  def dropGeneratedColumn(name: String): Unit =
+    commitLoop(s"drop generated column on $tablePath") { st =>
+      val phys = physicalName(st, name)
+      require(st.generated.contains(phys),
+        s"no generated column $name on $tablePath " +
+          s"(have: ${st.generated.keys.map(st.logicalName).toSeq.sorted.mkString(", ")})")
+      Some(Seq(DropGenCol(phys)))
+    }
+
+  /** Compute any declared generated column the PHYSICAL frame omits.
+    * Runs after [[physicalize]] on every inserting write path.
+    */
+  private def computeGenerated(st: State, df: DataFrame): DataFrame =
+    if (st.generated.isEmpty) df
+    else st.generated.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** CHECK set in force for a write: declared constraints plus each
+    * generated column's `col <=> (expr)` gate.
+    */
+  private def effectiveChecks(st: State): Map[String, String] =
+    if (st.generated.isEmpty) st.constraints
+    else st.constraints ++ st.generated.map { case (n, e) =>
+      s"__generated_$n" -> s"`$n` <=> ($e)"
+    }
 
   /** The table's current merged schema (None until the first commit),
     * under SURFACE names ([[renameColumn]] applied).
@@ -793,7 +877,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
       require(referenced.isEmpty,
         s"cannot drop $name on $tablePath: referenced by CHECK constraint(s) " +
           s"${referenced.keys.toSeq.sorted.mkString(", ")} — drop them first")
+      val genRefs = st.generated.filter { case (g, e) =>
+        g != phys && exprReferencesColumn(e, phys)
+      }
+      require(genRefs.isEmpty,
+        s"cannot drop $name on $tablePath: generated column(s) " +
+          s"${genRefs.keys.map(st.logicalName).toSeq.sorted.mkString(", ")} " +
+          "are computed from it — drop those declarations first")
       Some(Seq(DropCol(phys)) ++
+        (if (st.generated.contains(phys)) Seq(DropGenCol(phys)) else Nil) ++
         (if (st.blooms.contains(phys)) Seq(DropBloomIdx(phys)) else Nil) ++
         protocolBumpV2(st))
     }
@@ -947,7 +1039,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .filter(c => snap0.dropped.contains(snap0.toPhysicalName.getOrElse(c, c)))
       .map(l => l -> s"${l}_${UUID.randomUUID().toString.take(8)}").toMap
     val snap = snap0.copy(renames = snap0.renames ++ readds.map(_.swap))
-    val df = physicalize(snap, df0)
+    val df = computeGenerated(snap, physicalize(snap, df0))
     val staged = stageData(df,
       partitionBy = partitionBy.map(physicalName(snap, _)),
       filesPerValue = filesPerValue)
@@ -959,9 +1051,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
       } else {
         requireRenamesStable(snap0, st, staged, "append to")
         val schema = mergeSchemas(st.schema, df.schema)
-        if (st.constraints != checkedFor) {
-          enforceConstraints(st.constraints, staged, schema, staged, "append to")
-          checkedFor = st.constraints
+        if (effectiveChecks(st) != checkedFor) {
+          enforceConstraints(effectiveChecks(st), staged, schema, staged, "append to")
+          checkedFor = effectiveChecks(st)
         }
         Some(staged.map { case (p, s) => Add(p, s) } ++
           Seq(Meta(schema.toDDL)) ++
@@ -996,14 +1088,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
       .filter(c => snap0.dropped.contains(snap0.toPhysicalName.getOrElse(c, c)))
       .map(l => l -> s"${l}_${UUID.randomUUID().toString.take(8)}").toMap
     val snap = snap0.copy(renames = snap0.renames ++ readds.map(_.swap))
-    val df = physicalize(snap, df0)
+    val df = computeGenerated(snap, physicalize(snap, df0))
     val staged = stageData(df, partitionBy = partitionBy.map(physicalName(snap, _)))
     var checkedFor: Map[String, String] = null
     commitLoop(s"overwrite of $tablePath") { st =>
       requireRenamesStable(snap0, st, staged, "overwrite of")
-      if (st.constraints != checkedFor) {
-        enforceConstraints(st.constraints, staged, df.schema, staged, "overwrite of")
-        checkedFor = st.constraints
+      if (effectiveChecks(st) != checkedFor) {
+        enforceConstraints(effectiveChecks(st), staged, df.schema, staged, "overwrite of")
+        checkedFor = effectiveChecks(st)
       }
       Some(st.files.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
         readds.map { case (l, f) => RenameCol(f, l) } :+
@@ -1042,7 +1134,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
   def replaceWhere(predicate: org.apache.spark.sql.Column, df0: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
     val snap = state()
-    val df = physicalize(snap, df0)
+    val df = computeGenerated(snap, physicalize(snap, df0))
     val stagedNew = stageData(df)
     val schema = mergeSchemas(snap.schema, df.schema)
     // an empty replacement (all staged parts provably empty) is a pure
@@ -1064,7 +1156,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"replaceWhere on $tablePath: replacement rows must all match the " +
           s"predicate — e.g. row ${leaked.head} does not; nothing was committed")
     }
-    enforceConstraints(snap.constraints, stagedNew, schema, stagedNew,
+    enforceConstraints(effectiveChecks(snap), stagedNew, schema, stagedNew,
       "replaceWhere into")
     val candidates = prunedFiles(snap, predicate)
     val touched =
@@ -1386,7 +1478,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     import org.apache.spark.sql.functions.{col, input_file_name}
     // surface → physical at the boundary; everything below is physical
     val snap = state()
-    val source = physicalize(snap, source0)
+    val source = computeGenerated(snap, physicalize(snap, source0))
     val keys = keys0.map(physicalName(snap, _))
     val dupes = source.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
@@ -1440,7 +1532,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     } finally if (touched.nonEmpty) touchedRows.unpersist()
     // snap's constraint set is authoritative: any concurrent DDL bumps
     // the version and the strict rule below aborts the merge anyway
-    enforceConstraints(snap.constraints, staged,
+    enforceConstraints(effectiveChecks(snap), staged,
       mergeSchemas(snap.schema, newData.schema), staged ++ stagedCdf, "merge into")
     val mayMatch = addsMayMatchKeys(source, keys)
     fireBeforeCommitHook()
@@ -1589,7 +1681,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
           prefix = "cdf", collectStats = false)
         (s1, s2)
       } finally if (touched.nonEmpty) touchedRows.unpersist()
-      enforceConstraints(snap.constraints, staged,
+      enforceConstraints(effectiveChecks(snap), staged,
         snap.schema.get, staged ++ stagedCdf, "scd2 merge into")
       val mayMatch = addsMayMatchKeys(source, keys)
       fireBeforeCommitHook()
@@ -1880,7 +1972,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         stageData(physicalize(snap, pre.unionByName(post)),
           prefix = "cdf", collectStats = false))
     } finally touchedRows.unpersist()
-    enforceConstraints(snap.constraints, staged, schema,
+    enforceConstraints(effectiveChecks(snap), staged, schema,
       staged ++ stagedCdf, "update of")
     val mayMatch = addsMayMatchPredicate(snap, predicate)
     fireBeforeCommitHook()
@@ -2391,7 +2483,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
         "protocol" -> JObject(
           "minReader" -> (JLong(st.protocol._1.toLong): JValue),
           "minWriter" -> (JLong(st.protocol._2.toLong): JValue)),
-        "lastCommitTs" -> JLong(st.lastCommitTs)
+        "lastCommitTs" -> JLong(st.lastCommitTs),
+        "generated" -> JObject(st.generated.toList.map {
+          case (n, e) => n -> (JString(e): JValue) })
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -2499,8 +2593,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case JInt(ms) => ms.toLong
       case _ => 0L
     }
+    val generated = (j \ "generated") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol, lastTs)
+      renames, dropped, protocol, lastTs, generated)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -3056,6 +3154,20 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("dropConstraint"),
       "name" -> JString(name))
   }
+  /** GENERATED COLUMN (the published always-computed-column design):
+    * `exprSql` (physical names) defines the column's value. Writes
+    * lacking the column compute it; writes carrying it are gated by
+    * the constraint machinery on `name <=> (exprSql)` — a mismatched
+    * value aborts loudly before any commit.
+    */
+  private[core] case class GenCol(name: String, exprSql: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("generatedColumn"),
+      "name" -> JString(name), "expr" -> JString(exprSql))
+  }
+  private[core] case class DropGenCol(name: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("dropGeneratedColumn"),
+      "name" -> JString(name))
+  }
   /** IN-COMMIT TIMESTAMP (the published reliable-time-travel design):
     * the commit's wall clock recorded IN the manifest, monotone per
     * table, so `timestampAsOf` survives log copies/restores/backfills
@@ -3127,6 +3239,8 @@ object TxTable {
         case JString("dropConstraint") => DropConstr(str("name"))
         case JString("renameColumn") => RenameCol(str("phys"), str("logical"))
         case JString("dropColumn") => DropCol(str("phys"))
+        case JString("generatedColumn") => GenCol(str("name"), str("expr"))
+        case JString("dropGeneratedColumn") => DropGenCol(str("name"))
         case JString("commitTs") => (j \ "ms") match {
           case JLong(ms) => CommitTs(ms)
           case JInt(ms) => CommitTs(ms.toLong)

@@ -1,0 +1,87 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** GENERATED columns: always-computed values — omitted on write →
+  * computed; supplied on write → gated for exact agreement by the
+  * constraint machinery.
+  */
+class GeneratedColumnsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def table(): TxTable = new TxTable(spark, tmpDir("txgen"))
+
+  test("omitted generated column is computed on append, merge and overwrite") {
+    val t = table()
+    t.append(Seq((1L, 10.0)).toDF("id", "amount"))
+    t.addGeneratedColumn("amount_cents", "CAST(amount * 100 AS BIGINT)")
+    t.append(Seq((2L, 20.5)).toDF("id", "amount"))
+    t.merge(Seq((3L, 30.0)).toDF("id", "amount"), Seq("id"))
+    val out = t.read().orderBy("id").collect()
+    // row 1 predates the declaration: its stored value is null (the
+    // table's evolution semantics — backfill via update if needed)
+    assert(out(0).isNullAt(2))
+    assert(out(1).getLong(2) == 2050L)
+    assert(out(2).getLong(2) == 3000L)
+    t.overwrite(Seq((9L, 1.25)).toDF("id", "amount"))
+    assert(t.read().head().getLong(2) == 125L)
+  }
+
+  test("a supplied value must agree exactly; mismatches abort loudly") {
+    val t = table()
+    t.append(Seq((1L, 10.0)).toDF("id", "amount"))
+    t.addGeneratedColumn("amount_cents", "CAST(amount * 100 AS BIGINT)")
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((2L, 20.0, 1234L)).toDF("id", "amount", "amount_cents"))
+    }
+    assert(e.getMessage.contains("__generated_amount_cents"))
+    assert(t.read().count() == 1, "nothing committed")
+    // the CORRECT supplied value passes
+    t.append(Seq((2L, 20.0, 2000L)).toDF("id", "amount", "amount_cents"))
+    assert(t.read().count() == 2)
+  }
+
+  test("declaring over an existing column validates current rows") {
+    val t = table()
+    t.append(Seq((1L, 10.0, 1000L), (2L, 20.0, 9999L)).toDF("id", "amount", "cents"))
+    assertThrows[IllegalArgumentException] {
+      t.addGeneratedColumn("cents", "CAST(amount * 100 AS BIGINT)")
+    }
+    t.delete(col("id") === 2L) // remove the violating row
+    t.addGeneratedColumn("cents", "CAST(amount * 100 AS BIGINT)")
+    t.append(Seq((3L, 30.0)).toDF("id", "amount"))
+    assert(t.read().where(col("id") === 3).head().getLong(2) == 3000L)
+  }
+
+  test("declarations survive renames (physical binding) and guard drops") {
+    val t = table()
+    t.append(Seq((1L, 10.0)).toDF("id", "amount"))
+    t.addGeneratedColumn("amount_cents", "CAST(amount * 100 AS BIGINT)")
+    t.renameColumn("amount", "price") // an INPUT of the expression
+    t.append(Seq((2L, 20.0)).toDF("id", "price"))
+    assert(t.read().orderBy("id").collect()(1).getLong(2) == 2000L,
+      "generation still computes after the input rename")
+    // the input cannot be dropped while the declaration stands
+    assertThrows[IllegalArgumentException](t.dropColumn("price"))
+    t.dropGeneratedColumn("amount_cents")
+    t.dropColumn("price")
+    assert(t.read().columns.toSeq == Seq("id", "amount_cents"))
+  }
+
+  test("declaration rides checkpoints; self-reference and dropped inputs refused") {
+    val t = new TxTable(spark, tmpDir("txgen"), checkpointInterval = 2)
+    t.append(Seq((1L, 10.0)).toDF("id", "amount"))
+    t.addGeneratedColumn("cents", "CAST(amount * 100 AS BIGINT)")
+    (0 until 3).foreach(i => t.append(Seq((10L + i, 1.0)).toDF("id", "amount")))
+    t.truncateLog()
+    val fresh = new TxTable(spark, t.tablePath, checkpointInterval = 2)
+    assert(fresh.generatedColumns.keySet == Set("cents"))
+    fresh.append(Seq((99L, 2.0)).toDF("id", "amount"))
+    assert(fresh.read().where(col("id") === 99).head().getLong(2) == 200L)
+    assertThrows[IllegalArgumentException](
+      fresh.addGeneratedColumn("loop", "loop + 1"))
+  }
+}
