@@ -605,6 +605,54 @@ object ScaleOps {
       .orderBy(col("column_name"), col("metric"))
   }
 
+  /** ACID orders clone whose epoch-day key is a GENERATED column
+    * ([[graft.core.TxTable.addGeneratedColumn]]) the writer NEVER
+    * supplies: appends carry only (o_orderdate, priority, price) and
+    * the log's declaration computes `o_datekey` at write time — the
+    * published use generated columns exist for (derive the
+    * cluster/partition key once, centrally, instead of in every
+    * producer). Built once per (session, dir); the builder asserts
+    * the generation actually happened (no nulls) and that a WRONG
+    * supplied value is rejected.
+    */
+  private[ext] def genColOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-gencol:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txgencol_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
+      // seed row establishes the schema, then the declaration
+      t.append(base.limit(0))
+      t.addGeneratedColumn("o_datekey",
+        "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)")
+      t.append(base.repartitionByRange(16, datekey).sortWithinPartitions(datekey))
+      require(t.read().where(col("o_datekey").isNull).limit(1).count() == 0,
+        "generated datekey must compute for every appended row")
+      // a mismatched supplied value must be rejected (the gate)
+      val bad = scala.util.Try(t.append(base.limit(1)
+        .withColumn("o_datekey", lit(-1L))))
+      require(bad.isFailure, "wrong supplied generated value must abort")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The time-window aggregate where the probe column EXISTS ONLY
+    * because the log computed it: matches the oracle's from-scratch
+    * derivation only if generation is value-exact, and the builder's
+    * rejected-mismatch probe proves the gate is live. The range skip
+    * prunes on the generated column's stats like any other.
+    */
+  def qTxGencol(s: SparkSession, dir: String): DataFrame = {
+    val t = genColOrdersTable(s, dir)
+    txWindowAgg(t.scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
+  }
+
   /** ACID orders clone whose columns are RENAMED twice metadata-only
     * ([[graft.core.TxTable.renameColumn]] — the column-mapping
     * design: data files keep their immutable physical names, the log
@@ -938,6 +986,7 @@ object ScaleOps {
     "q_anomaly" -> (qAnomaly _),
     "q_tx_rename" -> (qTxRename _),
     "q_profile" -> (qProfile _),
+    "q_tx_gencol" -> (qTxGencol _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
@@ -1026,6 +1075,10 @@ object ScaleOps {
     // same oracle: data skipping changes the FILE SET read (asserted
     // in ScaleOpsSpec via prunedFiles), never the answer
     "q_tx_skip" -> txWindowSql,
+    // same oracle once more: here the probe column exists only
+    // because the log's GENERATED declaration computed it at write
+    // time — the hash matches only if generation is value-exact
+    "q_tx_gencol" -> txWindowSql,
     // SQL reconstruction of the upsert: target rows not matched by a
     // source key, plus all source rows — matches only if the
     // copy-on-write merge replaced/inserted exactly the right rows
