@@ -84,7 +84,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    dropped: Set[String] = Set.empty,
                    protocol: (Int, Int) = (1, 1),
                    lastCommitTs: Long = 0L,
-                   generated: Map[String, String] = Map.empty) {
+                   generated: Map[String, String] = Map.empty,
+                   identity: Map[String, (Long, Long, Long)] = Map.empty) {
     /** logical → physical (inverse of [[renames]]). */
     def toPhysicalName: Map[String, String] =
       renames.map { case (p, l) => l -> p }
@@ -152,6 +153,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var protocol = st.protocol
     var lastTs = st.lastCommitTs
     var generated = st.generated
+    var identity = st.identity
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -179,11 +181,18 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case CommitTs(ms) => lastTs = math.max(lastTs, ms)
       case GenCol(n, e) => generated += n -> e
       case DropGenCol(n) => generated -= n
+      case IdentityCol(n, start, step) =>
+        identity += n -> ((start, step, start - step))
+      case IdentityHw(n, hw) =>
+        identity.get(n).foreach { case (st0, sp, old) =>
+          identity += n -> ((st0, sp,
+            if (sp > 0) math.max(old, hw) else math.min(old, hw)))
+        }
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol, lastTs, generated)
+      renames, dropped, protocol, lastTs, generated, identity)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -407,6 +416,88 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"no generated column $name on $tablePath " +
           s"(have: ${st.generated.keys.map(st.logicalName).toSeq.sorted.mkString(", ")})")
       Some(Seq(DropGenCol(phys)))
+    }
+
+  /** IDENTITY columns currently declared: surface name →
+    * (start, step, high-water — the last value in use).
+    */
+  def identityColumns: Map[String, (Long, Long, Long)] = {
+    val s = state()
+    s.identity.map { case (n, v) => s.logicalName(n) -> v }
+  }
+
+  /** Declare `name` GENERATED ALWAYS AS IDENTITY (start, step): every
+    * later [[append]] assigns it from the log-owned high-water mark —
+    * unique, step-monotone in commit order, gaps legal (a lost commit
+    * race burns its range, the published identity contract). Writers
+    * may never supply the column on append; [[overwrite]] and
+    * [[merge]] accept explicit values (the backfill path) and SYNC
+    * the high-water mark past them in the same commit, so later
+    * appends cannot collide. The column must not exist yet — identity
+    * defines it (LongType) at the next append.
+    */
+  def addIdentityColumn(name: String, start: Long = 1L, step: Long = 1L): Unit = {
+    require(name.nonEmpty, "column name must be non-empty")
+    require(step != 0L, "identity step must be non-zero")
+    commitLoop(s"add identity column on $tablePath") { st =>
+      require(!st.identity.contains(physicalName(st, name)),
+        s"$name is already an identity column of $tablePath")
+      val live = st.schema.map(_.fieldNames.toSeq.filterNot(st.dropped.contains)
+        .map(st.logicalName)).getOrElse(Nil)
+      require(!live.contains(name),
+        s"cannot make existing column $name of $tablePath an identity column — " +
+          "identity defines a fresh column (backfill via overwrite instead)")
+      require(!st.generated.contains(physicalName(st, name)),
+        s"$name is a generated column of $tablePath")
+      Some(Seq(IdentityCol(name, start, step)))
+    }
+  }
+
+  /** Assign every declared identity column over an incoming PHYSICAL
+    * frame (which must not carry them), returning the frame plus the
+    * new high-water marks. One extra narrow job per append
+    * (zipWithIndex) — the price of dense, log-owned allocation.
+    */
+  private def assignIdentity(st: State, df: DataFrame)
+      : (DataFrame, Seq[(String, Long)]) = {
+    import org.apache.spark.sql.types.LongType
+    val supplied = st.identity.keySet.intersect(df.columns.toSet)
+    require(supplied.isEmpty,
+      s"identity column(s) ${supplied.toSeq.sorted.mkString(", ")} of $tablePath " +
+        "are GENERATED ALWAYS — the table assigns them on append " +
+        "(use overwrite/merge for explicit backfill)")
+    var cur = df
+    var hws = Vector.empty[(String, Long)]
+    st.identity.toSeq.sortBy(_._1).foreach { case (n, (_, step, hw)) =>
+      val nRows = cur.count()
+      val schema = cur.schema.add(n, LongType, nullable = false)
+      cur = cur.sparkSession.createDataFrame(
+        cur.rdd.zipWithIndex().map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (hw + step * (i + 1)))
+        }, schema)
+      hws :+= (n -> (hw + step * nRows))
+    }
+    (cur, hws)
+  }
+
+  /** Explicit identity values written by overwrite/merge must drag
+    * the high-water mark past them — one tiny max() per identity
+    * column present — or a later append would re-issue them.
+    */
+  private def identitySyncActions(st: State, df: DataFrame): Seq[Action] =
+    st.identity.toSeq.sortBy(_._1).flatMap { case (n, (_, step, hw)) =>
+      if (!df.columns.contains(n)) Nil
+      else {
+        import org.apache.spark.sql.functions.{col, max, min}
+        val agg = if (step > 0) max(col(s"`$n`")) else min(col(s"`$n`"))
+        val row = df.agg(agg).head()
+        if (row.isNullAt(0)) Nil
+        else {
+          val mx = row.getLong(0)
+          val ahead = if (step > 0) mx > hw else mx < hw
+          if (ahead) Seq(IdentityHw(n, mx)) else Nil
+        }
+      }
     }
 
   /** Compute any declared generated column the PHYSICAL frame omits.
@@ -1031,6 +1122,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
   def append(df0: DataFrame, txn: Option[TxnId] = None,
              partitionBy: Seq[String] = Nil, filesPerValue: Int = 1): Unit = {
     val snap0 = state()
+    if (snap0.identity.nonEmpty) {
+      appendWithIdentity(df0, txn, partitionBy, filesPerValue)
+      return
+    }
     // RE-ADD after dropColumn: a surface name whose physical slot was
     // dropped gets a FRESH physical slot, mapped in the same commit —
     // the old files' values stay dead, the new column starts null
@@ -1060,6 +1155,46 @@ class TxTable(spark: SparkSession, val tablePath: String,
           readds.map { case (l, f) => RenameCol(f, l) } ++
           txn.map(t => Txn(t.writerId, t.batchId)).toSeq)
       }
+    }
+  }
+
+  /** The identity-allocating append: ids come from the CLAIMED
+    * state's high-water mark, so staging happens inside the commit
+    * loop — a lost race deletes the attempt's files and re-stages
+    * against the new mark (allocation is serialized, the published
+    * identity behavior; plain tables never take this path). The
+    * aborted range is burned: gaps are legal.
+    */
+  private def appendWithIdentity(df0: DataFrame, txn: Option[TxnId],
+      partitionBy: Seq[String], filesPerValue: Int): Unit = {
+    var prevStaged: Seq[(String, Option[FileStats])] = Nil
+    try commitLoop(s"identity append to $tablePath") { st =>
+      prevStaged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+      prevStaged = Nil
+      if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) None
+      else {
+        val (df, hws) = assignIdentity(st,
+          computeGenerated(st, physicalize(st, df0)))
+        // race-window instrumentation AFTER the mark is read and the
+        // ids are assigned — a hook-injected concurrent commit makes
+        // the claim below lose, forcing the documented re-stage
+        fireBeforeCommitHook()
+        val staged = stageData(df,
+          partitionBy = partitionBy.map(physicalName(st, _)),
+          filesPerValue = filesPerValue)
+        prevStaged = staged
+        val schema = mergeSchemas(st.schema, df.schema)
+        enforceConstraints(effectiveChecks(st), staged, schema, staged,
+          "identity append to")
+        Some(staged.map { case (p, s) => Add(p, s) } ++
+          Seq(Meta(schema.toDDL)) ++
+          hws.map { case (n, hw) => IdentityHw(n, hw) } ++
+          txn.map(t => Txn(t.writerId, t.batchId)).toSeq)
+      }
+    } catch {
+      case e: Throwable =>
+        prevStaged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+        throw e
     }
   }
 
@@ -1098,7 +1233,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
         checkedFor = effectiveChecks(st)
       }
       Some(st.files.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
-        readds.map { case (l, f) => RenameCol(f, l) } :+
+        readds.map { case (l, f) => RenameCol(f, l) } ++
+        identitySyncActions(st, df) :+
         Meta(df.schema.toDDL))
     }
   }
@@ -1536,6 +1672,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       mergeSchemas(snap.schema, newData.schema), staged ++ stagedCdf, "merge into")
     val mayMatch = addsMayMatchKeys(source, keys)
     fireBeforeCommitHook()
+    val identitySync = identitySyncActions(snap, source)
     commitLoop(s"merge into $tablePath") { st =>
       requireRenamesStable(snap, st, staged ++ stagedCdf, "merge into")
       // LOGICAL conflict rule (Delta's ConcurrentAppend/DeleteRead
@@ -1552,7 +1689,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
             "rerun merge() against the new state")
       }
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
-        stagedCdf.map { case (p, _) => Cdf(p) } :+
+        stagedCdf.map { case (p, _) => Cdf(p) } ++
+        identitySync :+
         Meta(mergeSchemas(st.schema, newData.schema).toDDL))
     }
   }
@@ -2485,7 +2623,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
           "minWriter" -> (JLong(st.protocol._2.toLong): JValue)),
         "lastCommitTs" -> JLong(st.lastCommitTs),
         "generated" -> JObject(st.generated.toList.map {
-          case (n, e) => n -> (JString(e): JValue) })
+          case (n, e) => n -> (JString(e): JValue) }),
+        "identity" -> JObject(st.identity.toList.map { case (n, (st0, sp, hw)) =>
+          n -> (JObject("start" -> (JLong(st0): JValue),
+            "step" -> (JLong(sp): JValue), "hw" -> (JLong(hw): JValue)): JValue) })
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -2597,8 +2738,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
+    def jl(v: JValue): Option[Long] = v match {
+      case JLong(n) => Some(n)
+      case JInt(n) => Some(n.toLong)
+      case _ => None
+    }
+    val identity = (j \ "identity") match {
+      case JObject(fields) => fields.flatMap { case (k, v) =>
+        for (st0 <- jl(v \ "start"); sp <- jl(v \ "step"); hw <- jl(v \ "hw"))
+          yield k -> ((st0, sp, hw))
+      }.toMap
+      case _ => Map.empty[String, (Long, Long, Long)]
+    }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol, lastTs, generated)
+      renames, dropped, protocol, lastTs, generated, identity)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -3154,6 +3307,26 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("dropConstraint"),
       "name" -> JString(name))
   }
+  /** IDENTITY COLUMN declaration: the TABLE assigns `name` on append
+    * from a log-owned high-water mark (start, step); writers never
+    * supply it ([[TxTable.addIdentityColumn]] — GENERATED ALWAYS AS
+    * IDENTITY). Values are unique and ascending per commit order;
+    * gaps are legal (aborted attempts burn their range, the published
+    * identity contract).
+    */
+  private[core] case class IdentityCol(name: String, start: Long, step: Long)
+      extends Action {
+    def toJson: JObject = JObject("a" -> JString("identityColumn"),
+      "name" -> JString(name), "start" -> JLong(start), "step" -> JLong(step))
+  }
+  /** Advances an identity column's high-water mark (the last value
+    * any committed row uses — explicit-id paths like overwrite/merge
+    * sync it so later appends can never collide).
+    */
+  private[core] case class IdentityHw(name: String, hw: Long) extends Action {
+    def toJson: JObject = JObject("a" -> JString("identityHw"),
+      "name" -> JString(name), "hw" -> JLong(hw))
+  }
   /** GENERATED COLUMN (the published always-computed-column design):
     * `exprSql` (physical names) defines the column's value. Writes
     * lacking the column compute it; writes carrying it are gated by
@@ -3239,6 +3412,20 @@ object TxTable {
         case JString("dropConstraint") => DropConstr(str("name"))
         case JString("renameColumn") => RenameCol(str("phys"), str("logical"))
         case JString("dropColumn") => DropCol(str("phys"))
+        case JString("identityColumn") =>
+          def lnum(f: String): Long = (j \ f) match {
+            case JLong(n) => n
+            case JInt(n) => n.toLong
+            case other => throw new IllegalArgumentException(
+              s"manifest identityColumn $f: expected number, got $other in $line")
+          }
+          IdentityCol(str("name"), lnum("start"), lnum("step"))
+        case JString("identityHw") => (j \ "hw") match {
+          case JLong(n) => IdentityHw(str("name"), n)
+          case JInt(n) => IdentityHw(str("name"), n.toLong)
+          case other => throw new IllegalArgumentException(
+            s"manifest identityHw hw: expected number, got $other in $line")
+        }
         case JString("generatedColumn") => GenCol(str("name"), str("expr"))
         case JString("dropGeneratedColumn") => DropGenCol(str("name"))
         case JString("commitTs") => (j \ "ms") match {

@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** IDENTITY columns: log-owned auto-increment — appends get assigned
+  * values from the high-water mark, explicit-id paths sync it, gaps
+  * are legal.
+  */
+class IdentityColumnsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def table(): TxTable = new TxTable(spark, tmpDir("txid"))
+
+  test("appends assign dense ascending ids across commits") {
+    val t = table()
+    t.addIdentityColumn("row_id", start = 100L, step = 1L)
+    t.append(Seq(("a"), ("b"), ("c")).toDF("v"))
+    t.append(Seq(("d"), ("e")).toDF("v"))
+    val out = t.read().orderBy("row_id").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("row_id"))).toSeq
+      == Seq(100L, 101L, 102L, 103L, 104L))
+    assert(out.map(_.getString(out.head.fieldIndex("v"))).toSet
+      == Set("a", "b", "c", "d", "e"))
+    assert(t.identityColumns("row_id") == ((100L, 1L, 104L)))
+  }
+
+  test("supplying the identity column on append is refused; ids are unique under retries") {
+    val t = table()
+    t.addIdentityColumn("row_id")
+    t.append(Seq(("a")).toDF("v"))
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq(("x", 999L)).toDF("v", "row_id"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // a concurrent identity append lands AFTER this writer read the
+    // high-water mark and assigned its ids, BEFORE its claim: the
+    // claim loses, the attempt's files are deleted, and the retry
+    // re-assigns against the new mark — ids never collide
+    val t2 = new TxTable(spark, t.tablePath)
+    t2.beforeCommitHook = () => t.append(Seq(("race1"), ("race2")).toDF("v"))
+    t2.append(Seq(("b"), ("c")).toDF("v"))
+    val ids = t.read().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"identity ids must be unique: $ids")
+    assert(ids.size == 5, s"all five rows landed: $ids")
+  }
+
+  test("negative step descends; overwrite with explicit ids syncs the mark") {
+    val t = table()
+    t.addIdentityColumn("row_id", start = 0L, step = -2L)
+    t.append(Seq(("a"), ("b")).toDF("v"))
+    assert(t.read().select("row_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(-2L, 0L))
+    // explicit backfill beyond the mark: the overwrite syncs hw
+    t.overwrite(Seq(("z", -50L)).toDF("v", "row_id"))
+    t.append(Seq(("w")).toDF("v"))
+    val ids = t.read().select("row_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(-50L) && ids.contains(-52L),
+      s"append after sync continues past the explicit minimum: $ids")
+  }
+
+  test("merge with explicit ids syncs; later appends never collide") {
+    val t = table()
+    t.addIdentityColumn("row_id")
+    t.append(Seq(("a"), ("b")).toDF("v")) // ids 1, 2
+    t.merge(Seq((10L, "upserted")).toDF("row_id", "v"), Seq("row_id"))
+    t.append(Seq(("c")).toDF("v")) // must jump past 10
+    val ids = t.read().select("row_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 10L, 11L), s"got $ids")
+  }
+
+  test("declaration validations and checkpoint survival") {
+    val t = new TxTable(spark, tmpDir("txid"), checkpointInterval = 2)
+    t.append(Seq(("a", 1.0)).toDF("v", "amount"))
+    assertThrows[IllegalArgumentException](t.addIdentityColumn("v"))
+    assertThrows[IllegalArgumentException](t.addIdentityColumn("id", step = 0L))
+    t.addIdentityColumn("row_id")
+    assertThrows[IllegalArgumentException](t.addIdentityColumn("row_id"))
+    (0 until 3).foreach(_ => t.append(Seq(("x", 2.0)).toDF("v", "amount")))
+    t.truncateLog()
+    val fresh = new TxTable(spark, t.tablePath, checkpointInterval = 2)
+    assert(fresh.identityColumns.contains("row_id"))
+    fresh.append(Seq(("y", 3.0)).toDF("v", "amount"))
+    val ids = fresh.read().where(col("row_id").isNotNull)
+      .select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size)
+    assert(ids.max == fresh.identityColumns("row_id")._3)
+  }
+}
