@@ -94,8 +94,30 @@ object GraphRank {
       .orderBy(col("pr_e8").desc, col("vec_id")).limit(20)
   }
 
+  /** TRIANGLE COUNT over the undirected kNN graph — the standard
+    * local-clustering signal (tightly-knit near-duplicate
+    * neighborhoods score high; loose chains score 0). The classic
+    * distributed enumeration: canonicalize each edge to (lo, hi),
+    * join wedges a<b<c on the shared middle vertex, then close each
+    * wedge against the edge set — every triangle counted exactly
+    * once. Edge set is O(k·N) (top-3 per vector), so the wedge join
+    * is bounded by Σ deg² — never an all-pairs pass; at 100 TB the
+    * joins co-partition on the wedge vertex.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val und = s.read.parquet(knnEdgesPath(s, dir))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    wedges.join(und, wedges("x") === und("a") && wedges("z") === und("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_triangles" -> (qTriangles _),
   )
 
   /** Oracle: the identical fixed-point recurrence as chained CTEs —
@@ -128,6 +150,15 @@ object GraphRank {
            |$iters
            |SELECT vec_id, CAST(r AS BIGINT) AS pr_e8 FROM r$Iterations
            |ORDER BY pr_e8 DESC, vec_id LIMIT 20""".stripMargin,
+      "q_triangles" ->
+        s"""WITH ${Similarity.quantCtes},
+           |${Similarity.knnRankCtes},
+           |und AS (
+           |  SELECT DISTINCT least(vec_id, nbr) AS a, greatest(vec_id, nbr) AS b
+           |  FROM rk WHERE rk <= 3)
+           |SELECT COUNT(*) AS n_triangles
+           |FROM und e1 JOIN und e2 ON e1.b = e2.a
+           |            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     )
   }
 }
