@@ -201,6 +201,44 @@ object EventQueries {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** MARKET-BASKET association mining — support / confidence / lift
+    * over per-user item baskets (item ≙ the JSON `props.k` attribute;
+    * in a retail log, the product id): the A-priori first pass that
+    * drives "users who did X also did Y". Pair counting is a
+    * self-join of the DISTINCT (user, item) basket table on user with
+    * k1 < k2 — O(Σ basket²), bounded by basket size, never an
+    * all-pairs over items — and the scalar metrics follow the
+    * engine-exact convention: integer counts, one IEEE divide
+    * quantized to DECIMAL(18,8) ([[graft.ext.Curation.qDsirWeights]]).
+    * Output: the top item pairs with conf(k1→k2) and lift.
+    */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 8))
+    val basket = ev(s, dir)
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+      .where($"item".isNotNull).distinct()
+    val nUsers = basket.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val itemCounts = basket.groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = basket.as("a").join(basket.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("k1"), $"b.item".as("k2"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(itemCounts.select($"item".as("k1"), $"n_item".as("n_k1"))), "k1")
+      .join(broadcast(itemCounts.select($"item".as("k2"), $"n_item".as("n_k2"))), "k2")
+      .crossJoin(broadcast(nUsers))
+      .select($"k1", $"k2", $"n_pair",
+        dec($"n_pair".cast("double") / $"n_k1".cast("double"))
+          .cast("double").as("confidence"),
+        dec(($"n_pair" * $"n_users").cast("double") /
+          ($"n_k1" * $"n_k2").cast("double")).cast("double").as("lift"))
+      .orderBy($"n_pair".desc, $"k1", $"k2")
+      .limit(30)
+  }
+
   /** Fixed-width histogram of `value` per event type: bucket =
     * floor(value / 50) — one IEEE division + floor on binary-identical
     * doubles, so the bucketing is engine-exact (no percentile
@@ -308,6 +346,7 @@ object EventQueries {
     "q_merge_union" -> (qMergeUnion _),
     "q_props_json" -> (qPropsJson _),
     "q_cohort_retention" -> (qCohortRetention _),
+    "q_basket_pairs" -> (qBasketPairs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -408,6 +447,31 @@ object EventQueries {
         |UNION ALL
         |SELECT event_id, event_type, value FROM events WHERE event_id % 3 <> 0
         |ORDER BY event_id""".stripMargin,
+    // integer counts; confidence/lift are ONE IEEE divide quantized
+    // to decimal then widened — engine-exact (the DSIR convention)
+    "q_basket_pairs" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM basket),
+        |ic AS (SELECT item, COUNT(*) AS n_item FROM basket GROUP BY item),
+        |p AS (
+        |  SELECT a.item AS k1, b.item AS k2, COUNT(*) AS n_pair
+        |  FROM basket a JOIN basket b
+        |    ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY a.item, b.item)
+        |SELECT p.k1, p.k2, p.n_pair,
+        |  CAST(CAST(CAST(p.n_pair AS DOUBLE) / CAST(c1.n_item AS DOUBLE)
+        |       AS DECIMAL(18,8)) AS DOUBLE) AS confidence,
+        |  CAST(CAST(CAST(p.n_pair * nu.n_users AS DOUBLE) /
+        |            CAST(c1.n_item * c2.n_item AS DOUBLE)
+        |       AS DECIMAL(18,8)) AS DOUBLE) AS lift
+        |FROM p JOIN ic c1 ON p.k1 = c1.item
+        |       JOIN ic c2 ON p.k2 = c2.item
+        |       CROSS JOIN nu
+        |ORDER BY p.n_pair DESC, p.k1, p.k2 LIMIT 30""".stripMargin,
     "q_cohort_retention" ->
       """WITH d AS (
         |  SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day FROM events),
