@@ -226,6 +226,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 4, s"retention grew beyond window/distinct/agg/sort shuffles: $sh")
   }
 
+  test("q_triangles: wedge joins stay on the bounded edge set (no output sort)") {
+    val (sh, _) = shape("q_triangles")
+    // dedup of the undirected edges + the wedge/closure joins + the
+    // single-row count — bounded by the O(kN) edge artifact
+    assert(sh <= 5, s"triangle count grew beyond its bounded joins: $sh")
+  }
+
+  test("q_basket_pairs: basket self-join + metric joins broadcast; top-N is TakeOrdered") {
+    val (sh, bc) = shape("q_basket_pairs")
+    // the static plan repeats the basket-distinct subtree under each
+    // consumer (pair join sides, item counts, corpus size); AQE's
+    // stage cache collapses the repeats at runtime, as in q_classify
+    assert(sh <= 9, s"basket mining grew beyond its aggregates: $sh")
+    assert(bc >= 2, s"item-count and corpus-size tables must broadcast, got $bc")
+    val plan = SparkEntry.queries("q_basket_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-30 degraded to a global sort")
+  }
+
   test("q_tx_cdf: the change feed reads change files only, never the table") {
     val df = SparkEntry.queries("q_tx_cdf")(spark, dir)
     // every scanned file is a cdf sidecar; the 8 base data files of
