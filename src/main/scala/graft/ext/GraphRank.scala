@@ -115,9 +115,53 @@ object GraphRank {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  private val PropRounds = 3
+
+  /** SEMI-SUPERVISED LABEL PROPAGATION (Zhu & Ghahramani 2002, the
+    * majority-vote variant): labels known for the md5-seeded half of
+    * the corpus spread along the UNDIRECTED kNN edges — each round,
+    * an unlabeled node takes the MODE of its labeled neighbors (ties
+    * to the smallest label); seeds are clamped. The
+    * propagate-quality-labels-to-unlabeled-data pass of a curation
+    * stack, run for a FIXED [[PropRounds]] rounds so the result is a
+    * pure function of the graph. Deterministic throughout: integer
+    * votes, lexicographic tie-breaks, no scores.
+    *
+    * Scale shape: each round is one vote aggregate + one argmax
+    * window + one label join, all co-partitioned on the node id; the
+    * seed set and edge artifact are the pagerank ones.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = s.read.parquet(knnEdgesPath(s, dir))
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var lab = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8",
+          col("lang")).as("lab"))
+    for (_ <- 1 to PropRounds) {
+      val votes = und
+        .join(lab.select(col("doc_id").as("dst"), col("lab").as("nlab")), "dst")
+        .where(col("nlab").isNotNull)
+        .groupBy(col("src"), col("nlab")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("n").desc, col("nlab"))
+      val best = votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("src").as("doc_id"), col("nlab").as("best"))
+      lab = lab.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lab"), col("best")).as("lab"))
+    }
+    lab.select(col("doc_id"), coalesce(col("lab"), lit("unlabeled")).as("lang_prop"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
+    "q_label_prop" -> (qLabelProp _),
   )
 
   /** Oracle: the identical fixed-point recurrence as chained CTEs —
@@ -159,6 +203,37 @@ object GraphRank {
            |SELECT COUNT(*) AS n_triangles
            |FROM und e1 JOIN und e2 ON e1.b = e2.a
            |            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+      "q_label_prop" -> {
+        val rounds = (1 to PropRounds).map { i =>
+          s"""v$i AS (
+             |  SELECT u.src, l.lab AS nlab, COUNT(*) AS n
+             |  FROM und u JOIN l${i - 1} l ON u.dst = l.doc_id
+             |  WHERE l.lab IS NOT NULL GROUP BY u.src, l.lab),
+             |b$i AS (
+             |  SELECT src AS doc_id, nlab AS best FROM (
+             |    SELECT src, nlab,
+             |      row_number() OVER (PARTITION BY src ORDER BY n DESC, nlab) AS rk
+             |    FROM v$i) WHERE rk = 1),
+             |l$i AS (
+             |  SELECT l.doc_id, COALESCE(l.lab, b.best) AS lab
+             |  FROM l${i - 1} l LEFT JOIN b$i b ON l.doc_id = b.doc_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Similarity.quantCtes},
+           |${Similarity.knnRankCtes},
+           |edges AS (SELECT vec_id AS src, nbr AS dst FROM rk WHERE rk <= 3),
+           |und AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM edges
+           |    UNION ALL SELECT dst, src FROM edges)),
+           |l0 AS (
+           |  SELECT doc_id,
+           |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+           |         THEN lang END AS lab
+           |  FROM documents),
+           |$rounds
+           |SELECT doc_id, COALESCE(lab, 'unlabeled') AS lang_prop
+           |FROM l$PropRounds ORDER BY doc_id""".stripMargin
+      },
     )
   }
 }
