@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.TxTable
+
+/** CHANGE-FEED REPLICATION — the consumer half of the CDC contract
+  * ([[graft.core.TxTable.readChangeFeed]]): apply a feed slice to a
+  * downstream table so it converges to the upstream state, surviving
+  * upstream merges/deletes/updates that would hard-fail a plain
+  * file-level incremental consumer. The canonical uses: maintain a
+  * replica, or feed an incremental transformation that must see
+  * row-level changes (aggregate maintenance, cache invalidation).
+  *
+  * Application is NET-EFFECT per key, not action replay: within the
+  * slice each key's actions are ranked by `_commit_version` (then
+  * change type — a post-image or insert outranks the delete or
+  * pre-image of the SAME commit, which is how an in-commit
+  * delete+insert pair nets to the insert), and only the winner is
+  * applied — one merge for the surviving rows, one keyed delete for
+  * the dead keys. Idempotent: re-applying a slice is a no-op merge
+  * plus a no-match delete, so an at-least-once consumer (foreachBatch
+  * retry) is safe.
+  *
+  * Scale shape: the ranking is one window over the slice (O(changed
+  * rows), never table-sized); the merge and delete are the target's
+  * own stat-pruned copy-on-write verbs.
+  */
+object CdcApply {
+
+  private val TypeRank = Map(
+    "insert" -> 3, "update_postimage" -> 3, "delete" -> 1, "update_preimage" -> 0)
+
+  /** The slice's net effect: (surviving rows to upsert, dead keys). */
+  private[graft] def net(batch: DataFrame, keys: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val rank = TypeRank.foldLeft(lit(-1)) { case (acc, (t, r)) =>
+      when(col(TxTable.ChangeTypeCol) === t, lit(r)).otherwise(acc)
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TxTable.CommitVersionCol).desc, rank.desc)
+    val winners = batch
+      .where(col(TxTable.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+    val live = winners.where(col(TxTable.ChangeTypeCol) =!= "delete")
+      .drop(TxTable.ChangeTypeCol, TxTable.CommitVersionCol)
+    val dead = winners.where(col(TxTable.ChangeTypeCol) === "delete")
+      .select(keys.map(col): _*).distinct()
+    (live, dead)
+  }
+
+  /** Apply `batch` (rows of [[TxTable.readChangeFeed]]) to `target`.
+    * Single-column keys delete via a stat-prunable IN predicate;
+    * multi-column keys conjoin per dead key (bounded by the slice).
+    */
+  def apply(target: TxTable, batch: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "CDC application needs at least one key column")
+    val (live, dead) = net(batch, keys)
+    val deadRows = dead.collect() // bounded by the slice's deleted keys
+    if (deadRows.nonEmpty) {
+      val pred = keys match {
+        case Seq(k) => col(k).isin(deadRows.map(_.get(0)): _*)
+        case ks => deadRows.map(r =>
+            ks.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
+              .reduce(_ && _))
+          .reduce(_ || _)
+      }
+      target.delete(pred)
+    }
+    if (!live.isEmpty) target.merge(live, keys)
+  }
+}

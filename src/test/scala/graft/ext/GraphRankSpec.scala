@@ -53,6 +53,41 @@ class GraphRankSpec extends SparkTestBase {
     assert(a.length == 20)
   }
 
+  test("triangle count is exact on the data graph (brute-force cross-check)") {
+    val edges = spark.read.parquet(GraphRank.knnEdgesPath(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = und.map(_._1).toSeq.sorted
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var brute = 0L
+    for (a <- nodes; b <- adj(a) if b > a; c <- adj(b) if c > b)
+      if (und.contains((a, c))) brute += 1
+    val got = GraphRank.qTriangles(spark, dir).head().getLong(0)
+    assert(got == brute, s"distributed $got vs brute $brute")
+  }
+
+  test("label propagation clamps seeds and only spreads reachable labels") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val seeded = docs
+      .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = GraphRank.qLabelProp(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every seed keeps its own label
+    seeded.foreach { case (id, lang) =>
+      assert(out(id) == lang, s"seed $id must stay $lang, got ${out(id)}")
+    }
+    // propagation assigns only labels that exist among the seeds
+    val legal = seeded.values.toSet + "unlabeled"
+    assert(out.values.toSet.subsetOf(legal))
+    // the graph is dense enough that SOME unlabeled doc gets a label
+    val spread = out.filterNot { case (id, _) => seeded.contains(id) }
+      .count(_._2 != "unlabeled")
+    assert(spread > 0, "propagation reached no unlabeled node")
+  }
+
   test("edge artifact is exactly the knn top-3 graph") {
     val edges = spark.read.parquet(GraphRank.knnEdgesPath(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.TxTable
+
+/** Change-feed replication: a consumer applying feed slices keeps a
+  * replica convergent with the upstream table across every mutation
+  * verb, with at-least-once (re-applied slice) safety.
+  */
+class CdcApplySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tables(): (TxTable, TxTable) =
+    (new TxTable(spark, tmpDir("cdc-src")), new TxTable(spark, tmpDir("cdc-dst")))
+
+  private def snap(t: TxTable): Set[(Long, String, Double)] =
+    t.read().select("id", "v", "amount").as[(Long, String, Double)].collect().toSet
+
+  test("replica converges across append, update, merge and delete") {
+    val (src, dst) = tables()
+    var cursor = -1L
+
+    def sync(): Unit = {
+      val to = src.version
+      if (to > cursor) {
+        CdcApply(dst, src.readChangeFeed(cursor, to), Seq("id"))
+        cursor = to
+      }
+      assert(snap(dst) == snap(src), s"replica diverged at v$to")
+    }
+
+    src.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "v", "amount"))
+    sync()
+    src.update(col("id") === 2L, Map("amount" -> lit(21.0)))
+    src.append(Seq((4L, "d", 40.0)).toDF("id", "v", "amount"))
+    sync()
+    src.merge(Seq((3L, "c2", 33.0), (5L, "e", 50.0)).toDF("id", "v", "amount"),
+      Seq("id"))
+    src.delete(col("id") === 1L)
+    sync()
+  }
+
+  test("a delete-then-reinsert inside one slice nets to the reinsert") {
+    val (src, dst) = tables()
+    src.append(Seq((1L, "a", 1.0)).toDF("id", "v", "amount"))
+    CdcApply(dst, src.readChangeFeed(-1L, src.version), Seq("id"))
+    val from = src.version
+    src.delete(col("id") === 1L)
+    src.append(Seq((1L, "a2", 2.0)).toDF("id", "v", "amount"))
+    CdcApply(dst, src.readChangeFeed(from, src.version), Seq("id"))
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((1L, "a2", 2.0)))
+  }
+
+  test("re-applying a slice is a no-op (at-least-once safety)") {
+    val (src, dst) = tables()
+    src.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "amount"))
+    src.update(col("id") === 1L, Map("amount" -> lit(9.0)))
+    src.delete(col("id") === 2L)
+    val feed = src.readChangeFeed(-1L, src.version)
+    CdcApply(dst, feed, Seq("id"))
+    val v = dst.version
+    CdcApply(dst, feed, Seq("id")) // redelivery
+    assert(snap(dst) == snap(src))
+    // the replay's merge re-upserts identical rows (harmless commit);
+    // the delete finds nothing; state is unchanged either way
+    assert(snap(dst) == Set((1L, "a", 9.0)))
+    assert(dst.version >= v)
+  }
+
+  test("replaceWhere slices ride the feed (delete + insert in one commit)") {
+    val (src, dst) = tables()
+    src.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "amount"))
+    CdcApply(dst, src.readChangeFeed(-1L, src.version), Seq("id"))
+    val from = src.version
+    src.replaceWhere(col("v") === "a",
+      Seq((10L, "a", 100.0)).toDF("id", "v", "amount"))
+    CdcApply(dst, src.readChangeFeed(from, src.version), Seq("id"))
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((10L, "a", 100.0), (2L, "b", 2.0)))
+  }
+}
