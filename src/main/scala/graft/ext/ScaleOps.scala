@@ -567,6 +567,56 @@ object ScaleOps {
   def qTxUpdate(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(updatedOrdersTable(s, dir).read())
 
+  /** A REPLICA of a mutated ACID table maintained ONLY through its
+    * change feed ([[graft.streaming.CdcApply]]): the source clone
+    * takes an update + a delete + a merge in separate commits, and
+    * the replica applies the feed in two slices (so one slice spans
+    * multiple commits and the net-effect ranking is exercised).
+    * Built once per (session, dir).
+    */
+  private[ext] def replicaOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-replica:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val srcP = s"${sys.props("java.io.tmpdir")}/graft_txreplsrc_$tag"
+      val dstP = s"${sys.props("java.io.tmpdir")}/graft_txrepldst_$tag"
+      Seq(srcP, dstP).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val src = new graft.core.TxTable(s, srcP)
+      val dst = new graft.core.TxTable(s, dstP)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      src.append(base.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      // slice 1: the full initial load
+      var cursor = src.version
+      graft.streaming.CdcApply(dst, src.readChangeFeed(-1L, cursor), Seq("o_orderkey"))
+      // slice 2 spans three mutating commits
+      src.update(col("o_orderkey") % 7 === 0, Map(
+        "o_orderpriority" -> lit("9-UPDATED"),
+        "o_totalprice" -> (col("o_totalprice") + lit(5000.0d))))
+      src.delete(col("o_orderkey") % 5 === 1)
+      val mx = base.agg(max(col("o_orderkey"))).head.getLong(0)
+      src.merge(base.where(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + mx + 1L), Seq("o_orderkey"))
+      graft.streaming.CdcApply(dst,
+        src.readChangeFeed(cursor, src.version), Seq("o_orderkey"))
+      dstP
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The REPLICA aggregated by priority, against an oracle that
+    * reconstructs the SOURCE's final state from scratch: the hash
+    * matches only if feed production AND net-effect application are
+    * both lossless — the full CDC round trip, graded end-to-end.
+    */
+  def qTxReplica(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(replicaOrdersTable(s, dir).read())
+
   /** Table PROFILING — the Deequ/dbt-test-style quality audit: every
     * column's null count, distinct count and min/max (value for
     * numerics, length for strings) in ONE aggregate pass over the
@@ -987,6 +1037,7 @@ object ScaleOps {
     "q_tx_rename" -> (qTxRename _),
     "q_profile" -> (qProfile _),
     "q_tx_gencol" -> (qTxGencol _),
+    "q_tx_replica" -> (qTxReplica _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
@@ -1079,6 +1130,26 @@ object ScaleOps {
     // because the log's GENERATED declaration computed it at write
     // time — the hash matches only if generation is value-exact
     "q_tx_gencol" -> txWindowSql,
+    // the CDC round trip graded end-to-end: the replica saw ONLY the
+    // change feed, the oracle reconstructs the source's final state
+    // (update, then delete, then new-key merge) from scratch
+    "q_tx_replica" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '9-UPDATED'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |surv AS (SELECT * FROM upd WHERE o_orderkey % 5 <> 1),
+        |ins AS (
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+        |    o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |fin AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM fin GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // SQL reconstruction of the upsert: target rows not matched by a
     // source key, plus all source rows — matches only if the
     // copy-on-write merge replaced/inserted exactly the right rows
