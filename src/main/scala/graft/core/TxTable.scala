@@ -85,7 +85,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
                    protocol: (Int, Int) = (1, 1),
                    lastCommitTs: Long = 0L,
                    generated: Map[String, String] = Map.empty,
-                   identity: Map[String, (Long, Long, Long)] = Map.empty) {
+                   identity: Map[String, (Long, Long, Long)] = Map.empty,
+                   properties: Map[String, String] = Map.empty) {
     /** logical → physical (inverse of [[renames]]). */
     def toPhysicalName: Map[String, String] =
       renames.map { case (p, l) => l -> p }
@@ -154,6 +155,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var lastTs = st.lastCommitTs
     var generated = st.generated
     var identity = st.identity
+    var properties = st.properties
     actions.foreach {
       case Add(p, fstats) =>
         files :+= p
@@ -188,11 +190,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
           identity += n -> ((st0, sp,
             if (sp > 0) math.max(old, hw) else math.min(old, hw)))
         }
+      case Prop(k, v) => properties += k -> v
+      case UnsetProp(k) => properties -= k
       case Cdf(_) => () // row-level change files are not live data
       case RewriteMarker => ()
     }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol, lastTs, generated, identity)
+      renames, dropped, protocol, lastTs, generated, identity, properties)
   }
 
   /** Current-snapshot read: latest schema over the live files (old
@@ -541,6 +545,54 @@ class TxTable(spark: SparkSession, val tablePath: String,
 
   /** The table's (minReader, minWriter) protocol requirement. */
   def protocol: (Int, Int) = state().protocol
+
+  /** Free-form table properties (TBLPROPERTIES role). */
+  def properties: Map[String, String] = state().properties
+
+  /** Set (or replace) a table property. */
+  def setProperty(key: String, value: String): Unit = {
+    require(key.nonEmpty, "property key must be non-empty")
+    commitLoop(s"set property on $tablePath") { st =>
+      if (st.properties.get(key).contains(value)) None
+      else Some(Seq(Prop(key, value)))
+    }
+  }
+
+  /** Remove a table property; unknown keys fail loudly. */
+  def unsetProperty(key: String): Unit =
+    commitLoop(s"unset property on $tablePath") { st =>
+      require(st.properties.contains(key),
+        s"no property $key on $tablePath " +
+          s"(have: ${st.properties.keys.toSeq.sorted.mkString(", ")})")
+      Some(Seq(UnsetProp(key)))
+    }
+
+  /** DESCRIBE DETAIL: one-stop operational summary of the snapshot —
+    * version, file/byte/row totals (rows summed from manifest stats
+    * where recorded), masked-row count, schema width, feature state.
+    */
+  def detail(): TxTable.TableDetail = {
+    val s = state()
+    val fsv = fs
+    val bytes = s.files.map(f => fsv.getFileStatus(new Path(root, f)).getLen).sum
+    val rows = s.files.flatMap(s.stats.get).map(_.rows)
+    TxTable.TableDetail(
+      version = s.version,
+      numFiles = s.files.size,
+      sizeBytes = bytes,
+      numRows = if (rows.size == s.files.size) Some(rows.sum) else None,
+      maskedRows = s.dvs.values.map(_.deleted).sum,
+      numColumns = s.schema.map(_.fields.count(f => !s.dropped.contains(f.name))).getOrElse(0),
+      protocol = s.protocol,
+      lastCommitTs = s.lastCommitTs,
+      constraints = s.constraints.keySet,
+      bloomIndexes = s.blooms.keySet,
+      generatedColumns = s.generated.keySet.map(s.logicalName),
+      identityColumns = s.identity.keySet.map(s.logicalName),
+      renamedColumns = s.renames.size,
+      droppedColumns = s.dropped.size,
+      properties = s.properties)
+  }
 
   /** Raise the protocol requirement EXPLICITLY (feature DDL raises it
     * implicitly). Monotone: lowering is refused — an older client
@@ -2626,7 +2678,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
           case (n, e) => n -> (JString(e): JValue) }),
         "identity" -> JObject(st.identity.toList.map { case (n, (st0, sp, hw)) =>
           n -> (JObject("start" -> (JLong(st0): JValue),
-            "step" -> (JLong(sp): JValue), "hw" -> (JLong(hw): JValue)): JValue) })
+            "step" -> (JLong(sp): JValue), "hw" -> (JLong(hw): JValue)): JValue) }),
+        "properties" -> JObject(st.properties.toList.map {
+          case (k, v) => k -> (JString(v): JValue) })
       ))).getBytes("UTF-8")
       // never expose a half-written checkpoint: stage fully, then move
       // into place atomically (racers write identical bytes, so a
@@ -2750,8 +2804,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }.toMap
       case _ => Map.empty[String, (Long, Long, Long)]
     }
+    val properties = (j \ "properties") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     State(version, files, schema, txns, stats, constraints, dvs, blooms,
-      renames, dropped, protocol, lastTs, generated, identity)
+      renames, dropped, protocol, lastTs, generated, identity, properties)
   }
 
   /** Prune manifests below the newest checkpoint (and older
@@ -2939,6 +2997,16 @@ object TxTable {
   }
 
   /** One [[TxTable.history]] row (DESCRIBE HISTORY). */
+  case class TableDetail(version: Long, numFiles: Int, sizeBytes: Long,
+                         numRows: Option[Long], maskedRows: Long,
+                         numColumns: Int, protocol: (Int, Int),
+                         lastCommitTs: Long, constraints: Set[String],
+                         bloomIndexes: Set[String],
+                         generatedColumns: Set[String],
+                         identityColumns: Set[String],
+                         renamedColumns: Int, droppedColumns: Int,
+                         properties: Map[String, String])
+
   case class CommitInfo(version: Long, timestampMs: Long, operation: String,
                         filesAdded: Int, filesRemoved: Int)
 
@@ -3307,6 +3375,18 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("dropConstraint"),
       "name" -> JString(name))
   }
+  /** Free-form table property (TBLPROPERTIES role): owner, pipeline
+    * tags, retention hints — metadata the table carries for its
+    * operators, never interpreted by the engine.
+    */
+  private[core] case class Prop(key: String, value: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("property"),
+      "key" -> JString(key), "value" -> JString(value))
+  }
+  private[core] case class UnsetProp(key: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("unsetProperty"),
+      "key" -> JString(key))
+  }
   /** IDENTITY COLUMN declaration: the TABLE assigns `name` on append
     * from a log-owned high-water mark (start, step); writers never
     * supply it ([[TxTable.addIdentityColumn]] — GENERATED ALWAYS AS
@@ -3412,6 +3492,8 @@ object TxTable {
         case JString("dropConstraint") => DropConstr(str("name"))
         case JString("renameColumn") => RenameCol(str("phys"), str("logical"))
         case JString("dropColumn") => DropCol(str("phys"))
+        case JString("property") => Prop(str("key"), str("value"))
+        case JString("unsetProperty") => UnsetProp(str("key"))
         case JString("identityColumn") =>
           def lnum(f: String): Long = (j \ f) match {
             case JLong(n) => n
