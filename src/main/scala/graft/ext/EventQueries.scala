@@ -201,6 +201,48 @@ object EventQueries {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** RFM SEGMENTATION — the classic customer-value rollup: per user,
+    * Recency (days between their last event and the corpus's last
+    * day), Frequency (event count) and Monetary (decimal value sum),
+    * each bucketed 1–3 by FIXED thresholds (not ntile — rank-based
+    * buckets tie-break arbitrarily across engines; fixed cutoffs are
+    * portable and what a production scorecard pins anyway), then
+    * rolled up to segment sizes. All arithmetic is integer / decimal:
+    * engine-exact. One data shuffle (the per-user aggregate); the
+    * corpus max-day is a broadcast 1-row scalar; the segment rollup
+    * runs over |users| rows.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val perUser = e
+      .select($"user_id", tsSec(e).as("sec"), $"value")
+      .groupBy($"user_id")
+      .agg(max($"sec").as("last_sec"),
+        count(lit(1)).as("f"),
+        sum($"value".cast(DecimalType(18, 2))).as("m"))
+    val corpus = perUser.agg(max($"last_sec").as("corpus_sec"),
+      count(lit(1)).as("n_users"), sum($"f").as("total_f"),
+      sum($"m").as("total_m"))
+    // F/M buckets compare each user to the corpus MEAN by
+    // cross-multiplication (2·f·n ≥ 3·Σf ⇔ f ≥ 1.5·mean): integer and
+    // decimal products only, so buckets are scale-adaptive AND exact
+    perUser.crossJoin(broadcast(corpus))
+      .select(
+        when(expr("(corpus_sec - last_sec) div 3600") <= 2, 3L)
+          .when(expr("(corpus_sec - last_sec) div 3600") <= 12, 2L)
+          .otherwise(1L).as("r_score"),
+        when($"f" * $"n_users" * 2 >= $"total_f" * 3, 3L)
+          .when($"f" * $"n_users" >= $"total_f", 2L)
+          .otherwise(1L).as("f_score"),
+        when($"m" * $"n_users" * 2 >= $"total_m" * 3, 3L)
+          .when($"m" * $"n_users" >= $"total_m", 2L)
+          .otherwise(1L).as("m_score"))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
   /** MARKET-BASKET association mining — support / confidence / lift
     * over per-user item baskets (item ≙ the JSON `props.k` attribute;
     * in a retail log, the product id): the A-priori first pass that
@@ -347,6 +389,7 @@ object EventQueries {
     "q_props_json" -> (qPropsJson _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_basket_pairs" -> (qBasketPairs _),
+    "q_rfm" -> (qRfm _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -447,6 +490,29 @@ object EventQueries {
         |UNION ALL
         |SELECT event_id, event_type, value FROM events WHERE event_id % 3 <> 0
         |ORDER BY event_id""".stripMargin,
+    // fixed-threshold buckets over integer/decimal per-user facts —
+    // engine-exact (ntile would tie-break arbitrarily across engines)
+    "q_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, MAX(epoch_ms(ts) // 1000) AS last_sec,
+        |    COUNT(*) AS f, SUM(CAST(value AS DECIMAL(18,2))) AS m
+        |  FROM events GROUP BY user_id),
+        |cx AS (SELECT MAX(last_sec) AS corpus_sec, COUNT(*) AS n_users,
+        |  SUM(f) AS total_f, SUM(m) AS total_m FROM pu),
+        |sc AS (
+        |  SELECT
+        |    CASE WHEN (corpus_sec - last_sec) // 3600 <= 2 THEN 3
+        |         WHEN (corpus_sec - last_sec) // 3600 <= 12 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN f * n_users * 2 >= total_f * 3 THEN 3
+        |         WHEN f * n_users >= total_f THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN m * n_users * 2 >= total_m * 3 THEN 3
+        |         WHEN m * n_users >= total_m THEN 2 ELSE 1 END AS m_score
+        |  FROM pu CROSS JOIN cx)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score, COUNT(*) AS n_users
+        |FROM sc GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     // integer counts; confidence/lift are ONE IEEE divide quantized
     // to decimal then widened — engine-exact (the DSIR convention)
     "q_basket_pairs" ->

@@ -71,6 +71,19 @@ class IdentityColumnsSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L, 10L, 11L), s"got $ids")
   }
 
+  test("identity appends stay exactly-once under foreachBatch redelivery") {
+    val t = table()
+    t.addIdentityColumn("row_id")
+    t.appendBatch(Seq(("a"), ("b")).toDF("v"), "writer-1", 7L)
+    t.appendBatch(Seq(("a"), ("b")).toDF("v"), "writer-1", 7L) // redelivery
+    val rows = t.read().collect()
+    assert(rows.length == 2, "redelivered batch must not re-append")
+    val ids = rows.map(_.getLong(rows.head.fieldIndex("row_id"))).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+    assert(t.identityColumns("row_id")._3 == 2L,
+      "the skipped redelivery must not burn a range")
+  }
+
   test("declaration validations and checkpoint survival") {
     val t = new TxTable(spark, tmpDir("txid"), checkpointInterval = 2)
     t.append(Seq(("a", 1.0)).toDF("v", "amount"))
