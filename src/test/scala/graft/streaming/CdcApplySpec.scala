@@ -72,6 +72,37 @@ class CdcApplySpec extends SparkTestBase {
     assert(dst.version >= v)
   }
 
+  test("STREAMING replication: changeFeed source + foreachBatch apply, restartable") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (src, dst) = tables()
+    val ckpt = tmpDir("cdc-stream-ckpt")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-txtable")
+        .option("path", src.tablePath)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          CdcApply(dst, batch, Seq("id")); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    src.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "amount"))
+    replicate()
+    assert(snap(dst) == snap(src))
+    // restart from the checkpoint across a mutation burst: only the
+    // NEW versions replay, and the replica converges again
+    src.update(col("id") === 1L, Map("amount" -> lit(9.0)))
+    src.merge(Seq((3L, "c", 3.0)).toDF("id", "v", "amount"), Seq("id"))
+    src.delete(col("id") === 2L)
+    replicate()
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((1L, "a", 9.0), (3L, "c", 3.0)))
+  }
+
   test("replaceWhere slices ride the feed (delete + insert in one commit)") {
     val (src, dst) = tables()
     src.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "amount"))
