@@ -201,6 +201,26 @@ object EventQueries {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** BEHAVIORAL TRANSITION MATRIX — the first-order Markov view of
+    * the event stream: consecutive event-type pairs per user under
+    * the total (sec, event_id) order, counted corpus-wide. The
+    * session-flow / next-action-model input. One shuffle: the lag
+    * window partitions on user_id and the pair aggregate + output
+    * sort ride on top. Integer counts only.
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val e = ev(s, dir)
+    e
+      .select($"user_id", $"event_id", $"event_type", tsSec(e).as("sec"))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   /** RFM SEGMENTATION — the classic customer-value rollup: per user,
     * Recency (days between their last event and the corpus's last
     * day), Frequency (event count) and Monetary (decimal value sum),
@@ -390,6 +410,7 @@ object EventQueries {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_rfm" -> (qRfm _),
+    "q_transitions" -> (qTransitions _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -490,6 +511,19 @@ object EventQueries {
         |UNION ALL
         |SELECT event_id, event_type, value FROM events WHERE event_id % 3 <> 0
         |ORDER BY event_id""".stripMargin,
+    "q_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) // 1000 AS sec
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      AS prev_type
+        |  FROM o)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin,
     // fixed-threshold buckets over integer/decimal per-user facts —
     // engine-exact (ntile would tie-break arbitrarily across engines)
     "q_rfm" ->
