@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.TxTable
+
+/** Randomized CDC-replication check: a seeded stream of KEYED
+  * mutations runs against a source table while a consumer maintains a
+  * replica purely from change-feed slices; after every sync the
+  * replica must equal the source. Overwrites and restores are thrown
+  * in deliberately — the feed REFUSES those ranges (documented
+  * boundary), and the consumer exercises the documented recovery:
+  * full re-sync, then back to incremental slices.
+  */
+class CdcReplicaModelSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def snap(t: TxTable): Set[(Long, String)] =
+    t.read().select("k", "v").as[(Long, String)].collect().toSet
+
+  test("replica equals source after every sync across random keyed mutations") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val src = new TxTable(spark, tmpDir(s"cdcmodel-src-$seed"))
+      val dst = new TxTable(spark, tmpDir(s"cdcmodel-dst-$seed"))
+      var cursor = -1L
+      var nextKey = 0L
+      var live = Map.empty[Long, String] // the in-memory model
+
+      def freshRows(n: Int): Seq[(Long, String)] =
+        (0 until n).map { _ =>
+          nextKey += 1; (nextKey, s"v$seed-${rnd.nextInt(1000)}")
+        }
+
+      def sync(): Unit = {
+        val to = src.version
+        if (to > cursor) {
+          try CdcApply(dst, src.readChangeFeed(cursor, to), Seq("k"))
+          catch {
+            case _: IllegalStateException =>
+              // the range spans an overwrite/restore: the documented
+              // boundary — recover with a full re-sync
+              dst.overwrite(src.read())
+          }
+          cursor = to
+        }
+        assert(snap(dst) == live.toSet.map(identity[(Long, String)]),
+          s"seed $seed: model diverged at v$to")
+        assert(snap(dst) == snap(src), s"seed $seed: replica diverged at v$to")
+      }
+
+      src.append(freshRows(4).toDF("k", "v"))
+      live = src.read().select("k", "v").as[(Long, String)].collect().toMap
+      sync()
+
+      (0 until 12).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 => // insert fresh keys
+            val rows = freshRows(1 + rnd.nextInt(3))
+            src.append(rows.toDF("k", "v"))
+            live ++= rows
+          case 1 => // keyed upsert over a mix of existing + fresh
+            val existing = live.keys.toSeq.sorted.take(1 + rnd.nextInt(2))
+              .map(k => (k, s"up-${rnd.nextInt(100)}"))
+            val rows = existing ++ freshRows(1)
+            src.merge(rows.toDF("k", "v"), Seq("k"))
+            live ++= rows
+          case 2 if live.nonEmpty => // delete a key range
+            val ks = live.keys.toSeq.sorted
+            val lo = ks(rnd.nextInt(ks.size))
+            src.delete(col("k") >= lo && col("k") <= lo + 2)
+            live = live.filterNot { case (k, _) => k >= lo && k <= lo + 2 }
+          case 3 if live.nonEmpty => // update values in place
+            val ks = live.keys.toSeq.sorted
+            val pick = ks(rnd.nextInt(ks.size))
+            src.update(col("k") === pick, Map("v" -> lit("upd")))
+            live += pick -> "upd"
+          case 4 => // overwrite: feed boundary, consumer must re-sync
+            val rows = freshRows(2 + rnd.nextInt(2))
+            src.overwrite(rows.toDF("k", "v"))
+            live = rows.toMap
+          case _ => ()
+        }
+        sync()
+      }
+    }
+  }
+}
