@@ -567,6 +567,51 @@ object ScaleOps {
   def qTxUpdate(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(updatedOrdersTable(s, dir).read())
 
+  /** ACID orders clone Z-ORDER clustered on (datekey, orderkey) —
+    * [[graft.core.TxTable.cluster]], the OPTIMIZE ZORDER role — built
+    * once per (session, dir). The builder asserts BOTH single-column
+    * probes actually skip files post-clustering: the point of
+    * interleaved ordering over lexicographic is that EITHER dimension
+    * prunes, not just the leading one.
+    */
+  private[ext] def zorderOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-zorder:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txzorder_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(datekey.as("o_datekey"), col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice")))
+      t.cluster(Seq("o_datekey", "o_orderkey"), targetFiles = 16, bitsPerCol = 8)
+      val st = t.state()
+      val n = st.files.size
+      val byDate = t.prunedFiles(st,
+        col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi)
+      val maxKey = Tables.load(s, dir, "orders")
+        .agg(max(col("o_orderkey"))).head.getLong(0)
+      val byKey = t.prunedFiles(st,
+        col("o_orderkey") <= maxKey / 16L)
+      require(byDate.size < n && byKey.size < n,
+        s"z-order must prune on BOTH dimensions, got date ${byDate.size}/$n, " +
+          s"key ${byKey.size}/$n")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The time-window aggregate through the Z-ORDERED layout: same
+    * oracle as the flat/range-clustered twins — clustering changes
+    * the FILE SET a probe opens (builder-asserted on both dimensions),
+    * never the answer.
+    */
+  def qTxZorder(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(zorderOrdersTable(s, dir)
+      .scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
+
   /** A REPLICA of a mutated ACID table maintained ONLY through its
     * change feed ([[graft.streaming.CdcApply]]): the source clone
     * takes an update + a delete + a merge in separate commits, and
@@ -1038,6 +1083,7 @@ object ScaleOps {
     "q_profile" -> (qProfile _),
     "q_tx_gencol" -> (qTxGencol _),
     "q_tx_replica" -> (qTxReplica _),
+    "q_tx_zorder" -> (qTxZorder _),
     "q_tx_scd2" -> (qTxScd2 _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
@@ -1126,6 +1172,9 @@ object ScaleOps {
     // same oracle: data skipping changes the FILE SET read (asserted
     // in ScaleOpsSpec via prunedFiles), never the answer
     "q_tx_skip" -> txWindowSql,
+    // same oracle: the z-ordered layout prunes on BOTH clustered
+    // dimensions (builder-asserted), never changes the answer
+    "q_tx_zorder" -> txWindowSql,
     // same oracle once more: here the probe column exists only
     // because the log's GENERATED declaration computed it at write
     // time — the hash matches only if generation is value-exact
