@@ -145,44 +145,103 @@ object DedupClusters {
       .orderBy($"vec_id")
   }
 
+  /** Keep-BEST dedup: near-duplicate clusters electing the
+    * HIGHEST-QUALITY member (longest token count, doc_id tie-break)
+    * instead of the arbitrary min-id — the keeper election a real
+    * curation pass runs, where among duplicates you keep the most
+    * complete copy. One window over the component labels joined to a
+    * map-side quality column; cluster size rides the same partition.
+    */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val comp = connectedComponents(
+      docs.select($"doc_id".as("id")),
+      TextAnalysis.qNgramJaccard(s, dir).select($"doc_a".as("a"), $"doc_b".as("b")))
+    val quality = docs.select($"doc_id",
+      org.apache.spark.sql.functions.size(TextAnalysis.tokens($"text"))
+        .cast("long").as("n_tokens"))
+    val w = Window.partitionBy($"component")
+      .orderBy($"n_tokens".desc, $"doc_id")
+    comp.select($"id".as("doc_id"), $"component")
+      .join(quality, "doc_id")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("cluster_size",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))
+          .over(Window.partitionBy($"component")).cast("long"))
+      .where($"rk" === 1)
+      .select($"component", $"doc_id".as("best_doc"),
+        $"n_tokens".as("best_n_tokens"), $"cluster_size")
+      .orderBy($"component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
   )
 
   /** Oracle: transitive closure by recursive CTE, component = min
     * reachable id (self-loops make singletons their own component).
     */
+  /** The Jaccard-cluster CTE chain (pairs → symmetric edges →
+    * recursive closure → `comp(doc_id, component)`): ONE definition
+    * shared by the min-id and keep-best oracles — the Spark side
+    * shares [[connectedComponents]], so the SQL mirror must not be
+    * able to drift either.
+    */
+  private val clusterCtes: String =
+    """pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    WITH toks AS (
+      |      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |      FROM documents),
+      |    sh AS (
+      |      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+      |      FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
+      |    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |    common AS (
+      |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |    SELECT doc_a, doc_b FROM common
+      |    JOIN sizes sa ON doc_a = sa.doc_id
+      |    JOIN sizes sb ON doc_b = sb.doc_id
+      |    WHERE 3 * c >= sa.sz + sb.sz)),
+      |edges AS (
+      |  SELECT doc_a AS x, doc_b AS y FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_id, doc_id FROM documents),
+      |reach(x, y) AS (
+      |  SELECT x, y FROM edges
+      |  UNION
+      |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      |comp AS (
+      |  SELECT x AS doc_id, MIN(y) AS component FROM reach GROUP BY x)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    WITH toks AS (
-        |      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |      FROM documents),
-        |    sh AS (
-        |      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
-        |      FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
-        |    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |    common AS (
-        |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |    SELECT doc_a, doc_b FROM common
-        |    JOIN sizes sa ON doc_a = sa.doc_id
-        |    JOIN sizes sb ON doc_b = sb.doc_id
-        |    WHERE 3 * c >= sa.sz + sb.sz)),
-        |edges AS (
-        |  SELECT doc_a AS x, doc_b AS y FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |  UNION SELECT doc_id, doc_id FROM documents),
-        |reach(x, y) AS (
-        |  SELECT x, y FROM edges
-        |  UNION
-        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
-        |SELECT x AS doc_id, MIN(y) AS component,
-        |  (x = MIN(y)) AS is_keeper
-        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id, component, (doc_id = component) AS is_keeper
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.component, c.doc_id, q.n_tokens,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY q.n_tokens DESC, c.doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+         |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT component, doc_id AS best_doc,
+         |  CAST(n_tokens AS BIGINT) AS best_n_tokens,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin,
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE ${Similarity.quantCtes},
          |${Similarity.dupPairsSql},
