@@ -84,6 +84,42 @@ class IdentityColumnsSpec extends SparkTestBase {
       "the skipped redelivery must not burn a range")
   }
 
+  test("two JVMs allocating identity ids concurrently never collide") {
+    val t = table()
+    t.addIdentityColumn("row_id")
+    t.append(Seq(("seed")).toDF("v")) // schema exists for both writers
+    val n = 5
+    // a second JVM with its own SparkSession races this one on the
+    // same log: allocation is arbitrated by the cross-process claim
+    // primitive, and every loser re-stages against the new mark
+    val helperCp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(
+      new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath,
+      "-cp", helperCp, "graft.core.TxTableRaceHelper",
+      t.tablePath, n.toString, "child", "identity")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() =>
+      org.apache.hadoop.io.IOUtils.copyBytes(proc.getInputStream, out, 8192, false))
+    drain.setDaemon(true); drain.start()
+    try (0 until n).foreach(i => t.append(Seq((s"local-$i")).toDF("v")))
+    finally {
+      assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        { proc.destroyForcibly(); "helper JVM timed out" })
+      drain.join(10000)
+      assert(proc.exitValue() == 0,
+        s"helper JVM failed:\n${out.toString("UTF-8").takeRight(4000)}")
+    }
+    val ids = t.read().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 2 * n + 1)
+    assert(ids.distinct.length == ids.length,
+      s"cross-process identity ids must be unique: ${ids.sorted}")
+    assert(t.identityColumns("row_id")._3 == ids.max,
+      "the high-water mark equals the largest issued id")
+  }
+
   test("declaration validations and checkpoint survival") {
     val t = new TxTable(spark, tmpDir("txid"), checkpointInterval = 2)
     t.append(Seq(("a", 1.0)).toDF("v", "amount"))

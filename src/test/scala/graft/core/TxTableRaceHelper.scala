@@ -41,6 +41,12 @@ object TxTableRaceHelper {
               }
             }
           }
+        case "identity" =>
+          // identity appends re-stage internally on claim races — no
+          // retry loop needed; ids must come out globally unique
+          (0 until nStr.toInt).foreach { i =>
+            t.append(Seq((s"$tag-$i")).toDF("v"))
+          }
       }
     } finally spark.stop()
   }
