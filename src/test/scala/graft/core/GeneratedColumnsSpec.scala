@@ -71,6 +71,28 @@ class GeneratedColumnsSpec extends SparkTestBase {
     assert(t.read().columns.toSeq == Seq("id", "amount_cents"))
   }
 
+  test("the streaming sink computes generated columns per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val t = table()
+    t.append(Seq((0L, 1.0)).toDF("id", "amount"))
+    t.addGeneratedColumn("cents", "CAST(amount * 100 AS BIGINT)")
+    val stream = MemoryStream[(Long, Double)]
+    stream.addData((1L, 2.5), (2L, 3.0))
+    val q = stream.toDF().toDF("id", "amount")
+      .writeStream.format("graft-txtable")
+      .option("path", t.tablePath)
+      .option("checkpointLocation", tmpDir("txgen-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = t.read().orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(1).getLong(2) == 250L && out(2).getLong(2) == 300L,
+      "micro-batch appends must compute the declared column")
+  }
+
   test("declaration rides checkpoints; self-reference and dropped inputs refused") {
     val t = new TxTable(spark, tmpDir("txgen"), checkpointInterval = 2)
     t.append(Seq((1L, 10.0)).toDF("id", "amount"))
