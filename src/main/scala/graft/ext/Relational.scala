@@ -280,6 +280,31 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** RATIO-TO-REPORT — contribution analysis: each (month, priority)
+    * cell's revenue as a share of its month's total, the classic
+    * reporting rollup. Decimal revenue sums are order-independent;
+    * the share is ONE IEEE divide of two decimal-exact scalars
+    * quantized to DECIMAL(18,8) (the engine-exactness convention).
+    * One aggregate shuffle; the month-total window rides the
+    * aggregate's own partitioning (no second exchange).
+    */
+  def qShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cell = t(s, dir, "orders")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        $"o_orderpriority")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.partitionBy($"month")
+    cell
+      .withColumn("month_rev", sum($"rev").over(w))
+      .select($"month", $"o_orderpriority",
+        $"rev".cast("double").as("revenue"),
+        ($"rev".cast("double") / $"month_rev".cast("double"))
+          .cast(DecimalType(18, 8)).cast("double").as("share"))
+      .orderBy($"month", $"o_orderpriority")
+  }
+
   /** ROLLUP over status×priority with pinned NULLS FIRST ordering. */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -431,6 +456,7 @@ object Relational {
     "q_window_lag" -> (qWindowLag _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_rollup" -> (qRollup _),
+    "q_share_of_total" -> (qShareOfTotal _),
     "q_cube" -> (qCube _),
     "q_string_agg" -> (qStringAgg _),
     "q_count_distinct" -> (qCountDistinct _),
@@ -604,6 +630,18 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // decimal cell/total sums, ONE IEEE divide quantized then widened
+    "q_share_of_total" ->
+      """WITH cell AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY month, o_orderpriority)
+        |SELECT month, o_orderpriority,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(CAST(CAST(rev AS DOUBLE) /
+        |            CAST(SUM(rev) OVER (PARTITION BY month) AS DOUBLE)
+        |       AS DECIMAL(18,8)) AS DOUBLE) AS share
+        |FROM cell ORDER BY month, o_orderpriority""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
