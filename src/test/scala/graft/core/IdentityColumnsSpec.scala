@@ -84,6 +84,24 @@ class IdentityColumnsSpec extends SparkTestBase {
       "the skipped redelivery must not burn a range")
   }
 
+  test("identity allocation survives renaming the identity column") {
+    val t = table()
+    t.addIdentityColumn("row_id")
+    t.append(Seq(("a")).toDF("v"))
+    t.renameColumn("row_id", "seq_no")
+    t.append(Seq(("b")).toDF("v"))
+    val out = t.read().orderBy("seq_no").collect()
+    assert(t.read().columns.toSeq == Seq("v", "seq_no"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L),
+      "allocation continues under the new surface name")
+    assert(t.identityColumns.keySet == Set("seq_no"),
+      "the declaration reports the surface name")
+    // GENERATED ALWAYS still enforced under the new name
+    assertThrows[IllegalArgumentException] {
+      t.append(Seq(("x", 99L)).toDF("v", "seq_no"))
+    }
+  }
+
   test("two JVMs allocating identity ids concurrently never collide") {
     val t = table()
     t.addIdentityColumn("row_id")

@@ -215,6 +215,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), "top-20 degraded to a global sort")
   }
 
+  test("q_share_of_total: the month-total window rides the aggregate's partitioning") {
+    val (sh, _) = shape("q_share_of_total")
+    // cell aggregate + (window re-partition on month) + output sort —
+    // and never a second data-level exchange
+    assert(sh <= 3, s"ratio-to-report grew beyond agg/window/sort: $sh")
+  }
+
   test("q_anomaly: one stats aggregate, stats broadcast back, output sort") {
     val (sh, bc) = shape("q_anomaly")
     assert(sh <= 2, s"anomaly detection grew beyond agg+sort shuffles: $sh")
