@@ -190,6 +190,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
           identity += n -> ((st0, sp,
             if (sp > 0) math.max(old, hw) else math.min(old, hw)))
         }
+      case DropIdentityCol(n) => identity -= n
       case Prop(k, v) => properties += k -> v
       case UnsetProp(k) => properties -= k
       case Cdf(_) => () // row-level change files are not live data
@@ -456,6 +457,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
       Some(Seq(IdentityCol(name, start, step)))
     }
   }
+
+  /** Drop an identity DECLARATION: the column itself stays (with its
+    * issued values) but the table stops assigning it — the append
+    * fast path returns, and the column becomes an ordinary LongType
+    * column writers may supply.
+    */
+  def dropIdentityColumn(name: String): Unit =
+    commitLoop(s"drop identity column on $tablePath") { st =>
+      val phys = physicalName(st, name)
+      require(st.identity.contains(phys),
+        s"no identity column $name on $tablePath " +
+          s"(have: ${st.identity.keys.map(st.logicalName).toSeq.sorted.mkString(", ")})")
+      Some(Seq(DropIdentityCol(phys)))
+    }
 
   /** Assign every declared identity column over an incoming PHYSICAL
     * frame (which must not carry them), returning the frame plus the
@@ -1020,6 +1035,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
       require(referenced.isEmpty,
         s"cannot drop $name on $tablePath: referenced by CHECK constraint(s) " +
           s"${referenced.keys.toSeq.sorted.mkString(", ")} — drop them first")
+      require(!st.identity.contains(phys),
+        s"cannot drop $name on $tablePath: it is an identity column — " +
+          "dropIdentityColumn first (the declaration would keep allocating " +
+          "into a hidden slot)")
       val genRefs = st.generated.filter { case (g, e) =>
         g != phys && exprReferencesColumn(e, phys)
       }
@@ -3407,6 +3426,10 @@ object TxTable {
     def toJson: JObject = JObject("a" -> JString("identityHw"),
       "name" -> JString(name), "hw" -> JLong(hw))
   }
+  private[core] case class DropIdentityCol(name: String) extends Action {
+    def toJson: JObject = JObject("a" -> JString("dropIdentityColumn"),
+      "name" -> JString(name))
+  }
   /** GENERATED COLUMN (the published always-computed-column design):
     * `exprSql` (physical names) defines the column's value. Writes
     * lacking the column compute it; writes carrying it are gated by
@@ -3502,6 +3525,7 @@ object TxTable {
               s"manifest identityColumn $f: expected number, got $other in $line")
           }
           IdentityCol(str("name"), lnum("start"), lnum("step"))
+        case JString("dropIdentityColumn") => DropIdentityCol(str("name"))
         case JString("identityHw") => (j \ "hw") match {
           case JLong(n) => IdentityHw(str("name"), n)
           case JInt(n) => IdentityHw(str("name"), n.toLong)

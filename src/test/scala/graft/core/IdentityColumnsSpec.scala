@@ -84,6 +84,24 @@ class IdentityColumnsSpec extends SparkTestBase {
       "the skipped redelivery must not burn a range")
   }
 
+  test("dropping the COLUMN is refused while declared; dropping the declaration frees it") {
+    val t = table()
+    t.addIdentityColumn("row_id")
+    t.append(Seq(("a")).toDF("v"))
+    // the column drop must not orphan a live allocator
+    val e = intercept[IllegalArgumentException](t.dropColumn("row_id"))
+    assert(e.getMessage.contains("identity"))
+    assertThrows[IllegalArgumentException](t.dropIdentityColumn("nope"))
+    t.dropIdentityColumn("row_id")
+    assert(t.identityColumns.isEmpty)
+    // now an ordinary column: writers may supply it...
+    t.append(Seq(("b", 500L)).toDF("v", "row_id"))
+    assert(t.read().where(col("row_id") === 500L).count() == 1)
+    // ...and the column drop goes through
+    t.dropColumn("row_id")
+    assert(t.read().columns.toSeq == Seq("v"))
+  }
+
   test("identity allocation survives renaming the identity column") {
     val t = table()
     t.addIdentityColumn("row_id")
