@@ -387,6 +387,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val snap = state()
     val physSql = physicalizeExprSql(snap, exprSql)
     val phys = physicalName(snap, name)
+    requireNotRetired(snap, name, "a generated")
     require(!snap.dropped.contains(phys),
       s"cannot generate $name on $tablePath: the column was dropped")
     val deadRefs = snap.dropped.filter(exprReferencesColumn(physSql, _))
@@ -452,11 +453,28 @@ class TxTable(spark: SparkSession, val tablePath: String,
       require(!live.contains(name),
         s"cannot make existing column $name of $tablePath an identity column — " +
           "identity defines a fresh column (backfill via overwrite instead)")
+      requireNotRetired(st, name, "an identity")
       require(!st.generated.contains(physicalName(st, name)),
         s"$name is a generated column of $tablePath")
       Some(Seq(IdentityCol(name, start, step)))
     }
   }
+
+  /** A NEW-column declaration (identity, or generated over a column
+    * the schema lacks) writes its values under the declared name as a
+    * PHYSICAL slot — so a name equal to the RETIRED physical name of a
+    * renamed column must be rejected here exactly as [[physicalize]]
+    * rejects it on the write path, or the declaration would silently
+    * land values in the renamed column's files.
+    */
+  private def requireNotRetired(st: State, name: String, what: String): Unit =
+    st.renames.get(name).filter(_ != name)
+      .filterNot(_ => st.toPhysicalName.contains(name)).foreach { l =>
+        throw new IllegalArgumentException(
+          s"column $name of $tablePath was renamed to $l; declaring $what " +
+            "column under the retired physical name would silently alias " +
+            "it — pick another name")
+      }
 
   /** Drop an identity DECLARATION: the column itself stays (with its
     * issued values) but the table stops assigning it — the append
@@ -488,10 +506,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var cur = df
     var hws = Vector.empty[(String, Long)]
     st.identity.toSeq.sortBy(_._1).foreach { case (n, (_, step, hw)) =>
-      val nRows = cur.count()
       val schema = cur.schema.add(n, LongType, nullable = false)
+      // ONE materialization: count, zip, and the later staging must all
+      // see the same rows, or a nondeterministic source frame could put
+      // ids on disk that diverge from the high-water advanced below —
+      // localCheckpoint (not persist) so a lost block FAILS the append
+      // instead of silently recomputing different rows
+      val base = cur.rdd
+      base.localCheckpoint()
+      val nRows = base.count()
       cur = cur.sparkSession.createDataFrame(
-        cur.rdd.zipWithIndex().map { case (r, i) =>
+        base.zipWithIndex().map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ (hw + step * (i + 1)))
         }, schema)
       hws :+= (n -> (hw + step * nRows))
@@ -1210,12 +1235,22 @@ class TxTable(spark: SparkSession, val tablePath: String,
       partitionBy = partitionBy.map(physicalName(snap, _)),
       filesPerValue = filesPerValue)
     var checkedFor: Map[String, String] = null // re-check only if a retry changed the set
+    fireBeforeCommitHook()
     commitLoop(s"append to $tablePath") { st =>
       if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
         staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
         None // already committed by a previous attempt of this batch
       } else {
         requireRenamesStable(snap0, st, staged, "append to")
+        // a concurrent addIdentityColumn between routing (snap0) and the
+        // claim would commit these rows WITHOUT identity values — abort
+        // like a rename race so the rerun routes through assignIdentity
+        if (st.identity != snap0.identity) {
+          staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+          throw new java.util.ConcurrentModificationException(
+            s"append to $tablePath raced an identity-column change; rerun " +
+              "against the new state")
+        }
         val schema = mergeSchemas(st.schema, df.schema)
         if (effectiveChecks(st) != checkedFor) {
           enforceConstraints(effectiveChecks(st), staged, schema, staged, "append to")
@@ -1895,7 +1930,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val mayMatch = addsMayMatchKeys(source, keys)
       fireBeforeCommitHook()
       commitLoop(s"scd2 merge into $tablePath") { st =>
-      requireRenamesStable(snap, st, Nil, "scd2 merge into")
+        requireRenamesStable(snap, st, staged ++ stagedCdf, "scd2 merge into")
         findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
           (staged ++ stagedCdf).foreach { case (f, _) =>
             fs.delete(new Path(root, f), false)

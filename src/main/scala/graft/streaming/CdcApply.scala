@@ -62,10 +62,18 @@ object CdcApply {
     val (live, dead) = net(batch, keys)
     val deadRows = dead.collect() // bounded by the slice's deleted keys
     if (deadRows.nonEmpty) {
+      // null-safe matching throughout: a NULL key component under
+      // isin/=== compares to NULL, so the delete would never fire and
+      // the replica would diverge (merge uses <=> for the same reason).
+      // Single-column keys keep the stat-prunable IN over the non-null
+      // values, OR-ing an isNull arm only when a null dead key exists.
       val pred = keys match {
-        case Seq(k) => col(k).isin(deadRows.map(_.get(0)): _*)
+        case Seq(k) =>
+          val (nulls, vals) = deadRows.map(_.get(0)).partition(_ == null)
+          (Option.when(vals.nonEmpty)(col(k).isin(vals: _*)) ++
+            Option.when(nulls.nonEmpty)(col(k).isNull)).reduce(_ || _)
         case ks => deadRows.map(r =>
-            ks.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
+            ks.zipWithIndex.map { case (k, i) => col(k) <=> lit(r.get(i)) }
               .reduce(_ && _))
           .reduce(_ || _)
       }

@@ -71,6 +71,22 @@ class GeneratedColumnsSpec extends SparkTestBase {
     assert(t.read().columns.toSeq == Seq("id", "amount_cents"))
   }
 
+  test("a retired physical name cannot become a generated column") {
+    val t = table()
+    t.append(Seq((1L, 10.0)).toDF("id", "amount"))
+    t.renameColumn("amount", "price")
+    // "amount" is no surface column, but it IS price's physical slot —
+    // the declaration would validate and generate against price's files
+    val e = intercept[IllegalArgumentException] {
+      t.addGeneratedColumn("amount", "CAST(price * 100 AS BIGINT)")
+    }
+    assert(e.getMessage.contains("renamed"))
+    // a fresh name over the renamed input still works
+    t.addGeneratedColumn("cents", "CAST(price * 100 AS BIGINT)")
+    t.append(Seq((2L, 20.0)).toDF("id", "price"))
+    assert(t.read().where(col("id") === 2).head().getLong(2) == 2000L)
+  }
+
   test("the streaming sink computes generated columns per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -156,6 +156,60 @@ class IdentityColumnsSpec extends SparkTestBase {
       "the high-water mark equals the largest issued id")
   }
 
+  test("a retired physical name cannot become an identity column") {
+    val t = table()
+    t.append(Seq(("x", 1L)).toDF("a", "n"))
+    t.renameColumn("a", "b")
+    // "a" is no surface column, but it IS b's physical slot on disk —
+    // an identity column named "a" would write into b's files
+    val e = intercept[IllegalArgumentException](t.addIdentityColumn("a"))
+    assert(e.getMessage.contains("renamed"))
+    // a name that was never used stays fine
+    t.addIdentityColumn("c")
+    t.append(Seq(("y", 2L)).toDF("b", "n"))
+    assert(t.read().where(col("c") === 1L).count() == 1)
+  }
+
+  test("plain append racing a concurrent addIdentityColumn aborts loudly") {
+    val t = table()
+    t.append(Seq(("seed")).toDF("v"))
+    val t2 = new TxTable(spark, t.tablePath)
+    // the declaration lands AFTER t2 routed itself down the plain
+    // (no-identity) append path, BEFORE its claim: committing would
+    // permanently surface null ids in a GENERATED ALWAYS column
+    t2.beforeCommitHook = () => t.addIdentityColumn("row_id")
+    val e = intercept[java.util.ConcurrentModificationException](
+      t2.append(Seq(("b")).toDF("v")))
+    assert(e.getMessage.contains("identity"))
+    // the rerun re-routes through identity assignment
+    t2.append(Seq(("b")).toDF("v"))
+    val ids = t2.read().where(col("row_id").isNotNull)
+      .select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L), s"rerun must assign ids: $ids")
+  }
+
+  test("a nondeterministic source frame gets ids consistent with the high-water") {
+    val t = table()
+    t.addIdentityColumn("row_id")
+    // each evaluation of this frame keeps a DIFFERENT subset: without
+    // a single materialization, the hw advance (count) and the written
+    // ids (zipWithIndex) and the staged rows would each see different
+    // row sets — ids on disk could exceed the recorded high-water
+    val nondet = spark.range(0, 400, 1, 8).toDF("n")
+      .where(rand() < 0.5).selectExpr("cast(n as string) as v")
+    t.append(nondet)
+    val ids = t.read().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, "ids unique")
+    assert(ids.max == t.identityColumns("row_id")._3,
+      s"max written id ${ids.max} must equal the recorded high-water " +
+        s"${t.identityColumns("row_id")._3}")
+    assert(ids.size.toLong == t.read().count())
+    // and the next append continues safely past it
+    t.append(Seq(("z")).toDF("v"))
+    val ids2 = t.read().select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids2.distinct.size == ids2.size)
+  }
+
   test("declaration validations and checkpoint survival") {
     val t = new TxTable(spark, tmpDir("txid"), checkpointInterval = 2)
     t.append(Seq(("a", 1.0)).toDF("v", "amount"))

@@ -83,6 +83,28 @@ class Scd2Spec extends SparkTestBase {
       ("a", 1L, Some(2L)), ("a2", 2L, Some(3L)), ("a3", 3L, None)))
   }
 
+  test("a rename race aborts the merge and cleans its staged files") {
+    val dir = tmpDir("scd2-race")
+    val t = new TxTable(spark, dir)
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    def liveParquet(): Int = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val filesBefore = liveParquet()
+    val t2 = new TxTable(spark, dir)
+    // the rename lands between t2's snapshot (and staging) and its
+    // claim: the merge must abort AND delete its staged survivor + CDF
+    // files — leaking them was the round-6 advice finding
+    t2.beforeCommitHook = () => t.renameColumn("attr", "attr2")
+    val e = intercept[java.util.ConcurrentModificationException](
+      t2.mergeScd2(dim(Seq(1L -> "zz")), Seq("id"), 2L))
+    assert(e.getMessage.contains("rename"))
+    assert(liveParquet() == filesBefore,
+      "the race path must delete its staged survivor and CDF files")
+    // the rerun under the new surface name succeeds
+    t2.mergeScd2(Seq((1L, "zz")).toDF("id", "attr2").coalesce(1), Seq("id"), 2L)
+    assert(t2.scdCurrent().where(col("id") === 1L).head().getString(1) == "zz")
+  }
+
   test("change epochs must be strictly increasing per closed key") {
     val t = new TxTable(spark, tmpDir("scd2-mono"))
     t.mergeScd2(dim(Seq(1L -> "a")), Seq("id"), 5L)

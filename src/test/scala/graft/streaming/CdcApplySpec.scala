@@ -72,6 +72,32 @@ class CdcApplySpec extends SparkTestBase {
     assert(dst.version >= v)
   }
 
+  test("deletes of null-keyed rows replicate (null-safe delete predicates)") {
+    // a NULL key component under isin/=== compares to NULL and never
+    // fires — the round-6 advice divergence; both key shapes covered
+    val (src, dst) = tables()
+    src.append(Seq((Option(1L), "a", 1.0), (Option.empty[Long], "n", 2.0),
+      (Option(3L), "c", 3.0)).toDF("id", "v", "amount"))
+    CdcApply(dst, src.readChangeFeed(-1L, src.version), Seq("id"))
+    var from = src.version
+    src.delete(col("id").isNull || col("id") === 1L)
+    CdcApply(dst, src.readChangeFeed(from, src.version), Seq("id"))
+    def rows(t: TxTable): Set[(Option[Long], String)] =
+      t.read().select("id", "v").as[(Option[Long], String)].collect().toSet
+    assert(rows(dst) == rows(src) && rows(dst) == Set((Some(3L), "c")),
+      "the null-keyed delete must reach the replica")
+
+    // composite key with a null component
+    val (src2, dst2) = tables()
+    src2.append(Seq((Option(1L), "x", 1.0), (Option.empty[Long], "x", 2.0))
+      .toDF("id", "v", "amount"))
+    CdcApply(dst2, src2.readChangeFeed(-1L, src2.version), Seq("id", "v"))
+    from = src2.version
+    src2.delete(col("id").isNull && col("v") === "x")
+    CdcApply(dst2, src2.readChangeFeed(from, src2.version), Seq("id", "v"))
+    assert(rows(dst2) == rows(src2) && rows(dst2) == Set((Some(1L), "x")))
+  }
+
   test("STREAMING replication: changeFeed source + foreachBatch apply, restartable") {
     import org.apache.spark.sql.streaming.Trigger
     val (src, dst) = tables()
