@@ -26,6 +26,13 @@ import graft.core.Tables
   */
 object Curation {
 
+  /** Weight-table row bound below which [[classify]] broadcasts the
+    * trained per-(token, class) weights; above it scoring takes the
+    * shuffle join. 5M rows of (tk, cls, DECIMAL) ≈ ≤300 MB.
+    */
+  val ClassifyBroadcastMaxWeightsKey = "spark.graft.classify.broadcastMaxWeights"
+  val ClassifyBroadcastMaxWeightsDefault: Long = 5_000_000L
+
   /** Curated corpus: docs that (a) are their fingerprint group's
     * keeper (min doc_id per md5(trim(text)) — exact dedup), (b) have
     * `minTokens <= n_tokens <= maxTokens`, (c) contain at least
@@ -146,16 +153,30 @@ object Curation {
     // at 100 TB token counts, hash tokens into buckets and fit on a
     // sample to stay inside that bound), ONE IEEE divide, quantized
     // to decimal so score sums are order-independent.
+    // corpus (1 row) and classes (|classes| rows) broadcast always;
+    // classCounts is O(vocab × classes) like the weight table itself,
+    // so NO planner hint — AQE converts the shuffle join to broadcast
+    // at runtime exactly when the observed size allows it
     val weights = tokTotals
       .crossJoin(broadcast(corpus))
       .crossJoin(broadcast(classes))
-      .join(broadcast(classCounts), Seq("tk", "cls"), "left")
+      .join(classCounts, Seq("tk", "cls"), "left")
       .select(col("tk"), col("cls"),
         (((coalesce(col("ct"), lit(0L)) + lit(1L)) * (col("n_all") + col("v"))).cast("double") /
           ((col("n_cls") + col("v")) * (col("cr") + lit(1L))).cast("double"))
           .cast(DecimalType(18, 8)).as("w"))
+      .localCheckpoint(eager = false)
+    // SIZE-GATED broadcast: the weight table is O(vocab × classes) and
+    // unbounded at 100 TB vocabularies — checkpoint it (training runs
+    // once either way), branch on its EXACT row count, and take the
+    // shuffle join above the bound (the fastText hash-bucket trick is
+    // the other lever: it bounds vocab by construction before this
+    // gate ever trips).
+    val maxW = docs.sparkSession.conf.get(Curation.ClassifyBroadcastMaxWeightsKey,
+      Curation.ClassifyBroadcastMaxWeightsDefault.toString).toLong
+    val bcast = weights.count() <= maxW
     val scored = tok.where(!col("is_train"))
-      .join(broadcast(weights), Seq("tk"))
+      .join(if (bcast) broadcast(weights) else weights, Seq("tk"))
       .groupBy(col("doc_id"), col("label"), col("cls"))
       .agg(sum(col("w")).as("score"))
     val rkw = Window.partitionBy(col("doc_id"))

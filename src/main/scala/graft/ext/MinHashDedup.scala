@@ -20,6 +20,21 @@ import graft.core.Tables
   */
 object MinHashDedup {
 
+  /** Bucket-size bound for the LSH pair expansion. A bucket of B
+    * members is O(B²) pairs in ONE task; a pathological corpus (N
+    * identical boilerplate docs) makes every band bucket N-sized and
+    * the expansion quadratic. Above the bound a bucket emits a STAR
+    * (each member paired with the bucket minimum, B−1 pairs) instead
+    * of the clique: connected-component dedup sees the same clusters,
+    * the quadratic task disappears, and the truncation is accounted
+    * loudly via the `minhash_lsh` observed metrics (capped_buckets /
+    * max_bucket / truncated_pairs — standard QueryExecutionListener
+    * observability). 4096²/2 ≈ 8M pairs is the worst single task at
+    * the default.
+    */
+  val MaxBucketKey = "spark.graft.minhash.maxBucket"
+  val MaxBucketDefault: Int = 4096
+
   /** Per-doc sorted distinct shingle-hash sets — delegates to the
     * single definition in [[TextAnalysis.docShingleSets]].
     */
@@ -53,15 +68,34 @@ object MinHashDedup {
     * would apply a skew cap (giant bucket = near-identical cluster).
     */
   def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val maxBucket = sig.sparkSession.conf
+      .get(MaxBucketKey, MaxBucketDefault.toString).toInt
+    require(maxBucket >= 2, s"$MaxBucketKey must be >= 2, got $maxBucket")
     val bandStructs = (0 until bands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(j).as("band"), hash(cols: _*).as("bh"))
     }
-    sig
+    val sz = size(col("ds"))
+    val buckets = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .groupBy(col("b")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(graft.functions.PairExpand(col("ds"))).as("p"))
+      .where(sz > 1)
+      // LOUD accounting of the skew cap — rides the run as observed
+      // metrics (zero extra jobs), surfacing to any listener/monitor
+      .observe("minhash_lsh",
+        sum(when(sz > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        coalesce(max(sz), lit(0)).as("max_bucket"),
+        sum(when(sz > maxBucket,
+          shiftright(sz.cast("long") * (sz - 1), 1) - (sz - 1)).otherwise(0L))
+          .as("truncated_pairs"))
+    // giant bucket ⇒ near-identical cluster: a STAR on the (sorted)
+    // minimum keeps every member reachable for component-based dedup
+    // at O(B) instead of O(B²) — same clusters, no quadratic task
+    val star = transform(slice(col("ds"), lit(2), sz - 1),
+      x => struct(element_at(col("ds"), 1).as("a"), x.as("b")))
+    buckets
+      .select(explode(when(sz <= maxBucket, graft.functions.PairExpand(col("ds")))
+        .otherwise(star)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }

@@ -15,6 +15,15 @@ import graft.core.Tables
   */
 object TextAnalysis {
 
+  /** Shingle-membership bound (Σ|hs|, an upper bound on dfreq rows)
+    * below which [[qNgramJaccardPrefix]] broadcasts the document-
+    * frequency table; above it the plan takes the shuffle join. 10M
+    * refs ≈ ≤160 MB of (hash, df) pairs — comfortably broadcastable;
+    * a 100 TB corpus blows past it and shuffle-joins instead.
+    */
+  val PrefixBroadcastMaxRefsKey = "spark.graft.prefixJoin.broadcastMaxShingleRefs"
+  val PrefixBroadcastMaxRefsDefault: Long = 10_000_000L
+
   /** Whitespace tokens with empties dropped (documents text carries
     * trailing spaces). Kept as a Column so it stays inside codegen.
     */
@@ -254,12 +263,19 @@ object TextAnalysis {
     // was tried and reverted: it made plan construction eager and put
     // an O(distinct shingles) structure on the DRIVER, breaking the
     // bounded-collect invariant — broadcast() keeps the same bytes
-    // executor-side with a lazy plan. At 100 TB the full dfreq
-    // doesn't broadcast — there you keep the shuffle join, or
-    // broadcast only the high-df (frequent-shingle) tail and default
-    // the rest, since ONLY high-df shingles change prefix membership
-    // materially
-    val prefix = idx.join(broadcast(dfreq), "h")
+    // executor-side with a lazy plan. The broadcast is SIZE-GATED:
+    // the full dfreq doesn't broadcast at 100 TB, so above the
+    // configured bound the plan takes the shuffle join instead. The
+    // gate signal is Σ|hs| off the checkpointed fingerprint table —
+    // an upper bound on dfreq's row count (distinct ≤ memberships)
+    // costing one map+sum pass over blocks the query materializes
+    // anyway, conservative in the safe (never-OOM) direction.
+    val refs = ds.agg(sum(size($"hs"))).head.getLong(0)
+    val maxRefs = s.conf.get(TextAnalysis.PrefixBroadcastMaxRefsKey,
+      TextAnalysis.PrefixBroadcastMaxRefsDefault.toString).toLong
+    val prefix =
+      (if (refs <= maxRefs) idx.join(broadcast(dfreq), "h")
+       else idx.join(dfreq, "h"))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"m").orderBy($"df", $"h")))
       .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)

@@ -85,6 +85,18 @@ class CurationSpec extends SparkTestBase {
     assert(byLabel.keySet == Set("tech", "cooking"))
   }
 
+  test("classify's weight broadcast is size-gated; the shuffle branch matches") {
+    val base = Curation.qClassify(spark, dir).collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    // force the over-threshold branch: scoring takes the shuffle join
+    // (the 100 TB plan) and must produce the identical confusion matrix
+    spark.conf.set(Curation.ClassifyBroadcastMaxWeightsKey, "0")
+    try {
+      val gated = Curation.qClassify(spark, dir).collect().map(_.toSeq).toSet
+      assert(gated == base, "over-threshold branch must match the broadcast branch")
+    } finally spark.conf.unset(Curation.ClassifyBroadcastMaxWeightsKey)
+  }
+
   test("curation pays a single data shuffle (both window aggregates share it)") {
     val df = Curation.qCuration(spark, dir)
     val (sh, _) = graft.PlanDump.counts(df.queryExecution.executedPlan)

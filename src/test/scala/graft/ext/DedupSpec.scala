@@ -41,6 +41,50 @@ class DedupSpec extends SparkTestBase {
     val pref = TextAnalysis.qNgramJaccardPrefix(spark, dir).collect().map(_.toSeq).toSet
     assert(plain.nonEmpty)
     assert(pref == plain)
+    // over the broadcast gate: the shuffle-join branch (the 100 TB
+    // plan) must produce the identical pair set
+    // the gate drops the planner-forced broadcast HINT above the
+    // bound (the planner/AQE may still pick broadcast for a genuinely
+    // small side from its own estimates — the gate removes the FORCE)
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val hinted = hintCount(TextAnalysis.qNgramJaccardPrefix(spark, dir))
+    spark.conf.set(TextAnalysis.PrefixBroadcastMaxRefsKey, "0")
+    try {
+      val shuffled = TextAnalysis.qNgramJaccardPrefix(spark, dir)
+      assert(hintCount(shuffled) < hinted,
+        "gate must drop the dfreq broadcast hint above the bound")
+      assert(shuffled.collect().map(_.toSeq).toSet == plain,
+        "the over-threshold (shuffle-join) branch must match")
+    } finally spark.conf.unset(TextAnalysis.PrefixBroadcastMaxRefsKey)
+  }
+
+  test("a pathological all-identical corpus trips the LSH bucket cap: stars, not cliques") {
+    import spark.implicits._
+    val n = 200
+    val docs = (0L until n.toLong)
+      .map(i => (i, "the same boilerplate license header text repeated verbatim"))
+      .toDF("doc_id", "text")
+    spark.conf.set(MinHashDedup.MaxBucketKey, "8")
+    try {
+      val ds = MinHashDedup.shingleSets(docs)
+      val sig = MinHashDedup.signatures(ds, k = 32)
+      val cand = MinHashDedup.candidatePairs(sig, bands = 16, rowsPerBand = 2)
+      val verified = MinHashDedup.verifiedPairs(ds, cand)
+      val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // star, not clique: O(n) pairs instead of n(n-1)/2 ≈ 20k — and
+      // every doc still reachable from doc 0 for component dedup
+      assert(pairs.length == n - 1, s"expected ${n - 1} star pairs, got ${pairs.length}")
+      assert(pairs.forall(_._1 == 0L) && pairs.map(_._2).toSet == (1L until n.toLong).toSet)
+      // the cap is accounted loudly via observed metrics
+      val m = verified.queryExecution.observedMetrics("minhash_lsh")
+      assert(m.getAs[Long]("capped_buckets") == 16L, m.toString)
+      assert(m.getAs[Int]("max_bucket") == n, m.toString)
+      assert(m.getAs[Long]("truncated_pairs") == 16L * (n.toLong * (n - 1) / 2 - (n - 1)),
+        m.toString)
+    } finally spark.conf.unset(MinHashDedup.MaxBucketKey)
   }
 
   test("SimHash: identical docs collide with hamming 0") {
