@@ -84,11 +84,18 @@ object GraphRank {
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      // cut the iterative lineage per round (the qOpenIntervals
+      // pattern): without this the round-i frame REPLAYS rounds 1..i−1
+      // in its static plan (2 exchanges per round, cumulative), and
+      // only AQE stage reuse saves the rerun — checkpointing makes
+      // per-round cost flat BY CONSTRUCTION, the shape you want before
+      // anyone raises the iteration count at 100×
       ranks = nodes
         .join(mass, nodes("vec_id") === mass("dst"), "left")
         .select(col("vec_id"),
           (lit(teleport) +
             expr("(85 * coalesce(in_mass, 0L)) div 100")).as("r"))
+        .localCheckpoint(false)
     }
     ranks.select(col("vec_id"), col("r").as("pr_e8"))
       .orderBy(col("pr_e8").desc, col("vec_id")).limit(20)
@@ -153,6 +160,9 @@ object GraphRank {
         .select(col("src").as("doc_id"), col("nlab").as("best"))
       lab = lab.join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lab"), col("best")).as("lab"))
+        // per-round lineage cut — see qPagerank; the static 26-exchange
+        // cumulative plan this replaces leaned on AQE stage reuse
+        .localCheckpoint(false)
     }
     lab.select(col("doc_id"), coalesce(col("lab"), lit("unlabeled")).as("lang_prop"))
       .orderBy(col("doc_id"))

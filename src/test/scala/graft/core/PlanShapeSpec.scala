@@ -191,28 +191,35 @@ class PlanShapeSpec extends SparkTestBase {
       "bucketed scans must feed the join with no Exchange")
   }
 
-  test("q_classify: weight table broadcasts; scoring pays score+argmax+matrix shuffles only") {
+  test("q_classify: gated weight table broadcasts; scoring pays score+argmax+matrix shuffles") {
     val (sh, bc) = shape("q_classify")
-    // the static plan repeats the classCounts aggregate under each
-    // derived table (tokTotals/corpus/classes chain to it) — at
-    // runtime AQE's stage cache collapses the repeats to
-    // ReusedExchange (observed), so the bound is on the static count:
-    // one token-level aggregate lineage + score agg + argmax window +
-    // matrix agg + output sort, and NOT one shuffle per class
-    assert(sh <= 12, s"classifier grew beyond its aggregate/window shuffles: $sh")
-    assert(bc >= 4, s"corpus scalar, classes, weight table must broadcast, got $bc")
+    // training is checkpointed behind the size gate (its own jobs);
+    // the SCORING plan is what remains: token join against the
+    // broadcast weight table + score agg + argmax window + matrix agg
+    // + output sort — and never one shuffle per class
+    assert(sh <= 4, s"classifier scoring grew beyond agg/window/agg/sort shuffles: $sh")
+    assert(bc >= 1, s"the size-gated weight table must broadcast below the bound, got $bc")
   }
 
-  test("q_pagerank: two exchanges per iteration (rank co-partition + mass aggregate)") {
-    val (sh, bc) = shape("q_pagerank")
-    // 5 iterations × (node-side co-partition + mass agg) with the
-    // rank join broadcast at this SF (at 100 TB it shuffles
-    // co-partitioned on src — still bounded per iteration)
-    assert(sh <= 10, s"pagerank exceeded 2 exchanges per iteration: $sh")
-    assert(bc >= 5, s"rank-vector joins should broadcast at this SF, got $bc")
+  test("q_pagerank: per-round lineage is CUT — the final plan is flat, not cumulative") {
+    val (sh, _) = shape("q_pagerank")
+    // every iteration localCheckpoints its rank frame, so the final
+    // plan reads the last round's RDD and top-20s it — NOT a static
+    // replay of 2 exchanges × 5 rounds (the pre-cut shape that leaned
+    // on AQE stage reuse); per-round cost is flat by construction
+    assert(sh == 0, s"pagerank output should ride the checkpointed rank frame, got $sh")
     val plan = SparkEntry.queries("q_pagerank")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), "top-20 degraded to a global sort")
+    assert(plan.contains("ExistingRDD"), "final plan must scan the checkpointed ranks")
+  }
+
+  test("q_label_prop: per-round lineage is CUT — output sort over the checkpointed labels") {
+    val (sh, _) = shape("q_label_prop")
+    assert(sh <= 1, s"label-prop output should be one sort over the checkpoint, got $sh")
+    val plan = SparkEntry.queries("q_label_prop")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), "final plan must scan the checkpointed labels")
   }
 
   test("q_share_of_total: the month-total window rides the aggregate's partitioning") {
