@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.codec.ConfluentWire
+import graft.gen.{EventGenerator, KafkaEnvelope}
+import graft.pipeline.Pipeline
+import graft.schema.InMemorySchemaRegistry
+
+/** Throughput bench for the flagship streaming DAG ([[SparkEntry
+  * .entry]]'s path: seeded producer → Kafka-shaped MemoryStream →
+  * registry demux ingest → bronze → silver dedup → gold aggregate).
+  * `Bench` times only the batch registry; this main gives the
+  * streaming half a recorded events/sec figure (VERDICT r6 item 4) so
+  * regressions in the ingest/medallion path are measurable, not
+  * anecdotal. Prints one JSON line per input size plus a summary
+  * line; results land in PLANS.md alongside the loadavg they were
+  * taken under.
+  *
+  * Usage: `sbt "runMain graft.BenchPipeline [n1 n2 ...]"` (defaults
+  * 10k/50k/200k events; SPARK_GRAFT_CPUS like `Bench`).
+  */
+object BenchPipeline {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(10000, 50000, 200000)
+    val spark = graft.core.Sessions.local("bench-pipeline", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: one tiny end-to-end run pays stream-engine init,
+    // Avro codegen and parquet-committer costs (per-process, not
+    // per-run)
+    runOnce(spark, 900)
+    val rows = sizes.map { n =>
+      val (sec, goldRows) = runOnce(spark, n)
+      val eps = (n / sec).round
+      println(f"""{"metric":"pipeline","events":$n,"sec":$sec%.2f,"events_per_sec":$eps,"gold_rows":$goldRows}""")
+      n -> eps
+    }
+    val loadavg = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").head)
+      .getOrElse("?")
+    println(s"""{"metric":"pipeline_summary","events_per_sec":{${
+      rows.map { case (n, e) => s""""$n":$e""" }.mkString(",")
+    }},"cpus":$cpus,"loadavg_1m":"$loadavg"}""")
+    spark.stop()
+  }
+
+  /** One full DAG run over `n` fresh events (fresh temp dirs + fresh
+    * checkpoints — cold-start semantics, the reference's daily-job
+    * shape). Returns (wall seconds, gold rows).
+    */
+  private def runOnce(spark: SparkSession, n: Int): (Double, Long) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gen = new EventGenerator(seed = 42)
+    val registry = new InMemorySchemaRegistry
+    val stream = MemoryStream[KafkaEnvelope]
+    // generation is untimed: the producer half is driver-side test
+    // harness, not the engine under measurement
+    stream.addData(gen.envelopes(gen.events(n, duplicateEvery = 9), registry, ConfluentWire))
+    val base = java.nio.file.Files.createTempDirectory("graft-benchpipe").toString
+    val dayStart = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+    val t0 = System.nanoTime()
+    val gold = Pipeline.run(spark, stream.toDF(), registry, ConfluentWire,
+      Pipeline.Paths(base), dayStart)
+    val rows = gold.count()
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+}
