@@ -554,6 +554,30 @@ class TxTable(spark: SparkSession, val tablePath: String,
       else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
     }
 
+  /** Re-establish generated columns over a REWRITE frame (update,
+    * merge survivors, scd2 rewrites — all physical names). The write
+    * gate guarantees any stored non-null value already equals its
+    * expression, so recomputation is identity there; this exists to
+    * BACKFILL rows that predate the declaration (stored null) — an
+    * unmodified carried row must not trip the rewrite's own generated
+    * gate, which would otherwise make any file holding such a row
+    * permanently un-updatable — and to refresh values whose inputs an
+    * update just changed. Columns in `keepValues` (explicitly SET by
+    * the caller) keep the caller's value where present (the gate
+    * validates it) and only backfill nulls.
+    */
+  private def recomputeGenerated(st: State, df: DataFrame,
+      keepValues: Set[String] = Set.empty): DataFrame =
+    if (st.generated.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{coalesce, col, expr}
+      st.generated.foldLeft(df) { case (d, (n, e)) =>
+        if (keepValues.contains(n) && d.columns.contains(n))
+          d.withColumn(n, coalesce(col(s"`$n`"), expr(e)))
+        else d.withColumn(n, expr(e))
+      }
+    }
+
   /** CHECK set in force for a write: declared constraints plus each
     * generated column's `col <=> (expr)` gate.
     */
@@ -1749,7 +1773,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
         else Some(touchedRows.join(srcKeys, keys, "left_anti"))
       val data = survivors match {
         case None => source
-        case Some(sv) => sv.unionByName(source, allowMissingColumns = true)
+        // survivors may carry pre-declaration rows (null generated
+        // values) — backfill them or the merge's own gate rejects its
+        // carried rows; source rows were computed/validated above
+        case Some(sv) => recomputeGenerated(snap, sv)
+          .unionByName(source, allowMissingColumns = true)
       }
       val s1 = stageData(data)
       // row-level change record, committed ATOMICALLY with the
@@ -1909,11 +1937,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
       if (touched.nonEmpty) touchedRows.persist()
       val (staged, stagedCdf) = try {
         val marked = changedKeys.withColumn("__scd_chg", lit(1))
-        val rewritten = touchedRows.join(marked, keys, "left")
+        // backfill pre-declaration generated nulls on the rewrite (see
+        // recomputeGenerated) — carried rows must pass their own gate
+        val rewritten = recomputeGenerated(snap, touchedRows.join(marked, keys, "left")
           .withColumn(ScdToCol,
             when(col(ScdToCol).isNull && col("__scd_chg") === 1, lit(version))
               .otherwise(col(ScdToCol)))
-          .drop("__scd_chg")
+          .drop("__scd_chg"))
         val closingPre = touchedRows.where(col(ScdToCol).isNull)
           .join(changedKeys, keys, "left_semi")
         val s1 = stageData(rewritten.unionByName(newRows))
@@ -2207,13 +2237,21 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // sides of the change record
     val touchedRows = logicalize(snap,
       readState(snap.copy(files = touched))).persist()
+    // generated columns over the rewrite: recompute (refreshes values
+    // whose inputs this update changed, backfills pre-declaration
+    // nulls); explicitly-SET ones keep the caller's value for the gate
+    val setPhys = set.keySet.map(physicalName(snap, _))
     val (staged, stagedCdf) = try {
-      val pre = touchedRows.where(cond)
-        .withColumn(ChangeTypeCol, lit("update_preimage"))
-      val post = applySet(touchedRows.where(cond))
-        .withColumn(ChangeTypeCol, lit("update_postimage"))
-      (stageData(physicalize(snap, applySet(touchedRows))),
-        stageData(physicalize(snap, pre.unionByName(post)),
+      val pre = physicalize(snap, touchedRows.where(cond)
+        .withColumn(ChangeTypeCol, lit("update_preimage")))
+      // the post-image mirrors the staged rewrite, nulls backfilled —
+      // a CDC consumer must see the row as it now exists
+      val post = recomputeGenerated(snap, physicalize(snap,
+        applySet(touchedRows.where(cond))
+          .withColumn(ChangeTypeCol, lit("update_postimage"))), setPhys)
+      (stageData(recomputeGenerated(snap,
+          physicalize(snap, applySet(touchedRows)), setPhys)),
+        stageData(pre.unionByName(post, allowMissingColumns = true),
           prefix = "cdf", collectStats = false))
     } finally touchedRows.unpersist()
     enforceConstraints(effectiveChecks(snap), staged, schema,

@@ -71,6 +71,49 @@ class GeneratedColumnsSpec extends SparkTestBase {
     assert(t.read().columns.toSeq == Seq("id", "amount_cents"))
   }
 
+  test("rewrites carrying pre-declaration rows backfill instead of gate-tripping") {
+    val t = table()
+    // BOTH rows in one file, so any rewrite of one carries the other
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount").coalesce(1))
+    t.addGeneratedColumn("amount_cents", "CAST(amount * 100 AS BIGINT)")
+    // merge on key 1: key 2 rides along as a survivor with a null
+    // stored value — the rewrite must backfill it, not trip its own
+    // generated gate (which would make the file permanently frozen)
+    t.merge(Seq((1L, 11.0)).toDF("id", "amount"), Seq("id"))
+    val after = t.read().orderBy("id").collect()
+    assert(after(0).getLong(2) == 1100L)
+    assert(after(1).getLong(2) == 2000L, "survivor row backfilled on rewrite")
+    // update of an INPUT recomputes the generated value
+    t.update(col("id") === 1L, Map("amount" -> lit(12.0)))
+    assert(t.read().where(col("id") === 1L).head().getLong(2) == 1200L)
+    // explicitly SETTING the generated column is still gate-validated
+    val e = intercept[IllegalArgumentException] {
+      t.update(col("id") === 2L, Map("amount_cents" -> lit(77L)))
+    }
+    assert(e.getMessage.contains("__generated_amount_cents"))
+    assert(t.read().where(col("id") === 2L).head().getLong(2) == 2000L)
+  }
+
+  test("scd2 rewrites backfill pre-declaration generated nulls") {
+    val t = new TxTable(spark, tmpDir("txgen-scd2"))
+    t.mergeScd2(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount").coalesce(1),
+      Seq("id"), 1L)
+    t.addGeneratedColumn("cents", "CAST(amount * 100 AS BIGINT)")
+    // a generated column joins the schema at the next append (the
+    // documented evolution path) — the seed file's rows keep null
+    t.append(Seq((3L, 30.0, 1L, Option.empty[Long]))
+      .toDF("id", "amount", TxTable.ScdFromCol, TxTable.ScdToCol))
+    // closing key 1 rewrites the shared seed file; key 2's carried
+    // current row (null cents) must backfill through the gate. The
+    // source carries cents per the business-column contract, validated
+    t.mergeScd2(Seq((1L, 11.0, 1100L)).toDF("id", "amount", "cents").coalesce(1),
+      Seq("id"), 2L)
+    val cents = t.scdCurrent().orderBy("id").collect()
+      .map(r => r.getLong(r.fieldIndex("id")) -> r.getLong(r.fieldIndex("cents"))).toMap
+    assert(cents == Map(1L -> 1100L, 2L -> 2000L, 3L -> 3000L),
+      s"carried current row must backfill: $cents")
+  }
+
   test("a retired physical name cannot become a generated column") {
     val t = table()
     t.append(Seq((1L, 10.0)).toDF("id", "amount"))

@@ -11,17 +11,31 @@ import graft.SparkTestBase
   * still time-travel to its model of record. This catches interaction
   * bugs no single-operation spec enumerates (merge after cluster,
   * delete after overwrite, compact between everything).
+  *
+  * Round 7 widens the op mix with the newest log features — COLUMN
+  * DROP of the value column (later appends re-add under a fresh
+  * physical slot, old rows null), a GENERATED column over the key, and
+  * an IDENTITY column — mixed into the same stream as renames,
+  * partitioned writes, bloom DDL and maintenance, so their
+  * interactions (drop then rename, generated across rewrites,
+  * identity across overwrite) are exercised together, not in targeted
+  * pairs.
   */
 class TxTableModelSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  private type Model = Vector[(Long, String)]
+  // value is Option: rows written before a dropColumn(v)+re-add read
+  // back null in the re-added column
+  private type Model = Vector[(Long, Option[String])]
 
   // multiset comparison (sorted seq): appends may legally duplicate
   // rows, and a set compare would hide lost or doubled copies
-  private def readBack(t: TxTable, kc: String = "k", vc: String = "v"): Seq[(Long, String)] =
-    t.read().select(kc, vc).as[(Long, String)].collect().toSeq.sorted
+  private def readBack(t: TxTable, kc: String, vc: String): Seq[(Long, Option[String])] =
+    t.read().select(col(kc), col(vc)).as[(Long, Option[String])].collect().toSeq.sorted
+
+  private def readKeys(t: TxTable, kc: String): Seq[Long] =
+    t.read().select(col(kc)).as[Long].collect().toSeq.sorted
 
   test("random op sequences match the in-memory model, including time travel") {
     for (seed <- Seq(11, 42, 77)) {
@@ -31,14 +45,19 @@ class TxTableModelSpec extends SparkTestBase {
       var model: Model = Vector.empty
       // surface names drift under renameColumn; physical stay k/v
       var kc = "k"; var vc = "v"; var renameN = 0
-      // snapshots: version -> (model, surface names at that version)
-      var snapshots = Map.empty[Long, (Model, (String, String))]
+      var vLive = true   // value column present in the current schema
+      var genOn = false  // g GENERATED AS k*2 declared (at most once/run)
+      var genTried = false
+      var idOn = false   // id GENERATED ALWAYS AS IDENTITY declared
+      var idTried = false
+      // snapshots: version -> (model, (key col, value col if live))
+      var snapshots = Map.empty[Long, (Model, (String, Option[String]))]
 
       def rows(n: Int): Seq[(Long, String)] =
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
-      (0 until 10).foreach { _ =>
-        rnd.nextInt(8) match {
+      (0 until 18).foreach { _ =>
+        rnd.nextInt(11) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -47,23 +66,32 @@ class TxTableModelSpec extends SparkTestBase {
               t.append(batch.toDF(kc, vc), partitionBy = Seq(kc),
                 filesPerValue = 1 + rnd.nextInt(2))
             else t.append(batch.toDF(kc, vc))
-            model = model ++ batch
-          case 2 => // merge: unique-keyed upsert
-            val src = rows(1 + rnd.nextInt(5))
-              .groupBy(_._1).map(_._2.head).toVector
-            t.merge(src.toDF(kc, vc), Seq(kc))
-            val srcKeys = src.map(_._1).toSet
-            model = model.filterNot(r => srcKeys.contains(r._1)) ++ src
+            model = model ++ batch.map { case (k, v) => (k, Some(v)) }
+            vLive = true // a dropped value column re-adds on append
+          case 2 => // merge: unique-keyed upsert (skipped while the
+            // value column is dropped — merge sources speak the full
+            // live schema)
+            if (vLive) {
+              val src = rows(1 + rnd.nextInt(5))
+                .groupBy(_._1).map(_._2.head).toVector
+              t.merge(src.toDF(kc, vc), Seq(kc))
+              val srcKeys = src.map(_._1).toSet
+              model = model.filterNot(r => srcKeys.contains(r._1)) ++
+                src.map { case (k, v) => (k, Some(v)) }
+            }
           case 3 => // delete a key range (SQL semantics: TRUE rows go)
             val lo = rnd.nextInt(40).toLong
             val hi = lo + rnd.nextInt(10)
             t.delete(col(kc) >= lo && col(kc) <= hi)
             model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
-          case 4 => // overwrite (sometimes partitioned by the string col)
+          case 4 => // overwrite (sometimes partitioned by the string
+            // col); re-adds a dropped value column, and wipes the
+            // identity column from the schema until the next append
             val batch = rows(1 + rnd.nextInt(4))
             if (rnd.nextBoolean()) t.overwrite(batch.toDF(kc, vc), Seq(vc))
             else t.overwrite(batch.toDF(kc, vc))
-            model = batch.toVector
+            model = batch.map { case (k, v) => (k, Some(v)) }.toVector
+            vLive = true
           case 5 => // maintenance: rows must not change
             rnd.nextInt(3) match {
               case 0 => t.compact(targetBytes = 1L << 16)
@@ -85,19 +113,66 @@ class TxTableModelSpec extends SparkTestBase {
               else if (rnd.nextBoolean()) t.dropBloomIndex(kc)
             }
           case 7 => // metadata-only rename: rows must not change, and
-            // every later op speaks the NEW surface name
+            // every later op speaks the NEW surface name (the value
+            // column only renames while live)
             if (t.version >= 0) {
               renameN += 1
-              if (rnd.nextBoolean()) {
+              if (rnd.nextBoolean() || !vLive) {
                 val n = s"k$renameN"; t.renameColumn(kc, n); kc = n
               } else {
                 val n = s"v$renameN"; t.renameColumn(vc, n); vc = n
               }
             }
+          case 8 => // DROP the value column: reads lose it, the model
+            // forgets every value; the next append/overwrite re-adds a
+            // fresh physical slot where old rows are null
+            if (vLive && t.version >= 0) {
+              t.dropColumn(vc)
+              vLive = false
+              model = model.map { case (k, _) => (k, None) }
+            }
+          case 9 => // GENERATED column DDL (once per run: re-declaring
+            // over backfill-pending nulls is refused by design) — from
+            // here on every write computes g = k*2 and every rewrite
+            // backfills it; the invariant is asserted below each op
+            if (!genTried && t.version >= 0) {
+              t.addGeneratedColumn("g", s"`$kc` * 2")
+              genOn = true; genTried = true
+            } else if (genOn && rnd.nextInt(4) == 0) {
+              t.dropGeneratedColumn("g")
+              genOn = false
+            }
+          case 10 => // IDENTITY column DDL: appends assign from the
+            // log-owned mark; uniqueness asserted below each op
+            if (!idTried && t.version >= 0) {
+              t.addIdentityColumn("id", start = 1000L)
+              idOn = true; idTried = true
+            } else if (idOn && rnd.nextInt(4) == 0) {
+              t.dropIdentityColumn("id")
+              idOn = false
+            }
         }
         if (t.version >= 0) {
-          assert(readBack(t, kc, vc) == model.sorted,
-            s"seed $seed: table diverged from model at v${t.version}")
+          val cols = t.read().columns.toSet
+          if (vLive && cols.contains(vc))
+            assert(readBack(t, kc, vc) == model.sorted,
+              s"seed $seed: table diverged from model at v${t.version}")
+          else
+            assert(readKeys(t, kc) == model.map(_._1).sorted,
+              s"seed $seed: keys diverged from model at v${t.version}")
+          // every non-null generated value equals its expression —
+          // across appends, rewrites (backfill) and renames
+          if (cols.contains("g"))
+            assert(t.read().where(col("g").isNotNull &&
+              col("g") =!= col(kc) * 2).count() == 0,
+              s"seed $seed: generated invariant broken at v${t.version}")
+          // identity values stay globally unique (gaps legal)
+          if (cols.contains("id")) {
+            val ids = t.read().where(col("id").isNotNull)
+              .select(col("id")).as[Long].collect().toSeq
+            assert(ids.distinct.size == ids.size,
+              s"seed $seed: duplicate identity values at v${t.version}: $ids")
+          }
           // stat-pruned scans must ALWAYS equal the plain filtered
           // read, whatever file layout the mutations produced
           val probe = rnd.nextInt(3) match {
@@ -107,20 +182,30 @@ class TxTableModelSpec extends SparkTestBase {
           }
           assert(t.scan(probe).count() == t.read().where(probe).count(),
             s"seed $seed: scan($probe) diverged from read().where at v${t.version}")
-          snapshots += t.version -> ((model, (kc, vc)))
+          snapshots += t.version ->
+            ((model, (kc, if (vLive && cols.contains(vc)) Some(vc) else None)))
         }
       }
       // every recorded snapshot still time-travels to its model,
       // under the surface names the table had AT that version
       snapshots.foreach { case (v, (m, (k0, v0))) =>
-        val got = t.readAt(v).select(k0, v0).as[(Long, String)]
-          .collect().toSeq.sorted
-        assert(got == m.sorted, s"seed $seed: time travel to v$v diverged")
+        v0 match {
+          case Some(vcol) =>
+            val got = t.readAt(v).select(col(k0), col(vcol))
+              .as[(Long, Option[String])].collect().toSeq.sorted
+            assert(got == m.sorted, s"seed $seed: time travel to v$v diverged")
+          case None =>
+            val got = t.readAt(v).select(col(k0)).as[Long].collect().toSeq.sorted
+            assert(got == m.map(_._1).sorted,
+              s"seed $seed: time travel to v$v diverged (keys)")
+        }
       }
       // the log replays identically through a fresh handle (checkpoint
       // path exercised by checkpointInterval = 4)
-      assert(readBack(new TxTable(spark, dir, checkpointInterval = 4), kc, vc)
-        == model.sorted)
+      val fresh = new TxTable(spark, dir, checkpointInterval = 4)
+      if (vLive && fresh.read().columns.contains(vc))
+        assert(readBack(fresh, kc, vc) == model.sorted)
+      else assert(readKeys(fresh, kc) == model.map(_._1).sorted)
     }
   }
 }

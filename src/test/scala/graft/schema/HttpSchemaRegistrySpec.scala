@@ -149,6 +149,36 @@ class HttpSchemaRegistrySpec extends SparkTestBase {
     }
   }
 
+  test("Glue-wire ingest resolves UUIDs over live HTTP from a COLD consumer client") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withServer { srv =>
+      val producer = new HttpSchemaRegistry(srv.url)
+      val gen = new EventGenerator(seed = 77)
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaEnvelope]
+      stream.addData(gen.envelopes(gen.events(30), producer, GlueWire))
+      // the consumer is a DIFFERENT process in the reference
+      // (ingest.scala:133-171): its registry cache is cold, so each
+      // distinct per-batch UUID must resolve through the HTTP
+      // subjects scan from INSIDE RawIngest.run — the prior pipeline
+      // test shared the producer's warm client and never exercised it
+      val consumer = new HttpSchemaRegistry(srv.url)
+      val before = srv.requests.get()
+      val raw = tmpDir("glue-e2e-raw")
+      graft.ingest.RawIngest.run(stream.toDF(), consumer, GlueWire, raw,
+        tmpDir("glue-e2e-ck")).awaitTermination()
+      assert(srv.requests.get() > before,
+        "the cold client must have resolved UUIDs over HTTP mid-stream")
+      val out = graft.ingest.RawIngest.readRaw(spark, raw)
+      assert(out.count() == 30)
+      assert(out.where(col("parsedValue.productId").isNotNull).count() == 30,
+        "every row decoded through the scan-resolved writer schemas")
+      // both writer versions arrived (v1 lacks size/color)
+      assert(out.where(col("parsedValue.size").isNull).count() > 0)
+      assert(out.where(col("parsedValue.size").isNotNull).count() > 0)
+    }
+  }
+
   test("the full pipeline runs against the HTTP registry over both wire formats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
