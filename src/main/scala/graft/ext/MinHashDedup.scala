@@ -20,20 +20,37 @@ import graft.core.Tables
   */
 object MinHashDedup {
 
-  /** Bucket-size bound for the LSH pair expansion. A bucket of B
+  /** Bucket-size bound for the LSH-family pair expansions (MinHash
+    * bands here, SimHash chunks, dup-span windows). A bucket of B
     * members is O(B²) pairs in ONE task; a pathological corpus (N
-    * identical boilerplate docs) makes every band bucket N-sized and
-    * the expansion quadratic. Above the bound a bucket emits a STAR
+    * identical boilerplate docs) makes every bucket N-sized and the
+    * expansion quadratic. Above the bound a bucket emits a STAR
     * (each member paired with the bucket minimum, B−1 pairs) instead
-    * of the clique: connected-component dedup sees the same clusters,
-    * the quadratic task disappears, and the truncation is accounted
-    * loudly via the `minhash_lsh` observed metrics (capped_buckets /
-    * max_bucket / truncated_pairs — standard QueryExecutionListener
-    * observability). 4096²/2 ≈ 8M pairs is the worst single task at
-    * the default.
+    * of the clique ([[TextAnalysis.cappedPairs]]): connected-component
+    * dedup sees the same clusters, the quadratic task disappears, and
+    * the truncation is accounted loudly via per-query observed
+    * metrics (capped_buckets / max_bucket / truncated_pairs —
+    * standard QueryExecutionListener observability). 4096²/2 ≈ 8M
+    * pairs is the worst single task at the default.
     */
-  val MaxBucketKey = "spark.graft.minhash.maxBucket"
+  val MaxBucketKey = "spark.graft.lsh.maxBucket"
   val MaxBucketDefault: Int = 4096
+
+  private[ext] def maxBucket(s: SparkSession): Int = {
+    val v = s.conf.get(MaxBucketKey, MaxBucketDefault.toString).toInt
+    require(v >= 2, s"$MaxBucketKey must be >= 2, got $v")
+    v
+  }
+
+  /** The `observe` triple accounting a capped expansion (zero extra
+    * jobs); `sz` is the bucket-size column of the aggregated frame.
+    */
+  private[ext] def capMetrics(sz: Column, bound: Int): Seq[Column] = Seq(
+    sum(when(sz > bound, 1L).otherwise(0L)).as("capped_buckets"),
+    coalesce(max(sz), lit(0)).as("max_bucket"),
+    sum(when(sz > bound,
+      shiftright(sz.cast("long") * (sz - 1), 1) - (sz - 1)).otherwise(0L))
+      .as("truncated_pairs"))
 
   /** Per-doc sorted distinct shingle-hash sets — delegates to the
     * single definition in [[TextAnalysis.docShingleSets]].
@@ -68,34 +85,23 @@ object MinHashDedup {
     * would apply a skew cap (giant bucket = near-identical cluster).
     */
   def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val maxBucket = sig.sparkSession.conf
-      .get(MaxBucketKey, MaxBucketDefault.toString).toInt
-    require(maxBucket >= 2, s"$MaxBucketKey must be >= 2, got $maxBucket")
+    val bound = maxBucket(sig.sparkSession)
     val bandStructs = (0 until bands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(j).as("band"), hash(cols: _*).as("bh"))
     }
     val sz = size(col("ds"))
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .groupBy(col("b")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(sz > 1)
       // LOUD accounting of the skew cap — rides the run as observed
       // metrics (zero extra jobs), surfacing to any listener/monitor
-      .observe("minhash_lsh",
-        sum(when(sz > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
-        coalesce(max(sz), lit(0)).as("max_bucket"),
-        sum(when(sz > maxBucket,
-          shiftright(sz.cast("long") * (sz - 1), 1) - (sz - 1)).otherwise(0L))
-          .as("truncated_pairs"))
-    // giant bucket ⇒ near-identical cluster: a STAR on the (sorted)
-    // minimum keeps every member reachable for component-based dedup
-    // at O(B) instead of O(B²) — same clusters, no quadratic task
-    val star = transform(slice(col("ds"), lit(2), sz - 1),
-      x => struct(element_at(col("ds"), 1).as("a"), x.as("b")))
-    buckets
-      .select(explode(when(sz <= maxBucket, graft.functions.PairExpand(col("ds")))
-        .otherwise(star)).as("p"))
+      .observe("minhash_lsh", capMetrics(sz, bound).head, capMetrics(sz, bound).tail: _*)
+      // giant bucket ⇒ near-identical cluster: star, not clique — same
+      // connected components, no quadratic task (cappedPairs doc)
+      .select(explode(TextAnalysis.cappedPairs(col("ds"), bound,
+        graft.functions.PairExpand(_))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
@@ -185,15 +191,21 @@ object MinHashDedup {
     require(maxHamming < 4,
       s"maxHamming=$maxHamming >= 4 bands breaks the structural recall guarantee")
     val fp = simhash(Tables.load(s, dir, "documents"))
+    val bound = maxBucket(s)
+    val sz = size(col("ds"))
     // band the 60-bit fingerprint into 4×15-bit chunks; per-chunk
-    // bucket pair expansion (no self-join), then exact hamming verify
+    // bucket pair expansion (no self-join, skew-capped like the
+    // MinHash bands — identical fingerprints would otherwise make one
+    // chunk bucket quadratic), then exact hamming verify
     fp.select(struct(col("doc_id"), col("simhash")).as("d"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("chunk", expr("(d.simhash >> (band * 15)) & 32767"))
       .groupBy(col("band"), col("chunk"))
       .agg(array_sort(collect_list(col("d"))).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(TextAnalysis.allPairs(col("ds"))).as("p"))
+      .where(sz > 1)
+      .observe("simhash_lsh", capMetrics(sz, bound).head, capMetrics(sz, bound).tail: _*)
+      .select(explode(TextAnalysis.cappedPairs(col("ds"), bound,
+        TextAnalysis.allPairs)).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.simhash").as("fp_a"), col("p.b.simhash").as("fp_b"))
       .distinct()

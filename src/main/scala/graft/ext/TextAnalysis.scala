@@ -116,6 +116,21 @@ object TextAnalysis {
       transform(slice(sorted, i + lit(2), size(sorted) - i - lit(1)),
         y => struct(x.as("a"), y.as("b")))))
 
+  /** Skew-capped bucket pair expansion (the
+    * [[MinHashDedup.MaxBucketKey]] contract): `clique(ds)` below the
+    * bound; above it a STAR on the (sorted) bucket minimum — each
+    * member paired with ds[0], B−1 pairs — so a pathological bucket
+    * (N identical boilerplate docs) costs O(B) in one task instead of
+    * O(B²), while component-based dedup still sees every member
+    * reachable. Works for plain id arrays and (id, payload) structs;
+    * callers account the truncation via `observe`.
+    */
+  def cappedPairs(ds: Column, maxBucket: Int, clique: Column => Column): Column = {
+    val star = transform(slice(ds, lit(2), size(ds) - 1),
+      x => struct(element_at(ds, 1).as("a"), x.as("b")))
+    when(size(ds) <= maxBucket, clique(ds)).otherwise(star)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
 
   /** UDTF axis (explode): global token frequencies, top 30. */
@@ -489,13 +504,21 @@ object TextAnalysis {
   def qDupSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{PairExpand, ShingleHashes}
+    val bound = MinHashDedup.maxBucket(s)
+    val sz = size($"ds")
     docs(s, dir)
       .select($"doc_id", tokens($"text").as("toks"))
       .where(size($"toks") >= SpanTokens)
       .select($"doc_id", explode(ShingleHashes($"toks", SpanTokens)).as("h"))
       .groupBy($"h").agg(array_sort(collect_list($"doc_id")).as("ds"))
-      .where(size($"ds") > 1)
-      .select(explode(PairExpand($"ds")).as("p"))
+      .where(sz > 1)
+      // boilerplate spans with huge df: skew-capped like the LSH
+      // buckets (star keeps each doc paired with the keeper candidate
+      // — the span-removal decision survives, the clique does not)
+      .observe("dupspan_buckets",
+        MinHashDedup.capMetrics(sz, bound).head,
+        MinHashDedup.capMetrics(sz, bound).tail: _*)
+      .select(explode(cappedPairs($"ds", bound, PairExpand(_))).as("p"))
       .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .agg(count(lit(1)).as("n_shared_spans"))
       .orderBy($"doc_a", $"doc_b")

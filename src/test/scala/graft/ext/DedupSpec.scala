@@ -65,7 +65,8 @@ class DedupSpec extends SparkTestBase {
     import spark.implicits._
     val n = 200
     val docs = (0L until n.toLong)
-      .map(i => (i, "the same boilerplate license header text repeated verbatim"))
+      .map(i => (i, "the same boilerplate license header text repeated verbatim " +
+        "across every file of the corpus word for word sixteen tokens and more"))
       .toDF("doc_id", "text")
     spark.conf.set(MinHashDedup.MaxBucketKey, "8")
     try {
@@ -84,6 +85,21 @@ class DedupSpec extends SparkTestBase {
       assert(m.getAs[Int]("max_bucket") == n, m.toString)
       assert(m.getAs[Long]("truncated_pairs") == 16L * (n.toLong * (n - 1) / 2 - (n - 1)),
         m.toString)
+
+      // the SimHash chunk buckets and dup-span windows cap identically
+      // (identical fingerprints / shared spans are the same pathology)
+      val d = tmpDir("lsh-cap-docs")
+      docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val sp = MinHashDedup.qSimhashPairs(spark, d)
+      val spRows = sp.collect()
+      assert(spRows.length == n - 1, s"simhash star pairs: ${spRows.length}")
+      assert(spRows.forall(_.getLong(2) == 0L), "identical docs: hamming 0")
+      val sm = sp.queryExecution.observedMetrics("simhash_lsh")
+      assert(sm.getAs[Long]("capped_buckets") == 4L, sm.toString)
+      val ds0 = TextAnalysis.qDupSpans(spark, d)
+      assert(ds0.collect().length == n - 1, "dup-span star pairs")
+      assert(ds0.queryExecution.observedMetrics("dupspan_buckets")
+        .getAs[Long]("capped_buckets") > 0L)
     } finally spark.conf.unset(MinHashDedup.MaxBucketKey)
   }
 
