@@ -1266,15 +1266,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         None // already committed by a previous attempt of this batch
       } else {
         requireRenamesStable(snap0, st, staged, "append to")
-        // a concurrent addIdentityColumn between routing (snap0) and the
-        // claim would commit these rows WITHOUT identity values — abort
-        // like a rename race so the rerun routes through assignIdentity
-        if (st.identity != snap0.identity) {
-          staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
-          throw new java.util.ConcurrentModificationException(
-            s"append to $tablePath raced an identity-column change; rerun " +
-              "against the new state")
-        }
+        requireComputedColumnsStable(snap0, st, staged, "append to")
         val schema = mergeSchemas(st.schema, df.schema)
         if (effectiveChecks(st) != checkedFor) {
           enforceConstraints(effectiveChecks(st), staged, schema, staged, "append to")
@@ -1342,6 +1334,26 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"$what $tablePath raced a column rename; rerun against the new state")
     }
 
+  /** A concurrent addGeneratedColumn/addIdentityColumn between a
+    * write's data preparation (snap) and its claim (st) would commit
+    * rows WITHOUT the newly-declared computation — violating GENERATED
+    * ALWAYS in the very next commit after the declaration. Abort like
+    * a rename race; the rerun recomputes against the new state.
+    * Identity compares DECLARATIONS only (start, step): the high-water
+    * mark moves on every concurrent identity append and is arbitrated
+    * by the claim itself.
+    */
+  private def requireComputedColumnsStable(snap: State, st: State,
+      staged: Seq[(String, Option[FileStats])], what: String): Unit =
+    if (st.generated != snap.generated ||
+        st.identity.view.mapValues(v => (v._1, v._2)).toMap !=
+          snap.identity.view.mapValues(v => (v._1, v._2)).toMap) {
+      staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+      throw new java.util.ConcurrentModificationException(
+        s"$what $tablePath raced a generated/identity-column change; " +
+          "rerun against the new state")
+    }
+
   /** Replace the table contents atomically. Serializes after any
     * concurrent commit: on a lost race the remove-set is rebuilt from
     * the new head, so rows appended concurrently are also replaced —
@@ -1358,6 +1370,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var checkedFor: Map[String, String] = null
     commitLoop(s"overwrite of $tablePath") { st =>
       requireRenamesStable(snap0, st, staged, "overwrite of")
+      requireComputedColumnsStable(snap0, st, staged, "overwrite of")
       if (effectiveChecks(st) != checkedFor) {
         enforceConstraints(effectiveChecks(st), staged, df.schema, staged, "overwrite of")
         checkedFor = effectiveChecks(st)
@@ -2455,6 +2468,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
       return Some(s"the schema changed (v${snap.version} -> v${st.version})")
     if (st.constraints != snap.constraints)
       return Some(s"the constraint set changed (v${snap.version} -> v${st.version})")
+    // declaration changes only — identity HIGH-WATER moves on every
+    // concurrent identity append and is arbitrated by the claim, so
+    // comparing it would spuriously abort unrelated verbs
+    if (st.generated != snap.generated)
+      return Some(s"the generated-column set changed (v${snap.version} -> v${st.version})")
+    if (st.identity.view.mapValues(v => (v._1, v._2)).toMap !=
+        snap.identity.view.mapValues(v => (v._1, v._2)).toMap)
+      return Some(s"the identity-column set changed (v${snap.version} -> v${st.version})")
     val fsv = fs
     ((snap.version + 1) to st.version).iterator.flatMap { v =>
       val actions = readManifest(fsv, v)

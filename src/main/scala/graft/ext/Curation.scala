@@ -33,6 +33,22 @@ object Curation {
   val ClassifyBroadcastMaxWeightsKey = "spark.graft.classify.broadcastMaxWeights"
   val ClassifyBroadcastMaxWeightsDefault: Long = 5_000_000L
 
+  /** Same gate for [[qDsirWeights]]' O(vocabulary) weight table. */
+  val DsirBroadcastMaxWeightsKey = "spark.graft.dsir.broadcastMaxWeights"
+
+  /** Checkpoint an O(vocab)-scale weight table (it is consumed once
+    * either way) and decide its scoring-join side from the EXACT row
+    * count against the conf-keyed bound: the broadcast below it, the
+    * plain (shuffle) frame above — the enforced form of "broadcast
+    * doesn't hold at 100 TB vocabularies".
+    */
+  private def gatedWeights(weights0: DataFrame, key: String): DataFrame = {
+    val w = weights0.localCheckpoint(eager = false)
+    val maxW = w.sparkSession.conf
+      .get(key, ClassifyBroadcastMaxWeightsDefault.toString).toLong
+    if (w.count() <= maxW) broadcast(w) else w
+  }
+
   /** Curated corpus: docs that (a) are their fingerprint group's
     * keeper (min doc_id per md5(trim(text)) — exact dedup), (b) have
     * `minTokens <= n_tokens <= maxTokens`, (c) contain at least
@@ -97,7 +113,7 @@ object Curation {
       .select(col("tk"),
         ((col("ct") + lit(1.0d)) / (col("cr") + lit(1.0d)))
           .cast(DecimalType(18, 8)).as("w"))
-    tok.join(broadcast(weights), "tk")
+    tok.join(gatedWeights(weights, DsirBroadcastMaxWeightsKey), "tk")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("w")).cast("double").as("importance"))
@@ -165,18 +181,12 @@ object Curation {
         (((coalesce(col("ct"), lit(0L)) + lit(1L)) * (col("n_all") + col("v"))).cast("double") /
           ((col("n_cls") + col("v")) * (col("cr") + lit(1L))).cast("double"))
           .cast(DecimalType(18, 8)).as("w"))
-      .localCheckpoint(eager = false)
-    // SIZE-GATED broadcast: the weight table is O(vocab × classes) and
-    // unbounded at 100 TB vocabularies — checkpoint it (training runs
-    // once either way), branch on its EXACT row count, and take the
-    // shuffle join above the bound (the fastText hash-bucket trick is
-    // the other lever: it bounds vocab by construction before this
-    // gate ever trips).
-    val maxW = docs.sparkSession.conf.get(Curation.ClassifyBroadcastMaxWeightsKey,
-      Curation.ClassifyBroadcastMaxWeightsDefault.toString).toLong
-    val bcast = weights.count() <= maxW
+    // SIZE-GATED broadcast ([[gatedWeights]]): the weight table is
+    // O(vocab × classes) and unbounded at 100 TB vocabularies (the
+    // fastText hash-bucket trick is the other lever: it bounds vocab
+    // by construction before this gate ever trips)
     val scored = tok.where(!col("is_train"))
-      .join(if (bcast) broadcast(weights) else weights, Seq("tk"))
+      .join(gatedWeights(weights, Curation.ClassifyBroadcastMaxWeightsKey), Seq("tk"))
       .groupBy(col("doc_id"), col("label"), col("cls"))
       .agg(sum(col("w")).as("score"))
     val rkw = Window.partitionBy(col("doc_id"))

@@ -114,6 +114,33 @@ class GeneratedColumnsSpec extends SparkTestBase {
       s"carried current row must backfill: $cents")
   }
 
+  test("writes racing a concurrent addGeneratedColumn abort loudly; reruns compute") {
+    val t = table()
+    t.append(Seq((1L, 10.0)).toDF("id", "amount"))
+    // APPEND path: the declaration lands between staging and the claim
+    // — committing would put a null in a GENERATED ALWAYS column one
+    // commit after its declaration
+    val t2 = new TxTable(spark, t.tablePath)
+    t2.beforeCommitHook = () =>
+      t.addGeneratedColumn("cents", "CAST(amount * 100 AS BIGINT)")
+    val e = intercept[java.util.ConcurrentModificationException](
+      t2.append(Seq((2L, 20.0)).toDF("id", "amount")))
+    assert(e.getMessage.contains("generated"))
+    t2.append(Seq((2L, 20.0)).toDF("id", "amount"))
+    assert(t2.read().where(col("id") === 2L).head().getLong(2) == 2000L,
+      "the rerun computes the new column")
+
+    // MERGE path (the logical-conflict layer): a mid-merge declaration
+    // change aborts the same way
+    val t3 = new TxTable(spark, t.tablePath)
+    t3.beforeCommitHook = () => t.dropGeneratedColumn("cents")
+    val e2 = intercept[java.util.ConcurrentModificationException](
+      t3.merge(Seq((3L, 30.0)).toDF("id", "amount"), Seq("id")))
+    assert(e2.getMessage.contains("generated"))
+    t3.merge(Seq((3L, 30.0)).toDF("id", "amount"), Seq("id"))
+    assert(t3.read().where(col("id") === 3L).count() == 1)
+  }
+
   test("a retired physical name cannot become a generated column") {
     val t = table()
     t.append(Seq((1L, 10.0)).toDF("id", "amount"))

@@ -97,6 +97,16 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.unset(Curation.ClassifyBroadcastMaxWeightsKey)
   }
 
+  test("dsir's weight broadcast is size-gated; the shuffle branch matches") {
+    val base = Curation.qDsirWeights(spark, dir).collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    spark.conf.set(Curation.DsirBroadcastMaxWeightsKey, "0")
+    try {
+      val gated = Curation.qDsirWeights(spark, dir).collect().map(_.toSeq).toSet
+      assert(gated == base, "over-threshold branch must match the broadcast branch")
+    } finally spark.conf.unset(Curation.DsirBroadcastMaxWeightsKey)
+  }
+
   test("curation pays a single data shuffle (both window aggregates share it)") {
     val df = Curation.qCuration(spark, dir)
     val (sh, _) = graft.PlanDump.counts(df.queryExecution.executedPlan)
