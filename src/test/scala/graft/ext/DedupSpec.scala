@@ -103,6 +103,27 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset(MinHashDedup.MaxBucketKey)
   }
 
+  test("paragraph dedup drops exactly the cross-doc duplicated blocks") {
+    import spark.implicits._
+    val boiler = "this license header is identical across both documents here" // 10 tokens
+    val pad8 = "one two three four five six" // pads to block alignment
+    val docs = Seq(
+      // docs 1 and 2 share their FIRST 8-token block verbatim; the
+      // second block of each differs
+      (1L, s"$boiler unique tail of doc one a b"),
+      (2L, s"$boiler different ending for doc two x y"),
+      // doc 3 shares nothing 8-aligned: 15 tokens = 1 full block + a
+      // partial tail outside the contract
+      (3L, s"completely unrelated content with its own words $pad8 seven eight")
+    ).toDF("doc_id", "text")
+    val d = tmpDir("para-dedup")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextAnalysis.qParagraphDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L)),
+      s"exactly the shared first block drops: $out")
+  }
+
   test("SimHash: identical docs collide with hamming 0") {
     import spark.implicits._
     val docs = Seq(
