@@ -177,10 +177,33 @@ object DedupClusters {
       .orderBy($"component")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the
+    * [[TextAnalysis.qHashSplit]] md5-range recipe keyed by each doc's
+    * near-dup COMPONENT instead of its own id, so a duplicate cluster
+    * always lands on ONE side — a test doc with a train-side
+    * near-duplicate is contamination (the C4/Pile lesson), and a
+    * per-doc hash split cannot prevent it. Same determinism and
+    * growth-stability properties as the plain split; the only cost is
+    * the component pass the dedup pipeline already ran.
+    */
+  def qLeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id".as("id"))
+    val pairs = TextAnalysis.qNgramJaccard(s, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val h4 = substring(md5($"component".cast("string").cast("binary")), 1, 4)
+    connectedComponents(docs, pairs)
+      .select($"id".as("doc_id"), $"component")
+      .withColumn("split",
+        when(h4 < "cccc", "train").when(h4 < "e666", "val").otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_leakage_safe_split" -> (qLeakageSafeSplit _),
   )
 
   /** Oracle: transitive closure by recursive CTE, component = min
@@ -242,6 +265,13 @@ object DedupClusters {
          |  CAST(n_tokens AS BIGINT) AS best_n_tokens,
          |  CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin,
+    "q_leakage_safe_split" ->
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id, component,
+         |  CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+         |       WHEN substring(md5(CAST(component AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE ${Similarity.quantCtes},
          |${Similarity.dupPairsSql},

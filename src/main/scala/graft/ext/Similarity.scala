@@ -232,6 +232,44 @@ object Similarity {
       .orderBy($"cluster")
   }
 
+  /** One LLOYD UPDATE step — the training half [[qKmeansAssign]]
+    * omits: assign every vector to its best centroid (same plan-
+    * literal map-side argmax), then each cluster's new centroid is the
+    * per-dimension integer mean of its members' 2²⁰-quantized
+    * elements, `sum div n` (Spark `div` and DuckDB `//` both truncate
+    * toward zero, so negatives agree). Output is the full k×d new
+    * centroid matrix in fixed point.
+    *
+    * Scale shape: assignment is map-side (no join); posexplode
+    * multiplies rows ×d but the (cluster, dim) aggregate partial-
+    * aggregates map-side, so the shuffle carries k×d rows per
+    * partition — the standard distributed Lloyd layout. Iterating =
+    * feeding the output back as the next literal centroids (the IVF
+    * trainer does exactly this loop — `IvfIndex.trainCentroids`).
+    */
+  def qKmeansUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val e = emb(s, dir)
+    val ctrs = e.filter($"vec_id" < k)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val scored = ctrs.map { case (cid, vec) =>
+      struct(
+        graft.functions.QuantizedCosine($"embedding", typedLit(vec)).as("cosq"),
+        lit(-cid).as("negid"))
+    }
+    val best = greatest(scored.toIndexedSeq: _*)
+    e.select((-best("negid")).as("cluster"), $"embedding")
+      .select($"cluster", posexplode($"embedding").as(Seq("i0", "el")))
+      .groupBy($"cluster", ($"i0" + 1).as("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"el".cast("double") * lit(1048576.0)).cast("long")).as("sv"))
+      .select($"cluster", $"i".cast("long").as("i"), expr("sv div n").as("c_new"))
+      .orderBy($"cluster", $"i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (qCosineTopK _),
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
@@ -239,6 +277,7 @@ object Similarity {
     "q_cosine_dups" -> (qCosineDups _),
     "q_knn_join" -> (qKnnJoin _),
     "q_kmeans_assign" -> (qKmeansAssign _),
+    "q_kmeans_update" -> (qKmeansUpdate _),
   )
 
   /** Shared oracle CTEs: per-element floor(x·2²⁰) quantization and
@@ -254,6 +293,28 @@ object Similarity {
       |               generate_subscripts(embedding, 1) AS i
       |        FROM embeddings)),
       |nrm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qn GROUP BY vec_id)""".stripMargin
+
+  /** Shared centroid-assignment CTEs (the [[qKmeansAssign]] /
+    * [[qKmeansUpdate]] argmax): per-(vector, centroid) integer dot →
+    * quantized cosine → rank-1 per vector.
+    */
+  private val kmeansBestCtes: String =
+    """dot AS (
+      |  SELECT a.vec_id, b.vec_id AS cid, CAST(SUM(a.v * b.v) AS BIGINT) AS d
+      |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id < 8
+      |  GROUP BY a.vec_id, b.vec_id),
+      |scored AS (
+      |  SELECT dot.vec_id, dot.cid,
+      |    CASE WHEN na.n2 = 0 OR nc.n2 = 0 THEN 0
+      |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+      |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) * 10000.0)
+      |              AS BIGINT) END AS cosq
+      |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+      |           JOIN nrm nc ON dot.cid = nc.vec_id),
+      |best AS (
+      |  SELECT vec_id, cid, cosq,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, cid) AS rk
+      |  FROM scored)""".stripMargin
 
   /** Label-blocked near-duplicate pair CTEs (pair → integer dot →
     * quantized-cosine CASE → threshold 4000), yielding `dup(vec_a,
@@ -342,25 +403,19 @@ object Similarity {
     // argmax picks the identical centroid for every vector
     "q_kmeans_assign" ->
       s"""WITH $quantCtes,
-         |dot AS (
-         |  SELECT a.vec_id, b.vec_id AS cid, CAST(SUM(a.v * b.v) AS BIGINT) AS d
-         |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id < 8
-         |  GROUP BY a.vec_id, b.vec_id),
-         |scored AS (
-         |  SELECT dot.vec_id, dot.cid,
-         |    CASE WHEN na.n2 = 0 OR nc.n2 = 0 THEN 0
-         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
-         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) * 10000.0)
-         |              AS BIGINT) END AS cosq
-         |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
-         |           JOIN nrm nc ON dot.cid = nc.vec_id),
-         |best AS (
-         |  SELECT vec_id, cid, cosq,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, cid) AS rk
-         |  FROM scored)
+         |$kmeansBestCtes
          |SELECT cid AS cluster, COUNT(*) AS n, CAST(SUM(cosq) AS BIGINT) AS sum_cosq
          |FROM best WHERE rk = 1
          |GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_kmeans_update" ->
+      s"""WITH $quantCtes,
+         |$kmeansBestCtes
+         |SELECT b.cid AS cluster, qn.i,
+         |  CAST(CAST(SUM(qn.v) AS BIGINT) // COUNT(*) AS BIGINT) AS c_new
+         |FROM best b JOIN qn ON b.vec_id = qn.vec_id
+         |WHERE b.rk = 1
+         |GROUP BY b.cid, qn.i
+         |ORDER BY cluster, i""".stripMargin,
     "q_cosine_dups" ->
       s"""WITH $quantCtes,
          |$dupPairsSql

@@ -44,6 +44,28 @@ class DedupClustersSpec extends SparkTestBase {
     keepers.foreach { case (comp, minId) => assert(comp == minId) }
   }
 
+  test("leakage-safe split never separates a near-duplicate pair") {
+    val dir = "/root/testdata/sf0.001"
+    val split = DedupClusters.qLeakageSafeSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.nonEmpty)
+    // every qualifying near-dup pair lands on ONE side — the property
+    // a per-doc hash split cannot give (and the point of this query)
+    val pairs = TextAnalysis.qNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dup pair ($a, $b) split across ${split(a)._2}/${split(b)._2}")
+      assert(split(a)._1 == split(b)._1, "pair must share a component")
+    }
+    // and the split labels derive from the component, not the doc
+    split.values.groupBy(_._1).foreach { case (comp, members) =>
+      assert(members.map(_._2).toSet.size == 1,
+        s"component $comp maps to multiple splits")
+    }
+  }
+
   test("q_semantic_dedup labels every vector and agrees with the cosine edge set") {
     val dir = "/root/testdata/sf0.001"
     val out = DedupClusters.qSemanticDedup(spark, dir)
