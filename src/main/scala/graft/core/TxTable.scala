@@ -1295,14 +1295,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
       prevStaged = Nil
       if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) None
       else {
-        val (df, hws) = assignIdentity(st,
-          computeGenerated(st, physicalize(st, df0)))
+        // RE-ADD after dropColumn, same as the plain append path —
+        // computed per claim attempt since st moves under retries
+        val readds = df0.columns
+          .filter(c => st.dropped.contains(st.toPhysicalName.getOrElse(c, c)))
+          .map(l => l -> s"${l}_${UUID.randomUUID().toString.take(8)}").toMap
+        val stv = st.copy(renames = st.renames ++ readds.map(_.swap))
+        val (df, hws) = assignIdentity(stv,
+          computeGenerated(stv, physicalize(stv, df0)))
         // race-window instrumentation AFTER the mark is read and the
         // ids are assigned — a hook-injected concurrent commit makes
         // the claim below lose, forcing the documented re-stage
         fireBeforeCommitHook()
         val staged = stageData(df,
-          partitionBy = partitionBy.map(physicalName(st, _)),
+          partitionBy = partitionBy.map(physicalName(stv, _)),
           filesPerValue = filesPerValue)
         prevStaged = staged
         val schema = mergeSchemas(st.schema, df.schema)
@@ -1310,6 +1316,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
           "identity append to")
         Some(staged.map { case (p, s) => Add(p, s) } ++
           Seq(Meta(schema.toDDL)) ++
+          readds.map { case (l, f) => RenameCol(f, l) } ++
           hws.map { case (n, hw) => IdentityHw(n, hw) } ++
           txn.map(t => Txn(t.writerId, t.batchId)).toSeq)
       }

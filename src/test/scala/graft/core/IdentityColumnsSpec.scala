@@ -210,6 +210,23 @@ class IdentityColumnsSpec extends SparkTestBase {
     assert(ids2.distinct.size == ids2.size)
   }
 
+  test("identity append re-adds a dropped column under a fresh slot") {
+    // the identity path must mirror plain append's re-add mapping — a
+    // randomized model-test sequence (drop value column, declare
+    // identity, violating probe) caught the missing remap in round 7
+    val t = table()
+    t.addIdentityColumn("row_id")
+    t.append(Seq(("a", 1L)).toDF("v", "n"))
+    t.dropColumn("n")
+    t.append(Seq(("b", 9L)).toDF("v", "n"))
+    val out = t.read().orderBy("row_id").collect()
+    assert(out.map(_.getString(out.head.fieldIndex("v"))).toSeq == Seq("a", "b"))
+    assert(out(0).isNullAt(out(0).fieldIndex("n")), "old rows read null in the re-added slot")
+    assert(out(1).getLong(out(1).fieldIndex("n")) == 9L)
+    assert(out.map(_.getLong(out.head.fieldIndex("row_id"))).toSeq == Seq(1L, 2L),
+      "identity allocation continues across the re-add")
+  }
+
   test("declaration validations and checkpoint survival") {
     val t = new TxTable(spark, tmpDir("txid"), checkpointInterval = 2)
     t.append(Seq(("a", 1.0)).toDF("v", "amount"))

@@ -57,7 +57,7 @@ class TxTableModelSpec extends SparkTestBase {
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
       (0 until 18).foreach { _ =>
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -150,6 +150,22 @@ class TxTableModelSpec extends SparkTestBase {
             } else if (idOn && rnd.nextInt(4) == 0) {
               t.dropIdentityColumn("id")
               idOn = false
+            }
+          case 11 => // CHECK constraint DDL (binds the key's PHYSICAL
+            // name, so it survives renames) + a violating-append probe:
+            // the abort must be loud and commit NOTHING, whatever
+            // layout/identity/generated state the other ops built up
+            if (t.version >= 0) {
+              if (!t.constraints.contains("k_range"))
+                t.addConstraint("k_range", s"`$kc` >= 0 AND `$kc` < 40")
+              else if (rnd.nextBoolean()) t.dropConstraint("k_range")
+              if (t.constraints.contains("k_range")) {
+                val v = t.version
+                val e = intercept[IllegalArgumentException](
+                  t.append(Seq((99L, "violates")).toDF(kc, vc)))
+                assert(e.getMessage.contains("k_range"))
+                assert(t.version == v, "a rejected append must not commit")
+              }
             }
         }
         if (t.version >= 0) {
