@@ -37,8 +37,14 @@ class TxTableModelSpec extends SparkTestBase {
   private def readKeys(t: TxTable, kc: String): Seq[Long] =
     t.read().select(col(kc)).as[Long].collect().toSeq.sorted
 
+  // Env-tunable fuzz depth: CI runs the fixed default; a deep local
+  // session runs e.g. GRAFT_MODEL_SEEDS=1,2,...,20 GRAFT_MODEL_ITERS=40
+  private val fuzzSeeds: Seq[Int] = sys.env.get("GRAFT_MODEL_SEEDS")
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(11, 42, 77))
+  private val fuzzIters: Int = sys.env.getOrElse("GRAFT_MODEL_ITERS", "18").toInt
+
   test("random op sequences match the in-memory model, including time travel") {
-    for (seed <- Seq(11, 42, 77)) {
+    for (seed <- fuzzSeeds) {
       val rnd = new scala.util.Random(seed)
       val dir = tmpDir(s"txtable-model-$seed")
       val t = new TxTable(spark, dir, checkpointInterval = 4)
@@ -56,7 +62,7 @@ class TxTableModelSpec extends SparkTestBase {
       def rows(n: Int): Seq[(Long, String)] =
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
-      (0 until 18).foreach { _ =>
+      (0 until fuzzIters).foreach { _ =>
         rnd.nextInt(12) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
