@@ -270,6 +270,47 @@ object Similarity {
       .orderBy($"cluster", $"i")
   }
 
+  /** HARD-NEGATIVE MINING (contrastive-training curation): for each
+    * vector, the top-2 most-similar vectors with a DIFFERENT label,
+    * candidates blocked by the vector's k-means cluster — the
+    * retrieval neighborhood, so a colliding wrong-label vector is
+    * exactly the "confusable negative" an embedding trainer wants.
+    * The cross-label requirement is what [[qKnnJoin]] (same-label
+    * blocks) cannot express.
+    *
+    * Scale shape: assignment is the [[qKmeansAssign]] map-side fused
+    * argmax (plan-literal centroids ≙ the IVF coarse quantizer at
+    * 100 TB); the candidate join is cluster-blocked (Σ cell², never
+    * all-pairs); the per-anchor top-2 plans as two-phase
+    * WindowGroupLimit so only O(k·N) rows cross the exchange.
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val e = emb(s, dir)
+    val ctrs = e.filter($"vec_id" < k)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val scored = ctrs.map { case (cid, vec) =>
+      struct(
+        graft.functions.QuantizedCosine($"embedding", typedLit(vec)).as("cosq"),
+        lit(-cid).as("negid"))
+    }
+    val best = greatest(scored.toIndexedSeq: _*)
+    val assigned = e.select($"vec_id", $"label", $"embedding",
+      (-best("negid")).as("cluster"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.label" =!= $"b.label")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("neg"),
+        graft.functions.QuantizedCosine($"a.embedding", $"b.embedding").as("cosq"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cosq".desc, $"neg")
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 2)
+      .orderBy($"vec_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (qCosineTopK _),
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
@@ -278,6 +319,7 @@ object Similarity {
     "q_knn_join" -> (qKnnJoin _),
     "q_kmeans_assign" -> (qKmeansAssign _),
     "q_kmeans_update" -> (qKmeansUpdate _),
+    "q_hard_negatives" -> (qHardNegatives _),
   )
 
   /** Shared oracle CTEs: per-element floor(x·2²⁰) quantization and
@@ -407,6 +449,37 @@ object Similarity {
          |SELECT cid AS cluster, COUNT(*) AS n, CAST(SUM(cosq) AS BIGINT) AS sum_cosq
          |FROM best WHERE rk = 1
          |GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH $quantCtes,
+         |$kmeansBestCtes,
+         |cl AS (SELECT vec_id, cid AS cluster FROM best WHERE rk = 1),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS neg
+         |  FROM cl a JOIN cl b ON a.cluster = b.cluster
+         |  JOIN lab la ON la.vec_id = a.vec_id
+         |  JOIN lab lb ON lb.vec_id = b.vec_id
+         |  WHERE la.label <> lb.label),
+         |hd AS (
+         |  SELECT c.vec_id, c.neg, CAST(SUM(x.v * y.v) AS BIGINT) AS d
+         |  FROM cand c JOIN qn x ON x.vec_id = c.vec_id
+         |              JOIN qn y ON y.vec_id = c.neg AND y.i = x.i
+         |  GROUP BY c.vec_id, c.neg),
+         |hc AS (
+         |  SELECT hd.vec_id, hd.neg,
+         |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
+         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 10000.0)
+         |              AS BIGINT) END AS cosq
+         |  FROM hd JOIN nrm na ON hd.vec_id = na.vec_id
+         |          JOIN nrm nb ON hd.neg = nb.vec_id),
+         |rk2 AS (
+         |  SELECT vec_id, neg, cosq,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neg)
+         |      AS BIGINT) AS rk
+         |  FROM hc)
+         |SELECT vec_id, neg, cosq, rk FROM rk2 WHERE rk <= 2
+         |ORDER BY vec_id, rk""".stripMargin,
     "q_kmeans_update" ->
       s"""WITH $quantCtes,
          |$kmeansBestCtes
