@@ -28,23 +28,54 @@ object BenchPipeline {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(10000, 50000, 200000)
     val spark = graft.core.Sessions.local("bench-pipeline", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: one tiny end-to-end run pays stream-engine init,
-    // Avro codegen and parquet-committer costs (per-process, not
-    // per-run)
+    // untimed warmup: one tiny end-to-end run per variant pays
+    // stream-engine init, Avro codegen and committer costs
+    // (per-process, not per-run)
     runOnce(spark, 900)
+    runOnceTx(spark, 900)
     val rows = sizes.map { n =>
       val (sec, goldRows) = runOnce(spark, n)
       val eps = (n / sec).round
       println(f"""{"metric":"pipeline","events":$n,"sec":$sec%.2f,"events_per_sec":$eps,"gold_rows":$goldRows}""")
-      n -> eps
+      val (secTx, goldTx) = runOnceTx(spark, n)
+      val epsTx = (n / secTx).round
+      println(f"""{"metric":"pipeline_tx","events":$n,"sec":$secTx%.2f,"events_per_sec":$epsTx,"gold_rows":$goldTx}""")
+      (n, eps, epsTx)
     }
     val loadavg = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").head)
       .getOrElse("?")
     println(s"""{"metric":"pipeline_summary","events_per_sec":{${
-      rows.map { case (n, e) => s""""$n":$e""" }.mkString(",")
+      rows.map { case (n, e, _) => s""""$n":$e""" }.mkString(",")
+    }},"tx_events_per_sec":{${
+      rows.map { case (n, _, e) => s""""$n":$e""" }.mkString(",")
     }},"cpus":$cpus,"loadavg_1m":"$loadavg"}""")
     spark.stop()
+  }
+
+  /** The ACID variant: same demux ingest, then the TxMedallion chain
+    * (bronze exactly-once appendBatch, silver incremental cursor over
+    * bronze's commit log, gold atomic overwrite) — the transaction
+    * log's end-to-end cost relative to the plain parquet chain.
+    */
+  private def runOnceTx(spark: SparkSession, n: Int): (Double, Long) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gen = new EventGenerator(seed = 42)
+    val registry = new InMemorySchemaRegistry
+    val stream = MemoryStream[KafkaEnvelope]
+    stream.addData(gen.envelopes(gen.events(n, duplicateEvery = 9), registry, ConfluentWire))
+    val base = java.nio.file.Files.createTempDirectory("graft-benchpipe-tx").toString
+    val dayStart = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+    val t = graft.medallion.TxMedallion.tables(spark, base)
+    val t0 = System.nanoTime()
+    graft.ingest.RawIngest.run(stream.toDF(), registry, ConfluentWire,
+      s"$base/raw", s"$base/_checkpoints/raw").awaitTermination()
+    graft.medallion.TxMedallion.run(spark, s"$base/raw", t,
+      s"$base/_checkpoints", dayStart)
+    val rows = t.gold.read().count()
+    ((System.nanoTime() - t0) / 1e9, rows)
   }
 
   /** One full DAG run over `n` fresh events (fresh temp dirs + fresh
