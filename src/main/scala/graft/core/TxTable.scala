@@ -1775,8 +1775,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // already-physicalized one would trip the retired-name guard
     if (snap.files.isEmpty) { append(source0); return }
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val touched = readState(snap).withColumn("__file", input_file_name())
-      .join(srcKeys, keys, "left_semi")
+    // NULL-SAFE key matching throughout: under plain-equality
+    // semi/anti joins a NULL key component never matches, so a
+    // null-keyed upsert would APPEND a duplicate instead of replacing
+    // — and a CDC replica applying post-images by merge could never
+    // converge with an upstream in-place update of a null-keyed row.
+    // EqualNullSafe is still an equi-join key for the planner, so the
+    // join strategy is unchanged.
+    def keyCond(l: String, r: String) =
+      keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+    val touched = readState(snap).withColumn("__file", input_file_name()).as("t")
+      .join(srcKeys.as("s"), keyCond("t", "s"), "left_semi")
       .select("__file").distinct().collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
     // ONE cached read of the touched files feeds the survivor set AND
@@ -1790,7 +1799,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
       // construction
       val survivors =
         if (touched.isEmpty) None
-        else Some(touchedRows.join(srcKeys, keys, "left_anti"))
+        else Some(touchedRows.as("t")
+          .join(srcKeys.as("s"), keyCond("t", "s"), "left_anti"))
       val data = survivors match {
         case None => source
         // survivors may carry pre-declaration rows (null generated
@@ -1807,12 +1817,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
       // (readChangeFeed) instead of hard-failing on the removes
       val s2 = {
         import org.apache.spark.sql.functions.lit
-        val pre = touchedRows.join(srcKeys, keys, "left_semi")
+        val pre = touchedRows.as("t")
+          .join(srcKeys.as("s"), keyCond("t", "s"), "left_semi")
           .withColumn(ChangeTypeCol, lit("update_preimage"))
         val tgtKeys = touchedRows.select(keys.map(col): _*).distinct()
-        val post = source.join(tgtKeys, keys, "left_semi")
+        val post = source.as("t")
+          .join(tgtKeys.as("s"), keyCond("t", "s"), "left_semi")
           .withColumn(ChangeTypeCol, lit("update_postimage"))
-        val ins = source.join(tgtKeys, keys, "left_anti")
+        val ins = source.as("t")
+          .join(tgtKeys.as("s"), keyCond("t", "s"), "left_anti")
           .withColumn(ChangeTypeCol, lit("insert"))
         stageData(pre.unionByName(post, allowMissingColumns = true)
           .unionByName(ins, allowMissingColumns = true),
@@ -1926,9 +1939,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
         "exactly — evolve the schema with a separate append first")
     val attrs = business.filterNot(keys.contains)
     val cur = readState(snap).where(col(ScdToCol).isNull)
+    // NULL-SAFE key matching throughout (the merge0 contract): a
+    // null-keyed dimension row must match its source row, not be
+    // re-inserted as "new" every epoch
+    def keyCond(l: String, r: String) =
+      keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     // null-safe attribute comparison: any tracked attribute differing
     // makes the key "changed"; a key-only table can never change
-    val joined = cur.alias("t").join(source.alias("s"), keys)
+    val joined = cur.alias("t").join(source.alias("s"), keyCond("t", "s"))
     val differs = attrs.map(a => !(col(s"t.$a") <=> col(s"s.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val nonMonotone = joined.where(differs && col(s"t.$ScdFromCol") >= version)
@@ -1938,20 +1956,21 @@ class TxTable(spark: SparkSession, val tablePath: String,
         s"row it closes (e.g. ${nonMonotone.headOption.getOrElse("")}) — " +
         "change epochs must be strictly increasing per key")
     val changedKeys = joined.where(differs)
-      .select(keys.map(col): _*).distinct().persist()
+      .select(keys.map(k => col(s"t.`$k`").as(k)): _*).distinct().persist()
     try {
       // files to rewrite: ONLY those holding a current row of a changed
       // key — history-only files are untouched by construction
-      val touched = readState(snap).withColumn("__file", input_file_name())
+      val touched = readState(snap).withColumn("__file", input_file_name()).as("t")
         .where(col(ScdToCol).isNull)
-        .join(changedKeys, keys, "left_semi")
+        .join(changedKeys.as("c"), keyCond("t", "c"), "left_semi")
         .select("__file").distinct().collect()
         .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
       // rows entering the table at this epoch: brand-new keys + the new
       // current rows of changed keys (identical-attribute rows are in
       // neither set — the no-op)
-      val newRows = stamped.join(cur, keys, "left_anti")
-        .unionByName(stamped.join(changedKeys, keys, "left_semi"))
+      val newRows = stamped.as("t").join(cur.as("c"), keyCond("t", "c"), "left_anti")
+        .unionByName(stamped.as("t")
+          .join(changedKeys.as("c"), keyCond("t", "c"), "left_semi"))
       if (touched.isEmpty && newRows.isEmpty) return // provable no-op
       val touchedRows = readState(snap.copy(files = touched))
       if (touched.nonEmpty) touchedRows.persist()
@@ -1959,13 +1978,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
         val marked = changedKeys.withColumn("__scd_chg", lit(1))
         // backfill pre-declaration generated nulls on the rewrite (see
         // recomputeGenerated) — carried rows must pass their own gate
-        val rewritten = recomputeGenerated(snap, touchedRows.join(marked, keys, "left")
+        val rewritten = recomputeGenerated(snap, touchedRows.as("t")
+          .join(marked.as("m"), keyCond("t", "m"), "left")
+          .select(col("t.*") +: Seq(col("m.__scd_chg")): _*)
           .withColumn(ScdToCol,
             when(col(ScdToCol).isNull && col("__scd_chg") === 1, lit(version))
               .otherwise(col(ScdToCol)))
           .drop("__scd_chg"))
-        val closingPre = touchedRows.where(col(ScdToCol).isNull)
-          .join(changedKeys, keys, "left_semi")
+        val closingPre = touchedRows.as("t").where(col(ScdToCol).isNull)
+          .join(changedKeys.as("c"), keyCond("t", "c"), "left_semi")
         val s1 = stageData(rewritten.unionByName(newRows))
         val s2 = stageData(
           closingPre.withColumn(ChangeTypeCol, lit("update_preimage"))
@@ -2529,16 +2550,23 @@ class TxTable(spark: SparkSession, val tablePath: String,
   private def addsMayMatchKeys(source: DataFrame, keys: Seq[String])
       : Seq[(String, Option[FileStats])] => Boolean = {
     import org.apache.spark.sql.GraftColumnBridge.{CmpShape, PredShape}
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, lit, max, min, sum, when}
     val aggs = keys.flatMap(k =>
-      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
+      keys.map(k => sum(when(col(k).isNull, 1L).otherwise(0L)))
+        .reduce(_ + _).as("__nnull")
     val row = source.agg(aggs.head, aggs.drop(1): _*).collect().head
+    // a NULL key component is invisible to min/max range shapes (and
+    // an all-null file PRUNES under any comparison) — a source holding
+    // one must treat every concurrent append as possibly matching
+    val hasNullKey = !row.isNullAt(2 * keys.size) && row.getLong(2 * keys.size) > 0L
     val shapes: Seq[PredShape] = keys.zipWithIndex.flatMap { case (k, i) =>
       val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
       if (mn == null || mx == null) Nil
       else Seq(CmpShape(k, ">=", mn), CmpShape(k, "<=", mx))
     }
     adds =>
+      (hasNullKey && adds.nonEmpty) ||
       shapes.isEmpty || { // no usable bounds (empty/all-null source): conservative
         val stats = adds.collect { case (p, Some(s)) => p -> s }.toMap
         TxTable.filesToRead(adds.map(_._1), stats, shapes).nonEmpty

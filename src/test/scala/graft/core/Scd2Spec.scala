@@ -105,6 +105,28 @@ class Scd2Spec extends SparkTestBase {
     assert(t2.scdCurrent().where(col("id") === 1L).head().getString(1) == "zz")
   }
 
+  test("null-keyed dimension rows close and re-insert like any other key") {
+    import spark.implicits._
+    val t = new TxTable(spark, tmpDir("scd2-nullkey"))
+    t.mergeScd2(Seq((Option(1L), "a"), (Option.empty[Long], "x"))
+      .toDF("id", "attr").coalesce(1), Seq("id"), 1L)
+    // the null-keyed row CHANGES: it must close + re-insert, not pile
+    // up a second current row every epoch (null-safe key matching)
+    t.mergeScd2(Seq((Option.empty[Long], "y")).toDF("id", "attr").coalesce(1),
+      Seq("id"), 2L)
+    val cur = t.scdCurrent().select("id", "attr").as[(Option[Long], String)]
+      .collect().toSet
+    assert(cur == Set((Some(1L), "a"), (None, "y")), s"current rows: $cur")
+    val closed = t.read().where(col(T).isNotNull)
+      .select("id", "attr").as[(Option[Long], String)].collect().toSet
+    assert(closed == Set((None, "x")), s"closed rows: $closed")
+    // identical null-keyed source is a no-op
+    val v = t.version
+    t.mergeScd2(Seq((Option.empty[Long], "y")).toDF("id", "attr").coalesce(1),
+      Seq("id"), 3L)
+    assert(t.version == v, "identical null-keyed row must be a provable no-op")
+  }
+
   test("change epochs must be strictly increasing per closed key") {
     val t = new TxTable(spark, tmpDir("scd2-mono"))
     t.mergeScd2(dim(Seq(1L -> "a")), Seq("id"), 5L)

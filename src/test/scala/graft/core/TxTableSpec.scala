@@ -282,6 +282,26 @@ class TxTableSpec extends SparkTestBase {
     assert(t.changedFiles(linear.version, zed.version).isEmpty)
   }
 
+  test("merge upserts null-keyed rows IN PLACE (null-safe key matching)") {
+    import spark.implicits._
+    // found by the deep CDC replica fuzz: plain-equality semi/anti key
+    // joins never match a NULL key, so a null-keyed upsert APPENDED a
+    // duplicate — and a replica applying CDC post-images by merge
+    // could never converge with an upstream in-place update
+    val t = table()
+    t.append(Seq((Option(1L), "a"), (Option.empty[Long], "n1")).toDF("k", "v"))
+    t.merge(Seq((Option.empty[Long], "n2")).toDF("k", "v"), Seq("k"))
+    val rows = t.read().select("k", "v").as[(Option[Long], String)].collect().toSet
+    assert(rows == Set((Some(1L), "a"), (None, "n2")),
+      s"the null-keyed row must be REPLACED, not duplicated: $rows")
+    // the change feed records the replacement as update pre/post
+    val feed = t.readChangeFeed(0, t.version)
+      .select(col(TxTable.ChangeTypeCol), col("v")).as[(String, String)]
+      .collect().toSet
+    assert(feed == Set(("update_preimage", "n1"), ("update_postimage", "n2")),
+      s"null-keyed replace must ride the feed as an update: $feed")
+  }
+
   test("merge upserts matched keys, inserts new ones, rewrites only touched files") {
     val dir = tmpDir("txtable-merge")
     val t = new TxTable(spark, dir)

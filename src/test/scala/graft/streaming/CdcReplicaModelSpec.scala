@@ -23,8 +23,13 @@ class CdcReplicaModelSpec extends SparkTestBase {
   private def snap(t: TxTable): Set[(Option[Long], String)] =
     t.read().select("k", "v").as[(Option[Long], String)].collect().toSet
 
+  // Env-tunable fuzz depth (the TxTableModelSpec convention)
+  private val fuzzSeeds: Seq[Int] = sys.env.get("GRAFT_MODEL_SEEDS")
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(5, 23))
+  private val fuzzIters: Int = sys.env.getOrElse("GRAFT_MODEL_ITERS", "14").toInt
+
   test("replica equals source after every sync across random keyed mutations") {
-    for (seed <- Seq(5, 23)) {
+    for (seed <- fuzzSeeds) {
       val rnd = new scala.util.Random(seed)
       val src = new TxTable(spark, tmpDir(s"cdcmodel-src-$seed"))
       val dst = new TxTable(spark, tmpDir(s"cdcmodel-dst-$seed"))
@@ -58,7 +63,7 @@ class CdcReplicaModelSpec extends SparkTestBase {
       live = src.read().select("k", "v").as[(Option[Long], String)].collect().toMap
       sync()
 
-      (0 until 14).foreach { _ =>
+      (0 until fuzzIters).foreach { _ =>
         rnd.nextInt(6) match {
           case 0 => // insert fresh keys
             val rows = freshRows(1 + rnd.nextInt(3))
