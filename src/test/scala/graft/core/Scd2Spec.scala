@@ -105,6 +105,24 @@ class Scd2Spec extends SparkTestBase {
     assert(t2.scdCurrent().where(col("id") === 1L).head().getString(1) == "zz")
   }
 
+  test("scd2 merge speaks renamed surface names (key and attribute)") {
+    val t = new TxTable(spark, tmpDir("scd2-rename"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    t.renameColumn("attr", "attr2")
+    // the attribute rename: sources speak the new surface name, the
+    // change detection still compares the same physical slot
+    t.mergeScd2(Seq((1L, "a2")).toDF("id", "attr2").coalesce(1), Seq("id"), 2L)
+    assert(t.scdCurrent().where(col("id") === 1L).select("attr2").head().getString(0) == "a2")
+    // the KEY rename: the merge keys speak the new surface name too
+    t.renameColumn("id", "key_id")
+    t.mergeScd2(Seq((2L, "b3")).toDF("key_id", "attr2").coalesce(1), Seq("key_id"), 3L)
+    val cur = t.scdCurrent().select("key_id", "attr2").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "a2", 2L -> "b3"), s"current after renames: $cur")
+    // history depth: each changed key closed exactly once per change
+    assert(t.read().where(col(T).isNotNull).count() == 2)
+  }
+
   test("null-keyed dimension rows close and re-insert like any other key") {
     import spark.implicits._
     val t = new TxTable(spark, tmpDir("scd2-nullkey"))

@@ -63,7 +63,7 @@ class TxTableModelSpec extends SparkTestBase {
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
       (0 until fuzzIters).foreach { _ =>
-        rnd.nextInt(12) match {
+        rnd.nextInt(14) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -172,6 +172,28 @@ class TxTableModelSpec extends SparkTestBase {
                 assert(e.getMessage.contains("k_range"))
                 assert(t.version == v, "a rejected append must not commit")
               }
+            }
+          case 12 => // MERGE-ON-READ delete: same model semantics as
+            // copy-on-write delete, but the rows die via DV sidecars
+            // that every later read/mutation/maintenance must honor
+            if (t.version >= 0) {
+              val lo = rnd.nextInt(40).toLong
+              val hi = lo + rnd.nextInt(6)
+              t.deleteMergeOnRead(col(kc) >= lo && col(kc) <= hi)
+              model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
+            }
+          case 13 => // replaceWhere: swap a key slice for fresh rows
+            // inside the predicate (atomic partition-overwrite analog);
+            // requires the live value column (replaceWhere does not
+            // re-add dropped slots — documented: append/overwrite do)
+            if (vLive && t.version >= 0) {
+              val lo = rnd.nextInt(35).toLong
+              val hi = lo + 5
+              val batch = Seq.fill(1 + rnd.nextInt(3))(
+                (lo + rnd.nextInt(6).toLong, s"rw$seed-${rnd.nextInt(100)}"))
+              t.replaceWhere(col(kc) >= lo && col(kc) <= hi, batch.toDF(kc, vc))
+              model = model.filterNot(r => r._1 >= lo && r._1 <= hi) ++
+                batch.map { case (k, v) => (k, Some(v)) }
             }
         }
         if (t.version >= 0) {
