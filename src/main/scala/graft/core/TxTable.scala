@@ -2084,6 +2084,59 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** BULK KEY-SET DELETE: remove every row whose key tuple appears in
+    * `keys0` (a DataFrame — never collected to the driver), the
+    * GDPR-/CDC-scale counterpart of [[delete]]: a predicate built
+    * from millions of collected keys is both a driver OOM and an
+    * unplannable OR-chain, where this verb is two distributed
+    * semi/anti joins. Touched-file detection, survivor rewrite,
+    * delete change record and the strict concurrency rule all follow
+    * [[merge]] (null-SAFE key matching included: a null-keyed tuple
+    * deletes the null-keyed row). Key columns speak surface names.
+    */
+  def deleteKeys(keys0: DataFrame, keyCols0: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    require(keyCols0.nonEmpty, "deleteKeys needs at least one key column")
+    val snap = state()
+    if (snap.files.isEmpty) return
+    val keyCols = keyCols0.map(physicalName(snap, _))
+    val dead = physicalize(snap, keys0)
+      .select(keyCols.map(col): _*).distinct().persist()
+    try {
+      def keyCond(l: String, r: String) =
+        keyCols.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+      val touched = readState(snap).withColumn("__file", input_file_name()).as("t")
+        .join(dead.as("s"), keyCond("t", "s"), "left_semi")
+        .select("__file").distinct().collect()
+        .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
+      if (touched.isEmpty) return
+      val touchedRows = readState(snap.copy(files = touched)).persist()
+      val (staged, stagedCdf) = try {
+        (stageData(recomputeGenerated(snap, touchedRows.as("t")
+            .join(dead.as("s"), keyCond("t", "s"), "left_anti"))),
+          stageData(touchedRows.as("t")
+            .join(dead.as("s"), keyCond("t", "s"), "left_semi")
+            .withColumn(ChangeTypeCol, lit("delete")),
+            prefix = "cdf", collectStats = false))
+      } finally touchedRows.unpersist()
+      val mayMatch = addsMayMatchKeys(dead, keyCols)
+      fireBeforeCommitHook()
+      commitLoop(s"deleteKeys from $tablePath") { st =>
+        requireRenamesStable(snap, st, staged ++ stagedCdf, "deleteKeys from")
+        findConflict(snap, st, touched.toSet, mayMatch).foreach { why =>
+          (staged ++ stagedCdf).foreach { case (f, _) =>
+            fs.delete(new Path(root, f), false)
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting concurrent commit on $tablePath during deleteKeys: " +
+              s"$why; rerun deleteKeys() against the new state")
+        }
+        Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+          stagedCdf.map { case (p, _) => Cdf(p) })
+      }
+    } finally dead.unpersist()
+  }
+
   /** Merge-on-read DELETE (deletion vectors — the published Delta
     * protocol feature): instead of rewriting every file that contains
     * a matching row, record the matching rows' PHYSICAL POSITIONS in a

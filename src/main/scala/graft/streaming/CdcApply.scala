@@ -53,15 +53,32 @@ object CdcApply {
     (live, dead)
   }
 
+  /** Driver-collect bound for the dead-key delete: at or below it the
+    * keys become a stat-prunable predicate; above it the delete runs
+    * distributed via [[TxTable.deleteKeys]] (a slice deleting millions
+    * of keys must never OOM the driver or build an unplannable
+    * OR-chain).
+    */
+  val MaxDeleteKeysCollectKey = "spark.graft.cdc.maxDeleteKeysCollect"
+  val MaxDeleteKeysCollectDefault: Int = 10000
+
   /** Apply `batch` (rows of [[TxTable.readChangeFeed]]) to `target`.
     * Single-column keys delete via a stat-prunable IN predicate;
-    * multi-column keys conjoin per dead key (bounded by the slice).
+    * multi-column keys conjoin per dead key (bounded by the collect
+    * gate — larger dead sets route through the distributed
+    * [[TxTable.deleteKeys]]).
     */
   def apply(target: TxTable, batch: DataFrame, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "CDC application needs at least one key column")
     val (live, dead) = net(batch, keys)
-    val deadRows = dead.collect() // bounded by the slice's deleted keys
-    if (deadRows.nonEmpty) {
+    val bound = batch.sparkSession.conf
+      .get(MaxDeleteKeysCollectKey, MaxDeleteKeysCollectDefault.toString).toInt
+    // one evaluation decides AND delivers: <= bound rows back IS the
+    // complete dead-key set (the DedupClusters hybrid convention)
+    val deadRows = dead.limit(bound + 1).collect()
+    if (deadRows.length > bound) {
+      target.deleteKeys(dead, keys)
+    } else if (deadRows.nonEmpty) {
       // null-safe matching throughout: a NULL key component under
       // isin/=== compares to NULL, so the delete would never fire and
       // the replica would diverge (merge uses <=> for the same reason).

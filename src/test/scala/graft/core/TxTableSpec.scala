@@ -302,6 +302,41 @@ class TxTableSpec extends SparkTestBase {
       s"null-keyed replace must ride the feed as an update: $feed")
   }
 
+  test("deleteKeys removes a distributed key set with minimal rewrite + CDF deletes") {
+    import spark.implicits._
+    val dir = tmpDir("txtable-delkeys")
+    val t = new TxTable(spark, dir)
+    // three key-clustered files + a null-keyed row in the last
+    (0 until 2).foreach { b =>
+      t.append((b * 10 until b * 10 + 10)
+        .map(i => (Option(i.toLong), s"old$i")).toDF("k", "v").coalesce(1))
+    }
+    t.append(Seq((Option(20L), "old20"), (Option.empty[Long], "nullrow"))
+      .toDF("k", "v").coalesce(1))
+    val before = t.state()
+    assert(before.files.size == 3)
+    // the dead set lives in a FRAME (never collected): keys 12, 15
+    // (file 2), the null key (file 3), and an absent key
+    val dead = Seq(Option(12L), Option(15L), Option.empty[Long], Option(999L))
+      .toDF("k")
+    t.deleteKeys(dead, Seq("k"))
+    val after = t.state()
+    assert(before.files.count(after.files.contains) == 1,
+      s"only the two files holding dead keys may rewrite: ${after.files}")
+    val rows = t.read().select("k", "v").as[(Option[Long], String)].collect().toSet
+    assert(rows.size == 19) // 22 rows - keys 12, 15 and the null row
+    assert(!rows.exists(r => r._1.contains(12L) || r._1.contains(15L) || r._1.isEmpty))
+    assert(rows.contains((Some(11L), "old11")) && rows.contains((Some(20L), "old20")))
+    // the change feed carries exactly the three deletes
+    val feed = t.readChangeFeed(before.version, t.version)
+      .select(col(TxTable.ChangeTypeCol), col("v")).as[(String, String)].collect().toSet
+    assert(feed == Set(("delete", "old12"), ("delete", "old15"), ("delete", "nullrow")))
+    // an all-absent key set is a provable no-op (no commit)
+    val v = t.version
+    t.deleteKeys(Seq(Option(777L)).toDF("k"), Seq("k"))
+    assert(t.version == v)
+  }
+
   test("merge upserts matched keys, inserts new ones, rewrites only touched files") {
     val dir = tmpDir("txtable-merge")
     val t = new TxTable(spark, dir)

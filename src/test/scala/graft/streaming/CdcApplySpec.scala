@@ -98,6 +98,23 @@ class CdcApplySpec extends SparkTestBase {
     assert(rows(dst2) == rows(src2) && rows(dst2) == Set((Some(1L), "x")))
   }
 
+  test("over the collect gate, dead keys delete via the distributed deleteKeys path") {
+    val (src, dst) = tables()
+    src.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("id", "v", "amount"))
+    CdcApply(dst, src.readChangeFeed(-1L, src.version), Seq("id"))
+    val from = src.version
+    src.delete(col("id").isin(1L, 3L))
+    src.update(col("id") === 2L, Map("amount" -> lit(9.0)))
+    // force the over-threshold branch: the dead set must never reach
+    // the driver — TxTable.deleteKeys applies it as semi/anti joins
+    spark.conf.set(CdcApply.MaxDeleteKeysCollectKey, "0")
+    try CdcApply(dst, src.readChangeFeed(from, src.version), Seq("id"))
+    finally spark.conf.unset(CdcApply.MaxDeleteKeysCollectKey)
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((2L, "b", 9.0), (4L, "d", 4.0)))
+  }
+
   test("STREAMING replication: changeFeed source + foreachBatch apply, restartable") {
     import org.apache.spark.sql.streaming.Trigger
     val (src, dst) = tables()
