@@ -44,6 +44,12 @@ class CdcReplicaModelSpec extends SparkTestBase {
 
       def sync(): Unit = {
         val to = src.version
+        // half the syncs force the distributed deleteKeys path (gate
+        // 0), half take the collected-predicate path — both must
+        // converge identically
+        if (rnd.nextBoolean())
+          spark.conf.set(CdcApply.MaxDeleteKeysCollectKey, "0")
+        else spark.conf.unset(CdcApply.MaxDeleteKeysCollectKey)
         if (to > cursor) {
           try CdcApply(dst, src.readChangeFeed(cursor, to), Seq("k"))
           catch {
@@ -103,6 +109,7 @@ class CdcReplicaModelSpec extends SparkTestBase {
         }
         sync()
       }
+      spark.conf.unset(CdcApply.MaxDeleteKeysCollectKey) // no leak across suites
     }
   }
 }
