@@ -441,6 +441,40 @@ object ScaleOps {
   def qTxDelete(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(deletedOrdersTable(s, dir).read())
 
+  /** Key-clustered ACID clone of orders with a BULK KEY-SET delete
+    * ([[graft.core.TxTable.deleteKeys]]): the dead set (one key in
+    * seven) is a DataFrame derived from the table itself and never
+    * collected — the GDPR-/CDC-scale deletion path, applied as
+    * distributed semi/anti joins. Built once per (session, dir).
+    */
+  private[ext] def delKeysOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-delkeys:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txdelkeys_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      val dead = t.read().select(col("o_orderkey"))
+        .where(col("o_orderkey") % 7 === 3)
+      t.deleteKeys(dead, Seq("o_orderkey"))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-deleteKeys table aggregated by priority: matches the
+    * oracle's modular-complement reconstruction only if the key-set
+    * delete removed exactly the listed keys and nothing else.
+    */
+  def qTxDelKeys(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(delKeysOrdersTable(s, dir).read())
+
   /** Key-clustered ACID clone of orders with one key in five deleted
     * MERGE-ON-READ ([[graft.core.TxTable.deleteMergeOnRead]]): the
     * delete touches every file, so copy-on-write would rewrite the
@@ -1072,6 +1106,7 @@ object ScaleOps {
     "q_tx_skip" -> (qTxSkip _),
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_delete" -> (qTxDelete _),
+    "q_tx_delkeys" -> (qTxDelKeys _),
     "q_tx_dv" -> (qTxDv _),
     "q_tx_timetravel" -> (qTxTimetravel _),
     "q_tx_restore" -> (qTxRestore _),
@@ -1225,6 +1260,14 @@ object ScaleOps {
          |FROM orders
          |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) NOT BETWEEN $TxSkipLo AND $TxSkipHi
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // modular complement of the dead KEY SET: matches only if
+    // deleteKeys removed exactly the listed keys and nothing else
+    "q_tx_delkeys" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the slice swap reconstructed as a CASE projection: matches only
     // if replaceWhere swapped exactly the 1-URGENT slice (same keys,
     // price restated) and left every other priority byte-identical
