@@ -1862,6 +1862,236 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Entry to the conditional-MERGE builder ([[TxTable.MergeBuilder]]). */
+  def mergeBuilder(source: DataFrame, keys: Seq[String]): TxTable.MergeBuilder =
+    new TxTable.MergeBuilder(this, source, keys)
+
+  /** Conditional MERGE — the full published MERGE surface on top of
+    * [[merge]]'s copy-on-write machinery: per target row with a
+    * key-matching source row the first applicable `matched` clause
+    * runs (UPDATE SET / UPDATE SET * / DELETE); per source row with
+    * no target match the optional insert clause runs; per target row
+    * with no source match the first applicable `bySource` clause runs
+    * (the `WHEN NOT MATCHED BY SOURCE` family). Rows no clause claims
+    * are untouched. Clause SQL is written over SURFACE names with
+    * `t.`/`s.` qualifiers (see [[TxTable.MatchedClause]]).
+    *
+    * Scale shape: only files that can change are rewritten — files
+    * holding a matching key (via the same `input_file_name`
+    * provenance semi-join as [[merge]]) when matched clauses exist,
+    * plus files holding an unmatched row satisfying some by-source
+    * condition (a predicate-pushed provenance scan). Inserts
+    * anti-join the source against the keys of the MATCHING files
+    * only (a key absent there is absent everywhere, by provenance
+    * construction), so cost is O(touched files + source), never
+    * O(table). The whole effect — removes, adds, and the row-level
+    * change record (update_pre/postimage, delete, insert) — lands in
+    * ONE atomic commit; concurrency rules match [[merge]], except
+    * that by-source clauses read every unmatched row, so ANY
+    * concurrent append conflicts while they are present.
+    *
+    * Contracts shared with [[merge]]: source keys must be unique
+    * (checked); null-safe key matching throughout; generated columns
+    * are recomputed over rewritten rows (SET may not target a
+    * generated or identity column); inserts should carry identity
+    * values where declared (the high-water syncs forward).
+    */
+  def mergeConditional(source: DataFrame, keys: Seq[String],
+      matched: Seq[TxTable.MatchedClause],
+      notMatchedInsert: Option[Option[String]],
+      bySource: Seq[TxTable.BySourceClause]): Unit = {
+    require(keys.nonEmpty, "mergeConditional needs at least one key column")
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty || bySource.nonEmpty,
+      "mergeConditional needs at least one clause")
+    // one materialization of the source — same reasoning as merge()
+    source.persist()
+    try mergeConditional0(source, keys, matched, notMatchedInsert, bySource)
+    finally source.unpersist()
+  }
+
+  private def mergeConditional0(source0: DataFrame, keys: Seq[String],
+      matched: Seq[TxTable.MatchedClause],
+      notMatchedInsert: Option[Option[String]],
+      bySource: Seq[TxTable.BySourceClause]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
+    import TxTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate}
+    val snap = state()
+    val surfaceCols: Seq[String] = snap.schema
+      .map(_.fields.toSeq.map(_.name).filterNot(snap.dropped.contains)
+        .map(snap.logicalName)).getOrElse(Nil)
+    // SET validation: existing surface columns only, and never a
+    // table-managed (generated/identity) column
+    val managed = (snap.generated.keySet ++ snap.identity.keySet).map(snap.logicalName)
+    val allSets = (matched ++ bySource).flatMap {
+      case MatchedUpdate(_, s) => s.keySet
+      case BySourceUpdate(_, s) => s.keySet
+      case _ => Set.empty[String]
+    }.toSet
+    val badManaged = allSets.intersect(managed)
+    require(badManaged.isEmpty,
+      s"SET targets table-managed column(s) ${badManaged.mkString(", ")} of " +
+        s"$tablePath — generated/identity columns are recomputed, not set")
+    val unknownSet = allSets.diff(surfaceCols.toSet)
+    require(unknownSet.isEmpty || snap.schema.isEmpty,
+      s"SET targets unknown column(s) ${unknownSet.mkString(", ")} of $tablePath — " +
+        "conditional merge updates existing columns; new columns arrive via inserts")
+    val dupes = source0.groupBy(keys.map(k => col(s"`$k`")): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
+        "a multi-match clause application would be row-order-dependent")
+    if (snap.files.isEmpty) {
+      notMatchedInsert.foreach { cond =>
+        val ins = cond.map(c => source0.as("s").where(coalesce(expr(c), lit(false))))
+          .getOrElse(source0)
+        if (ins.limit(1).count() > 0) append(ins)
+      }
+      return
+    }
+    def keyCond(l: String, r: String) =
+      keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+    def fileNames(rows: Array[Row]): Seq[String] =
+      rows.map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
+    val srcKeys = source0.select(keys.map(k => col(s"`$k`")): _*).distinct()
+    val tgtAll = logicalize(snap, readState(snap)).withColumn("__file", input_file_name())
+    // files holding a matching key — ALWAYS computed (a key-pruned
+    // column scan): it both bounds the rewrite set and licenses the
+    // insert anti-join below
+    val matchedFiles = fileNames(tgtAll.as("t")
+      .join(srcKeys.as("s"), keyCond("t", "s"), "left_semi")
+      .select("__file").distinct().collect())
+    val bySourceFiles =
+      if (bySource.isEmpty) Nil
+      else {
+        val anyCond = bySource.map(_.condition
+          .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))).reduce(_ || _)
+        fileNames(tgtAll.as("t")
+          .join(srcKeys.as("s"), keyCond("t", "s"), "left_anti")
+          .where(anyCond)
+          .select("__file").distinct().collect())
+      }
+    val rewriteFiles =
+      ((if (matched.nonEmpty) matchedFiles else Nil) ++ bySourceFiles).distinct
+    // a source key absent from the matching files is absent from the
+    // whole table — provenance found every file holding any match
+    val tgtMatchKeys = logicalize(snap, readState(snap.copy(files = matchedFiles)))
+      .select(keys.map(k => col(s"`$k`")): _*).distinct()
+    val insertRows = notMatchedInsert.map { cond =>
+      val anti = source0.as("s")
+        .join(tgtMatchKeys.as("t"), keyCond("s", "t"), "left_anti")
+      cond.map(c => anti.where(coalesce(expr(c), lit(false)))).getOrElse(anti)
+    }
+    val anyInserts = insertRows.exists(_.limit(1).count() > 0)
+    if (rewriteFiles.isEmpty && !anyInserts) return
+
+    // ---- per-row clause engine over the rewrite set (surface names) ----
+    val tgtRows = logicalize(snap, readState(snap.copy(files = rewriteFiles)))
+    val srcCols = source0.columns.toSeq
+    val extraCols = srcCols.filterNot(surfaceCols.contains)
+    val outCols = surfaceCols ++ extraCols
+    val sPresent = coalesce(col("__s_present"), lit(false))
+    def condCol(c: Option[String]): org.apache.spark.sql.Column =
+      c.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true))
+    def firstIdx(conds: Seq[org.apache.spark.sql.Column]) =
+      conds.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case ((c, i), els) => when(c, lit(i)).otherwise(els)
+      }
+    def kindOf(idx: org.apache.spark.sql.Column, cls: Seq[Any]) =
+      cls.zipWithIndex.foldLeft(lit(0)) { case (acc, (cl, i)) =>
+        val k = cl match {
+          case _: MatchedUpdate | _: BySourceUpdate => 1
+          case _ => 2
+        }
+        when(idx === i, lit(k)).otherwise(acc)
+      }
+    val mIdx = if (matched.isEmpty) lit(-1)
+      else when(sPresent, firstIdx(matched.map(cl => condCol(cl.condition))))
+        .otherwise(lit(-1))
+    val bIdx = if (bySource.isEmpty) lit(-1)
+      else when(!sPresent, firstIdx(bySource.map(cl => condCol(cl.condition))))
+        .otherwise(lit(-1))
+    val classified = tgtRows.as("t")
+      .join(source0.withColumn("__s_present", lit(true)).as("s"),
+        keyCond("t", "s"), "left_outer")
+      .withColumn("__m_idx", mIdx)
+      .withColumn("__b_idx", bIdx)
+    val kind = when(col("__m_idx") >= 0, kindOf(col("__m_idx"), matched))
+      .when(col("__b_idx") >= 0, kindOf(col("__b_idx"), bySource))
+      .otherwise(lit(0))
+    val withKind = classified.withColumn("__kind", kind)
+    if (rewriteFiles.nonEmpty) withKind.persist()
+    try {
+      def tCol(c: String): org.apache.spark.sql.Column =
+        if (surfaceCols.contains(c)) col(s"t.`$c`")
+        else lit(null).cast(source0.schema(c).dataType)
+      def sCol(c: String): org.apache.spark.sql.Column =
+        if (srcCols.contains(c)) col(s"s.`$c`") else col(s"t.`$c`")
+      def updValue(c: String, set: Map[String, String]) =
+        if (set.isEmpty) sCol(c) // UPDATE SET *
+        else set.get(c).map(expr).getOrElse(tCol(c))
+      def rewProj(c: String): org.apache.spark.sql.Column = {
+        val branches =
+          matched.zipWithIndex.collect { case (MatchedUpdate(_, s), i) =>
+            (col("__m_idx") === i) -> updValue(c, s)
+          } ++
+          bySource.zipWithIndex.collect { case (BySourceUpdate(_, s), i) =>
+            (col("__b_idx") === i) -> updValue(c, s)
+          }
+        branches.foldRight(tCol(c)) { case ((p, v), els) =>
+          when(p, v).otherwise(els)
+        }.as(c)
+      }
+      val preCols = surfaceCols.map(c => col(s"t.`$c`").as(c))
+      def toPhysG(df: DataFrame) = recomputeGenerated(snap, physicalize(snap, df))
+      val keptAndUpdated = toPhysG(withKind.where(col("__kind") =!= 2)
+        .select(outCols.map(rewProj): _*))
+      val physInsert = insertRows.map(toPhysG)
+      val newData = (Seq(keptAndUpdated) ++ physInsert.toSeq)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      // row-level change record, committed atomically with the rewrite:
+      // pre-images as stored (no generated backfill), post-images and
+      // inserts exactly as written
+      val preUpd = physicalize(snap, withKind.where(col("__kind") === 1)
+        .select(preCols: _*))
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+      val postUpd = toPhysG(withKind.where(col("__kind") === 1)
+        .select(outCols.map(rewProj): _*))
+        .withColumn(ChangeTypeCol, lit("update_postimage"))
+      val preDel = physicalize(snap, withKind.where(col("__kind") === 2)
+        .select(preCols: _*))
+        .withColumn(ChangeTypeCol, lit("delete"))
+      val cdfData = (Seq(preUpd, postUpd, preDel) ++
+        physInsert.map(_.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val staged = stageData(newData)
+      val stagedCdf = stageData(cdfData, prefix = "cdf", collectStats = false)
+      enforceConstraints(effectiveChecks(snap), staged,
+        mergeSchemas(snap.schema, newData.schema), staged ++ stagedCdf,
+        "conditional merge into")
+      val mayMatch: Seq[(String, Option[FileStats])] => Boolean =
+        if (bySource.nonEmpty) _.nonEmpty // by-source reads every unmatched row
+        else addsMayMatchKeys(physicalize(snap, source0),
+          keys.map(physicalName(snap, _)))
+      fireBeforeCommitHook()
+      val identitySync = identitySyncActions(snap, newData)
+      commitLoop(s"conditional merge into $tablePath") { st =>
+        requireRenamesStable(snap, st, staged ++ stagedCdf, "conditional merge into")
+        findConflict(snap, st, rewriteFiles.toSet, mayMatch).foreach { why =>
+          (staged ++ stagedCdf).foreach { case (f, _) =>
+            fs.delete(new Path(root, f), false)
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting concurrent commit on $tablePath during conditional " +
+              s"merge: $why; rerun against the new state")
+        }
+        Some(rewriteFiles.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+          stagedCdf.map { case (p, _) => Cdf(p) } ++
+          identitySync :+
+          Meta(mergeSchemas(st.schema, newData.schema).toDDL))
+      }
+    } finally if (rewriteFiles.nonEmpty) withKind.unpersist()
+  }
+
   /** SCD TYPE 2 merge — the history-preserving upsert every warehouse
     * dimension load uses (Kimball's slowly-changing dimension): rows
     * carry [[TxTable.ScdFromCol]]/[[TxTable.ScdToCol]] change-epoch
@@ -3210,6 +3440,74 @@ object TxTable {
 
   case class CommitInfo(version: Long, timestampMs: Long, operation: String,
                         filesAdded: Int, filesRemoved: Int)
+
+  /** Clause set for [[TxTable.mergeConditional]] — the published
+    * conditional-MERGE surface (`MERGE INTO t USING s ON keys WHEN
+    * MATCHED [AND cond] THEN UPDATE/DELETE | WHEN NOT MATCHED [AND
+    * cond] THEN INSERT | WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE/DELETE`). Conditions and SET expressions are SQL over the
+    * SURFACE schema with target columns qualified `t.` and source
+    * columns `s.` (by-source clauses see only `t.`). Per row, clause
+    * order is first-match-wins; a `None` condition always applies; a
+    * condition evaluating NULL does not apply (WHERE semantics).
+    */
+  sealed trait MatchedClause { def condition: Option[String] }
+  /** UPDATE SET col → SQL expr. An EMPTY `set` is `UPDATE SET *`:
+    * every target column present in the source takes `s.col`
+    * (target-only columns keep their value; source-only columns
+    * evolve in, as [[TxTable.merge]] does).
+    */
+  case class MatchedUpdate(condition: Option[String],
+                           set: Map[String, String] = Map.empty) extends MatchedClause
+  case class MatchedDelete(condition: Option[String]) extends MatchedClause
+  sealed trait BySourceClause { def condition: Option[String] }
+  case class BySourceUpdate(condition: Option[String],
+                            set: Map[String, String]) extends BySourceClause
+  case class BySourceDelete(condition: Option[String]) extends BySourceClause
+
+  /** Fluent surface over [[TxTable.mergeConditional]]; obtain via
+    * [[TxTable.mergeBuilder]]. Pass conditions as SQL strings (`null`
+    * = unconditional). Example:
+    * {{{
+    * t.mergeBuilder(updates, Seq("id"))
+    *   .whenMatchedDelete("s.op = 'D'")
+    *   .whenMatchedUpdate(Map("qty" -> "t.qty + s.qty"))
+    *   .whenNotMatchedInsertAll("s.op <> 'D'")
+    *   .whenNotMatchedBySourceDelete("t.expired")
+    *   .run()
+    * }}}
+    */
+  final class MergeBuilder private[core] (t: TxTable, source: DataFrame,
+                                          keys: Seq[String]) {
+    private var matched = Vector.empty[MatchedClause]
+    private var notMatched: Option[Option[String]] = None
+    private var bySource = Vector.empty[BySourceClause]
+    def whenMatchedUpdate(set: Map[String, String],
+                          condition: String = null): MergeBuilder = {
+      require(set.nonEmpty, "whenMatchedUpdate needs a non-empty SET " +
+        "(use whenMatchedUpdateAll for UPDATE SET *)")
+      matched :+= MatchedUpdate(Option(condition), set); this
+    }
+    def whenMatchedUpdateAll(condition: String = null): MergeBuilder = {
+      matched :+= MatchedUpdate(Option(condition), Map.empty); this
+    }
+    def whenMatchedDelete(condition: String = null): MergeBuilder = {
+      matched :+= MatchedDelete(Option(condition)); this
+    }
+    def whenNotMatchedInsertAll(condition: String = null): MergeBuilder = {
+      require(notMatched.isEmpty, "at most one whenNotMatchedInsertAll clause")
+      notMatched = Some(Option(condition)); this
+    }
+    def whenNotMatchedBySourceUpdate(set: Map[String, String],
+                                     condition: String = null): MergeBuilder = {
+      require(set.nonEmpty, "whenNotMatchedBySourceUpdate needs a non-empty SET")
+      bySource :+= BySourceUpdate(Option(condition), set); this
+    }
+    def whenNotMatchedBySourceDelete(condition: String = null): MergeBuilder = {
+      bySource :+= BySourceDelete(Option(condition)); this
+    }
+    def run(): Unit = t.mergeConditional(source, keys, matched, notMatched, bySource)
+  }
 
   /** Per-column footer stats (JSON-typed so they serialize into the
     * manifest verbatim: JLong, JDouble, or JString). `nulls == -1`

@@ -410,6 +410,55 @@ object ScaleOps {
   def qTxMerge(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(mergedOrdersTable(s, dir).read())
 
+  /** Key-clustered ACID clone of orders hit by ONE conditional MERGE
+    * ([[graft.core.TxTable.mergeBuilder]]) exercising every clause
+    * family at once: matched DELETE (op='D'), matched UPDATE with a
+    * cross-side SET (t.price + s.price), a CONDITIONAL insert
+    * (op='I' inserts, op='X' is dropped), and both NOT MATCHED BY
+    * SOURCE clauses (delete one unmatched key slice, re-label
+    * another). Built once per (session, dir).
+    */
+  private[ext] def condMergedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-mergecond:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txmergecond_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      t.append(base.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      val shift = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      val upserts = base.where(col("o_orderkey") % 50 === 0)
+        .withColumn("op",
+          when(col("o_orderkey") % 200 === 0, lit("D")).otherwise(lit("U")))
+      val inserts = base.where(col("o_orderkey") % 250 === 0)
+        .withColumn("op",
+          when(col("o_orderkey") % 500 === 0, lit("I")).otherwise(lit("X")))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(shift))
+      t.mergeBuilder(upserts.unionByName(inserts), Seq("o_orderkey"))
+        .whenMatchedDelete("s.op = 'D'")
+        .whenMatchedUpdate(Map("o_totalprice" -> "t.o_totalprice + s.o_totalprice"))
+        .whenNotMatchedInsertAll("s.op = 'I'")
+        .whenNotMatchedBySourceDelete("t.o_orderkey % 97 = 5")
+        .whenNotMatchedBySourceUpdate(
+          Map("o_orderpriority" -> "'9-BYSRC'"), "t.o_orderkey % 97 = 13")
+        .run()
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-conditional-MERGE table aggregated by priority: matches
+    * the oracle's per-clause SQL reconstruction ONLY if every clause
+    * claimed exactly its rows, in order, and left the rest untouched.
+    */
+  def qTxMergeCond(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(condMergedOrdersTable(s, dir).read())
+
   /** Key-clustered ACID clone of orders with the January-1996 window
     * DELETED (copy-on-write: manifest stats keep non-overlapping files
     * from even being scanned; only files actually containing matches
@@ -1105,6 +1154,7 @@ object ScaleOps {
     "q_tx_flat" -> (qTxFlat _),
     "q_tx_skip" -> (qTxSkip _),
     "q_tx_merge" -> (qTxMerge _),
+    "q_tx_merge_cond" -> (qTxMergeCond _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_delkeys" -> (qTxDelKeys _),
     "q_tx_dv" -> (qTxDv _),
@@ -1249,6 +1299,35 @@ object ScaleOps {
         |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // per-clause SQL reconstruction of the conditional MERGE: matched
+    // updates (op='U') add prices, matched deletes (op='D') vanish,
+    // only op='I' shifted rows insert, and the NOT MATCHED BY SOURCE
+    // clauses delete the %97=5 slice and re-label the %97=13 slice of
+    // the unmatched remainder
+    "q_tx_merge_cond" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN o_orderkey % 200 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |merged AS (
+        |  SELECT t.o_orderkey, t.o_orderpriority,
+        |         t.o_totalprice + s.o_totalprice AS o_totalprice
+        |  FROM orders t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.op = 'U'
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 97 = 13 THEN '9-BYSRC'
+        |              ELSE o_orderpriority END,
+        |         o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 50 <> 0 AND o_orderkey % 97 <> 5
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT m FROM mx), o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 500 = 0)
         |SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

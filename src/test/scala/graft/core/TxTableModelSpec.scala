@@ -63,7 +63,7 @@ class TxTableModelSpec extends SparkTestBase {
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
       (0 until fuzzIters).foreach { _ =>
-        rnd.nextInt(14) match {
+        rnd.nextInt(15) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -194,6 +194,40 @@ class TxTableModelSpec extends SparkTestBase {
               t.replaceWhere(col(kc) >= lo && col(kc) <= hi, batch.toDF(kc, vc))
               model = model.filterNot(r => r._1 >= lo && r._1 <= hi) ++
                 batch.map { case (k, v) => (k, Some(v)) }
+            }
+          case 14 => // conditional MERGE: all clause families in one
+            // commit — matched delete (source value ends in 0),
+            // matched update (concat; NULL-valued carried rows stay
+            // NULL, SQL concat semantics), conditional insert (source
+            // value not ending in 9), and a by-source re-label of the
+            // %7 key slice — against whatever schema/layout state the
+            // other ops built (skipped while the value column is
+            // dropped, like merge)
+            if (vLive && t.version >= 0) {
+              val src = rows(1 + rnd.nextInt(5))
+                .groupBy(_._1).map(_._2.head).toVector
+              t.mergeBuilder(src.toDF(kc, vc), Seq(kc))
+                .whenMatchedDelete(s"s.`$vc` like '%0'")
+                .whenMatchedUpdate(Map(vc -> s"concat(t.`$vc`, '+', s.`$vc`)"))
+                .whenNotMatchedInsertAll(s"s.`$vc` not like '%9'")
+                .whenNotMatchedBySourceUpdate(
+                  Map(vc -> s"concat(t.`$vc`, '~')"), s"t.`$kc` % 7 = 0")
+                .run()
+              val srcMap = src.toMap
+              val tgtKeys = model.iterator.map(_._1).toSet
+              model = model.flatMap { case (k, ov) =>
+                srcMap.get(k) match {
+                  case Some(sv) =>
+                    if (sv.endsWith("0")) None // matched delete
+                    else Some((k, ov.map(_ + "+" + sv))) // concat: null stays null
+                  case None =>
+                    if (k % 7 == 0) Some((k, ov.map(_ + "~")))
+                    else Some((k, ov))
+                }
+              } ++ src.iterator
+                .filterNot { case (k, _) => tgtKeys.contains(k) }
+                .filterNot { case (_, v) => v.endsWith("9") }
+                .map { case (k, v) => (k, Some(v)) }
             }
         }
         if (t.version >= 0) {
