@@ -1898,7 +1898,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def mergeConditional(source: DataFrame, keys: Seq[String],
       matched: Seq[TxTable.MatchedClause],
-      notMatchedInsert: Option[Option[String]],
+      notMatchedInsert: Option[TxTable.NotMatchedInsert],
       bySource: Seq[TxTable.BySourceClause]): Unit = {
     require(keys.nonEmpty, "mergeConditional needs at least one key column")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || bySource.nonEmpty,
@@ -1911,7 +1911,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
 
   private def mergeConditional0(source0: DataFrame, keys: Seq[String],
       matched: Seq[TxTable.MatchedClause],
-      notMatchedInsert: Option[Option[String]],
+      notMatchedInsert: Option[TxTable.NotMatchedInsert],
       bySource: Seq[TxTable.BySourceClause]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
     import TxTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate}
@@ -1935,15 +1935,26 @@ class TxTable(spark: SparkSession, val tablePath: String,
     require(unknownSet.isEmpty || snap.schema.isEmpty,
       s"SET targets unknown column(s) ${unknownSet.mkString(", ")} of $tablePath — " +
         "conditional merge updates existing columns; new columns arrive via inserts")
+    val unknownIns = notMatchedInsert.map(_.values.keySet.diff(surfaceCols.toSet))
+      .getOrElse(Set.empty)
+    require(unknownIns.isEmpty || snap.schema.isEmpty,
+      s"INSERT values target unknown column(s) ${unknownIns.mkString(", ")} of " +
+        s"$tablePath — explicit-values inserts write existing columns only")
     val dupes = source0.groupBy(keys.map(k => col(s"`$k`")): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dupes == 0,
       s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
         "a multi-match clause application would be row-order-dependent")
     if (snap.files.isEmpty) {
-      notMatchedInsert.foreach { cond =>
-        val ins = cond.map(c => source0.as("s").where(coalesce(expr(c), lit(false))))
+      notMatchedInsert.foreach { ins0 =>
+        val filtered = ins0.condition
+          .map(c => source0.as("s").where(coalesce(expr(c), lit(false))))
           .getOrElse(source0)
+        val ins =
+          if (ins0.values.isEmpty) filtered
+          else filtered.as("s").select(
+            ins0.values.toSeq.sortBy(_._1)
+              .map { case (c, e) => expr(e).as(c) }: _*)
         if (ins.limit(1).count() > 0) append(ins)
       }
       return
@@ -1976,10 +1987,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // whole table — provenance found every file holding any match
     val tgtMatchKeys = logicalize(snap, readState(snap.copy(files = matchedFiles)))
       .select(keys.map(k => col(s"`$k`")): _*).distinct()
-    val insertRows = notMatchedInsert.map { cond =>
+    val insertRows = notMatchedInsert.map { ins0 =>
       val anti = source0.as("s")
         .join(tgtMatchKeys.as("t"), keyCond("s", "t"), "left_anti")
-      cond.map(c => anti.where(coalesce(expr(c), lit(false)))).getOrElse(anti)
+      val filtered = ins0.condition
+        .map(c => anti.where(coalesce(expr(c), lit(false)))).getOrElse(anti)
+      if (ins0.values.isEmpty) filtered
+      else filtered.select(ins0.values.toSeq.sortBy(_._1)
+        .map { case (c, e) => expr(e).as(c) }: _*)
     }
     val anyInserts = insertRows.exists(_.limit(1).count() > 0)
     if (rewriteFiles.isEmpty && !anyInserts) return
@@ -1987,7 +2002,14 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // ---- per-row clause engine over the rewrite set (surface names) ----
     val tgtRows = logicalize(snap, readState(snap.copy(files = rewriteFiles)))
     val srcCols = source0.columns.toSeq
-    val extraCols = srcCols.filterNot(surfaceCols.contains)
+    // schema evolution only flows through the * forms (UPDATE SET * /
+    // INSERT *); explicit SET/VALUES clauses write existing columns
+    // only, so source-side metadata columns never leak into the table
+    val evolves = matched.exists {
+      case MatchedUpdate(_, s) => s.isEmpty
+      case _ => false
+    } || notMatchedInsert.exists(_.values.isEmpty)
+    val extraCols = if (evolves) srcCols.filterNot(surfaceCols.contains) else Nil
     val outCols = surfaceCols ++ extraCols
     val sPresent = coalesce(col("__s_present"), lit(false))
     def condCol(c: Option[String]): org.apache.spark.sql.Column =
@@ -3460,6 +3482,14 @@ object TxTable {
   case class MatchedUpdate(condition: Option[String],
                            set: Map[String, String] = Map.empty) extends MatchedClause
   case class MatchedDelete(condition: Option[String]) extends MatchedClause
+  /** INSERT clause. Empty `values` = INSERT * (the full source row;
+    * source-only columns evolve in). Non-empty `values` (col → SQL
+    * over `s.`) inserts exactly those columns, others null — the form
+    * that keeps source-side metadata columns (a CDC op marker) out of
+    * the target schema.
+    */
+  case class NotMatchedInsert(condition: Option[String],
+                              values: Map[String, String] = Map.empty)
   sealed trait BySourceClause { def condition: Option[String] }
   case class BySourceUpdate(condition: Option[String],
                             set: Map[String, String]) extends BySourceClause
@@ -3480,7 +3510,7 @@ object TxTable {
   final class MergeBuilder private[core] (t: TxTable, source: DataFrame,
                                           keys: Seq[String]) {
     private var matched = Vector.empty[MatchedClause]
-    private var notMatched: Option[Option[String]] = None
+    private var notMatched: Option[NotMatchedInsert] = None
     private var bySource = Vector.empty[BySourceClause]
     def whenMatchedUpdate(set: Map[String, String],
                           condition: String = null): MergeBuilder = {
@@ -3495,8 +3525,15 @@ object TxTable {
       matched :+= MatchedDelete(Option(condition)); this
     }
     def whenNotMatchedInsertAll(condition: String = null): MergeBuilder = {
-      require(notMatched.isEmpty, "at most one whenNotMatchedInsertAll clause")
-      notMatched = Some(Option(condition)); this
+      require(notMatched.isEmpty, "at most one whenNotMatchedInsert* clause")
+      notMatched = Some(NotMatchedInsert(Option(condition))); this
+    }
+    def whenNotMatchedInsert(values: Map[String, String],
+                             condition: String = null): MergeBuilder = {
+      require(values.nonEmpty, "whenNotMatchedInsert needs non-empty values " +
+        "(use whenNotMatchedInsertAll for INSERT *)")
+      require(notMatched.isEmpty, "at most one whenNotMatchedInsert* clause")
+      notMatched = Some(NotMatchedInsert(Option(condition), values)); this
     }
     def whenNotMatchedBySourceUpdate(set: Map[String, String],
                                      condition: String = null): MergeBuilder = {

@@ -98,4 +98,48 @@ object CdcApply {
     }
     if (!live.isEmpty) target.merge(live, keys)
   }
+
+  /** [[apply]] in ONE commit: upserts and dead-key deletes land
+    * atomically via the conditional MERGE
+    * ([[TxTable.mergeBuilder]]), so a replica reader never observes
+    * the torn middle state (deletes applied, upserts not) the
+    * two-verb path exposes between its commits. The op marker rides a
+    * source-side column and the clauses use explicit SET/VALUES, so
+    * it never enters the target schema.
+    *
+    * Contract difference vs [[apply]]: explicit SET/VALUES write the
+    * CURRENT common schema — an upstream column the target does not
+    * have yet is rejected loudly (pre-evolve the target, or use
+    * [[apply]], whose INSERT-star merge path evolves). Generated columns
+    * recompute on the target; identity values carry through inserts
+    * (the replica convention) but, being table-managed, cannot be
+    * SET on matched updates — a replica of an identity table relies
+    * on upstream identity immutability, which [[TxTable]] holds
+    * (appends assign once; merges carry values forward).
+    */
+  def applyAtomic(target: TxTable, batch: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "CDC application needs at least one key column")
+    val rank = TypeRank.foldLeft(lit(-1)) { case (acc, (t, r)) =>
+      when(col(TxTable.ChangeTypeCol) === t, lit(r)).otherwise(acc)
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TxTable.CommitVersionCol).desc, rank.desc)
+    val src = batch
+      .where(col(TxTable.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .withColumn("__cdc_dead", col(TxTable.ChangeTypeCol) === "delete")
+      .drop("__rk", TxTable.ChangeTypeCol, TxTable.CommitVersionCol)
+    if (src.isEmpty) return
+    val dataCols = src.columns.toSeq.filterNot(_ == "__cdc_dead")
+    val managed = target.generatedColumns.keySet ++ target.identityColumns.keySet
+    val set = dataCols.filterNot(keys.contains).filterNot(managed)
+      .map(c => c -> s"s.`$c`").toMap
+    val insertValues = dataCols.filterNot(managed -- target.identityColumns.keySet)
+      .map(c => c -> s"s.`$c`").toMap
+    val b = target.mergeBuilder(src, keys)
+      .whenMatchedDelete("s.__cdc_dead")
+      .whenNotMatchedInsert(insertValues, "NOT s.__cdc_dead")
+    (if (set.nonEmpty) b.whenMatchedUpdate(set, "NOT s.__cdc_dead") else b).run()
+  }
 }

@@ -190,6 +190,27 @@ class MergeBuilderSpec extends SparkTestBase {
     assert(got == Seq(-1L -> "updated", 1L -> "a"))
   }
 
+  test("explicit-values insert keeps source metadata columns out of the schema") {
+    val t = table(); seed(t)
+    val src = Seq((1L, "u", 1.0, true), (90L, "n", 9.0, false),
+      (91L, "dead", 9.0, true)).toDF("id", "v", "amt", "meta")
+    t.mergeBuilder(src, Seq("id"))
+      .whenMatchedUpdate(Map("v" -> "s.v"))
+      .whenNotMatchedInsert(
+        Map("id" -> "s.id", "v" -> "s.v", "amt" -> "s.amt"), "NOT s.meta")
+      .run()
+    // explicit SET/VALUES → no evolution: meta never enters the schema
+    assert(!t.read().columns.contains("meta"))
+    assert(rows(t.read()) == Seq(
+      (1L, "u", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (90L, "n", 9.0)))
+    // and an insert targeting an unknown column is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      t.mergeBuilder(src, Seq("id"))
+        .whenNotMatchedInsert(Map("nope" -> "s.v")).run()
+    }
+    assert(err.getMessage.contains("unknown column"))
+  }
+
   test("conditional merge is equivalent to merge() for updateAll+insertAll") {
     val t1 = table(); seed2(t1)
     val t2 = table(); seed2(t2)

@@ -157,4 +157,56 @@ class CdcApplySpec extends SparkTestBase {
     assert(snap(dst) == snap(src))
     assert(snap(dst) == Set((10L, "a", 100.0), (2L, "b", 2.0)))
   }
+
+  test("applyAtomic: one commit per slice, same convergence, no marker leak") {
+    val (src, dst) = tables()
+    var cursor = -1L
+    def sync(): Unit = {
+      val to = src.version
+      if (to > cursor) {
+        val v0 = dst.version
+        CdcApply.applyAtomic(dst, src.readChangeFeed(cursor, to), Seq("id"))
+        cursor = to
+        assert(dst.version <= v0 + 1,
+          s"atomic apply must land in at most one commit (v$v0 -> v${dst.version})")
+      }
+      assert(snap(dst) == snap(src), s"replica diverged at v$to")
+      assert(!dst.read().columns.contains("__cdc_dead"),
+        "the CDC op marker leaked into the replica schema")
+    }
+    src.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "v", "amount"))
+    sync()
+    // mixed slice: update + delete + insert all in one atomic apply
+    src.update(col("id") === 2L, Map("amount" -> lit(21.0)))
+    src.delete(col("id") === 1L)
+    src.append(Seq((4L, "d", 40.0)).toDF("id", "v", "amount"))
+    sync()
+    src.merge(Seq((3L, "c2", 33.0), (5L, "e", 50.0)).toDF("id", "v", "amount"),
+      Seq("id"))
+    sync()
+    // at-least-once: re-applying the last slice is a no-op
+    val before = snap(dst)
+    CdcApply.applyAtomic(dst, src.readChangeFeed(-1L, src.version), Seq("id"))
+    assert(snap(dst) == before)
+  }
+
+  test("applyAtomic recomputes generated columns on the replica") {
+    val (src, _) = tables()
+    val dst = new TxTable(spark, tmpDir("cdc-dst-gen"))
+    src.append(Seq((1L, "a", 10.0)).toDF("id", "v", "amount"))
+    // replica declares its own generated column over the replicated data
+    dst.append(Seq((0L, "seed", 1.0)).toDF("id", "v", "amount"))
+    dst.addGeneratedColumn("amount2", "amount * 2")
+    CdcApply.applyAtomic(dst, src.readChangeFeed(-1L, src.version), Seq("id"))
+    val got = dst.read().where(col("id") === 1L)
+      .select("amount2").as[Double].collect().toSeq
+    assert(got == Seq(20.0))
+    val from = src.version
+    src.update(col("id") === 1L, Map("amount" -> lit(15.0)))
+    CdcApply.applyAtomic(dst, src.readChangeFeed(from, src.version), Seq("id"))
+    val got2 = dst.read().where(col("id") === 1L)
+      .select("amount2").as[Double].collect().toSeq
+    assert(got2 == Seq(30.0))
+  }
 }

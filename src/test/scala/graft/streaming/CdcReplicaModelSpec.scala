@@ -44,15 +44,17 @@ class CdcReplicaModelSpec extends SparkTestBase {
 
       def sync(): Unit = {
         val to = src.version
-        // half the syncs force the distributed deleteKeys path (gate
-        // 0), half take the collected-predicate path — both must
-        // converge identically
-        if (rnd.nextBoolean())
-          spark.conf.set(CdcApply.MaxDeleteKeysCollectKey, "0")
+        // rotate all three application paths — collected-predicate
+        // deletes, distributed deleteKeys (gate 0), and the atomic
+        // one-commit conditional merge — all must converge identically
+        val mode = rnd.nextInt(3)
+        if (mode == 1) spark.conf.set(CdcApply.MaxDeleteKeysCollectKey, "0")
         else spark.conf.unset(CdcApply.MaxDeleteKeysCollectKey)
         if (to > cursor) {
-          try CdcApply(dst, src.readChangeFeed(cursor, to), Seq("k"))
-          catch {
+          try {
+            if (mode == 2) CdcApply.applyAtomic(dst, src.readChangeFeed(cursor, to), Seq("k"))
+            else CdcApply(dst, src.readChangeFeed(cursor, to), Seq("k"))
+          } catch {
             case _: IllegalStateException =>
               // the range spans an overwrite/restore: the documented
               // boundary — recover with a full re-sync
