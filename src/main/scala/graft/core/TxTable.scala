@@ -1417,11 +1417,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * schema/constraints, or appended files whose stats cannot prove
     * them disjoint from the predicate.
     */
-  def replaceWhere(predicate: org.apache.spark.sql.Column, df0: DataFrame): Unit = {
+  def replaceWhere(predicate: org.apache.spark.sql.Column, df0: DataFrame,
+                   partitionBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
     val snap = state()
     val df = computeGenerated(snap, physicalize(snap, df0))
-    val stagedNew = stageData(df)
+    val stagedNew = stageData(df, partitionBy = partitionBy.map(physicalName(snap, _)))
     val schema = mergeSchemas(snap.schema, df.schema)
     // an empty replacement (all staged parts provably empty) is a pure
     // slice delete; guard the zero-path reads below
@@ -1489,6 +1490,56 @@ class TxTable(spark: SparkSession, val tablePath: String,
         stagedCdf.map { case (p, _) => Cdf(p) } :+
         Meta(schema.toDDL))
     }
+  }
+
+  /** DYNAMIC partition overwrite (the published
+    * `partitionOverwriteMode=dynamic` semantics): atomically replace
+    * exactly the partitions PRESENT in `df` — the daily-reprocess
+    * verb: write the recomputed slices, every untouched partition
+    * survives byte-identical. The partition set derives from the
+    * DATA (one distinct over the partition columns, collected —
+    * bounded by the number of partitions written, the same
+    * driver-side enumeration the published committers perform, and
+    * capped loudly by `maxPartitions`). Delegates to [[replaceWhere]]
+    * with the derived predicate, inheriting the atomic swap, the
+    * row-level change record, and the conflict rules; the scope
+    * check is satisfied by construction. Replacement files stage
+    * VALUE-PURE per partition, so manifest stats prune later reads
+    * to exactly the partition directories a hive layout would.
+    * Single-column partitioning keeps the predicate an `isin` (+
+    * isNull arm) — the stat-prunable shape; multi-column sets fall
+    * back to an OR-of-conjuncts predicate (correct, pruned only by
+    * the exact re-filter).
+    */
+  def overwriteDynamic(df: DataFrame, partitionBy: Seq[String],
+                       maxPartitions: Int = 10000): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(partitionBy.nonEmpty, "overwriteDynamic needs partition columns")
+    val missing = partitionBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in " +
+        s"[${df.columns.mkString(", ")}]")
+    // one materialization decides the partition set AND feeds the write
+    df.persist()
+    try {
+      val parts = df.select(partitionBy.map(c => col(s"`$c`")): _*)
+        .distinct().limit(maxPartitions + 1).collect()
+      require(parts.length <= maxPartitions,
+        s"overwriteDynamic on $tablePath touches > $maxPartitions partitions — " +
+          "raise maxPartitions or use overwrite()/replaceWhere()")
+      if (parts.isEmpty) return
+      val pred = partitionBy match {
+        case Seq(k) =>
+          val (nulls, vals) = parts.map(_.get(0)).partition(_ == null)
+          (Option.when(vals.nonEmpty)(col(s"`$k`").isin(vals.toIndexedSeq: _*)) ++
+            Option.when(nulls.nonEmpty)(col(s"`$k`").isNull)).reduce(_ || _)
+        case ks => parts.toIndexedSeq.map(r =>
+            ks.zipWithIndex.map { case (k, i) => col(s"`$k`") <=> lit(r.get(i)) }
+              .reduce(_ && _))
+          .reduce(_ || _)
+      }
+      replaceWhere(pred, df, partitionBy)
+    } finally df.unpersist()
   }
 
   /** RESTORE: make the live table equal its state at `version` again,

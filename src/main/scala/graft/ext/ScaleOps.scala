@@ -459,6 +459,42 @@ object ScaleOps {
   def qTxMergeCond(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(condMergedOrdersTable(s, dir).read())
 
+  /** Priority-partitioned ACID clone of orders hit by ONE dynamic
+    * partition overwrite ([[graft.core.TxTable.overwriteDynamic]]):
+    * the frame holds recomputed rows (even keys, doubled price) for
+    * TWO priorities, so exactly those partitions swap and the other
+    * three survive byte-identical — the daily-reprocess verb, graded.
+    * Built once per (session, dir).
+    */
+  private[ext] def dynPartOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-dynpart:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txdynpart_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      t.append(base, partitionBy = Seq("o_orderpriority"))
+      val recomputed = base
+        .where(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM") &&
+          col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      t.overwriteDynamic(recomputed, Seq("o_orderpriority"))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The post-dynamic-overwrite table aggregated by priority: matches
+    * the oracle ONLY if exactly the two frame-present partitions were
+    * replaced and the rest carried.
+    */
+  def qTxDynpart(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(dynPartOrdersTable(s, dir).read())
+
   /** Key-clustered ACID clone of orders with the January-1996 window
     * DELETED (copy-on-write: manifest stats keep non-overlapping files
     * from even being scanned; only files actually containing matches
@@ -1155,6 +1191,7 @@ object ScaleOps {
     "q_tx_skip" -> (qTxSkip _),
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_merge_cond" -> (qTxMergeCond _),
+    "q_tx_dynpart" -> (qTxDynpart _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_delkeys" -> (qTxDelKeys _),
     "q_tx_dv" -> (qTxDv _),
@@ -1328,6 +1365,21 @@ object ScaleOps {
         |  UNION ALL
         |  SELECT o_orderkey + (SELECT m FROM mx), o_orderpriority, o_totalprice
         |  FROM orders WHERE o_orderkey % 500 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // dynamic partition overwrite: the two frame-present priorities
+    // hold only the recomputed rows (even keys, doubled price); the
+    // other three partitions carry unchanged
+    "q_tx_dynpart" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |    AND o_orderkey % 2 = 0)
         |SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

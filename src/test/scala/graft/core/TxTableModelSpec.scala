@@ -63,7 +63,7 @@ class TxTableModelSpec extends SparkTestBase {
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
       (0 until fuzzIters).foreach { _ =>
-        rnd.nextInt(15) match {
+        rnd.nextInt(16) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -228,6 +228,16 @@ class TxTableModelSpec extends SparkTestBase {
                 .filterNot { case (k, _) => tgtKeys.contains(k) }
                 .filterNot { case (_, v) => v.endsWith("9") }
                 .map { case (k, v) => (k, Some(v)) }
+            }
+          case 15 => // DYNAMIC partition overwrite keyed on k: every
+            // key present in the frame is a "partition" that swaps
+            // wholesale for the frame's rows; absent keys carry
+            if (vLive && t.version >= 0) {
+              val batch = rows(1 + rnd.nextInt(4))
+              t.overwriteDynamic(batch.toDF(kc, vc), Seq(kc))
+              val replaced = batch.map(_._1).toSet
+              model = model.filterNot(r => replaced.contains(r._1)) ++
+                batch.map { case (k, v) => (k, Some(v)) }
             }
         }
         if (t.version >= 0) {
