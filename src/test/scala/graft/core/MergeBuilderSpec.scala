@@ -211,6 +211,36 @@ class MergeBuilderSpec extends SparkTestBase {
     assert(err.getMessage.contains("unknown column"))
   }
 
+  test("by-source clauses make ANY concurrent append a conflict") {
+    val t = table(); seed(t)
+    val t2 = new TxTable(spark, t.tablePath)
+    t2.beforeCommitHook = () =>
+      t.append(Seq((100L, "race", 0.0)).toDF("id", "v", "amt"))
+    val src = Seq((1L, "u", 0.0)).toDF("id", "v", "amt")
+    intercept[java.util.ConcurrentModificationException] {
+      t2.mergeBuilder(src, Seq("id"))
+        .whenMatchedUpdateAll()
+        // never fires on any row — but its presence means the merge
+        // READ every unmatched row, so the late append must abort it
+        .whenNotMatchedBySourceDelete("t.id < 0")
+        .run()
+    }
+    // the racing append itself landed; nothing of the merge did
+    assert(rows(t.read()).map(_._1).contains(100L))
+    assert(rows(t.read()).find(_._1 == 1L).get._2 == "a")
+  }
+
+  test("without by-source, a key-disjoint concurrent append commits through") {
+    val t = table(); seed(t)
+    val t2 = new TxTable(spark, t.tablePath)
+    t2.beforeCommitHook = () =>
+      t.append(Seq((100L, "race", 0.0)).toDF("id", "v", "amt"))
+    val src = Seq((1L, "u", 1.0)).toDF("id", "v", "amt")
+    t2.mergeBuilder(src, Seq("id")).whenMatchedUpdateAll().run()
+    assert(rows(t.read()) == Seq(
+      (1L, "u", 1.0), (2L, "b", 20.0), (3L, "c", 30.0), (100L, "race", 0.0)))
+  }
+
   test("conditional merge is equivalent to merge() for updateAll+insertAll") {
     val t1 = table(); seed2(t1)
     val t2 = table(); seed2(t2)
