@@ -2016,22 +2016,27 @@ class TxTable(spark: SparkSession, val tablePath: String,
       rows.map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq
     val srcKeys = source0.select(keys.map(k => col(s"`$k`")): _*).distinct()
     val tgtAll = logicalize(snap, readState(snap)).withColumn("__file", input_file_name())
-    // files holding a matching key — ALWAYS computed (a key-pruned
-    // column scan): it both bounds the rewrite set and licenses the
-    // insert anti-join below
-    val matchedFiles = fileNames(tgtAll.as("t")
-      .join(srcKeys.as("s"), keyCond("t", "s"), "left_semi")
-      .select("__file").distinct().collect())
-    val bySourceFiles =
-      if (bySource.isEmpty) Nil
-      else {
-        val anyCond = bySource.map(_.condition
-          .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))).reduce(_ || _)
-        fileNames(tgtAll.as("t")
-          .join(srcKeys.as("s"), keyCond("t", "s"), "left_anti")
-          .where(anyCond)
-          .select("__file").distinct().collect())
-      }
+    // ONE provenance pass finds both file classes — files holding a
+    // matching key (bounds the rewrite set and licenses the insert
+    // anti-join below), and files holding an unmatched row some
+    // by-source condition claims
+    val bySourceOr =
+      if (bySource.isEmpty) lit(false)
+      else bySource.map(_.condition
+        .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))).reduce(_ || _)
+    val fileFlags = tgtAll.as("t")
+      .join(srcKeys.withColumn("__gmark", lit(true)).as("s"),
+        keyCond("t", "s"), "left_outer")
+      .withColumn("__gmatch", coalesce(col("__gmark"), lit(false)))
+      .where(col("__gmatch") || bySourceOr)
+      .groupBy(col("__file"))
+      .agg(org.apache.spark.sql.functions.max(when(col("__gmatch"), 1).otherwise(0)).as("__hasm"),
+        org.apache.spark.sql.functions.max(when(!col("__gmatch") && bySourceOr, 1).otherwise(0)).as("__hasb"))
+      .collect()
+    def flagged(idx: Int): Seq[String] = fileNames(
+      fileFlags.filter(_.getInt(idx) == 1))
+    val matchedFiles = flagged(1)
+    val bySourceFiles = flagged(2)
     val rewriteFiles =
       ((if (matched.nonEmpty) matchedFiles else Nil) ++ bySourceFiles).distinct
     // a source key absent from the matching files is absent from the
@@ -2047,8 +2052,9 @@ class TxTable(spark: SparkSession, val tablePath: String,
       else filtered.select(ins0.values.toSeq.sortBy(_._1)
         .map { case (c, e) => expr(e).as(c) }: _*)
     }
-    val anyInserts = insertRows.exists(_.limit(1).count() > 0)
-    if (rewriteFiles.isEmpty && !anyInserts) return
+    // the insert probe is only needed for the provable-no-op exit, so
+    // it never runs when a rewrite is already happening
+    if (rewriteFiles.isEmpty && !insertRows.exists(_.limit(1).count() > 0)) return
 
     // ---- per-row clause engine over the rewrite set (surface names) ----
     val tgtRows = logicalize(snap, readState(snap.copy(files = rewriteFiles)))
