@@ -6,7 +6,7 @@ import scala.annotation.tailrec
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -577,6 +577,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
         else d.withColumn(n, expr(e))
       }
     }
+
+  /** Whether evolve-on-write may WIDEN column types for this state
+    * ([[TxTable.TypeWideningProp]]).
+    */
+  private def widenOn(st: State): Boolean =
+    st.properties.get(TxTable.TypeWideningProp).contains("true")
 
   /** CHECK set in force for a write: declared constraints plus each
     * generated column's `col <=> (expr)` gate.
@@ -1267,7 +1273,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       } else {
         requireRenamesStable(snap0, st, staged, "append to")
         requireComputedColumnsStable(snap0, st, staged, "append to")
-        val schema = mergeSchemas(st.schema, df.schema)
+        val schema = mergeSchemas(st.schema, df.schema, widenOn(st))
         if (effectiveChecks(st) != checkedFor) {
           enforceConstraints(effectiveChecks(st), staged, schema, staged, "append to")
           checkedFor = effectiveChecks(st)
@@ -1311,7 +1317,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
           partitionBy = partitionBy.map(physicalName(stv, _)),
           filesPerValue = filesPerValue)
         prevStaged = staged
-        val schema = mergeSchemas(st.schema, df.schema)
+        val schema = mergeSchemas(st.schema, df.schema, widenOn(st))
         enforceConstraints(effectiveChecks(st), staged, schema, staged,
           "identity append to")
         Some(staged.map { case (p, s) => Add(p, s) } ++
@@ -1423,7 +1429,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val snap = state()
     val df = computeGenerated(snap, physicalize(snap, df0))
     val stagedNew = stageData(df, partitionBy = partitionBy.map(physicalName(snap, _)))
-    val schema = mergeSchemas(snap.schema, df.schema)
+    val schema = mergeSchemas(snap.schema, df.schema, widenOn(snap))
     // an empty replacement (all staged parts provably empty) is a pure
     // slice delete; guard the zero-path reads below
     def readStagedNew: DataFrame =
@@ -1887,7 +1893,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // snap's constraint set is authoritative: any concurrent DDL bumps
     // the version and the strict rule below aborts the merge anyway
     enforceConstraints(effectiveChecks(snap), staged,
-      mergeSchemas(snap.schema, newData.schema), staged ++ stagedCdf, "merge into")
+      mergeSchemas(snap.schema, newData.schema, widenOn(snap)), staged ++ stagedCdf, "merge into")
     val mayMatch = addsMayMatchKeys(source, keys)
     fireBeforeCommitHook()
     val identitySync = identitySyncActions(snap, source)
@@ -1909,7 +1915,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
         stagedCdf.map { case (p, _) => Cdf(p) } ++
         identitySync :+
-        Meta(mergeSchemas(st.schema, newData.schema).toDDL))
+        Meta(mergeSchemas(st.schema, newData.schema, widenOn(st)).toDDL))
     }
   }
 
@@ -2145,7 +2151,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val staged = stageData(newData)
       val stagedCdf = stageData(cdfData, prefix = "cdf", collectStats = false)
       enforceConstraints(effectiveChecks(snap), staged,
-        mergeSchemas(snap.schema, newData.schema), staged ++ stagedCdf,
+        mergeSchemas(snap.schema, newData.schema, widenOn(snap)), staged ++ stagedCdf,
         "conditional merge into")
       val mayMatch: Seq[(String, Option[FileStats])] => Boolean =
         if (bySource.nonEmpty) _.nonEmpty // by-source reads every unmatched row
@@ -2166,7 +2172,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         Some(rewriteFiles.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
           stagedCdf.map { case (p, _) => Cdf(p) } ++
           identitySync :+
-          Meta(mergeSchemas(st.schema, newData.schema).toDDL))
+          Meta(mergeSchemas(st.schema, newData.schema, widenOn(st)).toDDL))
       }
     } finally if (rewriteFiles.nonEmpty) withKind.unpersist()
   }
@@ -4150,25 +4156,67 @@ object TxTable {
     }
   }
 
-  /** Name-keyed schema union: existing column order is preserved, new
-    * columns append; an existing column whose type changed fails — the
-    * add-nullable-columns evolution contract (same as the emulated
-    * mergeSchema path, RawIngest §7.5.6).
+  /** Table property enabling TYPE WIDENING on evolve-on-write (the
+    * published type-widening feature): `setProperty(TypeWideningProp,
+    * "true")`. With it on, an incoming column whose type differs from
+    * the committed one by a WIDENING (byte→short→int→long,
+    * float→double, in either direction of arrival) merges to the
+    * wider type instead of failing; anything else still fails.
     */
-  private[core] def mergeSchemas(existing: Option[StructType], incoming: StructType): StructType =
+  val TypeWideningProp = "graft.typeWidening"
+
+  private val integralRank: Map[DataType, Int] =
+    Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+
+  /** The wider of two types when (a, b) is a legal widening pair —
+    * exactly the conversions the vectorized parquet reader performs
+    * when the requested schema is wider than the file (probed on this
+    * Spark), so every already-written file stays readable under the
+    * widened schema and every already-recorded stat compares (the
+    * manifest normalizes integral stats to JLong, floating to
+    * JDouble).
+    */
+  private[core] def widened(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else if (integralRank.contains(a) && integralRank.contains(b))
+      Some(if (integralRank(a) >= integralRank(b)) a else b)
+    else (a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+
+  /** Name-keyed schema union: existing column order is preserved, new
+    * columns append; an existing column whose type changed fails —
+    * the add-nullable-columns evolution contract (same as the
+    * emulated mergeSchema path, RawIngest §7.5.6) — unless
+    * `allowWiden` (from [[TypeWideningProp]]) and the change is a
+    * legal widening, in which case the column takes the wider type.
+    */
+  private[core] def mergeSchemas(existing: Option[StructType], incoming: StructType,
+                                 allowWiden: Boolean = false): StructType =
     existing match {
       case None => incoming
       case Some(cur) =>
-        cur.foreach { f =>
-          incoming.find(_.name == f.name).foreach { g =>
-            require(g.dataType == f.dataType,
-              s"column ${f.name}: type ${g.dataType.simpleString} conflicts with " +
-                s"committed ${f.dataType.simpleString} — evolution adds columns, " +
-                "never changes types")
+        val merged = cur.map { f =>
+          incoming.find(_.name == f.name) match {
+            case None => f
+            case Some(g) =>
+              val t =
+                if (g.dataType == f.dataType) f.dataType
+                else if (allowWiden) widened(f.dataType, g.dataType).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"column ${f.name}: type ${g.dataType.simpleString} conflicts " +
+                      s"with committed ${f.dataType.simpleString} — not a legal " +
+                      "widening (byte/short/int/long chain, float/double)"))
+                else throw new IllegalArgumentException(
+                  s"column ${f.name}: type ${g.dataType.simpleString} conflicts with " +
+                    s"committed ${f.dataType.simpleString} — evolution adds columns, " +
+                    s"never changes types (set $TypeWideningProp=true for widening)")
+              f.copy(dataType = t)
           }
         }
         val newFields = incoming.filterNot(g => cur.exists(_.name == g.name))
-        StructType((cur ++ newFields).map(f => StructField(f.name, f.dataType, nullable = true)))
+        StructType((merged ++ newFields).map(f => StructField(f.name, f.dataType, nullable = true)))
     }
 }
 
