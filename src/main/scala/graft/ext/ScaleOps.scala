@@ -495,6 +495,62 @@ object ScaleOps {
   def qTxDynpart(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(dynPartOrdersTable(s, dir).read())
 
+  /** ACID clone of orders exercising OPT-IN TYPE WIDENING
+    * ([[graft.core.TxTable.TypeWideningProp]]): batch 1 writes `units`
+    * INT + `score` FLOAT; with the property set, batch 2 arrives LONG
+    * (values past Int.MaxValue, so the widened slot is load-bearing)
+    * + DOUBLE and the committed schema widens in place — the
+    * already-written narrow files must read back under the wider
+    * schema; batch 3 arrives narrow again and upcasts on write. Built
+    * once per (session, dir).
+    */
+  private[ext] def widenedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-widen:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txwiden_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("units", col("o_orderkey") % 1000)
+        .withColumn("score", col("o_orderkey") % 7)
+      t.append(base.where(col("o_orderkey") % 3 === 0)
+        .withColumn("units", col("units").cast("int"))
+        .withColumn("score", col("score").cast("float")))
+      t.setProperty(graft.core.TxTable.TypeWideningProp, "true")
+      t.append(base.where(col("o_orderkey") % 3 === 1)
+        .withColumn("units", col("units") + lit(4000000000L))
+        .withColumn("score", col("score").cast("double") * lit(1.5d)))
+      t.append(base.where(col("o_orderkey") % 3 === 2)
+        .withColumn("units", col("units").cast("int"))
+        .withColumn("score", col("score").cast("float")))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The widened table aggregated by priority (count, the long-range
+    * `units` sum, the float→double `score` sum, revenue): matches the
+    * oracle's flat reconstruction only if all three batches landed and
+    * the narrow files read EXACTLY under the widened schema (all
+    * `score` inputs are small multiples of 0.5, so the double sums are
+    * FP-exact and order-independent).
+    */
+  def qTxWiden(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    widenedOrdersTable(s, dir).read()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("units")).as("units"),
+        sum(col("score")).as("score"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Key-clustered ACID clone of orders with the January-1996 window
     * DELETED (copy-on-write: manifest stats keep non-overlapping files
     * from even being scanned; only files actually containing matches
@@ -1192,6 +1248,7 @@ object ScaleOps {
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_merge_cond" -> (qTxMergeCond _),
     "q_tx_dynpart" -> (qTxDynpart _),
+    "q_tx_widen" -> (qTxWiden _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_delkeys" -> (qTxDelKeys _),
     "q_tx_dv" -> (qTxDv _),
@@ -1383,6 +1440,23 @@ object ScaleOps {
         |SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the three widened batches reconstructed flat: matches only if
+    // the narrow files read exactly under the widened (long/double)
+    // schema and the late narrow batch upcast losslessly
+    "q_tx_widen" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CASE WHEN o_orderkey % 3 = 1
+        |         THEN o_orderkey % 1000 + 4000000000
+        |         ELSE o_orderkey % 1000 END AS units,
+        |    CAST(o_orderkey % 7 AS DOUBLE) *
+        |      (CASE WHEN o_orderkey % 3 = 1 THEN 1.5 ELSE 1.0 END) AS score
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(units) AS BIGINT) AS units,
+        |  CAST(SUM(score) AS DOUBLE) AS score,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // complement of the skip window: matches only if delete removed
     // exactly the predicate-true rows
     "q_tx_delete" ->

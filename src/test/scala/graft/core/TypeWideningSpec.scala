@@ -69,6 +69,21 @@ class TypeWideningSpec extends SparkTestBase {
     assert(e2.getMessage.contains("not a legal widening"))
   }
 
+  test("widening composes with rename and compaction") {
+    val t = table()
+    t.setProperty(TxTable.TypeWideningProp, "true")
+    t.append(Seq((1, "a")).toDF("x", "v").repartition(1))
+    t.renameColumn("x", "y")
+    // widen under the RENAMED surface name: the merge must resolve
+    // through the logical→physical mapping, not the surface schema
+    t.append(Seq((6000000000L, "b")).toDF("y", "v").repartition(1))
+    assert(t.schemaOption.get("y").dataType == LongType)
+    // compaction rewrites mixed-width files under the widened schema
+    t.compact()
+    assert(t.read().select("y").as[Long].collect().toSet == Set(1L, 6000000000L))
+    assert(t.scan(col("y") > 1000L).count() == 1L)
+  }
+
   test("time travel keeps the pre-widening schema; merge works across widths") {
     val t = table()
     t.setProperty(TxTable.TypeWideningProp, "true")
