@@ -1020,6 +1020,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
         case CmpShape(n, op, v) => CmpShape(physicalName(s, n), op, v)
         case NullShape(n, b) => NullShape(physicalName(s, n), b)
         case InShape(n, vs) => InShape(physicalName(s, n), vs)
+        case PrefixShape(n, p) => PrefixShape(physicalName(s, n), p)
+        case OrShape(bs) => OrShape(bs.map(physicalizeShapes(s, _)))
         case o => o
       }
     }
@@ -3654,7 +3656,7 @@ object TxTable {
     */
   private[graft] def filesToRead(files: Seq[String], stats: Map[String, FileStats],
       conjuncts: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape]): Seq[String] = {
-    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape, NullShape, PredShape}
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape, NullShape, OrShape, PredShape, PrefixShape}
     // a conjunct that proves a file empty ⇒ the file cannot match the AND
     // min == JNull marks an ALL-NULL column (no non-null value in the
     // file): comparisons, IN and isNotNull are never true on null, so
@@ -3696,6 +3698,26 @@ object TxTable {
             js.forall(_.isDefined) && js.flatten.forall(v =>
               cmpJ(cs.max, v).exists(_ < 0) || cmpJ(cs.min, v).exists(_ > 0))
           }
+        // a prefix match is a byte range: any string with prefix p is
+        // ≥ p and shares p's first bytes — so the file is empty iff
+        // max (truncated to |p| bytes, unsigned UTF-8) < p, or
+        // min (truncated) > p. Truncation makes both directions sound
+        // for strings shorter or longer than the prefix.
+        case PrefixShape(name, prefix) =>
+          fstats.cols.get(name).exists { cs =>
+            allNull(cs) || ((cs.min, cs.max) match {
+              case (JString(mn), JString(mx)) =>
+                val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                utf8CmpTrunc(mx, p) < 0 || utf8CmpTrunc(mn, p) > 0
+              case _ => false
+            })
+          }
+        // a disjunction proves the file empty iff EVERY branch does; a
+        // branch (conjunct list) does iff ANY of its conjuncts does.
+        // Sound: a matching row would satisfy some branch in full.
+        case OrShape(branches) =>
+          branches.nonEmpty &&
+            branches.forall(_.exists(provesEmpty(fstats, _)))
         case _ => false
       }
     files.filter { f =>
@@ -3723,6 +3745,25 @@ object TxTable {
       case (Some(x), Some(y)) => Some(x.compare(y).sign)
       case _ => None
     }
+  }
+
+  /** `x`'s UTF-8 bytes TRUNCATED to `p.length`, compared against `p`
+    * unsigned-lexicographically — the prefix-pruning comparator: if
+    * trunc(max) < p no string ≤ max can start with p; if trunc(min) >
+    * p no string ≥ min can.
+    */
+  private[core] def utf8CmpTrunc(x: String, p: Array[Byte]): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(math.min(a.length, p.length), p.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (p(i) & 0xff)
+      if (d != 0) return Integer.signum(d)
+      i += 1
+    }
+    // x ran out before the prefix: truncated form is shorter => smaller;
+    // x at least prefix-length: truncated form equals p => 0
+    Integer.signum(math.min(a.length, p.length) - p.length)
   }
 
   private[core] def utf8Cmp(x: String, y: String): Int = {
@@ -3881,15 +3922,22 @@ object TxTable {
       conf: org.apache.hadoop.conf.Configuration,
       candidates: Seq[String],
       shapes: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape]): Seq[String] = {
-    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape}
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, InShape, OrShape, PredShape}
     if (blooms.isEmpty || candidates.isEmpty) return candidates
-    val probes: Seq[(String, Seq[Any])] = shapes.collect {
+    // an eq/IN probe on an indexed column; None = this shape can never
+    // bloom-prune (comparisons, nulls, opaque)
+    def probeOf(s: PredShape): Option[(String, Seq[Any])] = s match {
       case CmpShape(name, "=" | "==", v) if blooms.contains(name) && v != null =>
-        name -> Seq(v)
+        Some(name -> Seq(v))
       case InShape(name, vs) if blooms.contains(name) && vs.nonEmpty &&
-          vs.forall(_ != null) => name -> vs
+          vs.forall(_ != null) => Some(name -> vs)
+      case _ => None
     }
-    if (probes.isEmpty) return candidates
+    def canPrune(s: PredShape): Boolean = s match {
+      case OrShape(bs) => bs.nonEmpty && bs.forall(_.exists(canPrune))
+      case o => probeOf(o).isDefined
+    }
+    if (!shapes.exists(canPrune)) return candidates
     val rootP = new Path(rootStr)
     lazy val fsv = rootP.getFileSystem(conf)
     def bloomFor(file: String, colName: String) =
@@ -3904,8 +3952,12 @@ object TxTable {
           }
         } catch { case _: java.io.IOException => None }
       }
-    candidates.filter { f =>
-      !probes.exists { case (colName, values) =>
+    // does this shape PROVE the file holds no matching row? Recursive
+    // for OR: every branch must be proven absent (by any conjunct in
+    // it) — mirrors filesToRead's stat-range OrShape rule, on blooms.
+    def provesAbsent(f: String)(s: PredShape): Boolean = s match {
+      case OrShape(bs) => bs.nonEmpty && bs.forall(_.exists(provesAbsent(f)))
+      case o => probeOf(o).exists { case (colName, values) =>
         types.get(colName).exists { dt =>
           bloomFor(f, colName).exists { bf =>
             values.forall(v => bloomMightContain(bf, dt, v).contains(false))
@@ -3913,6 +3965,7 @@ object TxTable {
         }
       }
     }
+    candidates.filter(f => !shapes.exists(provesAbsent(f)))
   }
 
   /** Probe a sidecar filter with a predicate literal, or None when the

@@ -367,6 +367,23 @@ object ScaleOps {
     txWindowAgg(clusteredOrdersTable(s, dir)
       .scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
 
+  // January 1997 — a second window a year past the first, for the
+  // disjunctive probe (1996 is a leap year: 9496 + 366 = 9862)
+  private[ext] val TxSkipLo2 = 9862L
+  private[ext] val TxSkipHi2 = 9892L
+
+  /** The DISJUNCTIVE window probe over the same clustered table: two
+    * distant one-month windows ORed. Per-branch stat pruning
+    * (`OrShape`) opens only the files overlapping EITHER window —
+    * before disjunction support an OR degraded to Opaque and re-opened
+    * all 16 files, the difference between 2 touched files and a full
+    * rescan at 100 TB.
+    */
+  def qTxSkipOr(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(clusteredOrdersTable(s, dir)
+      .scan((col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi) ||
+        (col("o_datekey") >= TxSkipLo2 && col("o_datekey") <= TxSkipHi2)))
+
   /** Key-clustered ACID clone of orders with a deterministic MERGE
     * applied — price bump for keys divisible by 100 (updates), shifted
     * keys divisible by 1000 (inserts) — built once per (session, dir).
@@ -1245,6 +1262,7 @@ object ScaleOps {
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_tx_flat" -> (qTxFlat _),
     "q_tx_skip" -> (qTxSkip _),
+    "q_tx_skip_or" -> (qTxSkipOr _),
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_merge_cond" -> (qTxMergeCond _),
     "q_tx_dynpart" -> (qTxDynpart _),
@@ -1351,6 +1369,15 @@ object ScaleOps {
     // same oracle: data skipping changes the FILE SET read (asserted
     // in ScaleOpsSpec via prunedFiles), never the answer
     "q_tx_skip" -> txWindowSql,
+    // the two-window disjunction: matches only if per-branch pruning
+    // dropped no file a branch could still match
+    "q_tx_skip_or" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders
+         |WHERE CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) BETWEEN $TxSkipLo AND $TxSkipHi
+         |   OR CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) BETWEEN $TxSkipLo2 AND $TxSkipHi2
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // same oracle: the z-ordered layout prunes on BOTH clustered
     // dimensions (builder-asserted), never changes the answer
     "q_tx_zorder" -> txWindowSql,

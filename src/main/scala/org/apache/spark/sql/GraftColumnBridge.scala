@@ -29,6 +29,19 @@ object GraftColumnBridge {
   case class NullShape(name: String, isNull: Boolean) extends PredShape
   /** `col.isin(v1, v2, ...)` — literal values only. */
   case class InShape(name: String, values: Seq[Any]) extends PredShape
+  /** A disjunction, each branch its own conjunct list: a file is
+    * provably empty for the OR iff EVERY branch is provably empty —
+    * so `day = a OR day = b` still skips (Delta/Iceberg-style
+    * disjunctive skipping) instead of degrading to Opaque. Branches
+    * nest (an OR under an AND under an OR classifies recursively).
+    */
+  case class OrShape(branches: Seq[Seq[PredShape]]) extends PredShape
+  /** `col.startsWith(prefix)` / `LIKE 'prefix%'` (the optimizer
+    * rewrites the latter to StartsWith): prunable on string min/max —
+    * a file is empty iff its range, truncated to the prefix length in
+    * UNSIGNED UTF-8 byte order, lies entirely before or after it.
+    */
+  case class PrefixShape(name: String, prefix: String) extends PredShape
   case object OpaqueShape extends PredShape
 
   /** The same classification over a RESOLVED Catalyst predicate — what
@@ -43,7 +56,11 @@ object GraftColumnBridge {
       case And(l, r) => split(l) ++ split(r)
       case o => Seq(o)
     }
-    split(predicate).map {
+    def splitOr(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => splitOr(l) ++ splitOr(r)
+      case o => Seq(o)
+    }
+    def shape(e: Expression): PredShape = e match {
       case IsNull(a: AttributeReference) => NullShape(a.name, isNull = true)
       case IsNotNull(a: AttributeReference) => NullShape(a.name, isNull = false)
       case GreaterThan(a: AttributeReference, Literal(v, _)) => CmpShape(a.name, ">", v)
@@ -56,11 +73,23 @@ object GraftColumnBridge {
       case LessThanOrEqual(Literal(v, _), a: AttributeReference) => CmpShape(a.name, ">=", v)
       case EqualTo(a: AttributeReference, Literal(v, _)) => CmpShape(a.name, "=", v)
       case EqualTo(Literal(v, _), a: AttributeReference) => CmpShape(a.name, "=", v)
+      // null-safe equality (the keyed-verb / CDC dead-key predicate
+      // form): against a non-null literal it matches exactly like `=`
+      // (a NULL column value compares false, and `=`-pruning never
+      // uses null counts); against NULL it IS the null check
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+        if (v == null) NullShape(a.name, isNull = true) else CmpShape(a.name, "=", v)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+        if (v == null) NullShape(a.name, isNull = true) else CmpShape(a.name, "=", v)
       case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         InShape(a.name, vs.map(_.asInstanceOf[Literal].value))
       case InSet(a: AttributeReference, vs) => InShape(a.name, vs.toSeq)
+      case StartsWith(a: AttributeReference, Literal(v, _)) if v != null =>
+        PrefixShape(a.name, v.toString)
+      case o @ Or(_, _) => OrShape(splitOr(o).map(b => split(b).map(shape)))
       case _ => OpaqueShape
     }
+    split(predicate).map(shape)
   }
 
   def conjunctShapes(predicate: Column): Seq[PredShape] = {
@@ -77,7 +106,11 @@ object GraftColumnBridge {
       case "<=" => ">="
       case other => other // "=" is symmetric
     }
-    split(predicate.node).map {
+    def splitOr(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UFn if f.functionName == "or" => f.arguments.flatMap(splitOr)
+      case other => Seq(other)
+    }
+    def shape(n: ColumnNode): PredShape = n match {
       case f: UFn => (f.functionName, f.arguments) match {
         case ("isNull", Seq(a: UAttr)) => NullShape(a.nameParts.mkString("."), isNull = true)
         case ("isNotNull", Seq(a: UAttr)) => NullShape(a.nameParts.mkString("."), isNull = false)
@@ -85,13 +118,25 @@ object GraftColumnBridge {
           CmpShape(a.nameParts.mkString("."), op, l.value)
         case (op @ (">" | ">=" | "<" | "<=" | "=" | "=="), Seq(l: ULit, a: UAttr)) =>
           CmpShape(a.nameParts.mkString("."), flip(op), l.value)
+        // Column `<=>`: like `=` against a non-null literal, the null
+        // check against NULL (see the Catalyst twin above)
+        case ("<=>" | "eqNullSafe", Seq(a: UAttr, l: ULit)) =>
+          if (l.value == null) NullShape(a.nameParts.mkString("."), isNull = true)
+          else CmpShape(a.nameParts.mkString("."), "=", l.value)
+        case ("<=>" | "eqNullSafe", Seq(l: ULit, a: UAttr)) =>
+          if (l.value == null) NullShape(a.nameParts.mkString("."), isNull = true)
+          else CmpShape(a.nameParts.mkString("."), "=", l.value)
         case ("in", (a: UAttr) +: rest)
             if rest.nonEmpty && rest.forall(_.isInstanceOf[ULit]) =>
           InShape(a.nameParts.mkString("."),
             rest.map(_.asInstanceOf[ULit].value))
+        case ("startswith", Seq(a: UAttr, l: ULit)) if l.value != null =>
+          PrefixShape(a.nameParts.mkString("."), l.value.toString)
+        case ("or", _) => OrShape(splitOr(f).map(b => split(b).map(shape)))
         case _ => OpaqueShape
       }
       case _ => OpaqueShape
     }
+    split(predicate.node).map(shape)
   }
 }

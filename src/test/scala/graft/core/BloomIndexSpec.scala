@@ -67,6 +67,21 @@ class BloomIndexSpec extends SparkTestBase {
     assert(t.scan(col("id").isin(17L, 18L)).count() == 2L)
   }
 
+  test("a disjunction of point probes prunes to the branches' union") {
+    val t = scattered()
+    t.addBloomIndex("id", expectedItems = N, fpp = 0.001)
+    // two point branches in different residue classes: ≤2 files survive
+    val orProbe = col("id") === 17L || col("id") === 18L
+    val kept = plannedFiles(t, orProbe)
+    assert(kept >= 1 && kept <= 3, s"got $kept")
+    assert(t.scan(orProbe).count() == 2L)
+    // both branches provably absent: everything prunes
+    val gone = plannedFiles(t, col("id") === (N + 7L) || col("id") === (N + 8L))
+    assert(gone <= 1, s"got $gone")
+    // one branch bloom-unprovable (range shape): no bloom prune, sound
+    assert(t.scan(col("id") === 17L || col("id") >= N - 2L).count() == 3L)
+  }
+
   test("string columns index through the string encoding") {
     val t = scattered()
     t.addBloomIndex("v", expectedItems = N, fpp = 0.01)

@@ -200,6 +200,27 @@ class TxTableSpec extends SparkTestBase {
     assert(t.scan(col("id").isin(5L, 19L, 29L)).select("id").as[Long]
       .collect().sorted.toSeq == Seq(19L, 29L))
     assert(kept(col("v").contains("x")) == 4) // unsupported shape: never skips
+    // null-safe equality prunes like `=` (CDC dead-key predicate form)
+    assert(kept(col("id") <=> 15L) == 1)
+    assert(kept(col("id") <=> lit(null)) == 0) // nulls: 0 everywhere
+    assert(t.scan(col("id") <=> 19L).count() == 1L)
+    // prefix predicates prune on the string range (LIKE 'c%' shape)
+    assert(kept(col("v").startsWith("c")) == 1)
+    assert(kept(col("v").startsWith("zz")) == 0)
+    assert(kept(col("v").startsWith("")) == 4) // vacuous prefix keeps all
+    assert(t.scan(col("v").startsWith("d")).select("v").as[String]
+      .collect().sorted.toSeq == Seq("d0", "d9"))
+    // disjunctions skip too: a file survives iff SOME branch might match
+    assert(kept(col("id") < 5L || col("id") > 35L) == 2)
+    assert(kept(col("id") === 15L || col("id") === 25L) == 2)
+    assert(kept(col("id") > 100L || col("id") < -5L) == 0)
+    // branch with a conjunction; branch with an unprovable shape keeps all
+    assert(kept(col("id") === 15L || (col("id") >= 30L && col("id") <= 33L)) == 2)
+    assert(kept(col("id") === 15L || col("v").contains("x")) == 4)
+    // nested OR under AND under OR flattens soundly
+    assert(kept((col("id") < 5L || col("id") > 35L) && col("id") > 11L) == 1)
+    assert(t.scan(col("id") < 5L || col("id") > 35L).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 39L))
     // the skipped scan returns exactly the plain filtered read
     assert(t.scan(col("id") > 25L).select("id").as[Long].collect().sorted.toSeq
       == Seq(29L, 30L, 39L))

@@ -81,6 +81,20 @@ class ScaleOpsSpec extends SparkTestBase {
     val skip = ScaleOps.qTxSkip(spark, dir).collect().toSeq
     assert(flat == skip)
     assert(flat.nonEmpty)
+    // the DISJUNCTIVE probe prunes per-branch: strictly fewer files
+    // than the table, strictly more rows than one window alone
+    val orPred = (col("o_datekey") >= ScaleOps.TxSkipLo &&
+      col("o_datekey") <= ScaleOps.TxSkipHi) ||
+      (col("o_datekey") >= ScaleOps.TxSkipLo2 &&
+        col("o_datekey") <= ScaleOps.TxSkipHi2)
+    val keptOr = t.prunedFiles(st, orPred)
+    assert(keptOr.size < st.files.size,
+      s"OR pruning must drop files (kept ${keptOr.size} of ${st.files.size})")
+    assert(keptOr.size >= kept.size, "the OR covers a superset of the rows")
+    info(s"disjunctive skipping kept ${keptOr.size} of ${st.files.size} files")
+    val both = ScaleOps.qTxSkipOr(spark, dir).collect().toSeq
+    assert(both.map(_.getLong(1)).sum > skip.map(_.getLong(1)).sum,
+      "the second window must contribute rows")
   }
 
   test("tx time travel and restore both land on the unmutated base aggregate") {

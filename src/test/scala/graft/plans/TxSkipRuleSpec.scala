@@ -47,6 +47,19 @@ class TxSkipRuleSpec extends SparkTestBase {
     val opaque = t.read().where(length(col("v")) === lit(3))
     assert(plannedFiles(opaque) == 4)
     assert(opaque.count() == 90) // v10..v99
+    // a DISJUNCTION skips per-branch: two point probes touch two files
+    val orProbe = t.read().where(col("k") === 10L || col("k") === 90L)
+    assert(plannedFiles(orProbe) == 2, orProbe.queryExecution.optimizedPlan)
+    assert(orProbe.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 90L))
+    // an OR with an unprovable branch keeps everything and stays exact
+    val orOpaque = t.read().where(col("k") === 10L || length(col("v")) === lit(2))
+    assert(plannedFiles(orOpaque) == 4)
+    assert(orOpaque.count() == 11) // v0..v9 plus k=10
+    // LIKE 'v6%' reaches the scan as StartsWith and prunes on string
+    // ranges: [v25,v49] and [v75,v99] provably can't hold a v6-prefix
+    val like = t.read().where(col("v").like("v6%"))
+    assert(plannedFiles(like) == 2, like.queryExecution.optimizedPlan)
+    assert(like.collect().map(_.getLong(0)).sorted.toSeq == (6L +: (60L to 69L)))
   }
 
   test("the batch format and SQL name surface are skip-enabled too") {
