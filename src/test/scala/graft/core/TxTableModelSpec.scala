@@ -85,11 +85,27 @@ class TxTableModelSpec extends SparkTestBase {
               model = model.filterNot(r => srcKeys.contains(r._1)) ++
                 src.map { case (k, v) => (k, Some(v)) }
             }
-          case 3 => // delete a key range (SQL semantics: TRUE rows go)
+          case 3 => // delete (SQL semantics: TRUE rows go) — a key
+            // range, a two-range DISJUNCTION, or a null-safe point,
+            // so the delete-side file-provenance pruning is fuzzed
+            // over every shape class it claims to skip with
             val lo = rnd.nextInt(40).toLong
             val hi = lo + rnd.nextInt(10)
-            t.delete(col(kc) >= lo && col(kc) <= hi)
-            model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
+            rnd.nextInt(3) match {
+              case 0 =>
+                t.delete(col(kc) >= lo && col(kc) <= hi)
+                model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
+              case 1 =>
+                val lo2 = rnd.nextInt(40).toLong
+                val hi2 = lo2 + rnd.nextInt(6)
+                t.delete((col(kc) >= lo && col(kc) <= hi) ||
+                  (col(kc) >= lo2 && col(kc) <= hi2))
+                model = model.filterNot(r =>
+                  (r._1 >= lo && r._1 <= hi) || (r._1 >= lo2 && r._1 <= hi2))
+              case _ =>
+                t.delete(col(kc) <=> lo)
+                model = model.filterNot(_._1 == lo)
+            }
           case 4 => // overwrite (sometimes partitioned by the string
             // col); re-adds a dropped value column, and wipes the
             // identity column from the schema until the next append
