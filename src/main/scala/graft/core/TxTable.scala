@@ -1707,16 +1707,34 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * any clustering they carry, survive). With a bounded threshold the
     * pass is a no-op unless at least two files qualify — compacting
     * one file moves bytes without reducing the file count.
+    *
+    * `where` scopes the pass to files whose stats might hold
+    * predicate-true rows (the `OPTIMIZE ... WHERE` verb): maintenance
+    * on the actively-written region — today's partition — without
+    * touching the cold bulk. Rows never change either way; both knobs
+    * compose.
     */
   def compact(targetBytes: Long = 128L << 20,
-              smallerThan: Long = Long.MaxValue): Unit = {
+              smallerThan: Long = Long.MaxValue,
+              where: Option[org.apache.spark.sql.Column] = None): Unit = {
     val snap = state()
     if (snap.files.isEmpty) return
     val fsv = fs
-    val picked = snap.files
+    // OPTIMIZE ... WHERE: restrict the rewrite to files whose stats
+    // might hold predicate-true rows (the scan kernel's candidates).
+    // Sound for compaction regardless of partial matches — whole
+    // files rewrite, every row survives — the predicate only SCOPES
+    // the maintenance to the hot region (one day of a 100-TB table)
+    // instead of rewriting the world.
+    val scoped = where match {
+      case None => snap.files
+      case Some(p) => prunedFiles(snap, p)
+    }
+    val picked = scoped
       .map(f => f -> fsv.getFileStatus(new Path(root, f)).getLen)
       .filter(_._2 < smallerThan)
-    if (picked.isEmpty || (smallerThan != Long.MaxValue && picked.size < 2)) return
+    if (picked.isEmpty ||
+      ((smallerThan != Long.MaxValue || where.isDefined) && picked.size < 2)) return
     val bytes = picked.map(_._2).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val inputs = picked.map(_._1)
@@ -2692,11 +2710,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * a concurrent writer's staged-but-uncommitted files safe, the
     * paper's approach). Time travel before the window dies with the
     * files — the documented trade.
+    *
+    * Returns the swept names (files and crashed-writer staging dirs).
+    * `dryRun = true` reports the sweep set WITHOUT deleting — the
+    * published `VACUUM ... DRY RUN` verb, the operator's check that a
+    * retention setting won't eat a snapshot someone still needs.
     */
-  def vacuum(retainVersions: Int = 0, olderThanMs: Long = 3600000L): Unit = {
+  def vacuum(retainVersions: Int = 0, olderThanMs: Long = 3600000L,
+             dryRun: Boolean = false): Seq[String] = {
     val fsv = fs
     val head = state()
-    if (head.version < 0) return
+    if (head.version < 0) return Nil
     val keepFrom = math.max(0L, head.version - retainVersions)
     // Resolve the window's start state ONCE, then fold each manifest
     // forward — O(window) manifest reads instead of O(window × log)
@@ -2748,7 +2772,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         .flatMap(v => readManifest(fsv, v))
         .collect { case Cdf(p) => p }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    rootListing.iterator
+    val deadFiles = rootListing.iterator
       .filter(_.isFile)
       .filter { st =>
         val n = st.getPath.getName
@@ -2765,15 +2789,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
           }
       }
       .filter(_.getModificationTime < cutoff)
-      .foreach(st => fsv.delete(st.getPath, false))
+      .toSeq
     // a writer that crashed inside stageData leaves its whole
     // _staging-<uuid> directory behind, never referenced by any
     // manifest — without this sweep it would leak forever; the same
     // age guard keeps an IN-FLIGHT writer's staging safe
-    rootListing.iterator
+    val deadStaging = rootListing.iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging-"))
       .filter(_.getModificationTime < cutoff)
-      .foreach(st => fsv.delete(st.getPath, true))
+      .toSeq
+    if (!dryRun) {
+      deadFiles.foreach(st => fsv.delete(st.getPath, false))
+      deadStaging.foreach(st => fsv.delete(st.getPath, true))
+    }
+    (deadFiles ++ deadStaging).map(_.getPath.getName)
   }
 
   /** In-place conversion body for [[TxTable.convert]]: claim v0 over

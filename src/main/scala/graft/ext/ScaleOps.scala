@@ -384,6 +384,42 @@ object ScaleOps {
       .scan((col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi) ||
         (col("o_datekey") >= TxSkipLo2 && col("o_datekey") <= TxSkipHi2)))
 
+  /** A clustered clone hit by PREDICATE-SCOPED compaction
+    * ([[graft.core.TxTable.compact]] `where`): only the files
+    * overlapping the January-1996 window rewrite (OPTIMIZE ... WHERE —
+    * maintenance on the hot region, O(region) not O(table)); the cold
+    * files carry untouched. Built once per (session, dir).
+    */
+  private[ext] def scopedCompactOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-compactwhere:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txcompactwhere_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(datekey.as("o_datekey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_datekey"))
+        .sortWithinPartitions("o_datekey"))
+      t.compact(where =
+        Some(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The window aggregate THROUGH A SCAN over the scoped-compacted
+    * table: matches the oracle only if the scoped rewrite preserved
+    * exactly the window's rows and the repacked file's recomputed
+    * stats still answer the probe (a stat regression would silently
+    * widen or narrow the scan).
+    */
+  def qTxCompactWhere(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(scopedCompactOrdersTable(s, dir)
+      .scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
+
   /** Key-clustered ACID clone of orders with a deterministic MERGE
     * applied — price bump for keys divisible by 100 (updates), shifted
     * keys divisible by 1000 (inserts) — built once per (session, dir).
@@ -1263,6 +1299,7 @@ object ScaleOps {
     "q_tx_flat" -> (qTxFlat _),
     "q_tx_skip" -> (qTxSkip _),
     "q_tx_skip_or" -> (qTxSkipOr _),
+    "q_tx_compact_where" -> (qTxCompactWhere _),
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_merge_cond" -> (qTxMergeCond _),
     "q_tx_dynpart" -> (qTxDynpart _),
@@ -1369,6 +1406,9 @@ object ScaleOps {
     // same oracle: data skipping changes the FILE SET read (asserted
     // in ScaleOpsSpec via prunedFiles), never the answer
     "q_tx_skip" -> txWindowSql,
+    // same window oracle through the scoped-compacted layout: matches
+    // only if OPTIMIZE-WHERE moved every window row and no other
+    "q_tx_compact_where" -> txWindowSql,
     // the two-window disjunction: matches only if per-branch pruning
     // dropped no file a branch could still match
     "q_tx_skip_or" ->

@@ -139,6 +139,28 @@ class TxTableSpec extends SparkTestBase {
     assert(t.state().files.size == 1)
   }
 
+  test("predicate-scoped compaction packs only the overlapping files") {
+    val t = table()
+    // four key-clustered tiny files: [0,9] [10,19] [20,29] [30,39]
+    (0 until 4).foreach { b =>
+      t.append(Seq((b * 10L, s"a$b"), (b * 10L + 9L, s"b$b"))
+        .toDF("id", "v").coalesce(1))
+    }
+    val before = t.state().files.toSet
+    // OPTIMIZE WHERE id <= 19: only the first two files qualify
+    t.compact(where = Some(col("id") <= 19L))
+    val after = t.state().files
+    assert(after.size == 3, s"two overlapping files should pack into one: $after")
+    // the out-of-scope files are carried UNTOUCHED (same names)
+    assert(after.count(before.contains) == 2)
+    assert(t.read().count() == 8L)
+    assert(t.scan(col("id") === 15L).count() == 0L) // stats still exact
+    // a predicate overlapping one file no-ops (nothing to pack)
+    val v = t.version
+    t.compact(where = Some(col("id") >= 35L))
+    assert(t.version == v, "single-file scope must no-op")
+  }
+
   test("vacuum physically drops unreferenced files; the live read survives") {
     val t = table()
     (0 until 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
@@ -146,7 +168,12 @@ class TxTableSpec extends SparkTestBase {
     def parquetOnDisk = new java.io.File(t.tablePath).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(parquetOnDisk == 5) // 4 logically-removed + 1 compacted
-    t.vacuum(retainVersions = 0, olderThanMs = 0L)
+    // DRY RUN reports the four dead files and deletes nothing
+    val planned = t.vacuum(retainVersions = 0, olderThanMs = 0L, dryRun = true)
+    assert(planned.size == 4, s"dry run should list the dead files: $planned")
+    assert(parquetOnDisk == 5)
+    val swept = t.vacuum(retainVersions = 0, olderThanMs = 0L)
+    assert(swept.sorted == planned.sorted, "the real sweep removes what the dry run listed")
     assert(parquetOnDisk == 1)
     assert(t.read().count() == 4L)
   }
