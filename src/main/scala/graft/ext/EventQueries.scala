@@ -221,6 +221,33 @@ object EventQueries {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the batch twin of the streaming
+    * interval-join attribution ([[graft.streaming.StreamOps
+    * .clickAttribution]]): each purchase is credited to the same
+    * user's most recent PRIOR marketing touch (click or view) under
+    * the total (sec, event_id) order; purchases with no prior touch
+    * are organic. One shuffle: the running last-touch is a window over
+    * the user_id partition, and the credit rollup aggregates a
+    * |touch types|-row frame on top. Revenue is a decimal sum —
+    * engine-exact.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = ev(s, dir)
+    e
+      .select($"user_id", $"event_id", $"event_type", tsSec(e).as("sec"), $"value")
+      .where($"event_type".isin("click", "view", "purchase"))
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(w))
+      .where($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("organic")).as("touch"))
+      .agg(count(lit(1)).as("purchases"), dsum2($"value").as("revenue"))
+      .orderBy($"touch")
+  }
+
   /** RFM SEGMENTATION — the classic customer-value rollup: per user,
     * Recency (days between their last event and the corpus's last
     * day), Frequency (event count) and Monetary (decimal value sum),
@@ -411,6 +438,7 @@ object EventQueries {
     "q_basket_pairs" -> (qBasketPairs _),
     "q_rfm" -> (qRfm _),
     "q_transitions" -> (qTransitions _),
+    "q_attribution" -> (qAttribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -524,6 +552,26 @@ object EventQueries {
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type
         |ORDER BY prev_type, next_type""".stripMargin,
+    // last-touch runs under the same whole-second total order as the
+    // Spark window (epoch_ms // 1000), so both engines credit the
+    // same touch when events share a second
+    "q_attribution" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_ms(ts) // 1000 AS sec
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |t AS (
+        |  SELECT event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM o)
+        |SELECT COALESCE(touch, 'organic') AS touch, COUNT(*) AS purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY touch ORDER BY touch""".stripMargin,
     // fixed-threshold buckets over integer/decimal per-user facts —
     // engine-exact (ntile would tie-break arbitrarily across engines)
     "q_rfm" ->

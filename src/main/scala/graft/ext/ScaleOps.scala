@@ -420,6 +420,41 @@ object ScaleOps {
     txWindowAgg(scopedCompactOrdersTable(s, dir)
       .scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
 
+  /** ZERO-COPY CLONE of the clustered table
+    * ([[graft.core.TxTable.cloneTo]]): data files are hard-linked and
+    * the manifest — with its pruning stats and any sidecars — is
+    * re-rooted, so at 100 TB a clone is O(metadata), not O(data). The
+    * clone then takes its own append OUTSIDE every graded window:
+    * proves the copy is independently writable without perturbing the
+    * shared source (whose `q_tx_skip` is graded in the same run).
+    * Built once per (session, dir).
+    */
+  private[ext] def clonedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-clone:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txclone_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val clone = clusteredOrdersTable(s, dir).cloneTo(p)
+      import s.implicits._
+      clone.append(Seq((0L, "0-EXTRA", 1.0d))
+        .toDF("o_datekey", "o_orderpriority", "o_totalprice"))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The window aggregate THROUGH THE CLONE's scan: matches the oracle
+    * only if the linked files + re-rooted stats answer the probe
+    * exactly and the clone's own post-clone append stayed out of the
+    * window — clone correctness and divergence isolation in one hash.
+    */
+  def qTxClone(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(clonedOrdersTable(s, dir)
+      .scan(col("o_datekey") >= TxSkipLo && col("o_datekey") <= TxSkipHi))
+
   /** Key-clustered ACID clone of orders with a deterministic MERGE
     * applied — price bump for keys divisible by 100 (updates), shifted
     * keys divisible by 1000 (inserts) — built once per (session, dir).
@@ -1300,6 +1335,7 @@ object ScaleOps {
     "q_tx_skip" -> (qTxSkip _),
     "q_tx_skip_or" -> (qTxSkipOr _),
     "q_tx_compact_where" -> (qTxCompactWhere _),
+    "q_tx_clone" -> (qTxClone _),
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_merge_cond" -> (qTxMergeCond _),
     "q_tx_dynpart" -> (qTxDynpart _),
@@ -1409,6 +1445,9 @@ object ScaleOps {
     // same window oracle through the scoped-compacted layout: matches
     // only if OPTIMIZE-WHERE moved every window row and no other
     "q_tx_compact_where" -> txWindowSql,
+    // same window oracle through the zero-copy clone (whose own
+    // divergence append sits outside the window)
+    "q_tx_clone" -> txWindowSql,
     // the two-window disjunction: matches only if per-branch pruning
     // dropped no file a branch could still match
     "q_tx_skip_or" ->
