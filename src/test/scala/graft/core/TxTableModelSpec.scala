@@ -116,13 +116,25 @@ class TxTableModelSpec extends SparkTestBase {
             vLive = true
           case 5 => // maintenance: rows must not change
             rnd.nextInt(3) match {
-              case 0 => t.compact(targetBytes = 1L << 16)
+              case 0 => // sometimes predicate-scoped (OPTIMIZE-WHERE):
+                // packing only key-range-overlapping files is still a
+                // pure rewrite under the same model
+                if (rnd.nextBoolean()) t.compact(targetBytes = 1L << 16)
+                else t.compact(targetBytes = 1L << 16,
+                  where = Some(col(kc) <= (5L + rnd.nextInt(35))))
               case 1 => if (t.version >= 0 && t.read().count() > 0)
                 t.cluster(Seq(kc), targetFiles = 3, bitsPerCol = 4)
               case 2 =>
                 // full-window retention: every snapshot stays readable,
-                // only orphans go — exercises the referenced-set fold
-                if (t.version >= 0) t.vacuum(retainVersions = 1000, olderThanMs = -5000L)
+                // only orphans go — exercises the referenced-set fold;
+                // the dry run must plan exactly what the sweep removes
+                if (t.version >= 0) {
+                  val planned = t.vacuum(retainVersions = 1000,
+                    olderThanMs = -5000L, dryRun = true)
+                  val swept = t.vacuum(retainVersions = 1000, olderThanMs = -5000L)
+                  assert(swept.toSet == planned.toSet,
+                    s"dry run planned $planned but sweep removed $swept")
+                }
             }
           case 6 => // bloom index DDL: rows must not change; every
             // later ===/isin scan probe then runs the sidecar prune
