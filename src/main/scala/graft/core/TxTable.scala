@@ -1976,20 +1976,34 @@ class TxTable(spark: SparkSession, val tablePath: String,
   def mergeConditional(source: DataFrame, keys: Seq[String],
       matched: Seq[TxTable.MatchedClause],
       notMatchedInsert: Option[TxTable.NotMatchedInsert],
-      bySource: Seq[TxTable.BySourceClause]): Unit = {
+      bySource: Seq[TxTable.BySourceClause],
+      txn: Option[TxTable.TxnId] = None): Unit = {
     require(keys.nonEmpty, "mergeConditional needs at least one key column")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || bySource.nonEmpty,
       "mergeConditional needs at least one clause")
     // one materialization of the source — same reasoning as merge()
     source.persist()
-    try mergeConditional0(source, keys, matched, notMatchedInsert, bySource)
+    try mergeConditional0(source, keys, matched, notMatchedInsert, bySource, txn)
     finally source.unpersist()
   }
+
+  /** A cursor-only commit: the (writer, batch) marker with no data
+    * change. [[mergeConditional]] with a `txn` lands one when the
+    * clauses prove a no-op, so an incremental consumer's cursor still
+    * advances atomically — without it the consumer would re-read an
+    * ever-growing already-processed range on every later advance.
+    */
+  private def commitTxnOnly(txn: TxTable.TxnId, what: String): Unit =
+    commitLoop(what) { st =>
+      if (st.txns.get(txn.writerId).exists(_ >= txn.batchId)) None
+      else Some(Seq(Txn(txn.writerId, txn.batchId)))
+    }
 
   private def mergeConditional0(source0: DataFrame, keys: Seq[String],
       matched: Seq[TxTable.MatchedClause],
       notMatchedInsert: Option[TxTable.NotMatchedInsert],
-      bySource: Seq[TxTable.BySourceClause]): Unit = {
+      bySource: Seq[TxTable.BySourceClause],
+      txn: Option[TxTable.TxnId]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
     import TxTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate}
     val snap = state()
@@ -2022,7 +2036,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     require(dupes == 0,
       s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
         "a multi-match clause application would be row-order-dependent")
+    // replay gate: a (writer, batch) already in the log means this
+    // merge's effect landed — re-running (crash between commit and the
+    // caller's ack) must be a no-op, the append idempotency contract
+    if (txn.exists(t => snap.txns.get(t.writerId).exists(_ >= t.batchId))) return
     if (snap.files.isEmpty) {
+      var inserted = false
       notMatchedInsert.foreach { ins0 =>
         val filtered = ins0.condition
           .map(c => source0.as("s").where(coalesce(expr(c), lit(false))))
@@ -2032,8 +2051,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
           else filtered.as("s").select(
             ins0.values.toSeq.sortBy(_._1)
               .map { case (c, e) => expr(e).as(c) }: _*)
-        if (ins.limit(1).count() > 0) append(ins)
+        if (ins.limit(1).count() > 0) { append(ins, txn); inserted = true }
       }
+      if (!inserted) txn.foreach(commitTxnOnly(_,
+        s"cursor-only conditional merge into $tablePath"))
       return
     }
     def keyCond(l: String, r: String) =
@@ -2080,7 +2101,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
     }
     // the insert probe is only needed for the provable-no-op exit, so
     // it never runs when a rewrite is already happening
-    if (rewriteFiles.isEmpty && !insertRows.exists(_.limit(1).count() > 0)) return
+    if (rewriteFiles.isEmpty && !insertRows.exists(_.limit(1).count() > 0)) {
+      txn.foreach(commitTxnOnly(_,
+        s"cursor-only conditional merge into $tablePath"))
+      return
+    }
 
     // ---- per-row clause engine over the rewrite set (surface names) ----
     val tgtRows = logicalize(snap, readState(snap.copy(files = rewriteFiles)))
@@ -2180,19 +2205,27 @@ class TxTable(spark: SparkSession, val tablePath: String,
       fireBeforeCommitHook()
       val identitySync = identitySyncActions(snap, newData)
       commitLoop(s"conditional merge into $tablePath") { st =>
-        requireRenamesStable(snap, st, staged ++ stagedCdf, "conditional merge into")
-        findConflict(snap, st, rewriteFiles.toSet, mayMatch).foreach { why =>
+        if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
           (staged ++ stagedCdf).foreach { case (f, _) =>
             fs.delete(new Path(root, f), false)
           }
-          throw new java.util.ConcurrentModificationException(
-            s"conflicting concurrent commit on $tablePath during conditional " +
-              s"merge: $why; rerun against the new state")
+          None // already committed by a previous attempt of this batch
+        } else {
+          requireRenamesStable(snap, st, staged ++ stagedCdf, "conditional merge into")
+          findConflict(snap, st, rewriteFiles.toSet, mayMatch).foreach { why =>
+            (staged ++ stagedCdf).foreach { case (f, _) =>
+              fs.delete(new Path(root, f), false)
+            }
+            throw new java.util.ConcurrentModificationException(
+              s"conflicting concurrent commit on $tablePath during conditional " +
+                s"merge: $why; rerun against the new state")
+          }
+          Some(rewriteFiles.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
+            stagedCdf.map { case (p, _) => Cdf(p) } ++
+            identitySync ++
+            txn.map(t => Txn(t.writerId, t.batchId)).toSeq :+
+            Meta(mergeSchemas(st.schema, newData.schema, widenOn(st)).toDDL))
         }
-        Some(rewriteFiles.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
-          stagedCdf.map { case (p, _) => Cdf(p) } ++
-          identitySync :+
-          Meta(mergeSchemas(st.schema, newData.schema, widenOn(st)).toDDL))
       }
     } finally if (rewriteFiles.nonEmpty) withKind.unpersist()
   }
@@ -3637,7 +3670,8 @@ object TxTable {
     def whenNotMatchedBySourceDelete(condition: String = null): MergeBuilder = {
       bySource :+= BySourceDelete(Option(condition)); this
     }
-    def run(): Unit = t.mergeConditional(source, keys, matched, notMatched, bySource)
+    def run(txn: Option[TxnId] = None): Unit =
+      t.mergeConditional(source, keys, matched, notMatched, bySource, txn)
   }
 
   /** Per-column footer stats (JSON-typed so they serialize into the

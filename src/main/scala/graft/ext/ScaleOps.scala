@@ -1185,6 +1185,42 @@ object ScaleOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A REAL maintained view of the merged table: priority-keyed
+    * COUNT/SUM kept in sync by [[graft.core.IvmAgg]], advanced in TWO
+    * bounded steps (the base append's window, then the merge commit's)
+    * so the graded read exercises genuine incremental maintenance —
+    * cursor and delta in one atomic commit per step. Built once per
+    * (session, dir).
+    */
+  private[ext] def ivmViewTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-ivmview:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txivmview_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val src = mergedOrdersTable(s, dir)
+      val v = new graft.core.TxTable(s, p)
+      graft.core.IvmAgg.advance(src, v, Seq("o_orderpriority"),
+        Seq("o_totalprice"), upTo = Some(0L))
+      graft.core.IvmAgg.advance(src, v, Seq("o_orderpriority"), Seq("o_totalprice"))
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The maintained view READ BACK: matches the merged-state oracle
+    * only if both chunked advances were exactly-once and complete —
+    * the materialized-rollup economics (O(changed rows) per commit)
+    * graded end-to-end.
+    */
+  def qTxIvmView(s: SparkSession, dir: String): DataFrame =
+    ivmViewTable(s, dir).read()
+      .select(col("o_orderpriority"), col("n_rows").as("n_orders"),
+        col("sum_o_totalprice").cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
   /** ACID orders clone scattered by HASH of the key across 16 files
     * (each file's [min, max] key range spans nearly the whole domain,
     * so manifest min/max stats prune NOTHING for a point lookup) with
@@ -1373,6 +1409,7 @@ object ScaleOps {
     "q_tx_update" -> (qTxUpdate _),
     "q_tx_cdf" -> (qTxCdf _),
     "q_tx_ivm" -> (qTxIvm _),
+    "q_tx_ivm_view" -> (qTxIvmView _),
     "q_tx_compact" -> (qTxCompact _),
     "q_anomaly" -> (qAnomaly _),
     "q_tx_rename" -> (qTxRename _),
@@ -1467,6 +1504,22 @@ object ScaleOps {
     // the IVM fold over the full change feed reconstructs exactly the
     // merged state's aggregate — the same reconstruction as q_tx_merge
     "q_tx_ivm" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 10000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+        |    o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the maintained view reads back the same merged-state aggregate
+    "q_tx_ivm_view" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice + 10000 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 100 = 0

@@ -1,0 +1,117 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkTestBase
+
+/** [[IvmAgg]]: a keyed COUNT/SUM view maintained purely from the
+  * change feed must equal the full recompute after ANY op sequence,
+  * each advance must be replay-safe (atomic cursor), and net-no-op
+  * ranges must still move the cursor.
+  */
+class IvmAggSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshPair(tag: String): (TxTable, TxTable) =
+    (new TxTable(spark, tmpDir(s"ivm-src-$tag")),
+      new TxTable(spark, tmpDir(s"ivm-view-$tag")))
+
+  /** The O(table) recompute the view must always equal. */
+  private def recompute(src: TxTable): DataFrame =
+    src.read().groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"v".cast(DecimalType(28, 6))).as("sum_v"))
+
+  private def assertInSync(src: TxTable, view: TxTable): Unit = {
+    val want = recompute(src).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+      .toSet
+    val got = view.read().select($"grp", $"n_rows", $"sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+      .toSet
+    assert(got == want, s"view diverged from recompute:\n got=$got\nwant=$want")
+  }
+
+  test("append/update/delete histories fold to the exact recompute") {
+    val (src, view) = freshPair("basic")
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0))
+      .toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assertInSync(src, view)
+
+    // update moves value mass between rows of a group
+    src.update(col("id") === 1L, Map("v" -> (col("v") + lit(90.0))))
+    // delete drops b entirely — its view row must vanish
+    src.delete(col("grp") === "b")
+    src.append(Seq((4L, "c", 1.5), (5L, "c", 2.5)).toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assertInSync(src, view)
+    assert(view.read().where($"grp" === "b").count() == 0L,
+      "a group with zero live rows must leave the view")
+  }
+
+  test("advance is idempotent and the cursor rides the same commit") {
+    val (src, view) = freshPair("replay")
+    src.append(Seq((1L, "a", 2.0)).toDF("id", "grp", "v"))
+    val to = IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    val vAfter = view.version
+    // replay of the SAME advance (crash between commit and ack): no-op
+    assert(IvmAgg.advance(src, view, Seq("grp"), Seq("v")) == to)
+    assert(view.version == vAfter, "replayed advance must not commit")
+    assertInSync(src, view)
+    assert(view.state().txns("ivm") == src.version,
+      "cursor must reflect the folded source version")
+  }
+
+  test("a rows-unchanged range still advances the cursor (no re-reads)") {
+    val (src, view) = freshPair("noop")
+    src.append(Seq((1L, "a", 2.0), (2L, "a", 3.0)).toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    val viewV = view.version
+    src.compact() // rewrite-marker commit: feed yields no rows
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assert(view.state().txns("ivm") == src.version,
+      "cursor must cover the compaction version")
+    assert(view.version == viewV + 1, "cursor-only commit expected")
+    assertInSync(src, view)
+    // and replaying the cursor-only range is also a no-op
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assert(view.version == viewV + 1)
+  }
+
+  test("randomized op sequences with interleaved advances stay in sync") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val (src, view) = freshPair(s"fuzz$seed")
+      var nextId = 0L
+      def batch(n: Int): Seq[(Long, String, Double)] =
+        Seq.fill(n) {
+          nextId += 1
+          (nextId, s"g${rnd.nextInt(5)}", (rnd.nextInt(2000) - 1000) / 100.0)
+        }
+      src.append(batch(8).toDF("id", "grp", "v"))
+      IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+      (0 until 12).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => src.append(batch(1 + rnd.nextInt(4)).toDF("id", "grp", "v"))
+          case 1 => src.update(col("id") % (2 + rnd.nextInt(3)) === 0,
+            Map("v" -> (col("v") * lit(-1.0) + lit(1.0))))
+          case 2 => src.delete(col("id") % (3 + rnd.nextInt(4)) === 1)
+          case 3 =>
+            // merge: upsert half-new keys through the same feed path
+            val upd = batch(2)
+            src.merge(upd.toDF("id", "grp", "v"), Seq("id"))
+        }
+        if (rnd.nextBoolean()) {
+          IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+          assertInSync(src, view)
+        }
+      }
+      IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+      assertInSync(src, view)
+    }
+  }
+}
