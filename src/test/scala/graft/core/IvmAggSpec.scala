@@ -82,6 +82,31 @@ class IvmAggSpec extends SparkTestBase {
     assert(view.version == viewV + 1)
   }
 
+  test("append-only MAX folds via greatest; a retracting range is rejected") {
+    val (src, view) = freshPair("max")
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0))
+      .toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"), maxs = Seq("v"))
+    src.append(Seq((4L, "a", 3.0), (5L, "b", 99.0)).toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"), maxs = Seq("v"))
+    val got = view.read().select($"grp", $"max_v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("a" -> 10.0, "b" -> 99.0),
+      s"max must survive a smaller later append: $got")
+    // a delete in the unfolded range must be rejected loudly, and the
+    // failed advance must not move the cursor or the view
+    src.delete(col("id") === 5L)
+    val cur = view.state().txns("ivm")
+    val e = intercept[IllegalStateException](
+      IvmAgg.advance(src, view, Seq("grp"), Seq("v"), maxs = Seq("v")))
+    assert(e.getMessage.contains("retract"))
+    assert(view.state().txns("ivm") == cur)
+    // a COUNT/SUM-only view has no trouble with the same history
+    val view2 = new TxTable(spark, tmpDir("ivm-view-max2"))
+    IvmAgg.advance(src, view2, Seq("grp"), Seq("v"))
+    assertInSync(src, view2)
+  }
+
   test("randomized op sequences with interleaved advances stay in sync") {
     for (seed <- Seq(7, 19)) {
       val rnd = new scala.util.Random(seed)
