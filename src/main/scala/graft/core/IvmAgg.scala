@@ -70,11 +70,14 @@ object IvmAgg {
         maxs.map(c => s"max_$c" -> s"greatest(t.`max_$c`, s.`max_$c`)"))).toMap
     // clause order matters: a group whose live count hits zero leaves
     // the view entirely (first applicable matched clause wins)
+    // the CAS expectation (expectPrev = from) makes a concurrent
+    // advance folding an overlapping range abort instead of
+    // double-applying the overlap; replays of THIS range stay no-ops
     view.mergeBuilder(delta, keys)
       .whenMatchedDelete("t.n_rows + s.n_rows = 0")
       .whenMatchedUpdate(set)
       .whenNotMatchedInsertAll("s.n_rows <> 0")
-      .run(Some(TxTable.TxnId(cursorId, to)))
+      .run(Some(TxTable.TxnId(cursorId, to, expectPrev = Some(from))))
     to
   }
 }

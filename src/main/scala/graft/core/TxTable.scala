@@ -1269,8 +1269,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     var checkedFor: Map[String, String] = null // re-check only if a retry changed the set
     fireBeforeCommitHook()
     commitLoop(s"append to $tablePath") { st =>
-      if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
-        staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+      if (txnGate(st, txn, staged, "append to")) {
         None // already committed by a previous attempt of this batch
       } else {
         requireRenamesStable(snap0, st, staged, "append to")
@@ -1301,7 +1300,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     try commitLoop(s"identity append to $tablePath") { st =>
       prevStaged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
       prevStaged = Nil
-      if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) None
+      if (txnGate(st, txn, Nil, "identity append to")) None
       else {
         // RE-ADD after dropColumn, same as the plain append path —
         // computed per claim attempt since st moves under retries
@@ -1995,8 +1994,39 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   private def commitTxnOnly(txn: TxTable.TxnId, what: String): Unit =
     commitLoop(what) { st =>
-      if (st.txns.get(txn.writerId).exists(_ >= txn.batchId)) None
+      if (txnGate(st, Some(txn), Nil, what)) None
       else Some(Seq(Txn(txn.writerId, txn.batchId)))
+    }
+
+  /** The (writer, batch) commit gate, shared by every txn-carrying
+    * path: returns true (commit nothing, staged files cleaned) when
+    * this batch already landed; aborts loudly when the txn carries an
+    * `expectPrev` CAS expectation the claimed state violates — a
+    * concurrent writer under the same id moved the cursor, so this
+    * commit's data was computed against a stale range.
+    */
+  private def txnGate(st: State, txn: Option[TxTable.TxnId],
+      staged: Seq[(String, Option[FileStats])], what: String): Boolean =
+    txn match {
+      case None => false
+      case Some(t) =>
+        val cur = st.txns.get(t.writerId)
+        if (cur.exists(_ >= t.batchId)) {
+          staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+          true
+        } else {
+          t.expectPrev.foreach { p =>
+            val expected = if (p < 0L) None else Some(p)
+            if (cur != expected) {
+              staged.foreach { case (f, _) => fs.delete(new Path(root, f), false) }
+              throw new java.util.ConcurrentModificationException(
+                s"$what $tablePath raced another '${t.writerId}' writer: its " +
+                  s"batch moved from $expected to $cur; recompute against the " +
+                  "new state")
+            }
+          }
+          false
+        }
     }
 
   private def mergeConditional0(source0: DataFrame, keys: Seq[String],
@@ -2205,10 +2235,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
       fireBeforeCommitHook()
       val identitySync = identitySyncActions(snap, newData)
       commitLoop(s"conditional merge into $tablePath") { st =>
-        if (txn.exists(t => st.txns.get(t.writerId).exists(_ >= t.batchId))) {
-          (staged ++ stagedCdf).foreach { case (f, _) =>
-            fs.delete(new Path(root, f), false)
-          }
+        if (txnGate(st, txn, staged ++ stagedCdf, "conditional merge into")) {
           None // already committed by a previous attempt of this batch
         } else {
           requireRenamesStable(snap, st, staged ++ stagedCdf, "conditional merge into")
@@ -3509,8 +3536,18 @@ object TxTable {
     t
   }
 
-  /** Streaming-writer identity for idempotent commits. */
-  case class TxnId(writerId: String, batchId: Long)
+  /** Streaming-writer identity for idempotent commits. A replayed
+    * (writerId, batchId ≤ recorded) commit is a no-op. `expectPrev`
+    * additionally makes the commit a CAS on the writer's cursor: it
+    * lands only if the currently-recorded batch is exactly this value
+    * (-1 = none recorded), aborting loudly otherwise — the guard an
+    * incremental maintainer ([[graft.core.IvmAgg]]) needs so two
+    * concurrent advances folding OVERLAPPING source ranges can never
+    * both apply (the larger range would pass the replay gate alone
+    * and double-count the overlap). Commit-time-only; never persisted.
+    */
+  case class TxnId(writerId: String, batchId: Long,
+                   expectPrev: Option[Long] = None)
 
   /** A file's live deletion vector: sidecar name + masked-row count
     * (the count drives the read path's broadcast decision and the

@@ -107,6 +107,29 @@ class IvmAggSpec extends SparkTestBase {
     assertInSync(src, view2)
   }
 
+  test("a concurrent advance folding an overlapping range aborts, never double-applies") {
+    val (src, view) = freshPair("race")
+    src.append(Seq((1L, "a", 10.0)).toDF("id", "grp", "v")) // v0
+    src.append(Seq((2L, "a", 5.0)).toDF("id", "grp", "v"))  // v1
+    // the outer advance folds (-1, 1]; right before its commit a
+    // competing maintainer (fresh handles, same paths) folds the
+    // OVERLAPPING (-1, 0] and lands first — without the cursor CAS the
+    // outer commit would pass the replay gate (1 > 0) and double-count
+    // version 0's rows
+    view.beforeCommitHook = () =>
+      IvmAgg.advance(new TxTable(spark, src.tablePath),
+        new TxTable(spark, view.tablePath), Seq("grp"), Seq("v"),
+        upTo = Some(0L))
+    intercept[java.util.ConcurrentModificationException](
+      IvmAgg.advance(src, view, Seq("grp"), Seq("v")))
+    assert(view.state().txns("ivm") == 0L, "the inner advance's cursor holds")
+    // recovery: recompute from the NEW cursor converges exactly
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assertInSync(src, view)
+    assert(view.read().agg(sum($"n_rows")).head.getLong(0) == 2L,
+      "version 0 must be counted exactly once")
+  }
+
   test("randomized op sequences with interleaved advances stay in sync") {
     for (seed <- Seq(7, 19)) {
       val rnd = new scala.util.Random(seed)
