@@ -338,17 +338,21 @@ object TpchExtra {
 
   /** TPC-H Q2 shape (minimum-cost supplier): the correlated "supplier
     * with the minimal metric among those supplying this part in a
-    * region" subquery, decorrelated to a per-part MIN aggregate joined
-    * back on (part, metric) equality — the canonical argmin-per-group
-    * plan. No partsupp table in the testdata, so the supply relation
-    * is DISTINCT (l_partkey, l_suppkey) from lineitem and s_acctbal
-    * stands in for ps_supplycost (joined on raw equality, no
+    * region" subquery, decorrelated to a per-part MIN WINDOW over the
+    * candidate join and an equality filter — the argmin-per-group rows
+    * in ONE pass over the candidates (ties all kept, exactly the
+    * min-join semantics). The earlier agg + join-back shape computed
+    * the candidate chain TWICE — including the lineitem distinct, the
+    * expensive part — where the window rides the single chain's
+    * p_partkey exchange. No partsupp table in the testdata, so the
+    * supply relation is DISTINCT (l_partkey, l_suppkey) from lineitem
+    * and s_acctbal stands in for ps_supplycost (raw equality, no
     * arithmetic — doubles compare engine-exact). The supply distinct
-    * is the one fact shuffle; the regional supplier dim and the tiny
-    * per-part min table broadcast.
+    * is the one fact shuffle; the regional supplier dim broadcasts.
     */
   def q2MinSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val supply = t(s, dir, "lineitem")
       .select($"l_partkey", $"l_suppkey").distinct()
     val sr = t(s, dir, "supplier")
@@ -356,13 +360,12 @@ object TpchExtra {
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
       .where($"r_name" === "AMERICA")
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
-    val cand = t(s, dir, "part").where($"p_size" % 10 === 0)
+    t(s, dir, "part").where($"p_size" % 10 === 0)
       .join(supply, $"p_partkey" === $"l_partkey")
       .join(broadcast(sr), $"l_suppkey" === $"s_suppkey")
       .select($"p_partkey", $"p_name", $"s_name", $"s_acctbal", $"n_name")
-    val mn = cand.groupBy($"p_partkey".as("mk"))
-      .agg(min($"s_acctbal").as("min_bal"))
-    cand.join(broadcast(mn), $"p_partkey" === $"mk" && $"s_acctbal" === $"min_bal")
+      .withColumn("min_bal", min($"s_acctbal").over(Window.partitionBy($"p_partkey")))
+      .where($"s_acctbal" === $"min_bal")
       .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name")
       .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
       .limit(100)
