@@ -72,12 +72,22 @@ object TpchExtra {
     */
   def q7Volume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // each side's UNION of the two geographies applies BEFORE the
+    // orderkey shuffle (the OR'd direction pair can't split per side,
+    // but its per-side projection can): both exchange inputs shrink
+    // to 2-of-5 regions, and only the cross-direction residue filters
+    // after the join
+    val both = Seq("ASIA", "EUROPE")
     t(s, dir, "lineitem")
       .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
-      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(suppRegion(s, dir)), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(custRegion(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppRegion(s, dir).where($"supp_region".isin(both: _*))),
+        $"l_suppkey" === $"s_suppkey")
+      .join(t(s, dir, "orders")
+        .join(broadcast(custRegion(s, dir).where($"cust_region".isin(both: _*))),
+          $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_custkey", $"cust_region"),
+        $"l_orderkey" === $"o_orderkey")
       .where(($"supp_region" === "ASIA" && $"cust_region" === "EUROPE") ||
         ($"supp_region" === "EUROPE" && $"cust_region" === "ASIA"))
       .groupBy($"supp_region", $"cust_region",
@@ -96,13 +106,20 @@ object TpchExtra {
   def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vol = $"l_extendedprice" * (lit(1.0d) - $"l_discount")
+    // the ASIA gate applies to the ORDERS side BEFORE the orderkey
+    // shuffle (a broadcast semi-shape): both shuffle inputs shrink —
+    // lineitem by the part filter, orders by the market filter — so
+    // the one fact-fact exchange moves ~1/region of the rows it would
+    // if the market filter waited until after the join
+    val ordersAsia = t(s, dir, "orders")
+      .join(broadcast(custRegion(s, dir).where($"cust_region" === "ASIA")),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_orderdate")
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part").where($"p_type" === "ECONOMY")),
         $"l_partkey" === $"p_partkey")
-      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(custRegion(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(ordersAsia, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(suppRegion(s, dir)), $"l_suppkey" === $"s_suppkey")
-      .where($"cust_region" === "ASIA")
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
       .agg(
         dsum4(when($"supp_region" === "EUROPE", vol).otherwise(lit(0.0d)))
