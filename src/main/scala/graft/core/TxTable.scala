@@ -1727,7 +1727,30 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // instead of rewriting the world.
     val scoped = where match {
       case None => snap.files
-      case Some(p) => prunedFiles(snap, p)
+      case Some(p) =>
+        // a typo'd column would classify as unprunable and silently
+        // scope the pass to the WHOLE table — validate every named
+        // shape against the live surface schema instead
+        val live = snap.schema.map(_.fieldNames.toSeq
+          .filterNot(snap.dropped.contains).map(snap.logicalName).toSet)
+          .getOrElse(Set.empty)
+        def names(sh: org.apache.spark.sql.GraftColumnBridge.PredShape): Seq[String] = {
+          import org.apache.spark.sql.GraftColumnBridge._
+          sh match {
+            case CmpShape(n, _, _) => Seq(n)
+            case NullShape(n, _) => Seq(n)
+            case InShape(n, _) => Seq(n)
+            case PrefixShape(n, _) => Seq(n)
+            case OrShape(bs) => bs.flatten.flatMap(names)
+            case _ => Nil
+          }
+        }
+        val unknown = org.apache.spark.sql.GraftColumnBridge.conjunctShapes(p)
+          .flatMap(names).distinct.filterNot(live.contains)
+        require(unknown.isEmpty,
+          s"compact(where) of $tablePath references unknown column(s) " +
+            s"${unknown.mkString(", ")} — the predicate must name live columns")
+        prunedFiles(snap, p)
     }
     val picked = scoped
       .map(f => f -> fsv.getFileStatus(new Path(root, f)).getLen)

@@ -159,6 +159,10 @@ class TxTableSpec extends SparkTestBase {
     val v = t.version
     t.compact(where = Some(col("id") >= 35L))
     assert(t.version == v, "single-file scope must no-op")
+    // a typo'd column must fail loudly, never scope to the whole table
+    val e = intercept[IllegalArgumentException](
+      t.compact(where = Some(col("idd") <= 19L)))
+    assert(e.getMessage.contains("idd"))
   }
 
   test("vacuum physically drops unreferenced files; the live read survives") {
