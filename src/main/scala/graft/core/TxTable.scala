@@ -610,6 +610,66 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   def registerSql(name: String): Unit = TxSqlCatalog.register(name, tablePath)
 
+  /** CREATE-TABLE parity: commit a schema (and optional properties)
+    * with no data, so SQL DDL ([[graft.sql.GraftCatalog]]) and typed
+    * callers can declare a table before the first write. Columns are
+    * stored nullable — rows are free to omit them until written — and
+    * the table must have no commits yet (evolution, not re-creation,
+    * is the path after that).
+    */
+  def create(schema0: StructType,
+             properties: Map[String, String] = Map.empty): Unit = {
+    require(schema0.nonEmpty, "create needs at least one column")
+    require(schema0.map(_.name).distinct.size == schema0.size,
+      s"duplicate column names in ${schema0.map(_.name).mkString(", ")}")
+    val schema = StructType(schema0.map(_.copy(nullable = true)))
+    commitLoop(s"create $tablePath") { st =>
+      require(st.version < 0,
+        s"$tablePath already has commits (v${st.version}) — evolve via " +
+          "append/addColumns instead of create")
+      Some(Meta(schema.toDDL) +: properties.toSeq.sorted.map {
+        case (k, v) => Prop(k, v)
+      })
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMNS: metadata-only schema evolution — every
+    * existing row surfaces the new columns as NULL, exactly as if an
+    * append had carried them ([[mergeSchemas]] semantics, no file
+    * touched). A name that collides with a DROPPED column's retired
+    * physical slot gets a FRESH physical slot mapped in the same
+    * commit (the [[append]] re-add rule), so old dead values can never
+    * resurface under the new column.
+    */
+  def addColumns(cols: Seq[StructField]): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    require(cols.map(_.name).distinct.size == cols.size,
+      s"duplicate column names in ${cols.map(_.name).mkString(", ")}")
+    commitLoop(s"add columns to $tablePath") { st =>
+      val cur = st.schema.getOrElse(throw new IllegalStateException(
+        s"$tablePath has no commits yet — create() or write first"))
+      val live = cur.fieldNames.toSeq.filterNot(st.dropped.contains)
+        .map(st.logicalName)
+      val slots = cols.map { f =>
+        require(!live.contains(f.name),
+          s"column ${f.name} already exists on $tablePath")
+        require(!st.generated.contains(f.name) && !st.identity.contains(f.name),
+          s"column ${f.name} of $tablePath is declared generated/identity")
+        requireNotRetired(st, f.name, "a new")
+        // dropped slot of the same name: fresh physical + surface map
+        if (cur.fieldNames.contains(f.name) && st.dropped.contains(f.name))
+          (s"${f.name}_${UUID.randomUUID().toString.take(8)}", Some(f.name), f)
+        else (f.name, None, f)
+      }
+      val merged = StructType(cur.fields ++ slots.map { case (phys, _, f) =>
+        StructField(phys, f.dataType, nullable = true)
+      })
+      Some(Meta(merged.toDDL) +: slots.collect {
+        case (phys, Some(logical), _) => RenameCol(phys, logical)
+      })
+    }
+  }
+
   /** CHECK constraints currently in force (name → SQL expression). */
   def constraints: Map[String, String] = state().constraints
 
@@ -3940,7 +4000,7 @@ object TxTable {
   private def instantMicros(i: java.time.Instant): Long =
     math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
 
-  private[core] val LogDirName = "_graft_log"
+  private[graft] val LogDirName = "_graft_log"
   /** Change-feed column names ([[TxTable.readChangeFeed]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"

@@ -1,0 +1,56 @@
+package graft.sql
+
+import org.apache.spark.sql.{GraftStreamBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, OverwritePartitionsDynamic}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.RunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.core.TxTable
+
+/** SQL dynamic partition overwrite for [[GraftCatalog]] tables.
+  *
+  * Spark's V1-write shim covers append / truncate / overwrite-by-
+  * filter but has no dynamic-overwrite physical node
+  * (`TableCapabilityCheck` demands a full V2 `BATCH_WRITE` there), so
+  * `INSERT OVERWRITE` under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` is rewritten at
+  * analysis time into this command, which runs the table format's own
+  * atomic verb — [[TxTable.overwriteDynamic]]: one commit replacing
+  * exactly the partitions present in the incoming rows. Installed by
+  * [[graft.functions.GraftExtensions]]; without the extensions the
+  * statement fails loudly with Spark's standard unsupported-feature
+  * error (never silently as a full truncate).
+  */
+case class GraftDynamicOverwrite(dir: String, query: LogicalPlan)
+    extends RunnableCommand {
+
+  override def children: Seq[LogicalPlan] = Seq(query)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): GraftDynamicOverwrite =
+    copy(query = newChildren.head)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = new TxTable(session, dir)
+    val partCols = GraftCatalog.partColsOf(t)
+    require(partCols.nonEmpty,
+      s"dynamic INSERT OVERWRITE needs a PARTITIONED BY table (none declared on $dir)")
+    t.overwriteDynamic(GraftStreamBridge.ofRows(session, query), partCols)
+    Nil
+  }
+}
+
+/** Post-hoc resolution rule: `OverwritePartitionsDynamic` over a
+  * [[GraftTable]] relation → [[GraftDynamicOverwrite]]. Fires only
+  * once the write's query is fully resolved (so Spark's by-name /
+  * by-position column coercion has already shaped it to the table
+  * schema).
+  */
+class GraftDynOverwriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case o @ OverwritePartitionsDynamic(r: DataSourceV2Relation, q, _, _, _)
+        if q.resolved && r.table.isInstanceOf[GraftTable] =>
+      GraftDynamicOverwrite(r.table.asInstanceOf[GraftTable].dir, o.query)
+  }
+}

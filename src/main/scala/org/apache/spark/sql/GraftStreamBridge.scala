@@ -81,6 +81,15 @@ object GraftStreamBridge {
     }
   }
 
+  /** An analyzed logical plan as a DataFrame — for a RunnableCommand
+    * that captured its source query at analysis time (the
+    * `Dataset.ofRows` every connector command uses, package-private,
+    * hence here).
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Wrap a computed DataFrame as a TableScan BaseRelation — the batch
     * format's escape hatch for snapshots that cannot be a plain file
     * relation (deletion vectors applied at read time). Pushdown for

@@ -1,0 +1,193 @@
+package graft.sql
+
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+import graft.core.TxTable
+
+/** SQL-DDL/DML surface of [[GraftCatalog]]: every statement routes
+  * through the ACID commit log, so the assertions re-read through
+  * BOTH the SQL path and the typed [[TxTable]] API — they must agree,
+  * version by version.
+  */
+class GraftCatalogSpec extends SparkTestBase {
+
+  private lazy val base = tmpDir("graft-catalog")
+  private val cat = "graft_sql"
+
+  private lazy val init: Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+  }
+
+  private def sql(q: String) = { init; spark.sql(q) }
+
+  private def rows(q: String): Set[Row] = sql(q).collect().toSet
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trip, atomic in the log") {
+    sql(s"CREATE TABLE $cat.t1 (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.t1 VALUES (1, 'a'), (2, 'b')")
+    sql(s"INSERT INTO $cat.t1 VALUES (3, 'c')")
+    assert(rows(s"SELECT k, v FROM $cat.t1") ==
+      Set(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    // the SQL writes are log commits, visible identically to the typed API
+    val t = new TxTable(spark, s"$base/t1")
+    assert(t.version == 2) // create, insert, insert
+    assert(t.read().count() == 3)
+    // second CREATE fails loudly
+    intercept[Exception](sql(s"CREATE TABLE $cat.t1 (x INT)"))
+  }
+
+  test("filter pushdown reaches TxTable.scan: files are skipped, result exact") {
+    sql(s"CREATE TABLE $cat.skip (k BIGINT, v STRING) PARTITIONED BY (k)")
+    sql(s"INSERT INTO $cat.skip VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // partitioned write → value-pure files; an equality probe must
+    // read back exactly and the plan must carry the pushed filter
+    val df = sql(s"SELECT v FROM $cat.skip WHERE k = 2")
+    assert(df.collect().toSeq == Seq(Row("b")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull"),
+      s"expected pushed filters in:\n$plan")
+  }
+
+  test("INSERT OVERWRITE: full truncate-and-replace, and static-partition replaceWhere") {
+    sql(s"CREATE TABLE $cat.ow (k BIGINT, v STRING) PARTITIONED BY (k)")
+    sql(s"INSERT INTO $cat.ow VALUES (1, 'a'), (2, 'b')")
+    sql(s"INSERT OVERWRITE $cat.ow VALUES (7, 'z')")
+    assert(rows(s"SELECT * FROM $cat.ow") == Set(Row(7L, "z")))
+    // static partition spec → replace exactly that slice
+    sql(s"INSERT INTO $cat.ow VALUES (8, 'y')")
+    sql(s"INSERT OVERWRITE $cat.ow PARTITION (k = 7) VALUES ('zz')")
+    assert(rows(s"SELECT * FROM $cat.ow") == Set(Row(7L, "zz"), Row(8L, "y")))
+  }
+
+  test("dynamic partition overwrite replaces only the partitions present in the data") {
+    sql(s"CREATE TABLE $cat.dyn (k BIGINT, v STRING) PARTITIONED BY (k)")
+    sql(s"INSERT INTO $cat.dyn VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // without GraftExtensions the statement must fail LOUDLY (Spark's
+    // V1 shim has no dynamic-overwrite node) — never silently truncate
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception](
+        sql(s"INSERT OVERWRITE $cat.dyn VALUES (0, 'x')"))
+      assert(e.getMessage.contains("dynamic overwrite"))
+      assert(rows(s"SELECT count(*) AS n FROM $cat.dyn") == Set(Row(3L)))
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // with the extensions, GraftDynOverwriteRule routes it through
+    // TxTable.overwriteDynamic — one atomic commit per statement
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
+      s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s2.sql(s"INSERT OVERWRITE $cat.dyn VALUES (2, 'B2'), (9, 'N9')")
+      finally s2.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      assert(s2.sql(s"SELECT * FROM $cat.dyn").collect().toSet ==
+        Set(Row(1L, "a"), Row(2L, "B2"), Row(3L, "c"), Row(9L, "N9")))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+    assert(rows(s"SELECT * FROM $cat.dyn") ==
+      Set(Row(1L, "a"), Row(2L, "B2"), Row(3L, "c"), Row(9L, "N9")))
+  }
+
+  test("DELETE FROM ... WHERE routes to the copy-on-write delete") {
+    sql(s"CREATE TABLE $cat.del (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.del VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql(s"DELETE FROM $cat.del WHERE k >= 2")
+    assert(rows(s"SELECT * FROM $cat.del") == Set(Row(1L, "a")))
+    val t = new TxTable(spark, s"$base/del")
+    assert(t.version == 2) // create, insert, delete — one commit each
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    sql(s"CREATE TABLE $cat.tt (k BIGINT)")
+    sql(s"INSERT INTO $cat.tt VALUES (1)") // v1
+    Thread.sleep(30)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    sql(s"INSERT INTO $cat.tt VALUES (2)") // v2
+    assert(rows(s"SELECT * FROM $cat.tt VERSION AS OF 1") == Set(Row(1L)))
+    assert(rows(s"SELECT * FROM $cat.tt") == Set(Row(1L), Row(2L)))
+    val iso = java.time.Instant.ofEpochMilli(betweenMs).toString
+    assert(rows(s"SELECT * FROM $cat.tt TIMESTAMP AS OF '$iso'") == Set(Row(1L)))
+    // a pinned snapshot is read-only
+    intercept[Exception](sql(s"DELETE FROM $cat.tt VERSION AS OF 1 WHERE k = 1"))
+  }
+
+  test("ALTER TABLE: rename/add/drop column and properties, all metadata-only commits") {
+    sql(s"CREATE TABLE $cat.alt (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.alt VALUES (1, 'a')")
+    sql(s"ALTER TABLE $cat.alt RENAME COLUMN v TO val")
+    assert(rows(s"SELECT k, val FROM $cat.alt") == Set(Row(1L, "a")))
+    sql(s"ALTER TABLE $cat.alt ADD COLUMNS (extra BIGINT)")
+    assert(rows(s"SELECT k, extra FROM $cat.alt") == Set(Row(1L, null)))
+    sql(s"INSERT INTO $cat.alt VALUES (2, 'b', 20)")
+    sql(s"ALTER TABLE $cat.alt DROP COLUMN val")
+    assert(sql(s"SELECT * FROM $cat.alt").columns.toSeq == Seq("k", "extra"))
+    sql(s"ALTER TABLE $cat.alt SET TBLPROPERTIES ('owner.team' = 'graft')")
+    assert(new TxTable(spark, s"$base/alt").properties("owner.team") == "graft")
+    sql(s"ALTER TABLE $cat.alt UNSET TBLPROPERTIES ('owner.team')")
+    assert(!new TxTable(spark, s"$base/alt").properties.contains("owner.team"))
+  }
+
+  test("CTAS, SHOW TABLES, RENAME TO, DROP TABLE") {
+    sql(s"CREATE TABLE $cat.src (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.src VALUES (1, 'a'), (2, 'b')")
+    sql(s"CREATE TABLE $cat.ctas AS SELECT k, upper(v) AS v FROM $cat.src WHERE k = 1")
+    assert(rows(s"SELECT * FROM $cat.ctas") == Set(Row(1L, "A")))
+    val shown = sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).toSet
+    assert(shown.contains("src") && shown.contains("ctas"))
+    sql(s"ALTER TABLE $cat.ctas RENAME TO ctas2")
+    assert(rows(s"SELECT * FROM $cat.ctas2") == Set(Row(1L, "A")))
+    intercept[Exception](sql(s"SELECT * FROM $cat.ctas"))
+    sql(s"DROP TABLE $cat.ctas2")
+    intercept[Exception](sql(s"SELECT * FROM $cat.ctas2"))
+  }
+
+  test("namespaces are directories: create, use, drop") {
+    sql(s"CREATE NAMESPACE $cat.ns1")
+    sql(s"CREATE TABLE $cat.ns1.nt (k BIGINT)")
+    sql(s"INSERT INTO $cat.ns1.nt VALUES (5)")
+    assert(rows(s"SELECT * FROM $cat.ns1.nt") == Set(Row(5L)))
+    val shown = sql(s"SHOW TABLES IN $cat.ns1").collect().map(_.getString(1)).toSet
+    assert(shown == Set("nt"))
+    intercept[Exception](sql(s"DROP NAMESPACE $cat.ns1")) // not empty
+    sql(s"DROP NAMESPACE $cat.ns1 CASCADE")
+    intercept[Exception](sql(s"SELECT * FROM $cat.ns1.nt"))
+  }
+
+  test("CHECK constraints gate SQL INSERT: the violating statement commits nothing") {
+    sql(s"CREATE TABLE $cat.chk (k BIGINT, v STRING)")
+    val t = new TxTable(spark, s"$base/chk")
+    t.addConstraint("k_pos", "k > 0")
+    sql(s"INSERT INTO $cat.chk VALUES (1, 'ok')")
+    val v = t.version
+    val e = intercept[Exception](sql(s"INSERT INTO $cat.chk VALUES (-1, 'bad')"))
+    assert(e.getMessage.contains("k_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("k_pos")))
+    assert(t.version == v, "a rejected INSERT must not commit")
+    assert(rows(s"SELECT * FROM $cat.chk") == Set(Row(1L, "ok")))
+  }
+
+  test("typed create/addColumns contract: no double create, dropped name gets a fresh slot") {
+    val dir = tmpDir("graft-create")
+    val t = new TxTable(spark, dir)
+    t.create(org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    intercept[Exception](
+      t.create(org.apache.spark.sql.types.StructType.fromDDL("x INT")))
+    import spark.implicits._
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.dropColumn("v")
+    // re-adding the dropped NAME must not resurrect the dead values
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.StringType)))
+    assert(t.read().select("k", "v").collect().toSeq == Seq(Row(1L, null)))
+    intercept[Exception](t.addColumns(Seq(org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType))))
+  }
+}
