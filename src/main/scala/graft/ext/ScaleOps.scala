@@ -583,6 +583,64 @@ object ScaleOps {
   def qTxDynpart(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(dynPartOrdersTable(s, dir).read())
 
+  /** An ACID orders table built ENTIRELY through SQL statements
+    * against [[graft.sql.GraftCatalog]] — CREATE TABLE PARTITIONED BY,
+    * INSERT INTO, a static-partition INSERT OVERWRITE (the
+    * `replaceWhere` slice swap), DELETE FROM, and an ALTER TABLE
+    * column rename — so the whole DSv2 DDL/DML surface is graded, not
+    * just spec-covered. Returns the fully-qualified SQL name; built
+    * once per (session, dir); the catalog is registered idempotently
+    * on every call (conf survives, the memo does the data work once).
+    */
+  private[ext] def sqlCatalogOrders(s: SparkSession, dir: String): String = {
+    val tag = (dir + "_" + s.sparkContext.applicationId)
+      .replaceAll("[^a-zA-Z0-9]+", "_")
+    val cat = s"graft_sqlq_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.base",
+      s"${sys.props("java.io.tmpdir")}/graft_txsql_$tag")
+    graft.core.IndexCache.memo(
+      s"tx-sql:${s.sparkContext.applicationId}:$dir") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_txsql_$tag"
+      val hp = new org.apache.hadoop.fs.Path(base)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val src = s"orders_src_$tag"
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView(src)
+      s.sql(s"CREATE TABLE $cat.orders_sql (o_orderkey BIGINT, " +
+        "o_orderpriority STRING, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (o_orderpriority)")
+      s.sql(s"INSERT INTO $cat.orders_sql " +
+        s"SELECT o_orderkey, o_orderpriority, o_totalprice FROM $src")
+      // atomic slice swap: the urgent partition becomes its even keys
+      // at doubled price, every other partition untouched
+      s.sql(s"INSERT OVERWRITE $cat.orders_sql " +
+        "PARTITION (o_orderpriority = '1-URGENT') " +
+        s"SELECT o_orderkey, o_totalprice * 2 FROM $src " +
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0")
+      // copy-on-write range delete across all partitions
+      s.sql(s"DELETE FROM $cat.orders_sql WHERE o_orderkey <= 1000")
+      // metadata-only rename; the read below must speak the new name
+      s.sql(s"ALTER TABLE $cat.orders_sql RENAME COLUMN o_totalprice TO price")
+      base
+    }
+    s"$cat.orders_sql"
+  }
+
+  /** The SQL-built table aggregated by priority through a `spark.sql`
+    * read (the V1Scan shim path): matches the oracle only if every
+    * statement committed exactly its slice AND the renamed column
+    * reads back the original values.
+    */
+  def qTxSql(s: SparkSession, dir: String): DataFrame = {
+    val name = sqlCatalogOrders(s, dir)
+    s.sql(s"SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+      s"FROM $name GROUP BY o_orderpriority ORDER BY o_orderpriority")
+  }
+
   /** ACID clone of orders exercising OPT-IN TYPE WIDENING
     * ([[graft.core.TxTable.TypeWideningProp]]): batch 1 writes `units`
     * INT + `score` FLOAT; with the property set, batch 2 arrives LONG
@@ -1400,6 +1458,7 @@ object ScaleOps {
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_merge_cond" -> (qTxMergeCond _),
     "q_tx_dynpart" -> (qTxDynpart _),
+    "q_tx_sql" -> (qTxSql _),
     "q_tx_widen" -> (qTxWiden _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_delkeys" -> (qTxDelKeys _),
@@ -1642,6 +1701,22 @@ object ScaleOps {
         |SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the SQL-catalog statement sequence reconstructed flat: urgent
+    // partition = even keys at doubled price (the static-partition
+    // INSERT OVERWRITE), everything else carried, then the range
+    // DELETE applied across all partitions
+    "q_tx_sql" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS price
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT')
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM live WHERE o_orderkey > 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the three widened batches reconstructed flat: matches only if
     // the narrow files read exactly under the widened (long/double)
     // schema and the late narrow batch upcast losslessly
