@@ -26,9 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-stat file skipping for filters over TxTable snapshot
     // relations — inert unless the relation is skip-registered
     ext.injectOptimizerRule(_ => new graft.plans.TxSkipRule)
-    // SQL dynamic partition overwrite for GraftCatalog tables — inert
-    // unless the write target is a GraftTable relation
-    ext.injectPostHocResolutionRule(s => new graft.sql.GraftDynOverwriteRule(s))
+    // SQL DML for GraftCatalog tables the V1/V2 shims cannot plan —
+    // dynamic INSERT OVERWRITE, UPDATE, MERGE INTO, non-pushable
+    // DELETE — inert unless the write target is a GraftTable relation
+    ext.injectPostHocResolutionRule(s => new graft.sql.GraftSqlDmlRule(s))
   }
 }
 

@@ -1,10 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.{GraftStreamBridge, Row, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, OverwritePartitionsDynamic}
-import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.RunnableCommand
-import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.core.TxTable
 
@@ -15,9 +13,10 @@ import graft.core.TxTable
   * (`TableCapabilityCheck` demands a full V2 `BATCH_WRITE` there), so
   * `INSERT OVERWRITE` under
   * `spark.sql.sources.partitionOverwriteMode=dynamic` is rewritten at
-  * analysis time into this command, which runs the table format's own
-  * atomic verb — [[TxTable.overwriteDynamic]]: one commit replacing
-  * exactly the partitions present in the incoming rows. Installed by
+  * analysis time ([[GraftSqlDmlRule]]) into this command, which runs
+  * the table format's own atomic verb — [[TxTable.overwriteDynamic]]:
+  * one commit replacing exactly the partitions present in the incoming
+  * rows. Installed by
   * [[graft.functions.GraftExtensions]]; without the extensions the
   * statement fails loudly with Spark's standard unsupported-feature
   * error (never silently as a full truncate).
@@ -41,16 +40,3 @@ case class GraftDynamicOverwrite(dir: String, query: LogicalPlan)
   }
 }
 
-/** Post-hoc resolution rule: `OverwritePartitionsDynamic` over a
-  * [[GraftTable]] relation → [[GraftDynamicOverwrite]]. Fires only
-  * once the write's query is fully resolved (so Spark's by-name /
-  * by-position column coercion has already shaped it to the table
-  * schema).
-  */
-class GraftDynOverwriteRule(session: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case o @ OverwritePartitionsDynamic(r: DataSourceV2Relation, q, _, _, _)
-        if q.resolved && r.table.isInstanceOf[GraftTable] =>
-      GraftDynamicOverwrite(r.table.asInstanceOf[GraftTable].dir, o.query)
-  }
-}

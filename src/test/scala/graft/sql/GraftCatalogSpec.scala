@@ -161,6 +161,64 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](sql(s"SELECT * FROM $cat.ns1.nt"))
   }
 
+  private def withExtSession[A](f: org.apache.spark.sql.SparkSession => A): A = {
+    init
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
+      s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$cat.base", base)
+      f(s2)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("SQL UPDATE and non-pushable DELETE route to the atomic verbs") {
+    sql(s"CREATE TABLE $cat.dml (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.dml VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    withExtSession { s2 =>
+      s2.sql(s"UPDATE $cat.dml SET v = concat(v, '!') WHERE k % 2 = 0")
+      assert(s2.sql(s"SELECT * FROM $cat.dml").collect().toSet ==
+        Set(Row(1L, "a"), Row(2L, "b!"), Row(3L, "c"), Row(4L, "d!")))
+      // modulo predicate is not a pushable filter: the rewrite path
+      s2.sql(s"DELETE FROM $cat.dml WHERE k % 3 = 1")
+      assert(s2.sql(s"SELECT * FROM $cat.dml").collect().toSet ==
+        Set(Row(2L, "b!"), Row(3L, "c")))
+    }
+    // each statement was ONE commit: create, insert, update, delete
+    assert(new TxTable(spark, s"$base/dml").version == 3)
+  }
+
+  test("SQL MERGE INTO maps the full clause family onto the conditional merge") {
+    sql(s"CREATE TABLE $cat.mrg (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.mrg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    withExtSession { s2 =>
+      s2.sql(
+        s"""MERGE INTO $cat.mrg AS t
+           |USING (SELECT * FROM VALUES (1L, 'x'), (2L, 'drop'), (9L, 'new'),
+           |       (10L, 'skip') AS src(k, v)) AS s
+           |ON t.k = s.k
+           |WHEN MATCHED AND s.v = 'drop' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+', s.v)
+           |WHEN NOT MATCHED AND s.v != 'skip' THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN UPDATE SET v = 'stale'
+           |""".stripMargin)
+      assert(s2.sql(s"SELECT * FROM $cat.mrg").collect().toSet ==
+        Set(Row(1L, "a+x"), Row(3L, "stale"), Row(9L, "new")))
+      // non-equi ON condition: loud, actionable, nothing committed
+      val v = new TxTable(spark, s"$base/mrg").version
+      val e = intercept[Exception](s2.sql(
+        s"""MERGE INTO $cat.mrg AS t USING (SELECT 1L AS k, 'z' AS v) AS s
+           |ON t.k >= s.k WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(e.getMessage.contains("equi-key"))
+      assert(new TxTable(spark, s"$base/mrg").version == v)
+    }
+  }
+
   test("CHECK constraints gate SQL INSERT: the violating statement commits nothing") {
     sql(s"CREATE TABLE $cat.chk (k BIGINT, v STRING)")
     val t = new TxTable(spark, s"$base/chk")
