@@ -52,7 +52,8 @@ import graft.core.TxTable
   * the zero-config read path for ad-hoc registration; this catalog is
   * the cluster-idiomatic, write-capable surface.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var baseDir: String = _
@@ -183,6 +184,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(fs.rename(dirFor(oldIdent), to),
       s"filesystem refused to rename $oldIdent to $newIdent")
   }
+
+  // ---- procedures: CALL <cat>.system.<verb>(...) maintenance ----
+
+  private def identOf(tableName: String): Identifier = {
+    val parts = tableName.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table name '$tableName' (want [ns.]table)")
+    Identifier.of(parts.init, parts.last)
+  }
+
+  /** Resolve a procedure's `table` string argument ("t" or "ns.t") to
+    * its live [[TxTable]].
+    */
+  private[sql] def txFor(tableName: String): TxTable = {
+    val ident = identOf(tableName)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new TxTable(spark, dirFor(ident).toString)
+  }
+
+  /** The directory a NOT-yet-existing table name maps to (clone
+    * targets).
+    */
+  private[sql] def newTableDir(tableName: String): String = {
+    val ident = identOf(tableName)
+    require(!tableExists(ident), s"table $tableName already exists")
+    dirFor(ident).toString
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.all(this).map(p =>
+        Identifier.of(Array("system"), p.procName)).toArray
+    else Array.empty
 
   // ---- namespaces: plain directories under the warehouse root ----
 

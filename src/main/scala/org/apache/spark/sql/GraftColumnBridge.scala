@@ -94,7 +94,8 @@ object GraftColumnBridge {
 
   def conjunctShapes(predicate: Column): Seq[PredShape] = {
     import org.apache.spark.sql.internal.{ColumnNode, Literal => ULit,
-      UnresolvedAttribute => UAttr, UnresolvedFunction => UFn}
+      SqlExpression => USql, UnresolvedAttribute => UAttr,
+      UnresolvedFunction => UFn}
     def split(n: ColumnNode): Seq[ColumnNode] = n match {
       case f: UFn if f.functionName == "and" => f.arguments.flatMap(split)
       case other => Seq(other)
@@ -135,8 +136,41 @@ object GraftColumnBridge {
         case ("or", _) => OrShape(splitOr(f).map(b => split(b).map(shape)))
         case _ => OpaqueShape
       }
+      // expr("day = 7") / a procedure's `where` string carries raw SQL
+      // TEXT, not an operator tree — without this case every SQL-text
+      // predicate classified Opaque and silently lost file skipping
+      // (compact(where) would quietly rewrite the whole table)
+      case s: USql => sqlTextShapes(s.expression) match {
+        case Seq(one) => one
+        // a conjunction under an OR branch: a single-branch OrShape IS
+        // a conjunct list to the pruner (empty iff any conjunct proves it)
+        case many => OrShape(Seq(many))
+      }
       case _ => OpaqueShape
     }
-    split(predicate.node).map(shape)
+    predicate.node match {
+      // the whole predicate is SQL text: classify each top conjunct
+      case s: USql => sqlTextShapes(s.expression)
+      case n => split(n).map(shape)
+    }
   }
+
+  /** Classify a raw SQL predicate string by parsing it (unresolved)
+    * and walking the catalyst tree: attributes are pinned to
+    * name-only references — stat pruning needs just names and literal
+    * values, and [[graft.core.TxTable.literalJ]] already speaks the
+    * parser's internal literal encodings (UTF8String, epoch days/
+    * micros). Unparseable text degrades to Opaque (prune nothing),
+    * never throws.
+    */
+  private def sqlTextShapes(sql: String): Seq[PredShape] =
+    try {
+      val parsed = catalyst.parser.CatalystSqlParser.parseExpression(sql)
+        .transformUp {
+          case u: catalyst.analysis.UnresolvedAttribute =>
+            catalyst.expressions.AttributeReference(
+              u.nameParts.mkString("."), types.NullType)()
+        }
+      conjunctShapesCatalyst(parsed)
+    } catch { case scala.util.control.NonFatal(_) => Seq(OpaqueShape) }
 }

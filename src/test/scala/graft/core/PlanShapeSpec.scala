@@ -104,10 +104,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bc >= 2, s"expected customer+nation (and filtered orders) broadcast, got $bc")
   }
 
-  test("q7_volume: both geography branches broadcast") {
+  test("q7_volume: geo gates broadcast pre-shuffle; fact-fact join shuffles") {
     val (sh, bc) = shape("q7_volume")
-    assert(sh <= 2, s"expected fact shuffle + agg/sort only, got $sh")
-    assert(bc >= 4, s"expected supplier/customer geo branches broadcast, got $bc")
+    // lineitem⋈orders is fact-fact — at 100 TB it MUST shuffle (both
+    // sides pre-gated to 2-of-5 regions by the broadcast geo joins);
+    // orderkey exchange ×2 + agg + sort is the ceiling
+    assert(sh <= 4, s"expected 2 orderkey exchanges + agg/sort only, got $sh")
+    assert(bc >= 2, s"expected supplier/customer geo branches broadcast, got $bc")
   }
 
   test("q18_big_orders: HAVING pre-aggregate runs before the join, dims broadcast") {

@@ -165,6 +165,38 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("idd"))
   }
 
+  test("SQL-text predicates (expr strings) scope compaction and prune scans") {
+    val t = table()
+    (0 until 4).foreach { b =>
+      t.append(Seq((b * 10L, s"a$b"), (b * 10L + 9L, s"b$b"))
+        .toDF("id", "v").coalesce(1))
+    }
+    val before = t.state().files.toSet
+    // the CALL-procedure form: a raw SQL string, NOT a typed Column —
+    // it must scope exactly like col("id") <= 19L, not Opaque-match
+    // the whole table
+    t.compact(where = Some(org.apache.spark.sql.functions.expr("id <= 19")))
+    val after = t.state().files
+    assert(after.size == 3, s"two overlapping files should pack into one: $after")
+    assert(after.count(before.contains) == 2,
+      "out-of-scope files must be untouched")
+    // scan-side: the same text form prunes files on stats
+    assert(t.scan(org.apache.spark.sql.functions.expr("id = 39")).count() == 1L)
+    assert(t.prunedFiles(t.state(),
+      org.apache.spark.sql.functions.expr("id = 35")).size == 1,
+      "a SQL-text equality must stat-prune to the one overlapping file")
+    // string literals land in UTF8String form — must still compare
+    assert(t.prunedFiles(t.state(),
+      org.apache.spark.sql.functions.expr("v = 'a0'")).size == 1)
+    // typo'd column in text form: loud, same as the typed path
+    val e = intercept[IllegalArgumentException](
+      t.compact(where = Some(org.apache.spark.sql.functions.expr("idd <= 19"))))
+    assert(e.getMessage.contains("idd"))
+    // unparseable text degrades to Opaque (reads all), never throws
+    assert(t.scan(org.apache.spark.sql.functions.expr("id = 39") &&
+      org.apache.spark.sql.functions.expr("v IS NOT NULL")).count() == 1L)
+  }
+
   test("vacuum physically drops unreferenced files; the live read survives") {
     val t = table()
     (0 until 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
