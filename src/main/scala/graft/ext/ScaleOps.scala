@@ -641,6 +641,94 @@ object ScaleOps {
       s"FROM $name GROUP BY o_orderpriority ORDER BY o_orderpriority")
   }
 
+  /** An ACID parts table maintained ENTIRELY through SQL stored
+    * procedures (`CALL <cat>.system.<verb>` — the DSv2
+    * ProcedureCatalog surface): scoped OPTIMIZE-WHERE, a DELETE undone
+    * by `restore`, `zorder`, and a `vacuum` dry run that must predict
+    * the real run exactly. Each step's effect is load-bearing in
+    * [[qTxCall]]'s oracle row: restore decides which rows exist,
+    * zorder's `target_files` pins the live file count, and the
+    * dry-run/real-run agreement lands in a graded column. Returns the
+    * fully-qualified SQL name; built once per (session, dir).
+    */
+  private[ext] def callMaintainedParts(s: SparkSession, dir: String): String = {
+    val tag = (dir + "_" + s.sparkContext.applicationId)
+      .replaceAll("[^a-zA-Z0-9]+", "_")
+    val cat = s"graft_callq_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.base",
+      s"${sys.props("java.io.tmpdir")}/graft_txcall_$tag")
+    graft.core.IndexCache.memo(
+      s"tx-call:${s.sparkContext.applicationId}:$dir") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_txcall_$tag"
+      val hp = new org.apache.hadoop.fs.Path(base)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val src = s"part_src_$tag"
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .createOrReplaceTempView(src)
+      s.sql(s"CREATE TABLE $cat.parts_call (p_partkey BIGINT, " +
+        "p_brand STRING, p_retailprice DOUBLE) PARTITIONED BY (p_brand)")
+      // two interleaved inserts: >=2 files per brand, so the scoped
+      // optimize below has something real to pack
+      s.sql(s"INSERT INTO $cat.parts_call SELECT * FROM $src " +
+        "WHERE p_partkey % 2 = 1")
+      s.sql(s"INSERT INTO $cat.parts_call SELECT * FROM $src " +
+        "WHERE p_partkey % 2 = 0")
+      // OPTIMIZE scoped to one brand: only its files may rewrite
+      s.sql(s"CALL $cat.system.optimize(table => 'parts_call', " +
+        "where => 'p_brand = ''Brand#11''')") // v3
+      val preDelete = new graft.core.TxTable(s, s"$base/parts_call")
+        .detail().version
+      // a bad batch job... undone by restore: the low-key rows must be
+      // in the final aggregate ONLY because the restore landed
+      s.sql(s"DELETE FROM $cat.parts_call WHERE p_partkey <= 500")
+      s.sql(s"CALL $cat.system.restore(table => 'parts_call', " +
+        s"version => $preDelete)")
+      // zorder pins the live layout to exactly 2 files at ANY sf
+      s.sql(s"CALL $cat.system.zorder(table => 'parts_call', " +
+        "cols => 'p_partkey', target_files => 2)")
+      // the dry run must list EXACTLY what the real run then deletes
+      val dry = s.sql(s"CALL $cat.system.vacuum(table => 'parts_call', " +
+        "older_than_ms => 0, dry_run => true)")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val real = s.sql(s"CALL $cat.system.vacuum(table => 'parts_call', " +
+        "older_than_ms => 0)").collect().map(_.getString(0)).sorted.toSeq
+      // graded through the oracle row: store the agreement in the
+      // table's own properties (an ACID metadata commit), read back
+      // by qTxCall — dry run sound+complete and nothing reclaimable left
+      val again = s.sql(s"CALL $cat.system.vacuum(table => 'parts_call', " +
+        "older_than_ms => 0, dry_run => true)").count()
+      new graft.core.TxTable(s, s"$base/parts_call").setProperty(
+        "graft.test.vacuumExact",
+        (dry == real && dry.nonEmpty && again == 0L).toString)
+      base
+    }
+    s"$cat.parts_call"
+  }
+
+  /** The CALL-maintained table aggregated by brand, with the
+    * maintenance outcomes as graded columns: `n_parts`/`revenue` match
+    * only if the restore undid the delete exactly, `live_files` (2)
+    * only if zorder honored `target_files` and vacuum kept every live
+    * file, and `vacuum_exact` only if the dry run predicted the real
+    * deletion set verbatim and left nothing behind.
+    */
+  def qTxCall(s: SparkSession, dir: String): DataFrame = {
+    val name = callMaintainedParts(s, dir)
+    val basePath = s.conf.get(
+      s"spark.sql.catalog.${name.split('.').head}.base")
+    val t = new graft.core.TxTable(s, s"$basePath/parts_call")
+    val files = t.detail().numFiles.toLong
+    val agree = t.properties.getOrElse("graft.test.vacuumExact", "false")
+    s.sql(s"SELECT p_brand, COUNT(*) AS n_parts, " +
+      "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+      s"CAST($files AS BIGINT) AS live_files, " +
+      s"CAST('$agree' AS STRING) AS vacuum_exact " +
+      s"FROM $name GROUP BY p_brand ORDER BY p_brand")
+  }
+
   /** ACID clone of orders exercising OPT-IN TYPE WIDENING
     * ([[graft.core.TxTable.TypeWideningProp]]): batch 1 writes `units`
     * INT + `score` FLOAT; with the property set, batch 2 arrives LONG
@@ -1459,6 +1547,7 @@ object ScaleOps {
     "q_tx_merge_cond" -> (qTxMergeCond _),
     "q_tx_dynpart" -> (qTxDynpart _),
     "q_tx_sql" -> (qTxSql _),
+    "q_tx_call" -> (qTxCall _),
     "q_tx_widen" -> (qTxWiden _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_delkeys" -> (qTxDelKeys _),
@@ -1701,6 +1790,18 @@ object ScaleOps {
         |SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the CALL-procedure maintenance chain nets out to a no-op on the
+    // DATA (the delete was restored; optimize/zorder/vacuum move rows
+    // between files, never change them) — so the data columns are the
+    // flat per-brand aggregate, and the maintenance outcomes are
+    // constants: zorder pinned the table to 2 live files, and the
+    // vacuum dry run predicted the real deletion set exactly
+    "q_tx_call" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(2 AS BIGINT) AS live_files,
+        |  'true' AS vacuum_exact
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // the SQL-catalog statement sequence reconstructed flat: urgent
     // partition = even keys at doubled price (the static-partition
     // INSERT OVERWRITE), everything else carried, then the range

@@ -23,6 +23,10 @@ import graft.core.TxTable
   *   CALL graft.system.detail(table => 'ns.t')
   *   CALL graft.system.truncate_log(table => 'ns.t')
   *   CALL graft.system.clone(source => 'ns.t', target => 'ns.t2')
+  *   CALL graft.system.add_constraint(table => 'ns.t', name => 'k_pos', expr => 'k > 0')
+  *   CALL graft.system.add_bloom_index(table => 'ns.t', col => 'k')
+  *   CALL graft.system.add_generated_column(table => 'ns.t', name => 'd', expr => 'k * 2')
+  *   CALL graft.system.add_identity_column(table => 'ns.t', name => 'id', start => 10)
   * }}}
   *
   * Each procedure routes to the corresponding one-commit ACID verb on
@@ -81,6 +85,12 @@ private[sql] object GraftProcedures {
     StructField("version", LongType, nullable = false),
     StructField("files_before", LongType, nullable = false),
     StructField("files_after", LongType, nullable = false)))
+
+  /** Result shape for the metadata-only DDL verbs: the commit the
+    * declaration produced.
+    */
+  private val versionOut = StructType(Seq(
+    StructField("version", LongType, nullable = false)))
 
   def all(catalog: GraftCatalog): Seq[GraftProcedure] = Seq(
     new GraftProcedure("optimize", Seq(
@@ -187,6 +197,75 @@ private[sql] object GraftProcedures {
         val cloned = catalog.txFor(reqStr(in, 0))
           .cloneTo(catalog.newTableDir(targetName))
         Seq(Row(targetName, cloned.detail().version))
+      }
+    },
+
+    // ---- typed-only DDL verbs (no ANSI SQL form) as procedures, so
+    // the WHOLE table feature surface is SQL-scriptable ----
+
+    new GraftProcedure("add_constraint", Seq(
+        p("table", StringType),
+        p("name", StringType),
+        p("expr", StringType)), versionOut) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Row] = {
+        val t = catalog.txFor(reqStr(in, 0))
+        t.addConstraint(reqStr(in, 1), reqStr(in, 2))
+        Seq(Row(t.detail().version))
+      }
+    },
+
+    new GraftProcedure("drop_constraint", Seq(
+        p("table", StringType),
+        p("name", StringType)), versionOut) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Row] = {
+        val t = catalog.txFor(reqStr(in, 0))
+        t.dropConstraint(reqStr(in, 1))
+        Seq(Row(t.detail().version))
+      }
+    },
+
+    new GraftProcedure("add_bloom_index", Seq(
+        p("table", StringType),
+        p("col", StringType),
+        pd("expected_items", LongType, "1000000"),
+        pd("fpp", DoubleType, "0.03")), versionOut) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Row] = {
+        val t = catalog.txFor(reqStr(in, 0))
+        t.addBloomIndex(reqStr(in, 1), in.getLong(2), in.getDouble(3))
+        Seq(Row(t.detail().version))
+      }
+    },
+
+    new GraftProcedure("drop_bloom_index", Seq(
+        p("table", StringType),
+        p("col", StringType)), versionOut) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Row] = {
+        val t = catalog.txFor(reqStr(in, 0))
+        t.dropBloomIndex(reqStr(in, 1))
+        Seq(Row(t.detail().version))
+      }
+    },
+
+    new GraftProcedure("add_generated_column", Seq(
+        p("table", StringType),
+        p("name", StringType),
+        p("expr", StringType)), versionOut) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Row] = {
+        val t = catalog.txFor(reqStr(in, 0))
+        t.addGeneratedColumn(reqStr(in, 1), reqStr(in, 2))
+        Seq(Row(t.detail().version))
+      }
+    },
+
+    new GraftProcedure("add_identity_column", Seq(
+        p("table", StringType),
+        p("name", StringType),
+        pd("start", LongType, "1"),
+        pd("step", LongType, "1")), versionOut) {
+      override def run(spark: SparkSession, in: InternalRow): Seq[Row] = {
+        val t = catalog.txFor(reqStr(in, 0))
+        t.addIdentityColumn(reqStr(in, 1), in.getLong(2), in.getLong(3))
+        Seq(Row(t.detail().version))
       }
     }
   )

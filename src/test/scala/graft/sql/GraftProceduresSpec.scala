@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.SparkTestBase
 import graft.core.TxTable
@@ -130,6 +131,32 @@ class GraftProceduresSpec extends SparkTestBase {
     intercept[Exception](t2.readAt(3)) // pre-checkpoint history is gone
   }
 
+  test("CALL DDL verbs: constraint gates the next INSERT; generated + identity columns land") {
+    mk("ddl", n = 1)
+    val t = new TxTable(spark, s"$base/ddl")
+    sql(s"CALL $cat.system.add_constraint(table => 'ddl', name => 'k_pos', expr => 'k > 0')")
+    val e = intercept[Exception](sql(s"INSERT INTO $cat.ddl VALUES (-1, 'bad')"))
+    assert(e.getMessage.contains("k_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("k_pos")))
+    assert(t.read().count() == 1, "violating INSERT must commit nothing")
+    sql(s"CALL $cat.system.drop_constraint(table => 'ddl', name => 'k_pos')")
+    sql(s"INSERT INTO $cat.ddl VALUES (-1, 'ok-now')")
+    // declaring existing data invalid fails at DDL time, atomically
+    intercept[Exception](sql(
+      s"CALL $cat.system.add_constraint(table => 'ddl', name => 'k_pos2', expr => 'k > 0')")
+      .collect())
+    sql(s"CALL $cat.system.add_generated_column(table => 'ddl', name => 'k2', expr => 'k * 2')")
+    sql(s"CALL $cat.system.add_identity_column(table => 'ddl', name => 'id', start => 100)")
+    sql(s"INSERT INTO $cat.ddl (k, v) VALUES (7, 'gen')")
+    val r = sql(s"SELECT k2, id FROM $cat.ddl WHERE k = 7").collect()
+    assert(r.toSeq == Seq(Row(14L, 100L)),
+      s"generated + identity must compute on the SQL INSERT, got ${r.toSeq}")
+    // bloom index: declared, used (value-absent file prunes), dropped
+    sql(s"CALL $cat.system.add_bloom_index(table => 'ddl', col => 'v', expected_items => 1000)")
+    assert(t.read().where(col("v") === "gen").count() == 1)
+    sql(s"CALL $cat.system.drop_bloom_index(table => 'ddl', col => 'v')")
+  }
+
   test("SHOW PROCEDURES + bad calls fail loudly with the available set") {
     mk("err", n = 1)
     val shown = sql(s"SHOW PROCEDURES IN $cat.system")
@@ -137,7 +164,10 @@ class GraftProceduresSpec extends SparkTestBase {
       .getOrElse(shown.columns.last)
     val listed = shown.select(nameCol).collect().map(_.getString(0)).toSet
     assert(listed == Set("optimize", "zorder", "vacuum", "restore",
-      "history", "detail", "truncate_log", "clone"))
+      "history", "detail", "truncate_log", "clone",
+      "add_constraint", "drop_constraint",
+      "add_bloom_index", "drop_bloom_index",
+      "add_generated_column", "add_identity_column"))
     val e1 = intercept[Exception](sql(s"CALL $cat.system.frobnicate(table => 'err')"))
     assert(e1.getMessage.contains("no such procedure") ||
       e1.getMessage.contains("frobnicate"))
