@@ -622,7 +622,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
     require(schema0.nonEmpty, "create needs at least one column")
     require(schema0.map(_.name).distinct.size == schema0.size,
       s"duplicate column names in ${schema0.map(_.name).mkString(", ")}")
-    val schema = StructType(schema0.map(_.copy(nullable = true)))
+    // nullable, metadata-free: the log stores schema as parseable DDL
+    // (metadata like DEFAULT declarations would break the round-trip)
+    val schema = StructType(schema0.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
     commitLoop(s"create $tablePath") { st =>
       require(st.version < 0,
         s"$tablePath already has commits (v${st.version}) — evolve via " +
@@ -696,6 +699,64 @@ class TxTable(spark: SparkSession, val tablePath: String,
           s"(have: ${st.properties.keys.toSeq.sorted.mkString(", ")})")
       Some(Seq(UnsetProp(key)))
     }
+
+  /** Declare an ANSI column DEFAULT: a constant expression SQL inserts
+    * substitute when the column is omitted (resolved by Spark's
+    * analyzer from the catalog table's schema metadata — see
+    * [[graft.sql.GraftCatalog]]). The published semantics: defaults
+    * apply to FUTURE inserts only — rows already on disk (and typed
+    * `append`s that simply omit the column) keep reading NULL, so
+    * declaring a default is one O(1) metadata commit, never a rewrite.
+    * Stored as a `graft.default.<physical>` property, so the
+    * declaration is rename-stable and rides checkpoints like any
+    * other table metadata; the expression must be deterministic and
+    * reference no columns (the foldability Spark's resolution
+    * requires).
+    */
+  def setColumnDefault(name: String, sqlExpr: String): Unit = {
+    val st = state()
+    val phys = physicalName(st, name)
+    require(st.schema.exists(s => s.fieldNames.contains(phys) &&
+        !st.dropped.contains(phys)),
+      s"no column $name on $tablePath to set a DEFAULT for")
+    require(!st.generated.contains(phys) && !st.identity.contains(phys),
+      s"column $name of $tablePath is generated/identity — its values " +
+        "are always computed, a DEFAULT would never apply")
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    require(parsed.deterministic && parsed.references.isEmpty,
+      s"DEFAULT for $name must be a deterministic constant expression " +
+        s"(got: $sqlExpr)")
+    // resolvability + type-compat: the cast must analyze against the
+    // column's declared type at DDL time, not at the next INSERT
+    val dt = st.schema.get(phys).dataType
+    spark.sql(s"SELECT CAST(($sqlExpr) AS ${dt.sql})").queryExecution.analyzed
+    setProperty(s"${TxTable.DefaultPropPrefix}$phys", sqlExpr)
+  }
+
+  /** Drop a column DEFAULT declaration; unknown names fail loudly. */
+  def dropColumnDefault(name: String): Unit = {
+    val st = state()
+    val phys = physicalName(st, name)
+    require(st.properties.contains(s"${TxTable.DefaultPropPrefix}$phys"),
+      s"no DEFAULT declared for column $name on $tablePath")
+    unsetProperty(s"${TxTable.DefaultPropPrefix}$phys")
+  }
+
+  /** Declared column DEFAULTs, keyed by the current SURFACE name and
+    * filtered to live columns (a dropped column's declaration dies
+    * with it; the fresh physical slot of a re-added name never
+    * collides with the retired key).
+    */
+  def columnDefaults: Map[String, String] = {
+    val st = state()
+    val live = st.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    st.properties.collect {
+      case (k, v) if k.startsWith(TxTable.DefaultPropPrefix) &&
+          live.contains(k.stripPrefix(TxTable.DefaultPropPrefix)) &&
+          !st.dropped.contains(k.stripPrefix(TxTable.DefaultPropPrefix)) =>
+        st.logicalName(k.stripPrefix(TxTable.DefaultPropPrefix)) -> v
+    }
+  }
 
   /** DESCRIBE DETAIL: one-stop operational summary of the snapshot —
     * version, file/byte/row totals (rows summed from manifest stats
@@ -4001,6 +4062,10 @@ object TxTable {
     math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
 
   private[graft] val LogDirName = "_graft_log"
+  /** Property prefix for column DEFAULT declarations
+    * ([[TxTable.setColumnDefault]]): `graft.default.<physicalName>`.
+    */
+  private[graft] val DefaultPropPrefix = "graft.default."
   /** Change-feed column names ([[TxTable.readChangeFeed]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -4431,7 +4496,11 @@ object TxTable {
   private[core] def mergeSchemas(existing: Option[StructType], incoming: StructType,
                                  allowWiden: Boolean = false): StructType =
     existing match {
-      case None => incoming
+      // normalize away field metadata: the log stores schema as
+      // parseable DDL, and metadata like a DEFAULT declaration would
+      // make toDDL emit clauses fromDDL cannot read back
+      case None =>
+        StructType(incoming.map(f => StructField(f.name, f.dataType, nullable = true)))
       case Some(cur) =>
         val merged = cur.map { f =>
           incoming.find(_.name == f.name) match {

@@ -66,6 +66,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Opt in to the analyzer routing `DEFAULT` column clauses and
+    * `ALTER TABLE ... ADD CONSTRAINT` statements to this catalog.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   private def fs: FileSystem =
@@ -141,7 +150,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE)
-    val props = properties.asScala.toMap -- reserved ++
+    // CREATE TABLE (c INT DEFAULT <expr>): the analyzer ships defaults
+    // as CURRENT_DEFAULT field metadata — land them as the engine's
+    // default declarations in the SAME create commit (at create time
+    // the surface name IS the physical name)
+    val defaults = schema.fields.collect {
+      case f if f.metadata.contains("CURRENT_DEFAULT") =>
+        s"${TxTable.DefaultPropPrefix}${f.name}" ->
+          f.metadata.getString("CURRENT_DEFAULT")
+    }.toMap
+    val props = properties.asScala.toMap -- reserved ++ defaults ++
       (if (partCols.isEmpty) Map.empty
        else Map(GraftCatalog.PartitionByProp -> partCols.mkString(",")))
     new TxTable(spark, dirFor(ident).toString).create(schema, props)
@@ -162,9 +180,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case d: TableChange.DeleteColumn =>
         t.dropColumn(one(d.fieldNames, "drop"))
       case a: TableChange.AddColumn =>
-        require(a.defaultValue == null,
-          "ADD COLUMN ... DEFAULT is not supported (new columns read NULL)")
-        t.addColumns(Seq(StructField(one(a.fieldNames, "add"), a.dataType)))
+        val colName = one(a.fieldNames, "add")
+        t.addColumns(Seq(StructField(colName, a.dataType)))
+        // ADD COLUMN ... DEFAULT: existing rows keep reading NULL (the
+        // published no-rewrite semantics); future SQL inserts that omit
+        // the column substitute the declared constant
+        Option(a.defaultValue).foreach(d => t.setColumnDefault(colName, d.getSql))
+      case d: TableChange.UpdateColumnDefaultValue =>
+        val colName = one(d.fieldNames, "default")
+        Option(d.newCurrentDefault).map(_.getSql).filter(_.nonEmpty) match {
+          case Some(sql) => t.setColumnDefault(colName, sql) // SET DEFAULT
+          case None => t.dropColumnDefault(colName)          // DROP DEFAULT
+        }
+      case ac: TableChange.AddConstraint => ac.constraint match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          t.addConstraint(c.name, c.predicateSql)
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are enforced; got ${other.getClass.getSimpleName} " +
+            s"on $ident (primary/foreign/unique keys are informational in Spark " +
+            "and this engine does not pretend to enforce them)")
+      }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists || t.constraints.contains(dc.name)) t.dropConstraint(dc.name)
       case s: TableChange.SetProperty => t.setProperty(s.property, s.value)
       case rp: TableChange.RemoveProperty => t.unsetProperty(rp.property)
       case other => throw new UnsupportedOperationException(
@@ -320,12 +357,52 @@ private[graft] class GraftTable(fullName: String, val dir: String,
 
   override def schema(): StructType = versionAsOf match {
     case Some(v) => tx.readAt(v).schema
-    case None => tx.schemaOption.getOrElse(throw new IllegalStateException(
-      s"$fullName has no commits yet — CREATE TABLE first"))
+    case None => withDefaultMeta(
+      tx.schemaOption.getOrElse(throw new IllegalStateException(
+        s"$fullName has no commits yet — CREATE TABLE first")))
+  }
+
+  /** Surface declared column DEFAULTs through the field-metadata keys
+    * Spark's `ResolveDefaultColumns` reads, so a SQL INSERT that omits
+    * (or writes `DEFAULT` into) the column substitutes the declared
+    * constant at analysis time — the write path receives a complete
+    * frame and stays unchanged. EXISTS_DEFAULT carries the same
+    * constant by convention; this engine's reads never apply it
+    * retroactively (pre-declaration rows keep reading NULL, the
+    * published no-rewrite semantics).
+    */
+  private def withDefaultMeta(s: StructType): StructType = {
+    val ds = tx.columnDefaults
+    if (ds.isEmpty) s
+    else StructType(s.fields.map { f =>
+      ds.get(f.name).map { sql =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql).build())
+      }.getOrElse(f)
+    })
   }
 
   override def partitioning(): Array[Transform] =
     GraftCatalog.partColsOf(tx).map(Expressions.identity).toArray
+
+  /** Surface the engine's CHECK constraints (every one is enforced +
+    * validated — DDL validates existing data, each write gates its
+    * staged files). Stored SQL binds to physical names; shown as-is —
+    * physical == surface until a rename, and the enforcement itself
+    * never re-binds.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tx.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def properties(): java.util.Map[String, String] =
     (tx.properties + (TableCatalog.PROP_PROVIDER -> "graft-txtable")).asJava

@@ -232,6 +232,63 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(rows(s"SELECT * FROM $cat.chk") == Set(Row(1L, "ok")))
   }
 
+  test("column DEFAULTs: CREATE/ALTER declare them, SQL INSERT substitutes, reads never backfill") {
+    sql(s"CREATE TABLE $cat.dflt (k BIGINT, v STRING DEFAULT 'unset')")
+    // pre-declaration rows: typed append omitting the column reads NULL
+    // (defaults are FUTURE-insert semantics, never a rewrite)
+    val t = new TxTable(spark, s"$base/dflt")
+    import spark.implicits._
+    t.append(Seq(0L).toDF("k"))
+    // SQL INSERT omitting the column substitutes the declared constant
+    sql(s"INSERT INTO $cat.dflt (k) VALUES (1)")
+    // explicit DEFAULT keyword resolves too
+    sql(s"INSERT INTO $cat.dflt VALUES (2, DEFAULT)")
+    // explicit value wins, no gate (unlike generated columns)
+    sql(s"INSERT INTO $cat.dflt VALUES (3, 'explicit')")
+    assert(rows(s"SELECT k, v FROM $cat.dflt") == Set(
+      Row(0L, null), Row(1L, "unset"), Row(2L, "unset"), Row(3L, "explicit")))
+    // ALTER ... SET DEFAULT changes future inserts only
+    sql(s"ALTER TABLE $cat.dflt ALTER COLUMN v SET DEFAULT 'v2'")
+    sql(s"INSERT INTO $cat.dflt (k) VALUES (4)")
+    sql(s"ALTER TABLE $cat.dflt ALTER COLUMN v DROP DEFAULT")
+    sql(s"INSERT INTO $cat.dflt (k) VALUES (5)")
+    assert(rows(s"SELECT v FROM $cat.dflt WHERE k >= 4") ==
+      Set(Row("v2"), Row(null)))
+    // ADD COLUMN ... DEFAULT: old rows NULL, new inserts filled
+    sql(s"ALTER TABLE $cat.dflt ADD COLUMN n BIGINT DEFAULT 7")
+    sql(s"INSERT INTO $cat.dflt (k) VALUES (6)")
+    assert(rows(s"SELECT n FROM $cat.dflt WHERE k IN (1, 6)") ==
+      Set(Row(null), Row(7L)))
+    // a default must be a constant: column references are rejected
+    intercept[Exception](sql(s"ALTER TABLE $cat.dflt ALTER COLUMN v SET DEFAULT k"))
+    // declarations survive renames (stored by physical name)
+    sql(s"ALTER TABLE $cat.dflt RENAME COLUMN n TO num")
+    sql(s"INSERT INTO $cat.dflt (k) VALUES (8)")
+    assert(rows(s"SELECT num FROM $cat.dflt WHERE k = 8") == Set(Row(7L)))
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT ... CHECK routes to the engine's gated constraints") {
+    sql(s"CREATE TABLE $cat.ck (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.ck VALUES (1, 'a')")
+    sql(s"ALTER TABLE $cat.ck ADD CONSTRAINT k_pos CHECK (k > 0)")
+    val t = new TxTable(spark, s"$base/ck")
+    assert(t.constraints.keySet == Set("k_pos"))
+    val v = t.version
+    val e = intercept[Exception](sql(s"INSERT INTO $cat.ck VALUES (-1, 'bad')"))
+    assert(e.getMessage.contains("k_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("k_pos")))
+    assert(t.version == v, "a violating INSERT must commit nothing")
+    // declaring a constraint existing data violates fails at DDL time
+    intercept[Exception](sql(s"ALTER TABLE $cat.ck ADD CONSTRAINT v_big CHECK (k > 100)"))
+    assert(t.constraints.keySet == Set("k_pos"))
+    sql(s"ALTER TABLE $cat.ck DROP CONSTRAINT k_pos")
+    assert(t.constraints.isEmpty)
+    sql(s"INSERT INTO $cat.ck VALUES (-1, 'ok-now')")
+    // DROP CONSTRAINT IF EXISTS on a missing name is a no-op
+    sql(s"ALTER TABLE $cat.ck DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception](sql(s"ALTER TABLE $cat.ck DROP CONSTRAINT nope"))
+  }
+
   test("typed create/addColumns contract: no double create, dropped name gets a fresh slot") {
     val dir = tmpDir("graft-create")
     val t = new TxTable(spark, dir)
