@@ -112,7 +112,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(ident.toString, dirFor(ident).toString, versionAsOf = None)
+    new GraftTable(ident.toString, catalogName +: ident.namespace.toSeq :+ ident.name,
+      dirFor(ident).toString, versionAsOf = None)
   }
 
   /** SQL `VERSION AS OF <v>` — a read-only snapshot table. */
@@ -120,7 +121,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"$ident VERSION AS OF needs a numeric version, got '$version'"))
-    new GraftTable(ident.toString, dirFor(ident).toString, versionAsOf = Some(v))
+    new GraftTable(ident.toString, catalogName +: ident.namespace.toSeq :+ ident.name,
+      dirFor(ident).toString, versionAsOf = Some(v))
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark hands the instant in
@@ -131,7 +133,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident).toString
     val v = new TxTable(spark, dir).versionAsOfTimestamp(Math.floorDiv(timestamp, 1000L))
-    new GraftTable(ident.toString, dir, versionAsOf = Some(v))
+    new GraftTable(ident.toString, catalogName +: ident.namespace.toSeq :+ ident.name,
+      dir, versionAsOf = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -346,14 +349,41 @@ object GraftCatalog {
   * verbs, filter-based SQL DELETE. `versionAsOf` pins a time-travel
   * snapshot, which is read-only.
   */
-private[graft] class GraftTable(fullName: String, val dir: String,
-                                versionAsOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+private[graft] class GraftTable(fullName: String, identParts: Seq[String],
+                                val dir: String, versionAsOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.GraftV1StreamFallback {
 
   private def spark: SparkSession = SparkSession.active
   private def tx: TxTable = new TxTable(spark, dir)
 
   override def name(): String = fullName
+
+  /** Route `spark.readStream.table(...)` / `writeStream.toTable(...)`
+    * through the battle-tested DSv1 streaming source/sink
+    * (`graft-txtable` — commit-log micro-batches in, exactly-once
+    * appends out) instead of reimplementing them as a DSv2
+    * MicroBatchStream: the published V1-fallback bridge a format uses
+    * when its streaming path predates DSv2. The synthesized catalog
+    * entry carries only what the fallback resolution reads — provider
+    * and path.
+    */
+  override def graftV1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(versionAsOf.isEmpty,
+      s"$fullName VERSION/TIMESTAMP AS OF is a batch snapshot — streams " +
+        "read the live commit log (use option(\"startingVersion\", ...))")
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        identParts.last, identParts.dropRight(1).lastOption,
+        identParts.dropRight(2).lastOption),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(dir).toUri),
+        properties = Map("path" -> dir)),
+      schema = schema(),
+      provider = Some("graft-txtable"))
+  }
 
   override def schema(): StructType = versionAsOf match {
     case Some(v) => tx.readAt(v).schema
