@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dynamic INSERT OVERWRITE, UPDATE, MERGE INTO, non-pushable
     // DELETE — inert unless the write target is a GraftTable relation
     ext.injectPostHocResolutionRule(s => new graft.sql.GraftSqlDmlRule(s))
+    // batch CDC by name: spark.read.option("readChangeFeed", true)
+    // .table(...) — inert unless the option is set on a GraftTable
+    ext.injectResolutionRule(s => new graft.sql.GraftCdfReadRule(s))
+    // SELECT * FROM table_changes('cat.ns.t', from[, to])
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.sql.GraftCdfRead", "table_changes"),
+      (es: Seq[Expression]) => graft.sql.GraftCdfRead.tableChangesPlan(es)))
   }
 }
 

@@ -350,7 +350,7 @@ object GraftCatalog {
   * snapshot, which is read-only.
   */
 private[graft] class GraftTable(fullName: String, identParts: Seq[String],
-                                val dir: String, versionAsOf: Option[Long])
+                                val dir: String, val versionAsOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.GraftV1StreamFallback {
 
@@ -442,8 +442,18 @@ private[graft] class GraftTable(fullName: String, identParts: Seq[String],
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a CDC read carries EXTRA columns (_change_type, _commit_version),
+    // so it cannot be served behind this relation's fixed schema — the
+    // GraftCdfReadRule resolution rule (GraftExtensions) rewrites the
+    // relation before scan planning; reaching here means no extensions
+    require(!options.getBoolean("readChangeFeed", false),
+      s"$fullName: readChangeFeed by name needs GraftExtensions " +
+        "(spark.sql.extensions=graft.functions.GraftExtensions) — or use " +
+        "table_changes('<cat.ns.t>', from[, to]) / the path-based " +
+        "spark.read.format(\"graft-txtable\") read")
     new GraftScanBuilder(dir, versionAsOf, schema())
+  }
 
   private def requireWritable(): Unit =
     require(versionAsOf.isEmpty,

@@ -292,6 +292,28 @@ class TxTableSourceProvider extends StreamSourceProvider with StreamSinkProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val t = new TxTable(sqlContext.sparkSession, path(parameters))
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // Delta's batch-CDC read surface, path-based: startingVersion is
+      // required (an unbounded "from the beginning" CDC read is almost
+      // always a mistake — the snapshot read is cheaper), endingVersion
+      // defaults to the head
+      require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+        "readChangeFeed and versionAsOf/timestampAsOf don't mix — the " +
+          "change feed addresses its own version range")
+      val from = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed needs option(\"startingVersion\", n)")).toLong
+      val to = parameters.get("endingVersion").map(_.toLong).getOrElse(t.version)
+      // startingVersion is INCLUSIVE (the published option semantics);
+      // the engine range is (from, to]
+      val cdf = t.readChangeFeed(from - 1, to)
+      val ctx = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = cdf.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[Row] = cdf.rdd
+      }
+    }
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "set versionAsOf or timestampAsOf, not both")
     val version = parameters.get("versionAsOf").map(_.toLong)

@@ -333,6 +333,53 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(drain() == Seq(1L, 2L, 3L, 9L))
   }
 
+  test("batch CDC reads: readChangeFeed options, table_changes TVF, and by path") {
+    sql(s"CREATE TABLE $cat.cdc (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.cdc VALUES (1, 'a'), (2, 'b')") // v1: inserts
+    sql(s"DELETE FROM $cat.cdc WHERE k = 1")               // v2: delete
+    val full = Set(
+      Row(1L, "a", "insert", 1L), Row(2L, "b", "insert", 1L),
+      Row(1L, "a", "delete", 2L))
+    withExtSession { s2 =>
+      // reader options by NAME (resolution rewrite)
+      assert(s2.read
+        .option("readChangeFeed", "true").option("startingVersion", 1L)
+        .table(s"$cat.cdc")
+        .select("k", "v", "_change_type", "_commit_version").collect().toSet == full)
+      // bounded range: only the delete commit
+      assert(s2.read.option("readChangeFeed", "true")
+        .option("startingVersion", 2L).option("endingVersion", 2L)
+        .table(s"$cat.cdc").select("_change_type").collect().toSeq ==
+        Seq(Row("delete")))
+      // the TVF — Delta's documented SQL CDC surface
+      assert(s2.sql(
+        s"SELECT k, v, _change_type, _commit_version FROM table_changes('$cat.cdc', 1)")
+        .collect().toSet == full)
+      assert(s2.sql(
+        s"SELECT _change_type FROM table_changes('$cat.cdc', 2, 2)")
+        .collect().toSeq == Seq(Row("delete")))
+      // loud contract: startingVersion required
+      intercept[Exception](s2.read.option("readChangeFeed", "true")
+        .table(s"$cat.cdc").collect())
+    }
+    // same surface path-based through the batch format, extensions-free
+    init
+    val byPath = spark.read.format("graft-txtable")
+      .option("path", s"$base/cdc")
+      .option("readChangeFeed", "true").option("startingVersion", 2L)
+      .load().select("k", "_change_type").collect().toSet
+    assert(byPath == Set(Row(1L, "delete")))
+    // no time-travel mixing
+    intercept[Exception](spark.read.format("graft-txtable")
+      .option("path", s"$base/cdc").option("readChangeFeed", "true")
+      .option("startingVersion", 1L).option("versionAsOf", 1L).load())
+    // by-name CDC without extensions: loud pointer, not a wrong result
+    val e = intercept[Exception](spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", 1L).table(s"$cat.cdc").collect())
+    assert(e.getMessage.contains("GraftExtensions") ||
+      e.getMessage.contains("table_changes"))
+  }
+
   test("typed create/addColumns contract: no double create, dropped name gets a fresh slot") {
     val dir = tmpDir("graft-create")
     val t = new TxTable(spark, dir)
