@@ -331,6 +331,23 @@ class GraftCatalogSpec extends SparkTestBase {
     // incremental: ONLY the new commit flows on the next run — a full
     // re-read would duplicate 1/2/3 in the append-only output
     assert(drain() == Seq(1L, 2L, 3L, 9L))
+    // streaming CDC by name: reader options flow through the fallback
+    sql(s"DELETE FROM $cat.strm WHERE id = 2")
+    val cdcCk = tmpDir("cat-readTable-cdc-ckpt")
+    val q = spark.readStream
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .table(s"$cat.strm")
+      .writeStream.format("memory").queryName("cat_strm_cdc")
+      .option("checkpointLocation", cdcCk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val changes = spark.table("cat_strm_cdc")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((1L, "insert"), (2L, "insert"), (3L, "insert"),
+      (9L, "insert"), (2L, "delete")),
+      s"streaming CDC by name must serve row-level changes, got $changes")
   }
 
   test("batch CDC reads: readChangeFeed options, table_changes TVF, and by path") {
