@@ -63,7 +63,7 @@ class TxTableModelSpec extends SparkTestBase {
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
       (0 until fuzzIters).foreach { _ =>
-        rnd.nextInt(16) match {
+        rnd.nextInt(17) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -267,6 +267,16 @@ class TxTableModelSpec extends SparkTestBase {
               model = model.filterNot(r => replaced.contains(r._1)) ++
                 batch.map { case (k, v) => (k, Some(v)) }
             }
+          case 16 => // column-DEFAULT DDL: pure metadata — rows must
+            // not move; the declaration tracks the PHYSICAL slot
+            // across renames and dies with a column drop (typed
+            // appends never apply it, the SQL-INSERT layer does)
+            if (t.version >= 0) {
+              if (vLive && !t.columnDefaults.contains(vc) && rnd.nextBoolean())
+                t.setColumnDefault(vc, "'dflt'")
+              else if (t.columnDefaults.contains(vc))
+                t.dropColumnDefault(vc)
+            }
         }
         if (t.version >= 0) {
           val cols = t.read().columns.toSet
@@ -282,6 +292,11 @@ class TxTableModelSpec extends SparkTestBase {
             assert(t.read().where(col("g").isNotNull &&
               col("g") =!= col(kc) * 2).count() == 0,
               s"seed $seed: generated invariant broken at v${t.version}")
+          // a DEFAULT declared on the value column must read back
+          // under its CURRENT surface name, and never outlive a drop
+          if (!vLive)
+            assert(!t.columnDefaults.keys.exists(_.startsWith("v")),
+              s"seed $seed: default outlived the dropped column at v${t.version}")
           // identity values stay globally unique (gaps legal)
           if (cols.contains("id")) {
             val ids = t.read().where(col("id").isNotNull)
