@@ -708,6 +708,66 @@ object ScaleOps {
     s"$cat.parts_call"
   }
 
+  /** An ACID customers table whose `seg` column carries an ANSI
+    * DEFAULT: even-keyed customers insert explicitly (their real
+    * segment), odd-keyed customers insert WITHOUT the column — Spark's
+    * analyzer substitutes the declared constant from the catalog
+    * schema metadata, so the value on disk exists ONLY if the
+    * declaration surfaced and resolved. An ALTER ... SET DEFAULT flips
+    * the constant mid-stream for a third slice (keys divisible by 9
+    * re-inserted after the flip), grading the future-inserts-only
+    * semantics. Built once per (session, dir).
+    */
+  private[ext] def defaultsCustomersTable(s: SparkSession, dir: String): String = {
+    val tag = (dir + "_" + s.sparkContext.applicationId)
+      .replaceAll("[^a-zA-Z0-9]+", "_")
+    val cat = s"graft_dfltq_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.base",
+      s"${sys.props("java.io.tmpdir")}/graft_txdflt_$tag")
+    graft.core.IndexCache.memo(
+      s"tx-defaults:${s.sparkContext.applicationId}:$dir") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_txdflt_$tag"
+      val hp = new org.apache.hadoop.fs.Path(base)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val src = s"cust_src_$tag"
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .createOrReplaceTempView(src)
+      s.sql(s"CREATE TABLE $cat.cust_dflt (c_custkey BIGINT, " +
+        "seg STRING DEFAULT 'UNSEGMENTED', c_acctbal DOUBLE)")
+      s.sql(s"INSERT INTO $cat.cust_dflt " +
+        s"SELECT c_custkey, c_mktsegment, c_acctbal FROM $src " +
+        "WHERE c_custkey % 2 = 0")
+      // column-list INSERT omits seg -> the declared default lands
+      s.sql(s"INSERT INTO $cat.cust_dflt (c_custkey, c_acctbal) " +
+        s"SELECT c_custkey, c_acctbal FROM $src " +
+        "WHERE c_custkey % 2 = 1 AND c_custkey % 9 <> 0")
+      // flip the default, then insert the remaining slice: ONLY these
+      // rows may carry the new constant (future-inserts-only)
+      s.sql(s"ALTER TABLE $cat.cust_dflt ALTER COLUMN seg SET DEFAULT 'LATE'")
+      s.sql(s"INSERT INTO $cat.cust_dflt (c_custkey, c_acctbal) " +
+        s"SELECT c_custkey, c_acctbal FROM $src " +
+        "WHERE c_custkey % 2 = 1 AND c_custkey % 9 = 0")
+      base
+    }
+    s"$cat.cust_dflt"
+  }
+
+  /** The defaults table aggregated by segment: hash-matches only if
+    * the omitted-column inserts landed each declaration's constant —
+    * the first default for the odd non-%9 slice, the flipped one for
+    * the %9 slice, real segments for the explicit even slice.
+    */
+  def qTxDefaults(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val name = defaultsCustomersTable(s, dir)
+    s.sql(s"SELECT seg, COUNT(*) AS n_cust, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance " +
+      s"FROM $name GROUP BY seg ORDER BY seg")
+  }
+
   /** The CALL-maintained table aggregated by brand, with the
     * maintenance outcomes as graded columns: `n_parts`/`revenue` match
     * only if the restore undid the delete exactly, `live_files` (2)
@@ -1548,6 +1608,7 @@ object ScaleOps {
     "q_tx_dynpart" -> (qTxDynpart _),
     "q_tx_sql" -> (qTxSql _),
     "q_tx_call" -> (qTxCall _),
+    "q_tx_defaults" -> (qTxDefaults _),
     "q_tx_widen" -> (qTxWiden _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_delkeys" -> (qTxDelKeys _),
@@ -1790,6 +1851,20 @@ object ScaleOps {
         |SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the defaults chain reconstructed flat: explicit segments for
+    // even keys, the FIRST declared constant for odd non-%9 keys, the
+    // flipped constant for the odd %9 slice inserted after SET DEFAULT
+    "q_tx_defaults" ->
+      """WITH live AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+        |         WHEN c_custkey % 9 = 0 THEN 'LATE'
+        |         ELSE 'UNSEGMENTED' END AS seg,
+        |    c_acctbal
+        |  FROM customer)
+        |SELECT seg, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+        |FROM live GROUP BY seg ORDER BY seg""".stripMargin,
     // the CALL-procedure maintenance chain nets out to a no-op on the
     // DATA (the delete was restored; optimize/zorder/vacuum move rows
     // between files, never change them) — so the data columns are the
