@@ -169,6 +169,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** The modern create path — `CREATE TABLE (..., CONSTRAINT c CHECK
+    * (...))` ships constraints HERE, not through the schema-based
+    * overload; without this override they would silently vanish and
+    * the very first violating INSERT would commit. CHECKs land as the
+    * engine's gated constraints right after the create commit; a
+    * failing declaration rolls the create back so CREATE stays
+    * all-or-nothing.
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checks = info.constraints.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name -> c.predicateSql
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are enforced; got ${other.getClass.getSimpleName} " +
+          s"on $ident (primary/foreign/unique keys are informational in Spark " +
+          "and this engine does not pretend to enforce them)")
+    }
+    val table = createTable(ident, info.schema, info.partitions, info.properties)
+    if (checks.nonEmpty) {
+      val t = new TxTable(spark, dirFor(ident).toString)
+      try checks.foreach { case (n, sql) => t.addConstraint(n, sql) }
+      catch { case e: Throwable => dropTable(ident); throw e }
+    }
+    table
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = new TxTable(spark, dirFor(ident).toString)

@@ -267,6 +267,28 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(rows(s"SELECT num FROM $cat.dflt WHERE k = 8") == Set(Row(7L)))
   }
 
+  test("CREATE TABLE with inline CHECK lands the constraint; failures roll the create back") {
+    // without the TableInfo create path the constraint would SILENTLY
+    // vanish and the first violating INSERT would commit
+    sql(s"CREATE TABLE $cat.ick (k BIGINT, CONSTRAINT k_pos CHECK (k > 0))")
+    val t = new TxTable(spark, s"$base/ick")
+    assert(t.constraints == Map("k_pos" -> "k > 0"))
+    val v = t.version
+    intercept[Exception](sql(s"INSERT INTO $cat.ick VALUES (-1)"))
+    assert(t.version == v && t.read().count() == 0,
+      "a violating INSERT must commit nothing")
+    sql(s"INSERT INTO $cat.ick VALUES (5)")
+    assert(rows(s"SELECT * FROM $cat.ick") == Set(Row(5L)))
+    // non-CHECK constraints: rejected loudly, nothing created
+    intercept[Exception](sql(
+      s"CREATE TABLE $cat.ick2 (k BIGINT, CONSTRAINT pk PRIMARY KEY (k))"))
+    // a CHECK the engine cannot bind rolls the create back — CREATE is
+    // all-or-nothing, no half-made table left behind
+    intercept[Exception](sql(
+      s"CREATE TABLE $cat.ick3 (k BIGINT, CONSTRAINT bad CHECK (nope > 0))"))
+    intercept[Exception](sql(s"SELECT * FROM $cat.ick3"))
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT ... CHECK routes to the engine's gated constraints") {
     sql(s"CREATE TABLE $cat.ck (k BIGINT, v STRING)")
     sql(s"INSERT INTO $cat.ck VALUES (1, 'a')")
