@@ -265,6 +265,14 @@ class GraftCatalogSpec extends SparkTestBase {
     sql(s"ALTER TABLE $cat.dflt RENAME COLUMN n TO num")
     sql(s"INSERT INTO $cat.dflt (k) VALUES (8)")
     assert(rows(s"SELECT num FROM $cat.dflt WHERE k = 8") == Set(Row(7L)))
+    // UPDATE SET col = DEFAULT resolves through the same declarations
+    // (the analyzer substitutes before the DML rewrite detaches it)
+    sql(s"ALTER TABLE $cat.dflt ALTER COLUMN v SET DEFAULT 'reset'")
+    withExtSession { s2 =>
+      s2.sql(s"UPDATE $cat.dflt SET v = DEFAULT WHERE k = 3")
+      assert(s2.sql(s"SELECT v FROM $cat.dflt WHERE k = 3").collect().toSeq ==
+        Seq(Row("reset")))
+    }
   }
 
   test("CREATE TABLE with inline CHECK lands the constraint; failures roll the create back") {
