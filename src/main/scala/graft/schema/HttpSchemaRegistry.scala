@@ -35,7 +35,8 @@ import org.json4s.jackson.JsonMethods
   * driver-populated cache; the HTTP client itself is transient and
   * rebuilt on demand).
   */
-class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry with Serializable {
+class HttpSchemaRegistry(baseUrl: String, maxAttempts: Int = 3,
+    backoffMs: Long = 100L) extends SchemaRegistry with Serializable {
 
   private val base = baseUrl.stripSuffix("/")
 
@@ -52,6 +53,34 @@ class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry with Serializab
     uuidCache.put(schemaUuid(schema), id)
   }
 
+  /** One HTTP exchange with bounded retry + exponential backoff on
+    * TRANSIENT failures only (connect/read errors, 5xx): a registry
+    * blip must not abort a whole micro-batch when the next attempt
+    * would serve from a healthy replica. Definitive answers — 2xx,
+    * 404 (not found), 409 (incompatible), other 4xx — never retry:
+    * repeating a semantic rejection only hides it.
+    */
+  private def sendWithRetry(req: HttpRequest): HttpResponse[String] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val outcome: Either[Throwable, HttpResponse[String]] =
+        try {
+          val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+          if (r.statusCode() / 100 == 5) Left(new java.io.IOException(
+            s"schema registry: ${req.method()} ${req.uri()} -> " +
+              s"${r.statusCode()}: ${r.body().take(200)}"))
+          else Right(r)
+        } catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        case Right(r) => return r
+        case Left(e) if attempt >= maxAttempts => throw e
+        case Left(_) => Thread.sleep(backoffMs * (1L << (attempt - 1)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def request(method: String, path: String, body: Option[String]): JValue = {
     val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
       .header("Content-Type", "application/vnd.schemaregistry.v1+json")
@@ -60,9 +89,15 @@ class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry with Serializab
         b.method(method, HttpRequest.BodyPublishers.ofString(payload, StandardCharsets.UTF_8))
       case None => b.method(method, HttpRequest.BodyPublishers.noBody())
     }).build()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = sendWithRetry(req)
     if (resp.statusCode() == 404)
       throw new NoSuchElementException(s"schema registry: $method $path -> 404")
+    if (resp.statusCode() == 409)
+      // the server-side compatibility gate (the reference pins FULL at
+      // producer.scala:60): same exception type as the in-memory gate,
+      // so callers handle local and remote rejection identically
+      throw new SchemaIncompatibleException(path, "registry",
+        Seq(s"rejected with 409: ${resp.body().take(300)}"))
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"schema registry: $method $path -> ${resp.statusCode()}: ${resp.body().take(200)}")
@@ -131,6 +166,40 @@ class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry with Serializab
       uuidCache.getOrElse(uuid,
         throw new NoSuchElementException(s"schema uuid $uuid not in registry"))
     })
+
+  /** `PUT /config/{subject}` — pin the subject's compatibility mode
+    * (the reference does exactly this with FULL, producer.scala:60);
+    * later incompatible registrations come back as 409 →
+    * [[SchemaIncompatibleException]].
+    */
+  def setCompatibility(subject: String, mode: Compatibility): Unit = {
+    val body = JsonMethods.compact(JsonMethods.render(
+      JObject("compatibility" -> JString(mode.name))))
+    request("PUT", s"/config/$subject", Some(body))
+    ()
+  }
+
+  /** `GET /config/{subject}` — the enforced mode, or None when the
+    * subject inherits the registry-wide default.
+    */
+  def getCompatibility(subject: String): Option[Compatibility] =
+    try Some(Compatibility.of(
+      jStr(request("GET", s"/config/$subject", None), "compatibilityLevel")))
+    catch { case _: NoSuchElementException => scala.None }
+
+  /** `POST /compatibility/subjects/{subject}/versions/latest` — the
+    * registry's own admission predicate, without registering.
+    */
+  def testCompatibility(subject: String, schema: Schema): Boolean = {
+    val body = JsonMethods.compact(JsonMethods.render(
+      JObject("schema" -> JString(schema.toString))))
+    (request("POST", s"/compatibility/subjects/$subject/versions/latest",
+      Some(body)) \ "is_compatible") match {
+      case JBool(b) => b
+      case other => throw new java.io.IOException(
+        s"schema registry: expected boolean 'is_compatible', got $other")
+    }
+  }
 
   override def latest(subject: String): Option[(Int, Schema)] =
     try {

@@ -32,8 +32,21 @@ object ProductSchemas {
        |{"name":"size","type":"string","default":"none"},
        |{"name":"color","type":"string","default":"none"}]}""".stripMargin.replaceAll("\n", "")
 
+  /** An INCOMPATIBLE evolution for compatibility-gate tests: changes
+    * `timestamp` long → string, which neither direction of Avro
+    * schema resolution can bridge — the registration the reference's
+    * FULL-pinned subject (producer.scala:60) must reject.
+    */
+  val v3IncompatibleJson: String =
+    s"""{"type":"record","name":"Product","namespace":"$namespace","fields":[
+       |{"name":"productId","type":"string"},
+       |{"name":"eventId","type":"string"},
+       |{"name":"type","type":"string"},
+       |{"name":"timestamp","type":"string"}]}""".stripMargin.replaceAll("\n", "")
+
   def v1: Schema = new Schema.Parser().parse(v1Json)
   def v2: Schema = new Schema.Parser().parse(v2Json)
+  def v3Incompatible: Schema = new Schema.Parser().parse(v3IncompatibleJson)
 
   val v1Struct: StructType = StructType(Seq(
     StructField("productId", StringType, nullable = false),

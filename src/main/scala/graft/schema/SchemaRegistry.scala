@@ -26,19 +26,52 @@ trait SchemaRegistry {
   def latest(subject: String): Option[(Int, Schema)]
 }
 
-class InMemorySchemaRegistry extends SchemaRegistry with Serializable {
+/** @param defaultCompatibility gate applied to every subject without
+  *   a per-subject override — FULL by default, matching the mode the
+  *   reference pins on its subject (producer.scala:60): incompatible
+  *   evolutions are REJECTED at registration, not discovered as
+  *   decode failures downstream. Use [[setCompatibility]] for
+  *   per-subject overrides (the `PUT /config/{subject}` role).
+  */
+class InMemorySchemaRegistry(
+    val defaultCompatibility: Compatibility = Compatibility.Full)
+  extends SchemaRegistry with Serializable {
   private val byId = new TrieMap[Int, Schema]
   private val byUuid = new TrieMap[UUID, Int]
   private val subjects = new TrieMap[String, List[Int]]
+  private val subjectModes = new TrieMap[String, Compatibility]
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def schemaUuid(schema: Schema): UUID =
     UUID.nameUUIDFromBytes(schema.toString.getBytes(StandardCharsets.UTF_8))
 
+  /** Per-subject compatibility override (`PUT /config/{subject}`). */
+  def setCompatibility(subject: String, mode: Compatibility): Unit =
+    subjectModes.put(subject, mode)
+
+  /** The mode [[register]] enforces for `subject`. */
+  def compatibilityOf(subject: String): Compatibility =
+    subjectModes.getOrElse(subject, defaultCompatibility)
+
+  /** Would `schema` be admitted for `subject` right now? (`POST
+    * /compatibility/subjects/{s}/versions/latest` role — same
+    * predicate [[register]] enforces, without registering.)
+    */
+  def testCompatibility(subject: String, schema: Schema): Seq[String] =
+    Compatibility.violations(compatibilityOf(subject), schema,
+      subjects.getOrElse(subject, Nil).reverse.map(byId(_)))
+
   override def register(subject: String, schema: Schema): Int = synchronized {
     val existing = subjects.getOrElse(subject, Nil)
       .find(id => byId(id).toString == schema.toString)
     existing.getOrElse {
+      // gate BEFORE allocating: an identical re-register above is
+      // always idempotent-ok, a genuinely new version must satisfy
+      // the subject's compatibility mode against its history
+      val problems = testCompatibility(subject, schema)
+      if (problems.nonEmpty)
+        throw new SchemaIncompatibleException(subject,
+          compatibilityOf(subject).name, problems)
       val id = nextId.incrementAndGet()
       byId.put(id, schema)
       byUuid.put(schemaUuid(schema), id)

@@ -39,14 +39,43 @@ class TestSchemaRegistryServer {
     val SubjectsLatest = "/subjects/([^/]+)/versions/latest".r
     val SubjectsVersionN = "/subjects/([^/]+)/versions/(\\d+)".r
     val SchemaById = "/schemas/ids/(\\d+)".r
+    val ConfigSubject = "/config/([^/]+)".r
+    val CompatLatest = "/compatibility/subjects/([^/]+)/versions/latest".r
     (x.getRequestMethod, path) match {
       case ("POST", SubjectsVersions(subject)) =>
         val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         (JsonMethods.parse(body) \ "schema") match {
           case JString(schemaText) =>
-            val id = delegate.register(subject,
-              new org.apache.avro.Schema.Parser().parse(schemaText))
-            respond(x, 200, s"""{"id":$id}""")
+            try {
+              val id = delegate.register(subject,
+                new org.apache.avro.Schema.Parser().parse(schemaText))
+              respond(x, 200, s"""{"id":$id}""")
+            } catch { case e: SchemaIncompatibleException =>
+              // the public API's rejection shape: 409 + error body
+              respond(x, 409, JsonMethods.compact(JsonMethods.render(JObject(
+                "error_code" -> JInt(409),
+                "message" -> JString(e.getMessage)))))
+            }
+          case _ => respond(x, 422, """{"error_code":42201,"message":"bad schema"}""")
+        }
+      case ("PUT", ConfigSubject(subject)) =>
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        (JsonMethods.parse(body) \ "compatibility") match {
+          case JString(mode) =>
+            delegate.setCompatibility(subject, Compatibility.of(mode))
+            respond(x, 200, s"""{"compatibility":"$mode"}""")
+          case _ => respond(x, 422, """{"error_code":42203,"message":"bad mode"}""")
+        }
+      case ("GET", ConfigSubject(subject)) =>
+        respond(x, 200,
+          s"""{"compatibilityLevel":"${delegate.compatibilityOf(subject).name}"}""")
+      case ("POST", CompatLatest(subject)) =>
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        (JsonMethods.parse(body) \ "schema") match {
+          case JString(schemaText) =>
+            val ok = delegate.testCompatibility(subject,
+              new org.apache.avro.Schema.Parser().parse(schemaText)).isEmpty
+            respond(x, 200, s"""{"is_compatible":$ok}""")
           case _ => respond(x, 422, """{"error_code":42201,"message":"bad schema"}""")
         }
       case ("GET", SubjectsLatest(subject)) =>
@@ -114,6 +143,86 @@ class HttpSchemaRegistrySpec extends SparkTestBase {
       assert(reader.latest("product-value").map(_._1).contains(id2))
       assert(reader.latest("no-such-subject").isEmpty)
       intercept[NoSuchElementException](reader.getById(9999))
+    }
+  }
+
+  test("the compatibility gate works over the wire: FULL pin, 409 reject, test endpoint") {
+    withServer { srv =>
+      val reg = new HttpSchemaRegistry(srv.url)
+      reg.register("product-value", graft.schema.ProductSchemas.v1)
+      // the server default is already FULL; pin it explicitly the way
+      // the reference producer does (producer.scala:60) and read back
+      reg.setCompatibility("product-value", Compatibility.Full)
+      assert(reg.getCompatibility("product-value").contains(Compatibility.Full))
+      // v2 (defaulted adds) admits; the breaking v3 comes back 409
+      assert(reg.testCompatibility("product-value", graft.schema.ProductSchemas.v2))
+      assert(!reg.testCompatibility("product-value",
+        graft.schema.ProductSchemas.v3Incompatible))
+      reg.register("product-value", graft.schema.ProductSchemas.v2)
+      val e = intercept[SchemaIncompatibleException](
+        reg.register("product-value", graft.schema.ProductSchemas.v3Incompatible))
+      assert(e.getMessage.contains("409"))
+      // the rejected schema must not have entered the subject history
+      val reader = new HttpSchemaRegistry(srv.url)
+      assert(reader.latest("product-value").map(_._2.toString)
+        .contains(graft.schema.ProductSchemas.v2.toString))
+      // a NONE-pinned subject admits the same change
+      reg.setCompatibility("free", Compatibility.None)
+      reg.register("free", graft.schema.ProductSchemas.v1)
+      reg.register("free", graft.schema.ProductSchemas.v3Incompatible)
+    }
+  }
+
+  test("transient 5xx and connect failures retry with backoff; 4xx never retries") {
+    // a flaky front that fails the FIRST n attempts of each path
+    // with 503, then proxies to the real logic
+    withServer { srv =>
+      val flakyFirst = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      val front = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val attempts = new AtomicInteger(0)
+      front.createContext("/", { (x: HttpExchange) =>
+        attempts.incrementAndGet()
+        val key = x.getRequestURI.getPath
+        val n = flakyFirst.merge(key, 1, (a, b) => a + b)
+        if (n <= 2) {
+          val b = """{"message":"unavailable"}""".getBytes(StandardCharsets.UTF_8)
+          x.sendResponseHeaders(503, b.length); x.getResponseBody.write(b); x.close()
+        } else {
+          // proxy by re-issuing against the healthy server
+          val resp = java.net.http.HttpClient.newHttpClient().send(
+            java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"${srv.url}$key"))
+              .method(x.getRequestMethod,
+                java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+                  x.getRequestBody.readAllBytes()))
+              .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val b = resp.body().getBytes(StandardCharsets.UTF_8)
+          x.sendResponseHeaders(resp.statusCode(), b.length)
+          x.getResponseBody.write(b); x.close()
+        }
+      })
+      front.start()
+      try {
+        val url = s"http://127.0.0.1:${front.getAddress.getPort}"
+        // 3 attempts ride out 2 failures; register lands on attempt 3
+        val reg = new HttpSchemaRegistry(url, maxAttempts = 3, backoffMs = 5L)
+        val id = reg.register("p", graft.schema.ProductSchemas.v1)
+        assert(new HttpSchemaRegistry(srv.url).getById(id).toString ==
+          graft.schema.ProductSchemas.v1.toString)
+        // a registry with too few attempts surfaces the transient error
+        intercept[java.io.IOException](new HttpSchemaRegistry(url,
+          maxAttempts = 2, backoffMs = 5L).latest("p"))
+        // 404 is definitive: with 5 attempts allowed, the path sees
+        // exactly 3 (2 retried 503s + the final 404), never 5
+        val before = attempts.get()
+        intercept[NoSuchElementException](new HttpSchemaRegistry(url,
+          maxAttempts = 5, backoffMs = 5L).getById(424242))
+        assert(attempts.get() - before == 3,
+          "a definitive 4xx answer must stop the retry loop immediately")
+      } finally front.stop(0)
     }
   }
 
