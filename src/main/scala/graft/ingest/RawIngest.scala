@@ -73,13 +73,35 @@ object RawIngest {
             .write.mode("append").parquet(dlq)
         }
       }
-      val groups = resolved.collect { case (keyBytes, Some(schema)) =>
+      // with a dead-letter path, decode PERMISSIVE regardless of the
+      // flag: a known-id, wrong-payload record (rogue producer) must
+      // not abort the whole micro-batch — its raw bytes land in the
+      // DLQ below and every healthy row still commits. Without a DLQ,
+      // FAILFAST keeps failing the batch (at-least-once, no drops).
+      val lenient = permissive || deadLetterPath.isDefined
+      val decodedGroups = resolved.collect { case (keyBytes, Some(schema)) =>
         val json = schema.toString
-        val decoded = keyed
+        keyed
           .filter(col("schemaKey") === lit(keyBytes)) // P5: group filter before decode (O4)
-          .select(metaCols.map(col) :+
-            AvroDecode.fromAvro(col("payload"), json, json, permissive).as("parsedValue"): _*)
-        if (permissive) decoded.filter(col("parsedValue").isNotNull) else decoded
+          .select((metaCols :+ "value").map(col) :+
+            AvroDecode.fromAvro(col("payload"), json, json, lenient).as("parsedValue"): _*)
+      }
+      deadLetterPath.foreach { dlq =>
+        // per-ROW isolation of decode failures, same raw layout as the
+        // unknown-id groups above: one probe + at most one append per
+        // batch, off the cached keyed frame
+        val corrupt = decodedGroups
+          .map(_.where(col("parsedValue").isNull)
+            .select((metaCols :+ "value").map(col): _*))
+          .reduceOption(_.unionByName(_))
+        corrupt.foreach { c =>
+          if (c.limit(1).count() > 0) c.write.mode("append").parquet(dlq)
+        }
+      }
+      val groups = decodedGroups.map { d =>
+        val clean =
+          if (lenient) d.where(col("parsedValue").isNotNull) else d
+        clean.drop("value")
       }
       action(groups)
     } finally keyed.unpersist()

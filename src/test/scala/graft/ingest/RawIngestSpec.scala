@@ -144,4 +144,53 @@ class RawIngestSpec extends SparkTestBase {
       RawIngest.demuxToTable(batch, registry, ConfluentWire, rawFailfast, permissive = false)
     }
   }
+
+  test("known-id corrupt payloads dead-letter per ROW; healthy groups still commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gen = new EventGenerator(seed = 13)
+    val registry = new InMemorySchemaRegistry
+    // mixed batch: v1 + v2 events (two healthy groups) + one record
+    // with a VALID id but garbage payload (rogue producer)
+    val events = gen.events(20)
+    val good = gen.envelopeDF(spark, events, registry, ConfluentWire)
+    val id = registry.latest("product-value").get._1
+    val corruptValue = ConfluentWire.frame(id, Array[Byte](7))
+    val corrupt = gen.envelopeDF(spark, gen.events(1), registry, ConfluentWire)
+      .withColumn("value", lit(corruptValue))
+    val batch = good.unionByName(corrupt)
+    val raw = tmpDir("raw-rowdlq-main")
+    val dlq = tmpDir("raw-rowdlq")
+    // even under FAILFAST semantics (permissive = false), a configured
+    // DLQ isolates the bad ROW instead of wedging the batch
+    RawIngest.demuxToTable(batch, registry, ConfluentWire, raw,
+      permissive = false, deadLetterPath = Some(dlq))
+    val out = RawIngest.readRaw(spark, raw)
+    assert(out.count() == 20, "every healthy row of every group must land")
+    assert(out.where(col("parsedValue").isNull).count() == 0)
+    val dead = spark.read.parquet(dlq)
+    assert(dead.count() == 1)
+    assert(dead.select("value").collect().head.getAs[Array[Byte]](0)
+      .sameElements(corruptValue), "the DLQ must hold the raw framed bytes")
+
+    // end-to-end through the STREAMING ingest: the checkpoint advances
+    // past the poisoned batch (one bad producer no longer wedges the
+    // pipeline) and a later clean batch still lands
+    val stream = MemoryStream[graft.gen.KafkaEnvelope]
+    val sraw = tmpDir("raw-rowdlq-stream")
+    val sdlq = tmpDir("raw-rowdlq-sdlq")
+    val ck = tmpDir("raw-rowdlq-ck")
+    stream.addData(gen.envelopes(gen.events(10), registry, ConfluentWire) :+
+      graft.gen.KafkaEnvelope(Array[Byte](0), corruptValue, "t", 0, 0L,
+        new java.sql.Timestamp(0L), 0))
+    RawIngest.run(stream.toDF(), registry, ConfluentWire, sraw, ck,
+      deadLetterPath = Some(sdlq)).awaitTermination()
+    stream.addData(gen.envelopes(gen.events(5), registry, ConfluentWire))
+    RawIngest.run(stream.toDF(), registry, ConfluentWire, sraw, ck,
+      deadLetterPath = Some(sdlq)).awaitTermination()
+    assert(RawIngest.readRaw(spark, sraw).count() == 15,
+      "both batches' healthy rows must land across restarts")
+    assert(spark.read.parquet(sdlq).count() == 1)
+  }
 }
