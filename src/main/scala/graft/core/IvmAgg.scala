@@ -1,29 +1,44 @@
 package graft.core
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Incremental view maintenance for keyed COUNT/SUM aggregates: keeps
-  * a small aggregate table exactly in sync with a large source table
-  * by folding the source's row-level change feed
+/** Incremental view maintenance for keyed COUNT/SUM/AVG/MIN/MAX
+  * aggregates: keeps a small aggregate table exactly in sync with a
+  * large source table by folding the source's row-level change feed
   * ([[TxTable.readChangeFeed]]) — O(changed rows) per advance instead
   * of the O(table) recompute a full refresh pays. That difference is
   * the economics that keep a 100 TB source's gold rollups fresh: a
   * commit touching 0.01% of rows costs 0.01% of a refresh.
   *
-  * The view holds `keys..., n_rows BIGINT, sum_<c> DECIMAL` per sum
-  * column (and `max_<c>` per max column); derived measures (averages,
-  * shares) divide at read time. COUNT and SUM are the
-  * self-maintainable aggregates under the signed fold (insert /
-  * update_postimage add, delete / update_preimage subtract). MAX is
-  * maintainable ONLY while the source range retracts nothing — the
-  * append-only event-table case — so `maxs` folds `greatest` and the
-  * advance REJECTS a range carrying any delete/update record rather
-  * than silently serving a stale maximum (rebuild the view after a
-  * retraction; re-reading the group is the price MAX fundamentally
-  * costs under deletes). Decimal accumulation keeps the sum fold
-  * engine-exact — an IEEE double fold would drift with application
-  * order.
+  * The view holds `keys..., n_rows BIGINT`, and per sum column `c`
+  * the pair `sum_<c> DECIMAL, nn_<c> BIGINT` — the signed decimal
+  * mass AND the signed count of non-null values. The pair is what
+  * makes the fold null-safe: SQL SUM ignores NULLs and yields NULL
+  * only when no non-null value exists, which a bare `sum + delta`
+  * fold cannot represent (one all-NULL delta would poison the
+  * accumulator to NULL forever). The stored `sum_<c>` coalesces
+  * NULL values to 0 so the accumulator itself never goes NULL;
+  * [[readView]] surfaces the exact SQL answer — `sum_<c>` as NULL
+  * when `nn_<c> = 0`, and `avg_<c> = sum_<c> / nn_<c>` (AVG rides
+  * the same pair for free). COUNT and SUM are the self-maintainable
+  * aggregates under the signed fold (insert / update_postimage add,
+  * delete / update_preimage subtract). Decimal accumulation keeps
+  * the fold engine-exact — an IEEE double fold would drift with
+  * application order.
+  *
+  * MIN/MAX (`mins`/`maxs`) fold `least`/`greatest` while the range
+  * only inserts. A range that retracts rows is handled per
+  * `onRetract`:
+  *  - `"reject"` (default): abort loudly — rebuild-or-opt-in is the
+  *    caller's decision, never a silently stale extremum.
+  *  - `"recompute"`: the affected GROUPS ONLY are re-aggregated from
+  *    the source snapshot at the fold's upper version
+  *    ([[TxTable.readAt]]) and their extrema replace the fold value
+  *    absolutely. Cost is O(rows of retracting groups) — the price
+  *    MIN/MAX fundamentally costs under deletes, paid only by the
+  *    groups that retracted, never the whole view.
   *
   * Exactly-once: each advance lands as ONE atomic commit on the view —
   * the delta merge AND the source-version cursor ride the same
@@ -36,38 +51,101 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IvmAgg {
 
+  private val Dec = DecimalType(28, 6)
+
   /** Advance `view` to reflect `src`'s state at its current head (or
     * at `upTo`, for CHUNKED catch-up — a view bootstrapping against a
     * deep 100 TB history advances in bounded version windows, each its
     * own restart point, instead of one unboundedly large fold).
     * `sums` name source columns to maintain decimal sums for (the
-    * view columns are `sum_<name>`); every advance call is idempotent
-    * and restart-safe. Returns the source version the view now
-    * reflects.
+    * view columns are `sum_<name>` + `nn_<name>`); every advance call
+    * is idempotent and restart-safe. Returns the source version the
+    * view now reflects.
     */
   def advance(src: TxTable, view: TxTable, keys: Seq[String],
               sums: Seq[String], cursorId: String = "ivm",
-              upTo: Option[Long] = None, maxs: Seq[String] = Nil): Long = {
+              upTo: Option[Long] = None, maxs: Seq[String] = Nil,
+              mins: Seq[String] = Nil,
+              onRetract: String = "reject"): Long = {
     require(keys.nonEmpty, "IVM needs at least one key column")
+    require(Set("reject", "recompute").contains(onRetract),
+      s"onRetract must be 'reject' or 'recompute', got '$onRetract'")
     val from = view.state().txns.getOrElse(cursorId, -1L)
     val to = upTo.map(math.min(_, src.version)).getOrElse(src.version)
     if (to <= from) return from
     val ch = src.readChangeFeed(from, to)
     val sign = when(col(TxTable.ChangeTypeCol).isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    if (maxs.nonEmpty && ch.where(sign < 0).limit(1).count() > 0)
+    val extrema = maxs.map(("max", _)) ++ mins.map(("min", _))
+    val retracts = extrema.nonEmpty && ch.where(sign < 0).limit(1).count() > 0
+    if (retracts && onRetract == "reject")
       throw new IllegalStateException(
-        s"source versions ($from, $to] of ${src.tablePath} retract rows — a MAX " +
-          "view cannot fold retractions; rebuild the view from a full read")
+        s"source versions ($from, $to] of ${src.tablePath} retract rows — a " +
+          "MIN/MAX view cannot fold retractions; rebuild the view from a full " +
+          "read, or opt into onRetract=\"recompute\" (re-aggregates the " +
+          "retracting groups only)")
+    // null-safe pair fold: mass coalesced to 0 (never NULL), non-null
+    // count signed alongside — SQL's NULL-when-all-null surfaces at
+    // read time from nn = 0, not from a poisoned accumulator
+    def m(c: String) = col(s"`$c`")
     val aggs = sum(sign).as("n_rows") +:
-      (sums.map(c => sum(col(s"`$c`").cast(DecimalType(28, 6)) * sign)
-        .as(s"sum_$c")) ++
-        maxs.map(c => max(col(s"`$c`")).as(s"max_$c")))
-    val delta = ch.groupBy(keys.map(k => col(s"`$k`")): _*)
+      (sums.flatMap(c => Seq(
+        sum(coalesce(m(c).cast(Dec), lit(0).cast(Dec)) * sign).as(s"sum_$c"),
+        sum(when(m(c).isNotNull, sign).otherwise(lit(0L))).as(s"nn_$c"))) ++
+        extrema.map { case (k, c) =>
+          (if (k == "max") max(m(c)) else min(m(c))).as(s"${k}_$c")
+        })
+    val folded = ch.groupBy(keys.map(k => col(s"`$k`")): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // retraction repair: the retracting GROUPS get absolute extrema
+    // recomputed from the `to` snapshot; every other group keeps the
+    // cheap insert-only fold. `__abs` rides the delta so the SET
+    // clause can tell the two apart — it is never inserted (explicit
+    // insert values below).
+    val delta =
+      if (!retracts) folded.withColumn("__abs", lit(false))
+      else {
+        val retrKeys = ch.where(sign < 0)
+          .select(keys.map(k => col(s"`$k`")): _*).distinct()
+        def kc(l: String, r: String) =
+          keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+        val absAggs = extrema.map { case (k, c) =>
+          (if (k == "max") max(m(c)) else min(m(c))).as(s"__abs_${k}_$c")
+        }
+        // no forced broadcast: the retracting-key set is O(changed
+        // groups), unbounded in principle — AQE promotes when small
+        val recomputed = src.readAt(to).as("r")
+          .join(retrKeys.as("rk"), kc("r", "rk"), "left_semi")
+          .groupBy(keys.map(k => col(s"`$k`")): _*)
+          .agg(absAggs.head, absAggs.tail: _*)
+        // left join: a retracting group with ZERO live rows at `to`
+        // has no recomputed row — its extrema are NULL, and its view
+        // row leaves via the n_rows=0 delete clause anyway
+        folded.as("f")
+          .join(retrKeys.withColumn("__r", lit(true)).as("rk"),
+            kc("f", "rk"), "left_outer")
+          .join(recomputed.as("rc"), kc("f", "rc"), "left_outer")
+          .select(
+            (keys.map(k => col(s"f.`$k`")) :+ col("f.n_rows")) ++
+              sums.flatMap(c => Seq(col(s"f.`sum_$c`"), col(s"f.`nn_$c`"))) ++
+              extrema.map { case (k, c) =>
+                when(coalesce(col("__r"), lit(false)),
+                  col(s"rc.`__abs_${k}_$c`"))
+                  .otherwise(col(s"f.`${k}_$c`")).as(s"${k}_$c")
+              } :+ coalesce(col("__r"), lit(false)).as("__abs"): _*)
+      }
     val set = (("n_rows" -> "t.n_rows + s.n_rows") +:
-      (sums.map(c => s"sum_$c" -> s"t.`sum_$c` + s.`sum_$c`") ++
-        maxs.map(c => s"max_$c" -> s"greatest(t.`max_$c`, s.`max_$c`)"))).toMap
+      (sums.flatMap(c => Seq(
+        s"sum_$c" -> s"coalesce(t.`sum_$c`, cast(0 as decimal(28,6))) + coalesce(s.`sum_$c`, cast(0 as decimal(28,6)))",
+        s"nn_$c" -> s"coalesce(t.`nn_$c`, 0L) + coalesce(s.`nn_$c`, 0L)")) ++
+        extrema.map { case (k, c) =>
+          val fold = if (k == "max") "greatest" else "least"
+          s"${k}_$c" ->
+            s"CASE WHEN s.__abs THEN s.`${k}_$c` ELSE $fold(t.`${k}_$c`, s.`${k}_$c`) END"
+        })).toMap
+    val viewCols: Seq[String] = (keys :+ "n_rows") ++
+      sums.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
+      extrema.map { case (k, c) => s"${k}_$c" }
     // clause order matters: a group whose live count hits zero leaves
     // the view entirely (first applicable matched clause wins)
     // the CAS expectation (expectPrev = from) makes a concurrent
@@ -76,8 +154,32 @@ object IvmAgg {
     view.mergeBuilder(delta, keys)
       .whenMatchedDelete("t.n_rows + s.n_rows = 0")
       .whenMatchedUpdate(set)
-      .whenNotMatchedInsertAll("s.n_rows <> 0")
+      .whenNotMatchedInsert(
+        viewCols.map(c => c -> s"s.`$c`").toMap, "s.n_rows <> 0")
       .run(Some(TxTable.TxnId(cursorId, to, expectPrev = Some(from))))
     to
+  }
+
+  /** The view with exact SQL aggregate semantics surfaced: per sum
+    * column `c`, `sum_<c>` becomes NULL when no non-null value is
+    * live (`nn_<c> = 0`, SQL's SUM-over-all-NULL answer) and
+    * `avg_<c>` = sum/non-null-count appears alongside. The internal
+    * `nn_<c>` pair columns are dropped. MIN/MAX columns pass through
+    * (`least`/`greatest` folds already skip NULLs, matching SQL).
+    */
+  def readView(view: TxTable, sums: Seq[String]): DataFrame = {
+    val df = view.read()
+    val out = df.columns.toSeq.filterNot(c => sums.exists(s => c == s"nn_$s"))
+      .map { c =>
+        sums.find(s => c == s"sum_$s") match {
+          case Some(s) =>
+            when(col(s"`nn_$s`") === 0L, lit(null).cast(Dec))
+              .otherwise(col(s"`sum_$s`")).as(s"sum_$s")
+          case None => col(s"`$c`")
+        }
+      } ++ sums.map(s =>
+      when(col(s"`nn_$s`") === 0L, lit(null).cast(Dec))
+        .otherwise(col(s"`sum_$s`") / col(s"`nn_$s`")).as(s"avg_$s"))
+    df.select(out: _*)
   }
 }

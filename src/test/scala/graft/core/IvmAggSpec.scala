@@ -27,10 +27,14 @@ class IvmAggSpec extends SparkTestBase {
 
   private def assertInSync(src: TxTable, view: TxTable): Unit = {
     val want = recompute(src).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue())))
       .toSet
-    val got = view.read().select($"grp", $"n_rows", $"sum_v").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+    // surfaced read: exact SQL semantics (NULL when no non-null value)
+    val got = IvmAgg.readView(view, Seq("v"))
+      .select($"grp", $"n_rows", $"sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue())))
       .toSet
     assert(got == want, s"view diverged from recompute:\n got=$got\nwant=$want")
   }
@@ -107,6 +111,61 @@ class IvmAggSpec extends SparkTestBase {
     assertInSync(src, view2)
   }
 
+  test("NULL measure values never poison the sum: fold matches SQL SUM exactly") {
+    val (src, view) = freshPair("nulls")
+    // a fresh group first seen with ONLY null values: SQL SUM = NULL
+    src.append(Seq((1L, "a", Some(10.0)), (2L, "b", None), (3L, "b", None))
+      .toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    def surfaced: Map[String, (Long, Option[Double], Option[Double])] =
+      IvmAgg.readView(view, Seq("v"))
+        .select($"grp", $"n_rows", $"sum_v", $"avg_v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          Option(r.getDecimal(2)).map(_.doubleValue()),
+          Option(r.getDecimal(3)).map(_.doubleValue())))).toMap
+    assert(surfaced == Map(
+      "a" -> ((1L, Some(10.0), Some(10.0))),
+      "b" -> ((2L, None, None))),
+      s"all-NULL group must surface SUM/AVG = NULL: $surfaced")
+    // a null row landing on an EXISTING keyed sum must not null it out
+    src.append(Seq((4L, "a", Option.empty[Double]), (5L, "b", Some(6.0)))
+      .toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assert(surfaced == Map(
+      "a" -> ((2L, Some(10.0), Some(10.0))),
+      "b" -> ((3L, Some(6.0), Some(6.0)))),
+      s"null arrivals must leave sums intact, non-null must revive b: $surfaced")
+    // retracting the only non-null value returns the group to SUM=NULL
+    src.delete(col("id") === 5L)
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assert(surfaced("b") == ((2L, None, None)),
+      s"retracting the last non-null value must surface NULL again: $surfaced")
+  }
+
+  test("onRetract=recompute repairs MIN/MAX for the retracting groups only") {
+    val (src, view) = freshPair("retract")
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0), (4L, "b", 2.0))
+      .toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"),
+      maxs = Seq("v"), mins = Seq("v"))
+    // delete a's current max AND b's current min in one range
+    src.delete(col("id").isin(1L, 4L))
+    src.append(Seq((5L, "c", 4.0)).toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"),
+      maxs = Seq("v"), mins = Seq("v"), onRetract = "recompute")
+    val got = view.read().select($"grp", $"max_v", $"min_v").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == Map("a" -> ((5.0, 5.0)), "b" -> ((7.0, 7.0)),
+      "c" -> ((4.0, 4.0))),
+      s"retracted extrema must be recomputed, untouched groups folded: $got")
+    // a group retracted to zero live rows leaves the view entirely
+    src.delete(col("grp") === "c")
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"),
+      maxs = Seq("v"), mins = Seq("v"), onRetract = "recompute")
+    assert(view.read().where($"grp" === "c").count() == 0L)
+    assertInSync(src, view)
+  }
+
   test("a concurrent advance folding an overlapping range aborts, never double-applies") {
     val (src, view) = freshPair("race")
     src.append(Seq((1L, "a", 10.0)).toDF("id", "grp", "v")) // v0
@@ -135,10 +194,14 @@ class IvmAggSpec extends SparkTestBase {
       val rnd = new scala.util.Random(seed)
       val (src, view) = freshPair(s"fuzz$seed")
       var nextId = 0L
-      def batch(n: Int): Seq[(Long, String, Double)] =
+      def batch(n: Int): Seq[(Long, String, Option[Double])] =
         Seq.fill(n) {
           nextId += 1
-          (nextId, s"g${rnd.nextInt(5)}", (rnd.nextInt(2000) - 1000) / 100.0)
+          // ~1 in 5 measures NULL: the fold must match SQL SUM's
+          // null-skipping under every interleaving
+          val v = if (rnd.nextInt(5) == 0) None
+            else Some((rnd.nextInt(2000) - 1000) / 100.0)
+          (nextId, s"g${rnd.nextInt(5)}", v)
         }
       src.append(batch(8).toDF("id", "grp", "v"))
       IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
