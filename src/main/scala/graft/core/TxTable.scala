@@ -237,8 +237,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     */
   private[graft] def prunedFiles(s: State,
                                 predicate: org.apache.spark.sql.Column): Seq[String] = {
-    val shapes = physicalizeShapes(s,
-      org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate))
+    val shapes = TxTable.deriveGeneratedShapes(s.generated, physicalizeShapes(s,
+      org.apache.spark.sql.GraftColumnBridge.conjunctShapes(predicate)))
     bloomPrune(s, TxTable.filesToRead(s.files, s.stats, shapes), shapes)
   }
 
@@ -626,6 +626,18 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // (metadata like DEFAULT declarations would break the round-trip)
     val schema = StructType(schema0.map(f =>
       StructField(f.name, f.dataType, nullable = true)))
+    // create-time DEFAULT declarations ride in as properties (the SQL
+    // CREATE TABLE path) — same gate as post-create DDL, so an invalid
+    // or non-deterministic default can never be born with the table
+    properties.foreach { case (k, v) =>
+      if (k.startsWith(TxTable.DefaultPropPrefix)) {
+        val c = k.stripPrefix(TxTable.DefaultPropPrefix)
+        val f = schema.find(_.name == c).getOrElse(throw new
+            IllegalArgumentException(
+          s"DEFAULT declared for unknown column $c of $tablePath"))
+        requireValidDefault(c, f.dataType, v)
+      }
+    }
     commitLoop(s"create $tablePath") { st =>
       require(st.version < 0,
         s"$tablePath already has commits (v${st.version}) — evolve via " +
@@ -682,14 +694,25 @@ class TxTable(spark: SparkSession, val tablePath: String,
   /** Free-form table properties (TBLPROPERTIES role). */
   def properties: Map[String, String] = state().properties
 
-  /** Set (or replace) a table property. */
+  /** Set (or replace) a table property. A `graft.default.<col>` key is
+    * a column-DEFAULT declaration in disguise — it routes through
+    * [[setColumnDefault]]'s full validation (live column, not
+    * generated/identity, deterministic constant, casts to the column
+    * type), so `TBLPROPERTIES('graft.default.c' -> 'rand()')` cannot
+    * smuggle in an expression the DDL path would reject.
+    */
   def setProperty(key: String, value: String): Unit = {
     require(key.nonEmpty, "property key must be non-empty")
+    if (key.startsWith(TxTable.DefaultPropPrefix))
+      setColumnDefault(key.stripPrefix(TxTable.DefaultPropPrefix), value)
+    else setPropertyRaw(key, value)
+  }
+
+  private def setPropertyRaw(key: String, value: String): Unit =
     commitLoop(s"set property on $tablePath") { st =>
       if (st.properties.get(key).contains(value)) None
       else Some(Seq(Prop(key, value)))
     }
-  }
 
   /** Remove a table property; unknown keys fail loudly. */
   def unsetProperty(key: String): Unit =
@@ -722,15 +745,29 @@ class TxTable(spark: SparkSession, val tablePath: String,
     require(!st.generated.contains(phys) && !st.identity.contains(phys),
       s"column $name of $tablePath is generated/identity — its values " +
         "are always computed, a DEFAULT would never apply")
+    requireValidDefault(name, st.schema.get(phys).dataType, sqlExpr)
+    setPropertyRaw(s"${TxTable.DefaultPropPrefix}$phys", sqlExpr)
+  }
+
+  /** The one DEFAULT-expression gate, shared by every declaration path
+    * (DDL [[setColumnDefault]], raw TBLPROPERTIES via [[setProperty]],
+    * and [[create]]-time properties): deterministic, references no
+    * columns, and the cast analyzes against the column's declared type
+    * at DDL time — not at the next INSERT.
+    */
+  private def requireValidDefault(name: String, dt: DataType,
+      sqlExpr: String): Unit = {
     val parsed = spark.sessionState.sqlParser.parseExpression(sqlExpr)
-    require(parsed.deterministic && parsed.references.isEmpty,
-      s"DEFAULT for $name must be a deterministic constant expression " +
-        s"(got: $sqlExpr)")
-    // resolvability + type-compat: the cast must analyze against the
-    // column's declared type at DDL time, not at the next INSERT
-    val dt = st.schema.get(phys).dataType
-    spark.sql(s"SELECT CAST(($sqlExpr) AS ${dt.sql})").queryExecution.analyzed
-    setProperty(s"${TxTable.DefaultPropPrefix}$phys", sqlExpr)
+    require(parsed.references.isEmpty,
+      s"DEFAULT for $name must be a constant expression referencing no " +
+        s"columns (got: $sqlExpr)")
+    val analyzed =
+      spark.sql(s"SELECT CAST(($sqlExpr) AS ${dt.sql})").queryExecution.analyzed
+    // determinism must be judged on the RESOLVED tree: an unresolved
+    // function node reports deterministic=true regardless of what it
+    // resolves to (rand() would slip through the parsed form)
+    require(analyzed.expressions.forall(_.deterministic),
+      s"DEFAULT for $name must be deterministic (got: $sqlExpr)")
   }
 
   /** Drop a column DEFAULT declaration; unknown names fail loudly. */
@@ -1318,7 +1355,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     if (s.files.nonEmpty && s.stats.nonEmpty)
       graft.plans.TxSkipRegistry.register(rel,
         graft.plans.TxSkipRegistry.SkipInfo(root.toString, s.files, s.stats,
-          schema, s.blooms))
+          schema, s.blooms, s.generated))
     rel
   }
 
@@ -1866,11 +1903,23 @@ class TxTable(spark: SparkSession, val tablePath: String,
             case _ => Nil
           }
         }
-        val unknown = org.apache.spark.sql.GraftColumnBridge.conjunctShapes(p)
-          .flatMap(names).distinct.filterNot(live.contains)
+        val shapes = org.apache.spark.sql.GraftColumnBridge.conjunctShapes(p)
+        val unknown = shapes.flatMap(names).distinct.filterNot(live.contains)
         require(unknown.isEmpty,
           s"compact(where) of $tablePath references unknown column(s) " +
             s"${unknown.mkString(", ")} — the predicate must name live columns")
+        // a predicate whose every conjunct classifies Opaque (casts,
+        // arithmetic, unparseable SQL) prunes NOTHING — proceeding
+        // would silently rewrite the WHOLE table, the exact O(table)
+        // surprise the WHERE verb exists to prevent. Fail loudly;
+        // a full pass is one explicit compact() call away.
+        require(!shapes.forall(
+          _ == org.apache.spark.sql.GraftColumnBridge.OpaqueShape),
+          s"compact(where) of $tablePath: no conjunct of the predicate is " +
+            "prunable against file stats (all classify opaque) — the WHERE " +
+            "cannot scope the pass and would compact the whole table; " +
+            "rewrite the predicate over plain column comparisons, or call " +
+            "compact() without WHERE for a full pass")
         prunedFiles(snap, p)
     }
     val picked = scoped
@@ -2120,13 +2169,15 @@ class TxTable(spark: SparkSession, val tablePath: String,
       matched: Seq[TxTable.MatchedClause],
       notMatchedInsert: Option[TxTable.NotMatchedInsert],
       bySource: Seq[TxTable.BySourceClause],
-      txn: Option[TxTable.TxnId] = None): Unit = {
+      txn: Option[TxTable.TxnId] = None,
+      evolveSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "mergeConditional needs at least one key column")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || bySource.nonEmpty,
       "mergeConditional needs at least one clause")
     // one materialization of the source — same reasoning as merge()
     source.persist()
-    try mergeConditional0(source, keys, matched, notMatchedInsert, bySource, txn)
+    try mergeConditional0(source, keys, matched, notMatchedInsert, bySource,
+      txn, evolveSchema)
     finally source.unpersist()
   }
 
@@ -2177,7 +2228,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
       matched: Seq[TxTable.MatchedClause],
       notMatchedInsert: Option[TxTable.NotMatchedInsert],
       bySource: Seq[TxTable.BySourceClause],
-      txn: Option[TxTable.TxnId]): Unit = {
+      txn: Option[TxTable.TxnId],
+      evolveSchema: Boolean): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
     import TxTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate}
     val snap = state()
@@ -2197,14 +2249,28 @@ class TxTable(spark: SparkSession, val tablePath: String,
       s"SET targets table-managed column(s) ${badManaged.mkString(", ")} of " +
         s"$tablePath — generated/identity columns are recomputed, not set")
     val unknownSet = allSets.diff(surfaceCols.toSet)
-    require(unknownSet.isEmpty || snap.schema.isEmpty,
-      s"SET targets unknown column(s) ${unknownSet.mkString(", ")} of $tablePath — " +
-        "conditional merge updates existing columns; new columns arrive via inserts")
     val unknownIns = notMatchedInsert.map(_.values.keySet.diff(surfaceCols.toSet))
       .getOrElse(Set.empty)
-    require(unknownIns.isEmpty || snap.schema.isEmpty,
-      s"INSERT values target unknown column(s) ${unknownIns.mkString(", ")} of " +
-        s"$tablePath — explicit-values inserts write existing columns only")
+    if (evolveSchema) {
+      // MERGE-time evolution: a new target column must exist on the
+      // SOURCE (that is where its type comes from; Delta's autoMerge
+      // model) — anything else is still a typo, not an evolution
+      val orphans = (unknownSet ++ unknownIns).diff(source0.columns.toSet)
+      require(orphans.isEmpty || snap.schema.isEmpty,
+        s"SET/INSERT target unknown column(s) ${orphans.mkString(", ")} of " +
+          s"$tablePath that the merge source does not carry — schema " +
+          "evolution adds SOURCE columns; a target absent from both sides " +
+          "is a typo")
+    } else {
+      require(unknownSet.isEmpty || snap.schema.isEmpty,
+        s"SET targets unknown column(s) ${unknownSet.mkString(", ")} of $tablePath — " +
+          "conditional merge updates existing columns; new columns arrive via " +
+          "inserts (or opt in with withSchemaEvolution())")
+      require(unknownIns.isEmpty || snap.schema.isEmpty,
+        s"INSERT values target unknown column(s) ${unknownIns.mkString(", ")} of " +
+          s"$tablePath — explicit-values inserts write existing columns only " +
+          "(or opt in with withSchemaEvolution())")
+    }
     val dupes = source0.groupBy(keys.map(k => col(s"`$k`")): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dupes == 0,
@@ -2284,14 +2350,21 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // ---- per-row clause engine over the rewrite set (surface names) ----
     val tgtRows = logicalize(snap, readState(snap.copy(files = rewriteFiles)))
     val srcCols = source0.columns.toSeq
-    // schema evolution only flows through the * forms (UPDATE SET * /
-    // INSERT *); explicit SET/VALUES clauses write existing columns
-    // only, so source-side metadata columns never leak into the table
+    // schema evolution flows through the * forms (UPDATE SET * /
+    // INSERT * — every new source column rides in) and, under the
+    // withSchemaEvolution() opt-in, through explicit clauses (ONLY the
+    // new columns a clause actually targets ride in — unreferenced
+    // source-side metadata columns never leak into the table)
     val evolves = matched.exists {
       case MatchedUpdate(_, s) => s.isEmpty
       case _ => false
     } || notMatchedInsert.exists(_.values.isEmpty)
-    val extraCols = if (evolves) srcCols.filterNot(surfaceCols.contains) else Nil
+    val explicitNew: Set[String] =
+      if (evolveSchema) (allSets ++ unknownIns).diff(surfaceCols.toSet)
+      else Set.empty
+    val extraCols =
+      if (evolves) srcCols.filterNot(surfaceCols.contains)
+      else srcCols.filter(explicitNew.contains)
     val outCols = surfaceCols ++ extraCols
     val sPresent = coalesce(col("__s_present"), lit(false))
     def condCol(c: Option[String]): org.apache.spark.sql.Column =
@@ -2434,7 +2507,8 @@ class TxTable(spark: SparkSession, val tablePath: String,
     * dimension at a BUSINESS epoch — where [[snapshotAt]] time-travels
     * by commit version, this travels by the data's own validity).
     */
-  def mergeScd2(source: DataFrame, keys: Seq[String], version: Long): Unit = {
+  def mergeScd2(source: DataFrame, keys: Seq[String], version: Long,
+      evolveSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "mergeScd2 needs at least one key column")
     val reserved = Seq(ScdFromCol, ScdToCol).filter(source.columns.contains)
     require(reserved.isEmpty,
@@ -2443,10 +2517,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     // one materialization pins a non-deterministic source to a single
     // evaluation — same contract as merge()
     source.persist()
-    try scd2Merge0(source, keys, version) finally source.unpersist()
+    try scd2Merge0(source, keys, version, evolveSchema)
+    finally source.unpersist()
   }
 
-  private def scd2Merge0(source0: DataFrame, keys0: Seq[String], version: Long): Unit = {
+  private def scd2Merge0(source0: DataFrame, keys0: Seq[String], version: Long,
+      evolveSchema: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, when}
     // surface → physical at the boundary; everything below is physical
     val snap = state()
@@ -2472,10 +2548,20 @@ class TxTable(spark: SparkSession, val tablePath: String,
         "seed it with mergeScd2 on an empty table")
     val business = tableCols.filterNot(c =>
       c == ScdFromCol || c == ScdToCol || snap.dropped.contains(c))
-    require(source.columns.toSet == business.toSet,
-      s"mergeScd2 source columns [${source.columns.sorted.mkString(", ")}] must " +
-        s"match the table's business columns [${business.sorted.mkString(", ")}] " +
-        "exactly — evolve the schema with a separate append first")
+    val missing = business.toSet.diff(source.columns.toSet)
+    require(missing.isEmpty,
+      s"mergeScd2 source is missing business column(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")} of $tablePath — every " +
+        "tracked attribute must be present (change detection would " +
+        "otherwise close rows on absence)")
+    // new source columns: with evolveSchema they become new tracked
+    // attributes IN THE SAME COMMIT (history rows read NULL); without
+    // it they are a loud error, never silently dropped
+    val newAttrs = source.columns.toSeq.filterNot(business.contains)
+    require(newAttrs.isEmpty || evolveSchema,
+      s"mergeScd2 source carries new column(s) ${newAttrs.sorted.mkString(", ")} " +
+        s"not on $tablePath — opt in with evolveSchema=true (adds them as " +
+        "tracked attributes) or drop them")
     val attrs = business.filterNot(keys.contains)
     val cur = readState(snap).where(col(ScdToCol).isNull)
     // NULL-SAFE key matching throughout (the merge0 contract): a
@@ -2484,9 +2570,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     def keyCond(l: String, r: String) =
       keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     // null-safe attribute comparison: any tracked attribute differing
-    // makes the key "changed"; a key-only table can never change
+    // makes the key "changed"; a key-only table can never change.
+    // A NEW attribute's stored value is NULL on every existing row,
+    // so a non-null source value is a change by definition.
     val joined = cur.alias("t").join(source.alias("s"), keyCond("t", "s"))
-    val differs = attrs.map(a => !(col(s"t.$a") <=> col(s"s.$a")))
+    val differs = (attrs.map(a => !(col(s"t.$a") <=> col(s"s.$a"))) ++
+      newAttrs.map(a => col(s"s.`$a`").isNotNull))
       .reduceOption(_ || _).getOrElse(lit(false))
     val nonMonotone = joined.where(differs && col(s"t.$ScdFromCol") >= version)
       .limit(1).collect()
@@ -2526,17 +2615,24 @@ class TxTable(spark: SparkSession, val tablePath: String,
           .drop("__scd_chg"))
         val closingPre = touchedRows.as("t").where(col(ScdToCol).isNull)
           .join(changedKeys.as("c"), keyCond("t", "c"), "left_semi")
-        val s1 = stageData(rewritten.unionByName(newRows))
+        // allowMissingColumns: under evolution the rewritten history
+        // rows lack the new attributes (they read NULL); otherwise the
+        // schemas are identical and the flag is inert
+        val s1 = stageData(rewritten
+          .unionByName(newRows, allowMissingColumns = true))
         val s2 = stageData(
           closingPre.withColumn(ChangeTypeCol, lit("update_preimage"))
             .unionByName(closingPre.withColumn(ScdToCol, lit(version))
-              .withColumn(ChangeTypeCol, lit("update_postimage")))
-            .unionByName(newRows.withColumn(ChangeTypeCol, lit("insert"))),
+              .withColumn(ChangeTypeCol, lit("update_postimage")),
+              allowMissingColumns = true)
+            .unionByName(newRows.withColumn(ChangeTypeCol, lit("insert")),
+              allowMissingColumns = true),
           prefix = "cdf", collectStats = false)
         (s1, s2)
       } finally if (touched.nonEmpty) touchedRows.unpersist()
+      val evolved = mergeSchemas(snap.schema, stamped.schema, widenOn(snap))
       enforceConstraints(effectiveChecks(snap), staged,
-        snap.schema.get, staged ++ stagedCdf, "scd2 merge into")
+        evolved, staged ++ stagedCdf, "scd2 merge into")
       val mayMatch = addsMayMatchKeys(source, keys)
       fireBeforeCommitHook()
       commitLoop(s"scd2 merge into $tablePath") { st =>
@@ -2550,7 +2646,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
               s"$why; rerun mergeScd2() against the new state")
         }
         Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
-          stagedCdf.map { case (p, _) => Cdf(p) })
+          stagedCdf.map { case (p, _) => Cdf(p) } ++
+          (if (newAttrs.isEmpty) Nil
+           else Seq(Meta(mergeSchemas(st.schema, stamped.schema,
+             widenOn(st)).toDDL))))
       }
     } finally changedKeys.unpersist()
   }
@@ -3820,6 +3919,16 @@ object TxTable {
     private var matched = Vector.empty[MatchedClause]
     private var notMatched: Option[NotMatchedInsert] = None
     private var bySource = Vector.empty[BySourceClause]
+    private var evolve = false
+    /** Opt into MERGE-time schema evolution (Delta's `autoMerge` /
+      * `MERGE ... WITH SCHEMA EVOLUTION` role): explicit SET / INSERT
+      * clauses may target NEW columns carried by the source — they
+      * are added to the table (nullable, null on untouched rows) in
+      * the SAME commit as the merge. Without this, a new-column
+      * assignment fails loudly; star forms (`UPDATE SET *` /
+      * `INSERT *`) always evolve, matching [[TxTable.merge]].
+      */
+    def withSchemaEvolution(): MergeBuilder = { evolve = true; this }
     def whenMatchedUpdate(set: Map[String, String],
                           condition: String = null): MergeBuilder = {
       require(set.nonEmpty, "whenMatchedUpdate needs a non-empty SET " +
@@ -3852,7 +3961,8 @@ object TxTable {
       bySource :+= BySourceDelete(Option(condition)); this
     }
     def run(txn: Option[TxnId] = None): Unit =
-      t.mergeConditional(source, keys, matched, notMatched, bySource, txn)
+      t.mergeConditional(source, keys, matched, notMatched, bySource, txn,
+        evolveSchema = evolve)
   }
 
   /** Per-column footer stats (JSON-typed so they serialize into the
@@ -3890,6 +4000,71 @@ object TxTable {
       }
       Some(FileStats(rows, cols))
     case _ => None
+  }
+
+  /** Conjunct shapes DERIVED through generated-column declarations —
+    * the Delta generated-partition-column pattern: when `g` is
+    * declared GENERATED AS a whitelisted MONOTONIC expression of one
+    * base column `x` (currently `x div N`, N > 0 — the day/month
+    * bucketing shape), every range/equality/IN conjunct on x yields
+    * the corresponding conjunct on g, so a predicate on the BASE
+    * column prunes through a layout partitioned or clustered by the
+    * GENERATED one. That is what makes `WHERE ts BETWEEN a AND b`
+    * open only the overlapping day-partition files of a 100 TB table
+    * without the user ever naming the partition column.
+    *
+    * Sound: truncating integral division by a positive constant is
+    * non-decreasing, so x ≥ v ⟹ g(x) ≥ g(v) and x ≤ v ⟹ g(x) ≤ g(v);
+    * equality/IN map pointwise; strict bounds weaken to inclusive
+    * ones (never prunes a file the original predicate could match).
+    * Derivation recurses into OR branches (disjunctive skipping).
+    */
+  private[graft] def deriveGeneratedShapes(generated: Map[String, String],
+      shapes: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape])
+      : Seq[org.apache.spark.sql.GraftColumnBridge.PredShape] = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    if (generated.isEmpty) return shapes
+    val DivPat = """(?i)^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+div\s+(\d+)\s*$""".r
+    val rules: Seq[(String, String, Long)] = generated.toSeq.collect {
+      case (g, DivPat(x, n)) if n.toLong > 0 => (g, x, n.toLong)
+    }
+    if (rules.isEmpty) return shapes
+    // same truncating semantics as Spark's IntegralDivide on longs
+    def gval(v: Any, n: Long): Option[Any] = v match {
+      case l: Long => Some(l / n)
+      case i: Int => Some(i.toLong / n)
+      case s: Short => Some(s.toLong / n)
+      case b: Byte => Some(b.toLong / n)
+      case _ => None
+    }
+    def derive(sh: PredShape): Seq[PredShape] = sh match {
+      case CmpShape(x, op, v) => rules.flatMap {
+        case (g, `x`, n) =>
+          val inclusive = op match {
+            case ">" => ">=" case "<" => "<=" case o => o
+          }
+          gval(v, n).map(CmpShape(g, inclusive, _))
+        case _ => Nil
+      }
+      case InShape(x, vs) => rules.flatMap {
+        case (g, `x`, n) =>
+          val mapped = vs.map(gval(_, n))
+          if (mapped.nonEmpty && mapped.forall(_.isDefined))
+            Seq(InShape(g, mapped.flatten.distinct))
+          else Nil
+        case _ => Nil
+      }
+      case OrShape(branches) =>
+        // rebuild the OR with each branch augmented: the pruner drops
+        // a file only if EVERY branch proves empty, so per-branch
+        // derived conjuncts tighten each proof independently
+        Seq(OrShape(branches.map(b => b ++ b.flatMap(derive))))
+      case _ => Nil
+    }
+    shapes.flatMap {
+      case o: OrShape => derive(o) // replaces: carries originals inside
+      case sh => sh +: derive(sh)
+    }
   }
 
   /** The subset of `files` whose stats might satisfy ALL `conjuncts` —

@@ -18,7 +18,8 @@ import graft.core.TxTable
 private[graft] object TxSkipRegistry {
   case class SkipInfo(root: String, files: Seq[String],
                       stats: Map[String, TxTable.FileStats], schema: StructType,
-                      blooms: Map[String, TxTable.BloomCfg] = Map.empty)
+                      blooms: Map[String, TxTable.BloomCfg] = Map.empty,
+                      generated: Map[String, String] = Map.empty)
 
   private val infos =
     java.util.Collections.synchronizedMap(
@@ -59,7 +60,8 @@ class TxSkipRule extends Rule[LogicalPlan] {
         case None => f
         case Some(info) =>
           val spark = SparkSession.active
-          val shapes = GraftColumnBridge.conjunctShapesCatalyst(cond)
+          val shapes = TxTable.deriveGeneratedShapes(info.generated,
+            GraftColumnBridge.conjunctShapesCatalyst(cond))
           // same two stages as TxTable.scan: min/max kernel, then the
           // bloom sidecars for indexed equality/IN conjuncts
           val kept = TxTable.bloomPruneFiles(info.root,

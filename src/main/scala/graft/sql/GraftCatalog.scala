@@ -465,9 +465,15 @@ private[graft] class GraftTable(fullName: String, identParts: Seq[String],
     (tx.properties + (TableCatalog.PROP_PROVIDER -> "graft-txtable")).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION: only `MERGE ... WITH SCHEMA
+    // EVOLUTION` consults it (MergeIntoTable.schemaEvolutionEnabled) —
+    // the analyzer then ADD-COLUMNs the new source columns via
+    // alterTable before resolution, and the merge itself runs against
+    // the widened table
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a CDC read carries EXTRA columns (_change_type, _commit_version),

@@ -129,7 +129,7 @@ case class GraftMergeCommand(dir: String, keys: Seq[String],
     matched: Seq[(String, Option[String], Map[String, String])],
     insert: Option[(Option[String], Map[String, String])],
     bySource: Seq[(String, Option[String], Map[String, String])],
-    source: LogicalPlan)
+    source: LogicalPlan, evolve: Boolean = false)
     extends RunnableCommand {
 
   override def children: Seq[LogicalPlan] = Seq(source)
@@ -141,6 +141,7 @@ case class GraftMergeCommand(dir: String, keys: Seq[String],
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftStreamBridge.ofRows(session, source)
     var b = new TxTable(session, dir).mergeBuilder(src, keys)
+    if (evolve) b = b.withSchemaEvolution()
     matched.foreach {
       case ("update", cond, set) if set.isEmpty => b = b.whenMatchedUpdateAll(cond.orNull)
       case ("update", cond, set) => b = b.whenMatchedUpdate(set, cond.orNull)
@@ -204,24 +205,27 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       def sql(e: Expression) = SqlDml.clauseSql(e, tOut, sOut)
       def setOf(as: Seq[Assignment]) =
         as.map(a => SqlDml.assignmentName(a.key) -> sql(a.value)).toMap
+      // star actions normally reach here already expanded into
+      // explicit assignments by the analyzer; if one survives, its
+      // clause condition MUST ride along — dropping it would
+      // update/insert rows the user's AND-condition excluded
       val matched = m.matchedActions.map {
         case UpdateAction(c, as, _) => ("update", c.map(sql), setOf(as))
-        case _: UpdateStarAction => ("update", None, Map.empty[String, String])
+        case UpdateStarAction(c) =>
+          ("update", c.map(sql), Map.empty[String, String])
         case DeleteAction(c) => ("delete", c.map(sql), Map.empty[String, String])
         case other => throw new UnsupportedOperationException(
           s"unsupported WHEN MATCHED action $other")
       }
       val inserts = m.notMatchedActions.map {
         case InsertAction(c, as) => (c.map(sql), setOf(as))
-        case _: InsertStarAction => (None, Map.empty[String, String])
+        case InsertStarAction(c) => (c.map(sql), Map.empty[String, String])
         case other => throw new UnsupportedOperationException(
           s"unsupported WHEN NOT MATCHED action $other")
       }
       require(inserts.size <= 1,
         "at most one WHEN NOT MATCHED THEN INSERT clause is supported " +
           "on a graft table — fold the conditions into one clause")
-      require(!m.withSchemaEvolution,
-        "MERGE ... WITH SCHEMA EVOLUTION is not supported on a graft table")
       val bySource = m.notMatchedBySourceActions.map {
         case UpdateAction(c, as, _) => ("update", c.map(sql), setOf(as))
         case DeleteAction(c) => ("delete", c.map(sql), Map.empty[String, String])
@@ -229,7 +233,7 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
       }
       GraftMergeCommand(dir, keys, matched, inserts.headOption, bySource,
-        m.sourceTable)
+        m.sourceTable, evolve = m.withSchemaEvolution)
   }
 }
 

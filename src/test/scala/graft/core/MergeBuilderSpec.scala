@@ -51,6 +51,40 @@ class MergeBuilderSpec extends SparkTestBase {
     assert(ops(50L) == "U" && ops(3L) == null)
   }
 
+  test("withSchemaEvolution: explicit clauses may target new source columns") {
+    val t = table(); seed2(t)
+    // `noise` is never referenced by a clause — it must not leak in
+    val src = Seq((1L, "A", 1.0, "fresh", 9), (50L, "n", 5.0, "born", 9))
+      .toDF("id", "v", "amt", "tag", "noise")
+    // without the opt-in, an explicit new-column SET fails loudly and
+    // points at the opt-in
+    val e = intercept[IllegalArgumentException](
+      t.mergeBuilder(src, Seq("id"))
+        .whenMatchedUpdate(Map("tag" -> "s.tag")).run())
+    assert(e.getMessage.contains("withSchemaEvolution"))
+    assert(!t.read().columns.contains("tag"), "a rejected merge must not evolve")
+    t.mergeBuilder(src, Seq("id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("v" -> "s.v", "tag" -> "s.tag"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "v" -> "s.v", "amt" -> "s.amt", "tag" -> "s.tag"))
+      .run()
+    val got = t.read().select("id", "v", "tag").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, "A", "fresh"), (2L, "b", null), (3L, "c", null),
+      (10L, "x", null), (11L, "y", null), (12L, "z", null),
+      (50L, "n", "born")),
+      s"new column set on matched, inserted on new, NULL everywhere else: $got")
+    // a target in NEITHER side is still a typo, even with the opt-in
+    val e2 = intercept[IllegalArgumentException](
+      t.mergeBuilder(src, Seq("id")).withSchemaEvolution()
+        .whenMatchedUpdate(Map("nope" -> "s.v")).run())
+    assert(e2.getMessage.contains("nope"))
+    // unreferenced source columns never leak in under explicit clauses
+    assert(!t.read().columns.contains("noise"))
+  }
+
   test("clause order is first-match-wins") {
     val t = table(); seed(t)
     val src = Seq((1L, "s1", 0.0), (2L, "s2", 0.0)).toDF("id", "v", "amt")

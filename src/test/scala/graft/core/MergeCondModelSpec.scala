@@ -105,4 +105,77 @@ class MergeCondModelSpec extends SparkTestBase {
       }
     }
   }
+
+  test("random structures WITH schema evolution match the mirror (new column mixed in)") {
+    for (seed <- Seq(5, 23, 71)) {
+      val rnd = new scala.util.Random(seed)
+      (0 until 5).foreach { round =>
+        val t = new TxTable(spark, tmpDir(s"mcme-$seed-$round"))
+        val tgt = Seq.tabulate(15 + rnd.nextInt(15))(_ =>
+          (rnd.nextInt(30).toLong, rnd.nextInt(100).toLong))
+        t.append(tgt.toDF("k", "tv").repartition(1 + rnd.nextInt(3)))
+        // the source carries a NEW column xv the table has never seen
+        val src = Seq.tabulate(1 + rnd.nextInt(12))(_ =>
+          (rnd.nextInt(40).toLong, rnd.nextInt(100).toLong,
+            rnd.nextInt(1000).toLong))
+          .groupBy(_._1).map(_._2.head).toVector
+        // each matched update either touches xv (the evolution) or not
+        val matched = Vector.fill(1 + rnd.nextInt(3)) {
+          val c = conds(rnd, bySource = false)
+          if (rnd.nextInt(4) > 0) {
+            val setsX = rnd.nextBoolean()
+            val set = if (setsX) Map("tv" -> "s.tv", "xv" -> "s.xv")
+              else Map("tv" -> "s.tv")
+            (TxTable.MatchedUpdate(c.map(_.sql), set), c, setsX)
+          } else (TxTable.MatchedDelete(c.map(_.sql)), c, false)
+        }
+        // star insert: every source column (xv included) rides in
+        val insert = if (rnd.nextBoolean())
+          Some(TxTable.NotMatchedInsert(None)) else None
+        t.mergeConditional(src.toDF("k", "tv", "xv"), Seq("k"),
+          matched.map(_._1), insert, Nil, evolveSchema = true)
+
+        // ---- Scala mirror: (k, tv, Option[xv]) ----
+        val srcMap = src.map(s => s._1 -> ((s._2, s._3))).toMap
+        val tgtKeys = tgt.map(_._1).toSet
+        val expected = tgt.flatMap { case (k, tv) =>
+          srcMap.get(k) match {
+            case Some((sv, sx)) =>
+              matched.find { case (_, c, _) => c.forall(_.eval(tv, sv)) } match {
+                case Some((_: TxTable.MatchedDelete, _, _)) => None
+                case Some((_: TxTable.MatchedUpdate, _, setsX)) =>
+                  Some((k, sv, if (setsX) Some(sx) else Option.empty[Long]))
+                case _ => Some((k, tv, Option.empty[Long]))
+              }
+            case None => Some((k, tv, Option.empty[Long]))
+          }
+        } ++ insert.toSeq.flatMap(_ =>
+          src.filterNot(s => tgtKeys.contains(s._1))
+            .map(s => (s._1, s._2, Some(s._3))))
+        val hasX = t.read().columns.contains("xv")
+        val got =
+          if (hasX) t.read().select("k", "tv", "xv").collect()
+            .map(r => (r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
+            .toSeq.sorted
+          else t.read().select("k", "tv").collect()
+            .map(r => (r.getLong(0), r.getLong(1), Option.empty[Long]))
+            .toSeq.sorted
+        // xv exists on the table iff some clause DECLARED it and the
+        // merge actually wrote (a provable no-op — no matching key, no
+        // insertable row — commits nothing, so it evolves nothing)
+        val declaresX = matched.exists(m =>
+          m._3 && m._1.isInstanceOf[TxTable.MatchedUpdate]) || insert.nonEmpty
+        val anyMatch = tgt.exists(x => srcMap.contains(x._1))
+        val anyInsert = insert.nonEmpty && src.exists(s => !tgtKeys.contains(s._1))
+        val expectX = declaresX && (anyMatch || anyInsert)
+        assert(hasX == expectX,
+          s"seed $seed round $round: xv presence $hasX, expected $expectX")
+        assert(got == expected.sorted.map { case (k, v, x) =>
+          (k, v, if (hasX) x else Option.empty[Long]) },
+          s"seed $seed round $round diverged:\n got      $got\n expected " +
+            s"${expected.sorted}\n matched=$matched insert=$insert")
+      }
+    }
+  }
 }

@@ -27,6 +27,46 @@ class Scd2Spec extends SparkTestBase {
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
       .toSeq.sorted
 
+  test("evolveSchema: a new source column becomes a tracked attribute in the same commit") {
+    val t = new TxTable(spark, tmpDir("scd2-evolve"))
+    t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b")), Seq("id"), 1L)
+    val src2 = Seq((1L, "a", "EU"), (2L, "b", "US"), (3L, "c", "EU"))
+      .toDF("id", "attr", "region")
+    // without the opt-in: loud rejection naming the new column
+    val e = intercept[IllegalArgumentException](
+      t.mergeScd2(src2, Seq("id"), 2L))
+    assert(e.getMessage.contains("region") &&
+      e.getMessage.contains("evolveSchema"))
+    assert(!t.read().columns.contains("region"))
+    // with it: keys 1 and 2 CHANGE (null -> non-null region closes
+    // their epoch-1 rows), key 3 inserts; history rows read NULL
+    t.mergeScd2(src2, Seq("id"), 2L, evolveSchema = true)
+    val got = t.read()
+      .select(col("id"), col("attr"), col("region"), col(F), col(T))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq.sortBy(x => (x._1, x._4))
+    assert(got == Seq(
+      (1L, "a", null, 1L, Some(2L)), (1L, "a", "EU", 2L, None),
+      (2L, "b", null, 1L, Some(2L)), (2L, "b", "US", 2L, None),
+      (3L, "c", "EU", 2L, None)), s"got: $got")
+    // the evolved attribute is tracked from now on: a region change
+    // closes rows like any other attribute; identical rows no-op
+    val v = t.version
+    t.mergeScd2(src2, Seq("id"), 3L)
+    assert(t.version == v, "identical reload must be a provable no-op")
+    t.mergeScd2(Seq((1L, "a", "APAC"), (2L, "b", "US"), (3L, "c", "EU"))
+      .toDF("id", "attr", "region"), Seq("id"), 3L)
+    assert(t.scdCurrent().where(col("id") === 1L).select("region")
+      .head.getString(0) == "APAC")
+    assert(t.scdAsOf(2L).where(col("id") === 1L).select("region")
+      .head.getString(0) == "EU")
+    // a MISSING business column is always an error, evolution or not
+    val e2 = intercept[IllegalArgumentException](
+      t.mergeScd2(dim(Seq(1L -> "a")), Seq("id"), 4L, evolveSchema = true))
+    assert(e2.getMessage.contains("missing"))
+  }
+
   test("close + insert on change, insert on new key, no-op on identical") {
     val t = new TxTable(spark, tmpDir("scd2"))
     t.mergeScd2(dim(Seq(1L -> "a", 2L -> "b", 3L -> "c")), Seq("id"), 1L)
@@ -167,10 +207,10 @@ class Scd2Spec extends SparkTestBase {
     val d = intercept[IllegalArgumentException](
       t.mergeScd2(dim(Seq(1L -> "x", 1L -> "y")), Seq("id"), 2L))
     assert(d.getMessage.contains("duplicate keys"))
-    // business columns must match the table's exactly
+    // an unexpected source column is rejected (unless evolveSchema)
     val m = intercept[IllegalArgumentException](t.mergeScd2(
       Seq((1L, "a", 9L)).toDF("id", "attr", "extra"), Seq("id"), 2L))
-    assert(m.getMessage.contains("business columns"))
+    assert(m.getMessage.contains("evolveSchema"))
     // a non-SCD table rejects the verb
     val plain = new TxTable(spark, tmpDir("scd2-plain"))
     plain.append(dim(Seq(1L -> "a")))

@@ -197,6 +197,29 @@ class TxTableSpec extends SparkTestBase {
       org.apache.spark.sql.functions.expr("v IS NOT NULL")).count() == 1L)
   }
 
+  test("an all-opaque compact WHERE fails loudly, never compacts the world") {
+    val t = table()
+    (0 until 4).foreach { b =>
+      t.append(Seq((b * 10L, s"a$b"), (b * 10L + 9L, s"b$b"))
+        .toDF("id", "v").coalesce(1))
+    }
+    // arithmetic classifies Opaque: nothing prunable → the WHERE can't
+    // scope the pass. Silent before, it would rewrite all 4 files.
+    val before = t.state().files.toSet
+    val v = t.version
+    val e = intercept[IllegalArgumentException](
+      t.compact(where = Some(org.apache.spark.sql.functions.expr("id + 1 <= 20"))))
+    assert(e.getMessage.contains("opaque"))
+    assert(t.version == v && t.state().files.toSet == before,
+      "a rejected scoped pass must leave the layout untouched")
+    // a mixed predicate with ONE prunable conjunct still scopes fine
+    t.compact(where = Some(org.apache.spark.sql.functions.expr("id <= 19") &&
+      org.apache.spark.sql.functions.expr("id + 1 <= 20")))
+    assert(t.state().files.size == 3,
+      "the prunable conjunct must scope the pass to the two hot files")
+    assert(t.read().count() == 8L)
+  }
+
   test("vacuum physically drops unreferenced files; the live read survives") {
     val t = table()
     (0 until 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))

@@ -275,6 +275,56 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table with the source's new columns") {
+    sql(s"CREATE TABLE $cat.me_t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.me_t VALUES (1, 'a'), (2, 'b')")
+    sql(s"CREATE TABLE $cat.me_s (id BIGINT, v STRING, tag STRING)")
+    sql(s"INSERT INTO $cat.me_s VALUES (1, 'A', 'x'), (3, 'c', 'y')")
+    withExtSession { s2 =>
+      // without the clause, the new column is NOT silently added: the
+      // explicit assignment fails resolution
+      intercept[Exception](s2.sql(
+        s"""MERGE INTO $cat.me_t t USING $cat.me_s s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag""".stripMargin))
+      // with it: AUTOMATIC_SCHEMA_EVOLUTION lets the analyzer widen
+      // the table (alterTable AddColumn) and the merge runs against it
+      s2.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.me_t t
+             |USING $cat.me_s s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+             |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, s.tag)
+             |""".stripMargin)
+    }
+    assert(rows(s"SELECT id, v, tag FROM $cat.me_t") == Set(
+      Row(1L, "A", "x"), Row(2L, "b", null), Row(3L, "c", "y")))
+  }
+
+  test("every DEFAULT declaration path runs the same validation — no TBLPROPERTIES bypass") {
+    // CREATE-path defaults get setColumnDefault's checks: a
+    // non-deterministic default must not be born with the table
+    intercept[Exception](sql(
+      s"CREATE TABLE $cat.dv1 (k BIGINT, v DOUBLE DEFAULT rand())"))
+    intercept[Exception](sql(s"SELECT * FROM $cat.dv1"))
+    // ... nor one that cannot analyze against the column type
+    intercept[Exception](sql(
+      s"CREATE TABLE $cat.dv2 (k BIGINT, v BIGINT DEFAULT array(1, 2))"))
+    // raw TBLPROPERTIES('graft.default.*') is a declaration in
+    // disguise: same gate, both at CREATE and via ALTER ... SET
+    intercept[Exception](sql(s"CREATE TABLE $cat.dv3 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.default.k' = 'rand()')"))
+    intercept[Exception](sql(s"CREATE TABLE $cat.dv4 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.default.nope' = '1')"))
+    sql(s"CREATE TABLE $cat.dv5 (k BIGINT, v STRING)")
+    intercept[Exception](sql(s"ALTER TABLE $cat.dv5 " +
+      "SET TBLPROPERTIES ('graft.default.v' = 'rand()')"))
+    intercept[Exception](sql(s"ALTER TABLE $cat.dv5 " +
+      "SET TBLPROPERTIES ('graft.default.v' = 'k')"))
+    // a VALID declaration through the property route behaves exactly
+    // like ALTER COLUMN SET DEFAULT
+    sql(s"ALTER TABLE $cat.dv5 SET TBLPROPERTIES ('graft.default.v' = \"'p'\")")
+    sql(s"INSERT INTO $cat.dv5 (k) VALUES (1)")
+    assert(rows(s"SELECT v FROM $cat.dv5 WHERE k = 1") == Set(Row("p")))
+  }
+
   test("CREATE TABLE with inline CHECK lands the constraint; failures roll the create back") {
     // without the TableInfo create path the constraint would SILENTLY
     // vanish and the first violating INSERT would commit
