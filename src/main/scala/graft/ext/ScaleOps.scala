@@ -346,7 +346,7 @@ object ScaleOps {
     * builder asserts the derived prune actually drops the cold months,
     * so the query fails loudly if derivation ever silently stops.
     */
-  private[ext] def gencolOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+  private[graft] def gencolOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
     val path = graft.core.IndexCache.memo(
       s"tx-gencol:${s.sparkContext.applicationId}:$dir") {
       val tag = (dir + "_" + s.sparkContext.applicationId)

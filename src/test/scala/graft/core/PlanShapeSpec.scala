@@ -262,6 +262,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), "top-30 degraded to a global sort")
   }
 
+  test("q_tx_gencol_part: the base-column filter scans only the derived month partitions") {
+    val df = SparkEntry.queries("q_tx_gencol_part")(spark, dir)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.initialPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s) ++ p.children.flatMap(scansOf)
+      case _ => p.children.flatMap(scansOf)
+    }
+    val files = scansOf(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles).distinct
+    val total = graft.ext.ScaleOps.gencolOrdersTable(spark, dir).state().files.size
+    // ~79 month partitions, a 31-day probe: the optimizer-rule path
+    // (plain .where, no scan() call) must derive the month bounds from
+    // the GENERATED declaration and plan over the 1-2 hot files
+    assert(files.nonEmpty && files.size <= 3 && files.size < total,
+      s"derived partition pruning lost: planned ${files.size} of $total files")
+  }
+
+  test("q_tx_merge_evolve: evolved read stays one scan + one aggregate, sort only") {
+    val (sh, _) = shape("q_tx_merge_evolve")
+    // group-by-channel aggregate + output sort; no join machinery may
+    // sneak into reading a schema-evolved table
+    assert(sh <= 2, s"evolved-table read grew extra exchanges: $sh")
+  }
+
+  test("q_tx_ivm_view/q_tx_ivm_avg: the maintained view answers with NO fact scan") {
+    for (q <- Seq("q_tx_ivm_view", "q_tx_ivm_avg")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("orders.parquet"),
+        s"$q must read the view, never rescan the fact table")
+      val (sh, _) = shape(q)
+      assert(sh <= 1, s"$q: reading a tiny view needs at most the output sort, got $sh")
+    }
+  }
+
   test("q_tx_cdf: the change feed reads change files only, never the table") {
     val df = SparkEntry.queries("q_tx_cdf")(spark, dir)
     // every scanned file is a cdf sidecar; the 8 base data files of

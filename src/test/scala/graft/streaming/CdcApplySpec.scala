@@ -44,6 +44,38 @@ class CdcApplySpec extends SparkTestBase {
     sync()
   }
 
+  test("upstream schema evolution mid-stream: the replica widens and converges") {
+    val (src, dst) = tables()
+    var cursor = -1L
+    def sync(): Unit = {
+      val to = src.version
+      if (to > cursor) { CdcApply(dst, src.readChangeFeed(cursor, to), Seq("id")); cursor = to }
+    }
+    src.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "amount"))
+    sync()
+    // upstream adds a column mid-stream (the first-time-upstream-
+    // evolves CDC case): later slices carry the wider rows; the
+    // replica's merge must widen its own schema, not fail
+    src.append(Seq((3L, "c", 30.0, "EU")).toDF("id", "v", "amount", "region"))
+    src.update(col("id") === 1L, Map("amount" -> lit(11.0)))
+    sync()
+    def wide(t: TxTable): Set[(Long, String, Double, Option[String])] =
+      t.read().select(col("id"), col("v"), col("amount"), col("region"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
+    assert(dst.read().columns.contains("region"),
+      "the replica must evolve with the upstream")
+    assert(wide(dst) == wide(src), "replica diverged after evolution")
+    assert(wide(dst) == Set((1L, "a", 11.0, None), (2L, "b", 20.0, None),
+      (3L, "c", 30.0, Some("EU"))))
+    // and the evolved column keeps replicating through later slices
+    src.merge(Seq((2L, "b2", 22.0, "US")).toDF("id", "v", "amount", "region"), Seq("id"))
+    src.delete(col("id") === 3L)
+    sync()
+    assert(wide(dst) == wide(src))
+    assert(wide(dst) == Set((1L, "a", 11.0, None), (2L, "b2", 22.0, Some("US"))))
+  }
+
   test("a delete-then-reinsert inside one slice nets to the reinsert") {
     val (src, dst) = tables()
     src.append(Seq((1L, "a", 1.0)).toDF("id", "v", "amount"))
