@@ -86,8 +86,12 @@ object IvmAgg {
           "retracting groups only)")
     // null-safe pair fold: mass coalesced to 0 (never NULL), non-null
     // count signed alongside — SQL's NULL-when-all-null surfaces at
-    // read time from nn = 0, not from a poisoned accumulator
-    def m(c: String) = col(s"`$c`")
+    // read time from nn = 0, not from a poisoned accumulator.
+    // A maintained column the feed slice PREDATES (declared on the
+    // source after these commits — upstream schema evolution) reads
+    // as all-NULL, exactly what those rows' recompute would see.
+    def m(c: String): Column =
+      if (ch.columns.contains(c)) col(s"`$c`") else lit(null)
     val aggs = sum(sign).as("n_rows") +:
       (sums.flatMap(c => Seq(
         sum(coalesce(m(c).cast(Dec), lit(0).cast(Dec)) * sign).as(s"sum_$c"),
@@ -109,12 +113,15 @@ object IvmAgg {
           .select(keys.map(k => col(s"`$k`")): _*).distinct()
         def kc(l: String, r: String) =
           keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+        val snapAt = src.readAt(to)
+        def ms(c: String): Column =
+          if (snapAt.columns.contains(c)) col(s"`$c`") else lit(null)
         val absAggs = extrema.map { case (k, c) =>
-          (if (k == "max") max(m(c)) else min(m(c))).as(s"__abs_${k}_$c")
+          (if (k == "max") max(ms(c)) else min(ms(c))).as(s"__abs_${k}_$c")
         }
         // no forced broadcast: the retracting-key set is O(changed
         // groups), unbounded in principle — AQE promotes when small
-        val recomputed = src.readAt(to).as("r")
+        val recomputed = snapAt.as("r")
           .join(retrKeys.as("rk"), kc("r", "rk"), "left_semi")
           .groupBy(keys.map(k => col(s"`$k`")): _*)
           .agg(absAggs.head, absAggs.tail: _*)

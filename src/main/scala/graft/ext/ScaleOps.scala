@@ -1701,6 +1701,66 @@ object ScaleOps {
     new graft.core.TxTable(s, path)
   }
 
+  /** The SCD2 dimension EVOLVED mid-history: epoch 4's reload carries
+    * a brand-new `c_tier` column under `evolveSchema = true` — every
+    * key it covers closes (NULL → non-null tier is a change by
+    * definition) and reinserts with the tier; history rows read tier
+    * NULL. Graded against a from-first-principles SQL reconstruction
+    * of all four epochs — the warehouse-dimension version of the
+    * upstream-added-a-column case.
+    */
+  private[ext] def scd2EvolvedCustomerTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-scd2evo:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txscd2evo_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      t.mergeScd2(base.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions("c_custkey"), Seq("c_custkey"), 1L)
+      t.mergeScd2(base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0d)),
+        Seq("c_custkey"), 2L)
+      t.mergeScd2(base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") +
+          when(col("c_custkey") % 20 === 0, lit(250.0d)).otherwise(lit(100.0d))),
+        Seq("c_custkey"), 3L)
+      // epoch 4: same balances as the current state, plus the NEW
+      // tier column — only the tier transition closes rows
+      t.mergeScd2(base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") +
+          when(col("c_custkey") % 20 === 0, lit(250.0d)).otherwise(lit(100.0d)))
+        .withColumn("c_tier",
+          when(col("c_custkey") % 20 === 0, lit("gold")).otherwise(lit("silver"))),
+        Seq("c_custkey"), 4L, evolveSchema = true)
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  def qTxScd2Evolve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toCol = col(graft.core.TxTable.ScdToCol)
+    val fromCol = col(graft.core.TxTable.ScdFromCol)
+    def dsum(c: Column): Column =
+      coalesce(sum(c.cast(DecimalType(18, 2))).cast("double"), lit(0.0d))
+    scd2EvolvedCustomerTable(s, dir).read()
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(when(toCol.isNull, lit(1))).as("n_current"),
+        count(when(toCol.isNotNull, lit(1))).as("n_closed"),
+        count(when(toCol.isNull && col("c_tier") === "gold", lit(1))).as("n_gold"),
+        count(when(toCol.isNull && col("c_tier") === "silver", lit(1))).as("n_silver"),
+        count(when(col("c_tier").isNotNull && toCol.isNotNull, lit(1))).as("n_closed_tiered"),
+        dsum(when(toCol.isNull, col("c_acctbal"))).as("cur_bal"),
+        sum(when(toCol.isNull, fromCol)).cast("long").as("from_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Per-segment summary of the SCD2 dimension: current and closed row
     * counts, their balance sums, and the sum of current validity
     * epochs. Matches the oracle's from-first-principles reconstruction
@@ -1763,6 +1823,7 @@ object ScaleOps {
     "q_tx_replica" -> (qTxReplica _),
     "q_tx_zorder" -> (qTxZorder _),
     "q_tx_scd2" -> (qTxScd2 _),
+    "q_tx_scd2_evolve" -> (qTxScd2Evolve _),
     "q_tx_bloom" -> (qTxBloom _),
     "q_tx_replace" -> (qTxReplace _),
   )
@@ -2239,6 +2300,38 @@ object ScaleOps {
     // every superseded version (the %10 epoch-2 rows closed at 3 ONLY
     // where %20 changed again — the no-op must leave the rest open).
     // Double additions are IEEE-deterministic, identical in DuckDB.
+    // the evolved dimension reconstructed from first principles: the
+    // epoch-4 reload only transitions tier NULL -> gold/silver, so
+    // every %10 key re-closes once more and history rows stay untier'd
+    "q_tx_scd2_evolve" ->
+      """WITH cur AS (
+        |  SELECT c_mktsegment,
+        |    c_acctbal + CASE WHEN c_custkey % 20 = 0 THEN 250.0
+        |                     WHEN c_custkey % 10 = 0 THEN 100.0
+        |                     ELSE 0.0 END AS bal,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 4 ELSE 1 END AS f,
+        |    CASE WHEN c_custkey % 20 = 0 THEN 'gold'
+        |         WHEN c_custkey % 10 = 0 THEN 'silver' END AS tier
+        |  FROM customer),
+        |closed AS (
+        |  SELECT c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_mktsegment FROM customer WHERE c_custkey % 20 = 0),
+        |a AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_current,
+        |    COUNT(CASE WHEN tier = 'gold' THEN 1 END) AS n_gold,
+        |    COUNT(CASE WHEN tier = 'silver' THEN 1 END) AS n_silver,
+        |    CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS cur_bal,
+        |    CAST(SUM(f) AS BIGINT) AS from_sum
+        |  FROM cur GROUP BY 1),
+        |b AS (SELECT c_mktsegment, COUNT(*) AS n_closed FROM closed GROUP BY 1)
+        |SELECT a.c_mktsegment, a.n_current,
+        |  COALESCE(b.n_closed, 0) AS n_closed, a.n_gold, a.n_silver,
+        |  CAST(0 AS BIGINT) AS n_closed_tiered, a.cur_bal, a.from_sum
+        |FROM a LEFT JOIN b USING (c_mktsegment)
+        |ORDER BY a.c_mktsegment""".stripMargin,
     "q_tx_scd2" ->
       """WITH cur AS (
         |  SELECT c_mktsegment,

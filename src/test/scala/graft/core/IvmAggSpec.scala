@@ -142,6 +142,25 @@ class IvmAggSpec extends SparkTestBase {
       s"retracting the last non-null value must surface NULL again: $surfaced")
   }
 
+  test("a feed slice that predates the measure column folds as all-NULL") {
+    val (src, view) = freshPair("evolve")
+    // the measure column v does not exist yet in the first commit —
+    // upstream declares it later (schema evolution)
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"))
+    src.append(Seq((3L, "a", 5.0)).toDF("id", "grp", "v"))
+    // chunked catch-up whose first window covers ONLY the
+    // pre-evolution history: the fold must read v as all-NULL there,
+    // exactly what a recompute over those rows would see
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"), upTo = Some(0L))
+    val s0 = IvmAgg.readView(view, Seq("v"))
+      .select($"grp", $"n_rows", $"sum_v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue())))).toMap
+    assert(s0 == Map("a" -> ((1L, None)), "b" -> ((1L, None))), s"got $s0")
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assertInSync(src, view)
+  }
+
   test("onRetract=recompute repairs MIN/MAX for the retracting groups only") {
     val (src, view) = freshPair("retract")
     src.append(Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0), (4L, "b", 2.0))
