@@ -347,11 +347,13 @@ object ScaleOps {
     * so the query fails loudly if derivation ever silently stops.
     */
   private[graft] def gencolOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    // NOTE: distinct memo key/tmp path from q_tx_gencol's fixture —
+    // a shared key would hand one query the other's table
     val path = graft.core.IndexCache.memo(
-      s"tx-gencol:${s.sparkContext.applicationId}:$dir") {
+      s"tx-gencolpart:${s.sparkContext.applicationId}:$dir") {
       val tag = (dir + "_" + s.sparkContext.applicationId)
         .replaceAll("[^a-zA-Z0-9]+", "_")
-      val p = s"${sys.props("java.io.tmpdir")}/graft_txgencol_$tag"
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txgencolpart_$tag"
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       import org.apache.spark.sql.types._
