@@ -1550,6 +1550,43 @@ object ScaleOps {
     * with zero extra state, surfaced with exact SQL semantics (NULL
     * when no non-null value) by [[graft.core.IvmAgg.readView]].
     */
+  /** A maintained MIN/MAX view whose advance CROSSES a retracting
+    * commit (the merge's update preimages) under
+    * `onRetract = "recompute"` — the graded read proves the
+    * affected-groups-only repair produces exactly the extrema a full
+    * recompute would: the update bumps some keys' prices, so a
+    * group's pre-update max may have been retracted and the folded
+    * `greatest` alone would overstate it.
+    */
+  private[ext] def ivmMinMaxViewTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-ivmminmax:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txivmminmax_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val src = mergedOrdersTable(s, dir)
+      val v = new graft.core.TxTable(s, p)
+      graft.core.IvmAgg.advance(src, v, Seq("o_orderpriority"),
+        Seq("o_totalprice"), cursorId = "ivm-minmax", upTo = Some(0L),
+        maxs = Seq("o_totalprice"), mins = Seq("o_totalprice"))
+      graft.core.IvmAgg.advance(src, v, Seq("o_orderpriority"),
+        Seq("o_totalprice"), cursorId = "ivm-minmax",
+        maxs = Seq("o_totalprice"), mins = Seq("o_totalprice"),
+        onRetract = "recompute")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  def qTxIvmMinmax(s: SparkSession, dir: String): DataFrame =
+    ivmMinMaxViewTable(s, dir).read()
+      .select(col("o_orderpriority"), col("n_rows").as("n_orders"),
+        col("max_o_totalprice").cast("double").as("max_price"),
+        col("min_o_totalprice").cast("double").as("min_price"))
+      .orderBy(col("o_orderpriority"))
+
   def qTxIvmAvg(s: SparkSession, dir: String): DataFrame = {
     // double division over the exact decimal sum and non-null count —
     // engine-portable (decimal division scale rules differ per engine,
@@ -1815,6 +1852,7 @@ object ScaleOps {
     "q_tx_ivm" -> (qTxIvm _),
     "q_tx_ivm_view" -> (qTxIvmView _),
     "q_tx_ivm_avg" -> (qTxIvmAvg _),
+    "q_tx_ivm_minmax" -> (qTxIvmMinmax _),
     "q_tx_merge_evolve" -> (qTxMergeEvolve _),
     "q_tx_gencol_part" -> (qTxGencolPart _),
     "q_tx_compact" -> (qTxCompact _),
@@ -1965,6 +2003,26 @@ object ScaleOps {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the retraction-crossing MIN/MAX view: matches only if the
+    // affected-groups recompute produced exactly the full-recompute
+    // extrema (the folded greatest alone would overstate a group
+    // whose pre-update max was retracted)
+    "q_tx_ivm_minmax" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 10000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+        |    o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+        |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // AVG off the same maintained view: exact decimal sum cast to
     // double, IEEE-divided by the non-null count (engine-portable —
     // native decimal-division scale rules differ between engines)
