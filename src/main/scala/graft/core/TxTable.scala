@@ -4018,6 +4018,15 @@ object TxTable {
     * equality/IN map pointwise; strict bounds weaken to inclusive
     * ones (never prunes a file the original predicate could match).
     * Derivation recurses into OR branches (disjunctive skipping).
+    *
+    * Deliberately NOT whitelisted: `floor(x / N)` (double division
+    * drifts ±1 ulp near 2^53, so the derived bound could exclude a
+    * file holding a boundary value) and `cast(ts AS date)` /
+    * `year(ts)` (their value depends on the WRITER session's
+    * timezone, which the log does not record — deriving with the
+    * reader's zone would mis-prune across zones). `x div N` over the
+    * epoch-seconds/millis/micros column the writer controls gives the
+    * same day/month bucketing with none of those hazards.
     */
   private[graft] def deriveGeneratedShapes(generated: Map[String, String],
       shapes: Seq[org.apache.spark.sql.GraftColumnBridge.PredShape])

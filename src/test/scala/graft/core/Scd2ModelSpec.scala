@@ -97,4 +97,81 @@ class Scd2ModelSpec extends SparkTestBase {
         == hist.toSet)
     }
   }
+
+  test("schema evolution mid-history: the widened model stays exact across epochs") {
+    for (seed <- Seq(11, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val t = new TxTable(spark, tmpDir(s"scd2-evo-model-$seed"), checkpointInterval = 4)
+      // history row: (key, attr, xattr, from, to) — xattr is the
+      // column that does not exist before the evolution epoch
+      var hist = Vector.empty[(Option[Long], String, Option[String], Long, Option[Long])]
+      def currents: Map[Option[Long], (String, Option[String])] =
+        hist.collect { case (k, a, x, _, None) => k -> ((a, x)) }.toMap
+      val evolveAt = 3L + rnd.nextInt(3)
+      var epoch = 0L
+      var snapshots = Map.empty[Long, Map[Option[Long], (String, Option[String])]]
+
+      def readHistE(tt: TxTable): Set[(Option[Long], String, Option[String], Long, Option[Long])] = {
+        val hasX = tt.read().columns.contains("xattr")
+        val df = if (hasX) tt.read() else tt.read().withColumn("xattr",
+          lit(null).cast("string"))
+        df.select(col("id"), col("attr"), col("xattr"),
+            col(TxTable.ScdFromCol), col(TxTable.ScdToCol))
+          .as[(Option[Long], String, Option[String], Long, Option[Long])]
+          .collect().toSet
+      }
+
+      (0 until fuzzIters).foreach { _ =>
+        epoch += 1
+        val carriesX = epoch >= evolveAt
+        val existing = currents.keys.toSeq.sortBy(_.getOrElse(-1L))
+        def xval(): Option[String] =
+          if (!carriesX) None
+          else if (rnd.nextBoolean()) Some(s"x${rnd.nextInt(3)}") else None
+        val picks = rnd.shuffle(existing).take(rnd.nextInt(3)).map { k =>
+          val (a0, x0) = currents(k)
+          if (rnd.nextBoolean()) (k, s"e$epoch-${rnd.nextInt(4)}", xval())
+          else if (carriesX) (k, a0, xval()) // maybe only xattr changes
+          else (k, a0, x0) // identical = no-op row
+        }
+        val fresh = Seq.fill(rnd.nextInt(2))(
+          (Option(rnd.between(100L * epoch, 100L * epoch + 50)), s"f$epoch", xval()))
+        val src = (picks ++ fresh).groupBy(_._1).map(_._2.head).toSeq
+        if (src.nonEmpty) {
+          val df =
+            if (carriesX) src.toDF("id", "attr", "xattr").coalesce(1)
+            else src.map(r => (r._1, r._2)).toDF("id", "attr").coalesce(1)
+          t.mergeScd2(df, Seq("id"), epoch, evolveSchema = carriesX)
+          // model: close on any (attr, xattr) difference (null-safe)
+          val cur = currents
+          src.foreach { case (k, a, x) =>
+            cur.get(k) match {
+              case Some((a0, x0)) if a0 == a && x0 == x => ()
+              case Some((a0, x0)) =>
+                hist = hist.map {
+                  case (`k`, `a0`, `x0`, f, None) => (k, a0, x0, f, Some(epoch))
+                  case r => r
+                } :+ ((k, a, x, epoch, None))
+              case None => hist = hist :+ ((k, a, x, epoch, None))
+            }
+          }
+        }
+        if (rnd.nextInt(4) == 0 && t.version >= 0) t.compact(targetBytes = 1L << 16)
+        if (t.version >= 0) {
+          assert(readHistE(t) == hist.toSet,
+            s"seed $seed: evolved history diverged at epoch $epoch (evolveAt $evolveAt)")
+          snapshots += epoch -> currents
+        }
+      }
+      snapshots.foreach { case (ep, cur) =>
+        val hasX = t.read().columns.contains("xattr")
+        val df = if (hasX) t.scdAsOf(ep) else t.scdAsOf(ep)
+          .withColumn("xattr", lit(null).cast("string"))
+        val got = df.select(col("id"), col("attr"), col("xattr"))
+          .as[(Option[Long], String, Option[String])].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got == cur, s"seed $seed: scdAsOf($ep) diverged post-evolution")
+      }
+    }
+  }
 }
