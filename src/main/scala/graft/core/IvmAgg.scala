@@ -141,6 +141,21 @@ object IvmAgg {
                   .otherwise(col(s"f.`${k}_$c`")).as(s"${k}_$c")
               } :+ coalesce(col("__r"), lit(false)).as("__abs"): _*)
       }
+    // the CAS expectation (expectPrev = from) makes a concurrent
+    // advance folding an overlapping range abort instead of
+    // double-applying the overlap; replays of THIS range stay no-ops
+    mergeDelta(view, keys, sums, extrema, delta,
+      TxTable.TxnId(cursorId, to, expectPrev = Some(from)))
+    to
+  }
+
+  /** The one delta-application path, shared by the batch [[advance]]
+    * and the streaming [[foldBatch]]: merge a grouped signed delta
+    * into the view atomically with its cursor/batch txn.
+    */
+  private def mergeDelta(view: TxTable, keys: Seq[String], sums: Seq[String],
+      extrema: Seq[(String, String)], delta: org.apache.spark.sql.DataFrame,
+      txn: TxTable.TxnId): Unit = {
     val set = (("n_rows" -> "t.n_rows + s.n_rows") +:
       (sums.flatMap(c => Seq(
         s"sum_$c" -> s"coalesce(t.`sum_$c`, cast(0 as decimal(28,6))) + coalesce(s.`sum_$c`, cast(0 as decimal(28,6)))",
@@ -155,17 +170,76 @@ object IvmAgg {
       extrema.map { case (k, c) => s"${k}_$c" }
     // clause order matters: a group whose live count hits zero leaves
     // the view entirely (first applicable matched clause wins)
-    // the CAS expectation (expectPrev = from) makes a concurrent
-    // advance folding an overlapping range abort instead of
-    // double-applying the overlap; replays of THIS range stay no-ops
     view.mergeBuilder(delta, keys)
       .whenMatchedDelete("t.n_rows + s.n_rows = 0")
       .whenMatchedUpdate(set)
       .whenNotMatchedInsert(
         viewCols.map(c => c -> s"s.`$c`").toMap, "s.n_rows <> 0")
-      .run(Some(TxTable.TxnId(cursorId, to, expectPrev = Some(from))))
-    to
+      .run(Some(txn))
   }
+
+  /** STREAMING maintenance, one micro-batch: fold `feed` (change-feed
+    * rows — [[graft.streaming.TxTableSource]]'s `readChangeFeed`
+    * output, or any frame with the same `_change_type` column) into
+    * the view under `txn`. Exactly-once under foreachBatch
+    * redelivery: the (writer, batchId) txn gates the replay, and the
+    * batch's delta and its progress marker ride one commit.
+    * COUNT/SUM/AVG only — MIN/MAX retraction repair needs a versioned
+    * snapshot to recompute from, which a micro-batch does not carry;
+    * use the batch [[advance]] for extrema views.
+    */
+  def foldBatch(view: TxTable, keys: Seq[String], sums: Seq[String],
+      feed: org.apache.spark.sql.DataFrame, txn: TxTable.TxnId): Unit = {
+    require(keys.nonEmpty, "IVM needs at least one key column")
+    val sign = when(col(TxTable.ChangeTypeCol).isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    def m(c: String): Column =
+      if (feed.columns.contains(c)) col(s"`$c`") else lit(null)
+    val aggs = sum(sign).as("n_rows") +:
+      sums.flatMap(c => Seq(
+        sum(coalesce(m(c).cast(Dec), lit(0).cast(Dec)) * sign).as(s"sum_$c"),
+        sum(when(m(c).isNotNull, sign).otherwise(lit(0L))).as(s"nn_$c")))
+    val delta = feed.groupBy(keys.map(k => col(s"`$k`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__abs", lit(false))
+    mergeDelta(view, keys, sums, Nil, delta, txn)
+  }
+
+  /** The CONTINUOUSLY-maintained view: a streaming query over the
+    * source's commit log in row-level mode drives [[foldBatch]] per
+    * micro-batch. Progress lives in BOTH the streaming checkpoint
+    * (which commits were consumed) and the view's txn marker (which
+    * batch was applied) — a crash between sink and checkpoint
+    * redelivers the batch and the txn gate makes the replay a no-op,
+    * so the view is exactly-once end to end. AvailableNow drains
+    * exactly the unconsumed commits; schedule it like any incremental
+    * job.
+    *
+    * The checkpoint and the view are a PAIR: batch ids are only
+    * meaningful against the checkpoint that numbered them, so
+    * pointing a fresh checkpoint at a view that already carries this
+    * `writerId`'s marker would replay-gate real data — rebuild the
+    * view (or pick a new writerId + empty view) when discarding a
+    * checkpoint.
+    */
+  def streamInto(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      view: TxTable, keys: Seq[String], sums: Seq[String],
+      checkpoint: String, writerId: String = "ivm-stream",
+      startingVersion: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-txtable")
+      .option("path", srcPath)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", startingVersion)
+      .load()
+      .writeStream
+      .queryName(s"graftIvm-$writerId")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        foldBatch(view, keys, sums, b,
+          TxTable.TxnId(writerId, id, expectPrev = Some(id - 1))))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** The view with exact SQL aggregate semantics surfaced: per sum
     * column `c`, `sum_<c>` becomes NULL when no non-null value is

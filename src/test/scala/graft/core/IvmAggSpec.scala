@@ -208,6 +208,29 @@ class IvmAggSpec extends SparkTestBase {
       "version 0 must be counted exactly once")
   }
 
+  test("streamInto maintains the view continuously: incremental, restart-safe, exactly-once") {
+    val (src, view) = freshPair("stream")
+    val ck = tmpDir("ivm-stream-ck")
+    src.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "grp", "v"))
+    IvmAgg.streamInto(spark, src.tablePath, view, Seq("grp"), Seq("v"), ck)
+      .awaitTermination()
+    assertInSync(src, view)
+    val vAfter = view.version
+    // drained: re-running with nothing new commits nothing
+    IvmAgg.streamInto(spark, src.tablePath, view, Seq("grp"), Seq("v"), ck)
+      .awaitTermination()
+    assert(view.version == vAfter, "an empty drain must not commit")
+    // mutations across several commits fold incrementally on rerun
+    src.update(col("id") === 1L, Map("v" -> (col("v") + lit(5.0))))
+    src.delete(col("grp") === "b")
+    src.append(Seq((3L, "c", Some(7.0)), (4L, "c", Option.empty[Double]))
+      .toDF("id", "grp", "v"))
+    IvmAgg.streamInto(spark, src.tablePath, view, Seq("grp"), Seq("v"), ck)
+      .awaitTermination()
+    assertInSync(src, view)
+    assert(view.read().where($"grp" === "b").count() == 0L)
+  }
+
   test("randomized op sequences with interleaved advances stay in sync") {
     for (seed <- Seq(7, 19)) {
       val rnd = new scala.util.Random(seed)
