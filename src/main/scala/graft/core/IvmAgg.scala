@@ -73,80 +73,117 @@ object IvmAgg {
     val from = view.state().txns.getOrElse(cursorId, -1L)
     val to = upTo.map(math.min(_, src.version)).getOrElse(src.version)
     if (to <= from) return from
+    val extrema = maxs.map(("max", _)) ++ mins.map(("min", _))
+    // ONE evaluation of the feed window: with extrema it otherwise
+    // re-reads for the retraction probe, the retracting-key set and
+    // the grouped fold (the mergeConditional source-pinning pattern)
     val ch = src.readChangeFeed(from, to)
+    if (extrema.nonEmpty) ch.persist()
+    try {
+      val sign = when(col(TxTable.ChangeTypeCol).isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      val retracts = extrema.nonEmpty && ch.where(sign < 0).limit(1).count() > 0
+      if (retracts && onRetract == "reject")
+        throw new IllegalStateException(
+          s"source versions ($from, $to] of ${src.tablePath} retract rows — a " +
+            "MIN/MAX view cannot fold retractions; rebuild the view from a full " +
+            "read, or opt into onRetract=\"recompute\" (re-aggregates the " +
+            "retracting groups only)")
+      val folded = buildDelta(view, ch, keys, sums, extrema)
+      // retraction repair: the retracting GROUPS get absolute extrema
+      // recomputed from the `to` snapshot; every other group keeps the
+      // cheap insert-only fold. `__abs` rides the delta so the SET
+      // clause can tell the two apart — it is never inserted (explicit
+      // insert values in mergeDelta).
+      val delta =
+        if (!retracts) folded
+        else {
+          val retrKeys = ch.where(sign < 0)
+            .select(keys.map(k => col(s"`$k`")): _*).distinct()
+          def kc(l: String, r: String) =
+            keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+          val snapAt = src.readAt(to)
+          val absAggs = extrema.map { case (k, c) =>
+            val v = typedCol(snapAt.columns.toSeq, view, k, c)
+            (if (k == "max") max(v) else min(v)).as(s"__abs_${k}_$c")
+          }
+          // no forced broadcast: the retracting-key set is O(changed
+          // groups), unbounded in principle — AQE promotes when small
+          val recomputed = snapAt.as("r")
+            .join(retrKeys.as("rk"), kc("r", "rk"), "left_semi")
+            .groupBy(keys.map(k => col(s"`$k`")): _*)
+            .agg(absAggs.head, absAggs.tail: _*)
+          // left join: a retracting group with ZERO live rows at `to`
+          // has no recomputed row — its extrema are NULL, and its view
+          // row leaves via the n_rows=0 delete clause anyway
+          folded.drop("__abs").as("f")
+            .join(retrKeys.withColumn("__r", lit(true)).as("rk"),
+              kc("f", "rk"), "left_outer")
+            .join(recomputed.as("rc"), kc("f", "rc"), "left_outer")
+            .select(
+              (keys.map(k => col(s"f.`$k`")) :+ col("f.n_rows")) ++
+                sums.flatMap(c => Seq(col(s"f.`sum_$c`"), col(s"f.`nn_$c`"))) ++
+                extrema.map { case (k, c) =>
+                  when(coalesce(col("__r"), lit(false)),
+                    col(s"rc.`__abs_${k}_$c`"))
+                    .otherwise(col(s"f.`${k}_$c`")).as(s"${k}_$c")
+                } :+ coalesce(col("__r"), lit(false)).as("__abs"): _*)
+        }
+      // the CAS expectation (expectPrev = from) makes a concurrent
+      // advance folding an overlapping range abort instead of
+      // double-applying the overlap; replays of THIS range stay no-ops
+      mergeDelta(view, keys, sums, extrema, delta,
+        TxTable.TxnId(cursorId, to, expectPrev = Some(from)))
+      to
+    } finally if (extrema.nonEmpty) ch.unpersist()
+  }
+
+  /** A maintained column as a TYPED column of `frame`: present →
+    * itself; absent (the slice/snapshot predates its declaration) →
+    * a null of the VIEW's stored type, so the fold reads all-NULL
+    * exactly like a recompute would. For sums the downstream decimal
+    * cast types a bare null anyway; extrema have no such cast, and an
+    * untyped NullType column would poison the view schema (parquet
+    * cannot write void) — with no view type to borrow either, fail
+    * loudly: there is nothing sound to fold yet.
+    */
+  private def typedCol(frameCols: Seq[String], view: TxTable,
+      kind: String, c: String): Column =
+    if (frameCols.contains(c)) col(s"`$c`")
+    else view.schemaOption.flatMap(_.fields.find(_.name == s"${kind}_$c"))
+      .map(f => lit(null).cast(f.dataType))
+      .getOrElse(throw new IllegalStateException(
+        s"column $c does not exist in this feed window and the view has no " +
+          s"${kind}_$c yet — start the MIN/MAX view at a window where the " +
+          "column exists (its type cannot be inferred from nothing)"))
+
+  /** The one signed-fold construction, shared by the batch [[advance]]
+    * and the streaming [[foldBatch]]: null-safe pair fold — mass
+    * coalesced to 0 (never NULL), non-null count signed alongside, so
+    * SQL's NULL-when-all-null surfaces at read time from nn = 0, not
+    * from a poisoned accumulator. A maintained column the feed slice
+    * PREDATES (declared on the source after these commits — upstream
+    * schema evolution) reads as all-NULL, exactly what those rows'
+    * recompute would see.
+    */
+  private def buildDelta(view: TxTable, feed: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], sums: Seq[String],
+      extrema: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val sign = when(col(TxTable.ChangeTypeCol).isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val extrema = maxs.map(("max", _)) ++ mins.map(("min", _))
-    val retracts = extrema.nonEmpty && ch.where(sign < 0).limit(1).count() > 0
-    if (retracts && onRetract == "reject")
-      throw new IllegalStateException(
-        s"source versions ($from, $to] of ${src.tablePath} retract rows — a " +
-          "MIN/MAX view cannot fold retractions; rebuild the view from a full " +
-          "read, or opt into onRetract=\"recompute\" (re-aggregates the " +
-          "retracting groups only)")
-    // null-safe pair fold: mass coalesced to 0 (never NULL), non-null
-    // count signed alongside — SQL's NULL-when-all-null surfaces at
-    // read time from nn = 0, not from a poisoned accumulator.
-    // A maintained column the feed slice PREDATES (declared on the
-    // source after these commits — upstream schema evolution) reads
-    // as all-NULL, exactly what those rows' recompute would see.
     def m(c: String): Column =
-      if (ch.columns.contains(c)) col(s"`$c`") else lit(null)
+      if (feed.columns.contains(c)) col(s"`$c`") else lit(null)
     val aggs = sum(sign).as("n_rows") +:
       (sums.flatMap(c => Seq(
         sum(coalesce(m(c).cast(Dec), lit(0).cast(Dec)) * sign).as(s"sum_$c"),
         sum(when(m(c).isNotNull, sign).otherwise(lit(0L))).as(s"nn_$c"))) ++
         extrema.map { case (k, c) =>
-          (if (k == "max") max(m(c)) else min(m(c))).as(s"${k}_$c")
+          val v = typedCol(feed.columns.toSeq, view, k, c)
+          (if (k == "max") max(v) else min(v)).as(s"${k}_$c")
         })
-    val folded = ch.groupBy(keys.map(k => col(s"`$k`")): _*)
+    feed.groupBy(keys.map(k => col(s"`$k`")): _*)
       .agg(aggs.head, aggs.tail: _*)
-    // retraction repair: the retracting GROUPS get absolute extrema
-    // recomputed from the `to` snapshot; every other group keeps the
-    // cheap insert-only fold. `__abs` rides the delta so the SET
-    // clause can tell the two apart — it is never inserted (explicit
-    // insert values below).
-    val delta =
-      if (!retracts) folded.withColumn("__abs", lit(false))
-      else {
-        val retrKeys = ch.where(sign < 0)
-          .select(keys.map(k => col(s"`$k`")): _*).distinct()
-        def kc(l: String, r: String) =
-          keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
-        val snapAt = src.readAt(to)
-        def ms(c: String): Column =
-          if (snapAt.columns.contains(c)) col(s"`$c`") else lit(null)
-        val absAggs = extrema.map { case (k, c) =>
-          (if (k == "max") max(ms(c)) else min(ms(c))).as(s"__abs_${k}_$c")
-        }
-        // no forced broadcast: the retracting-key set is O(changed
-        // groups), unbounded in principle — AQE promotes when small
-        val recomputed = snapAt.as("r")
-          .join(retrKeys.as("rk"), kc("r", "rk"), "left_semi")
-          .groupBy(keys.map(k => col(s"`$k`")): _*)
-          .agg(absAggs.head, absAggs.tail: _*)
-        // left join: a retracting group with ZERO live rows at `to`
-        // has no recomputed row — its extrema are NULL, and its view
-        // row leaves via the n_rows=0 delete clause anyway
-        folded.as("f")
-          .join(retrKeys.withColumn("__r", lit(true)).as("rk"),
-            kc("f", "rk"), "left_outer")
-          .join(recomputed.as("rc"), kc("f", "rc"), "left_outer")
-          .select(
-            (keys.map(k => col(s"f.`$k`")) :+ col("f.n_rows")) ++
-              sums.flatMap(c => Seq(col(s"f.`sum_$c`"), col(s"f.`nn_$c`"))) ++
-              extrema.map { case (k, c) =>
-                when(coalesce(col("__r"), lit(false)),
-                  col(s"rc.`__abs_${k}_$c`"))
-                  .otherwise(col(s"f.`${k}_$c`")).as(s"${k}_$c")
-              } :+ coalesce(col("__r"), lit(false)).as("__abs"): _*)
-      }
-    // the CAS expectation (expectPrev = from) makes a concurrent
-    // advance folding an overlapping range abort instead of
-    // double-applying the overlap; replays of THIS range stay no-ops
-    mergeDelta(view, keys, sums, extrema, delta,
-      TxTable.TxnId(cursorId, to, expectPrev = Some(from)))
-    to
+      .withColumn("__abs", lit(false))
   }
 
   /** The one delta-application path, shared by the batch [[advance]]
@@ -191,18 +228,8 @@ object IvmAgg {
   def foldBatch(view: TxTable, keys: Seq[String], sums: Seq[String],
       feed: org.apache.spark.sql.DataFrame, txn: TxTable.TxnId): Unit = {
     require(keys.nonEmpty, "IVM needs at least one key column")
-    val sign = when(col(TxTable.ChangeTypeCol).isin("insert", "update_postimage"),
-      lit(1L)).otherwise(lit(-1L))
-    def m(c: String): Column =
-      if (feed.columns.contains(c)) col(s"`$c`") else lit(null)
-    val aggs = sum(sign).as("n_rows") +:
-      sums.flatMap(c => Seq(
-        sum(coalesce(m(c).cast(Dec), lit(0).cast(Dec)) * sign).as(s"sum_$c"),
-        sum(when(m(c).isNotNull, sign).otherwise(lit(0L))).as(s"nn_$c")))
-    val delta = feed.groupBy(keys.map(k => col(s"`$k`")): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("__abs", lit(false))
-    mergeDelta(view, keys, sums, Nil, delta, txn)
+    mergeDelta(view, keys, sums, Nil,
+      buildDelta(view, feed, keys, sums, Nil), txn)
   }
 
   /** The CONTINUOUSLY-maintained view: a streaming query over the

@@ -1908,13 +1908,22 @@ class TxTable(spark: SparkSession, val tablePath: String,
         require(unknown.isEmpty,
           s"compact(where) of $tablePath references unknown column(s) " +
             s"${unknown.mkString(", ")} — the predicate must name live columns")
-        // a predicate whose every conjunct classifies Opaque (casts,
-        // arithmetic, unparseable SQL) prunes NOTHING — proceeding
-        // would silently rewrite the WHOLE table, the exact O(table)
-        // surprise the WHERE verb exists to prevent. Fail loudly;
-        // a full pass is one explicit compact() call away.
-        require(!shapes.forall(
-          _ == org.apache.spark.sql.GraftColumnBridge.OpaqueShape),
+        // a predicate with NO prunable conjunct (casts, arithmetic,
+        // unparseable SQL — including an OR whose branches are all
+        // opaque: an OR only ever prunes when EVERY branch can prove
+        // a file empty) scopes NOTHING — proceeding would silently
+        // rewrite the WHOLE table, the exact O(table) surprise the
+        // WHERE verb exists to prevent. Fail loudly; a full pass is
+        // one explicit compact() call away.
+        def prunable(sh: org.apache.spark.sql.GraftColumnBridge.PredShape): Boolean = {
+          import org.apache.spark.sql.GraftColumnBridge._
+          sh match {
+            case OpaqueShape => false
+            case OrShape(bs) => bs.nonEmpty && bs.forall(_.exists(prunable))
+            case _ => true
+          }
+        }
+        require(shapes.exists(prunable),
           s"compact(where) of $tablePath: no conjunct of the predicate is " +
             "prunable against file stats (all classify opaque) — the WHERE " +
             "cannot scope the pass and would compact the whole table; " +

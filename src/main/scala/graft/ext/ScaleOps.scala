@@ -1545,11 +1545,6 @@ object ScaleOps {
         col("sum_o_totalprice").cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
-  /** AVG off the SAME maintained view — the (sum, non-null count)
-    * pair [[graft.core.IvmAgg]] stores makes AVG self-maintainable
-    * with zero extra state, surfaced with exact SQL semantics (NULL
-    * when no non-null value) by [[graft.core.IvmAgg.readView]].
-    */
   /** A maintained MIN/MAX view whose advance CROSSES a retracting
     * commit (the merge's update preimages) under
     * `onRetract = "recompute"` — the graded read proves the
@@ -1587,6 +1582,10 @@ object ScaleOps {
         col("min_o_totalprice").cast("double").as("min_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** AVG off the SAME maintained view — the (sum, non-null count)
+    * pair [[graft.core.IvmAgg]] stores makes AVG self-maintainable
+    * with zero extra state.
+    */
   def qTxIvmAvg(s: SparkSession, dir: String): DataFrame = {
     // double division over the exact decimal sum and non-null count —
     // engine-portable (decimal division scale rules differ per engine,

@@ -21,7 +21,9 @@ import graft.schema.SchemaRegistry
   * the *distinct schema ids* of a batch — bounded by registry size
   * (~handfuls), never O(rows); the per-group loop is O(#schemas)
   * appends; decode happens executor-side inside [[AvroDecode]] after
-  * the schema-key filter, so each row is decoded exactly once.
+  * the schema-key filter, so each row is decoded once per batch (the
+  * decoded groups are cached across the dead-letter probe and the
+  * write when a DLQ is configured).
   */
 object RawIngest {
 
@@ -86,24 +88,30 @@ object RawIngest {
           .select((metaCols :+ "value").map(col) :+
             AvroDecode.fromAvro(col("payload"), json, json, lenient).as("parsedValue"): _*)
       }
-      deadLetterPath.foreach { dlq =>
-        // per-ROW isolation of decode failures, same raw layout as the
-        // unknown-id groups above: one probe + at most one append per
-        // batch, off the cached keyed frame
-        val corrupt = decodedGroups
-          .map(_.where(col("parsedValue").isNull)
-            .select((metaCols :+ "value").map(col): _*))
-          .reduceOption(_.unionByName(_))
-        corrupt.foreach { c =>
-          if (c.limit(1).count() > 0) c.write.mode("append").parquet(dlq)
+      // cache the DECODED groups (not just the raw bytes) while both
+      // the corrupt probe and the action consume them — without this
+      // every row would pay the Avro decode twice per batch
+      if (deadLetterPath.isDefined) decodedGroups.foreach(_.persist())
+      try {
+        deadLetterPath.foreach { dlq =>
+          // per-ROW isolation of decode failures, same raw layout as
+          // the unknown-id groups above: one probe + at most one
+          // append per batch, off the cached decoded frames
+          val corrupt = decodedGroups
+            .map(_.where(col("parsedValue").isNull)
+              .select((metaCols :+ "value").map(col): _*))
+            .reduceOption(_.unionByName(_))
+          corrupt.foreach { c =>
+            if (c.limit(1).count() > 0) c.write.mode("append").parquet(dlq)
+          }
         }
-      }
-      val groups = decodedGroups.map { d =>
-        val clean =
-          if (lenient) d.where(col("parsedValue").isNotNull) else d
-        clean.drop("value")
-      }
-      action(groups)
+        val groups = decodedGroups.map { d =>
+          val clean =
+            if (lenient) d.where(col("parsedValue").isNotNull) else d
+          clean.drop("value")
+        }
+        action(groups)
+      } finally if (deadLetterPath.isDefined) decodedGroups.foreach(_.unpersist())
     } finally keyed.unpersist()
   }
 

@@ -187,18 +187,23 @@ class HttpSchemaRegistry(baseUrl: String, maxAttempts: Int = 3,
       jStr(request("GET", s"/config/$subject", None), "compatibilityLevel")))
     catch { case _: NoSuchElementException => scala.None }
 
-  /** `POST /compatibility/subjects/{subject}/versions/latest` — the
-    * registry's own admission predicate, without registering.
+  /** `POST /compatibility/subjects/{subject}/versions` — the
+    * registry's own admission predicate, without registering. The
+    * all-versions form (not `/latest`): the server then checks
+    * against latest or full history per the subject's own mode, so
+    * *_TRANSITIVE subjects answer the same predicate `register`
+    * enforces. A subject with no versions yet (404) is vacuously
+    * admissible — matching [[InMemorySchemaRegistry.testCompatibility]].
     */
   def testCompatibility(subject: String, schema: Schema): Boolean = {
     val body = JsonMethods.compact(JsonMethods.render(
       JObject("schema" -> JString(schema.toString))))
-    (request("POST", s"/compatibility/subjects/$subject/versions/latest",
+    try (request("POST", s"/compatibility/subjects/$subject/versions",
       Some(body)) \ "is_compatible") match {
       case JBool(b) => b
       case other => throw new java.io.IOException(
         s"schema registry: expected boolean 'is_compatible', got $other")
-    }
+    } catch { case _: NoSuchElementException => true }
   }
 
   override def latest(subject: String): Option[(Int, Schema)] =

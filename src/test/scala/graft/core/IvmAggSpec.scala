@@ -159,6 +159,21 @@ class IvmAggSpec extends SparkTestBase {
     assert(s0 == Map("a" -> ((1L, None)), "b" -> ((1L, None))), s"got $s0")
     IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
     assertInSync(src, view)
+    // MIN/MAX across the evolution point: the feed's merge-on-read
+    // schema surfaces the evolved column as a TYPED all-null in the
+    // pre-evolution window, so the bootstrap folds NULL extrema (never
+    // an untyped void column) and later values lift them via greatest
+    val mm = new TxTable(spark, tmpDir("ivm-view-evolve-mm"))
+    IvmAgg.advance(src, mm, Seq("grp"), Seq("v"),
+      maxs = Seq("v"), upTo = Some(0L))
+    def maxes: Map[String, Option[Double]] =
+      mm.read().select($"grp", $"max_v").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(maxes == Map("a" -> None, "b" -> None),
+      s"pre-evolution extrema must be typed NULLs: $maxes")
+    IvmAgg.advance(src, mm, Seq("grp"), Seq("v"), maxs = Seq("v"))
+    assert(maxes == Map("a" -> Some(5.0), "b" -> None), s"got $maxes")
   }
 
   test("onRetract=recompute repairs MIN/MAX for the retracting groups only") {

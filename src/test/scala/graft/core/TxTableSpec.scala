@@ -212,11 +212,24 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("opaque"))
     assert(t.version == v && t.state().files.toSet == before,
       "a rejected scoped pass must leave the layout untouched")
-    // a mixed predicate with ONE prunable conjunct still scopes fine
+    // an OR whose every branch is opaque prunes nothing either — the
+    // guard must not fail open on the OrShape wrapper
+    val eo = intercept[IllegalArgumentException](
+      t.compact(where = Some(
+        org.apache.spark.sql.functions.expr("id + 1 <= 20 OR id + 1 >= 35"))))
+    assert(eo.getMessage.contains("opaque"))
+    assert(t.version == v && t.state().files.toSet == before)
+    // but an OR whose branches each carry a prunable conjunct scopes:
+    // [0,9]|[30,39] → two files pack, the middle two are untouched
+    t.compact(where = Some(
+      org.apache.spark.sql.functions.expr("id <= 9 OR id >= 30")))
+    assert(t.state().files.size == 3 && t.read().count() == 8L)
+    // a mixed predicate with ONE prunable conjunct still scopes fine:
+    // id <= 19 overlaps the packed [0..39]-range file and [10,19]
     t.compact(where = Some(org.apache.spark.sql.functions.expr("id <= 19") &&
       org.apache.spark.sql.functions.expr("id + 1 <= 20")))
-    assert(t.state().files.size == 3,
-      "the prunable conjunct must scope the pass to the two hot files")
+    assert(t.state().files.size == 2,
+      "the prunable conjunct must scope the pass to the two overlapping files")
     assert(t.read().count() == 8L)
   }
 

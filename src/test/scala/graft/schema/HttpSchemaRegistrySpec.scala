@@ -40,7 +40,7 @@ class TestSchemaRegistryServer {
     val SubjectsVersionN = "/subjects/([^/]+)/versions/(\\d+)".r
     val SchemaById = "/schemas/ids/(\\d+)".r
     val ConfigSubject = "/config/([^/]+)".r
-    val CompatLatest = "/compatibility/subjects/([^/]+)/versions/latest".r
+    val CompatAll = "/compatibility/subjects/([^/]+)/versions".r
     (x.getRequestMethod, path) match {
       case ("POST", SubjectsVersions(subject)) =>
         val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -69,13 +69,18 @@ class TestSchemaRegistryServer {
       case ("GET", ConfigSubject(subject)) =>
         respond(x, 200,
           s"""{"compatibilityLevel":"${delegate.compatibilityOf(subject).name}"}""")
-      case ("POST", CompatLatest(subject)) =>
+      case ("POST", CompatAll(subject)) =>
         val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         (JsonMethods.parse(body) \ "schema") match {
           case JString(schemaText) =>
-            val ok = delegate.testCompatibility(subject,
-              new org.apache.avro.Schema.Parser().parse(schemaText)).isEmpty
-            respond(x, 200, s"""{"is_compatible":$ok}""")
+            // the public API 404s a subject with no versions
+            if (delegate.versionIds(subject).isEmpty)
+              respond(x, 404, """{"error_code":40401,"message":"subject not found"}""")
+            else {
+              val ok = delegate.testCompatibility(subject,
+                new org.apache.avro.Schema.Parser().parse(schemaText)).isEmpty
+              respond(x, 200, s"""{"is_compatible":$ok}""")
+            }
           case _ => respond(x, 422, """{"error_code":42201,"message":"bad schema"}""")
         }
       case ("GET", SubjectsLatest(subject)) =>
@@ -170,6 +175,27 @@ class HttpSchemaRegistrySpec extends SparkTestBase {
       reg.setCompatibility("free", Compatibility.None)
       reg.register("free", graft.schema.ProductSchemas.v1)
       reg.register("free", graft.schema.ProductSchemas.v3Incompatible)
+      // a subject with NO versions is vacuously admissible over the
+      // wire too (the API 404s; the client maps that to true, matching
+      // the in-memory predicate)
+      assert(reg.testCompatibility("never-registered",
+        graft.schema.ProductSchemas.v1))
+      // the test endpoint answers against the FULL history for a
+      // transitive pin: history [double, long] built under NONE, then
+      // a long candidate is fine vs latest (long) but cannot read the
+      // older double data — only the transitive mode catches it
+      val lng = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}""")
+      val dbl = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"R","fields":[{"name":"x","type":"double"}]}""")
+      reg.setCompatibility("tr", Compatibility.None)
+      reg.register("tr", dbl)
+      reg.register("tr", lng)
+      reg.setCompatibility("tr", Compatibility.Backward)
+      assert(reg.testCompatibility("tr", lng), "vs latest only: admissible")
+      reg.setCompatibility("tr", Compatibility.BackwardTransitive)
+      assert(!reg.testCompatibility("tr", lng),
+        "transitive must consult the double history, not just latest")
     }
   }
 
