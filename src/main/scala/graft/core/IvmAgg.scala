@@ -70,7 +70,10 @@ object IvmAgg {
     require(keys.nonEmpty, "IVM needs at least one key column")
     require(Set("reject", "recompute").contains(onRetract),
       s"onRetract must be 'reject' or 'recompute', got '$onRetract'")
-    val from = view.state().txns.getOrElse(cursorId, -1L)
+    val viewState = view.state()
+    requireCurrentLayout(view, sums)
+    requireSoleMaintainer(viewState.txns.keySet, cursorId, view)
+    val from = viewState.txns.getOrElse(cursorId, -1L)
     val to = upTo.map(math.min(_, src.version)).getOrElse(src.version)
     if (to <= from) return from
     val extrema = maxs.map(("max", _)) ++ mins.map(("min", _))
@@ -136,6 +139,40 @@ object IvmAgg {
         TxTable.TxnId(cursorId, to, expectPrev = Some(from)))
       to
     } finally if (extrema.nonEmpty) ch.unpersist()
+  }
+
+  /** A view persisted by the pre-pair layout (has `sum_<c>` but no
+    * `nn_<c>`) cannot be advanced — the null-safe fold needs the
+    * non-null-count column. Without this check the failure surfaces as
+    * a generic merge error ("SET targets unknown column(s) nn_...")
+    * that misleads rather than explaining the format change.
+    */
+  private def requireCurrentLayout(view: TxTable, sums: Seq[String]): Unit =
+    view.schemaOption.foreach { sch =>
+      val cols = sch.fields.map(_.name).toSet
+      val legacy = sums.filter(c => cols.contains(s"sum_$c") && !cols.contains(s"nn_$c"))
+      if (legacy.nonEmpty) throw new IllegalStateException(
+        s"view ${view.tablePath} uses the legacy sum-only IVM layout for " +
+          s"column(s) ${legacy.mkString(", ")} — the layout changed to " +
+          "sum+non-null-count pairs (sum_<c>, nn_<c>); rebuild the view " +
+          "from an empty table")
+    }
+
+  /** A view is owned by exactly ONE maintenance mode: the batch
+    * [[advance]] cursor and the streaming [[streamInto]] writer track
+    * independent positions, so pointing both (or two differently-named
+    * cursors) at the same view double-applies the change feed. Both
+    * entry points assert no OTHER `ivm`-prefixed marker exists before
+    * folding. (A custom id not starting with "ivm" bypasses the guard —
+    * keep the default prefix unless you are deliberately multi-homing.)
+    */
+  private def requireSoleMaintainer(txnKeys: Set[String], mine: String,
+      view: TxTable): Unit = {
+    val others = (txnKeys - mine).filter(_.startsWith("ivm"))
+    if (others.nonEmpty) throw new IllegalStateException(
+      s"view ${view.tablePath} is already maintained by '${others.head}' — " +
+        s"folding under '$mine' as well would double-apply the change feed; " +
+        "a view is owned by exactly one maintenance cursor/writer")
   }
 
   /** A maintained column as a TYPED column of `frame`: present →
@@ -228,6 +265,8 @@ object IvmAgg {
   def foldBatch(view: TxTable, keys: Seq[String], sums: Seq[String],
       feed: org.apache.spark.sql.DataFrame, txn: TxTable.TxnId): Unit = {
     require(keys.nonEmpty, "IVM needs at least one key column")
+    requireCurrentLayout(view, sums)
+    requireSoleMaintainer(view.state().txns.keySet, txn.writerId, view)
     mergeDelta(view, keys, sums, Nil,
       buildDelta(view, feed, keys, sums, Nil), txn)
   }

@@ -4043,8 +4043,10 @@ object TxTable {
     import org.apache.spark.sql.GraftColumnBridge._
     if (generated.isEmpty) return shapes
     val DivPat = """(?i)^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+div\s+(\d+)\s*$""".r
+    // toLongOption: a divisor past Long range (accepted at DDL time on
+    // an empty table) must disable derivation, not fail every read
     val rules: Seq[(String, String, Long)] = generated.toSeq.collect {
-      case (g, DivPat(x, n)) if n.toLong > 0 => (g, x, n.toLong)
+      case (g, DivPat(x, n)) if n.toLongOption.exists(_ > 0) => (g, x, n.toLong)
     }
     if (rules.isEmpty) return shapes
     // same truncating semantics as Spark's IntegralDivide on longs

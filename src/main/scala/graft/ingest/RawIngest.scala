@@ -37,7 +37,8 @@ object RawIngest {
     * metadata + `parsedValue` struct.
     */
   def demux[T](batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
-               permissive: Boolean = false, deadLetterPath: Option[String] = None)
+               permissive: Boolean = false, deadLetterPath: Option[String] = None,
+               dlqCorrupt: Boolean = true)
               (action: Seq[DataFrame] => T): T = {
     val keyed = batch
       .withColumn("schemaKey", wire.schemaKeyCol(col("value")))
@@ -75,12 +76,16 @@ object RawIngest {
             .write.mode("append").parquet(dlq)
         }
       }
-      // with a dead-letter path, decode PERMISSIVE regardless of the
-      // flag: a known-id, wrong-payload record (rogue producer) must
-      // not abort the whole micro-batch — its raw bytes land in the
-      // DLQ below and every healthy row still commits. Without a DLQ,
-      // FAILFAST keeps failing the batch (at-least-once, no drops).
-      val lenient = permissive || deadLetterPath.isDefined
+      // with a dead-letter path AND dlqCorrupt (the default), decode
+      // PERMISSIVE regardless of the flag: a known-id, wrong-payload
+      // record (rogue producer) must not abort the whole micro-batch —
+      // its raw bytes land in the DLQ below and every healthy row
+      // still commits. `dlqCorrupt = false` restores the strict
+      // combination: the DLQ covers ONLY unknown schema ids and a
+      // corrupt payload under permissive=false fails the batch.
+      // Without a DLQ, FAILFAST keeps failing the batch
+      // (at-least-once, no drops).
+      val lenient = permissive || (deadLetterPath.isDefined && dlqCorrupt)
       val decodedGroups = resolved.collect { case (keyBytes, Some(schema)) =>
         val json = schema.toString
         keyed
@@ -91,9 +96,10 @@ object RawIngest {
       // cache the DECODED groups (not just the raw bytes) while both
       // the corrupt probe and the action consume them — without this
       // every row would pay the Avro decode twice per batch
-      if (deadLetterPath.isDefined) decodedGroups.foreach(_.persist())
+      val probeCorrupt = deadLetterPath.isDefined && dlqCorrupt
+      if (probeCorrupt) decodedGroups.foreach(_.persist())
       try {
-        deadLetterPath.foreach { dlq =>
+        if (probeCorrupt) deadLetterPath.foreach { dlq =>
           // per-ROW isolation of decode failures, same raw layout as
           // the unknown-id groups above: one probe + at most one
           // append per batch, off the cached decoded frames
@@ -102,7 +108,17 @@ object RawIngest {
               .select((metaCols :+ "value").map(col): _*))
             .reduceOption(_.unionByName(_))
           corrupt.foreach { c =>
-            if (c.limit(1).count() > 0) c.write.mode("append").parquet(dlq)
+            val n = c.count()
+            if (n > 0) {
+              // visible, not silent: under permissive=false this is a
+              // deliberate semantic (DLQ row-isolation overrides
+              // FAILFAST for known-id corrupt payloads; opt out with
+              // dlqCorrupt=false)
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"diverting $n corrupt known-schema row(s) to DLQ $dlq" +
+                  (if (permissive) "" else " (FAILFAST overridden by dlqCorrupt=true)"))
+              c.write.mode("append").parquet(dlq)
+            }
           }
         }
         val groups = decodedGroups.map { d =>
@@ -111,7 +127,7 @@ object RawIngest {
           clean.drop("value")
         }
         action(groups)
-      } finally if (deadLetterPath.isDefined) decodedGroups.foreach(_.unpersist())
+      } finally if (probeCorrupt) decodedGroups.foreach(_.unpersist())
     } finally keyed.unpersist()
   }
 
@@ -129,8 +145,9 @@ object RawIngest {
   def demuxToTable(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
                    rawPath: String, permissive: Boolean = false,
                    deadLetterPath: Option[String] = None,
-                   unifiedWrite: Boolean = false): Unit =
-    demux(batch, registry, wire, permissive, deadLetterPath) { groups =>
+                   unifiedWrite: Boolean = false,
+                   dlqCorrupt: Boolean = true): Unit =
+    demux(batch, registry, wire, permissive, deadLetterPath, dlqCorrupt) { groups =>
       if (unifiedWrite && groups.nonEmpty)
         groups.reduce(_.unionByName(_, allowMissingColumns = true))
           .write.mode("append").parquet(rawPath)
@@ -163,12 +180,14 @@ object RawIngest {
     */
   def demuxToTableAtomic(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
                          rawPath: String, batchId: Long, permissive: Boolean = false,
-                         deadLetterPath: Option[String] = None): Unit = {
+                         deadLetterPath: Option[String] = None,
+                         dlqCorrupt: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(rawPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(targetPath(root, batchId))) return // replay of a published batch
-    stageBatch(batch, registry, wire, rawPath, batchId, permissive, deadLetterPath)
+    stageBatch(batch, registry, wire, rawPath, batchId, permissive, deadLetterPath,
+      dlqCorrupt)
     publishBatch(spark, rawPath, batchId)
   }
 
@@ -178,14 +197,15 @@ object RawIngest {
     */
   private[graft] def stageBatch(batch: DataFrame, registry: SchemaRegistry, wire: WireFormat,
                                 rawPath: String, batchId: Long, permissive: Boolean = false,
-                                deadLetterPath: Option[String] = None): Unit = {
+                                deadLetterPath: Option[String] = None,
+                                dlqCorrupt: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(rawPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = stagingPath(root, batchId)
     fs.mkdirs(root)
     fs.delete(staging, true) // half-staged leftovers from a prior crash
-    demux(batch, registry, wire, permissive, deadLetterPath) { groups =>
+    demux(batch, registry, wire, permissive, deadLetterPath, dlqCorrupt) { groups =>
       groups.foreach(_.write.mode("append").parquet(staging.toString))
     }
   }
@@ -215,13 +235,16 @@ object RawIngest {
           queryName: String = "graftRawIngest",
           deadLetterPath: Option[String] = None,
           unifiedWrite: Boolean = false,
-          atomic: Boolean = false): StreamingQuery =
+          atomic: Boolean = false,
+          dlqCorrupt: Boolean = true): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (atomic)
-          demuxToTableAtomic(batch, registry, wire, rawPath, batchId, permissive, deadLetterPath)
+          demuxToTableAtomic(batch, registry, wire, rawPath, batchId, permissive,
+            deadLetterPath, dlqCorrupt)
         else
-          demuxToTable(batch, registry, wire, rawPath, permissive, deadLetterPath, unifiedWrite)
+          demuxToTable(batch, registry, wire, rawPath, permissive, deadLetterPath,
+            unifiedWrite, dlqCorrupt)
       }
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)

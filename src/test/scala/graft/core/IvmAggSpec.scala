@@ -282,4 +282,42 @@ class IvmAggSpec extends SparkTestBase {
       assertInSync(src, view)
     }
   }
+
+  test("legacy sum-only view layout fails with an explicit rebuild message") {
+    val (src, view) = freshPair("legacy")
+    src.append(Seq((1L, "a", 10.0)).toDF("id", "grp", "v"))
+    // persist a view in the PRE-pair layout: sum_v without nn_v
+    view.append(Seq(("a", 1L, BigDecimal(10.0)))
+      .toDF("grp", "n_rows", "sum_v")
+      .select($"grp", $"n_rows", $"sum_v".cast(DecimalType(28, 6))))
+    val e = intercept[IllegalStateException] {
+      IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    }
+    assert(e.getMessage.contains("legacy sum-only IVM layout"))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("a view is owned by exactly one maintenance cursor: a second ivm marker is rejected") {
+    val (src, view) = freshPair("owner")
+    src.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v")) // cursor "ivm"
+    // batch mode under a DIFFERENT cursor id would re-fold versions the
+    // first cursor already applied — rejected up front
+    val e1 = intercept[IllegalStateException] {
+      IvmAgg.advance(src, view, Seq("grp"), Seq("v"), cursorId = "ivm-other")
+    }
+    assert(e1.getMessage.contains("double-apply"))
+    // streaming mode against the same batch-maintained view: same guard
+    // (foldBatch is streamInto's per-batch body)
+    val e2 = intercept[IllegalStateException] {
+      IvmAgg.foldBatch(view, Seq("grp"), Seq("v"),
+        src.readChangeFeed(-1L, src.version),
+        TxTable.TxnId("ivm-stream", 0L, expectPrev = Some(-1L)))
+    }
+    assert(e2.getMessage.contains("double-apply"))
+    // the owning cursor keeps advancing fine
+    src.append(Seq((3L, "a", 4.0)).toDF("id", "grp", "v"))
+    IvmAgg.advance(src, view, Seq("grp"), Seq("v"))
+    assertInSync(src, view)
+  }
 }
