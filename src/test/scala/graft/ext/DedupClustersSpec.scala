@@ -86,4 +86,58 @@ class DedupClustersSpec extends SparkTestBase {
       assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
     }
   }
+
+  test("star contraction converges on a diameter-99 chain where min-label propagation cannot") {
+    import spark.implicits._
+    // one chain of 120 nodes (diameter 119) plus a singleton
+    val vertices = (0L to 120L).toDF("id")
+    val edges = (0L until 119L).map(i => (i, i + 1)).toDF("a", "b")
+    // propagation at its old default bound (20) provably cannot label
+    // the far end: each round moves the min one hop
+    assertThrows[IllegalStateException] {
+      DedupClusters.componentsViaPropagation(vertices, edges, maxIter = 20).collect()
+    }
+    // star contraction handles any diameter in O(log n) rounds
+    val got = DedupClusters.componentsViaStarContraction(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 119L).foreach(i => assert(got(i) == 0L, s"node $i"))
+    assert(got(120L) == 120L, "the singleton labels itself")
+  }
+
+  test("star contraction agrees with union-find on random graphs (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      val n = 60 + trial * 20
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val vertices = (0L until n.toLong).toDF("id")
+      val edgeDF = edges.toDF("a", "b")
+      val viaStar = DedupClusters.componentsViaStarContraction(vertices, edgeDF)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference labels by driver union-find (the proven small path)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n.toLong).foreach { i =>
+        assert(viaStar(i) == find(i), s"trial $trial node $i")
+      }
+    }
+  }
+
+  test("q_dedup_giant labels every block chain with its minimum id") {
+    val dir = "/root/testdata/sf0.001"
+    val out = DedupClusters.qDedupGiant(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (id, comp, keeper) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(comp == (id / 100L) * 100L, s"doc $id")
+      assert(keeper == (id == comp))
+    }
+  }
 }
