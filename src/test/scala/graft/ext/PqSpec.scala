@@ -110,4 +110,19 @@ class PqSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b, s"materialized path diverged:\n$a\nvs\n$b")
   }
+
+  test("q_ann_pq_indexed serves the exact top-10 from the persisted per-session index") {
+    // the registry serving path: build-once artifact, exhaustive
+    // probe + full shortlist = provably exact (same oracle as q_ann_pq)
+    val served = PqIndex.qAnnPqServe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = exactQuantizedTop10()
+    assert(served == exact, "persisted-index serving must be exact in exhaustive mode")
+    // the artifact is REUSED across queries in a session (build-once):
+    // second call must serve from the same directory
+    val d1 = PqIndex.persistedIndexDir(spark, dir)
+    val d2 = PqIndex.persistedIndexDir(spark, dir)
+    assert(d1 == d2)
+    assert(new java.io.File(d1).exists())
+  }
 }
