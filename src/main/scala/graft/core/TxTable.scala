@@ -1840,7 +1840,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
         val hasDv = actions.exists(_.isInstanceOf[Dv])
         val op =
           if (actions.contains(RewriteMarker)) "REWRITE" // compact/cluster
-          else if (hasCdf && hasDv) "DELETE (DV)" // merge-on-read delete
+          else if (hasCdf && hasDv) "UPDATE/DELETE (DV)" // merge-on-read mutation
           else if (hasCdf) "MERGE/DELETE" // row mutation with change record
           else if (removes > 0 || hasDv) "OVERWRITE/RESTORE"
           else "APPEND"
@@ -3014,6 +3014,131 @@ class TxTable(spark: SparkSession, val tablePath: String,
       Some(touched.map(Remove(_)) ++ staged.map { case (p, s) => Add(p, s) } ++
         stagedCdf.map { case (p, _) => Cdf(p) })
     }
+  }
+
+  /** Merge-on-read UPDATE (deletion vectors + append — the published
+    * Delta "DVs for UPDATE" feature): instead of rewriting every file
+    * that contains a matching row, record the matching rows' physical
+    * positions in per-file sidecars and APPEND the updated rows as new
+    * files — readers see old versions masked and new versions live.
+    * Updating 100 rows spread over 100 × 128 MB files costs ~100
+    * sidecar writes plus ONE small data file, not a 12.8 GB rewrite:
+    * O(updated rows), never O(touched bytes).
+    *
+    * Same per-file rewrite trade as [[deleteMergeOnRead]]: a file
+    * whose cumulative masked fraction reaches `rewriteAtFraction`
+    * materializes copy-on-write in the SAME commit (its surviving
+    * non-matching rows rewrite, its vector drops) so masks stay small.
+    *
+    * Semantics are identical to [[update]]: every `set` expression is
+    * evaluated against the PRE-update row (`SET a = b, b = a` swaps),
+    * assignments cast to the column's existing type, generated columns
+    * recompute, and an update_preimage/update_postimage change-record
+    * pair lands in the same atomic commit, under the same strict
+    * concurrency rule — only the physical trade differs.
+    */
+  def updateMergeOnRead(predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      rewriteAtFraction: Double = 0.5): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    require(rewriteAtFraction > 0.0 && rewriteAtFraction <= 1.0,
+      s"rewriteAtFraction must be in (0, 1], got $rewriteAtFraction")
+    val snap = state()
+    if (snap.files.isEmpty) return
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"table $tablePath has files but no recorded schema"))
+    val logicalFields = schema.fields
+      .filterNot(f => snap.dropped.contains(f.name))
+      .map(f => logicalField(snap, f))
+    val unknown = set.keySet -- logicalFields.map(_.name)
+    require(unknown.isEmpty,
+      s"update sets unknown column(s) ${unknown.mkString(", ")} — " +
+        s"table columns are ${logicalFields.map(_.name).mkString(", ")}")
+    val candidates = prunedFiles(snap, predicate)
+    if (candidates.isEmpty) return
+    val fsv = fs
+    // matching LIVE rows with their physical positions — rows already
+    // masked by an existing vector are excluded (not live; their
+    // positions ride forward in the sidecar union merge)
+    val raw = logicalize(snap, spark.read.schema(schema)
+      .parquet(candidates.map(f => new Path(root, f).toString): _*)
+      .withColumn(DvFileCol, col("_metadata.file_name"))
+      .withColumn(DvIdxCol, col("_metadata.row_index")))
+      .where(coalesce(predicate, lit(false)))
+    val existingDv = candidates.flatMap(f => snap.dvs.get(f).map(d => f -> d.dvFile))
+    val hits = (if (existingDv.isEmpty) raw
+                else raw.join(deletedPairs(existingDv),
+                  Seq(DvFileCol, DvIdxCol), "left_anti")).persist()
+    try {
+      // every hit matched the predicate, so SET applies unconditionally
+      // — but still against the PRE-update row (one projection)
+      def applySet(df: DataFrame): DataFrame = df.select(logicalFields.map { f =>
+        set.get(f.name) match {
+          case Some(expr) => expr.cast(f.dataType).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }.toIndexedSeq: _*)
+      val written = writeDvSidecars(hits.select(DvFileCol, DvIdxCol),
+        snap.dvs.map { case (f, d) => f -> d.dvFile })
+      if (written.isEmpty) return
+      def totalRows(f: String): Option[Long] =
+        snap.stats.get(f).map(_.rows)
+          .orElse(footerStats(new Path(root, f)).map(_.rows))
+      // n is the file's CUMULATIVE masked count (old vector unioned in)
+      val (rewrite, keepDv) = written.partition { case (f, _, n) =>
+        totalRows(f).exists(t => n.toDouble >= t * rewriteAtFraction)
+      }
+      val rewriteFiles = rewrite.map(_._1)
+      // past-threshold files materialize: survivors = rows their OLD
+      // vector kept minus the matching rows (whose updated versions
+      // are appended globally below); their fresh sidecars die
+      val stagedSurvivors =
+        if (rewriteFiles.isEmpty) Seq.empty[(String, Option[FileStats])]
+        else stageData(physicalize(snap,
+          logicalize(snap, readState(snap.copy(files = rewriteFiles)))
+            .where(not(coalesce(predicate, lit(false))))))
+      rewrite.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
+      val setPhys = set.keySet.map(physicalName(snap, _))
+      val updatedRows = applySet(hits.drop(DvFileCol, DvIdxCol))
+      val stagedNew = stageData(recomputeGenerated(snap,
+        physicalize(snap, updatedRows), setPhys))
+      val pre = physicalize(snap, hits.drop(DvFileCol, DvIdxCol)
+        .withColumn(ChangeTypeCol, lit("update_preimage")))
+      val post = recomputeGenerated(snap, physicalize(snap,
+        updatedRows.withColumn(ChangeTypeCol, lit("update_postimage"))), setPhys)
+      val stagedCdf = stageData(pre.unionByName(post, allowMissingColumns = true),
+        prefix = "cdf", collectStats = false)
+      try enforceConstraints(effectiveChecks(snap), stagedNew ++ stagedSurvivors,
+        schema, stagedNew ++ stagedSurvivors ++ stagedCdf, "update of")
+      catch { case e: Throwable =>
+        // the staged data/cdf files were cleaned by enforceConstraints;
+        // the uncommitted sidecars must not outlive the failure either
+        keepDv.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
+        throw e
+      }
+      val mayMatch = addsMayMatchPredicate(snap, predicate)
+      fireBeforeCommitHook()
+      commitLoop(s"merge-on-read update $tablePath") { st =>
+        // LOGICAL conflict rule, same as update/deleteMergeOnRead; the
+        // touched set is every file whose vector this commit sets or
+        // drops (a concurrent Dv there would be a lost update)
+        findConflict(snap, st, written.map(_._1).toSet, mayMatch).foreach { why =>
+          (stagedNew ++ stagedSurvivors ++ stagedCdf).foreach { case (f, _) =>
+            fsv.delete(new Path(root, f), false)
+          }
+          keepDv.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting concurrent commit on $tablePath during update: $why; " +
+              "rerun updateMergeOnRead() against the new state")
+        }
+        Some(rewriteFiles.map(Remove(_)) ++
+          (stagedSurvivors ++ stagedNew).map { case (p, s) => Add(p, s) } ++
+          keepDv.map { case (f, dv, n) => Dv(f, dv, n) } ++
+          stagedCdf.map { case (p, _) => Cdf(p) } ++
+          (if (keepDv.nonEmpty) protocolBumpV2(st) else Nil))
+      }
+    } finally hits.unpersist()
   }
 
   /** Physically delete data files no live snapshot in the retention

@@ -1056,6 +1056,54 @@ object ScaleOps {
   def qTxDv(s: SparkSession, dir: String): DataFrame =
     txWindowAgg(dvDeletedOrdersTable(s, dir).read())
 
+  /** Key-clustered ACID clone of orders with one key in five updated
+    * MERGE-ON-READ ([[graft.core.TxTable.updateMergeOnRead]]): the
+    * update touches every file, so copy-on-write would rewrite the
+    * whole table — instead old versions are masked by per-file
+    * deletion vectors and the updated rows APPEND as new files
+    * (O(updated rows) moved, zero original bytes rewritten; the
+    * builder asserts that invariant and fails loudly on regression).
+    * The SET doubles the price (binary-exact, cross-engine safe) and
+    * rewrites the group key, so the aggregate below detects both a
+    * lost post-image and a leaked pre-image. Built once per
+    * (session, dir).
+    */
+  private[ext] def dvUpdatedOrdersTable(s: SparkSession, dir: String): graft.core.TxTable = {
+    val path = graft.core.IndexCache.memo(
+      s"tx-dvupd:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_txdvupd_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val t = new graft.core.TxTable(s, p)
+      t.append(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      val before = t.state().files.toSet
+      t.updateMergeOnRead(col("o_orderkey") % 5 === 1,
+        Map("o_totalprice" -> (col("o_totalprice") * lit(2)),
+          "o_orderpriority" -> concat(lit("U-"), col("o_orderpriority"))))
+      val st = t.state()
+      require(before.subsetOf(st.files.toSet) && st.dvs.keySet == before &&
+        (st.files.toSet -- before).nonEmpty,
+        s"expected a pure merge-on-read update (every original file masked " +
+          s"and kept, updated rows appended); got files=${st.files.size}, " +
+          s"masked=${st.dvs.size}")
+      p
+    }
+    new graft.core.TxTable(s, path)
+  }
+
+  /** The DV-updated table aggregated by priority: matches the oracle's
+    * CASE-reconstruction only if the vectors mask exactly the old
+    * versions AND the appended post-images carry the updated values —
+    * and the builder proves zero original data files were rewritten.
+    */
+  def qTxDvUpdate(s: SparkSession, dir: String): DataFrame =
+    txWindowAgg(dvUpdatedOrdersTable(s, dir).read())
+
   /** Snapshot-isolation TIME TRAVEL through the batch read path of the
     * `graft-txtable` format: version 0 of [[mergedOrdersTable]] is the
     * pre-merge base, so this aggregate matches the plain-orders oracle
@@ -1844,6 +1892,7 @@ object ScaleOps {
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_delkeys" -> (qTxDelKeys _),
     "q_tx_dv" -> (qTxDv _),
+    "q_tx_dv_update" -> (qTxDvUpdate _),
     "q_tx_timetravel" -> (qTxTimetravel _),
     "q_tx_restore" -> (qTxRestore _),
     "q_tx_update" -> (qTxUpdate _),
@@ -2245,6 +2294,19 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |WHERE o_orderkey % 5 <> 1
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // CASE-reconstruction of the DV update: doubled price + rewritten
+    // group key where o_orderkey % 5 = 1, original row otherwise —
+    // matches only if old versions are masked and post-images live
+    "q_tx_dv_update" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 5 = 1 THEN 'U-' || o_orderpriority
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // one-pass profile reconstructed metric-by-metric; all integers
     "q_profile" ->

@@ -667,9 +667,77 @@ class TxTableSpec extends SparkTestBase {
     val v = t.version
     t.deleteMergeOnRead(col("k") % 100L === 7L)
     assert(t.version == v && t.read().count() == 980)
-    assert(t.history().exists(_.operation == "DELETE (DV)"))
+    assert(t.history().exists(_.operation == "UPDATE/DELETE (DV)"))
     // the batch format read applies the mask too
     assert(spark.read.format("graft-txtable").option("path", dir).load().count() == 980)
+  }
+
+  test("merge-on-read update masks old versions and appends new ones; zero data files rewritten") {
+    val dir = tmpDir("txtable-morupd")
+    val t = new TxTable(spark, dir)
+    t.append((0 until 1000).map(i => (i.toLong, i.toLong, s"v$i")).toDF("k", "n", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val liveBefore = t.state().files.toSet
+    val mtimes = new java.io.File(dir).listFiles()
+      .filter(f => liveBefore(f.getName)).map(f => f.getName -> f.lastModified).toMap
+
+    // SET evaluated against the PRE-update row: swap semantics hold
+    t.updateMergeOnRead(col("k") % 100L === 7L,
+      Map("n" -> (col("n") + col("k")), "v" -> concat(lit("U-"), col("v"))))
+    val st = t.state()
+    // every original file still live and untouched on disk (the
+    // zero-data-file-rewrite invariant), each carrying a vector
+    assert(liveBefore.subsetOf(st.files.toSet), "original files must stay live")
+    assert(new java.io.File(dir).listFiles()
+      .filter(f => liveBefore(f.getName)).map(f => f.getName -> f.lastModified).toMap
+      == mtimes, "merge-on-read update must not rewrite data files")
+    assert(st.dvs.keySet == liveBefore && st.dvs.values.map(_.deleted).sum == 10L)
+    assert((st.files.toSet -- liveBefore).nonEmpty, "updated rows must append as new files")
+    // logical result: exact UPDATE semantics
+    assert(t.read().count() == 1000)
+    val updated = t.read().where(col("k") % 100L === 7L).collect()
+    assert(updated.length == 10)
+    updated.foreach { r =>
+      assert(r.getLong(1) == 2 * r.getLong(0), s"n must be pre-update n + k: $r")
+      assert(r.getString(2) == s"U-v${r.getLong(0)}")
+    }
+    assert(t.read().where(col("k") % 100L =!= 7L && col("v").startsWith("U-")).count() == 0)
+    // time travel: the pre-update snapshot is intact
+    assert(t.readAt(0L).where(col("v").startsWith("U-")).count() == 0)
+    // change feed: one pre/post image pair per updated row
+    val feed = t.readChangeFeed(0L, t.version)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "update_preimage").count() == 10)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "update_postimage"
+      && col("v").startsWith("U-")).count() == 10)
+    // a second MOR update unions into the per-file vectors; updating
+    // the SAME rows masks their appended versions, not the originals twice
+    t.updateMergeOnRead(col("k") % 100L === 7L, Map("v" -> concat(col("v"), lit("!"))))
+    assert(t.read().count() == 1000)
+    assert(t.read().where(col("v").endsWith("!")).count() == 10)
+    assert(t.history().exists(_.operation == "UPDATE/DELETE (DV)"))
+    // batch format read applies masks too
+    assert(spark.read.format("graft-txtable").option("path", dir).load()
+      .where(col("v").endsWith("!")).count() == 10)
+  }
+
+  test("merge-on-read update materializes files past the rewrite fraction") {
+    val dir = tmpDir("txtable-morupd-rw")
+    val t = new TxTable(spark, dir)
+    t.append((0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    // update 60% of the low half: the two low files cross the fraction
+    t.updateMergeOnRead(col("k") < 300L, Map("v" -> lit("LOW")),
+      rewriteAtFraction = 0.5)
+    val st = t.state()
+    assert(t.read().count() == 1000)
+    assert(t.read().where(col("v") === "LOW").count() == 300)
+    // the crossed files materialized: no vector survives on them
+    assert(st.dvs.isEmpty || st.dvs.values.map(_.deleted).sum < 300L,
+      s"past-threshold files must rewrite, got ${st.dvs}")
+    // orphaned sidecars sweep clean
+    t.vacuum(retainVersions = 0, olderThanMs = -1000L)
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.startsWith("dv-") && !st.dvs.values.exists(_.dvFile == f.getName)))
   }
 
   test("merge-on-read delete rewrites files past the rewrite fraction") {
