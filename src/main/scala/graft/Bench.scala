@@ -87,7 +87,12 @@ object Bench {
     val failedNames = results.collect { case (k, v, _) if v < 0 => k }
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val load = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)}"""
+    // self-flagging capture: a loaded host inflates every wall-clock
+    // number ~linearly (r7/r8 "regressions" were loadavg spikes that
+    // evaporated on a quiet box) — stamp the artifact itself so a
+    // contended total can never be misread as a code regression
+    val contended = loadStart > cpus.toDouble / 8.0
+    val load = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"contended":$contended"""
     // THREE clean JSON lines (build.sbt sets run/outputStrategy :=
     // StdoutOutput so they pass through without sbt's "[info] "
     // prefix), least- to most-vital: the per-query (run1, run2) pairs

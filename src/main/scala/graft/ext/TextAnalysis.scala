@@ -612,6 +612,16 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Hard bound on the post-cutoff vocabulary size [[qVocab]] will
+    * run its single-partition id window over — the same
+    * degrade-LOUDLY contract as [[MinHashDedup.MaxBucketKey]]: a
+    * pathological corpus (minCount too low, shattered tokenization)
+    * fails with an explicit message instead of silently funneling an
+    * unbounded vocabulary through one partition.
+    */
+  val VocabMaxKey = "spark.graft.vocab.maxTerms"
+  val VocabMaxDefault: Int = 2000000
+
   /** Frequency-cutoff vocabulary with stable contiguous ids — the
     * other tokenizer-training artifact: terms with corpus count ≥
     * `minCount`, id assigned by the total order (count desc, term).
@@ -619,16 +629,27 @@ object TextAnalysis {
     * aggregate; the id window is a single partition BY CONSTRUCTION
     * over the post-cutoff vocabulary — bounded by |vocab| (tens of MB
     * even at 100 TB), the same bounded-small argument as the IVF
-    * centroid collect — so the non-partitioned window is safe here
-    * and ONLY here.
+    * centroid collect — and that bound is now ENFORCED, not argued:
+    * the limit(n+1) probe (one bounded job, the
+    * [[DedupClusters.connectedComponents]] trick) fails loudly past
+    * [[VocabMaxKey]] before any single-partition work runs.
     */
   def qVocab(s: SparkSession, dir: String, minCount: Int = 10): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    docs(s, dir)
+    val bound = s.conf.get(VocabMaxKey, VocabMaxDefault.toString).toInt
+    require(bound >= 1, s"$VocabMaxKey must be >= 1, got $bound")
+    val counted = docs(s, dir)
       .select(explode(tokens($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("n"))
       .where($"n" >= minCount)
+    if (counted.limit(bound + 1).count() > bound)
+      throw new IllegalStateException(
+        s"post-cutoff vocabulary exceeds $VocabMaxKey=$bound terms — the " +
+          "id-assignment window would funnel an unbounded vocabulary " +
+          "through one partition; raise minCount (or the bound, if the " +
+          "vocabulary is genuinely this large and the window budget allows)")
+    counted
       .withColumn("token_id",
         (row_number().over(Window.orderBy($"n".desc, $"term")) - 1).cast("long"))
       .select($"token_id", $"term", $"n")

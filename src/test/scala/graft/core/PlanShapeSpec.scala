@@ -319,4 +319,49 @@ class PlanShapeSpec extends SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains("cdf")),
       s"feed must scan only change files, got:\n${files.mkString("\n")}")
   }
+
+  test("AQE skew-join split engages on a power-law join (the runtime half of the skew story)") {
+    import spark.implicits._
+    // power-law: one hot key holding ~95% of rows on both sides — the
+    // shape that wedges one reducer of a plain sort-merge join
+    val hot = (0 until 60000).map(i => (0L, i.toLong))
+    val tail = (1 to 200).flatMap(k => (0 until 20).map(i => (k.toLong, i.toLong)))
+    val left = (hot ++ tail).toDF("k", "a")
+    // distinct payloads on the two sides: with identical pruned
+    // columns the planner REUSES one exchange for both join children,
+    // and OptimizeSkewedJoin then skips the split (observed here) —
+    // a reused-exchange self-join is the one skew shape AQE won't fix
+    val right = (hot ++ tail).map { case (k, v) => (k, v + 1) }.toDF("k", "b")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force SMJ and scale AQE's skew thresholds down to fixture size
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // downstream must be a GLOBAL aggregate: a same-key groupBy
+      // right after the join pins the join's output partitioning, and
+      // AQE (correctly) refuses a skew split that would force an
+      // extra shuffle — the production skew shape is join → reduce
+      val joined = left.join(right, "k")
+        .agg(org.apache.spark.sql.functions.sum($"a" + $"b").as("n"))
+      // result stays exact through the skew split
+      joined.collect()
+      // the FINAL adaptive plan must carry the skew-split join — this
+      // is what turns one wedged reducer into parallel sub-joins
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew-join did not engage:\n${finalPlan.linesIterator.take(30).mkString("\n")}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -115,4 +115,20 @@ class InvariantsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("qVocab enforces the vocabulary bound loudly and is unchanged under a passing bound") {
+    val dir = "/root/testdata/sf0.001"
+    val base = TextAnalysis.qVocab(spark, dir).collect()
+    assert(base.nonEmpty)
+    // a bound the corpus fits under changes nothing
+    spark.conf.set(TextAnalysis.VocabMaxKey, (base.length + 10).toString)
+    try {
+      val bounded = TextAnalysis.qVocab(spark, dir).collect()
+      assert(bounded.toSeq.map(_.toString) == base.toSeq.map(_.toString))
+      // a bound the corpus exceeds fails loudly BEFORE the window
+      spark.conf.set(TextAnalysis.VocabMaxKey, (base.length - 1).toString)
+      val e = intercept[IllegalStateException] { TextAnalysis.qVocab(spark, dir) }
+      assert(e.getMessage.contains(TextAnalysis.VocabMaxKey))
+    } finally spark.conf.unset(TextAnalysis.VocabMaxKey)
+  }
 }
