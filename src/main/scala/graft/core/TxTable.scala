@@ -4786,6 +4786,20 @@ object TxTable {
     */
   val TypeWideningProp = "graft.typeWidening"
 
+  /** Table property routing SQL UPDATE / DELETE through the
+    * merge-on-read verbs ([[TxTable.updateMergeOnRead]] /
+    * [[TxTable.deleteMergeOnRead]]) instead of copy-on-write — the
+    * published enable-deletion-vectors knob. Set it on tables where
+    * mutations are small relative to file sizes (the 100 TB norm);
+    * rewrite hygiene still applies per file past `rewriteAtFraction`,
+    * and [[TxTable.compact]] materializes vectors on schedule.
+    */
+  val MergeOnReadProp = "graft.dml.mergeOnRead"
+
+  /** Whether [[MergeOnReadProp]] is on for a table instance. */
+  private[graft] def mergeOnReadDml(t: TxTable): Boolean =
+    t.properties.get(MergeOnReadProp).contains("true")
+
   private val integralRank: Map[DataType, Int] =
     Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
 

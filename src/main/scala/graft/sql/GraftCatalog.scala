@@ -501,7 +501,9 @@ private[graft] class GraftTable(fullName: String, identParts: Seq[String],
     filters.forall(f => GraftCatalog.translate(f, schema().fieldNames.toSet).isDefined)
 
   /** SQL `DELETE FROM ... WHERE` → [[TxTable.delete]] (copy-on-write
-    * rewrite of only the files holding matching rows).
+    * rewrite of only the files holding matching rows), or the
+    * deletion-vector [[TxTable.deleteMergeOnRead]] when the table
+    * opted in via [[TxTable.MergeOnReadProp]].
     */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable()
@@ -509,7 +511,8 @@ private[graft] class GraftTable(fullName: String, identParts: Seq[String],
     val pred = filters.toSeq.map(f => GraftCatalog.translate(f, top).getOrElse(
         throw new UnsupportedOperationException(s"cannot push delete filter $f")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    tx.delete(pred)
+    if (graft.core.TxTable.mergeOnReadDml(tx)) tx.deleteMergeOnRead(pred)
+    else tx.delete(pred)
   }
 
   override def toString: String = s"GraftTable($fullName)"

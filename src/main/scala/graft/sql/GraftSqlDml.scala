@@ -95,15 +95,20 @@ private[sql] object SqlDml {
   }
 }
 
-/** `UPDATE <graft table> SET ... [WHERE ...]` → [[TxTable.update]]. */
+/** `UPDATE <graft table> SET ... [WHERE ...]` → [[TxTable.update]],
+  * or [[TxTable.updateMergeOnRead]] when the table opted into
+  * deletion-vector DML ([[TxTable.MergeOnReadProp]]).
+  */
 case class GraftUpdateCommand(dir: String, set: Map[String, String],
                               condition: Option[String])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
-    new TxTable(session, dir).update(
-      condition.map(expr).getOrElse(lit(true)),
-      set.map { case (k, v) => k -> expr(v) })
+    val t = new TxTable(session, dir)
+    val pred = condition.map(expr).getOrElse(lit(true))
+    val assigns = set.map { case (k, v) => k -> expr(v) }
+    if (TxTable.mergeOnReadDml(t)) t.updateMergeOnRead(pred, assigns)
+    else t.update(pred, assigns)
     Nil
   }
 }
@@ -115,7 +120,9 @@ case class GraftUpdateCommand(dir: String, set: Map[String, String],
 case class GraftDeleteCommand(dir: String, condition: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    new TxTable(session, dir).delete(expr(condition))
+    val t = new TxTable(session, dir)
+    if (TxTable.mergeOnReadDml(t)) t.deleteMergeOnRead(expr(condition))
+    else t.delete(expr(condition))
     Nil
   }
 }

@@ -246,6 +246,47 @@ class IvmAggSpec extends SparkTestBase {
     assert(view.read().where($"grp" === "b").count() == 0L)
   }
 
+  test("streaming IVM absorbs LATE retractions a watermarked aggregate would have dropped") {
+    // the watermark-expired shape: key "a" goes quiet for many drains
+    // (a watermarked streaming agg would have evicted its state), then
+    // a late commit RETRACTS part of it and rewrites one of its oldest
+    // rows. The commit-log feed carries those as signed delete/update
+    // records, so the view must land exactly on the batch recompute —
+    // the capability that distinguishes log-driven IVM from a
+    // watermark-bounded streaming aggregate.
+    val (src, view) = freshPair("late")
+    val ck = tmpDir("ivm-late-ck")
+    def drain(): Unit =
+      IvmAgg.streamInto(spark, src.tablePath, view, Seq("grp"), Seq("v"), ck)
+        .awaitTermination()
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "b", 5.0))
+      .toDF("id", "grp", "v"))
+    drain()
+    assertInSync(src, view)
+    // key "a" goes quiet: several drains of unrelated traffic
+    (0 until 3).foreach { i =>
+      src.append(Seq((100L + i, "b", 1.0 * i)).toDF("id", "grp", "v"))
+      drain()
+    }
+    assertInSync(src, view)
+    // the LATE commit: retract one old "a" row, rewrite the other,
+    // bundled with fresh inserts in the same drain (out-of-order mix)
+    src.delete(col("id") === 2L)
+    src.update(col("id") === 1L, Map("v" -> (col("v") - lit(100.0))))
+    src.append(Seq((200L, "c", 2.5)).toDF("id", "grp", "v"))
+    drain()
+    assertInSync(src, view)
+    // the view row reflects the late math exactly: 10 - 100 = -90
+    val a = IvmAgg.readView(view, Seq("v")).where($"grp" === "a").collect()
+    assert(a.length == 1 && a.head.getLong(1) == 1L &&
+      a.head.getDecimal(2).doubleValue() == -90.0)
+    // a late retraction that empties a key removes its row entirely
+    src.delete(col("grp") === "a")
+    drain()
+    assert(view.read().where($"grp" === "a").count() == 0L)
+    assertInSync(src, view)
+  }
+
   test("randomized op sequences with interleaved advances stay in sync") {
     for (seed <- Seq(7, 19)) {
       val rnd = new scala.util.Random(seed)

@@ -493,4 +493,34 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](t.addColumns(Seq(org.apache.spark.sql.types.StructField("k",
       org.apache.spark.sql.types.LongType))))
   }
+
+  test("graft.dml.mergeOnRead routes SQL UPDATE/DELETE through deletion vectors") {
+    sql(s"CREATE TABLE $cat.mor (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.mor SELECT id, concat('v', id) FROM range(0, 1000)")
+    sql(s"ALTER TABLE $cat.mor SET TBLPROPERTIES ('graft.dml.mergeOnRead' = 'true')")
+    val t = new TxTable(spark, s"$base/mor")
+    val liveBefore = t.state().files.toSet
+    // pushable DELETE (SupportsDelete path) masks, never rewrites
+    sql(s"DELETE FROM $cat.mor WHERE k = 7")
+    // UPDATE / non-pushable DELETE need the extension rewrite rules
+    withExtSession { s2 =>
+      // non-pushable DELETE (command path) masks too
+      s2.sql(s"DELETE FROM $cat.mor WHERE k % 100 = 3")
+      // UPDATE masks old versions and appends post-images
+      s2.sql(s"UPDATE $cat.mor SET v = concat(v, '!') WHERE k % 100 = 5")
+    }
+    val st = t.state()
+    assert(liveBefore.subsetOf(st.files.toSet),
+      "merge-on-read DML must not rewrite the original files")
+    assert(st.dvs.nonEmpty, "expected deletion vectors, got none")
+    assert(rows(s"SELECT count(*) AS n FROM $cat.mor") == Set(Row(989L)))
+    assert(rows(s"SELECT v FROM $cat.mor WHERE k = 105") == Set(Row("v105!")))
+    assert(rows(s"SELECT count(*) AS n FROM $cat.mor WHERE k % 100 = 3") == Set(Row(0L)))
+    // switching the property off restores copy-on-write routing
+    sql(s"ALTER TABLE $cat.mor UNSET TBLPROPERTIES ('graft.dml.mergeOnRead')")
+    val filesBefore = t.state().files.toSet
+    sql(s"DELETE FROM $cat.mor WHERE k = 11")
+    assert(t.state().files.toSet != filesBefore,
+      "copy-on-write delete must rewrite the touched file again")
+  }
 }
