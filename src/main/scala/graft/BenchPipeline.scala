@@ -33,13 +33,20 @@ object BenchPipeline {
     // (per-process, not per-run)
     runOnce(spark, 900)
     runOnceTx(spark, 900)
+    // min-of-2 per size, same policy (and rationale) as Bench: the
+    // host's CPU-sharing noise is multiplicative and the pipeline is
+    // fixed-cost dominated, so a single sample regularly lies by 2-4×
     val rows = sizes.map { n =>
-      val (sec, goldRows) = runOnce(spark, n)
+      val (a, goldRows) = runOnce(spark, n)
+      val (b, _) = runOnce(spark, n)
+      val sec = math.min(a, b)
       val eps = (n / sec).round
-      println(f"""{"metric":"pipeline","events":$n,"sec":$sec%.2f,"events_per_sec":$eps,"gold_rows":$goldRows}""")
-      val (secTx, goldTx) = runOnceTx(spark, n)
+      println(f"""{"metric":"pipeline","events":$n,"sec":$sec%.2f,"runs":[$a%.2f,$b%.2f],"events_per_sec":$eps,"gold_rows":$goldRows}""")
+      val (ta, goldTx) = runOnceTx(spark, n)
+      val (tb, _) = runOnceTx(spark, n)
+      val secTx = math.min(ta, tb)
       val epsTx = (n / secTx).round
-      println(f"""{"metric":"pipeline_tx","events":$n,"sec":$secTx%.2f,"events_per_sec":$epsTx,"gold_rows":$goldTx}""")
+      println(f"""{"metric":"pipeline_tx","events":$n,"sec":$secTx%.2f,"runs":[$ta%.2f,$tb%.2f],"events_per_sec":$epsTx,"gold_rows":$goldTx}""")
       (n, eps, epsTx)
     }
     val loadavg = scala.util.Try(

@@ -27,6 +27,28 @@ object Medallion {
       .option("mergeSchema", "true")
       .parquet(path)
 
+  /** A session whose `spark.sql.shuffle.partitions` — and therefore
+    * the STATE partition count a new stateful query pins into its
+    * checkpoint — is sized to the operator's key cardinality instead
+    * of the session default. State partitions should scale with the
+    * stateful operator's KEYS (gold groups over type×color×size ≤ 45
+    * combinations at ANY corpus size), not with the data width; each
+    * state partition costs a provider load per micro-batch — loads
+    * that serialize on a per-executor lock (StateStore
+    * .getStateStoreProvider holds `loadedProviders` across provider
+    * init AND the coordinator RPC), so over-partitioned tiny state is
+    * pure fixed cost, measured at ~200 ms/partition on local[32].
+    * Cloned sessions share the SparkContext; only the conf differs,
+    * and the checkpoint pins the choice for the query's lifetime.
+    */
+  private def sized(spark: SparkSession, stateParts: Option[Int]): SparkSession =
+    stateParts.map { n =>
+      require(n >= 1, s"stateParts must be >= 1, got $n")
+      val ns = spark.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", n.toString)
+      ns
+    }.getOrElse(spark)
+
   // ---- the three stage TRANSFORMS, separated from their sinks so the
   // parquet-staging chain below and the TxTable-backed ACID chain
   // ([[TxMedallion]]) share one definition of the semantics ----
@@ -83,8 +105,8 @@ object Medallion {
     * `event_time` which downstream stages use.
     */
   def silver(spark: SparkSession, bronzePath: String, silverPath: String,
-             checkpoint: String): StreamingQuery =
-    silverColumns(streamFrom(spark, bronzePath).dropDuplicates("eventId"))
+             checkpoint: String, stateParts: Option[Int] = None): StreamingQuery =
+    silverColumns(streamFrom(sized(spark, stateParts), bronzePath).dropDuplicates("eventId"))
       .writeStream
       .queryName("graftSilver")
       .outputMode("append")
@@ -103,8 +125,9 @@ object Medallion {
     * max(event_time).
     */
   def gold(spark: SparkSession, silverPath: String, goldPath: String,
-           checkpoint: String, dayStart: java.sql.Timestamp): StreamingQuery =
-    goldAgg(streamFrom(spark, silverPath), dayStart)
+           checkpoint: String, dayStart: java.sql.Timestamp,
+           stateParts: Option[Int] = None): StreamingQuery =
+    goldAgg(streamFrom(sized(spark, stateParts), silverPath), dayStart)
       .writeStream
       .queryName("graftGold")
       .outputMode("complete")

@@ -37,7 +37,11 @@ object Pipeline {
       .awaitTermination()
     Medallion.silver(spark, paths.bronze, paths.silver, paths.checkpoint("silver"))
       .awaitTermination()
-    Medallion.gold(spark, paths.silver, paths.gold, paths.checkpoint("gold"), dayStart)
+    // gold's state keys are the ≤45 (type, color, size) combinations —
+    // 8 state partitions is generous at any corpus size, and each
+    // avoided partition is one less serialized provider load per batch
+    Medallion.gold(spark, paths.silver, paths.gold, paths.checkpoint("gold"), dayStart,
+        stateParts = Some(8))
       .awaitTermination()
     spark.read.parquet(paths.gold)
   }
