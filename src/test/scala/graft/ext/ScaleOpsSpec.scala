@@ -128,7 +128,7 @@ class ScaleOpsSpec extends SparkTestBase {
     val t = ScaleOps.dvDeletedOrdersTable(spark, dir)
     val st = t.state()
     assert(st.files.size == 8 && st.dvs.size == 8)
-    assert(t.history().map(_.operation) == Seq("APPEND", "DELETE (DV)"))
+    assert(t.history().map(_.operation) == Seq("APPEND", "UPDATE/DELETE (DV)"))
   }
 
   test("tx update matches the CASE-projection reconstruction") {

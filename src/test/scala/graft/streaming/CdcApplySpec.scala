@@ -44,6 +44,36 @@ class CdcApplySpec extends SparkTestBase {
     sync()
   }
 
+  test("replica converges across MERGE-ON-READ mutations (DV update + DV delete)") {
+    // the DV verbs move no original bytes upstream, but their change
+    // records must be indistinguishable to a CDC consumer from the
+    // copy-on-write ones — the replica converges either way
+    val (src, dst) = tables()
+    var cursor = -1L
+    def sync(): Unit = {
+      val to = src.version
+      if (to > cursor) {
+        CdcApply(dst, src.readChangeFeed(cursor, to), Seq("id"))
+        cursor = to
+      }
+      assert(snap(dst) == snap(src), s"replica diverged at v$to")
+    }
+    src.append((1L to 100L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "amount"))
+    sync()
+    src.updateMergeOnRead(col("id") % 10L === 3L,
+      Map("amount" -> (col("amount") * lit(2)), "v" -> concat(lit("U-"), col("v"))))
+    sync()
+    src.deleteMergeOnRead(col("id") % 10L === 7L)
+    sync()
+    // mixed in one slice: DV update + DV delete + plain append
+    src.updateMergeOnRead(col("id") === 3L, Map("amount" -> lit(999.0)))
+    src.deleteMergeOnRead(col("id") === 13L)
+    src.append(Seq((200L, "new", 1.5)).toDF("id", "v", "amount"))
+    sync()
+    assert(snap(dst).exists(r => r._1 == 3L && r._3 == 999.0))
+    assert(!snap(dst).exists(_._1 == 13L))
+  }
+
   test("upstream schema evolution mid-stream: the replica widens and converges") {
     val (src, dst) = tables()
     var cursor = -1L
