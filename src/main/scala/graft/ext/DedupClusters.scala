@@ -73,40 +73,56 @@ object DedupClusters {
       .distinct()
       .localCheckpoint(true)
 
+    // Both star ops need each edge row joined with its center's
+    // neighborhood minimum — expressed as ONE unbounded window
+    // aggregate per op (a single hash-partition shuffle carrying the
+    // min to every row) instead of the groupBy + self-join form,
+    // which shuffles the same data twice more per round. At scale the
+    // window's per-center sort is the same work a sort-merge join
+    // would do, and rounds are O(log n), so the shape holds.
+    import org.apache.spark.sql.expressions.Window
+
     // large-star: every node u hooks its LARGER neighbors onto
-    // m(u) = min(Γ(u) ∪ {u}) — emitted edges (v, m) keep v > m
+    // m(u) = min(Γ(u) ∪ {u}) — emitted edges (v, m) keep v > m.
+    // NO dedup here: min-aggregates downstream are duplicate-blind
+    // and the round's single distinct runs after small-star.
     def largeStar(cur: DataFrame): DataFrame = {
       val sym = cur.select(col("lo").as("u"), col("hi").as("v"))
         .unionAll(cur.select(col("hi").as("u"), col("lo").as("v")))
-      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u").as("cu"), least(col("u"), col("mn")).as("m"))
-      sym.where(col("v") > col("u"))
-        .join(m, col("u") === col("cu"))
-        .select(col("m").as("lo"), col("v").as("hi"))
-        .where(col("lo") =!= col("hi"))
-        .distinct()
+      val m = least(col("u"), min(col("v")).over(Window.partitionBy(col("u"))))
+      sym.select(m.as("lo"), col("v").as("hi"), col("u"))
+        .where(col("hi") > col("u") && col("lo") =!= col("hi"))
+        .drop("u")
     }
 
     // small-star: every node u hooks its SMALLER neighbors and
-    // itself onto m(u) = min of those neighbors (all < u)
+    // itself onto m(u) = min of those neighbors (all < u); the
+    // (m, u) self-hook rides as a second projection of the same
+    // windowed frame, deduped by the round's distinct
     def smallStar(cur: DataFrame): DataFrame = {
-      val m = cur.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val moved = cur.join(m, "hi")
+      val withM = cur.withColumn("m",
+        min(col("lo")).over(Window.partitionBy(col("hi"))))
+      val moved = withM.where(col("lo") =!= col("m"))
         .select(col("m").as("lo"), col("lo").as("hi"))
-        .where(col("lo") =!= col("hi"))
-      val self = m.select(col("m").as("lo"), col("hi"))
+      val self = withM.select(col("m").as("lo"), col("hi"))
       moved.unionAll(self).distinct()
     }
 
     var converged = false
     var iter = 0
+    var eCount = -1L // lazily filled; carried across rounds (1 job saved/round)
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // EXACT set-equality check: |A| = |B| ∧ A∖B = ∅ ⟺ A = B
-      // (both sides deduped) — two small jobs over checkpointed sets
-      converged = next.count() == e.count() &&
+      // EXACT set-equality check: |A| = |B| ∧ A∖B = ∅ ⟺ A = B (both
+      // sides deduped). The count gate short-circuits the except join
+      // away from every strictly-contracting round; counts come off
+      // checkpointed partitions, and the previous round's is reused.
+      if (eCount < 0) eCount = e.count()
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
         next.except(e).limit(1).count() == 0
       e = next
+      eCount = nextCount
       iter += 1
     }
     if (!converged)
