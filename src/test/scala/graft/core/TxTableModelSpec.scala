@@ -63,7 +63,7 @@ class TxTableModelSpec extends SparkTestBase {
         Seq.fill(n)((rnd.nextInt(40).toLong, s"s$seed-${rnd.nextInt(1000)}"))
 
       (0 until fuzzIters).foreach { _ =>
-        rnd.nextInt(17) match {
+        rnd.nextInt(18) match {
           case 0 | 1 => // append (duplicate keys allowed); half the
             // appends are PARTITIONED writes, so value-pure files and
             // salt splits flow through every later mutation
@@ -266,6 +266,21 @@ class TxTableModelSpec extends SparkTestBase {
               val replaced = batch.map(_._1).toSet
               model = model.filterNot(r => replaced.contains(r._1)) ++
                 batch.map { case (k, v) => (k, Some(v)) }
+            }
+          case 17 => // MERGE-ON-READ update: same model semantics as
+            // copy-on-write update (SET against the pre-update row,
+            // NULL concat stays NULL), but old versions die via DV
+            // sidecars and post-images append — every later read,
+            // mutation and maintenance pass must see exactly the
+            // post-image set
+            if (vLive && t.version >= 0) {
+              val lo = rnd.nextInt(40).toLong
+              val hi = lo + rnd.nextInt(6)
+              t.updateMergeOnRead(col(kc) >= lo && col(kc) <= hi,
+                Map(vc -> concat(col(vc), lit("^"))))
+              model = model.map { case (k, ov) =>
+                if (k >= lo && k <= hi) (k, ov.map(_ + "^")) else (k, ov)
+              }
             }
           case 16 => // column-DEFAULT DDL: pure metadata — rows must
             // not move; the declaration tracks the PHYSICAL slot
