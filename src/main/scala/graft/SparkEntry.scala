@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, Curation, DedupClusters, EventQueries, GraphRank, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, SqIndex, TextAnalysis, TpchExtra}
+import graft.ext.{AsofJoin, Curation, DedupClusters, EventQueries, GraphRank, IncrementalDedup, IvfIndex, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, SqIndex, TextAnalysis, TpchExtra}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.schema.InMemorySchemaRegistry
 
@@ -34,6 +34,7 @@ object SparkEntry {
       (LangTools.queries, LangTools.oracle),
       (Curation.queries, Curation.oracle),
       (GraphRank.queries, GraphRank.oracle),
+      (IncrementalDedup.queries, IncrementalDedup.oracle),
     )
 
   /** Flagship: the reference's full DAG — seeded Avro producer →

@@ -215,7 +215,7 @@ object TextAnalysis {
     * documents — the struct form this packing replaced had no limit,
     * so the limit must be enforced, not assumed).
     */
-  private def packedMember: Column = {
+  private[ext] def packedMember: Column = {
     import graft.functions.PairExpand
     when(col("sz") <= lit(PairExpand.SzMask),
       shiftleft(col("doc_id"), PairExpand.SzBits).bitwiseOR(col("sz")))
