@@ -45,6 +45,7 @@ object Bench {
         // persisted-ANN-index fixture: the build is one-time serving
         // setup; the graded artifact is the index READ
         () => graft.ext.PqIndex.persistedIndexDir(spark, sfDir),
+        () => graft.ext.IncrementalDedup.persistedIndexDir(spark, sfDir),
       )
       warmups.foreach(w => try w() catch { case _: Throwable => () })
     }

@@ -39,7 +39,7 @@ object IncrementalDedup {
     * postings (h, packed member), `sets/` = the per-doc fingerprint
     * sets feeding exact verification if a consumer needs them.
     */
-  private[ext] def persistedIndexDir(s: SparkSession, dir: String): String =
+  private[graft] def persistedIndexDir(s: SparkSession, dir: String): String =
     graft.core.IndexCache.memo(
       s"shingle-index-dir:${s.sparkContext.applicationId}:$dir") {
       val tag = (dir + "_" + s.sparkContext.applicationId)
