@@ -199,6 +199,129 @@ object Curation {
       .orderBy(col("label"), col("pred_label"))
   }
 
+  /** Bigram-count-table row bound below which [[qLmQuality]]
+    * broadcasts the trained LM counts; above it scoring takes the
+    * shuffle join (the [[ClassifyBroadcastMaxWeightsKey]] contract —
+    * a 100 TB bigram vocabulary does not broadcast).
+    */
+  val LmBroadcastMaxWeightsKey = "spark.graft.lm.broadcastMaxWeights"
+
+  /** CCNet-shaped LM QUALITY FILTER (Wenzek et al. 2020): fit a word-
+    * bigram language model on the md5 TRAIN half of the corpus, score
+    * every held-out document by how probable its bigrams are under
+    * that model, and flag the above-corpus-average half — the
+    * perplexity-bucketing pass (head/middle/tail) every web-corpus
+    * curation stack runs before training. Per-bigram weight is the
+    * add-one-smoothed conditional `(c(w1,w2)+1)/(c(w1)+V)`; an unseen
+    * context backs off to `1/V`; a document's score is the MEAN of
+    * its bigram weights, and the flag compares it to the all-test-
+    * bigrams mean. (CCNet averages LOG probabilities; the arithmetic
+    * mean keeps the same "improbable bigrams score low" structure
+    * while staying engine-exact — the [[qDsirWeights]] ln()-avoidance
+    * convention. CCNet's thresholds are corpus-relative quantiles, so
+    * the monotone-surrogate substitution changes no contract.)
+    *
+    * Scale shape: ONE tokenize+bigram-explode pass feeds both the
+    * training counts and the scoring joins; the model is the
+    * O(bigram-vocab) count table — SIZE-GATED broadcast via
+    * [[LmBroadcastMaxWeightsKey]], shuffle join above the bound —
+    * plus the O(vocab) context table derived from it (never a second
+    * corpus pass) and a 1-row broadcast for V; the per-doc mean is
+    * the one data shuffle, and the corpus mean folds the per-doc
+    * DECIMAL sums (exact, order-independent), never re-reads tokens.
+    *
+    * Determinism: each weight is integer counts through ONE IEEE
+    * divide quantized to DECIMAL(18,8) (the [[classify]] convention);
+    * per-doc and corpus sums are decimal (exact both engines); the
+    * two final divides are double ops on identical inputs. Documents
+    * with fewer than 2 tokens have no bigrams and are absent by
+    * construction.
+    */
+  def qLmQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8")
+          .as("is_train"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_train"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> struct(a, b))")).as("p"))
+      .select(col("doc_id"), col("is_train"),
+        col("p.a").as("w1"), col("p.b").as("w2"))
+    // ONE corpus-pass training aggregate, checkpointed; the context
+    // totals and V derive from its blocks, never re-reading tokens.
+    // The count() that materializes it doubles as the broadcast gate.
+    val counts = bg.where(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+      .localCheckpoint(eager = false)
+    val maxW = s.conf.get(LmBroadcastMaxWeightsKey,
+      ClassifyBroadcastMaxWeightsDefault.toString).toLong
+    val countsSide = if (counts.count() <= maxW) broadcast(counts) else counts
+    val contexts = counts.groupBy(col("w1")).agg(sum(col("ct")).as("c1"))
+    // contexts is strictly smaller than the gated count table, so it
+    // inherits the same side decision without a second count job
+    val ctxSide = if (counts.count() <= maxW) broadcast(contexts) else contexts
+    val vocab = contexts.agg(count(lit(1)).as("v"))
+    val scored = bg.where(!col("is_train"))
+      .join(countsSide, Seq("w1", "w2"), "left")
+      .join(ctxSide, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        when(col("c1").isNotNull,
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("c1") + col("v")).cast("double")).cast(DecimalType(18, 8)))
+          .otherwise(
+            (lit(1L).cast("double") / col("v").cast("double"))
+              .cast(DecimalType(18, 8))).as("w"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("sw"))
+    val corpus = perDoc.agg(sum(col("sw")).as("tw"), sum(col("n_bigrams")).as("tn"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sw").cast("double") / col("n_bigrams").cast("double")).as("lm_score"),
+        when(col("sw").cast("double") / col("n_bigrams").cast("double") >
+          col("tw").cast("double") / col("tn").cast("double"), 1L)
+          .otherwise(0L).as("above_avg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TEMPERATURE-SCALED SOURCE MIXING (the exponent-smoothed
+    * multinomial of multilingual/multi-source recipes, e.g. XLM-R's
+    * `p_i ∝ n_i^α` with α = 0.5): derive, per source, the raw corpus
+    * share, the temperature share, and the upsampling factor a
+    * sampler would apply — the weight table [[TextAnalysis
+    * .qSourceMix]]'s rate filter then consumes. Shares weigh each
+    * source by its BYTE MASS (`sum(n_chars)`), not its document
+    * count — recipes balance tokens, and the testdata's per-source
+    * doc counts are uniform by construction. Pure aggregate pipeline:
+    * one corpus hash-agg to |sources| rows, a 1-row broadcast of the
+    * totals, zero further shuffles — the same shape at 100 TB.
+    *
+    * Determinism: `sqrt` is an IEEE basic op (correctly rounded in
+    * both engines) quantized once to DECIMAL(18,8); the share
+    * denominators are exact integer/decimal sums; each share is one
+    * double divide, and the upsample factor one more on those exact
+    * doubles.
+    */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+      .select(col("source"), col("n_docs"), col("mass"),
+        sqrt(col("mass").cast("double")).cast(DecimalType(18, 8)).as("sq"))
+    val tot = per.agg(sum(col("mass")).as("tm"), sum(col("sq")).as("ts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("mass"),
+        (col("mass").cast("double") / col("tm").cast("double")).as("raw_share"),
+        (col("sq").cast("double") / col("ts").cast("double")).as("temp_share"),
+        ((col("sq").cast("double") / col("ts").cast("double")) /
+          (col("mass").cast("double") / col("tm").cast("double"))).as("upsample"))
+      .orderBy(col("source"))
+  }
+
   /** [[classify]] against the `lang` column of the documents table.
     * NOTE the testdata's `lang` label is INDEPENDENT of its token
     * distribution (verified: per-token counts are uniform across
@@ -214,6 +337,8 @@ object Curation {
     "q_curation" -> (qCuration _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_classify" -> (qClassify _),
+    "q_lm_quality" -> (qLmQuality _),
+    "q_mix_temperature" -> (qMixTemperature _),
   )
 
   /** Oracle: the three stage mirrors joined — lang-id CASE-chain
@@ -269,6 +394,57 @@ object Curation {
         |SELECT label, cls AS pred_label, COUNT(*) AS n_docs
         |FROM pred WHERE rk = 1
         |GROUP BY label, cls ORDER BY label, pred_label""".stripMargin,
+    // bigram LM fit on the md5 train half, add-one conditionals
+    // quantized to decimal, per-doc mean vs the corpus mean — every
+    // divide is one IEEE op on exact integer/decimal inputs
+    "q_lm_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, is_train, t[i + 1] AS w1, t[i + 2] AS w2
+        |  FROM (SELECT doc_id, is_train, t, unnest(range(len(t) - 1)) AS i
+        |        FROM tok WHERE len(t) >= 2)),
+        |cc AS (SELECT w1, w2, COUNT(*) AS ct FROM bg WHERE is_train GROUP BY w1, w2),
+        |cx AS (SELECT w1, CAST(SUM(ct) AS BIGINT) AS c1 FROM cc GROUP BY w1),
+        |vv AS (SELECT COUNT(*) AS v FROM cx),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN cx.c1 IS NOT NULL THEN
+        |      CAST(CAST(COALESCE(cc.ct, 0) + 1 AS DOUBLE) /
+        |           CAST(cx.c1 + vv.v AS DOUBLE) AS DECIMAL(18,8))
+        |    ELSE CAST(CAST(1 AS DOUBLE) / CAST(vv.v AS DOUBLE) AS DECIMAL(18,8))
+        |    END AS w
+        |  FROM bg b
+        |  CROSS JOIN vv
+        |  LEFT JOIN cx ON b.w1 = cx.w1
+        |  LEFT JOIN cc ON b.w1 = cc.w1 AND b.w2 = cc.w2
+        |  WHERE NOT b.is_train),
+        |d AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(w) AS sw FROM sc GROUP BY doc_id),
+        |g AS (SELECT SUM(sw) AS tw, CAST(SUM(n_bigrams) AS BIGINT) AS tn FROM d)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(sw AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS lm_score,
+        |  CAST(CASE WHEN CAST(sw AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >
+        |    CAST(tw AS DOUBLE) / CAST(tn AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS above_avg
+        |FROM d CROSS JOIN g ORDER BY doc_id""".stripMargin,
+    // sqrt is IEEE-exact in both engines; one quantize, exact sums,
+    // one divide per share
+    "q_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS mass,
+        |    CAST(sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS DECIMAL(18,8)) AS sq
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS tm, SUM(sq) AS ts FROM per)
+        |SELECT source, n_docs, mass,
+        |  CAST(mass AS DOUBLE) / CAST(tm AS DOUBLE) AS raw_share,
+        |  CAST(sq AS DOUBLE) / CAST(ts AS DOUBLE) AS temp_share,
+        |  (CAST(sq AS DOUBLE) / CAST(ts AS DOUBLE)) /
+        |    (CAST(mass AS DOUBLE) / CAST(tm AS DOUBLE)) AS upsample
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

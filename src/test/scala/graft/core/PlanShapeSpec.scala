@@ -204,6 +204,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bc >= 1, s"the size-gated weight table must broadcast below the bound, got $bc")
   }
 
+  test("q_lm_quality: gated LM tables broadcast; one corpus scan per side") {
+    val df = SparkEntry.queries("q_lm_quality")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the TRAIN pass is materialized behind the size gate (counts is a
+    // checkpointed RDD — no documents scan survives in its branch);
+    // the TEST side scans documents once for scoring and once for the
+    // corpus-mean branch, which rides the per-doc aggregate's REUSED
+    // exchange at runtime (the q11 scalar-subquery contract)
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans <= 2, s"expected scoring + reused-exchange mean branch, got $docScans scans")
+    assert(!plan.contains("SortMergeJoin"),
+      "below the gate every model join must broadcast, not sort-merge")
+    val (_, bc) = PlanDump.counts(df.queryExecution.executedPlan)
+    assert(bc >= 3, s"counts, contexts and V must all broadcast below the bound, got $bc")
+  }
+
+  test("q_mix_temperature: one corpus aggregate; totals broadcast back") {
+    val df = SparkEntry.queries("q_mix_temperature")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // totals derive from the |sources|-row aggregate through a reused
+    // exchange — the observable contract is the scan count, not the
+    // static exchange count (runtime ReuseExchange dedups the subtree)
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans <= 2, s"expected one corpus aggregate (reused), got $docScans scans")
+    val (_, bc) = PlanDump.counts(df.queryExecution.executedPlan)
+    assert(bc >= 1, s"the 1-row totals must broadcast, got $bc")
+  }
+
   test("q_pagerank: per-round lineage is CUT — the final plan is flat, not cumulative") {
     val (sh, _) = shape("q_pagerank")
     // every iteration localCheckpoints its rank frame, so the final

@@ -107,6 +107,95 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.unset(Curation.DsirBroadcastMaxWeightsKey)
   }
 
+  test("q_lm_quality: smoothed bigram LM semantics hold on a hand corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val out = Curation.qLmQuality(spark, dir).cache()
+    // (a) coverage: exactly the test-half docs with >= 2 tokens
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val expected = docs
+      .where(substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) >= "8")
+      .where(size(TextAnalysis.tokens($"text")) >= 2)
+      .count()
+    assert(out.count() == expected, "every scored doc appears exactly once")
+    // (b) scores are valid smoothed means: 0 < score < 1, and a doc of
+    //     n tokens has n-1 bigrams
+    val nTok = docs
+      .select($"doc_id", size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      val score = r.getDouble(2)
+      assert(score > 0.0 && score < 1.0, s"doc ${r.getLong(0)}: score $score")
+      assert(r.getLong(1) == nTok(r.getLong(0)) - 1, "n_bigrams = n_tokens - 1")
+    }
+    // (c) the above-average flag splits the corpus non-trivially and
+    //     agrees with the recomputed corpus mean
+    val rows = out.collect()
+    val above = rows.filter(_.getLong(3) == 1L)
+    assert(above.nonEmpty && above.length < rows.length, "flag is non-trivial")
+    out.unpersist()
+    // (d) semantics on a hand corpus: train = "a b a b", "a c"; the
+    //     model is c(a,b)=2, c(b,a)=1, c(a,c)=1; contexts c(a)=3,
+    //     c(b)=1; V=2. A fluent test doc "a b" must outscore a
+    //     disfluent "b c" (unseen bigram under a seen context) and an
+    //     out-of-vocabulary "x y" (unseen context backoff 1/V).
+    //     doc_ids picked so the md5 split puts 6, 9 in train and
+    //     1, 2, 3 in test (first hex of md5("6")='1', md5("9")='4';
+    //     md5("1"/"2"/"3") = 'c'/'c'/'e') — asserted, not assumed.
+    val hand = Seq(
+      (6L, "a b a b"), (9L, "a c"), // intended train
+      (1L, "a b"), (2L, "b c"), (3L, "x y")).toDF("doc_id", "text")
+    val split = hand.select($"doc_id",
+      (substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) < "8")
+        .as("is_train")).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(split(6L) && split(9L) && !split(1L) && !split(2L) && !split(3L),
+      s"md5 split moved: $split")
+    // run the same pipeline against the hand corpus via a temp dir
+    val tmp = java.nio.file.Files.createTempDirectory("lmq").toString
+    hand.withColumn("source", lit("src0")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scores = Curation.qLmQuality(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // exact expected weights: w(a,b)=(2+1)/(3+2)=0.6; w(b,c)=(0+1)/(1+2)
+    //  =0.33333333 (quantized); w(x,y)=1/2=0.5
+    assert(math.abs(scores(1L) - 0.6) < 1e-9)
+    assert(math.abs(scores(2L) - 0.33333333) < 1e-9)
+    assert(math.abs(scores(3L) - 0.5) < 1e-9)
+    assert(scores(1L) > scores(2L), "fluent doc outscores disfluent doc")
+  }
+
+  test("q_lm_quality's model broadcast is size-gated; the shuffle branch matches") {
+    val base = Curation.qLmQuality(spark, dir).collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    spark.conf.set(Curation.LmBroadcastMaxWeightsKey, "0")
+    try {
+      val gated = Curation.qLmQuality(spark, dir).collect().map(_.toSeq).toSet
+      assert(gated == base, "over-threshold branch must match the broadcast branch")
+    } finally spark.conf.unset(Curation.LmBroadcastMaxWeightsKey)
+  }
+
+  test("q_mix_temperature: α=0.5 shares flatten the mix toward small sources") {
+    val rows = Curation.qMixTemperature(spark, dir).collect()
+    assert(rows.length > 1, "needs at least two sources to mix")
+    val tempSum = rows.map(_.getDouble(4)).sum
+    val rawSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(tempSum - 1.0) < 1e-9 && math.abs(rawSum - 1.0) < 1e-9)
+    // temperature scaling upsamples below-average sources, downsamples
+    // above-average ones: upsample factor > 1 iff raw share < temp share
+    rows.foreach { r =>
+      val (raw, temp, up) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(up - temp / raw) < 1e-12)
+      if (raw < temp) assert(up > 1.0) else if (raw > temp) assert(up < 1.0)
+    }
+    // sqrt-compression: the byte masses are non-uniform at every SF
+    // (asserted, so the shrink check below can never go vacuous) and
+    // the max/min share ratio strictly shrinks under the temperature
+    val rawShares = rows.map(_.getDouble(3))
+    val tempShares = rows.map(_.getDouble(4))
+    assert(rawShares.max - rawShares.min > 1e-12, "testdata masses are non-uniform")
+    assert(tempShares.max / tempShares.min < rawShares.max / rawShares.min)
+  }
+
   test("curation pays a single data shuffle (both window aggregates share it)") {
     val df = Curation.qCuration(spark, dir)
     val (sh, _) = graft.PlanDump.counts(df.queryExecution.executedPlan)
