@@ -238,6 +238,22 @@ object Curation {
     * construction.
     */
   def qLmQuality(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = lmPerDoc(s, dir)
+    val corpus = perDoc.agg(sum(col("sw")).as("tw"), sum(col("n_bigrams")).as("tn"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sw").cast("double") / col("n_bigrams").cast("double")).as("lm_score"),
+        when(col("sw").cast("double") / col("n_bigrams").cast("double") >
+          col("tw").cast("double") / col("tn").cast("double"), 1L)
+          .otherwise(0L).as("above_avg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-held-out-doc bigram-LM mass: `(doc_id, n_bigrams, sw)` where
+    * `sw` is the exact DECIMAL sum of the doc's per-bigram weights —
+    * the shared front half of [[qLmQuality]] and [[qLmBuckets]].
+    */
+  private def lmPerDoc(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val bg = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
@@ -275,15 +291,60 @@ object Curation {
           .otherwise(
             (lit(1L).cast("double") / col("v").cast("double"))
               .cast(DecimalType(18, 8))).as("w"))
-    val perDoc = scored.groupBy(col("doc_id"))
+    scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("sw"))
-    val corpus = perDoc.agg(sum(col("sw")).as("tw"), sum(col("n_bigrams")).as("tn"))
-    perDoc.crossJoin(broadcast(corpus))
-      .select(col("doc_id"), col("n_bigrams"),
+  }
+
+  /** CCNet's actual OUTPUT SHAPE: per-LANGUAGE head/middle/tail
+    * perplexity buckets (Wenzek et al. 2020 §4.4 — thresholds are
+    * per-language score terciles, because "probable under the LM"
+    * is not comparable across languages). Each held-out doc gets its
+    * language's tercile by exact rank: head = best-scoring third,
+    * tail = worst.
+    *
+    * Scale shape — the naive per-language rank window is ONE TASK PER
+    * LANGUAGE (a handful of partitions sorting ~33 TB each at 100 TB),
+    * so the exact rank is computed the [[graft.ext.ScaleOps
+    * .qOpenIntervals]] way instead: partition by (lang, score-band)
+    * — `band = floor(score·1024)`, order-consistent with the score
+    * because banding is monotone — rank within each band, then add
+    * the broadcast count of all better bands. Parallelism becomes
+    * langs × occupied-bands; the only unpartitioned window runs over
+    * the O(langs × 1024) band-count table. Banding changes NOTHING:
+    * the oracle is the plain per-language row_number.
+    *
+    * Determinism: scores are single IEEE divides on exact decimal
+    * sums ([[qLmQuality]]'s convention); floor on a double is IEEE-
+    * exact in both engines; rank ties break by doc_id; bucket edges
+    * are integer cross-multiplication (`3·rank ≤ n`), no division.
+    */
+  def qLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = lmPerDoc(s, dir)
+    val lang = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val scored = perDoc.join(lang, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
         (col("sw").cast("double") / col("n_bigrams").cast("double")).as("lm_score"),
-        when(col("sw").cast("double") / col("n_bigrams").cast("double") >
-          col("tw").cast("double") / col("tn").cast("double"), 1L)
-          .otherwise(0L).as("above_avg"))
+        floor(col("sw").cast("double") / col("n_bigrams").cast("double") * lit(1024d))
+          .cast("int").as("band"))
+    // band-count table: O(langs × 1024) rows — the only window that
+    // sees it whole; offsets = docs in strictly-better bands
+    val bandW = Window.partitionBy(col("lang"))
+      .orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bands = scored.groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("bn"))
+      .select(col("lang"), col("band"),
+        coalesce(sum(col("bn")).over(bandW), lit(0L)).as("offset"),
+        sum(col("bn")).over(Window.partitionBy(col("lang"))).as("nl"))
+    val inBand = Window.partitionBy(col("lang"), col("band"))
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    scored.join(broadcast(bands), Seq("lang", "band"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"),
+        (col("offset") + row_number().over(inBand)).as("rk"), col("nl"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_score"),
+        when(col("rk") * 3 <= col("nl"), "head")
+          .when(col("rk") * 3 <= col("nl") * 2, "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 
@@ -338,6 +399,7 @@ object Curation {
     "q_dsir_weights" -> (qDsirWeights _),
     "q_classify" -> (qClassify _),
     "q_lm_quality" -> (qLmQuality _),
+    "q_lm_buckets" -> (qLmBuckets _),
     "q_mix_temperature" -> (qMixTemperature _),
   )
 
@@ -430,6 +492,48 @@ object Curation {
         |    CAST(tw AS DOUBLE) / CAST(tn AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
         |    AS above_avg
         |FROM d CROSS JOIN g ORDER BY doc_id""".stripMargin,
+    // same score CTEs as q_lm_quality; the banding the Spark plan
+    // uses for parallel rank is invisible here — plain per-language
+    // row_number is the definition it must match
+    "q_lm_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, is_train, t[i + 1] AS w1, t[i + 2] AS w2
+        |  FROM (SELECT doc_id, is_train, t, unnest(range(len(t) - 1)) AS i
+        |        FROM tok WHERE len(t) >= 2)),
+        |cc AS (SELECT w1, w2, COUNT(*) AS ct FROM bg WHERE is_train GROUP BY w1, w2),
+        |cx AS (SELECT w1, CAST(SUM(ct) AS BIGINT) AS c1 FROM cc GROUP BY w1),
+        |vv AS (SELECT COUNT(*) AS v FROM cx),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN cx.c1 IS NOT NULL THEN
+        |      CAST(CAST(COALESCE(cc.ct, 0) + 1 AS DOUBLE) /
+        |           CAST(cx.c1 + vv.v AS DOUBLE) AS DECIMAL(18,8))
+        |    ELSE CAST(CAST(1 AS DOUBLE) / CAST(vv.v AS DOUBLE) AS DECIMAL(18,8))
+        |    END AS w
+        |  FROM bg b
+        |  CROSS JOIN vv
+        |  LEFT JOIN cx ON b.w1 = cx.w1
+        |  LEFT JOIN cc ON b.w1 = cc.w1 AND b.w2 = cc.w2
+        |  WHERE NOT b.is_train),
+        |d AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(w) AS sw FROM sc GROUP BY doc_id),
+        |r AS (
+        |  SELECT d.doc_id, doc.lang, d.n_bigrams,
+        |    CAST(d.sw AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE) AS lm_score,
+        |    row_number() OVER (PARTITION BY doc.lang
+        |      ORDER BY CAST(d.sw AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE) DESC,
+        |               d.doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY doc.lang) AS nl
+        |  FROM d JOIN documents doc ON d.doc_id = doc.doc_id)
+        |SELECT doc_id, lang, n_bigrams, lm_score,
+        |  CASE WHEN rk * 3 <= nl THEN 'head'
+        |       WHEN rk * 3 <= nl * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // sqrt is IEEE-exact in both engines; one quantize, exact sums,
     // one divide per share
     "q_mix_temperature" ->

@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** URL CANONICALIZATION + frontier dedup — the first dedup any web
+  * pipeline runs (before content hashing ever sees the bytes): crawl
+  * frontiers and link graphs are keyed by a canonical URL, so scheme/
+  * host case, default ports, fragments, tracking parameters and
+  * trailing slashes must collapse. Rules implemented (the standard
+  * RFC 3986 §6 safe normalizations plus the tracking-param scrub
+  * every crawler adds):
+  *
+  *   - scheme and host lowercased; explicit default port dropped
+  *     (`:443` for https, `:80` for http)
+  *   - fragment dropped
+  *   - query: `utm_*` / `gclid` / `fbclid` params removed, the rest
+  *     SORTED (param order is non-semantic for dedup purposes), `?`
+  *     dropped when nothing remains
+  *   - trailing path slash trimmed (root `/` kept), empty path → `/`
+  *
+  * Everything is a composition of codegen'd built-ins (regexp
+  * extraction, array filter/sort/join) — no UDF, whole-stage codegen
+  * keeps it map-side; the dedup itself is one hash aggregate on the
+  * canonical key. The same expressions in DuckDB are the oracle.
+  */
+object UrlOps {
+
+  private val UrlRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+  private def part(u: Column, group: Int): Column =
+    regexp_extract(u, UrlRe, group)
+
+  /** Canonical form of `url` per the rules above; pure Column expr. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(part(url, 1))
+    val hostPort = lower(part(url, 2))
+    // strip the scheme's default port only
+    val h = when(scheme === "https" && hostPort.endsWith(":443"),
+        substring_index(hostPort, ":", 1))
+      .when(scheme === "http" && hostPort.endsWith(":80"),
+        substring_index(hostPort, ":", 1))
+      .otherwise(hostPort)
+    val rawPath = part(url, 3)
+    val path = when(length(rawPath) === 0, lit("/"))
+      .when(rawPath === "/", lit("/"))
+      .otherwise(rtrim(rawPath, "/"))
+    val rawQ = part(url, 4) // includes the leading '?', or ''
+    val kept = array_join(
+      array_sort(filter(
+        split(substr(rawQ, lit(2), length(rawQ)), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+          p.startsWith("fbclid=") || p === ""))),
+      "&")
+    val q = when(length(rawQ) === 0 || length(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), kept))
+    concat(scheme, lit("://"), h, path, q)
+  }
+
+  /** Deterministic messy-URL synthesis over the documents table —
+    * every doc_id deterministically picks case, default-port,
+    * tracking-param, param-order, fragment and trailing-slash noise,
+    * and doc_ids sharing `doc_id % 50` within a source share a page.
+    */
+  private def messyUrl: Column = {
+    val page = col("doc_id") % 50
+    val scheme = when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS")
+    val host = when(col("doc_id") % 3 === 0, "Example.COM").otherwise("example.com")
+    val port = when(col("doc_id") % 5 === 0, ":443").otherwise("")
+    val slash = when(col("doc_id") % 4 === 0, "/").otherwise("")
+    val ref = concat(lit("ref="), (col("doc_id") % 10).cast("string"))
+    val query = when(col("doc_id") % 6 === 0, concat(lit("?utm_source=x&"), ref))
+      .when(col("doc_id") % 6 === 3, concat(lit("?"), ref, lit("&utm_campaign=y")))
+      .otherwise(concat(lit("?"), ref))
+    val frag = when(col("doc_id") % 3 === 1, "#frag").otherwise("")
+    concat(scheme, lit("://"), host, port,
+      lit("/"), col("source"), lit("/p"), page.cast("string"), slash, query, frag)
+  }
+
+  /** Frontier dedup: canonicalize the synthesized messy URLs, group,
+    * keep the smallest doc_id per canonical URL, count the collapsed
+    * variants. Output proves every normalization rule fired.
+    */
+  def qUrlCanon(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), canonicalizeUrl(messyUrl).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_variants"))
+      .orderBy(col("canon_url"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canon" -> (qUrlCanon _))
+
+  /** Same synthesis + same normalization, in DuckDB's dialect. */
+  val oracle: Map[String, String] = Map(
+    "q_url_canon" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
+        |    '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM' ELSE 'example.com' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&ref=' || CAST(doc_id % 10 AS VARCHAR)
+        |          WHEN doc_id % 6 = 3 THEN '?ref=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=y'
+        |          ELSE '?ref=' || CAST(doc_id % 10 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS hostport,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS rawpath,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS rawq
+        |  FROM m),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'https' AND hostport LIKE '%:443' THEN split_part(hostport, ':', 1)
+        |          WHEN scheme = 'http' AND hostport LIKE '%:80' THEN split_part(hostport, ':', 1)
+        |          ELSE hostport END) ||
+        |    (CASE WHEN length(rawpath) = 0 OR rawpath = '/' THEN '/'
+        |          ELSE rtrim(rawpath, '/') END) ||
+        |    (CASE WHEN length(rawq) = 0 THEN '' ELSE
+        |      (CASE WHEN length(kept) = 0 THEN '' ELSE '?' || kept END) END) AS canon_url
+        |  FROM (
+        |    SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(substr(rawq, 2), '&'),
+        |      x -> NOT (x LIKE 'utm\_%' ESCAPE '\' OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%' OR x = ''))), '&') AS kept
+        |    FROM p))
+        |SELECT canon_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_variants
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin)
+}

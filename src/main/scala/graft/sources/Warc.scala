@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) reader/writer — the wire format web-crawl
+  * corpora actually arrive in (Common Crawl publishes ~90k WARC/WET
+  * files per monthly crawl). A training-data pipeline's first stage
+  * is exactly this: stream each archive file, split it into records,
+  * surface (type, target URI, payload) as columns.
+  *
+  * Format recap (public spec): a record is a header block —
+  * `WARC/1.0\r\n`, then `Name: value\r\n` lines, then a bare
+  * `\r\n` — followed by exactly `Content-Length` payload bytes and a
+  * `\r\n\r\n` trailer. Files may be plain `.warc` or `.warc.gz`
+  * (concatenated per-record gzip members; `GZIPInputStream` walks
+  * multi-member streams natively, so one decoder covers both the
+  * whole-file and member-per-record layouts).
+  *
+  * Scale shape: WARC is NOT splittable mid-file, so the unit of
+  * parallelism is the archive FILE — `binaryFiles` hands each task a
+  * lazy [[org.apache.spark.input.PortableDataStream]] (never the
+  * whole file as one array) and the record iterator streams off it
+  * with bounded memory (one payload at a time). A 100 TB crawl is
+  * ~100k files ≈ 100k tasks: exactly how warcio-based readers shard.
+  * Parsing is strict — a truncated or misframed file fails loudly
+  * with the file offset context rather than silently dropping tail
+  * records.
+  */
+object Warc {
+
+  /** One parsed record; `payload` is the raw Content-Length bytes. */
+  case class WarcRecord(
+      warcType: String,
+      recordId: String,
+      targetUri: Option[String],
+      warcDate: Option[String],
+      contentType: Option[String],
+      contentLength: Long,
+      payload: Array[Byte])
+
+  val schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Read every record of every `*.warc` / `*.warc.gz` under `path`
+    * into a DataFrame with [[schema]]. File-granular parallelism;
+    * per-file streaming decode.
+    */
+  def read(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    val files =
+      if (minPartitions > 0) spark.sparkContext.binaryFiles(path, minPartitions)
+      else spark.sparkContext.binaryFiles(path)
+    val rows = files.flatMap { case (file, pds) =>
+      val raw = pds.open()
+      val in = if (file.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw
+      records(in, file).map { r =>
+        Row(file, r.warcType, r.recordId, r.targetUri.orNull, r.warcDate.orNull,
+          r.contentType.orNull, r.contentLength, r.payload)
+      }
+      // the iterator closes `in` on exhaustion; flatMap drains it fully
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Streaming record iterator over one archive stream. Closes `in`
+    * when the stream is exhausted. Strict: any framing violation
+    * throws with `context` and the record index.
+    */
+  def records(in: InputStream, context: String): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val bin = new BufferedInputStream(in, 64 * 1024)
+      private var idx = 0
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      private def fail(msg: String): Nothing =
+        throw new IllegalStateException(s"WARC parse error in $context record #$idx: $msg")
+
+      // header lines are ASCII per spec; ISO-8859-1 keeps bytes 1:1
+      private def readLine(): Option[String] = {
+        val sb = new java.lang.StringBuilder(96)
+        var c = bin.read()
+        if (c < 0) return None
+        while (c >= 0 && c != '\n') { sb.append(c.toChar); c = bin.read() }
+        var s = sb.toString
+        if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s = s.substring(0, s.length - 1)
+        Some(s)
+      }
+
+      private def readFully(n: Long): Array[Byte] = {
+        if (n > Int.MaxValue) fail(s"payload of $n bytes exceeds a single-record bound")
+        val buf = new Array[Byte](n.toInt)
+        var off = 0
+        while (off < buf.length) {
+          val k = bin.read(buf, off, buf.length - off)
+          if (k < 0) fail(s"EOF inside a $n-byte payload at offset $off")
+          off += k
+        }
+        buf
+      }
+
+      private def advance(): Unit = {
+        // tolerate blank padding between records, then expect a version line
+        var line = readLine()
+        while (line.contains("")) line = readLine()
+        line match {
+          case None => done = true; bin.close()
+          case Some(v) if v.startsWith("WARC/") =>
+            var headers = Map.empty[String, String]
+            var h = readLine().getOrElse(fail("EOF in header block"))
+            while (h.nonEmpty) {
+              val i = h.indexOf(':')
+              if (i < 0) fail(s"malformed header line '$h'")
+              headers += h.substring(0, i).trim.toLowerCase -> h.substring(i + 1).trim
+              h = readLine().getOrElse(fail("EOF in header block"))
+            }
+            val len = headers.getOrElse("content-length", fail("missing Content-Length"))
+              .toLongOption.getOrElse(fail("non-numeric Content-Length"))
+            val payload = readFully(len)
+            // trailer: exactly two CRLFs
+            (readLine(), readLine()) match {
+              case (Some(""), Some("")) => ()
+              case other => fail(s"bad record trailer $other")
+            }
+            nextRec = WarcRecord(
+              headers.getOrElse("warc-type", fail("missing WARC-Type")),
+              headers.getOrElse("warc-record-id", fail("missing WARC-Record-ID")),
+              headers.get("warc-target-uri"),
+              headers.get("warc-date"),
+              headers.get("content-type"),
+              len, payload)
+            idx += 1
+          case Some(v) => fail(s"expected WARC/ version line, got '$v'")
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (!done && nextRec == null) advance()
+        !done && nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new EOFException(s"$context exhausted")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** Frame one record onto `out` (spec framing, CRLF line ends). */
+  def writeRecord(out: OutputStream, r: WarcRecord): Unit = {
+    val h = new java.lang.StringBuilder(256)
+    def line(k: String, v: String): Unit = h.append(k).append(": ").append(v).append("\r\n")
+    h.append("WARC/1.0\r\n")
+    line("WARC-Type", r.warcType)
+    line("WARC-Record-ID", r.recordId)
+    r.targetUri.foreach(line("WARC-Target-URI", _))
+    r.warcDate.foreach(line("WARC-Date", _))
+    r.contentType.foreach(line("Content-Type", _))
+    line("Content-Length", r.payload.length.toString)
+    h.append("\r\n")
+    out.write(h.toString.getBytes(StandardCharsets.ISO_8859_1))
+    out.write(r.payload)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+  }
+
+  /** Write `recs` as one archive file; gzip iff the name ends `.gz`. */
+  def writeFile(path: java.nio.file.Path, recs: Seq[WarcRecord]): Unit = {
+    val fos = java.nio.file.Files.newOutputStream(path)
+    val out = if (path.toString.endsWith(".gz")) new GZIPOutputStream(fos) else fos
+    try recs.foreach(writeRecord(out, _)) finally out.close()
+  }
+}

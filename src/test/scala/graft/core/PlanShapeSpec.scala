@@ -232,6 +232,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bc >= 1, s"the 1-row totals must broadcast, got $bc")
   }
 
+  test("q_lm_buckets: the per-doc rank window is banded, never per-language whole") {
+    val df = SparkEntry.queries("q_lm_buckets")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the doc-level row_number must partition by (lang, band) — a
+    // lang-only partition is one task per language at 100 TB; the
+    // only lang-whole windows run over the O(langs×1024) band table
+    val rankLines = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rankLines.nonEmpty && rankLines.forall(_.contains("band")),
+      s"per-doc rank must partition by (lang, band):\n${rankLines.mkString("\n")}")
+    val (_, bc) = PlanDump.counts(df.queryExecution.executedPlan)
+    assert(bc >= 1, s"the band-offset table must broadcast back, got $bc")
+  }
+
   test("q_pagerank: per-round lineage is CUT — the final plan is flat, not cumulative") {
     val (sh, _) = shape("q_pagerank")
     // every iteration localCheckpoints its rank frame, so the final

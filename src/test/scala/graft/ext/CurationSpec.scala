@@ -174,6 +174,34 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.unset(Curation.LmBroadcastMaxWeightsKey)
   }
 
+  test("q_lm_buckets: banded rank equals the naive per-language tercile") {
+    val out = Curation.qLmBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3), r.getString(4)))
+    assert(out.nonEmpty)
+    // the scored population is exactly q_lm_quality's held-out docs
+    val scores = Curation.qLmQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.map(_._1).toSet == scores.keySet)
+    out.foreach { case (id, (_, sc, _)) => assert(sc == scores(id)) }
+    // recompute the naive rank on the driver: sort each language by
+    // (score desc, doc_id), cut at 3·rank ≤ n and 3·rank ≤ 2n —
+    // banding must change nothing
+    out.groupBy(_._2._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy { case (id, (_, sc, _)) => (-sc, id) }
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case ((id, (_, _, bucket)), i) =>
+        val rk = i + 1L
+        val expect = if (rk * 3 <= n) "head"
+          else if (rk * 3 <= 2L * n) "middle" else "tail"
+        assert(bucket == expect, s"doc $id rank $rk/$n: $bucket != $expect")
+      }
+      // tercile masses: head = ⌊n/3⌋, tail = n − ⌊2n/3⌋
+      val byBucket = docs.groupBy(_._2._3).view.mapValues(_.length).toMap
+      assert(byBucket.getOrElse("head", 0) == n / 3)
+      assert(byBucket.getOrElse("tail", 0) == n - 2 * n / 3)
+    }
+  }
+
   test("q_mix_temperature: α=0.5 shares flatten the mix toward small sources") {
     val rows = Curation.qMixTemperature(spark, dir).collect()
     assert(rows.length > 1, "needs at least two sources to mix")

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class UrlOpsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every normalization rule fires, and only on its trigger") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + default port + trailing slash + tracking param + fragment
+      ("HTTPS://Example.COM:443/a/b/?utm_source=x&ref=1#frag",
+        "https://example.com/a/b?ref=1"),
+      // empty path → root; http default port
+      ("http://example.com:80", "http://example.com/"),
+      // NON-default port survives
+      ("http://example.com:8080/x", "http://example.com:8080/x"),
+      // all params tracking → no '?'
+      ("https://example.com/?utm_source=a&utm_campaign=b&gclid=1&fbclid=2",
+        "https://example.com/"),
+      // param order is non-semantic: sorted
+      ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+      // root slash is kept, not trimmed to empty
+      ("https://example.com/", "https://example.com/"),
+      // 'utm' without the underscore is NOT a tracking param (guards
+      // the oracle's LIKE escape staying in sync with startsWith)
+      ("https://example.com/x?utmx=1", "https://example.com/x?utmx=1"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalizeUrl($"url")).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
+
+  test("q_url_canon: variants collapse losslessly onto min-doc_id keepers") {
+    val out = UrlOps.qUrlCanon(spark, dir).collect()
+    val docs = graft.core.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_.getLong(2)).sum == docs, "every doc lands in exactly one group")
+    assert(out.exists(_.getLong(2) > 1), "the synthesis must actually collide variants")
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getString(0).startsWith("https://example.com/")))
+    // no canonical URL retains noise the rules must strip
+    out.foreach { r =>
+      val u = r.getString(0)
+      assert(!u.contains(":443") && !u.contains("#") && !u.contains("utm_"),
+        s"noise survived canonicalization: $u")
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkTestBase
+import graft.ext.WarcIngest
+
+class WarcSpec extends SparkTestBase {
+
+  private def rec(id: Long, text: String, tpe: String = "conversion") = {
+    val p = text.getBytes(StandardCharsets.UTF_8)
+    Warc.WarcRecord(tpe, s"<urn:uuid:doc-$id>",
+      Some(s"https://example.org/src/$id"), Some("2026-01-01T00:00:00Z"),
+      Some("text/plain"), p.length.toLong, p)
+  }
+
+  private def parseBytes(bytes: Array[Byte]): Seq[Warc.WarcRecord] =
+    Warc.records(new ByteArrayInputStream(bytes), "test").toSeq
+
+  test("framing round trip survives CRLF-laden, empty and multibyte payloads") {
+    val recs = Seq(
+      rec(1, "plain ascii"),
+      // the record trailer sequence INSIDE a payload must not split it
+      rec(2, "embedded\r\n\r\ntrailer and\nWARC/1.0\nversion line"),
+      rec(3, ""),
+      rec(4, "multißyte 日本語 text 😀"))
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach(Warc.writeRecord(out, _))
+    val back = parseBytes(out.toByteArray)
+    assert(back.map(_.recordId) == recs.map(_.recordId))
+    back.zip(recs).foreach { case (b, r) =>
+      assert(b.warcType == r.warcType && b.targetUri == r.targetUri)
+      assert(b.contentLength == r.payload.length)
+      assert(java.util.Arrays.equals(b.payload, r.payload))
+    }
+  }
+
+  test("member-per-record gzip concatenation (the Common Crawl layout) decodes fully") {
+    // each record its own gzip member, members concatenated — the
+    // layout CC publishes so records are individually seekable
+    val recs = (1L to 5L).map(i => rec(i, s"doc $i body"))
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      Warc.writeRecord(gz, r)
+      gz.finish()
+    }
+    val back = parseBytes {
+      val in = new java.util.zip.GZIPInputStream(
+        new ByteArrayInputStream(out.toByteArray))
+      val buf = new java.io.ByteArrayOutputStream()
+      in.transferTo(buf); buf.toByteArray
+    }
+    assert(back.map(_.recordId) == recs.map(_.recordId))
+  }
+
+  test("truncation and misframing fail loudly with file context") {
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.writeRecord(out, rec(1, "a payload that will be cut"))
+    val whole = out.toByteArray
+    val cut = java.util.Arrays.copyOf(whole, whole.length - 12)
+    val e = intercept[IllegalStateException](parseBytes(cut))
+    assert(e.getMessage.contains("test") && e.getMessage.contains("record #"))
+    val junk = "HTTP/1.1 200 OK\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val e2 = intercept[IllegalStateException](parseBytes(junk))
+    assert(e2.getMessage.contains("version line"))
+    val noLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Record-ID: <urn:uuid:x>\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
+    val e3 = intercept[IllegalStateException](parseBytes(noLen))
+    assert(e3.getMessage.contains("Content-Length"))
+  }
+
+  test("q_warc_ingest reproduces the corpus from bytes alone, across plain and gz shards") {
+    val dir = "/root/testdata/sf0.001"
+    val got = WarcIngest.qWarcIngest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .collect().map { r =>
+        val text = r.getAs[String]("text")
+        val bytes = text.getBytes(StandardCharsets.UTF_8)
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), bytes.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes))
+      }.sortBy(_._1)
+    assert(got.toSeq == docs.toSeq)
+    // every shard contributed (both layouts actually exercised), and
+    // each shard leads with a warcinfo record the query filtered out
+    val raw = Warc.read(spark, WarcIngest.warcFixture(spark, dir))
+    val files = raw.select("warc_file").distinct().collect().map(_.getString(0))
+    assert(files.count(_.endsWith(".warc")) == 2 && files.count(_.endsWith(".gz")) == 2)
+    import org.apache.spark.sql.functions.col
+    assert(raw.where(col("warc_type") === "warcinfo").count() == 4)
+  }
+}
