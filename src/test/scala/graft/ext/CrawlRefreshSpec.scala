@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CrawlRefreshSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("refresh is idempotent, partitions arrivals, and merges exactly the admitted set") {
+    val run1 = CrawlRefresh.qCrawlRefresh(spark, dir).collect().map(_.toSeq)
+    val run2 = CrawlRefresh.qCrawlRefresh(spark, dir).collect().map(_.toSeq)
+    assert(run1.toSeq == run2.toSeq, "re-running the refresh must change nothing")
+
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val nNew = docs.where(srcNum >= 10).count()
+    val nOld = docs.where(srcNum < 10).count()
+    val audit = run1.filter(_.head.toString.startsWith("_"))
+      .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+    // the four buckets partition the arrivals exactly
+    assert(audit.values.sum == nNew, s"audit $audit must sum to $nNew arrivals")
+    assert(audit.getOrElse("_admitted", 0L) > 0, "the refresh must admit something")
+    assert(audit.getOrElse("_gate_rejected", 0L) > 0, "the gate must reject something")
+
+    // the refreshed table = old corpus + exactly the admitted docs
+    val table = CrawlRefresh.corpusTable(spark, dir).read()
+    assert(table.count() == nOld + audit("_admitted"))
+    val ids = table.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "merge must never duplicate a doc")
+    // per-source rows equal the table's own aggregate
+    val perSource = run1.filterNot(_.head.toString.startsWith("_"))
+      .map(r => (r.head.toString, r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    val expect = table.groupBy(col("source"))
+      .agg(count(lit(1)), sum(octet_length(col("text")).cast("long")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perSource.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+  }
+
+  test("every _neardup_old rejection has a qualifying pair in the incremental miner") {
+    CrawlRefresh.qCrawlRefresh(spark, dir).collect() // ensure fixtures exist
+    // recompute dispositions via the standalone incremental miner: the
+    // pair set restricted to (new, old) must cover every rejected id
+    val pairs = IncrementalDedup.qIncrementalNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val oldIds = docs.where(srcNum < 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val newOldPartners = pairs.flatMap { case (a, b) =>
+      if (oldIds(a) && !oldIds(b)) Some(b)
+      else if (oldIds(b) && !oldIds(a)) Some(a) else None
+    }.toSet
+    // _neardup_old docs are the gate-passing subset of newOldPartners;
+    // every one of them must have an old partner in the exact pair set
+    val table = CrawlRefresh.corpusTable(spark, dir).read()
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rejectedNew = docs.where(srcNum >= 10).select("doc_id")
+      .collect().map(_.getLong(0)).filterNot(table)
+    // (rejections also include gate/within-batch cases; the check is
+    // one-directional: an old-pair partner that passed the gate and
+    // was NOT admitted must exist whenever the audit said so)
+    val audit = CrawlRefresh.qCrawlRefresh(spark, dir).collect()
+      .filter(_.getString(0) == "_neardup_old")
+    if (audit.nonEmpty && audit.head.getLong(1) > 0) {
+      assert(rejectedNew.exists(newOldPartners),
+        "_neardup_old rejections must correspond to exact new×old pairs")
+    }
+  }
+}
