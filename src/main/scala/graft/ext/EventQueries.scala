@@ -221,6 +221,40 @@ object EventQueries {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** CALENDAR GAP-FILL (resample-to-daily): every user's complete
+    * day-by-day series from their first to last event, missing days
+    * ZERO-FILLED — the densification every time-series consumer
+    * (forecasting features, retention curves, SLA dashboards) needs
+    * before windowed math, and the op SQL engines hand-roll with a
+    * calendar table. Shape: one (user, day) aggregate; the calendar
+    * EXPLODES from the |users|-row span table (`sequence(d0, d1)` is
+    * map-side, bounded by span days — never a cross join against a
+    * global calendar); the left join back densifies. At 100 TB the
+    * daily rollup is the stored artifact and only the span explode +
+    * join recur. Counts are integers; the value sum is DECIMAL (the
+    * [[qRfm]] convention) so zero-fill and order are engine-exact.
+    */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val daily = e
+      .select($"user_id", tsSec(e).as("sec"), $"value")
+      .select($"user_id", expr("sec div 86400").as("day"), $"value")
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).as("sum_value"))
+      .localCheckpoint(eager = false) // shared: span aggregate + join back
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"sum_value", lit(0).cast(DecimalType(28, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy($"user_id", $"day")
+  }
+
   /** LAST-TOUCH ATTRIBUTION — the batch twin of the streaming
     * interval-join attribution ([[graft.streaming.StreamOps
     * .clickAttribution]]): each purchase is credited to the same
@@ -438,6 +472,7 @@ object EventQueries {
     "q_basket_pairs" -> (qBasketPairs _),
     "q_rfm" -> (qRfm _),
     "q_transitions" -> (qTransitions _),
+    "q_gap_fill" -> (qGapFill _),
     "q_attribution" -> (qAttribution _),
   )
 
@@ -631,6 +666,20 @@ object EventQueries {
         |SELECT cohort_day, day_offset, COUNT(*) AS n_users
         |FROM u GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id, unnest(range(MIN(day), MAX(day) + 1)) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT c.user_id, c.day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  CAST(COALESCE(d.sum_value, 0) AS DOUBLE) AS sum_value
+        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+        |ORDER BY c.user_id, c.day""".stripMargin,
     "q_props_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n,

@@ -116,6 +116,33 @@ class InvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("gap-fill densifies every user's span exactly, zero-filling only eventless days") {
+    val out = EventQueries.qGapFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ev = Tables.load(spark, dir, "events")
+    val days = ev.select(col("user_id"), EventTime.sec(ev).as("sec"))
+      .select(col("user_id"), expr("sec div 86400").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = days.groupBy(_._1)
+    // per user: exactly (max-min+1) contiguous rows, no more or fewer
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val uDays = byUser(u).map(_._2)
+      val (d0, d1) = (uDays.min, uDays.max)
+      assert(rows.length == (d1 - d0 + 1).toInt, s"user $u span not dense")
+      assert(rows.map(_._2).sorted.toSeq == (d0 to d1).toSeq)
+    }
+    // zero rows are exactly the days the user had no events
+    val eventDays = days.toSet
+    out.foreach { case (u, d, n, sv) =>
+      if (n == 0L) {
+        assert(!eventDays((u, d)), s"user $u day $d zero-filled but has events")
+        assert(sv == 0.0)
+      } else assert(eventDays((u, d)))
+    }
+    // total event mass is conserved
+    assert(out.map(_._3).sum == ev.count())
+  }
+
   test("qVocab enforces the vocabulary bound loudly and is unchanged under a passing bound") {
     val dir = "/root/testdata/sf0.001"
     val base = TextAnalysis.qVocab(spark, dir).collect()
