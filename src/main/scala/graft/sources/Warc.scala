@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500) reader/writer — the wire format web-crawl
@@ -71,6 +72,39 @@ object Warc {
       // the iterator closes `in` on exhaustion; flatMap drains it fully
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** STREAMING WARC source — new crawl shards arrive, each micro-batch
+    * parses only the newly-seen archive files (checkpointed file-
+    * source admission, `maxFilesPerTrigger`-boundable): the
+    * incremental front of a refresh pipeline. Built on the
+    * `binaryFile` streaming source, which delivers each file's bytes
+    * whole — so per-task memory is one shard (crawl shards are sized
+    * ~1 GB by convention; the BATCH [[read]] path streams lazily via
+    * PortableDataStream and has no such bound). Output schema matches
+    * [[schema]].
+    */
+  def readStream(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val r = spark.readStream.format("binaryFile").schema(binSchema)
+    val files =
+      (if (maxFilesPerTrigger > 0)
+        r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r).load(path)
+    files.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val raw = new java.io.ByteArrayInputStream(bytes)
+        val in = if (file.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw
+        records(in, file).map { r =>
+          (file, r.warcType, r.recordId, r.targetUri, r.warcDate,
+            r.contentType, r.contentLength, r.payload)
+        }
+      }
+      .toDF("warc_file", "warc_type", "record_id", "target_uri",
+        "warc_date", "content_type", "content_length", "payload")
   }
 
   /** Streaming record iterator over one archive stream. Closes `in`

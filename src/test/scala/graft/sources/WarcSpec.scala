@@ -72,6 +72,35 @@ class WarcSpec extends SparkTestBase {
     assert(e3.getMessage.contains("Content-Length"))
   }
 
+  test("streaming WARC source admits shards incrementally and restarts from the checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream")
+    val out = tmpDir("warc-stream-out")
+    val ckpt = tmpDir("warc-stream-ckpt")
+    def runOnce(): Unit = {
+      val q = Warc.readStream(spark, dir.toString, maxFilesPerTrigger = 1)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Warc.writeFile(dir.resolve("s0.warc"), (1L to 3L).map(i => rec(i, s"doc $i")))
+    Warc.writeFile(dir.resolve("s1.warc.gz"), (4L to 5L).map(i => rec(i, s"doc $i")))
+    runOnce()
+    val ids1 = spark.read.parquet(out).select("record_id")
+      .collect().map(_.getString(0)).sorted
+    assert(ids1.toSeq == (1L to 5L).map(i => s"<urn:uuid:doc-$i>"))
+    // one file per trigger ⇒ 2 committed batches
+    assert(new java.io.File(s"$ckpt/commits").list().count(!_.startsWith(".")) == 2)
+    // a NEW shard arrives; the restarted query parses ONLY it
+    Warc.writeFile(dir.resolve("s2.warc"), Seq(rec(6L, "doc 6")))
+    runOnce()
+    val ids2 = spark.read.parquet(out).select("record_id")
+      .collect().map(_.getString(0)).sorted
+    assert(ids2.toSeq == (1L to 6L).map(i => s"<urn:uuid:doc-$i>"),
+      "restart must append exactly the new shard's records, once")
+  }
+
   test("q_warc_ingest reproduces the corpus from bytes alone, across plain and gz shards") {
     val dir = "/root/testdata/sf0.001"
     val got = WarcIngest.qWarcIngest(spark, dir).collect()
