@@ -59,35 +59,34 @@ object CrawlRefresh {
       t
     }
 
-  def qCrawlRefresh(s: SparkSession, dir: String): DataFrame = {
+  /** The quality-gate predicate ([[Curation.curate]]'s exact
+    * counters) over a (doc_id, source, text) frame.
+    */
+  private def gateExpr: org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.tokens(col("text"))
+    size(toks).cast("long").between(20L, 80L) &&
+      size(filter(toks, t => t.isin(TextAnalysis.qualityStopwords: _*))) >= 1
+  }
+
+  /** Disposition of a gated batch against an existing-corpus postings
+    * index `(h, m)`: the shared core of the batch [[qCrawlRefresh]]
+    * and the streaming [[streamRefresh]]. Self-pairs (same doc id on
+    * both sides) are excluded so a replayed streaming batch whose
+    * postings already landed in the index cannot reject itself.
+    */
+  private def dispositions(gated: DataFrame, oldIdx: DataFrame): DataFrame = {
+    val s = gated.sparkSession
     import s.implicits._
     import graft.functions.PairExpand
     val szMask = lit(PairExpand.SzMask)
-    // 1. the new batch, from the WARC bytes
-    val parsed = Warc.read(s, WarcIngest.warcFixture(s, dir))
-      .where(col("warc_type") === "conversion")
-      .select(
-        element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
-        element_at(split(col("target_uri"), "/"), -2).as("source"),
-        col("payload").cast("string").as("text"))
-      .where(srcNum >= 10)
-    // 2. map-side quality gate (curate's exact counters)
-    val toks = TextAnalysis.tokens(col("text"))
-    val gated = parsed
-      .select(col("doc_id"), col("source"), col("text"),
-        (size(toks).cast("long").between(20L, 80L) &&
-          size(filter(toks, t => t.isin(TextAnalysis.qualityStopwords: _*))) >= 1)
-          .as("pass_gate"))
-      .localCheckpoint(eager = false)
-    // 3. near-dup tiers over gate-passers only
     val sets = TextAnalysis.docShingleSets(gated.where(col("pass_gate")))
     val newIdx = sets
       .select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
       .localCheckpoint(eager = false)
-    val oldIdx = s.read.parquet(
-      s"${IncrementalDedup.persistedIndexDir(s, dir)}/index")
     val rejectOld = newIdx.select($"h", $"m".as("mn"))
       .join(oldIdx.select($"h", $"m".as("mo")), "h")
+      .where(shiftrightunsigned($"mn", PairExpand.SzBits) =!=
+        shiftrightunsigned($"mo", PairExpand.SzBits))
       .groupBy($"mn", $"mo").agg(count(lit(1)).as("common"))
       .where(lit(3) * $"common" >=
         $"mn".bitwiseAND(szMask) + $"mo".bitwiseAND(szMask))
@@ -102,8 +101,7 @@ object CrawlRefresh {
         $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
       .select(shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_id"))
       .distinct()
-    // one disposition frame feeds the merge AND the audit
-    val dispo = gated
+    gated
       .join(rejectOld.withColumn("r_old", lit(true)), Seq("doc_id"), "left")
       .join(rejectNew.withColumn("r_new", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("text"),
@@ -111,6 +109,24 @@ object CrawlRefresh {
           .when(col("r_old"), "_neardup_old")
           .when(col("r_new"), "_neardup_new")
           .otherwise("_admitted").as("bucket"))
+  }
+
+  def qCrawlRefresh(s: SparkSession, dir: String): DataFrame = {
+    // 1. the new batch, from the WARC bytes
+    val parsed = Warc.read(s, WarcIngest.warcFixture(s, dir))
+      .where(col("warc_type") === "conversion")
+      .select(
+        element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+        element_at(split(col("target_uri"), "/"), -2).as("source"),
+        col("payload").cast("string").as("text"))
+      .where(srcNum >= 10)
+    // 2. map-side quality gate (curate's exact counters)
+    val gated = parsed
+      .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
+      .localCheckpoint(eager = false)
+    // 3+audit. one disposition frame feeds the merge AND the audit
+    val dispo = dispositions(gated, s.read.parquet(
+        s"${IncrementalDedup.persistedIndexDir(s, dir)}/index"))
       .localCheckpoint(eager = false)
     // 4. idempotent merge of the survivors
     val t = corpusTable(s, dir)
@@ -126,6 +142,49 @@ object CrawlRefresh {
       .select(col("bucket"), col("n_docs"), lit(null).cast("long").as("sum_bytes"))
     refreshed.unionAll(audit).orderBy(col("bucket"))
   }
+
+  /** The STREAMING refresh — the same pipeline run continuously as
+    * crawl slices arrive: each micro-batch of `(doc_id, source, text)`
+    * docs is gated, dispositioned against the LIVE postings index,
+    * its survivors merged into the corpus table, and the survivors'
+    * postings appended to the index so LATER batches near-dup against
+    * everything admitted so far (the index grows with the corpus —
+    * the property the batch one-shot cannot give a continuous feed).
+    *
+    * Exactly-once: the corpus merge is idempotent by key (re-merging
+    * identical rows is a no-op update) and the index append is a
+    * (writerId, batchId) transactional [[TxTable.appendBatch]] — a
+    * replayed batch re-merges harmlessly and its postings commit
+    * once. [[dispositions]] excludes self-pairs, so a replay whose
+    * postings already landed cannot reject its own documents; its
+    * final corpus/index state is identical either way.
+    *
+    * Scale: per-trigger work is O(batch) — the gate is map-side, the
+    * index join is bounded by the batch's postings, and the merge
+    * touches only admitted rows.
+    */
+  def streamRefresh(docs: DataFrame, corpus: TxTable, index: TxTable,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("crawl-refresh")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val gated = batch
+          .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
+          .localCheckpoint()
+        val survivors = dispositions(gated, index.read())
+          .where(col("bucket") === "_admitted")
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint()
+        corpus.merge(survivors, Seq("doc_id"))
+        index.appendBatch(
+          TextAnalysis.docShingleSets(survivors)
+            .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m")),
+          "crawl-refresh-idx", batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_refresh" -> (qCrawlRefresh _))

@@ -38,6 +38,58 @@ class CrawlRefreshSpec extends SparkTestBase {
     assert(perSource.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
   }
 
+  test("streaming refresh: the index grows with admissions; restarts are exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, explode}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // distinct-vocab texts never near-dup each other; ≥20 tokens with
+    // a stopword so the gate passes
+    def text(k: Long): String =
+      (1 to 24).map(i => s"w${k}_$i").patch(3, Seq("the"), 0).mkString(" ")
+    def nearDup(of: Long): String = {
+      val t = text(of).split(" ")
+      t.updated(t.length - 2, "CHANGED").mkString(" ")
+    }
+    val base = tmpDir("stream-refresh")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append(Seq((1L, "seed", text(1))).toDF("doc_id", "source", "text"))
+    val index = new graft.core.TxTable(spark, s"$base/index")
+    index.append(TextAnalysis.docShingleSets(corpus.read())
+      .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m")))
+
+    val stream = MemoryStream[(Long, String, String)]
+    def run(): Unit = CrawlRefresh.streamRefresh(
+      stream.toDF().toDF("doc_id", "source", "text"),
+      corpus, index, s"$base/ckpt").awaitTermination()
+
+    // wave 1: near-dup of the seed, a unique doc, a gate failure, and
+    // an intra-batch near-dup pair (smaller id wins)
+    stream.addData(Seq(
+      (10L, "crawl", nearDup(1)),
+      (11L, "crawl", text(11)),
+      (12L, "crawl", "too short entirely"),
+      (13L, "crawl", text(13)),
+      (14L, "crawl", nearDup(13))))
+    run()
+    val ids1 = corpus.read().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.toSeq == Seq(1L, 11L, 13L), s"wave 1 admitted $ids1")
+
+    // wave 2 across a RESTART: a near-dup of a wave-1 ADMISSION must
+    // be rejected — only possible because the index grew
+    stream.addData(Seq((20L, "crawl", nearDup(11)), (21L, "crawl", text(21))))
+    run()
+    val ids2 = corpus.read().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids2.toSeq == Seq(1L, 11L, 13L, 21L), s"wave 2 admitted $ids2")
+    // the index holds postings for exactly the corpus docs
+    val idxDocs = index.read()
+      .select(org.apache.spark.sql.functions
+        .shiftrightunsigned(col("m"), graft.functions.PairExpand.SzBits))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(idxDocs == Set(1L, 11L, 13L, 21L), s"index docs $idxDocs")
+  }
+
   test("every _neardup_old rejection has a qualifying pair in the incremental miner") {
     CrawlRefresh.qCrawlRefresh(spark, dir).collect() // ensure fixtures exist
     // recompute dispositions via the standalone incremental miner: the
