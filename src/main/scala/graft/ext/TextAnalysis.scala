@@ -656,7 +656,32 @@ object TextAnalysis {
       .orderBy($"token_id")
   }
 
+  /** VOCABULARY ENCODE — the tokenize-to-ids pass between [[qVocab]]
+    * (train the vocabulary) and [[qTokenPacking]] (pack the id
+    * streams): every token of every document becomes its vocabulary
+    * id, out-of-vocabulary tokens the UNK id (-1), positions
+    * preserved. Long form (doc_id, pos, token_id) — the layout a
+    * tokenized-corpus table actually ships in.
+    *
+    * Scale shape: the vocabulary is BOUNDED by construction
+    * ([[VocabMaxKey]] fails loudly above it), so the encode join is a
+    * broadcast against a map-side posexplode — zero data shuffles
+    * before the output sort; the same plan at any corpus size.
+    */
+  def qEncodeIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = qVocab(s, dir).select($"term", $"token_id")
+    docs(s, dir)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "term")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        coalesce($"token_id", lit(-1L)).as("token_id"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_encode_ids" -> (qEncodeIds _),
     "q_shuffle_order" -> ((s: SparkSession, d: String) => qShuffleOrder(s, d)),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_vocab" -> ((s: SparkSession, d: String) => qVocab(s, d)),
@@ -717,6 +742,25 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS token_id,
         |  term, n
         |FROM c ORDER BY token_id""".stripMargin,
+    // same vocabulary CTE; encode = positioned tokens left-joined to
+    // it, UNK = -1 — 0-based pos matches Spark's posexplode
+    "q_encode_ids" ->
+      """WITH c AS (
+        |  SELECT term, COUNT(*) AS n FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |    FROM documents) GROUP BY term HAVING COUNT(*) >= 10),
+        |v AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS token_id,
+        |    term
+        |  FROM c),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, t[i + 1] AS term
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents), LATERAL (SELECT unnest(range(len(t))) AS i))
+        |SELECT tok.doc_id, CAST(tok.pos AS BIGINT) AS pos,
+        |  COALESCE(v.token_id, -1) AS token_id
+        |FROM tok LEFT JOIN v USING (term)
+        |ORDER BY doc_id, pos""".stripMargin,
     // DISTINCT windows per doc (ShingleHashes dedupes map-side), join
     // on the window STRING where the engine joins on the chained
     // 64-bit window hash — identical counts absent a hash collision

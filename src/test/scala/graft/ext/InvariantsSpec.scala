@@ -143,6 +143,28 @@ class InvariantsSpec extends SparkTestBase {
     assert(out.map(_._3).sum == ev.count())
   }
 
+  test("encode-ids round-trips: decoding through the vocab reproduces every in-vocab token") {
+    val enc = TextAnalysis.qEncodeIds(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vocab = TextAnalysis.qVocab(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    // every token position appears exactly once (mass conservation)
+    assert(enc.length == docs.values.map(_.length).sum)
+    val terms = vocab.values.toSet
+    enc.foreach { case (doc, pos, id) =>
+      val tok = docs(doc)(pos.toInt)
+      if (id >= 0) assert(vocab(id) == tok, s"doc $doc pos $pos decodes wrong")
+      else assert(!terms(tok), s"in-vocab token $tok got UNK")
+    }
+    // UNK appears iff the corpus actually has sub-cutoff terms (it
+    // does at sf0.01+; the sf0.001 synthetic vocab can be all-common)
+    val counts = docs.values.flatten.groupBy(identity).map(_._2.size)
+    assert(enc.exists(_._3 == -1L) == counts.exists(_ < 10))
+    assert(enc.exists(_._3 >= 0L))
+  }
+
   test("qVocab enforces the vocabulary bound loudly and is unchanged under a passing bound") {
     val dir = "/root/testdata/sf0.001"
     val base = TextAnalysis.qVocab(spark, dir).collect()
