@@ -189,6 +189,26 @@ object Warc {
       }
     }
 
+  /** HTTP split for `response` records, whose payload is the raw HTTP
+    * response (status line + headers + CRLFCRLF + body) — pure column
+    * expressions (codegen'd, no UDF): the numeric status code, and
+    * the body after the first blank line. A payload with no header
+    * terminator yields an empty body (strict crawls drop those).
+    */
+  def httpStatus(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val m = regexp_extract(payload.cast("string"), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    // no-match ⇒ NULL, not an ANSI cast failure on ''
+    when(m =!= "", m.cast("int"))
+  }
+
+  def httpBody(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val s = payload.cast("string")
+    val at = locate("\r\n\r\n", s)
+    when(at > 0, s.substr(at + lit(4), length(s))).otherwise(lit(""))
+  }
+
   /** Frame one record onto `out` (spec framing, CRLF line ends). */
   def writeRecord(out: OutputStream, r: WarcRecord): Unit = {
     val h = new java.lang.StringBuilder(256)

@@ -72,6 +72,26 @@ class WarcSpec extends SparkTestBase {
     assert(e3.getMessage.contains("Content-Length"))
   }
 
+  test("HTTP response payloads split into status and body as pure column exprs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nServer: x\r\n\r\n" +
+      "<html>body with\r\n\r\nblank lines inside</html>"
+    val redirect = "HTTP/1.0 301 Moved\r\nLocation: /new\r\n\r\n"
+    val headless = "no http framing at all"
+    val df = Seq(http, redirect, headless).map(_.getBytes(StandardCharsets.UTF_8))
+      .toDF("payload")
+      .select(Warc.httpStatus(col("payload")).as("status"),
+        Warc.httpBody(col("payload")).as("body"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 200 &&
+      rows(0).getString(1) == "<html>body with\r\n\r\nblank lines inside</html>",
+      "body split must stop at the FIRST blank line only")
+    assert(rows(1).getInt(0) == 301 && rows(1).getString(1) == "")
+    assert(rows(2).isNullAt(0) || rows(2).getInt(0) == 0)
+    assert(rows(2).getString(1) == "")
+  }
+
   test("streaming WARC source admits shards incrementally and restarts from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("warc-stream")
