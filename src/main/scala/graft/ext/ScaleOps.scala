@@ -1306,6 +1306,34 @@ object ScaleOps {
     * exact distincts for HLL sketches ([[qApproxStats]]) — the shape
     * is otherwise identical. All metrics are integers: engine-exact.
     */
+  /** The DATA CARD — the per-source "datasheet for datasets" a corpus
+    * publisher ships (doc counts, byte/token mass, language spread,
+    * exact-dup mass), plus the corpus-total row, in ONE rollup
+    * aggregate over one map pass: tokens/bytes/fingerprints are
+    * map-side expressions, `rollup(source)` folds the per-source and
+    * total rows in the same exchange, and the two count-distincts
+    * expand map-side (Spark's Expand — same one-scan shape as
+    * [[qProfile]]; at 100 TB swap them for HLL sketches, shape
+    * unchanged). Every metric is an integer: engine-exact.
+    */
+  def qDataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(
+      col("source"), col("lang"),
+      size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      graft.ext.TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    d.rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
+      .select(coalesce(col("source"), lit("_total")).as("source"),
+        col("n_docs"), col("sum_bytes"), col("sum_tokens"),
+        col("n_langs"), col("n_dup_docs"))
+      .orderBy(col("source"))
+  }
+
   def qProfile(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
@@ -1907,6 +1935,7 @@ object ScaleOps {
     "q_anomaly" -> (qAnomaly _),
     "q_tx_rename" -> (qTxRename _),
     "q_profile" -> (qProfile _),
+    "q_data_card" -> (qDataCard _),
     "q_tx_gencol" -> (qTxGencol _),
     "q_tx_replica" -> (qTxReplica _),
     "q_tx_zorder" -> (qTxZorder _),
@@ -2308,6 +2337,17 @@ object ScaleOps {
         |              ELSE o_totalprice END AS o_totalprice
         |  FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // per-source datasheet + total via ROLLUP; strlen is UTF-8 byte
+    // length (= Spark octet_length); all metrics integer
+    "q_data_card" ->
+      """SELECT COALESCE(source, '_total') AS source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+        |    AS sum_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(trim(text))) AS BIGINT) AS n_dup_docs
+        |FROM documents GROUP BY ROLLUP(source) ORDER BY source""".stripMargin,
     // one-pass profile reconstructed metric-by-metric; all integers
     "q_profile" ->
       """WITH a AS (
