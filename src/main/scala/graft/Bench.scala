@@ -51,6 +51,7 @@ object Bench {
         // parse-back / ingested store
         () => graft.ext.WarcIngest.warcFixture(spark, sfDir),
         () => graft.ext.JsonlIngest.ingest(spark, sfDir),
+        () => graft.ext.CsvIngest.csvFixture(spark, sfDir),
       )
       warmups.foreach(w => try w() catch { case _: Throwable => () })
     }
