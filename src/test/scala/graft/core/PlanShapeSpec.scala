@@ -232,6 +232,55 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bc >= 1, s"the 1-row totals must broadcast, got $bc")
   }
 
+  test("q_url_canon: canonicalization is map-side — one agg shuffle plus the output sort") {
+    val (sh, bc) = shape("q_url_canon")
+    assert(sh <= 2, s"expected dedup agg + sort only, got $sh shuffles")
+    assert(bc == 0, s"nothing should broadcast, got $bc")
+  }
+
+  test("q_encode_ids: the bounded vocab broadcasts; the encode pass has no data shuffle") {
+    val df = SparkEntry.queries("q_encode_ids")(spark, dir)
+    val (sh, bc) = PlanDump.counts(df.queryExecution.executedPlan)
+    assert(bc >= 1, s"the vocabulary must broadcast, got $bc")
+    // vocab build (agg + id window over the bounded vocab) + output
+    // sort; the doc-side posexplode must never shuffle before the join
+    assert(sh <= 3, s"encode grew beyond vocab-agg/vocab-window/sort: $sh")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "encode join must be broadcast")
+  }
+
+  test("q_data_card: one rollup aggregate, no join, one scan") {
+    val df = SparkEntry.queries("q_data_card")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans == 1, s"the datasheet must be one corpus pass, got $docScans scans")
+    assert(!plan.contains("Join"), "no join belongs in a one-pass rollup")
+    val (sh, _) = shape("q_data_card")
+    assert(sh <= 3, s"expand/rollup agg + sort only, got $sh")
+  }
+
+  test("q_gap_fill: the calendar explodes from the span aggregate, never a global calendar") {
+    val df = SparkEntry.queries("q_gap_fill")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the explode (Generate) must sit ABOVE the per-user span
+    // aggregate — i.e. over |users| rows, not over the events scan
+    val lines = plan.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, "expected a sequence explode in the plan")
+    val aggBelow = lines.drop(genIdx).exists(l =>
+      l.contains("HashAggregate") && (l.contains("min(") || l.contains("max(")))
+    assert(aggBelow, "the explode must consume the span aggregate's output")
+  }
+
+  test("q_warc_ingest / q_csv_ingest / q_jsonl_ingest: parse-backs are sort-only plans") {
+    for (q <- Seq("q_warc_ingest", "q_csv_ingest")) {
+      val (sh, bc) = shape(q)
+      assert(sh <= 1 && bc == 0, s"$q: expected scan+project+sort, got ($sh, $bc)")
+    }
+    val (sh, _) = shape("q_jsonl_ingest")
+    assert(sh <= 3, s"q_jsonl_ingest: agg + union agg + sort, got $sh")
+  }
+
   test("q_lm_buckets: the per-doc rank window is banded, never per-language whole") {
     val df = SparkEntry.queries("q_lm_buckets")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
