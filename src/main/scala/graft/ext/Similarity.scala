@@ -60,6 +60,34 @@ object Similarity {
       .limit(10)
   }
 
+  /** RAG RETRIEVAL — vector search that returns DOCUMENTS, not ids:
+    * the query vector's exact top-5 neighbors (the rerank stage every
+    * ANN pipeline ends with — at scale the candidate set comes from
+    * the IVF/PQ shortlist, [[PqIndex.qAnnIvfPq]], and this join is
+    * unchanged) resolved against the corpus for rank, similarity,
+    * language and the text snippet a retrieval consumer consumes.
+    * The k-row hit list broadcasts into the corpus join; the rank
+    * window runs over k rows, bounded by construction.
+    */
+  def qRagRetrieve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val top = e.filter($"vec_id" =!= 0)
+      .join(broadcast(q))
+      .select($"vec_id",
+        graft.functions.QuantizedCosine($"embedding", $"qvec").as("cosq"))
+      .orderBy($"cosq".desc, $"vec_id").limit(5)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cosq".desc, $"vec_id")).cast("long"))
+    broadcast(top)
+      .join(Tables.load(s, dir, "documents"), $"vec_id" === col("doc_id"))
+      .select($"rank", $"vec_id", $"cosq", col("lang"),
+        substring(col("text"), 1, 40).as("snippet"))
+      .orderBy($"rank")
+  }
+
   /** Per-label centroid, emitted as (label, dim, sum_scaled, n) with
     * values quantized to floor(x·2²⁰) longs — exact float→double
     * scaling plus engine-unambiguous floor (round()'s half-way rule
@@ -313,6 +341,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (qCosineTopK _),
+    "q_rag_retrieve" -> (qRagRetrieve _),
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_cosine_dups" -> (qCosineDups _),
@@ -438,6 +467,29 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" -> exactTopKCosineSql,
+    // the exact top-5 CTEs + rank + corpus join-back (doc_id = vec_id)
+    "q_rag_retrieve" ->
+      s"""WITH $quantCtes,
+         |dot AS (
+         |  SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS d
+         |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id = 0
+         |  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+         |sc AS (
+         |  SELECT dot.vec_id,
+         |    CASE WHEN na.n2 = 0 OR nq.n2 = 0 THEN 0
+         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nq.n2 AS DOUBLE)) * 10000.0)
+         |              AS BIGINT) END AS cosq
+         |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+         |           JOIN nrm nq ON nq.vec_id = 0),
+         |top AS (
+         |  SELECT vec_id, cosq,
+         |    row_number() OVER (ORDER BY cosq DESC, vec_id) AS rank
+         |  FROM sc ORDER BY cosq DESC, vec_id LIMIT 5)
+         |SELECT top.rank, top.vec_id, top.cosq, d.lang,
+         |  substring(d.text, 1, 40) AS snippet
+         |FROM top JOIN documents d ON top.vec_id = d.doc_id
+         |ORDER BY top.rank""".stripMargin,
     "q_ann_lsh" -> exactTopKCosineSql,
     // nearest-of-8-seeds reconstruction: all (vector, seed) quantized
     // dots → cosq → argmax per vector with ties to the lower seed id,
