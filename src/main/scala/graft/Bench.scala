@@ -38,22 +38,11 @@ object Bench {
           .groupBy(col("t")).count().count(),
         () => spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(posexplode(col("embedding"))).count(),
-        // chain-built ACID fixtures: construction is per-process
-        // setup, the graded artifact is the read — build them here so
-        // run1 of a cold process measures the query, not the fixture
-        () => graft.ext.ScaleOps.prewarmChainFixtures(spark, sfDir),
-        // persisted-ANN-index fixture: the build is one-time serving
-        // setup; the graded artifact is the index READ
-        () => graft.ext.PqIndex.persistedIndexDir(spark, sfDir),
-        () => graft.ext.IncrementalDedup.persistedIndexDir(spark, sfDir),
-        // corpus-format fixtures: framing/ingesting the WARC + JSONL
-        // shards is per-session setup; the graded artifact is the
-        // parse-back / ingested store
-        () => graft.ext.WarcIngest.warcFixture(spark, sfDir),
-        () => graft.ext.JsonlIngest.ingest(spark, sfDir),
-        () => graft.ext.CsvIngest.csvFixture(spark, sfDir),
       )
       warmups.foreach(w => try w() catch { case _: Throwable => () })
+      // build-once fixtures (ACID chains, serving indexes, corpus
+      // shards): per-process setup, shared with BenchOne
+      Prewarm.fixtures(spark, sfDir)
     }
     // a query that throws is reported as -1.0 (and listed in "failed"),
     // never as a normal-looking elapsed time

@@ -4,8 +4,7 @@ object BenchOne {
     val spark = graft.core.Sessions.local("bench-one", 32)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // same untimed fixture prewarm as Bench: run1 measures the query
-    try graft.ext.ScaleOps.prewarmChainFixtures(spark, dir)
-    catch { case _: Throwable => () }
+    Prewarm.fixtures(spark, dir)
     args.drop(1).foreach { q =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()

@@ -144,7 +144,15 @@ object Warc {
         buf
       }
 
-      private def advance(): Unit = {
+      private def advance(): Unit = try advance0() catch {
+        case e: IllegalStateException => throw e
+        // a corrupt gzip member / IO fault surfaces with file context,
+        // not a bare ZLIB message from deep inside the decoder
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"WARC stream error in $context record #$idx: ${e.getMessage}", e)
+      }
+
+      private def advance0(): Unit = {
         // tolerate blank padding between records, then expect a version line
         var line = readLine()
         while (line.contains("")) line = readLine()
