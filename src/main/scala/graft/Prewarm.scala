@@ -20,6 +20,7 @@ object Prewarm {
       () => graft.ext.WarcIngest.warcFixture(spark, sfDir),
       () => graft.ext.JsonlIngest.ingest(spark, sfDir),
       () => graft.ext.CsvIngest.csvFixture(spark, sfDir),
+      () => graft.ext.CorpusBuild.artifact(spark, sfDir),
     )
     builds.foreach(b => try b() catch { case _: Throwable => () })
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.codec.ConfluentWire
-import graft.ext.{AsofJoin, CrawlRefresh, CsvIngest, Curation, DedupClusters, EventQueries, GraphRank, IncrementalDedup, IvfIndex, JsonlIngest, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, SqIndex, TextAnalysis, TpchExtra, UrlOps, WarcIngest}
+import graft.ext.{AsofJoin, CorpusBuild, CrawlRefresh, CsvIngest, Curation, DedupClusters, EventQueries, GraphRank, IncrementalDedup, IvfIndex, JsonlIngest, LangTools, MinHashDedup, Multimodal, PqIndex, Relational, ScaleOps, Similarity, SqIndex, TextAnalysis, TpchExtra, UrlOps, WarcIngest}
 import graft.gen.{EventGenerator, KafkaEnvelope}
 import graft.schema.InMemorySchemaRegistry
 
@@ -40,6 +40,7 @@ object SparkEntry {
       (UrlOps.queries, UrlOps.oracle),
       (CrawlRefresh.queries, CrawlRefresh.oracle),
       (CsvIngest.queries, CsvIngest.oracle),
+      (CorpusBuild.queries, CorpusBuild.oracle),
     )
 
   /** Flagship: the reference's full DAG — seeded Avro producer →

@@ -634,12 +634,20 @@ object TextAnalysis {
     * [[DedupClusters.connectedComponents]] trick) fails loudly past
     * [[VocabMaxKey]] before any single-partition work runs.
     */
-  def qVocab(s: SparkSession, dir: String, minCount: Int = 10): DataFrame = {
+  def qVocab(s: SparkSession, dir: String, minCount: Int = 10): DataFrame =
+    vocabOf(docs(s, dir), minCount)
+
+  /** [[qVocab]] over an arbitrary corpus frame (doc_id, text, ...) —
+    * the form composition consumers ([[CorpusBuild]]) use to train on
+    * exactly the surviving documents.
+    */
+  def vocabOf(corpus: DataFrame, minCount: Int = 10): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val bound = s.conf.get(VocabMaxKey, VocabMaxDefault.toString).toInt
     require(bound >= 1, s"$VocabMaxKey must be >= 1, got $bound")
-    val counted = docs(s, dir)
+    val counted = corpus
       .select(explode(tokens($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("n"))
       .where($"n" >= minCount)
