@@ -281,6 +281,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 3, s"q_jsonl_ingest: agg + union agg + sort, got $sh")
   }
 
+  test("q_rag_retrieve: the k-row hit list broadcasts into the corpus join") {
+    val df = SparkEntry.queries("q_rag_retrieve")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "hit-list join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "a 5-row side must never sort-merge")
+  }
+
+  test("q_corpus_build: the graded read touches ONLY the artifact, never the raw corpus") {
+    val df = SparkEntry.queries("q_corpus_build")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "the serving read must come from the built artifact alone")
+    val (sh, _) = shape("q_corpus_build")
+    assert(sh <= 1, s"artifact scan + output sort only, got $sh")
+  }
+
   test("q_lm_buckets: the per-doc rank window is banded, never per-language whole") {
     val df = SparkEntry.queries("q_lm_buckets")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
