@@ -114,15 +114,30 @@ object CorpusBuild {
         size(filter(col("token_ids"), x => x === -1L)).cast("long").as("n_unk"))
       .orderBy(col("doc_id"))
 
+  /** The PACK MANIFEST — the loader-facing view of the artifact: per
+    * (source, pack), how many documents and tokens it holds and its
+    * UNK mass. Under concatenate-and-cut, every pack spans exactly
+    * `budget` positions except each source's last — the law the spec
+    * asserts and a data loader relies on for fixed-length batching.
+    * One aggregate over the artifact; the raw corpus is never read.
+    */
+  def qPackManifest(s: SparkSession, dir: String): DataFrame =
+    artifact(s, dir).read()
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(size(filter(col("token_ids"), x => x === -1L)).cast("long")).as("n_unk"))
+      .orderBy(col("source"), col("pack_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_corpus_build" -> (qCorpusBuild _))
+    "q_corpus_build" -> (qCorpusBuild _),
+    "q_pack_manifest" -> (qPackManifest _))
 
   /** The whole build recomputed in SQL: curation mirror → pair mirror
     * → vocab mirror → encode counts → md5 order → packing window.
     */
-  val oracle: Map[String, String] = Map(
-    "q_corpus_build" ->
-      s"""WITH q AS (
+  private val buildCtes: String =
+    s"""q AS (
          |  SELECT doc_id, source, text,
          |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
          |    len(list_filter(string_split(text, ' '),
@@ -170,8 +185,20 @@ object CorpusBuild {
          |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY sk, doc_id
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
          |      // 256 AS pack_id
-         |  FROM keyed)
+         |  FROM keyed)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_corpus_build" ->
+      s"""WITH $buildCtes
          |SELECT doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
          |  n_tokens, n_unk
-         |FROM packed ORDER BY doc_id""".stripMargin)
+         |FROM packed ORDER BY doc_id""".stripMargin,
+    "q_pack_manifest" ->
+      s"""WITH $buildCtes
+         |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_unk) AS BIGINT) AS n_unk
+         |FROM packed GROUP BY source, pack_id
+         |ORDER BY source, pack_id""".stripMargin)
 }

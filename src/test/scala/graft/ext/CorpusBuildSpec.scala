@@ -58,6 +58,21 @@ class CorpusBuildSpec extends SparkTestBase {
         }
       }
 
+    // manifest law: per source, pack ids are contiguous from 0 and
+    // token mass is conserved across packs
+    rows.groupBy(col("source"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("nt"))
+      .collect().groupBy(_.getString(0)).foreach { case (_, ps) =>
+        val idsSeq = ps.map(_.getLong(1)).sorted
+        assert(idsSeq.toSeq == (0L until idsSeq.length).toSeq, s"pack ids not contiguous: $idsSeq")
+      }
+    val packTotal = rows.groupBy(col("source")).agg(sum(col("n_tokens")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.select("source", "n_tokens").collect()
+      .groupBy(_.getString(0)).foreach { case (src, rs) =>
+        assert(rs.map(_.getLong(1)).sum == packTotal(src))
+      }
+
     // the artifact is a REAL table: partitioned by source, versioned
     assert(t1.read().select("source").distinct().count() > 1)
     val v0 = t1.readAt(0)
