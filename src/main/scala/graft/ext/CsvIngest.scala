@@ -27,9 +27,11 @@ object CsvIngest {
     StructField("doc_id", LongType), StructField("source", StringType),
     StructField("text", StringType)))
 
-  /** The deterministic edge-case mutation, Spark side. */
+  /** The deterministic edge-case mutation, Spark side: an embedded
+    * newline, a double-quoted run, and DELIMITERS inside the field.
+    */
   private def mutatedText = when(col("doc_id") % 7 === 0,
-    concat(col("text"), lit("\n\"tail\""))).otherwise(col("text"))
+    concat(col("text"), lit("\n\"tail, quoted, delimited\""))).otherwise(col("text"))
 
   private[graft] def csvFixture(s: SparkSession, dir: String): String =
     IndexCache.memo(s"csv-fixture:${s.sparkContext.applicationId}:$dir") {
@@ -71,7 +73,7 @@ object CsvIngest {
     "q_csv_ingest" ->
       """WITH m AS (
         |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || '"tail"'
+        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || '"tail, quoted, delimited"'
         |         ELSE text END AS text
         |  FROM documents)
         |SELECT doc_id, source,

@@ -27,7 +27,10 @@ class UrlOpsSpec extends SparkTestBase {
       ("https://example.com/", "https://example.com/"),
       // 'utm' without the underscore is NOT a tracking param (guards
       // the oracle's LIKE escape staying in sync with startsWith)
-      ("https://example.com/x?utmx=1", "https://example.com/x?utmx=1"))
+      ("https://example.com/x?utmx=1", "https://example.com/x?utmx=1"),
+      // a port is only default FOR ITS SCHEME: http:443 / https:80 keep it
+      ("http://example.com:443/x", "http://example.com:443/x"),
+      ("https://example.com:80/x", "https://example.com:80/x"))
     val got = cases.map(_._1).toDF("url")
       .select(UrlOps.canonicalizeUrl($"url")).collect().map(_.getString(0))
     got.zip(cases).foreach { case (g, (in, want)) =>
