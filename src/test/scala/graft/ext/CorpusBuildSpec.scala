@@ -79,4 +79,39 @@ class CorpusBuildSpec extends SparkTestBase {
     assert(v0.count() == rows.count(), "version 0 holds the full build")
     rows.unpersist()
   }
+
+  test("pack-range loader reads skip files after clustering; epochs are table versions") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val built = CorpusBuild.run(docs, tmpDir("cb-serve-src")).read()
+    // the loader-optimized serving copy: clustered by pack_id so each
+    // training worker's pack-range read touches only its files
+    val t = new graft.core.TxTable(spark, tmpDir("cb-serve"))
+    t.append(built)
+    t.cluster(Seq("pack_id"), targetFiles = 8, bitsPerCol = 8)
+    val st = t.state()
+    val n = st.files.size
+    assert(n > 2, s"need multiple files for a skipping test, got $n")
+    val maxPack = t.read().agg(max(col("pack_id"))).head.getLong(0)
+    val pred = col("pack_id") <= maxPack / 4L
+    val pruned = t.prunedFiles(st, pred)
+    assert(pruned.size < n, s"pack-range read must skip files: ${pruned.size}/$n")
+    // and the pruned scan is exact
+    assert(t.scan(pred).count() == t.read().where(pred).count())
+
+    // epoch reshuffle: a NEW VERSION of the same table, not a new table
+    val clusteredVersion = t.state().version
+    val epoch1 = CorpusBuild.run(docs, tmpDir("cb-e1"), seed = "epoch1").read()
+    t.overwrite(epoch1)
+    // same docs, different training order: some pack assignment moved
+    val before = built.select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = t.read().select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.keySet == after.keySet, "an epoch reshuffle changes order, not membership")
+    assert(before.exists { case (id, p) => after(id) != p },
+      "a reseeded shuffle must actually move something")
+    // time travel still serves epoch 0
+    assert(t.readAt(clusteredVersion).select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
+  }
 }
