@@ -6,7 +6,7 @@ import scala.annotation.tailrec
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -4820,6 +4820,30 @@ object TxTable {
       case _ => None
     }
 
+  /** True when `incoming` equals `committed` except for STRICTER
+    * nullability inside containers (non-null array elements / map
+    * values / struct fields where the committed type allows nulls) —
+    * such data is always storable under the committed type. The
+    * reverse (incoming laxer) stays a conflict: it could smuggle
+    * nulls under a committed non-null contract.
+    */
+  private[core] def acceptsStricter(committed: DataType, incoming: DataType): Boolean =
+    (committed, incoming) match {
+      case (a: ArrayType, b: ArrayType) =>
+        (a.containsNull || !b.containsNull) &&
+          acceptsStricter(a.elementType, b.elementType)
+      case (a: MapType, b: MapType) =>
+        (a.valueContainsNull || !b.valueContainsNull) &&
+          acceptsStricter(a.keyType, b.keyType) &&
+          acceptsStricter(a.valueType, b.valueType)
+      case (a: StructType, b: StructType) =>
+        a.length == b.length && a.fields.zip(b.fields).forall { case (fa, fb) =>
+          fa.name == fb.name && (fa.nullable || !fb.nullable) &&
+            acceptsStricter(fa.dataType, fb.dataType)
+        }
+      case (a, b) => a == b
+    }
+
   /** Name-keyed schema union: existing column order is preserved, new
     * columns append; an existing column whose type changed fails —
     * the add-nullable-columns evolution contract (same as the
@@ -4842,6 +4866,12 @@ object TxTable {
             case Some(g) =>
               val t =
                 if (g.dataType == f.dataType) f.dataType
+                // a STRICTER incoming nullability shape (non-null array
+                // elements / map values / struct fields) is always
+                // acceptable into the laxer committed type — parquet
+                // normalizes container nullability on read, so frames
+                // rebuilt from expressions routinely arrive strict
+                else if (acceptsStricter(f.dataType, g.dataType)) f.dataType
                 else if (allowWiden) widened(f.dataType, g.dataType).getOrElse(
                   throw new IllegalArgumentException(
                     s"column ${f.name}: type ${g.dataType.simpleString} conflicts " +

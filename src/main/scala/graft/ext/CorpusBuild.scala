@@ -92,6 +92,48 @@ object CorpusBuild {
     t
   }
 
+  /** INCREMENTAL EXTENSION — the nightly shape: newly-admitted docs
+    * (e.g. [[CrawlRefresh.streamRefresh]] survivors) are encoded with
+    * the artifact's FROZEN vocabulary (training-serving consistency:
+    * an epoch's ids never move once a model has seen them; new terms
+    * are UNK until the next full rebuild), shuffled under the same
+    * seed, and packed CONTINUING each source's token stream — the
+    * per-source cum offset is recovered EXACTLY from the stored
+    * artifact (`sum(n_tokens)`), so pack ids extend the existing
+    * sequence and old rows are never rewritten (append-only commit).
+    */
+  def appendIncrement(t: TxTable, newDocs: DataFrame, vocab: DataFrame,
+                      budget: Int = 256, seed: String = "epoch0"): Unit = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val ids = newDocs
+      .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
+      .withColumnRenamed("col", "term")
+      .join(broadcast(vocab.select($"term", $"token_id")), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"pos",
+        coalesce($"token_id", lit(-1L)).as("tid")))).as("ps"))
+      .select($"doc_id", expr("transform(ps, x -> x.tid)").as("token_ids"))
+    val keyed = newDocs.join(ids, Seq("doc_id"))
+      .select($"doc_id", $"source",
+        md5(concat(lit(seed), lit(":"), $"doc_id".cast("string")))
+          .as("shuffle_key"),
+        size($"token_ids").cast("long").as("n_tokens"), $"token_ids")
+    // exact per-source continuation offsets from the artifact itself
+    val offsets = t.read().groupBy($"source")
+      .agg(sum($"n_tokens").as("cum0"))
+    val w = Window.partitionBy($"source").orderBy($"shuffle_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = keyed
+      .join(broadcast(offsets), Seq("source"), "left")
+      .withColumn("cum",
+        coalesce($"cum0", lit(0L)) + sum($"n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .select($"doc_id", $"source", $"shuffle_key", $"n_tokens",
+        $"token_ids", $"pack_id")
+    t.append(packed, partitionBy = Seq("source"))
+  }
+
   /** The session's built artifact over the testdata corpus. */
   private[graft] def artifact(s: SparkSession, dir: String): TxTable =
     IndexCache.memo(s"corpus-build:${s.sparkContext.applicationId}:$dir") {

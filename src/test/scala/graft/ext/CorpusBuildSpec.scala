@@ -80,6 +80,56 @@ class CorpusBuildSpec extends SparkTestBase {
     rows.unpersist()
   }
 
+  test("incremental extension: frozen vocab, per-source pack continuation, append-only") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+    val t = CorpusBuild.run(base, tmpDir("cb-inc"))
+    val v0 = t.state().version
+    val rows0 = t.read().collect().map(_.getAs[Long]("doc_id")).toSet
+    // the frozen vocabulary = what the base build trained on
+    val vocab = TextAnalysis.vocabOf(
+      base.join(t.read().select("doc_id"), Seq("doc_id")))
+    // the increment: docs the base never saw (no gating here — the
+    // caller admits; this tests the encode/pack continuation)
+    val inc = docs.where(col("doc_id") % 3 === 0).limit(20)
+      .select(col("doc_id"), col("source"), col("text"))
+    CorpusBuild.appendIncrement(t, inc, vocab)
+    // append-only: the old version is untouched, new rows added
+    assert(t.readAt(v0).collect().map(_.getAs[Long]("doc_id")).toSet == rows0)
+    val all = t.read().collect()
+    assert(all.length == rows0.size + inc.count())
+    // pack continuation: replaying each source's stream — old rows in
+    // their shuffle order, then the increment in its — reproduces
+    // every pack_id
+    val budget = 256L
+    all.map(r => (r.getAs[String]("source"), r.getAs[String]("shuffle_key"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pack_id"), rows0(r.getAs[Long]("doc_id"))))
+      .groupBy(_._1).foreach { case (_, rs) =>
+        val (old, fresh) = rs.partition(_._6)
+        var cum = 0L
+        (old.sortBy(r => (r._2, r._3)) ++ fresh.sortBy(r => (r._2, r._3)))
+          .foreach { r =>
+            assert(r._5 == cum / budget, s"doc ${r._3}: pack ${r._5} != ${cum / budget}")
+            cum += r._4
+          }
+      }
+    // frozen-vocab law: increment ids decode through the BASE vocab
+    val vmap = vocab.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").filter(_.nonEmpty)).toMap
+    all.filterNot(r => rows0(r.getAs[Long]("doc_id"))).foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      val tids = r.getSeq[Long](r.fieldIndex("token_ids"))
+      assert(tids.length == toks.length)
+      val baseTerms = vmap.values.toSet
+      tids.zip(toks).foreach { case (tid, tok) =>
+        if (tid >= 0) assert(vmap(tid) == tok)
+        else assert(!baseTerms(tok), s"base-vocab term $tok must not be UNK")
+      }
+    }
+  }
+
   test("pack-range loader reads skip files after clustering; epochs are table versions") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val built = CorpusBuild.run(docs, tmpDir("cb-serve-src")).read()
