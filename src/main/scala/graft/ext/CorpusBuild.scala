@@ -103,7 +103,8 @@ object CorpusBuild {
     * sequence and old rows are never rewritten (append-only commit).
     */
   def appendIncrement(t: TxTable, newDocs: DataFrame, vocab: DataFrame,
-                      budget: Int = 256, seed: String = "epoch0"): Unit = {
+                      budget: Int = 256, seed: String = "epoch0",
+                      txn: Option[TxTable.TxnId] = None): Unit = {
     val s = newDocs.sparkSession
     import s.implicits._
     val ids = newDocs
@@ -131,7 +132,7 @@ object CorpusBuild {
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
       .select($"doc_id", $"source", $"shuffle_key", $"n_tokens",
         $"token_ids", $"pack_id")
-    t.append(packed, partitionBy = Seq("source"))
+    t.append(packed, txn, partitionBy = Seq("source"))
   }
 
   /** The session's built artifact over the testdata corpus. */

@@ -164,7 +164,9 @@ object CrawlRefresh {
     * touches only admitted rows.
     */
   def streamRefresh(docs: DataFrame, corpus: TxTable, index: TxTable,
-                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                    checkpoint: String,
+                    trainingArtifact: Option[(TxTable, DataFrame)] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .queryName("crawl-refresh")
       .option("checkpointLocation", checkpoint)
@@ -181,6 +183,14 @@ object CrawlRefresh {
           TextAnalysis.docShingleSets(survivors)
             .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m")),
           "crawl-refresh-idx", batchId)
+        // optional final stage: the admitted batch lands in the
+        // TRAINING ARTIFACT too — frozen-vocab encode + per-source
+        // pack continuation ([[CorpusBuild.appendIncrement]]),
+        // (writerId, batchId)-transactional so replays append once
+        trainingArtifact.foreach { case (artifact, vocab) =>
+          CorpusBuild.appendIncrement(artifact, survivors, vocab,
+            txn = Some(TxTable.TxnId("crawl-refresh-corpus", batchId)))
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -59,10 +59,17 @@ class CrawlRefreshSpec extends SparkTestBase {
     index.append(TextAnalysis.docShingleSets(corpus.read())
       .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m")))
 
+    // the optional final stage: admitted docs flow into the TRAINING
+    // ARTIFACT with a frozen vocab and per-source pack continuation
+    val artifact = CorpusBuild.run(corpus.read(), s"$base/artifact")
+    val frozenVocab = TextAnalysis.vocabOf(corpus.read(), minCount = 1)
+      .localCheckpoint()
+
     val stream = MemoryStream[(Long, String, String)]
     def run(): Unit = CrawlRefresh.streamRefresh(
       stream.toDF().toDF("doc_id", "source", "text"),
-      corpus, index, s"$base/ckpt").awaitTermination()
+      corpus, index, s"$base/ckpt",
+      trainingArtifact = Some((artifact, frozenVocab))).awaitTermination()
 
     // wave 1: near-dup of the seed, a unique doc, a gate failure, and
     // an intra-batch near-dup pair (smaller id wins)
@@ -88,6 +95,27 @@ class CrawlRefreshSpec extends SparkTestBase {
         .shiftrightunsigned(col("m"), graft.functions.PairExpand.SzBits))
       .distinct().collect().map(_.getLong(0)).toSet
     assert(idxDocs == Set(1L, 11L, 13L, 21L), s"index docs $idxDocs")
+
+    // the TRAINING ARTIFACT followed: exactly the corpus docs, once
+    // each, with per-source pack ids still contiguous from 0 (the
+    // continuation law) and every id decoding through the frozen vocab
+    val art = artifact.read().collect()
+    assert(art.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 11L, 13L, 21L))
+    art.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val packs = rs.map(_.getAs[Long]("pack_id")).distinct.sorted
+      assert(packs.head == 0L && packs.toSeq == (0L to packs.last).toSeq,
+        s"pack continuation broken: ${packs.toSeq}")
+    }
+    val vmap = frozenVocab.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val textOf = Map(1L -> text(1), 11L -> text(11), 13L -> text(13), 21L -> text(21))
+    art.foreach { r =>
+      val toks = textOf(r.getAs[Long]("doc_id")).split(" ")
+      val tids = r.getSeq[Long](r.fieldIndex("token_ids"))
+      assert(tids.length == toks.length)
+      tids.zip(toks).foreach { case (tid, tok) =>
+        if (tid >= 0) assert(vmap(tid) == tok)
+      }
+    }
   }
 
   test("every _neardup_old rejection has a qualifying pair in the incremental miner") {
