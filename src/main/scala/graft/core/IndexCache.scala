@@ -19,13 +19,27 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object IndexCache {
 
-  private val cache = new ConcurrentHashMap[String, AnyRef]()
+  /** Lazy holder: the map's computeIfAbsent only CREATES the cell
+    * (cheap, never re-entrant); the build itself runs on first
+    * `value` access, OUTSIDE the map update. A build that memoizes
+    * another key (fixture chains do) would otherwise re-enter
+    * computeIfAbsent mid-compute and hit ConcurrentHashMap's
+    * "Recursive update" IllegalStateException whenever the two keys
+    * shared a hash bin — a failure that came and went with the
+    * applicationId inside the key.
+    */
+  private final class Cell(build0: () => AnyRef) {
+    lazy val value: AnyRef = build0()
+  }
 
-  /** Build-once lookup. `build` may run Spark jobs; concurrent callers
-    * of the same key serialize on the map entry (computeIfAbsent).
+  private val cache = new ConcurrentHashMap[String, Cell]()
+
+  /** Build-once lookup. `build` may run Spark jobs and may memoize
+    * OTHER keys; concurrent callers of the same key serialize on the
+    * cell's lazy initializer.
     */
   def memo[T <: AnyRef](key: String)(build: => T): T =
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+    cache.computeIfAbsent(key, _ => new Cell(() => build)).value.asInstanceOf[T]
 
   /** Test hook: drop all cached artifacts. */
   private[graft] def clear(): Unit = cache.clear()
