@@ -236,6 +236,17 @@ object EventQueries {
     */
   def qGapFill(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    gapFilled(s, dir)
+      .select($"user_id", $"day", $"n_events",
+        $"sum_value".cast("double").as("sum_value"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** The densified per-(user, day) frame [[qGapFill]] emits, kept in
+    * DECIMAL for exact downstream folds ([[qMovingAvg]]).
+    */
+  private def gapFilled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = ev(s, dir)
     val daily = e
       .select($"user_id", tsSec(e).as("sec"), $"value")
@@ -250,8 +261,27 @@ object EventQueries {
     cal.join(daily, Seq("user_id", "day"), "left")
       .select($"user_id", $"day",
         coalesce($"n_events", lit(0L)).as("n_events"),
-        coalesce($"sum_value", lit(0).cast(DecimalType(28, 2)))
-          .cast("double").as("sum_value"))
+        coalesce($"sum_value", lit(0).cast(DecimalType(28, 2))).as("sum_value"))
+  }
+
+  /** 7-DAY TRAILING MOVING AVERAGE over the gap-filled series — THE
+    * reason densification precedes windowed math: on the sparse
+    * (event-days-only) frame the same window silently averages over
+    * present days and overstates quiet users. Exact arithmetic:
+    * integer event counts and decimal value sums fold in the frame;
+    * each mean is ONE double divide of exact window sums (never AVG's
+    * engine-specific accumulation). One shuffle: the user partition
+    * serves both window frames and the output sort rides it.
+    */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day").rowsBetween(-6, 0)
+    gapFilled(s, dir)
+      .select($"user_id", $"day", $"n_events",
+        (sum($"n_events").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("mavg_events"),
+        (sum($"sum_value").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("mavg_value"))
       .orderBy($"user_id", $"day")
   }
 
@@ -473,6 +503,7 @@ object EventQueries {
     "q_rfm" -> (qRfm _),
     "q_transitions" -> (qTransitions _),
     "q_gap_fill" -> (qGapFill _),
+    "q_moving_avg" -> (qMovingAvg _),
     "q_attribution" -> (qAttribution _),
   )
 
@@ -680,6 +711,29 @@ object EventQueries {
         |  CAST(COALESCE(d.sum_value, 0) AS DOUBLE) AS sum_value
         |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
         |ORDER BY c.user_id, c.day""".stripMargin,
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id, unnest(range(MIN(day), MAX(day) + 1)) AS day
+        |  FROM daily GROUP BY user_id),
+        |filled AS (
+        |  SELECT c.user_id, c.day,
+        |    COALESCE(d.n_events, 0) AS n_events,
+        |    COALESCE(d.sum_value, 0) AS sum_value
+        |  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day)
+        |SELECT user_id, day, n_events,
+        |  CAST(SUM(n_events) OVER w AS DOUBLE) /
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS mavg_events,
+        |  CAST(SUM(sum_value) OVER w AS DOUBLE) /
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS mavg_value
+        |FROM filled
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
     "q_props_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n,

@@ -38,6 +38,34 @@ class UrlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("canonicalization is idempotent and noise-free over randomized URLs") {
+    import spark.implicits._
+    // deterministic pseudo-random URL zoo: every combination of case,
+    // port, params (order/tracking), fragment, trailing slash
+    val rnd = new scala.util.Random(42)
+    val urls = (1 to 300).map { i =>
+      val scheme = Seq("http", "HTTP", "https", "HTTPS")(rnd.nextInt(4))
+      val host = Seq("example.com", "Example.COM", "a.b.example.org")(rnd.nextInt(3))
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/", s"/p$i", s"/a/b$i/")(rnd.nextInt(4))
+      val params = rnd.shuffle(Seq(s"ref=$i", "utm_source=x", "z=1", "a=2")
+        .take(rnd.nextInt(5)))
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = Seq("", "#frag")(rnd.nextInt(2))
+      s"$scheme://$host$port$path$q$frag"
+    }
+    val out = urls.toDF("url")
+      .select(UrlOps.canonicalizeUrl($"url").as("c1"))
+      .select($"c1", UrlOps.canonicalizeUrl($"c1").as("c2"))
+      .collect()
+    out.foreach { r =>
+      val (c1, c2) = (r.getString(0), r.getString(1))
+      assert(c1 == c2, s"not idempotent: $c1 -> $c2")
+      assert(!c1.contains("#") && !c1.contains("utm_"), s"noise survived: $c1")
+      assert(c1.startsWith("http://") || c1.startsWith("https://"))
+    }
+  }
+
   test("q_url_canon: variants collapse losslessly onto min-doc_id keepers") {
     val out = UrlOps.qUrlCanon(spark, dir).collect()
     val docs = graft.core.Tables.load(spark, dir, "documents").count()
