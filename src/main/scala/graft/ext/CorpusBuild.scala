@@ -86,10 +86,36 @@ object CorpusBuild {
       .withColumn("cum", sum($"n_tokens").over(w))
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
       .drop("cum")
-    // 7. the ACID artifact, partitioned by source
+    // 7. the ACID artifact, partitioned by source, carrying its own
+    // PROVENANCE as table properties — the reproducibility record a
+    // model card cites: the exact build parameters plus an order-
+    // independent content digest (xor of per-row md5 prefixes), so a
+    // claimed rebuild is checkable against the stored manifest
     val t = new TxTable(s, outPath)
     t.append(packed, partitionBy = Seq("source"))
+    val digest = contentDigest(t.read())
+    Seq(
+      "graft.corpus.budget" -> budget.toString,
+      "graft.corpus.seed" -> seed,
+      "graft.corpus.minCount" -> minCount.toString,
+      "graft.corpus.contentDigest" -> digest,
+    ).foreach { case (k, v) => t.setProperty(k, v) }
     t
+  }
+
+  /** Order/partitioning-independent digest of the artifact content:
+    * xor-fold of each row's leading md5 bits over the serialized
+    * (doc_id, pack_id, token_ids) triple. Commutative fold ⇒ the same
+    * rows give the same digest regardless of layout.
+    */
+  private[ext] def contentDigest(artifact: DataFrame): String = {
+    val x = artifact.select(
+        conv(substring(md5(to_binary(concat_ws("|",
+          col("doc_id"), col("pack_id"),
+          concat_ws(",", col("token_ids"))), lit("utf-8"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .agg(expr("bit_xor(h)").as("s")) // commutative, overflow-free
+    f"${x.head().getLong(0)}%x"
   }
 
   /** INCREMENTAL EXTENSION — the nightly shape: newly-admitted docs

@@ -80,6 +80,24 @@ class CorpusBuildSpec extends SparkTestBase {
     rows.unpersist()
   }
 
+  test("the artifact carries a checkable provenance manifest") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val t = CorpusBuild.run(docs, tmpDir("cb-prov"), budget = 128, seed = "epochX")
+    val props = t.properties
+    assert(props("graft.corpus.budget") == "128")
+    assert(props("graft.corpus.seed") == "epochX")
+    assert(props("graft.corpus.minCount") == "10")
+    // the stored digest matches a fresh recomputation over the rows,
+    // and survives any re-layout (commutative fold)
+    val digest = props("graft.corpus.contentDigest")
+    assert(digest == CorpusBuild.contentDigest(t.read()))
+    assert(digest == CorpusBuild.contentDigest(t.read().repartition(7)))
+    // a claimed rebuild with DIFFERENT params is detectable
+    val other = CorpusBuild.run(docs, tmpDir("cb-prov2"), budget = 128, seed = "epochY")
+    assert(other.properties("graft.corpus.contentDigest") != digest,
+      "a different shuffle seed must change the packing digest")
+  }
+
   test("incremental extension: frozen vocab, per-source pack continuation, append-only") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val base = docs.where(col("doc_id") % 3 =!= 0)
