@@ -147,9 +147,59 @@ object GraftFunctions {
       }))
 
   /** Register all graft functions into a live session's registry. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    registerSqlUdfs(spark)
+  }
+
+  private val UrlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\\\?[^#]*)?(#.*)?$"
+
+  /** The composed-builtin column ops (URL canonicalization, HTTP
+    * split) surfaced by name as Spark SQL UDFs — their bodies are the
+    * same expression trees the Scala API composes (the drift guard in
+    * UrlOpsSpec/WarcSpec asserts SQL ≡ Scala on randomized input).
+    * CREATE OR REPLACE, so re-registration is idempotent.
+    */
+  def registerSqlUdfs(spark: SparkSession): Unit = {
+    val re = UrlRe
+    def scheme = s"lower(regexp_extract(url, '$re', 1))"
+    def hostport = s"lower(regexp_extract(url, '$re', 2))"
+    def rawpath = s"regexp_extract(url, '$re', 3)"
+    def rawq = s"regexp_extract(url, '$re', 4)"
+    val kept = s"array_join(array_sort(filter(split(substr($rawq, 2), '&'), " +
+      "x -> NOT (startswith(x, 'utm_') OR startswith(x, 'gclid=') OR " +
+      "startswith(x, 'fbclid=') OR x = ''))), '&')"
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_canonicalize_url(url STRING)
+         |RETURNS STRING RETURN CONCAT(
+         |  $scheme, '://',
+         |  CASE WHEN $scheme = 'https' AND endswith($hostport, ':443')
+         |         THEN substring_index($hostport, ':', 1)
+         |       WHEN $scheme = 'http' AND endswith($hostport, ':80')
+         |         THEN substring_index($hostport, ':', 1)
+         |       ELSE $hostport END,
+         |  CASE WHEN length($rawpath) = 0 OR $rawpath = '/' THEN '/'
+         |       ELSE rtrim('/', $rawpath) END,
+         |  CASE WHEN length($rawq) = 0 OR length($kept) = 0 THEN ''
+         |       ELSE CONCAT('?', $kept) END)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_http_status(payload BINARY)
+        |RETURNS INT RETURN
+        |  CASE WHEN regexp_extract(CAST(payload AS STRING),
+        |         '^HTTP/[0-9.]+ ([0-9]{3})', 1) <> ''
+        |       THEN CAST(regexp_extract(CAST(payload AS STRING),
+        |         '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS INT) END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_http_body(payload BINARY)
+        |RETURNS STRING RETURN
+        |  CASE WHEN locate('\r\n\r\n', CAST(payload AS STRING)) > 0
+        |       THEN substring(CAST(payload AS STRING),
+        |         locate('\r\n\r\n', CAST(payload AS STRING)) + 4,
+        |         length(CAST(payload AS STRING)))
+        |       ELSE '' END""".stripMargin)
+  }
 }

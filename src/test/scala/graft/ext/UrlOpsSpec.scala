@@ -64,6 +64,12 @@ class UrlOpsSpec extends SparkTestBase {
       assert(!c1.contains("#") && !c1.contains("utm_"), s"noise survived: $c1")
       assert(c1.startsWith("http://") || c1.startsWith("https://"))
     }
+    // drift guard: the SQL-UDF surface computes the identical result
+    graft.functions.GraftFunctions.registerSqlUdfs(spark)
+    val viaSql = urls.toDF("url")
+      .selectExpr("graft_canonicalize_url(url)").collect().map(_.getString(0))
+    assert(viaSql.toSeq == out.map(_.getString(0)).toSeq,
+      "SQL UDF must equal the Scala column composition on every input")
   }
 
   test("q_url_canon: variants collapse losslessly onto min-doc_id keepers") {

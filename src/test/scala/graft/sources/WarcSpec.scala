@@ -90,6 +90,17 @@ class WarcSpec extends SparkTestBase {
     assert(rows(1).getInt(0) == 301 && rows(1).getString(1) == "")
     assert(rows(2).isNullAt(0) || rows(2).getInt(0) == 0)
     assert(rows(2).getString(1) == "")
+    // drift guard: the SQL-UDF surface equals the Scala composition
+    graft.functions.GraftFunctions.registerSqlUdfs(spark)
+    val viaSql = Seq(http, redirect, headless).map(_.getBytes(StandardCharsets.UTF_8))
+      .toDF("payload")
+      .selectExpr("graft_http_status(payload)", "graft_http_body(payload)")
+      .collect()
+    rows.zip(viaSql).foreach { case (a, b) =>
+      assert((a.isNullAt(0) && b.isNullAt(0)) ||
+        a.getInt(0) == b.getInt(0))
+      assert(a.getString(1) == b.getString(1))
+    }
   }
 
   test("streaming WARC source admits shards incrementally and restarts from the checkpoint") {
