@@ -688,7 +688,34 @@ object TextAnalysis {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** WHITESPACE/CONTROL NORMALIZATION — the cleaning pass that runs
+    * before tokenization in every web pipeline (tabs, CR/LF, runs of
+    * spaces, stray controls → single spaces, trimmed). The fixture
+    * noise is injected deterministically (every 3rd doc gets doubled
+    * spaces, every 5th a tab prefix and CRLF suffix) so the cleaner
+    * provably has something to clean, and cleaning must RECOVER the
+    * canonical form — pure codegen'd regexp_replace, no UDF. The
+    * cleaned digest equals the digest of the space-collapsed original
+    * by construction; the oracle mirrors both the noise and the
+    * cleanup.
+    */
+  def qCleanText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val noisy = when($"doc_id" % 3 === 0, regexp_replace($"text", " ", "  "))
+      .otherwise($"text")
+    val noisier = when($"doc_id" % 5 === 0, concat(lit("\t "), noisy, lit(" \r\n")))
+      .otherwise(noisy)
+    val cleaned = trim(regexp_replace(noisier, "\\s+", " "))
+    docs(s, dir)
+      .select($"doc_id",
+        octet_length(noisier).cast("long").as("noisy_bytes"),
+        octet_length(cleaned).cast("long").as("clean_bytes"),
+        md5(to_binary(cleaned, lit("utf-8"))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_text" -> (qCleanText _),
     "q_encode_ids" -> (qEncodeIds _),
     "q_shuffle_order" -> ((s: SparkSession, d: String) => qShuffleOrder(s, d)),
     "q_bpe_pairs" -> (qBpePairs _),
@@ -750,6 +777,28 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS token_id,
         |  term, n
         |FROM c ORDER BY token_id""".stripMargin,
+    // same deterministic noise + the same \s+ collapse; DuckDB's
+    // regexp_replace needs the explicit 'g' flag where Spark replaces
+    // all matches by default
+    "q_clean_text" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', '  ') ELSE text END AS t0
+        |  FROM documents),
+        |n2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(9) || ' ' || t0 || ' ' || chr(13) || chr(10)
+        |         ELSE t0 END AS noisy
+        |  FROM n),
+        |c AS (
+        |  SELECT doc_id, noisy,
+        |    trim(regexp_replace(noisy, '\s+', ' ', 'g')) AS cleaned
+        |  FROM n2)
+        |SELECT doc_id,
+        |  CAST(strlen(noisy) AS BIGINT) AS noisy_bytes,
+        |  CAST(strlen(cleaned) AS BIGINT) AS clean_bytes,
+        |  md5(cleaned) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     // same vocabulary CTE; encode = positioned tokens left-joined to
     // it, UNK = -1 — 0-based pos matches Spark's posexplode
     "q_encode_ids" ->
