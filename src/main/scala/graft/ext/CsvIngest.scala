@@ -20,6 +20,15 @@ import graft.core.{IndexCache, Tables}
   * the parallelism knob, exactly like gzip JSONL. A corpus that can
   * guarantee newline-free fields should ship newline-delimited CSV
   * (splittable) or JSONL instead; this operator grades the hard case.
+  *
+  * KNOWN FORMAT BOUNDARIES (caught by `WireFormatFuzzSpec`, not
+  * papered over): (a) Spark's CSV WRITER defaults
+  * `ignore*WhiteSpace=true` — unlike the reader — and silently trims
+  * padded fields; this module disables it. (b) bare CR / CRLF INSIDE
+  * field values does not survive the univocity parser (line-ending
+  * normalization inside quotes, and mis-framing cascades on unquoted
+  * neighbors) — a corpus whose text can contain CR must ship JSONL
+  * (which round-trips it byte-for-byte, fuzz-asserted).
   */
 object CsvIngest {
 
@@ -47,6 +56,11 @@ object CsvIngest {
         .option("compression", "gzip")
         .option("header", "false")
         .option("quote", "\"").option("escape", "\"") // RFC 4180 doubling
+        // Spark's CSV WRITER defaults ignore*WhiteSpace=true (the
+        // reader defaults false!) and silently trims padded fields —
+        // WireFormatFuzzSpec caught this; disable for fidelity
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(base)
       base
     }
