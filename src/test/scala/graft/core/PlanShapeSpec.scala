@@ -281,6 +281,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 3, s"q_jsonl_ingest: agg + union agg + sort, got $sh")
   }
 
+  test("q_clean_text: the cleaning pass is pure map work — no shuffle before the sort") {
+    val (sh, bc) = shape("q_clean_text")
+    assert(sh <= 1 && bc == 0, s"expected scan+project+sort, got ($sh, $bc)")
+  }
+
+  test("q_moving_avg: one user-partition exchange serves both window frames") {
+    val df = SparkEntry.queries("q_moving_avg")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // gap-fill's agg/join machinery + ONE window exchange; the two
+    // trailing frames must share a single Window operator
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"the trailing frames must not multiply Window ops: $windows")
+    val (sh, _) = shape("q_moving_avg")
+    assert(sh <= 5, s"gap-fill chain + one window + sort, got $sh")
+  }
+
   test("q_rag_retrieve: the k-row hit list broadcasts into the corpus join") {
     val df = SparkEntry.queries("q_rag_retrieve")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
