@@ -133,6 +133,17 @@ object CorpusBuild {
                       txn: Option[TxTable.TxnId] = None): Unit = {
     val s = newDocs.sparkSession
     import s.implicits._
+    // provenance guard: an increment must extend the artifact under
+    // the SAME epoch seed and budget it was built with — a mismatch
+    // silently interleaves two shuffle orders / pack grids
+    val props = t.properties
+    props.get("graft.corpus.seed").filter(_ != seed).foreach(p =>
+      throw new IllegalArgumentException(
+        s"increment seed '$seed' != artifact's provenance seed '$p' — " +
+          "extend under the stamped epoch or rebuild"))
+    props.get("graft.corpus.budget").filter(_ != budget.toString).foreach(p =>
+      throw new IllegalArgumentException(
+        s"increment budget $budget != artifact's provenance budget $p"))
     val ids = newDocs
       .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
       .withColumnRenamed("col", "term")

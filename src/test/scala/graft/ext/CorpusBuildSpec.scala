@@ -132,6 +132,15 @@ class CorpusBuildSpec extends SparkTestBase {
             cum += r._4
           }
       }
+    // provenance guard: a mismatched seed or budget fails loudly
+    // instead of silently interleaving two shuffle orders
+    val eSeed = intercept[IllegalArgumentException](
+      CorpusBuild.appendIncrement(t, inc, vocab, seed = "epoch9"))
+    assert(eSeed.getMessage.contains("provenance seed"))
+    val eBudget = intercept[IllegalArgumentException](
+      CorpusBuild.appendIncrement(t, inc, vocab, budget = 512))
+    assert(eBudget.getMessage.contains("provenance budget"))
+
     // frozen-vocab law: increment ids decode through the BASE vocab
     val vmap = vocab.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val texts = docs.collect().map(r =>
