@@ -12,7 +12,7 @@ object CorpusBuildProps extends Properties("corpusBuild") {
 
   // few, larger cases: each case runs real Spark jobs
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(5)
+    p.withMinSuccessfulTests(8)
 
   private lazy val spark = graft.core.Sessions.local("corpus-props", 4)
 
