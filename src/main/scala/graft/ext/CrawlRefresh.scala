@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{IndexCache, Tables, TxTable}
@@ -12,29 +12,53 @@ import graft.sources.Warc
   * semantics so the composition can never drift from the pieces:
   *
   *   1. the new batch (sources src10+, the [[ScaleOps.qBloomNewDocs]]
-  *      split convention) enters FROM THE WIRE: parsed out of the
-  *      session's WARC shards ([[graft.sources.Warc]]), not from the
-  *      parquet mirror;
-  *   2. the quality gate ([[Curation.curate]]'s token-count + stopword
+  *      split convention) enters FROM THE WIRE: parsed out of crawl
+  *      WARC shards ([[graft.sources.Warc]]) written by the
+  *      DISTRIBUTED writer — with the MESSY target URIs a real crawl
+  *      carries (scheme/host case, default ports, tracking params,
+  *      fragments) and DUPLICATE FETCHES of the same page;
+  *   2. FRONTIER DEDUP: fetches key by
+  *      [[UrlOps.canonicalizeUrl]](target_uri) — duplicate fetches of
+  *      one canonical URL collapse to one document and are accounted
+  *      in the `_url_dup` audit bucket (the first dedup any web
+  *      pipeline runs, BEFORE content hashing sees the bytes);
+  *   3. the quality gate ([[Curation.curate]]'s token-count + stopword
   *      counters) drops junk BEFORE any pairwise work — at 100 TB the
   *      cheap map-side gate must run first so the dedup tier never
   *      fingerprints rejected bytes;
-  *   3. near-dup rejection (exact Jaccard ≥ 1/2 over 3-shingles, the
+  *   4. near-dup rejection (exact Jaccard ≥ 1/2 over 3-shingles, the
   *      [[IncrementalDedup]] tier): a gated doc is rejected if it
   *      near-dups ANY existing-corpus doc (mined against the PERSISTED
   *      inverted index — old×old never recomputes) or any smaller-id
-  *      gated doc of its own batch (the greedy drop-later-duplicates
-  *      rule, deterministic and non-transitive by design);
-  *   4. survivors MERGE into the ACID corpus table by doc_id
+  *      gated doc seen so far (the greedy drop-later-duplicates rule,
+  *      deterministic and non-transitive by design);
+  *   5. survivors MERGE into the ACID corpus table by doc_id
   *      ([[graft.core.TxTable.merge]] — idempotent under re-runs:
   *      re-merging admitted docs is an update to identical values);
-  *   5. the output is the refreshed per-source corpus accounting plus
+  *   6. the output is the refreshed per-source corpus accounting plus
   *      one row per rejection bucket — the audit a production refresh
   *      publishes.
   *
-  * Scale shape: gate is map-side; the new×old join drives the batch's
-  * postings against the index (shuffle bounded by the batch, never
-  * the corpus); within-batch pairs use the skew-capped sorted pair
+  * The same pipeline runs BATCH ([[qCrawlRefresh]]) and STREAMING
+  * ([[streamRefresh]]), and the two are oracle-proven equal:
+  * [[qCrawlRefreshStream]] replays the same crawl slices as ≥2
+  * checkpointed micro-batches (with a restart between them) and must
+  * hash-match `q_crawl_refresh`'s oracle — the stream-equals-batch
+  * law a production migration relies on. The law holds because (a)
+  * slices arrive in doc_id order (a crawl feed's arrival order; the
+  * greedy drop-later rule is order-sensitive by definition), and (b)
+  * the index is ORIGIN-SPLIT: corpus postings reject any match
+  * (`_neardup_old`), crawl postings — appended per batch for every
+  * gate-PASSING doc — reject only strictly-larger doc ids
+  * (`_neardup_new`, exactly the within-batch greedy rule stretched
+  * across batches; the strict inequality also makes replays
+  * harmless: a batch whose postings already landed can never reject
+  * its own docs or its co-batch seniors twice).
+  *
+  * Scale shape: frontier dedup is one hash agg on the canonical key;
+  * gate is map-side; the new×old join drives the batch's postings
+  * against the index (shuffle bounded by the batch, never the
+  * corpus); within-batch pairs use the skew-capped sorted pair
   * expansion; the merge touches only admitted rows. Everything
   * downstream of the parse reuses ONE checkpointed disposition frame.
   */
@@ -59,22 +83,128 @@ object CrawlRefresh {
       t
     }
 
+  /** The messy-URI synthesis for the crawl fixture: deterministic
+    * per-doc scheme-case / host-case / default-port / tracking-param /
+    * fragment noise around `https://example.org/{source}/{doc_id}
+    * ?ref={doc_id%10}`; `dup = true` emits the SECOND FETCH variant
+    * (maximal noise in every dimension at once, so each canon rule
+    * failing un-collapses some modulus class and breaks the audit).
+    */
+  private def messyUri(dup: Boolean): Column =
+    if (dup)
+      concat(lit("HTTPS://EXAMPLE.org:443/"), col("source"), lit("/"),
+        col("doc_id").cast("string"), lit("?utm_medium=z&ref="),
+        (col("doc_id") % 10).cast("string"), lit("#dup"))
+    else concat(
+      when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, "EXAMPLE.org").otherwise("example.org"),
+      when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+      lit("/"), col("source"), lit("/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("?utm_source=x&ref="), (col("doc_id") % 10).cast("string")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("?ref="), (col("doc_id") % 10).cast("string"),
+            lit("&utm_campaign=y")))
+        .otherwise(concat(lit("?ref="), (col("doc_id") % 10).cast("string"))),
+      when(col("doc_id") % 3 === 1, "#frag").otherwise(""))
+
+  /** The crawl-slice WARC fixture: the src10+ documents framed as 2
+    * doc_id-RANGE shards (`slice-0` = lower half, `slice-1` = upper —
+    * the arrival order the streaming law needs) with messy URIs and a
+    * duplicate fetch for every `doc_id % 37 == 0` doc, written by the
+    * DISTRIBUTED [[Warc.writeShards]] path. Built once per (session,
+    * dir); returns the directory.
+    */
+  private[graft] def crawlFixture(s: SparkSession, dir: String): String =
+    IndexCache.memo(s"crawl-fixture:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_crawlslices_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val newDocs = Tables.load(s, dir, "documents").where(srcNum >= 10)
+        .select(col("doc_id"), col("source"), col("text"))
+      // doc_id-range split via ntile: a fixture-scale global window
+      // (production slices arrive already time-sharded)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val sharded = newDocs.withColumn("half", ntile(2).over(w) - 1)
+      def recs(dup: Boolean) = sharded
+        .where(if (dup) col("doc_id") % 37 === 0 else lit(true))
+        .select(
+          concat(lit("slice-"), col("half").cast("string"), lit(".warc.gz"))
+            .as("shard_file"),
+          (col("doc_id") * 2 + (if (dup) 1 else 0)).as("seq"),
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"),
+            lit(if (dup) "-dup>" else ">")).as("record_id"),
+          messyUri(dup).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          encode(col("text"), "utf-8").as("payload"))
+      Warc.writeShards(recs(dup = false).unionAll(recs(dup = true)), p)
+      p
+    }
+
+  /** Full (h, m) postings of the EXISTING corpus, exploded from the
+    * persisted per-doc fingerprint sets of the at-ingest artifact.
+    */
+  private def corpusPostings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${IncrementalDedup.persistedIndexDir(s, dir)}/sets")
+      .select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
+
+  /** Parse WARC conversion records into FETCH rows: canonicalize the
+    * target URI ([[UrlOps.canonicalizeUrl]] — pure codegen'd columns)
+    * and derive the document identity FROM THE CANONICAL FORM (the
+    * messy raw URI does not parse positionally). Works on batch and
+    * streaming frames alike.
+    */
+  private[graft] def parseFetches(warcRows: DataFrame): DataFrame =
+    warcRows
+      .where(col("warc_type") === "conversion")
+      .select(UrlOps.canonicalizeUrl(col("target_uri")).as("canon_url"),
+        col("payload").cast("string").as("text"))
+      .select(
+        regexp_extract(col("canon_url"), "example\\.org/([^/?#]+)/([0-9]+)", 2)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("canon_url"), "example\\.org/([^/?#]+)/([0-9]+)", 1)
+          .as("source"),
+        col("text"), col("canon_url"))
+
+  /** FRONTIER DEDUP: one hash aggregate on the canonical URL —
+    * duplicate fetches collapse (payloads are identical by contract;
+    * min() keeps the aggregation deterministic regardless) and the
+    * collapse count rides along for the `_url_dup` audit.
+    */
+  private def frontier(fetches: DataFrame): DataFrame =
+    fetches.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("source")).as("source"),
+        min(col("text")).as("text"), count(lit(1)).as("n_fetches"))
+
   /** The quality-gate predicate ([[Curation.curate]]'s exact
     * counters) over a (doc_id, source, text) frame.
     */
-  private def gateExpr: org.apache.spark.sql.Column = {
+  private def gateExpr: Column = {
     val toks = TextAnalysis.tokens(col("text"))
     size(toks).cast("long").between(20L, 80L) &&
       size(filter(toks, t => t.isin(TextAnalysis.qualityStopwords: _*))) >= 1
   }
 
-  /** Disposition of a gated batch against an existing-corpus postings
-    * index `(h, m)`: the shared core of the batch [[qCrawlRefresh]]
-    * and the streaming [[streamRefresh]]. Self-pairs (same doc id on
-    * both sides) are excluded so a replayed streaming batch whose
-    * postings already landed in the index cannot reject itself.
+  /** Disposition of a gated batch against an ORIGIN-SPLIT postings
+    * index `(h, m, origin)` — the shared core of the batch
+    * [[qCrawlRefresh]] and the streaming [[streamRefresh]]:
+    *
+    *  - `origin = 'corpus'` postings (the pre-existing corpus) reject
+    *    any qualifying match → `_neardup_old`;
+    *  - `origin = 'crawl'` postings (gate-passing docs of EARLIER
+    *    micro-batches) reject only STRICTLY-LARGER doc ids →
+    *    `_neardup_new` — the within-batch greedy rule stretched
+    *    across batches. The strict `<` is also the replay shield: a
+    *    re-delivered batch whose own postings already committed can
+    *    never reject itself (self and co-batch-senior matches fail
+    *    `mo < mn`), so dispositions are exactly repeatable.
     */
-  private def dispositions(gated: DataFrame, oldIdx: DataFrame): DataFrame = {
+  private def dispositions(gated: DataFrame, idx: DataFrame): DataFrame = {
     val s = gated.sparkSession
     import s.implicits._
     import graft.functions.PairExpand
@@ -83,16 +213,19 @@ object CrawlRefresh {
     val newIdx = sets
       .select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
       .localCheckpoint(eager = false)
-    val rejectOld = newIdx.select($"h", $"m".as("mn"))
-      .join(oldIdx.select($"h", $"m".as("mo")), "h")
-      .where(shiftrightunsigned($"mn", PairExpand.SzBits) =!=
-        shiftrightunsigned($"mo", PairExpand.SzBits))
-      .groupBy($"mn", $"mo").agg(count(lit(1)).as("common"))
-      .where(lit(3) * $"common" >=
-        $"mn".bitwiseAND(szMask) + $"mo".bitwiseAND(szMask))
-      .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("doc_id"))
-      .distinct()
-    val rejectNew = newIdx
+    def minedAgainst(oldIdx: DataFrame, cond: (Column, Column) => Column) =
+      newIdx.select($"h", $"m".as("mn"))
+        .join(oldIdx.select($"h", $"m".as("mo")), "h")
+        .where(cond(shiftrightunsigned($"mo", PairExpand.SzBits),
+          shiftrightunsigned($"mn", PairExpand.SzBits)))
+        .groupBy($"mn", $"mo").agg(count(lit(1)).as("common"))
+        .where(lit(3) * $"common" >=
+          $"mn".bitwiseAND(szMask) + $"mo".bitwiseAND(szMask))
+        .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("doc_id"))
+        .distinct()
+    val rejectOld = minedAgainst(idx.where($"origin" === "corpus"), _ =!= _)
+    val rejectPrev = minedAgainst(idx.where($"origin" === "crawl"), _ < _)
+    val rejectWithin = newIdx
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
       .where(size($"ms") > 1)
       .select(explode(PairExpand($"ms")).as("p"))
@@ -101,6 +234,7 @@ object CrawlRefresh {
         $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
       .select(shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_id"))
       .distinct()
+    val rejectNew = rejectWithin.unionAll(rejectPrev).distinct()
     gated
       .join(rejectOld.withColumn("r_old", lit(true)), Seq("doc_id"), "left")
       .join(rejectNew.withColumn("r_new", lit(true)), Seq("doc_id"), "left")
@@ -111,78 +245,106 @@ object CrawlRefresh {
           .otherwise("_admitted").as("bucket"))
   }
 
-  def qCrawlRefresh(s: SparkSession, dir: String): DataFrame = {
-    // 1. the new batch, from the WARC bytes
-    val parsed = Warc.read(s, WarcIngest.warcFixture(s, dir))
-      .where(col("warc_type") === "conversion")
-      .select(
-        element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
-        element_at(split(col("target_uri"), "/"), -2).as("source"),
-        col("payload").cast("string").as("text"))
-      .where(srcNum >= 10)
-    // 2. map-side quality gate (curate's exact counters)
-    val gated = parsed
-      .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
-      .localCheckpoint(eager = false)
-    // 3+audit. one disposition frame feeds the merge AND the audit
-    val dispo = dispositions(gated, s.read.parquet(
-        s"${IncrementalDedup.persistedIndexDir(s, dir)}/index"))
-      .localCheckpoint(eager = false)
-    // 4. idempotent merge of the survivors
-    val t = corpusTable(s, dir)
-    t.merge(dispo.where(col("bucket") === "_admitted")
-      .select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
-    // 5. refreshed per-source accounting + rejection audit
-    val refreshed = t.read().groupBy(col("source"))
+  /** Per-fetch audit rows: each surviving doc carries its disposition
+    * bucket; each COLLAPSED duplicate fetch contributes a `_url_dup`
+    * row — the buckets partition the raw fetch records exactly.
+    */
+  private def auditRows(fr: DataFrame, dispo: DataFrame): DataFrame =
+    dispo.select(col("doc_id"), col("source"), col("bucket"))
+      .unionAll(fr.where(col("n_fetches") > 1)
+        .select(col("doc_id"), col("source"),
+          explode(array_repeat(lit("_url_dup"),
+            (col("n_fetches") - 1).cast("int"))).as("bucket")))
+
+  /** The shared output frame: refreshed per-source corpus accounting
+    * plus one count per audit bucket.
+    */
+  private def accounting(corpus: TxTable, audit: DataFrame): DataFrame = {
+    val refreshed = corpus.read().groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
       .select(col("source").as("bucket"), col("n_docs"), col("sum_bytes"))
-    val audit = dispo.groupBy(col("bucket"))
+    val buckets = audit.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("bucket"), col("n_docs"), lit(null).cast("long").as("sum_bytes"))
-    refreshed.unionAll(audit).orderBy(col("bucket"))
+    refreshed.unionAll(buckets).orderBy(col("bucket"))
+  }
+
+  def qCrawlRefresh(s: SparkSession, dir: String): DataFrame = {
+    // 1+2. fetches from the WARC bytes; frontier dedup on the canon URL
+    val fr = frontier(parseFetches(Warc.read(s, crawlFixture(s, dir))))
+      .localCheckpoint(eager = false)
+    // 3. map-side quality gate (curate's exact counters)
+    val gated = fr
+      .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
+      .localCheckpoint(eager = false)
+    // 4+audit. one disposition frame feeds the merge AND the audit;
+    // the one-shot batch sees only corpus-origin postings (exploded
+    // from the persisted per-doc fingerprint sets — the refresh's
+    // inline-exact miner wants FULL postings, where the incremental
+    // miner drives the df-ordered PREFIX postings + verify)
+    val dispo = dispositions(gated,
+        corpusPostings(s, dir).withColumn("origin", lit("corpus")))
+      .localCheckpoint(eager = false)
+    // 5. idempotent merge of the survivors
+    val t = corpusTable(s, dir)
+    t.merge(dispo.where(col("bucket") === "_admitted")
+      .select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
+    // 6. refreshed per-source accounting + rejection audit
+    accounting(t, auditRows(fr, dispo))
   }
 
   /** The STREAMING refresh — the same pipeline run continuously as
-    * crawl slices arrive: each micro-batch of `(doc_id, source, text)`
-    * docs is gated, dispositioned against the LIVE postings index,
-    * its survivors merged into the corpus table, and the survivors'
-    * postings appended to the index so LATER batches near-dup against
-    * everything admitted so far (the index grows with the corpus —
-    * the property the batch one-shot cannot give a continuous feed).
+    * crawl slices arrive: each micro-batch of FETCH rows (the
+    * [[parseFetches]] shape: canon_url, doc_id, source, text) is
+    * frontier-deduped, gated, dispositioned against the LIVE
+    * origin-split postings index, its survivors merged into the
+    * corpus table, the gate-passing docs' postings appended to the
+    * index (origin 'crawl') so LATER batches apply the greedy
+    * drop-later rule against everything gated so far, and the batch's
+    * audit rows appended to the audit table.
     *
-    * Exactly-once: the corpus merge is idempotent by key (re-merging
-    * identical rows is a no-op update) and the index append is a
-    * (writerId, batchId) transactional [[TxTable.appendBatch]] — a
-    * replayed batch re-merges harmlessly and its postings commit
-    * once. [[dispositions]] excludes self-pairs, so a replay whose
-    * postings already landed cannot reject its own documents; its
-    * final corpus/index state is identical either way.
+    * Exactly-once: the corpus merge is idempotent by key, and the
+    * index/audit appends are (writerId, batchId)-transactional
+    * [[TxTable.appendBatch]]s — a replayed batch re-merges harmlessly
+    * and its postings/audit commit once. [[dispositions]]' strict
+    * `mo < mn` rule on crawl-origin postings makes a replay's
+    * disposition frame identical even when its own postings already
+    * landed.
     *
-    * Scale: per-trigger work is O(batch) — the gate is map-side, the
-    * index join is bounded by the batch's postings, and the merge
-    * touches only admitted rows.
+    * Scale: per-trigger work is O(batch) — the frontier agg and gate
+    * are batch-local, the index join is bounded by the batch's
+    * postings, and the merge touches only admitted rows.
     */
-  def streamRefresh(docs: DataFrame, corpus: TxTable, index: TxTable,
+  def streamRefresh(fetches: DataFrame, corpus: TxTable, index: TxTable,
                     checkpoint: String,
+                    audit: Option[TxTable] = None,
                     trainingArtifact: Option[(TxTable, DataFrame)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    fetches.writeStream
       .queryName("crawl-refresh")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val gated = batch
+        val fr = frontier(batch).localCheckpoint()
+        val gated = fr
           .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
           .localCheckpoint()
-        val survivors = dispositions(gated, index.read())
+        val dispo = dispositions(gated, index.read()).localCheckpoint()
+        val survivors = dispo
           .where(col("bucket") === "_admitted")
           .select(col("doc_id"), col("source"), col("text"))
           .localCheckpoint()
         corpus.merge(survivors, Seq("doc_id"))
+        // postings of every gate-PASSING doc (not just admitted): the
+        // batch greedy rule mines pairs over all gated docs, so the
+        // stream must too for stream ≡ batch
         index.appendBatch(
-          TextAnalysis.docShingleSets(survivors)
-            .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m")),
+          TextAnalysis.docShingleSets(gated.where(col("pass_gate")))
+            .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"),
+              lit("crawl").as("origin")),
           "crawl-refresh-idx", batchId)
+        audit.foreach(_.appendBatch(auditRows(fr, dispo),
+          "crawl-refresh-audit", batchId))
         // optional final stage: the admitted batch lands in the
         // TRAINING ARTIFACT too — frozen-vocab encode + per-source
         // pack continuation ([[CorpusBuild.appendIncrement]]),
@@ -196,69 +358,145 @@ object CrawlRefresh {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** The graded STREAM-EQUALS-BATCH run: the same crawl slices as
+    * [[qCrawlRefresh]], delivered as ≥2 checkpointed micro-batches
+    * through the streaming WARC source WITH A QUERY RESTART between
+    * them (slice-1 is copied into the watched directory only after
+    * slice-0's run terminates), against fresh corpus/index/audit
+    * tables. Returns the identical accounting frame and shares
+    * `q_crawl_refresh`'s oracle — the stream-equals-batch law,
+    * oracle-enforced end to end (parse, frontier, gate, both near-dup
+    * tiers, merge, audit).
+    */
+  def qCrawlRefreshStream(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, audit) = IndexCache.memo(
+      s"crawl-stream:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_crawlstream_$tag"
+      val hp = new org.apache.hadoop.fs.Path(base)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      val corpus = new TxTable(s, s"$base/corpus")
+      corpus.append(Tables.load(s, dir, "documents").where(srcNum < 10)
+        .select(col("doc_id"), col("source"), col("text")))
+      val index = new TxTable(s, s"$base/index")
+      index.append(corpusPostings(s, dir)
+        .select(col("h"), col("m"), lit("corpus").as("origin")))
+      val audit = new TxTable(s, s"$base/audit")
+      val src = crawlFixture(s, dir)
+      val watch = s"$base/arrivals"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
+      def arrive(slice: String): Unit =
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(src, slice),
+          fs, new org.apache.hadoop.fs.Path(watch, slice),
+          false, s.sparkContext.hadoopConfiguration)
+      def runOnce(): Unit = streamRefresh(
+        parseFetches(Warc.readStream(s, watch, maxFilesPerTrigger = 1)),
+        corpus, index, s"$base/ckpt", audit = Some(audit)).awaitTermination()
+      arrive("slice-0.warc.gz"); runOnce()
+      arrive("slice-1.warc.gz"); runOnce()
+      (corpus, audit)
+    }
+    accounting(corpus, audit.read())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_crawl_refresh" -> (qCrawlRefresh _))
+    "q_crawl_refresh" -> (qCrawlRefresh _),
+    "q_crawl_refresh_stream" -> (qCrawlRefreshStream _))
 
   /** Oracle: the whole refresh recomputed from the parquet corpus —
-    * gate mirrors Curation's counters, both near-dup tiers mirror the
-    * IncrementalDedup pair SQL, the refreshed corpus is old ∪ admitted.
+    * the fetch synthesis + the [[UrlOps]] canonicalization mirror
+    * drive an INDEPENDENT frontier dedup, the gate mirrors Curation's
+    * counters, both near-dup tiers mirror the IncrementalDedup pair
+    * SQL, the refreshed corpus is old ∪ admitted. The streaming
+    * variant shares it verbatim (stream ≡ batch).
     */
+  private val refreshSql: String =
+    s"""WITH newd AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE CAST(substring(source, 4) AS INT) >= 10),
+       |fet AS (
+       |  SELECT doc_id, source, text,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'EXAMPLE.org' ELSE 'example.org' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+       |    '/' || source || '/' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&ref=' || CAST(doc_id % 10 AS VARCHAR)
+       |          WHEN doc_id % 6 = 3 THEN '?ref=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=y'
+       |          ELSE '?ref=' || CAST(doc_id % 10 AS VARCHAR) END) ||
+       |    (CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END) AS url
+       |  FROM newd
+       |  UNION ALL
+       |  SELECT doc_id, source, text,
+       |    'HTTPS://EXAMPLE.org:443/' || source || '/' || CAST(doc_id AS VARCHAR) ||
+       |    '?utm_medium=z&ref=' || CAST(doc_id % 10 AS VARCHAR) || '#dup' AS url
+       |  FROM newd WHERE doc_id % 37 = 0),
+       |cf AS (
+       |  ${UrlOps.canonSelectSql("fet", Seq("doc_id", "source", "text"))}),
+       |fr AS (
+       |  SELECT canon_url, MIN(doc_id) AS doc_id, MIN(source) AS source,
+       |    MIN(text) AS text, COUNT(*) AS nf
+       |  FROM cf GROUP BY canon_url),
+       |gt AS (
+       |  SELECT doc_id, source, text,
+       |    (len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 80
+       |     AND len(list_filter(string_split(text, ' '),
+       |       x -> x IN ${TextAnalysis.stopwordsSql})) >= 1) AS pass_gate
+       |  FROM fr),
+       |tokn AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM gt WHERE pass_gate),
+       |shn AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM tokn WHERE len(t) >= 3)),
+       |szn AS (SELECT doc_id, COUNT(*) AS sz FROM shn GROUP BY doc_id),
+       |toko AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents WHERE CAST(substring(source, 4) AS INT) < 10),
+       |sho AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toko WHERE len(t) >= 3)),
+       |szo AS (SELECT doc_id, COUNT(*) AS sz FROM sho GROUP BY doc_id),
+       |r_old AS (
+       |  SELECT DISTINCT p.na AS doc_id
+       |  FROM (SELECT a.doc_id AS na, b.doc_id AS ob, COUNT(*) AS c
+       |        FROM shn a JOIN sho b ON a.shingle = b.shingle GROUP BY 1, 2) p
+       |  JOIN szn sa ON p.na = sa.doc_id
+       |  JOIN szo sb ON p.ob = sb.doc_id
+       |  WHERE 3 * p.c >= sa.sz + sb.sz),
+       |r_new AS (
+       |  SELECT DISTINCT p.nb AS doc_id
+       |  FROM (SELECT a.doc_id AS na, b.doc_id AS nb, COUNT(*) AS c
+       |        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) p
+       |  JOIN szn sa ON p.na = sa.doc_id
+       |  JOIN szn sb ON p.nb = sb.doc_id
+       |  WHERE 3 * p.c >= sa.sz + sb.sz),
+       |dispo AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN NOT pass_gate THEN '_gate_rejected'
+       |         WHEN doc_id IN (SELECT doc_id FROM r_old) THEN '_neardup_old'
+       |         WHEN doc_id IN (SELECT doc_id FROM r_new) THEN '_neardup_new'
+       |         ELSE '_admitted' END AS bucket
+       |  FROM gt),
+       |refreshed AS (
+       |  SELECT source, text FROM documents WHERE CAST(substring(source, 4) AS INT) < 10
+       |  UNION ALL
+       |  SELECT source, text FROM dispo WHERE bucket = '_admitted')
+       |SELECT source AS bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
+       |FROM refreshed GROUP BY source
+       |UNION ALL
+       |SELECT bucket, COUNT(*) AS n_docs, NULL AS sum_bytes
+       |FROM dispo GROUP BY bucket
+       |UNION ALL
+       |SELECT '_url_dup', CAST(SUM(nf) - COUNT(*) AS BIGINT), NULL
+       |FROM fr HAVING SUM(nf) - COUNT(*) > 0
+       |ORDER BY bucket""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_crawl_refresh" ->
-      s"""WITH newd AS (
-         |  SELECT doc_id, source, text FROM documents
-         |  WHERE CAST(substring(source, 4) AS INT) >= 10),
-         |gt AS (
-         |  SELECT doc_id, source, text,
-         |    (len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 80
-         |     AND len(list_filter(string_split(text, ' '),
-         |       x -> x IN ${TextAnalysis.stopwordsSql})) >= 1) AS pass_gate
-         |  FROM newd),
-         |tokn AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-         |  FROM gt WHERE pass_gate),
-         |shn AS (
-         |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
-         |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM tokn WHERE len(t) >= 3)),
-         |szn AS (SELECT doc_id, COUNT(*) AS sz FROM shn GROUP BY doc_id),
-         |toko AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-         |  FROM documents WHERE CAST(substring(source, 4) AS INT) < 10),
-         |sho AS (
-         |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
-         |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toko WHERE len(t) >= 3)),
-         |szo AS (SELECT doc_id, COUNT(*) AS sz FROM sho GROUP BY doc_id),
-         |r_old AS (
-         |  SELECT DISTINCT p.na AS doc_id
-         |  FROM (SELECT a.doc_id AS na, b.doc_id AS ob, COUNT(*) AS c
-         |        FROM shn a JOIN sho b ON a.shingle = b.shingle GROUP BY 1, 2) p
-         |  JOIN szn sa ON p.na = sa.doc_id
-         |  JOIN szo sb ON p.ob = sb.doc_id
-         |  WHERE 3 * p.c >= sa.sz + sb.sz),
-         |r_new AS (
-         |  SELECT DISTINCT p.nb AS doc_id
-         |  FROM (SELECT a.doc_id AS na, b.doc_id AS nb, COUNT(*) AS c
-         |        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |        GROUP BY 1, 2) p
-         |  JOIN szn sa ON p.na = sa.doc_id
-         |  JOIN szn sb ON p.nb = sb.doc_id
-         |  WHERE 3 * p.c >= sa.sz + sb.sz),
-         |dispo AS (
-         |  SELECT doc_id, source, text,
-         |    CASE WHEN NOT pass_gate THEN '_gate_rejected'
-         |         WHEN doc_id IN (SELECT doc_id FROM r_old) THEN '_neardup_old'
-         |         WHEN doc_id IN (SELECT doc_id FROM r_new) THEN '_neardup_new'
-         |         ELSE '_admitted' END AS bucket
-         |  FROM gt),
-         |refreshed AS (
-         |  SELECT source, text FROM documents WHERE CAST(substring(source, 4) AS INT) < 10
-         |  UNION ALL
-         |  SELECT source, text FROM dispo WHERE bucket = '_admitted')
-         |SELECT source AS bucket, COUNT(*) AS n_docs,
-         |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
-         |FROM refreshed GROUP BY source
-         |UNION ALL
-         |SELECT bucket, COUNT(*) AS n_docs, NULL AS sum_bytes
-         |FROM dispo GROUP BY bucket
-         |ORDER BY bucket""".stripMargin)
+    "q_crawl_refresh" -> refreshSql,
+    "q_crawl_refresh_stream" -> refreshSql)
 }

@@ -28,7 +28,15 @@ import graft.core.{IndexCache, Tables}
   * field values does not survive the univocity parser (line-ending
   * normalization inside quotes, and mis-framing cascades on unquoted
   * neighbors) — a corpus whose text can contain CR must ship JSONL
-  * (which round-trips it byte-for-byte, fuzz-asserted).
+  * (which round-trips it byte-for-byte, fuzz-asserted). (c) the
+  * EMPTY-STRING document collapses to NULL under the DEFAULT options:
+  * the reader maps any parsed field equal to `nullValue` to NULL, and
+  * `nullValue` defaults to "" — so the writer's quoted-empty `""`
+  * comes back as NULL (emptyValue does not rescue it; probed
+  * exhaustively). The fix is a SENTINEL `nullValue` (the classic
+  * `\N`) on writer AND reader, which makes ''/NULL round-trip exactly
+  * — this module ships it, and the fuzz spec asserts both the trap
+  * and the recipe.
   */
 object CsvIngest {
 
@@ -61,6 +69,9 @@ object CsvIngest {
         // WireFormatFuzzSpec caught this; disable for fidelity
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
+        // sentinel null framing (boundary (c)): NULL ships as \N so
+        // the empty-string document can survive the read side
+        .option("nullValue", "\\N")
         .csv(base)
       base
     }
@@ -73,6 +84,10 @@ object CsvIngest {
     s.read.schema(csvSchema)
       .option("multiLine", "true") // quoted fields carry newlines
       .option("quote", "\"").option("escape", "\"")
+      // the reader maps fields equal to nullValue to NULL and its
+      // DEFAULT is "" — without the sentinel, every empty-string
+      // document silently reads back NULL (boundary (c), fuzz-asserted)
+      .option("nullValue", "\\N")
       .csv(csvFixture(s, dir))
       .select(col("doc_id"), col("source"),
         octet_length(col("text")).cast("long").as("n_bytes"),

@@ -274,11 +274,15 @@ object Curation {
       .localCheckpoint(eager = false)
     val maxW = s.conf.get(LmBroadcastMaxWeightsKey,
       ClassifyBroadcastMaxWeightsDefault.toString).toLong
-    val countsSide = if (counts.count() <= maxW) broadcast(counts) else counts
+    // ONE evaluated count drives both side decisions (the checkpointed
+    // blocks make a repeat count cheap, not free)
+    val nWeights = counts.count()
+    val broadcastable = nWeights <= maxW
+    val countsSide = if (broadcastable) broadcast(counts) else counts
     val contexts = counts.groupBy(col("w1")).agg(sum(col("ct")).as("c1"))
     // contexts is strictly smaller than the gated count table, so it
     // inherits the same side decision without a second count job
-    val ctxSide = if (counts.count() <= maxW) broadcast(contexts) else contexts
+    val ctxSide = if (broadcastable) broadcast(contexts) else contexts
     val vocab = contexts.agg(count(lit(1)).as("v"))
     val scored = bg.where(!col("is_train"))
       .join(countsSide, Seq("w1", "w2"), "left")

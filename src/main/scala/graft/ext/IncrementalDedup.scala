@@ -1,30 +1,37 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
 /** INCREMENTAL near-duplicate detection — the shape a production
   * corpus actually runs: the existing corpus's shingle fingerprints
-  * were computed AT INGEST and persist as an on-disk inverted index;
-  * each new batch (a fresh crawl slice) fingerprints only ITS OWN
+  * were computed AT INGEST and persist as an on-disk artifact; each
+  * new batch (a fresh crawl slice) fingerprints only ITS OWN
   * documents and mines near-dup pairs (a) against the persisted index
   * and (b) within itself — O(new batch) work per increment, never a
   * recompute over the full corpus. Complements [[ScaleOps
   * .qBloomNewDocs]] (the EXACT-duplicate incremental gate) with the
   * near-dup (Jaccard ≥ 1/2) tier of the same pipeline.
   *
-  * Exactness: candidates come from the full inverted index (every
-  * shared shingle is a candidate generator), and the pair count IS
-  * the exact |A∩B| — no LSH recall gap, so the output carries a
-  * DuckDB oracle. 100 TB shape: the new×old join drives the NEW
-  * batch's postings against the persisted index (shuffle bounded by
-  * the new batch's memberships + matching postings, never the corpus);
-  * at boilerplate-heavy scale the prefix filter
-  * ([[TextAnalysis.qNgramJaccardPrefix]]) applies to both sides
-  * unchanged — the index stores df-ordered postings and only prefix
-  * positions join.
+  * The persisted artifact is PREFIX-FILTERED (the AllPairs/PPJoin
+  * principle, [[TextAnalysis.qNgramJaccardPrefix]]'s law): under the
+  * global rarest-first order (old-corpus document frequency asc, hash
+  * asc; unseen shingles order at df 0), two sets with Jaccard ≥ 1/2
+  * must share a shingle inside BOTH prefixes of length ⌊sz/2⌋+1 — so
+  * `prefix/` stores only each old doc's prefix postings, the new×old
+  * candidate join drives new-prefix × old-prefix (at boilerplate-heavy
+  * scale the high-df license/header shingles never enter the join),
+  * and candidates exact-verify against the full fingerprint `sets/`.
+  * Lossless: the output is the exact pair set, same oracle.
+  *
+  * 100 TB shape: the candidate join is bounded by PREFIX postings of
+  * the new batch × matching old prefix postings (rare shingles by
+  * construction); the verify join touches only candidate pairs; the
+  * df lookup broadcasts under the [[TextAnalysis
+  * .PrefixBroadcastMaxRefsKey]] gate and shuffle-joins above it.
   */
 object IncrementalDedup {
 
@@ -35,53 +42,129 @@ object IncrementalDedup {
 
   /** The persisted ingest-time artifact of the EXISTING corpus, built
     * once per (session, dir) ([[graft.core.IndexCache]], same
-    * lifecycle as the ANN indexes): `index/` = the inverted shingle
-    * postings (h, packed member), `sets/` = the per-doc fingerprint
-    * sets feeding exact verification if a consumer needs them.
+    * lifecycle as the ANN indexes): `sets/` = the per-doc fingerprint
+    * sets (exact verification + full-postings consumers like the
+    * crawl refresh), `df/` = the per-shingle document frequencies
+    * that define the global prefix order, `prefix/` = the df-ordered
+    * PREFIX postings (h, packed member) — only the first ⌊sz/2⌋+1
+    * rarest shingles of each doc, the candidate-join side.
     */
   private[graft] def persistedIndexDir(s: SparkSession, dir: String): String =
     graft.core.IndexCache.memo(
       s"shingle-index-dir:${s.sparkContext.applicationId}:$dir") {
+      import s.implicits._
+      import graft.functions.PairExpand
       val tag = (dir + "_" + s.sparkContext.applicationId)
         .replaceAll("[^a-zA-Z0-9]+", "_")
       val p = s"${sys.props("java.io.tmpdir")}/graft_shingleidx_$tag"
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       val existing = TextAnalysis.docShingleSets(
-        Tables.load(s, dir, "documents").where(srcNum < 10))
+          Tables.load(s, dir, "documents").where(srcNum < 10))
+        .localCheckpoint(eager = false)
       existing.write.parquet(s"$p/sets")
-      existing.select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
-        .write.parquet(s"$p/index")
+      val post = existing
+        .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
+      val dfreq = post.groupBy($"h").agg(count(lit(1)).as("df"))
+      dfreq.write.parquet(s"$p/df")
+      // df-ordered prefix postings (same size-gated df-side broadcast
+      // as qNgramJaccardPrefix — the full dfreq doesn't broadcast at
+      // 100 TB, so past the bound the plan takes the shuffle join)
+      post.join(dfSide(s, dir, dfreq), Seq("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"m").orderBy($"df", $"h")))
+        .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+        .select($"h", $"m")
+        .write.parquet(s"$p/prefix")
       p
     }
 
+  /** The df table, broadcast iff the corpus' shingle-reference count
+    * fits the configured bound (shared gate with the batch prefix
+    * join; the signal is Σ|hs| — an upper bound on distinct shingles
+    * — off blocks the build materializes anyway).
+    */
+  private def dfSide(s: SparkSession, dir: String, dfreq: DataFrame): DataFrame = {
+    import s.implicits._
+    val refs = graft.core.IndexCache.memo[java.lang.Long](
+      s"shingle-idx-refs:${s.sparkContext.applicationId}:$dir") {
+      Long.box(TextAnalysis.docShingleSets(
+          Tables.load(s, dir, "documents").where(srcNum < 10))
+        .agg(sum(size($"hs"))).head.getLong(0))
+    }.longValue
+    val maxRefs = s.conf.get(TextAnalysis.PrefixBroadcastMaxRefsKey,
+      TextAnalysis.PrefixBroadcastMaxRefsDefault.toString).toLong
+    if (refs <= maxRefs) broadcast(dfreq) else dfreq
+  }
+
   /** Near-dup pairs (exact Jaccard ≥ 1/2, same threshold and output
     * layout as [[TextAnalysis.qNgramJaccard]]) involving at least one
-    * NEW document: new×old pairs mined by joining the new batch's
-    * postings against the PERSISTED index, new×new pairs by the
-    * standard per-shingle pair expansion over the new batch alone.
-    * Old×old pairs never recompute — that work was done when those
-    * documents were new.
+    * NEW document: new×old candidates mined by joining the new
+    * batch's PREFIX postings against the PERSISTED prefix index
+    * (positional filter on BOTH sides — the documented plan), then
+    * exact-verified against the full fingerprint sets; new×new pairs
+    * by the standard per-shingle pair expansion over the new batch
+    * alone. Old×old pairs never recompute — that work was done when
+    * those documents were new.
     */
+  /** The new batch's fingerprint sets (memoized lazily per session —
+    * both pair miners and the spec read one materialization).
+    */
+  private def newSets(s: SparkSession, dir: String): DataFrame =
+    graft.core.IndexCache.memo(
+      s"shingle-newsets:${s.sparkContext.applicationId}:$dir") {
+      TextAnalysis.docShingleSets(
+          Tables.load(s, dir, "documents").where(srcNum >= 10))
+        .localCheckpoint(eager = false)
+    }
+
+  /** The prefix×prefix candidate pairs (dn = new doc, do_ = old doc)
+    * — exposed for the spec's shrink accounting: at boilerplate-heavy
+    * scale this set is the point of the prefix filter (high-df
+    * shingles never generate candidates).
+    */
+  private[ext] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.PairExpand
+    val szMask = lit(PairExpand.SzMask)
+    val idxDir = persistedIndexDir(s, dir)
+    val newIdx = newSets(s, dir)
+      .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
+    // the new side's prefix under the SAME global order: old-corpus
+    // df (0 for shingles the old corpus never saw — rarest), hash
+    val dfreq = s.read.parquet(s"$idxDir/df")
+    val newPrefix = newIdx
+      .join(dfSide(s, dir, dfreq), Seq("h"), "left")
+      .withColumn("df", coalesce($"df", lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"m").orderBy($"df", $"h")))
+      .where($"rk" <= floor($"m".bitwiseAND(szMask) / lit(2)) + 1)
+      .select($"h", $"m")
+    newPrefix.select($"h", $"m".as("mn"))
+      .join(s.read.parquet(s"$idxDir/prefix").select($"h", $"m".as("mo")), "h")
+      .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("dn"),
+        shiftrightunsigned($"mo", PairExpand.SzBits).as("do_"))
+      .distinct()
+  }
+
   def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.PairExpand
     val szMask = lit(PairExpand.SzMask)
     val idxDir = persistedIndexDir(s, dir)
-    // the new batch fingerprints ONLY itself (the at-ingest step for
-    // this increment); both pair miners read one materialization
-    val newSets = TextAnalysis.docShingleSets(
-        Tables.load(s, dir, "documents").where(srcNum >= 10))
-      .localCheckpoint(eager = false)
-    val newIdx = newSets
+    val sets = newSets(s, dir)
+    val newIdx = sets
       .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
-    // new × old: drive the new postings against the persisted index;
-    // the per-pair count IS |A∩B| (postings are distinct per doc)
-    val cross = newIdx.select($"h", $"m".as("mn"))
-      .join(s.read.parquet(s"$idxDir/index").select($"h", $"m".as("mo")), "h")
-      .groupBy($"mo", $"mn").agg(count(lit(1)).as("common"))
-      .select(least($"mo", $"mn").as("pa"), greatest($"mo", $"mn").as("pb"),
-        $"common")
+    // new × old: prefix × prefix candidate join (both sides
+    // positional-filtered), then exact verification on the full sets
+    val cross = candidatePairs(s, dir)
+      .join(sets.select($"doc_id".as("dn"), $"hs".as("ha"), $"sz".as("sza")), "dn")
+      .join(s.read.parquet(s"$idxDir/sets")
+        .select($"doc_id".as("do_"), $"hs".as("hb"), $"sz".as("szb")), "do_")
+      .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
+      .where(lit(3) * $"common" >= $"sza" + $"szb")
+      .select(least($"dn", $"do_").as("doc_a"), greatest($"dn", $"do_").as("doc_b"),
+        $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
     // new × new: per-shingle sorted pair expansion, new batch only
     val within = newIdx
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
@@ -89,14 +172,13 @@ object IncrementalDedup {
       .select(explode(PairExpand($"ms")).as("p"))
       .groupBy($"p.a".as("pa"), $"p.b".as("pb"))
       .agg(count(lit(1)).as("common"))
-    cross.unionAll(within)
       .where(lit(3) * $"common" >= $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
       .select(
         shiftrightunsigned($"pa", PairExpand.SzBits).as("doc_a"),
         shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_b"),
         $"common",
         ($"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask) - $"common").as("union_sz"))
-      .orderBy($"doc_a", $"doc_b")
+    cross.unionAll(within).orderBy($"doc_a", $"doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -101,6 +101,12 @@ object JsonlIngest {
           try {
             split.where(col("_corrupt").isNull).drop("_corrupt")
               .write.mode(SaveMode.Append).parquet(good)
+            // LOAD-BEARING ORDER: Spark disallows a file-source query
+            // that references ONLY the corrupt-record column; this
+            // select is legal only because the good-path write above
+            // has already materialized the cache with the full schema.
+            // Reordering the writes or dropping the cache() makes this
+            // branch throw AnalysisException.
             val bad = split.where(col("_corrupt").isNotNull).select(col("_corrupt"))
             if (bad.limit(1).count() > 0)
               bad.write.mode(SaveMode.Append).parquet(dlq)

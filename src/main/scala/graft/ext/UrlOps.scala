@@ -93,10 +93,41 @@ object UrlOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canon" -> (qUrlCanon _))
 
+  /** The DuckDB mirror of [[canonicalizeUrl]], as a SELECT fragment:
+    * given an input relation with a `url` column plus `carry` columns,
+    * emits SQL computing `canon_url` alongside the carried columns.
+    * ONE definition serves every oracle that canonicalizes (q_url_canon
+    * and the crawl-refresh frontier), so the mirrors cannot diverge.
+    */
+  private[ext] def canonSelectSql(input: String, carry: Seq[String]): String = {
+    val re = """^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"""
+    val cs = carry.mkString(", ")
+    s"""SELECT $cs,
+       |    scheme || '://' ||
+       |    (CASE WHEN scheme = 'https' AND hostport LIKE '%:443' THEN split_part(hostport, ':', 1)
+       |          WHEN scheme = 'http' AND hostport LIKE '%:80' THEN split_part(hostport, ':', 1)
+       |          ELSE hostport END) ||
+       |    (CASE WHEN length(rawpath) = 0 OR rawpath = '/' THEN '/'
+       |          ELSE rtrim(rawpath, '/') END) ||
+       |    (CASE WHEN length(rawq) = 0 THEN '' ELSE
+       |      (CASE WHEN length(kept) = 0 THEN '' ELSE '?' || kept END) END) AS canon_url
+       |  FROM (
+       |    SELECT *, array_to_string(list_sort(list_filter(
+       |      string_split(substr(rawq, 2), '&'),
+       |      x -> NOT (x LIKE 'utm\\_%' ESCAPE '\\' OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%' OR x = ''))), '&') AS kept
+       |    FROM (
+       |      SELECT $cs,
+       |        lower(regexp_extract(url, '$re', 1)) AS scheme,
+       |        lower(regexp_extract(url, '$re', 2)) AS hostport,
+       |        regexp_extract(url, '$re', 3) AS rawpath,
+       |        regexp_extract(url, '$re', 4) AS rawq
+       |      FROM $input))""".stripMargin
+  }
+
   /** Same synthesis + same normalization, in DuckDB's dialect. */
   val oracle: Map[String, String] = Map(
     "q_url_canon" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
         |    '://' ||
@@ -109,28 +140,8 @@ object UrlOps {
         |          ELSE '?ref=' || CAST(doc_id % 10 AS VARCHAR) END) ||
         |    (CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
-        |p AS (
-        |  SELECT doc_id,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS hostport,
-        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS rawpath,
-        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS rawq
-        |  FROM m),
         |c AS (
-        |  SELECT doc_id,
-        |    scheme || '://' ||
-        |    (CASE WHEN scheme = 'https' AND hostport LIKE '%:443' THEN split_part(hostport, ':', 1)
-        |          WHEN scheme = 'http' AND hostport LIKE '%:80' THEN split_part(hostport, ':', 1)
-        |          ELSE hostport END) ||
-        |    (CASE WHEN length(rawpath) = 0 OR rawpath = '/' THEN '/'
-        |          ELSE rtrim(rawpath, '/') END) ||
-        |    (CASE WHEN length(rawq) = 0 THEN '' ELSE
-        |      (CASE WHEN length(kept) = 0 THEN '' ELSE '?' || kept END) END) AS canon_url
-        |  FROM (
-        |    SELECT *, array_to_string(list_sort(list_filter(
-        |      string_split(substr(rawq, 2), '&'),
-        |      x -> NOT (x LIKE 'utm\_%' ESCAPE '\' OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%' OR x = ''))), '&') AS kept
-        |    FROM p))
+        |  ${canonSelectSql("m", Seq("doc_id"))})
         |SELECT canon_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_variants
         |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin)
 }

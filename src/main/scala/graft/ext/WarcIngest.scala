@@ -1,7 +1,5 @@
 package graft.ext
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,6 +25,11 @@ object WarcIngest {
 
   /** Frame the documents table into WARC shards under a session-owned
     * tmpdir (build-once via [[IndexCache]]); returns the glob path.
+    * Built by the DISTRIBUTED writer ([[Warc.writeShards]]): the
+    * shard assignment, record framing and per-shard ordering are all
+    * column expressions, and every byte is emitted from an executor —
+    * the re-shard shape a 100k-file crawl job runs (the driver-side
+    * `collect()` build this replaced existed only for fixture scale).
     */
   private[graft] def warcFixture(s: SparkSession, dir: String): String =
     IndexCache.memo(s"warc-fixture:${s.sparkContext.applicationId}:$dir") {
@@ -36,26 +39,21 @@ object WarcIngest {
         sys.props("java.io.tmpdir"), s"graft_warc_$tag")
       val hp = new org.apache.hadoop.fs.Path(base.toString)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-      java.nio.file.Files.createDirectories(base)
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .collect().sortBy(_.getLong(0))
-      val shards = 4
-      (0 until shards).foreach { sh =>
-        val name = if (sh % 2 == 0) f"crawl-$sh%05d.warc" else f"crawl-$sh%05d.warc.gz"
-        val info = Warc.WarcRecord("warcinfo", s"<urn:uuid:info-$sh>", None,
-          Some("2026-01-01T00:00:00Z"), Some("application/warc-fields"),
-          0L, Array.emptyByteArray)
-        val recs = docs.iterator.filter(_.getLong(0) % shards == sh).map { r =>
-          val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
-          val payload = text.getBytes(StandardCharsets.UTF_8)
-          Warc.WarcRecord("conversion", s"<urn:uuid:doc-$id>",
-            Some(s"https://example.org/$src/$id"),
-            Some("2026-01-01T00:00:00Z"), Some("text/plain"),
-            payload.length.toLong, payload)
-        }.toSeq
-        Warc.writeFile(base.resolve(name), info +: recs)
-      }
+      val sh = col("doc_id") % 4
+      Warc.writeShards(
+        Tables.load(s, dir, "documents").select(
+          concat(lit("crawl-0000"), sh.cast("string"),
+            when(sh % 2 === 0, ".warc").otherwise(".warc.gz")).as("shard_file"),
+          col("doc_id").as("seq"),
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"), lit(">"))
+            .as("record_id"),
+          concat(lit("https://example.org/"), col("source"), lit("/"),
+            col("doc_id").cast("string")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          encode(col("text"), "utf-8").as("payload")),
+        base.toString)
       base.toString
     }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
+import java.io.{BufferedInputStream, InputStream, OutputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
@@ -144,13 +144,21 @@ object Warc {
         buf
       }
 
+      // a failed parse still releases the underlying file/gzip stream:
+      // strict framing means the iterator is abandoned on error, so the
+      // error path is the only close the stream would ever get
       private def advance(): Unit = try advance0() catch {
-        case e: IllegalStateException => throw e
+        case e: IllegalStateException => closeQuietly(); throw e
         // a corrupt gzip member / IO fault surfaces with file context,
         // not a bare ZLIB message from deep inside the decoder
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"WARC stream error in $context record #$idx: ${e.getMessage}", e)
+        case e: java.io.IOException =>
+          closeQuietly()
+          throw new IllegalStateException(
+            s"WARC stream error in $context record #$idx: ${e.getMessage}", e)
       }
+
+      private def closeQuietly(): Unit =
+        try bin.close() catch { case _: java.io.IOException => () }
 
       private def advance0(): Unit = {
         // tolerate blank padding between records, then expect a version line
@@ -191,8 +199,11 @@ object Warc {
         if (!done && nextRec == null) advance()
         !done && nextRec != null
       }
+      // NoSuchElementException per the Iterator contract (an
+      // IOException here would break generic combinators that probe
+      // next() after hasNext=false); framing errors stay in advance()
       override def next(): WarcRecord = {
-        if (!hasNext) throw new EOFException(s"$context exhausted")
+        if (!hasNext) throw new NoSuchElementException(s"$context exhausted")
         val r = nextRec; nextRec = null; r
       }
     }
@@ -234,10 +245,88 @@ object Warc {
     out.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
   }
 
-  /** Write `recs` as one archive file; gzip iff the name ends `.gz`. */
+  /** Write `recs` as one archive file; gzip iff the name ends `.gz`.
+    * Driver-side utility for single-archive fixtures; the distributed
+    * path is [[writeShards]].
+    */
   def writeFile(path: java.nio.file.Path, recs: Seq[WarcRecord]): Unit = {
     val fos = java.nio.file.Files.newOutputStream(path)
     val out = if (path.toString.endsWith(".gz")) new GZIPOutputStream(fos) else fos
     try recs.foreach(writeRecord(out, _)) finally out.close()
+  }
+
+  /** DISTRIBUTED WARC writer — the re-shard path of a real crawl
+    * pipeline (ingest WARC, transform, EMIT WARC): every record of
+    * `df` is framed from an EXECUTOR, never collected to the driver.
+    *
+    * Contract: `df` carries a `shard_file` column (the target archive
+    * name — gzip iff it ends `.gz`), a `seq` column (LONG order of the
+    * record within its shard; WARC is a sequential format, so shard
+    * content order must be pinned by data, not by partition luck), and
+    * the record columns `warc_type, record_id, target_uri, warc_date,
+    * content_type, payload` (the [[schema]] names; `content_length` is
+    * derived from the payload, never trusted from input).
+    *
+    * Plan shape: one hash repartition on `shard_file` (every shard's
+    * records land in one task — the non-splittability of the format
+    * makes the shard the atomic write unit) + an in-partition sort on
+    * (shard_file, seq); each task then streams record-at-a-time onto
+    * `fs.create`, so task memory is ONE payload regardless of shard
+    * size, and a 100k-shard crawl writes as 100k-task-bucketed work
+    * spread over the cluster. Each shard file also gets the spec's
+    * leading `warcinfo` record, derived from its name. Writes go
+    * through the Hadoop FileSystem of `dir` (works on object stores,
+    * not just local disk).
+    *
+    * Idempotence: re-running overwrites each shard file whole
+    * (`fs.create(path, overwrite)`) — the write is deterministic given
+    * (df, dir), so a retried task rewrites identical bytes.
+    */
+  def writeShards(df: DataFrame, dir: String, numTasks: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{octet_length, struct}
+    val spark = df.sparkSession
+    // SerializableWritable is the PUBLIC conf-shipping wrapper
+    // (util.SerializableConfiguration is private[spark])
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    base.getFileSystem(hconf.value).mkdirs(base)
+    val baseStr = base.toString
+    val cols = df.select(
+      col("shard_file").cast("string"), col("seq").cast("long"),
+      struct(col("warc_type"), col("record_id"), col("target_uri"),
+        col("warc_date"), col("content_type"),
+        octet_length(col("payload")).cast("long").as("content_length"),
+        col("payload")).as("rec"))
+    val parted =
+      (if (numTasks > 0) cols.repartition(numTasks, col("shard_file"))
+       else cols.repartition(col("shard_file")))
+        .sortWithinPartitions(col("shard_file"), col("seq"))
+    parted.foreachPartition { (rows: Iterator[Row]) =>
+      val fs = new org.apache.hadoop.fs.Path(baseStr).getFileSystem(hconf.value)
+      var cur: String = null
+      var out: OutputStream = null
+      def close(): Unit = if (out != null) { out.close(); out = null }
+      try {
+        rows.foreach { row =>
+          val shard = row.getString(0)
+          if (shard != cur) {
+            close()
+            cur = shard
+            val raw = fs.create(new org.apache.hadoop.fs.Path(baseStr, shard), true)
+            out = if (shard.endsWith(".gz")) new GZIPOutputStream(raw) else raw
+            // the spec's leading warcinfo record, named for the shard
+            writeRecord(out, WarcRecord("warcinfo", s"<urn:uuid:info-$shard>",
+              None, Some("2026-01-01T00:00:00Z"),
+              Some("application/warc-fields"), 0L, Array.emptyByteArray))
+          }
+          val r = row.getStruct(2)
+          writeRecord(out, WarcRecord(
+            r.getString(0), r.getString(1),
+            Option(r.getString(2)), Option(r.getString(3)), Option(r.getString(4)),
+            r.getLong(5), r.getAs[Array[Byte]](6)))
+        }
+      } finally close()
+    }
   }
 }

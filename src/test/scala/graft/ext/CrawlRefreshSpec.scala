@@ -16,11 +16,16 @@ class CrawlRefreshSpec extends SparkTestBase {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val srcNum = substring(col("source"), 4, 10).cast("int")
     val nNew = docs.where(srcNum >= 10).count()
+    val nDup = docs.where(srcNum >= 10 && col("doc_id") % 37 === 0).count()
     val nOld = docs.where(srcNum < 10).count()
     val audit = run1.filter(_.head.toString.startsWith("_"))
       .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
-    // the four buckets partition the arrivals exactly
-    assert(audit.values.sum == nNew, s"audit $audit must sum to $nNew arrivals")
+    // the buckets partition the raw FETCH records exactly: one row per
+    // doc plus one _url_dup row per collapsed duplicate fetch
+    assert(audit.values.sum == nNew + nDup,
+      s"audit $audit must sum to ${nNew + nDup} fetches")
+    assert(audit.getOrElse("_url_dup", 0L) == nDup,
+      s"frontier dedup must collapse exactly the $nDup duplicate fetches")
     assert(audit.getOrElse("_admitted", 0L) > 0, "the refresh must admit something")
     assert(audit.getOrElse("_gate_rejected", 0L) > 0, "the gate must reject something")
 
@@ -57,7 +62,8 @@ class CrawlRefreshSpec extends SparkTestBase {
     corpus.append(Seq((1L, "seed", text(1))).toDF("doc_id", "source", "text"))
     val index = new graft.core.TxTable(spark, s"$base/index")
     index.append(TextAnalysis.docShingleSets(corpus.read())
-      .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m")))
+      .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"),
+        lit("corpus").as("origin")))
 
     // the optional final stage: admitted docs flow into the TRAINING
     // ARTIFACT with a frozen vocab and per-source pack continuation
@@ -67,7 +73,10 @@ class CrawlRefreshSpec extends SparkTestBase {
 
     val stream = MemoryStream[(Long, String, String)]
     def run(): Unit = CrawlRefresh.streamRefresh(
-      stream.toDF().toDF("doc_id", "source", "text"),
+      stream.toDF().toDF("doc_id", "source", "text")
+        // fetch rows: each doc its own canonical URL (frontier no-op)
+        .withColumn("canon_url",
+          concat(lit("https://example.org/crawl/"), col("doc_id").cast("string"))),
       corpus, index, s"$base/ckpt",
       trainingArtifact = Some((artifact, frozenVocab))).awaitTermination()
 
@@ -89,12 +98,19 @@ class CrawlRefreshSpec extends SparkTestBase {
     run()
     val ids2 = corpus.read().select("doc_id").collect().map(_.getLong(0)).sorted
     assert(ids2.toSeq == Seq(1L, 11L, 13L, 21L), s"wave 2 admitted $ids2")
-    // the index holds postings for exactly the corpus docs
+    // the index holds postings for the corpus seed plus every
+    // GATE-PASSING arrival (the batch greedy rule mines pairs over all
+    // gated docs, so the stream indexes them all — only 12 failed the
+    // gate), each tagged with its origin
     val idxDocs = index.read()
       .select(org.apache.spark.sql.functions
         .shiftrightunsigned(col("m"), graft.functions.PairExpand.SzBits))
       .distinct().collect().map(_.getLong(0)).toSet
-    assert(idxDocs == Set(1L, 11L, 13L, 21L), s"index docs $idxDocs")
+    assert(idxDocs == Set(1L, 10L, 11L, 13L, 14L, 20L, 21L), s"index docs $idxDocs")
+    assert(index.read().where(col("origin") === "corpus")
+      .select(org.apache.spark.sql.functions
+        .shiftrightunsigned(col("m"), graft.functions.PairExpand.SzBits))
+      .distinct().count() == 1, "only the seed is corpus-origin")
 
     // the TRAINING ARTIFACT followed: exactly the corpus docs, once
     // each, with per-source pack ids still contiguous from 0 (the
@@ -116,6 +132,13 @@ class CrawlRefreshSpec extends SparkTestBase {
         if (tid >= 0) assert(vmap(tid) == tok)
       }
     }
+  }
+
+  test("stream equals batch: the 2-micro-batch checkpointed refresh lands the identical accounting frame") {
+    val batch = CrawlRefresh.qCrawlRefresh(spark, dir).collect().map(_.toSeq)
+    val stream = CrawlRefresh.qCrawlRefreshStream(spark, dir).collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ≠ batch:\n  batch=${batch.toSeq}\n  stream=${stream.toSeq}")
   }
 
   test("every _neardup_old rejection has a qualifying pair in the incremental miner") {

@@ -32,21 +32,73 @@ class IncrementalDedupSpec extends SparkTestBase {
     }
   }
 
-  test("the shingle index is a build-once session artifact") {
+  test("the shingle index is a build-once session artifact storing df-ordered prefix postings") {
     val d1 = IncrementalDedup.persistedIndexDir(spark, dir)
     val d2 = IncrementalDedup.persistedIndexDir(spark, dir)
     assert(d1 == d2)
-    assert(new java.io.File(d1, "index").exists())
+    assert(new java.io.File(d1, "prefix").exists())
+    assert(new java.io.File(d1, "df").exists())
     assert(new java.io.File(d1, "sets").exists())
-    // the index holds ONLY the existing corpus's postings
+    // the prefix postings hold ONLY the existing corpus's docs, and
+    // each doc contributes exactly min(sz, floor(sz/2)+1) postings
     import org.apache.spark.sql.functions._
-    val idxIds = spark.read.parquet(s"$d1/index")
-      .select(shiftrightunsigned(col("m"), graft.functions.PairExpand.SzBits).as("id"))
-      .distinct().collect().map(_.getLong(0)).toSet
+    val szBits = graft.functions.PairExpand.SzBits
+    val szMask = graft.functions.PairExpand.SzMask
+    val perDoc = spark.read.parquet(s"$d1/prefix")
+      .groupBy(shiftrightunsigned(col("m"), szBits).as("id"),
+        col("m").bitwiseAND(lit(szMask)).as("sz"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val old = graft.core.Tables.load(spark, dir, "documents")
       .where(substring(col("source"), 4, 10).cast("int") < 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(idxIds.nonEmpty && idxIds.subsetOf(old),
-      "the persisted index must cover exactly the existing corpus")
+    assert(perDoc.nonEmpty && perDoc.map(_._1).toSet.subsetOf(old),
+      "the persisted prefix index must cover exactly the existing corpus")
+    perDoc.foreach { case (id, sz, n) =>
+      assert(n == math.min(sz, sz / 2 + 1), s"doc $id: sz=$sz prefix=$n")
+    }
+  }
+
+  test("prefix candidates shrink on a boilerplate-heavy corpus while the pair set stays exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic corpus shaped like testdata: every doc = a SHARED
+    // 12-token boilerplate header (license/nav chrome — df = corpus
+    // size) + a unique 30-token tail, except new doc 510 which
+    // near-dups old doc 3's tail. The plain inverted index candidates
+    // every (new, old) pair through the boilerplate shingles; the
+    // prefix filter (rarest-first) candidates only tail-sharers.
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    def tail(k: Long) = (1 to 30).map(i => s"t${k}_$i").mkString(" ")
+    def nearDupTail(of: Long) = {
+      val t = tail(of).split(" "); t.updated(2, "CHANGED").mkString(" ")
+    }
+    val docs =
+      (0L to 19L).map(i => (i, s"src${i % 10}", s"$boiler ${tail(i)}")) ++
+        Seq((510L, "src12", s"$boiler ${nearDupTail(3)}"),
+          (511L, "src13", s"$boiler ${tail(511)}"))
+    val bdir = tmpDir("boiler-corpus")
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
+    // exact output: exactly the planted (3, 510) pair survives
+    val pairs = IncrementalDedup.qIncrementalNearDup(spark, bdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((3L, 510L)), s"pairs=${pairs.toSeq}")
+    // candidate accounting: the full-postings join would candidate all
+    // 2 new × 20 old pairs (all share boilerplate); the prefix join
+    // must generate strictly fewer — only tail-sharing candidates
+    val idxDir = IncrementalDedup.persistedIndexDir(spark, bdir)
+    val newIdx = TextAnalysis.docShingleSets(
+        graft.core.Tables.load(spark, bdir, "documents")
+          .where(substring(col("source"), 4, 10).cast("int") >= 10))
+      .select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
+    val fullCand = newIdx.select(col("h"), col("m").as("mn"))
+      .join(spark.read.parquet(s"$idxDir/sets")
+        .select(TextAnalysis.packedMember.as("mo"), explode(col("hs")).as("h")), "h")
+      .select(col("mn"), col("mo")).distinct().count()
+    val prefixCand = IncrementalDedup.candidatePairs(spark, bdir).count()
+    assert(fullCand == 40L, s"fullCand=$fullCand (boilerplate links every pair)")
+    assert(prefixCand < fullCand / 10,
+      s"prefix filter must kill boilerplate candidates: $prefixCand vs $fullCand")
   }
 }

@@ -12,13 +12,17 @@ import graft.SparkTestBase
   */
 class WireFormatFuzzSpec extends SparkTestBase {
 
-  private def hostileStrings(withCr: Boolean): Seq[(Long, String)] = {
+  private def hostileStrings(withCr: Boolean, withEmpty: Boolean): Seq[(Long, String)] = {
     val rnd = new scala.util.Random(7)
     val atoms = Seq(
       "plain", "with,commas", "\"quoted\"", "embedded\nnewline",
       "tab\there", "back\\slash", "ünïcòdé",
       "日本語テキスト", "emoji 😀🎉", "  padded  ", "a\"b,c\nd",
-      "trailing,", ",leading", "\"\"", "") ++
+      "trailing,", ",leading", "\"\"") ++
+      // the empty-string document survives CSV only under the
+      // sentinel-nullValue recipe (CsvIngest boundary (c), asserted
+      // below); JSONL carries it natively
+      (if (withEmpty) Seq("") else Nil) ++
       // bare CR inside fields is NOT CSV-representable through
       // Spark's parser: univocity normalizes/mis-frames CRLF inside
       // quoted values (documented in CsvIngest) — JSONL carries it
@@ -29,9 +33,9 @@ class WireFormatFuzzSpec extends SparkTestBase {
     }
   }
 
-  test("CSV multiLine + doubled-quote escaping round-trips hostile strings byte-for-byte") {
+  test("CSV multiLine + doubled-quote escaping round-trips hostile strings byte-for-byte, '' included") {
     import spark.implicits._
-    val strings = hostileStrings(withCr = false)
+    val strings = hostileStrings(withCr = false, withEmpty = true)
     val in = strings.toDF("id", "text")
     val dir = tmpDir("csv-fuzz")
     in.repartition(3)
@@ -42,23 +46,69 @@ class WireFormatFuzzSpec extends SparkTestBase {
       // reader) — padded fields silently corrupt unless disabled
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      // sentinel null framing: without it the '' atoms read back NULL
+      .option("nullValue", "\\N")
       .option("compression", "gzip")
       .mode("overwrite").csv(dir)
     val back = spark.read
       .schema("id LONG, text STRING")
       .option("multiLine", "true")
       .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "\\N")
       .csv(dir)
-      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
       .toMap
     strings.foreach { case (id, s) =>
       assert(back(id) == s, s"CSV mangled id $id: '${back(id)}' != '$s'")
     }
   }
 
+  test("CSV empty-string boundary: default nullValue collapses '' to NULL; the sentinel recipe round-trips '' and NULL exactly") {
+    import spark.implicits._
+    val in = Seq((1L, ""), (2L, "x"), (3L, null: String)).toDF("id", "text")
+    // the TRAP (CsvIngest boundary (c)): default options — quoted-empty
+    // parses to the field value "", which equals the DEFAULT nullValue
+    // "" and so maps to NULL; emptyValue does not rescue it
+    val dirTrap = tmpDir("csv-empty-trap")
+    in.write.option("header", "false")
+      .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .mode("overwrite").csv(dirTrap)
+    val rawTrap = spark.read.textFile(dirTrap).collect().sorted
+    // the writer DOES distinguish on disk ('' quoted, NULL bare)...
+    assert(rawTrap.contains("1,\"\"") && rawTrap.contains("3,"), rawTrap.mkString("; "))
+    val trap = spark.read.schema("id LONG, text STRING")
+      .option("quote", "\"").option("escape", "\"")
+      .option("emptyValue", "")
+      .csv(dirTrap).collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // ...but the reader collapses both to NULL — if a Spark upgrade
+    // changes this, the boundary doc in CsvIngest can be revisited
+    assert(trap(1L).isEmpty, s"default options now round-trip '' (${trap(1L)}) — revisit boundary (c)")
+    // the RECIPE: sentinel nullValue on writer and reader — NULL ships
+    // as \N, quoted-empty no longer matches nullValue, both round-trip
+    // (multiLine included — this is what CsvIngest ships)
+    val dirOk = tmpDir("csv-empty-ok")
+    in.write.option("header", "false")
+      .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", "\\N")
+      .mode("overwrite").csv(dirOk)
+    for (ml <- Seq(false, true)) {
+      var r = spark.read.schema("id LONG, text STRING")
+        .option("quote", "\"").option("escape", "\"")
+        .option("nullValue", "\\N")
+      if (ml) r = r.option("multiLine", "true")
+      val ok = r.csv(dirOk).collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+      assert(ok(1L).contains("") && ok(2L).contains("x") && ok(3L).isEmpty,
+        s"multiLine=$ml: $ok")
+    }
+  }
+
   test("JSONL escaping round-trips hostile strings byte-for-byte, CR included") {
     import spark.implicits._
-    val strings = hostileStrings(withCr = true)
+    val strings = hostileStrings(withCr = true, withEmpty = true)
     val in = strings.toDF("id", "text")
     val dir = tmpDir("jsonl-fuzz")
     in.repartition(3)
@@ -67,7 +117,7 @@ class WireFormatFuzzSpec extends SparkTestBase {
     val back = spark.read
       .schema("id LONG, text STRING")
       .json(dir)
-      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
       .toMap
     strings.foreach { case (id, s) =>
       assert(back(id) == s, s"JSONL mangled id $id: '${back(id)}' != '$s'")

@@ -132,6 +132,56 @@ class WarcSpec extends SparkTestBase {
       "restart must append exactly the new shard's records, once")
   }
 
+  test("distributed writeShards round-trips records, pins per-shard order by seq, and emits every byte executor-side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hostile payloads: trailer sequences, version lines, multibyte,
+    // empty — framing must come from Content-Length alone
+    val texts = Map(
+      1L -> "plain", 2L -> "embedded\r\n\r\ntrailer\nWARC/1.0\nline",
+      3L -> "", 4L -> "multißyte 日本語 😀", 5L -> "tail")
+    val dir = tmpDir("warc-dist")
+    val in = texts.toSeq.toDF("id", "text")
+      .select(
+        // 3 shards, mixed layouts; shard 2 holds ONE record
+        when($"id" <= 2, "d-0.warc").when($"id" <= 4, "d-1.warc.gz")
+          .otherwise("d-2.warc").as("shard_file"),
+        // seq DESCENDS in id so order-by-seq is visibly not order-by-id
+        (lit(100L) - $"id").as("seq"),
+        lit("conversion").as("warc_type"),
+        concat(lit("<urn:uuid:doc-"), $"id", lit(">")).as("record_id"),
+        concat(lit("https://example.org/src/"), $"id").as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("text/plain").as("content_type"),
+        encode($"text", "utf-8").as("payload"))
+    Warc.writeShards(in, dir)
+    val back = Warc.read(spark, dir).where($"warc_type" === "conversion")
+      .select($"warc_file", $"record_id", $"content_length", $"payload").collect()
+    assert(back.length == 5)
+    back.foreach { r =>
+      val id = r.getString(1).stripPrefix("<urn:uuid:doc-").stripSuffix(">").toLong
+      val expect = texts(id).getBytes(StandardCharsets.UTF_8)
+      assert(r.getLong(2) == expect.length)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](3), expect))
+    }
+    // per-shard record order == seq order (ids 1,2 share shard 0 with
+    // seq 99,98 → file order must be 2 then 1)
+    val shard0 = parseBytes(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "d-0.warc")))
+    assert(shard0.map(_.warcType) == Seq("warcinfo", "conversion", "conversion"))
+    assert(shard0.drop(1).map(_.recordId) ==
+      Seq("<urn:uuid:doc-2>", "<urn:uuid:doc-1>"))
+    // gz shard is really gzip, led by its warcinfo
+    val gz = new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(dir, "d-1.warc.gz")))
+    val buf = new java.io.ByteArrayOutputStream(); gz.transferTo(buf)
+    assert(parseBytes(buf.toByteArray).map(_.warcType) ==
+      Seq("warcinfo", "conversion", "conversion"))
+    // re-run is idempotent (whole-shard overwrite, deterministic bytes)
+    Warc.writeShards(in, dir)
+    assert(Warc.read(spark, dir).where($"warc_type" === "conversion").count() == 5)
+  }
+
   test("q_warc_ingest reproduces the corpus from bytes alone, across plain and gz shards") {
     val dir = "/root/testdata/sf0.001"
     val got = WarcIngest.qWarcIngest(spark, dir).collect()
