@@ -21,6 +21,10 @@ object Prewarm {
       () => graft.ext.JsonlIngest.ingest(spark, sfDir),
       () => graft.ext.CsvIngest.csvFixture(spark, sfDir),
       () => graft.ext.CorpusBuild.artifact(spark, sfDir),
+      // epoch-0 artifact + its frozen-vocab extension (q_corpus_epoch_delta)
+      () => graft.ext.CorpusBuild.epoch0Extended(spark, sfDir),
+      // crawl-slice WARC shards (messy URIs, duplicate fetches)
+      () => graft.ext.CrawlRefresh.crawlFixture(spark, sfDir),
     )
     builds.foreach(b => try b() catch { case _: Throwable => () })
   }

@@ -63,9 +63,14 @@ object CorpusBuild {
       .distinct()
     val survivors = docs.join(rejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = false)
-    // 3+4. vocabulary on the survivors; encode to id arrays
+    // 3+4. vocabulary on the survivors; encode to id arrays. The
+    // vocab SHIPS WITH the artifact (sibling parquet `<outPath>.vocab`)
+    // — training-serving consistency means a consumer must be able to
+    // decode/extend the epoch with the exact vocabulary it was encoded
+    // under ([[appendIncrement]] takes it back as `vocab`)
     val vocab = TextAnalysis.vocabOf(survivors, minCount)
       .select($"term", $"token_id")
+    vocab.write.mode("overwrite").parquet(s"$outPath.vocab")
     val ids = survivors
       .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
       .withColumnRenamed("col", "term")
@@ -114,7 +119,9 @@ object CorpusBuild {
           col("doc_id"), col("pack_id"),
           concat_ws(",", col("token_ids"))), lit("utf-8"))), 1, 15), 16, 10)
           .cast("long").as("h"))
-      .agg(expr("bit_xor(h)").as("s")) // commutative, overflow-free
+      // bit_xor over ZERO rows is NULL — an artifact where curation
+      // rejected everything digests as 0, not an unboxing NPE
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("s")) // commutative, overflow-free
     f"${x.head().getLong(0)}%x"
   }
 
@@ -183,6 +190,56 @@ object CorpusBuild {
       run(Tables.load(s, dir, "documents"), p)
     }
 
+  /** The EPOCH-0 artifact: built over the EXISTING corpus (src0-9),
+    * then extended with every src10+ doc encoded under epoch 0's
+    * FROZEN shipped vocabulary ([[appendIncrement]] — new-source
+    * terms are UNK until the next full rebuild). The pre-increment
+    * version rides along for the within-epoch immutability law.
+    */
+  private[graft] def epoch0Extended(s: SparkSession, dir: String): (TxTable, Long) =
+    IndexCache.memo(s"corpus-epoch0:${s.sparkContext.applicationId}:$dir") {
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_corpusepoch0_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = Tables.load(s, dir, "documents")
+      val t0 = run(docs.where(srcNum < 10), p)
+      val v0 = t0.version
+      appendIncrement(t0, docs.where(srcNum >= 10)
+        .select(col("doc_id"), col("source"), col("text")),
+        s.read.parquet(s"$p.vocab"))
+      (t0, v0)
+    }
+
+  /** EPOCH LIFECYCLE delta — guards the "ids never move within an
+    * epoch / may move across epochs" law from the data side: epoch 0
+    * (built on src0-9, extended with src10+ under the FROZEN vocab)
+    * against epoch 1 (the full rebuild, which retrains the vocabulary
+    * on the whole surviving corpus). Per source, over the docs common
+    * to both epochs: the UNK mass each side assigns and the mass the
+    * rebuild RECOVERS (new-corpus terms that crossed minCount and
+    * became real ids — the reason full re-epochs exist), plus how
+    * many docs' UNK count moved at all. One join + one aggregate over
+    * the two artifacts; the raw corpus is never re-read.
+    */
+  def qCorpusEpochDelta(s: SparkSession, dir: String): DataFrame = {
+    val nUnk = size(filter(col("token_ids"), x => x === -1L)).cast("long")
+    val e0 = epoch0Extended(s, dir)._1.read()
+      .select(col("doc_id"), col("source"), nUnk.as("u0"))
+    val e1 = artifact(s, dir).read()
+      .select(col("doc_id"), nUnk.as("u1"))
+    e0.join(e1, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("u0")).as("unk_e0"),
+        sum(col("u1")).as("unk_e1"),
+        sum(col("u0") - col("u1")).as("unk_recovered"),
+        sum(when(col("u0") =!= col("u1"), 1L).otherwise(0L)).as("n_unk_changed"))
+      .orderBy(col("source"))
+  }
+
   /** Graded read of the ARTIFACT ALONE: per-doc pack assignment,
     * token count, and UNK count recomputed from the stored id arrays
     * — any defect in any stage of the build breaks the hash.
@@ -211,74 +268,106 @@ object CorpusBuild {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_build" -> (qCorpusBuild _),
-    "q_pack_manifest" -> (qPackManifest _))
+    "q_pack_manifest" -> (qPackManifest _),
+    "q_corpus_epoch_delta" -> (qCorpusEpochDelta _))
 
   /** The whole build recomputed in SQL: curation mirror → pair mirror
     * → vocab mirror → encode counts → md5 order → packing window.
+    * Parameterized by a CTE-name prefix and the input predicate so two
+    * epochs (different corpus slices) can be rebuilt in one oracle.
     */
-  private val buildCtes: String =
-    s"""q AS (
+  private def buildCtes(p: String = "", pred: String = "TRUE"): String =
+    s"""${p}q AS (
          |  SELECT doc_id, source, text,
          |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
          |    len(list_filter(string_split(text, ' '),
          |      x -> x IN ${TextAnalysis.stopwordsSql})) AS n_stopwords
-         |  FROM documents),
-         |fp AS (SELECT doc_id, md5(trim(text)) AS f FROM documents),
-         |grp AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f),
-         |cur AS (
-         |  SELECT q.doc_id, q.source, q.text
-         |  FROM q JOIN fp ON q.doc_id = fp.doc_id
-         |         JOIN grp ON fp.f = grp.f
-         |  WHERE grp.keeper = q.doc_id
-         |    AND q.n_tokens BETWEEN 20 AND 80 AND q.n_stopwords >= 1),
-         |ctok AS (
+         |  FROM documents WHERE $pred),
+         |${p}fp AS (SELECT doc_id, md5(trim(text)) AS f FROM documents WHERE $pred),
+         |${p}grp AS (SELECT f, MIN(doc_id) AS keeper FROM ${p}fp GROUP BY f),
+         |${p}cur AS (
+         |  SELECT ${p}q.doc_id, ${p}q.source, ${p}q.text
+         |  FROM ${p}q JOIN ${p}fp ON ${p}q.doc_id = ${p}fp.doc_id
+         |         JOIN ${p}grp ON ${p}fp.f = ${p}grp.f
+         |  WHERE ${p}grp.keeper = ${p}q.doc_id
+         |    AND ${p}q.n_tokens BETWEEN 20 AND 80 AND ${p}q.n_stopwords >= 1),
+         |${p}ctok AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-         |  FROM cur),
-         |sh AS (
+         |  FROM ${p}cur),
+         |${p}sh AS (
          |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
-         |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM ctok WHERE len(t) >= 3)),
-         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |rej AS (
+         |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM ${p}ctok WHERE len(t) >= 3)),
+         |${p}sz AS (SELECT doc_id, COUNT(*) AS sz FROM ${p}sh GROUP BY doc_id),
+         |${p}rej AS (
          |  SELECT DISTINCT p.b AS doc_id
          |  FROM (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-         |        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |        FROM ${p}sh a JOIN ${p}sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |        GROUP BY 1, 2) p
-         |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+         |  JOIN ${p}sz sa ON p.a = sa.doc_id JOIN ${p}sz sb ON p.b = sb.doc_id
          |  WHERE 3 * p.c >= sa.sz + sb.sz),
-         |surv AS (SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
-         |stok AS (
+         |${p}surv AS (SELECT * FROM ${p}cur WHERE doc_id NOT IN (SELECT doc_id FROM ${p}rej)),
+         |${p}stok AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-         |  FROM surv),
-         |voc AS (SELECT term FROM stok GROUP BY term HAVING COUNT(*) >= 10),
-         |enc AS (
-         |  SELECT stok.doc_id,
+         |  FROM ${p}surv),
+         |${p}voc AS (SELECT term FROM ${p}stok GROUP BY term HAVING COUNT(*) >= 10),
+         |${p}enc AS (
+         |  SELECT ${p}stok.doc_id,
          |    COUNT(*) AS n_tokens,
-         |    CAST(SUM(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
-         |  FROM stok LEFT JOIN voc ON stok.term = voc.term
-         |  GROUP BY stok.doc_id),
-         |keyed AS (
-         |  SELECT surv.doc_id, surv.source, enc.n_tokens, enc.n_unk,
-         |    md5('epoch0:' || CAST(surv.doc_id AS VARCHAR)) AS sk
-         |  FROM surv JOIN enc ON surv.doc_id = enc.doc_id),
-         |packed AS (
+         |    CAST(SUM(CASE WHEN ${p}voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |  FROM ${p}stok LEFT JOIN ${p}voc ON ${p}stok.term = ${p}voc.term
+         |  GROUP BY ${p}stok.doc_id),
+         |${p}keyed AS (
+         |  SELECT ${p}surv.doc_id, ${p}surv.source, ${p}enc.n_tokens, ${p}enc.n_unk,
+         |    md5('epoch0:' || CAST(${p}surv.doc_id AS VARCHAR)) AS sk
+         |  FROM ${p}surv JOIN ${p}enc ON ${p}surv.doc_id = ${p}enc.doc_id),
+         |${p}packed AS (
          |  SELECT doc_id, source, n_tokens, n_unk,
          |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY sk, doc_id
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
          |      // 256 AS pack_id
-         |  FROM keyed)""".stripMargin
+         |  FROM ${p}keyed)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_corpus_build" ->
-      s"""WITH $buildCtes
+      s"""WITH ${buildCtes()}
          |SELECT doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
          |  n_tokens, n_unk
          |FROM packed ORDER BY doc_id""".stripMargin,
     "q_pack_manifest" ->
-      s"""WITH $buildCtes
+      s"""WITH ${buildCtes()}
          |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(SUM(n_unk) AS BIGINT) AS n_unk
          |FROM packed GROUP BY source, pack_id
-         |ORDER BY source, pack_id""".stripMargin)
+         |ORDER BY source, pack_id""".stripMargin,
+    // BOTH epochs rebuilt independently: epoch0 over src0-9 (prefix
+    // a_) extended with every src10+ doc encoded under a_'s FROZEN
+    // vocab, epoch1 the full rebuild (prefix b_); the delta aggregates
+    // over the docs common to both
+    "q_corpus_epoch_delta" ->
+      s"""WITH ${buildCtes("a_", "CAST(substring(source, 4) AS INT) < 10")},
+         |${buildCtes("b_")},
+         |incterm AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |  FROM documents WHERE CAST(substring(source, 4) AS INT) >= 10),
+         |inc AS (
+         |  SELECT incterm.doc_id, incterm.source,
+         |    CAST(SUM(CASE WHEN a_voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |  FROM incterm LEFT JOIN a_voc ON incterm.term = a_voc.term
+         |  GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT doc_id, source, n_unk FROM a_packed
+         |  UNION ALL SELECT doc_id, source, n_unk FROM inc),
+         |e1 AS (SELECT doc_id, n_unk FROM b_packed),
+         |j AS (
+         |  SELECT e0.source, e0.doc_id, e0.n_unk AS u0, e1.n_unk AS u1
+         |  FROM e0 JOIN e1 ON e0.doc_id = e1.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(u0) AS BIGINT) AS unk_e0,
+         |  CAST(SUM(u1) AS BIGINT) AS unk_e1,
+         |  CAST(SUM(u0 - u1) AS BIGINT) AS unk_recovered,
+         |  CAST(COUNT(*) FILTER (u0 <> u1) AS BIGINT) AS n_unk_changed
+         |FROM j GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -256,8 +256,15 @@ object PqIndex {
     * as the on-the-fly form. Same cached codebooks/centroids as
     * [[qAnnIvfPq]], so the two paths return identical neighbors.
     */
-  def qAnnPqIndexed(s: SparkSession, dir: String, indexDir: String,
-                    nProbe: Int = 8, shortlistN: Int = 512): DataFrame = {
+  /** Stage 1 of the persisted-index serving path: ADC-score the
+    * on-disk code table over the probed cell partitions and return
+    * the (vec_id, adc_dist) shortlist — the float vectors are never
+    * read here (ReadSchema (vec_id, code); cell pruning = partition
+    * pruning). Shared by [[qAnnPqIndexed]] (quantized-L2 rerank) and
+    * [[Similarity.qRagIndexed]] (cosine rerank + document join).
+    */
+  private[ext] def indexShortlist(s: SparkSession, dir: String, indexDir: String,
+                                  nProbe: Int, shortlistN: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val codebooks = trainedCodebooks(emb, dir)
@@ -265,12 +272,18 @@ object PqIndex {
     val query = queryVec(emb)
     val cells = IvfIndex.probeCells(query.map(_.toDouble), centroids, nProbe)
     val table = adcTable(query, codebooks)
-    val shortlist = s.read.parquet(indexDir)
+    s.read.parquet(indexDir)
       .where($"cell".isin(cells.map(Integer.valueOf): _*) && $"vec_id" =!= 0)
       .select($"vec_id", PqAdcScore($"code", table).as("adc_dist"))
       .orderBy($"adc_dist".asc, $"vec_id")
       .limit(shortlistN)
-    exactRerank(emb, shortlist, query)
+  }
+
+  def qAnnPqIndexed(s: SparkSession, dir: String, indexDir: String,
+                    nProbe: Int = 8, shortlistN: Int = 512): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    exactRerank(emb, indexShortlist(s, dir, indexDir, nProbe, shortlistN),
+      queryVec(emb))
   }
 
   /** The persisted index artifact, built ONCE per (session, dir) —

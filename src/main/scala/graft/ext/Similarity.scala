@@ -88,6 +88,43 @@ object Similarity {
       .orderBy($"rank")
   }
 
+  /** RAG retrieval SERVED FROM THE PERSISTED ANN INDEX — the
+    * production path [[qRagRetrieve]]'s brute-force scan stands in
+    * for: stage 1 shortlists from the cell-partitioned on-disk PQ
+    * code table ([[PqIndex.indexShortlist]], exhaustive-probe exact
+    * mode — ReadSchema (vec_id, code), the float vectors never enter
+    * the candidate scan); stage 2 exact-reranks ONLY the broadcast
+    * shortlist by the engine-exact quantized cosine; stage 3 is the
+    * same k-row document join. Same oracle as q_rag_retrieve — the
+    * index path must return the identical retrieval, end to end.
+    *
+    * At 100 TB: stage 1 reads nProbe/k of an m-int-per-vector table
+    * (partition-pruned); stage 2 touches 512 float rows; stage 3 is a
+    * k-row broadcast into the corpus join. The embeddings table never
+    * feeds a full cosine pass — that is the entire point of serving
+    * from the index (asserted plan-shape-wise in PqSpec).
+    */
+  def qRagIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val shortlist = PqIndex.indexShortlist(s, dir,
+      PqIndex.persistedIndexDir(s, dir), nProbe = 16, shortlistN = 512)
+    val top = e.join(broadcast(shortlist.select($"vec_id")), "vec_id")
+      .join(broadcast(q))
+      .select($"vec_id",
+        graft.functions.QuantizedCosine($"embedding", $"qvec").as("cosq"))
+      .orderBy($"cosq".desc, $"vec_id").limit(5)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cosq".desc, $"vec_id")).cast("long"))
+    broadcast(top)
+      .join(Tables.load(s, dir, "documents"), $"vec_id" === col("doc_id"))
+      .select($"rank", $"vec_id", $"cosq", col("lang"),
+        substring(col("text"), 1, 40).as("snippet"))
+      .orderBy($"rank")
+  }
+
   /** Per-label centroid, emitted as (label, dim, sum_scaled, n) with
     * values quantized to floor(x·2²⁰) longs — exact float→double
     * scaling plus engine-unambiguous floor (round()'s half-way rule
@@ -342,6 +379,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (qCosineTopK _),
     "q_rag_retrieve" -> (qRagRetrieve _),
+    "q_rag_indexed" -> (qRagIndexed _),
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_cosine_dups" -> (qCosineDups _),
@@ -465,11 +503,10 @@ object Similarity {
       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, nbr) AS BIGINT) AS rk
       |  FROM scored)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "q_cosine_topk" -> exactTopKCosineSql,
-    // the exact top-5 CTEs + rank + corpus join-back (doc_id = vec_id)
-    "q_rag_retrieve" ->
-      s"""WITH $quantCtes,
+  // the exact top-5 CTEs + rank + corpus join-back (doc_id = vec_id);
+  // shared verbatim by the indexed serving path (index ≡ brute force)
+  private val ragSql: String =
+    s"""WITH $quantCtes,
          |dot AS (
          |  SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS d
          |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id = 0
@@ -489,7 +526,12 @@ object Similarity {
          |SELECT top.rank, top.vec_id, top.cosq, d.lang,
          |  substring(d.text, 1, 40) AS snippet
          |FROM top JOIN documents d ON top.vec_id = d.doc_id
-         |ORDER BY top.rank""".stripMargin,
+         |ORDER BY top.rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" -> exactTopKCosineSql,
+    "q_rag_retrieve" -> ragSql,
+    "q_rag_indexed" -> ragSql,
     "q_ann_lsh" -> exactTopKCosineSql,
     // nearest-of-8-seeds reconstruction: all (vector, seed) quantized
     // dots → cosq → argmax per vector with ties to the lower seed id,

@@ -157,6 +157,62 @@ class CorpusBuildSpec extends SparkTestBase {
     }
   }
 
+  test("epoch lifecycle: ids never move within an epoch, may move across epochs, and the rebuild recovers UNK mass") {
+    import org.apache.spark.sql.functions._
+    val (t0, preIncrementVersion) = CorpusBuild.epoch0Extended(spark, dir)
+    // WITHIN an epoch: the increment is append-only — every row that
+    // existed before it is byte-identical after it (ids never move
+    // once a model has seen them)
+    val before = t0.readAt(preIncrementVersion)
+      .select("doc_id", "token_ids", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
+    val afterRestricted = t0.read()
+      .select("doc_id", "token_ids", "pack_id")
+      .where(col("doc_id").isin(before.map(_._1).map(Long.box): _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
+    assert(afterRestricted.toSeq == before.toSeq,
+      "the increment must not move any pre-existing row")
+    // ACROSS epochs: the full rebuild retrains the vocab — some common
+    // doc's id array must differ (ids MAY move across epochs)
+    val e1 = CorpusBuild.artifact(spark, dir).read()
+      .select(col("doc_id"), col("token_ids").as("ids1"))
+    val moved = t0.read().select(col("doc_id"), col("token_ids").as("ids0"))
+      .join(e1, "doc_id")
+      .where(col("ids0") =!= col("ids1")).count()
+    assert(moved > 0, "epoch1's retrained vocab must re-map some doc")
+    // and the rebuild RECOVERS UNK mass when new sources introduce
+    // vocabulary: the testdata word pool is shared across sources (31
+    // terms corpus-wide — nothing to recover there; the oracle row
+    // still grades the machinery's cross-engine equality), so the
+    // SEMANTIC law runs on a synthetic corpus whose new sources carry
+    // terms that only cross minCount in the union
+    val bdir = tmpDir("epoch-corpus")
+    def doc(k: Long, shared: Seq[String]) = {
+      // 24 tokens, gate-passing, alternating shared/unique so no two
+      // docs share a 3-shingle (near-dup never fires)
+      val toks = Seq("the") ++ (1 to 11).flatMap(i =>
+        Seq(shared((i - 1) % shared.size), s"x${k}_$i")) :+ s"x${k}_end"
+      toks.mkString(" ")
+    }
+    val aTerms = Seq("a1", "a2", "a3", "a4", "a5")
+    val bTerms = Seq("b1", "b2", "b3", "b4", "b5")
+    val docs =
+      (0L to 14L).map(i => (i, s"src${i % 10}", doc(i, aTerms))) ++
+        (100L to 114L).map(i => (i, s"src1${i % 5}", doc(i, bTerms)))
+    import spark.implicits._
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
+    val delta = CorpusBuild.qCorpusEpochDelta(spark, bdir).collect()
+    val newSrc = delta.filter(r =>
+      r.getString(0).stripPrefix("src").toInt >= 10)
+    assert(newSrc.nonEmpty && newSrc.map(_.getAs[Long]("unk_recovered")).sum > 0,
+      s"no UNK mass recovered on new sources: ${delta.mkString("; ")}")
+    // old sources are untouched by the rebuild's new terms
+    delta.filter(r => r.getString(0).stripPrefix("src").toInt < 10)
+      .foreach(r => assert(r.getAs[Long]("unk_recovered") == 0L, r.toString))
+  }
+
   test("pack-range loader reads skip files after clustering; epochs are table versions") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val built = CorpusBuild.run(docs, tmpDir("cb-serve-src")).read()

@@ -166,11 +166,15 @@ class CurationSpec extends SparkTestBase {
 
   test("q_lm_quality's model broadcast is size-gated; the shuffle branch matches") {
     val base = Curation.qLmQuality(spark, dir).collect().map(_.toSeq).toSet
-    assert(base.nonEmpty)
+    val baseBuckets = Curation.qLmBuckets(spark, dir).collect().map(_.toSeq).toSet
+    assert(base.nonEmpty && baseBuckets.nonEmpty)
     spark.conf.set(Curation.LmBroadcastMaxWeightsKey, "0")
     try {
       val gated = Curation.qLmQuality(spark, dir).collect().map(_.toSeq).toSet
       assert(gated == base, "over-threshold branch must match the broadcast branch")
+      val gatedBuckets = Curation.qLmBuckets(spark, dir).collect().map(_.toSeq).toSet
+      assert(gatedBuckets == baseBuckets,
+        "q_lm_buckets must hash-match on the shuffle branch too")
     } finally spark.conf.unset(Curation.LmBroadcastMaxWeightsKey)
   }
 

@@ -111,6 +111,59 @@ class PqSpec extends SparkTestBase {
     assert(a == b, s"materialized path diverged:\n$a\nvs\n$b")
   }
 
+  test("q_rag_indexed serves the identical retrieval from the persisted index, embeddings touched only by lookup + rerank") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // index ≡ brute force, end to end (rank, ids, scores, snippets)
+    val brute = Similarity.qRagRetrieve(spark, dir).collect().map(_.toSeq)
+    val served = Similarity.qRagIndexed(spark, dir).collect().map(_.toSeq)
+    assert(served.toSeq == brute.toSeq,
+      s"indexed RAG diverged:\n$brute\nvs\n$served")
+    // plan shape: candidates come from the codes-only index scan; the
+    // embeddings table appears ONLY as the 1-row query-vector lookup
+    // (vec_id=0 pushed to the scan) and the rerank side of a vec_id
+    // broadcast join — never a whole-table cosine pass
+    val plan = Similarity.qRagIndexed(spark, dir).queryExecution.executedPlan
+    val idxScans = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
+    val embScans = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
+    val joins = scala.collection.mutable.ArrayBuffer.empty[BroadcastHashJoinExec]
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_pqindex")) =>
+          idxScans += f
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("embeddings")) =>
+          embScans += f
+        case j: BroadcastHashJoinExec => joins += j
+        case _ =>
+      }
+      n.children.foreach(walk)
+      n.subqueries.foreach(walk)
+    }
+    walk(plan)
+    assert(idxScans.nonEmpty, "no scan over the persisted index")
+    idxScans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.contains("code") && !cols.contains("embedding"),
+        s"index scan reads $cols")
+    }
+    assert(embScans.size == 2, s"expected lookup + rerank, got ${embScans.size} embeddings scans")
+    val (lookups, reranks) = embScans.partition(
+      _.metadata.get("PushedFilters").exists(f =>
+        f.contains("EqualTo(vec_id,0)") && !f.contains("Not(EqualTo(vec_id,0))")))
+    assert(lookups.size == 1, s"query-vector lookup must push vec_id=0: " +
+      embScans.map(_.metadata.get("PushedFilters")).mkString(" | "))
+    // the full-width scan is gated by a vec_id equi-join (the rerank),
+    // not fed straight into a corpus-wide cosine
+    assert(joins.exists(j =>
+      (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "vec_id"))),
+      "no vec_id broadcast join above the rerank scan")
+    assert(reranks.size == 1)
+  }
+
   test("q_ann_pq_indexed serves the exact top-10 from the persisted per-session index") {
     // the registry serving path: build-once artifact, exhaustive
     // probe + full shortlist = provably exact (same oracle as q_ann_pq)
