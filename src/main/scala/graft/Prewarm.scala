@@ -25,6 +25,8 @@ object Prewarm {
       () => graft.ext.CorpusBuild.epoch0Extended(spark, sfDir),
       // crawl-slice WARC shards (messy URIs, duplicate fetches)
       () => graft.ext.CrawlRefresh.crawlFixture(spark, sfDir),
+      // re-sharded archives (distributed WARC write round trip)
+      () => graft.ext.WarcIngest.reshardFixture(spark, sfDir),
     )
     builds.foreach(b => try b() catch { case _: Throwable => () })
   }

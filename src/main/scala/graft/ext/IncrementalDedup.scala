@@ -97,16 +97,6 @@ object IncrementalDedup {
     if (refs <= maxRefs) broadcast(dfreq) else dfreq
   }
 
-  /** Near-dup pairs (exact Jaccard ≥ 1/2, same threshold and output
-    * layout as [[TextAnalysis.qNgramJaccard]]) involving at least one
-    * NEW document: new×old candidates mined by joining the new
-    * batch's PREFIX postings against the PERSISTED prefix index
-    * (positional filter on BOTH sides — the documented plan), then
-    * exact-verified against the full fingerprint sets; new×new pairs
-    * by the standard per-shingle pair expansion over the new batch
-    * alone. Old×old pairs never recompute — that work was done when
-    * those documents were new.
-    */
   /** The new batch's fingerprint sets (memoized lazily per session —
     * both pair miners and the spec read one materialization).
     */
@@ -118,43 +108,60 @@ object IncrementalDedup {
         .localCheckpoint(eager = false)
     }
 
-  /** The prefix×prefix candidate pairs (dn = new doc, do_ = old doc)
-    * — exposed for the spec's shrink accounting: at boilerplate-heavy
-    * scale this set is the point of the prefix filter (high-df
-    * shingles never generate candidates).
+  /** The new batch's df-ordered prefix postings under the SAME global
+    * order as the persisted index: old-corpus df (0 for shingles the
+    * old corpus never saw — rarest), hash. Memoized lazily — both
+    * candidate miners read one materialization.
+    */
+  private def newPrefix(s: SparkSession, dir: String): DataFrame =
+    graft.core.IndexCache.memo(
+      s"shingle-newprefix:${s.sparkContext.applicationId}:$dir") {
+      import s.implicits._
+      import graft.functions.PairExpand
+      val idxDir = persistedIndexDir(s, dir)
+      newSets(s, dir)
+        .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
+        .join(dfSide(s, dir, s.read.parquet(s"$idxDir/df")), Seq("h"), "left")
+        .withColumn("df", coalesce($"df", lit(0L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"m").orderBy($"df", $"h")))
+        .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+        .select($"h", $"m")
+        .localCheckpoint(eager = false)
+    }
+
+  /** The new×old prefix×prefix candidate pairs (dn = new doc, do_ =
+    * old doc) — exposed for the spec's shrink accounting: at
+    * boilerplate-heavy scale this set is the point of the prefix
+    * filter (high-df shingles never generate candidates).
     */
   private[ext] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.PairExpand
-    val szMask = lit(PairExpand.SzMask)
     val idxDir = persistedIndexDir(s, dir)
-    val newIdx = newSets(s, dir)
-      .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
-    // the new side's prefix under the SAME global order: old-corpus
-    // df (0 for shingles the old corpus never saw — rarest), hash
-    val dfreq = s.read.parquet(s"$idxDir/df")
-    val newPrefix = newIdx
-      .join(dfSide(s, dir, dfreq), Seq("h"), "left")
-      .withColumn("df", coalesce($"df", lit(0L)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"m").orderBy($"df", $"h")))
-      .where($"rk" <= floor($"m".bitwiseAND(szMask) / lit(2)) + 1)
-      .select($"h", $"m")
-    newPrefix.select($"h", $"m".as("mn"))
+    newPrefix(s, dir).select($"h", $"m".as("mn"))
       .join(s.read.parquet(s"$idxDir/prefix").select($"h", $"m".as("mo")), "h")
       .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("dn"),
         shiftrightunsigned($"mo", PairExpand.SzBits).as("do_"))
       .distinct()
   }
 
+  /** Near-dup pairs (exact Jaccard ≥ 1/2, same threshold and output
+    * layout as [[TextAnalysis.qNgramJaccard]]) involving at least one
+    * NEW document: new×old candidates mined by joining the new
+    * batch's PREFIX postings against the PERSISTED prefix index
+    * (positional filter on BOTH sides — the documented plan), then
+    * exact-verified against the full fingerprint sets; new×new
+    * candidates by the same prefix-filtered pair expansion over the
+    * new batch alone, verified identically (a boilerplate-heavy slice
+    * must not pay O(df²) against itself either). Old×old pairs never
+    * recompute — that work was done when those documents were new.
+    */
   def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.PairExpand
-    val szMask = lit(PairExpand.SzMask)
     val idxDir = persistedIndexDir(s, dir)
     val sets = newSets(s, dir)
-    val newIdx = sets
-      .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
     // new × old: prefix × prefix candidate join (both sides
     // positional-filtered), then exact verification on the full sets
     val cross = candidatePairs(s, dir)
@@ -165,19 +172,25 @@ object IncrementalDedup {
       .where(lit(3) * $"common" >= $"sza" + $"szb")
       .select(least($"dn", $"do_").as("doc_a"), greatest($"dn", $"do_").as("doc_b"),
         $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
-    // new × new: per-shingle sorted pair expansion, new batch only
-    val within = newIdx
+    // new × new: the SAME prefix filter applies within the batch (the
+    // theorem needs only a shared total order, which both sides have)
+    // — a boilerplate-heavy crawl slice would otherwise pay O(df²)
+    // pair expansion against itself; candidates exact-verify on the
+    // full sets exactly like the cross tier
+    val withinCand = newPrefix(s, dir)
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
       .where(size($"ms") > 1)
       .select(explode(PairExpand($"ms")).as("p"))
-      .groupBy($"p.a".as("pa"), $"p.b".as("pb"))
-      .agg(count(lit(1)).as("common"))
-      .where(lit(3) * $"common" >= $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
-      .select(
-        shiftrightunsigned($"pa", PairExpand.SzBits).as("doc_a"),
-        shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_b"),
-        $"common",
-        ($"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask) - $"common").as("union_sz"))
+      .select(shiftrightunsigned($"p.a", PairExpand.SzBits).as("da"),
+        shiftrightunsigned($"p.b", PairExpand.SzBits).as("db"))
+      .distinct()
+    val within = withinCand
+      .join(sets.select($"doc_id".as("da"), $"hs".as("ha"), $"sz".as("sza")), "da")
+      .join(sets.select($"doc_id".as("db"), $"hs".as("hb"), $"sz".as("szb")), "db")
+      .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
+      .where(lit(3) * $"common" >= $"sza" + $"szb")
+      .select($"da".as("doc_a"), $"db".as("doc_b"),
+        $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
     cross.unionAll(within).orderBy($"doc_a", $"doc_b")
   }
 

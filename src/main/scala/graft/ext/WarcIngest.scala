@@ -72,8 +72,52 @@ object WarcIngest {
         md5(col("payload")).as("payload_md5"))
       .orderBy(col("doc_id"))
 
+  /** The RE-SHARD job a crawl pipeline actually runs (WARC in → WARC
+    * out, new sharding): parse the session's doc_id-sharded fixture,
+    * re-emit it as one-shard-per-SOURCE archives through the
+    * DISTRIBUTED writer ([[Warc.writeShards]] — every byte framed
+    * executor-side), built once per session; returns the output dir.
+    */
+  private[graft] def reshardFixture(s: SparkSession, dir: String): String =
+    IndexCache.memo(s"warc-reshard:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_warcreshard_$tag"
+      val hp = new org.apache.hadoop.fs.Path(out)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val parsed = Warc.read(s, warcFixture(s, dir))
+        .where(col("warc_type") === "conversion")
+      Warc.writeShards(
+        parsed.select(
+          concat(lit("reshard-"),
+            element_at(split(col("target_uri"), "/"), -2), lit(".warc.gz"))
+            .as("shard_file"),
+          element_at(split(col("target_uri"), "/"), -1).cast("long").as("seq"),
+          col("warc_type"), col("record_id"), col("target_uri"),
+          col("warc_date"), col("content_type"), col("payload")),
+        out)
+      out
+    }
+
+  /** Parse the RE-SHARDED archives back and account per shard: the
+    * whole WARC→WARC→columns loop (batch read, executor-side write,
+    * read again) must reproduce the corpus' per-source doc counts and
+    * byte mass from bytes alone — any framing defect anywhere in the
+    * distributed writer breaks the hash.
+    */
+  def qWarcReshard(s: SparkSession, dir: String): DataFrame =
+    Warc.read(s, reshardFixture(s, dir))
+      .where(col("warc_type") === "conversion")
+      .select(element_at(split(col("warc_file"), "/"), -1).as("shard_file"),
+        col("content_length"))
+      .groupBy(col("shard_file"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("content_length")).as("sum_bytes"))
+      .orderBy(col("shard_file"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_warc_ingest" -> (qWarcIngest _))
+    "q_warc_ingest" -> (qWarcIngest _),
+    "q_warc_reshard" -> (qWarcReshard _))
 
   /** The parse must reproduce the parquet corpus from bytes alone:
     * DuckDB strlen is UTF-8 byte length (= the WARC Content-Length)
@@ -84,5 +128,11 @@ object WarcIngest {
       """SELECT doc_id, source,
         |  CAST(strlen(text) AS BIGINT) AS content_length,
         |  md5(text) AS payload_md5
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_warc_reshard" ->
+      """SELECT 'reshard-' || source || '.warc.gz' AS shard_file,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
+        |FROM documents GROUP BY source
+        |ORDER BY shard_file""".stripMargin)
 }
