@@ -13,8 +13,10 @@ object Prewarm {
     val builds: Seq[() => Any] = Seq(
       // chain-built ACID fixtures (CDC replica, IVM view)
       () => graft.ext.ScaleOps.prewarmChainFixtures(spark, sfDir),
-      // persisted serving indexes (PQ codes, shingle postings)
+      // persisted serving indexes (PQ codes, shingle postings) + the
+      // incrementally-grown PQ index (append under frozen quantizers)
       () => graft.ext.PqIndex.persistedIndexDir(spark, sfDir),
+      () => graft.ext.PqIndex.appendedIndexDir(spark, sfDir),
       () => graft.ext.IncrementalDedup.persistedIndexDir(spark, sfDir),
       // corpus-format fixtures (WARC/JSONL/CSV framing + ingest)
       () => graft.ext.WarcIngest.warcFixture(spark, sfDir),

@@ -238,16 +238,41 @@ object PqIndex {
     * query a scan of m ints instead of 64 floats, with nProbe cell
     * pruning becoming partition pruning on disk.
     */
-  def writeIndex(s: SparkSession, dir: String, targetDir: String): Unit = {
+  /** (vec_id, cell, code) for `vecs` under the index's FROZEN
+    * quantizers — one map-side projection (two [[NearestCell]]
+    * families over the same scan); shared by the full build and the
+    * incremental append so the two can never encode differently.
+    */
+  private def encodeFrame(s: SparkSession, dir: String, vecs: DataFrame): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
-    val codebooks = trainedCodebooks(emb, dir)
+    val codebooks = trainedCodebooks(Tables.load(s, dir, "embeddings"), dir)
     val centroids = IvfIndex.trainedCentroids(s, dir)
-    emb.select($"vec_id",
-        IvfIndex.assignCell($"embedding", centroids).as("cell"),
-        encodeExpr($"embedding", codebooks).as("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(targetDir)
+    vecs.select($"vec_id",
+      IvfIndex.assignCell($"embedding", centroids).as("cell"),
+      encodeExpr($"embedding", codebooks).as("code"))
   }
+
+  def writeIndex(s: SparkSession, dir: String, targetDir: String): Unit =
+    encodeFrame(s, dir, Tables.load(s, dir, "embeddings"))
+      .write.mode("overwrite").partitionBy("cell").parquet(targetDir)
+
+  /** INCREMENTAL INDEX MAINTENANCE — the FAISS `add()` shape: encode
+    * `newVecs` with the index's FROZEN codebooks/centroids and APPEND
+    * into the cell-partitioned code table. Old code files are never
+    * rewritten and existing codes never move — the invariant a
+    * serving fleet relies on while the index stays live; quantizer
+    * drift against the grown corpus is repaired by a full retrain,
+    * the PQ analog of the corpus epoch rebuild
+    * ([[CorpusBuild.qCorpusEpochDelta]]). At 100 TB the append is one
+    * map pass over the new vectors landing files under their cell
+    * partitions; serving reads are unchanged (cell pruning keeps
+    * working because assignment used the same frozen coarse
+    * quantizer).
+    */
+  def appendIndex(s: SparkSession, dir: String, indexDir: String,
+                  newVecs: DataFrame): Unit =
+    encodeFrame(s, dir, newVecs)
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
 
   /** ADC+R over the MATERIALIZED index: stage 1 scans only the probed
     * cell partitions of the code table (never the float vectors —
@@ -317,10 +342,48 @@ object PqIndex {
     qAnnPqIndexed(s, dir, persistedIndexDir(s, dir),
       nProbe = 16, shortlistN = 512)
 
+  /** The GROWN index: built over the odd half of the corpus, then the
+    * even half (query vector included) APPENDED under the frozen
+    * quantizers — the maintenance lifecycle a live ANN service runs
+    * nightly. Built once per (session, dir); the pre-append file set
+    * rides along for the append-only law in PqSpec.
+    */
+  private[graft] def appendedIndexDir(s: SparkSession, dir: String): (String, Set[String]) =
+    graft.core.IndexCache.memo(
+      s"pq-index-append:${s.sparkContext.applicationId}:$dir") {
+      import s.implicits._
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_pqappend_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val emb = Tables.load(s, dir, "embeddings")
+      encodeFrame(s, dir, emb.where($"vec_id" % 2 === 1))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+      def files(): Set[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(p)).map(f => s"${f.getPath}@${f.length}")
+          .filter(_.contains("parquet")).toSet
+      }
+      val before = files()
+      appendIndex(s, dir, p, emb.where($"vec_id" % 2 === 0))
+      (p, before)
+    }
+
+  /** Registry entry: exact serving from the GROWN index — the
+    * appended half must be indistinguishable from a from-scratch
+    * build at query time (same exact top-10 oracle as every PQ row).
+    */
+  def qAnnPqAppendServe(s: SparkSession, dir: String): DataFrame =
+    qAnnPqIndexed(s, dir, appendedIndexDir(s, dir)._1,
+      nProbe = 16, shortlistN = 512)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_indexed" -> (qAnnPqServe _),
+    "q_ann_pq_append" -> (qAnnPqAppendServe _),
   )
 
   /** Exact quantized-L2 top-10 of vec_id 0 — both PQ paths run their
@@ -339,5 +402,6 @@ object PqIndex {
     "q_ann_pq" -> exactTopKL2Sql,
     "q_ann_ivfpq" -> exactTopKL2Sql,
     "q_ann_pq_indexed" -> exactTopKL2Sql,
+    "q_ann_pq_append" -> exactTopKL2Sql,
   )
 }

@@ -164,6 +164,38 @@ class PqSpec extends SparkTestBase {
     assert(reranks.size == 1)
   }
 
+  test("q_ann_pq_append: incremental add is append-only, codes never move, serving stays exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (idxDir, beforeFiles) = PqIndex.appendedIndexDir(spark, dir)
+    // append-only: every pre-append file survives byte-identical (the
+    // fingerprint is path@length); the append only ADDED files
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val after = walk(new java.io.File(idxDir))
+      .map(f => s"${f.getPath}@${f.length}").filter(_.contains("parquet")).toSet
+    assert(beforeFiles.subsetOf(after),
+      s"append rewrote old files: ${(beforeFiles -- after).take(3)}")
+    assert(after.size > beforeFiles.size, "append added no files")
+    // codes never move: the odd half's codes in the grown index equal
+    // a fresh encode of the same vectors (frozen quantizers)
+    val grown = spark.read.parquet(idxDir)
+      .where(col("vec_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("code"))).toMap
+    val fresh = PqIndex.qAnnPqServe(spark, dir) // ensures full index exists
+    val full = spark.read.parquet(PqIndex.persistedIndexDir(spark, dir))
+      .where(col("vec_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("code"))).toMap
+    assert(grown == full, "codes moved across the append")
+    // serving from the grown index is exact — indistinguishable from
+    // the from-scratch build at query time
+    val served = PqIndex.qAnnPqAppendServe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == exactQuantizedTop10(),
+      "grown-index serving must stay exact in exhaustive mode")
+    fresh.count() // keep the reference used
+  }
+
   test("q_ann_pq_indexed serves the exact top-10 from the persisted per-session index") {
     // the registry serving path: build-once artifact, exhaustive
     // probe + full shortlist = provably exact (same oracle as q_ann_pq)
