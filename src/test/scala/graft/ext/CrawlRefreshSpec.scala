@@ -132,6 +132,32 @@ class CrawlRefreshSpec extends SparkTestBase {
         if (tid >= 0) assert(vmap(tid) == tok)
       }
     }
+
+    // wave 3: a cross-batch REFETCH of an admitted doc with
+    // suppressRefetch — the keyed frontier state drops it before
+    // dispositioning: corpus, index and ARTIFACT all unchanged (no
+    // re-append: the new batchId would have defeated the txn guard),
+    // and the audit books it under _refetch
+    val auditT = new graft.core.TxTable(spark, s"$base/audit3")
+    val artRowsBefore = artifact.read().count()
+    val idxRowsBefore = index.read().count()
+    stream.addData(Seq((11L, "crawl", text(11))))
+    CrawlRefresh.streamRefresh(
+      stream.toDF().toDF("doc_id", "source", "text")
+        .withColumn("canon_url",
+          concat(lit("https://example.org/crawl/"), col("doc_id").cast("string"))),
+      corpus, index, s"$base/ckpt",
+      audit = Some(auditT),
+      trainingArtifact = Some((artifact, frozenVocab)),
+      suppressRefetch = true).awaitTermination()
+    assert(corpus.read().count() == 4, "refetch must not change the corpus")
+    assert(artifact.read().count() == artRowsBefore,
+      "refetch must not re-append to the training artifact")
+    assert(index.read().count() == idxRowsBefore,
+      "refetch must not re-index postings")
+    val a3 = auditT.read().collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket")))
+    assert(a3.toSeq == Seq((11L, "_refetch")), s"audit: ${a3.toSeq}")
   }
 
   test("stream equals batch: the 2-micro-batch checkpointed refresh lands the identical accounting frame") {

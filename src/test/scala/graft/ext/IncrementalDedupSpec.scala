@@ -59,6 +59,26 @@ class IncrementalDedupSpec extends SparkTestBase {
     }
   }
 
+  test("grown-index mining: two increments against a frozen-df append union to exactly the one-shot") {
+    val oneShot = IncrementalDedup.qIncrementalNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val grown = IncrementalDedup.qIncrementalGrown(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(grown.toSeq == oneShot.toSeq,
+      s"grown=${grown.length} one-shot=${oneShot.length}")
+    // the two increments' result sets are disjoint by construction
+    // (every pairs2 row has an inc2 member; pairs1 rows have none)
+    assert(grown.toSet.size == grown.length)
+    // the grown index kept the frozen df table byte-identical
+    val g = IncrementalDedup.grownMineDir(spark, dir)
+    val base = IncrementalDedup.persistedIndexDir(spark, dir)
+    val dfG = spark.read.parquet(s"$g/idx/df").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dfB = spark.read.parquet(s"$base/df").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dfG == dfB, "append must not touch the epoch's frozen df order")
+  }
+
   test("prefix candidates shrink on a boilerplate-heavy corpus while the pair set stays exact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
