@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -387,6 +387,71 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** The deterministic noise synthesis the GOPHER-RULES filter grades
+    * against — the testdata text is clean word soup, so each rule's
+    * trigger is PLANTED on its own modulus class (the [[TextAnalysis
+    * .qCleanText]] convention): `%5==0` gains symbol-only words,
+    * `%7==0` becomes a mostly-bulleted line block, `%11==0` gains
+    * ellipsis-terminated lines. Both engines synthesize identically.
+    */
+  private def gopherNoisy: Column = {
+    val d = col("doc_id")
+    val base = col("text")
+    val withSym = when(d % 5 === 0, concat(base, lit(" ### #!# ###"))).otherwise(base)
+    val withBul = when(d % 7 === 0,
+      concat(lit("- alpha beta\n- gamma delta\n- epsilon zeta\n"), withSym))
+      .otherwise(withSym)
+    when(d % 11 === 0,
+      concat(withBul, lit("\nteaser one...\ntrailing two...")))
+      .otherwise(withBul)
+  }
+
+  /** GOPHER-RULES quality filter (Rae et al. 2021, Appendix A) — the
+    * repetition-free structural gates of the Gopher/MassiveWeb
+    * pipeline, re-expressed as pure integer column math so the flags
+    * are engine-exact (every ratio threshold is an integer
+    * cross-multiplication, never a double compare):
+    *
+    *   - word count within bounds (corpus-tuned 20..100000);
+    *   - mean word length in [3, 10] chars: `3n ≤ Σlen ≤ 10n`;
+    *   - symbol-word ratio ≤ 1/10 (words containing `#`): `10s ≤ n`;
+    *   - bulleted-line ratio < 1/2 (lines starting `- `): `2b < L`;
+    *   - ellipsis-line ratio ≤ 3/10 (lines ending `...`): `10e ≤ 3L`;
+    *   - ≥ 1 stopword ([[TextAnalysis.qualityStopwords]]).
+    *
+    * Map-only over the noisy synthesis; `passes` is the conjunction —
+    * the doc set a MassiveWeb-style crawl keeps. Thresholds are
+    * parameters of the METHOD (Gopher's own are 0.9/0.3 etc. tuned to
+    * web text); the integer-cross-multiplication recipe is the part
+    * that survives any threshold at 100 TB.
+    */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val words = TextAnalysis.tokens(regexp_replace(gopherNoisy, "\n", " "))
+    val lines = filter(split(gopherNoisy, "\n"), l => l =!= lit(""))
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nSym = size(filter(words, w => w.contains("#"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.startsWith("- "))).cast("long")
+    val nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nStop = size(filter(words,
+      w => w.isin(TextAnalysis.qualityStopwords: _*))).cast("long")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_len"),
+        nSym.as("n_symbol_words"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+        nStop.as("n_stopwords"))
+      .select(col("*"),
+        when(col("n_words").between(20L, 100000L) &&
+          col("sum_word_len") >= lit(3L) * col("n_words") &&
+          col("sum_word_len") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_symbol_words") <= col("n_words") &&
+          lit(2L) * col("n_bullet_lines") < col("n_lines") &&
+          lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+          col("n_stopwords") >= 1L, 1L).otherwise(0L).as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[classify]] against the `lang` column of the documents table.
     * NOTE the testdata's `lang` label is INDEPENDENT of its token
     * distribution (verified: per-token counts are uniform across
@@ -405,6 +470,7 @@ object Curation {
     "q_lm_quality" -> (qLmQuality _),
     "q_lm_buckets" -> (qLmBuckets _),
     "q_mix_temperature" -> (qMixTemperature _),
+    "q_gopher_rules" -> (qGopherRules _),
   )
 
   /** Oracle: the three stage mirrors joined — lang-id CASE-chain
@@ -428,6 +494,45 @@ object Curation {
         |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS DOUBLE) AS importance
         |FROM tok JOIN w USING (tk)
         |GROUP BY doc_id ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin,
+    // the same planted noise + integer cross-multiplied flags; every
+    // counter is an integer list_filter/list_sum, engine-exact
+    "q_gopher_rules" ->
+      s"""WITH noisy AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 11 = 0 THEN t2 || chr(10) || 'teaser one...' || chr(10) || 'trailing two...'
+         |          ELSE t2 END) AS t
+         |  FROM (
+         |    SELECT doc_id,
+         |      (CASE WHEN doc_id % 7 = 0
+         |            THEN '- alpha beta' || chr(10) || '- gamma delta' || chr(10) || '- epsilon zeta' || chr(10) || t1
+         |            ELSE t1 END) AS t2
+         |    FROM (
+         |      SELECT doc_id,
+         |        (CASE WHEN doc_id % 5 = 0 THEN text || ' ### #!# ###' ELSE text END) AS t1
+         |      FROM documents))),
+         |cnt AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(replace(t, chr(10), ' '), ' '), x -> x <> '') AS ws,
+         |    list_filter(string_split(t, chr(10)), x -> x <> '') AS ls
+         |  FROM noisy),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_word_len,
+         |    CAST(len(list_filter(ws, x -> contains(x, '#'))) AS BIGINT) AS n_symbol_words,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, x -> x LIKE '- %')) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(ls, x -> x LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+         |    CAST(len(list_filter(ws, x -> x IN ${TextAnalysis.stopwordsSql})) AS BIGINT) AS n_stopwords
+         |  FROM cnt)
+         |SELECT *,
+         |  CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+         |    AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+         |    AND 10 * n_symbol_words <= n_words
+         |    AND 2 * n_bullet_lines < n_lines
+         |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+         |    AND n_stopwords >= 1 THEN 1 ELSE 0 END AS BIGINT) AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
     // per-class count-ratio weights fit on the md5 train half, argmax
     // scoring on the test half — one IEEE divide quantized to decimal,
     // ties to the class name, the q_dsir_weights convention

@@ -178,6 +178,46 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.unset(Curation.LmBroadcastMaxWeightsKey)
   }
 
+  test("q_gopher_rules: each planted noise class trips exactly its own rule") {
+    val rows = Curation.qGopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, r) =>
+      val (nSym, nLines, nBul, nEll) = (
+        r.getAs[Long]("n_symbol_words"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_bullet_lines"), r.getAs[Long]("n_ellipsis_lines"))
+      // symbol words appear iff planted
+      assert((nSym == 3L) == (id % 5 == 0), s"doc $id nSym=$nSym")
+      // bullet lines appear iff planted, and trip the <1/2 rule
+      assert((nBul == 3L) == (id % 7 == 0), s"doc $id nBul=$nBul")
+      // ellipsis lines appear iff planted
+      assert((nEll == 2L) == (id % 11 == 0), s"doc $id nEll=$nEll")
+      // unplanted docs are a single clean line
+      if (id % 5 != 0 && id % 7 != 0 && id % 11 != 0)
+        assert(nLines == 1L, s"doc $id nLines=$nLines")
+      // the conjunction is exactly the integer cross-multiplied flags
+      // (recomputed here in Scala — a third engine for the flag math)
+      val (nW, sumL, nStop, passes) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("sum_word_len"), r.getAs[Long]("n_stopwords"),
+        r.getAs[Long]("passes"))
+      val expected = nW >= 20L && nW <= 100000L &&
+        sumL >= 3L * nW && sumL <= 10L * nW &&
+        10L * nSym <= nW && 2L * nBul < nLines &&
+        10L * nEll <= 3L * nLines && nStop >= 1L
+      assert((passes == 1L) == expected, s"doc $id flags")
+      // the structural rules ALWAYS trip their planted class (bullets:
+      // 2·3 ≥ L ≤ 6; ellipses: 20 > 3·L ≤ 18); the symbol rule trips
+      // exactly the short docs (10·3 > n_words)
+      if (id % 7 == 0 || id % 11 == 0) assert(passes == 0L, s"doc $id")
+    }
+    // the filter is discriminating, not degenerate
+    assert(rows.values.count(_.getAs[Long]("passes") == 1L) > 0)
+    assert(rows.exists { case (id, r) =>
+      id % 5 == 0 && id % 7 != 0 && id % 11 != 0 && r.getAs[Long]("passes") == 0L &&
+        r.getAs[Long]("n_words") < 30L },
+      "no short symbol-planted doc tripped the symbol rule")
+  }
+
   test("q_lm_buckets: banded rank equals the naive per-language tercile") {
     val out = Curation.qLmBuckets(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3), r.getString(4)))
