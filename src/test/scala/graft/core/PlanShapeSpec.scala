@@ -286,6 +286,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 1 && bc == 0, s"expected scan+project+sort, got ($sh, $bc)")
   }
 
+  test("q_gopher_rules: the structural gates are pure map work — no shuffle before the sort") {
+    val (sh, bc) = shape("q_gopher_rules")
+    assert(sh <= 1 && bc == 0, s"expected scan+project+sort, got ($sh, $bc)")
+  }
+
+  test("q_incremental_grown / q_ann_pq_append: grown-artifact reads never recompute the build") {
+    // grown mine: two result parquets + the output sort, nothing else
+    val (sh, bc) = shape("q_incremental_grown")
+    assert(sh <= 1 && bc == 0, s"expected union+sort over results, got ($sh, $bc)")
+    // grown PQ index: codes-only pruned scan + broadcast rerank, no shuffle
+    val (sh2, _) = shape("q_ann_pq_append")
+    assert(sh2 == 0, s"expected shuffle-free ADC+R serving, got $sh2")
+    val df = graft.SparkEntry.queries("q_ann_pq_append")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet") ||
+      plan.contains("graft_pqappend"), "stage 1 must scan the grown code table")
+  }
+
   test("q_moving_avg: one user-partition exchange serves both window frames") {
     val df = SparkEntry.queries("q_moving_avg")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
