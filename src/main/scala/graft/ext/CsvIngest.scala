@@ -36,7 +36,12 @@ import graft.core.{IndexCache, Tables}
   * exhaustively). The fix is a SENTINEL `nullValue` (the classic
   * `\N`) on writer AND reader, which makes ''/NULL round-trip exactly
   * — this module ships it, and the fuzz spec asserts both the trap
-  * and the recipe.
+  * and the recipe. Corollary the sentinel inherits: a text field
+  * whose ENTIRE value equals the sentinel string would read back
+  * NULL, so the sentinel must live outside the data alphabet (audit
+  * with one `count(text = '\N')` pass, or pick a longer sentinel);
+  * fields merely CONTAINING `\N` are unaffected (the match is
+  * whole-field).
   */
 object CsvIngest {
 

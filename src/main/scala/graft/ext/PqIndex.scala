@@ -360,11 +360,18 @@ object PqIndex {
       val emb = Tables.load(s, dir, "embeddings")
       encodeFrame(s, dir, emb.where($"vec_id" % 2 === 1))
         .write.mode("overwrite").partitionBy("cell").parquet(p)
+      // pre-append fingerprint via the Hadoop FS (works on any store,
+      // not just local disk): path@length per data file
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       def files(): Set[String] = {
-        def walk(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-        walk(new java.io.File(p)).map(f => s"${f.getPath}@${f.length}")
-          .filter(_.contains("parquet")).toSet
+        val it = fs.listFiles(hp, true)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.contains("parquet"))
+            b += s"${f.getPath}@${f.getLen}"
+        }
+        b.result()
       }
       val before = files()
       appendIndex(s, dir, p, emb.where($"vec_id" % 2 === 0))

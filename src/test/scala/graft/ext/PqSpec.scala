@@ -169,11 +169,20 @@ class PqSpec extends SparkTestBase {
     import spark.implicits._
     val (idxDir, beforeFiles) = PqIndex.appendedIndexDir(spark, dir)
     // append-only: every pre-append file survives byte-identical (the
-    // fingerprint is path@length); the append only ADDED files
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val after = walk(new java.io.File(idxDir))
-      .map(f => s"${f.getPath}@${f.length}").filter(_.contains("parquet")).toSet
+    // fingerprint is path@length, via the same Hadoop FS listing the
+    // fixture used); the append only ADDED files
+    val hp = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val after = {
+      val it = fs.listFiles(hp, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.contains("parquet"))
+          b += s"${f.getPath}@${f.getLen}"
+      }
+      b.result()
+    }
     assert(beforeFiles.subsetOf(after),
       s"append rewrote old files: ${(beforeFiles -- after).take(3)}")
     assert(after.size > beforeFiles.size, "append added no files")
