@@ -157,6 +157,36 @@ object CrawlRefresh {
     s.read.parquet(s"${IncrementalDedup.persistedIndexDir(s, dir)}/sets")
       .select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
 
+  /** The REFETCH slice: a later crawl pass re-fetching pages the
+    * corpus already holds (src<10 docs with `doc_id % 13 == 0`, messy
+    * maximal-noise URIs, same payloads) — the input that exercises
+    * [[streamRefresh]]'s `suppressRefetch` frontier state. Its own
+    * directory so the batch fixture's glob stays untouched.
+    */
+  private[graft] def refetchFixture(s: SparkSession, dir: String): String =
+    IndexCache.memo(s"crawl-refetch:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_crawlrefetch_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      Warc.writeShards(
+        Tables.load(s, dir, "documents")
+          .where(srcNum < 10 && col("doc_id") % 13 === 0)
+          .select(
+            lit("slice-2.warc.gz").as("shard_file"),
+            col("doc_id").as("seq"),
+            lit("conversion").as("warc_type"),
+            concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"),
+              lit("-refetch>")).as("record_id"),
+            messyUri(dup = true).as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("text/plain").as("content_type"),
+            encode(col("text"), "utf-8").as("payload")),
+        p)
+      p
+    }
+
   /** Parse WARC conversion records into FETCH rows: canonicalize the
     * target URI ([[UrlOps.canonicalizeUrl]] — pure codegen'd columns)
     * and derive the document identity FROM THE CANONICAL FORM (the
@@ -437,9 +467,54 @@ object CrawlRefresh {
     accounting(corpus, audit.read())
   }
 
+  /** The graded REFETCH-SUPPRESSION run: the same two slices as
+    * [[qCrawlRefreshStream]] plus a THIRD arrival that re-fetches
+    * corpus-known pages, all under `suppressRefetch = true` (inert for
+    * genuinely-new docs — slices 0/1 land exactly as without it). The
+    * suppressed stream must produce the batch oracle's accounting plus
+    * ONE `_refetch` row, and nothing else may move: corpus, index and
+    * audit state are proven refetch-immune by hash, not argument.
+    */
+  def qCrawlRefreshSuppress(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, audit) = IndexCache.memo(
+      s"crawl-suppress:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_crawlsuppress_$tag"
+      val hp = new org.apache.hadoop.fs.Path(base)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      val corpus = new TxTable(s, s"$base/corpus")
+      corpus.append(Tables.load(s, dir, "documents").where(srcNum < 10)
+        .select(col("doc_id"), col("source"), col("text")))
+      val index = new TxTable(s, s"$base/index")
+      index.append(corpusPostings(s, dir)
+        .select(col("h"), col("m"), lit("corpus").as("origin")))
+      val audit = new TxTable(s, s"$base/audit")
+      val watch = s"$base/arrivals"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
+      def arrive(srcDir: String, slice: String): Unit =
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(srcDir, slice),
+          fs, new org.apache.hadoop.fs.Path(watch, slice),
+          false, s.sparkContext.hadoopConfiguration)
+      def runOnce(): Unit = streamRefresh(
+        parseFetches(Warc.readStream(s, watch, maxFilesPerTrigger = 1)),
+        corpus, index, s"$base/ckpt", audit = Some(audit),
+        suppressRefetch = true).awaitTermination()
+      val crawl = crawlFixture(s, dir)
+      arrive(crawl, "slice-0.warc.gz"); runOnce()
+      arrive(crawl, "slice-1.warc.gz"); runOnce()
+      arrive(refetchFixture(s, dir), "slice-2.warc.gz"); runOnce()
+      (corpus, audit)
+    }
+    accounting(corpus, audit.read())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_refresh" -> (qCrawlRefresh _),
-    "q_crawl_refresh_stream" -> (qCrawlRefreshStream _))
+    "q_crawl_refresh_stream" -> (qCrawlRefreshStream _),
+    "q_crawl_refresh_suppress" -> (qCrawlRefreshSuppress _))
 
   /** Oracle: the whole refresh recomputed from the parquet corpus —
     * the fetch synthesis + the [[UrlOps]] canonicalization mirror
@@ -533,5 +608,16 @@ object CrawlRefresh {
 
   val oracle: Map[String, String] = Map(
     "q_crawl_refresh" -> refreshSql,
-    "q_crawl_refresh_stream" -> refreshSql)
+    "q_crawl_refresh_stream" -> refreshSql,
+    // the suppressed run = the batch accounting + exactly one
+    // _refetch row (every slice-2 fetch is corpus-known and dropped
+    // by the keyed frontier state before dispositioning)
+    "q_crawl_refresh_suppress" ->
+      refreshSql.replace("ORDER BY bucket",
+        """UNION ALL
+          |SELECT '_refetch',
+          |  (SELECT COUNT(*) FROM documents
+          |   WHERE CAST(substring(source, 4) AS INT) < 10 AND doc_id % 13 = 0),
+          |  NULL
+          |ORDER BY bucket""".stripMargin))
 }

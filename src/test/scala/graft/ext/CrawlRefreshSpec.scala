@@ -167,6 +167,21 @@ class CrawlRefreshSpec extends SparkTestBase {
       s"stream ≠ batch:\n  batch=${batch.toSeq}\n  stream=${stream.toSeq}")
   }
 
+  test("suppressed refetch run = batch accounting + exactly one _refetch row") {
+    val batch = CrawlRefresh.qCrawlRefresh(spark, dir).collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2)))
+    val sup = CrawlRefresh.qCrawlRefreshSuppress(spark, dir).collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2)))
+    val nRefetch = graft.core.Tables.load(spark, dir, "documents")
+      .where(substring(col("source"), 4, 10).cast("int") < 10 &&
+        col("doc_id") % 13 === 0).count()
+    assert(nRefetch > 0)
+    val expected = (batch :+ (("_refetch", nRefetch, null: Any)))
+      .sortBy(_._1.toString)
+    assert(sup.sortBy(_._1.toString).toSeq == expected.toSeq,
+      s"suppressed ≠ batch+_refetch:\n${sup.toSeq}\nvs\n${expected.toSeq}")
+  }
+
   test("every _neardup_old rejection has a qualifying pair in the incremental miner") {
     CrawlRefresh.qCrawlRefresh(spark, dir).collect() // ensure fixtures exist
     // recompute dispositions via the standalone incremental miner: the
