@@ -266,10 +266,38 @@ object CorpusBuild {
         sum(size(filter(col("token_ids"), x => x === -1L)).cast("long")).as("n_unk"))
       .orderBy(col("source"), col("pack_id"))
 
+  /** PER-RANK SHARD ASSIGNMENT — the loader-facing split a
+    * distributed training fleet consumes: every (source, pack) is
+    * assigned to one of `worldSize` ranks by PURE ARITHMETIC
+    * (`(src_num + pack_id) % W` — deterministic, engine-mirrorable,
+    * MAP-SIDE: no global window ranks the packs, which at 100 TB are
+    * ~corpus/budget rows), then one aggregate reports each rank's
+    * load. Because pack ids are contiguous per source, the modulo is
+    * round-robin within every source — each rank draws from every
+    * source and the token mass balances to within one pack per
+    * source by construction. Reads the artifact alone.
+    */
+  def qRankShards(s: SparkSession, dir: String): DataFrame = {
+    val worldSize = 4
+    artifact(s, dir).read()
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(
+        pmod(substring(col("source"), 4, 10).cast("long") + col("pack_id"),
+          lit(worldSize.toLong)).as("rank"),
+        col("n_docs"), col("n_tokens"))
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_build" -> (qCorpusBuild _),
     "q_pack_manifest" -> (qPackManifest _),
-    "q_corpus_epoch_delta" -> (qCorpusEpochDelta _))
+    "q_corpus_epoch_delta" -> (qCorpusEpochDelta _),
+    "q_rank_shards" -> (qRankShards _))
 
   /** The whole build recomputed in SQL: curation mirror → pair mirror
     * → vocab mirror → encode counts → md5 order → packing window.
@@ -369,5 +397,17 @@ object CorpusBuild {
          |  CAST(SUM(u1) AS BIGINT) AS unk_e1,
          |  CAST(SUM(u0 - u1) AS BIGINT) AS unk_recovered,
          |  CAST(COUNT(*) FILTER (u0 <> u1) AS BIGINT) AS n_unk_changed
-         |FROM j GROUP BY source ORDER BY source""".stripMargin)
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // same arithmetic rank assignment over the recomputed packs
+    "q_rank_shards" ->
+      s"""WITH ${buildCtes()},
+         |pk AS (
+         |  SELECT source, pack_id, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM packed GROUP BY source, pack_id)
+         |SELECT (CAST(substring(source, 4) AS BIGINT) + CAST(pack_id AS BIGINT)) % 4 AS rank,
+         |  COUNT(*) AS n_packs,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM pk GROUP BY 1 ORDER BY rank""".stripMargin)
 }
