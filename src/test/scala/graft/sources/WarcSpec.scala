@@ -182,6 +182,45 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.read(spark, dir).where($"warc_type" === "conversion").count() == 5)
   }
 
+  test("writeShards round-trips 200 randomized records across random shard assignments (seeded)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    // payloads over the full byte alphabet, arbitrary sizes incl. 0;
+    // random shard fan-out with both layouts
+    val recs = (1L to 200L).map { i =>
+      val payload = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val shard = s"rt-${rnd.nextInt(7)}" + (if (rnd.nextBoolean()) ".warc.gz" else ".warc")
+      (i, shard, payload)
+    }
+    val dir = tmpDir("warc-rand")
+    val in = recs.toDF("id", "shard_file", "payload")
+      .select(col("shard_file"), col("id").as("seq"),
+        lit("resource").as("warc_type"),
+        concat(lit("<urn:uuid:r-"), col("id"), lit(">")).as("record_id"),
+        lit(null).cast("string").as("target_uri"),
+        lit(null).cast("string").as("warc_date"),
+        lit("application/octet-stream").as("content_type"),
+        col("payload"))
+    Warc.writeShards(in, dir)
+    val back = Warc.read(spark, dir)
+      .where(col("warc_type") === "resource")
+      .select(col("record_id"), col("content_length"), col("payload"))
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("<urn:uuid:r-").stripSuffix(">").toLong,
+        r.getLong(1), r.getAs[Array[Byte]](2)))
+    assert(back.length == recs.length)
+    val expect = recs.map(r => r._1 -> r._3).toMap
+    back.foreach { case (id, len, payload) =>
+      assert(len == expect(id).length, s"record $id length")
+      assert(java.util.Arrays.equals(payload, expect(id)), s"record $id bytes")
+    }
+    // absent optional headers round-trip as absent (null URI/date)
+    val nulls = Warc.read(spark, dir).where(col("warc_type") === "resource")
+      .where(col("target_uri").isNotNull || col("warc_date").isNotNull).count()
+    assert(nulls == 0, "optional headers must not materialize from nulls")
+  }
+
   test("q_warc_ingest reproduces the corpus from bytes alone, across plain and gz shards") {
     val dir = "/root/testdata/sf0.001"
     val got = WarcIngest.qWarcIngest(spark, dir).collect()
