@@ -213,6 +213,30 @@ class CorpusBuildSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Long]("unk_recovered") == 0L, r.toString))
   }
 
+  test("rank shards partition the pack grid exactly and balance token mass to the structural bound") {
+    import org.apache.spark.sql.functions._
+    val shards = CorpusBuild.qRankShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shards.map(_._1).toSeq == (0L to 3L), s"ranks: ${shards.map(_._1).toSeq}")
+    // exact partition: pack/doc/token totals equal the artifact's
+    val art = CorpusBuild.artifact(spark, dir).read()
+    val totalDocs = art.count()
+    val totalTokens = art.agg(sum("n_tokens")).head().getLong(0)
+    val totalPacks = art.select("source", "pack_id").distinct().count()
+    assert(shards.map(_._2).sum == totalPacks)
+    assert(shards.map(_._3).sum == totalDocs)
+    assert(shards.map(_._4).sum == totalTokens)
+    // balance: round-robin within each source means any two ranks
+    // differ by at most one pack per source, and a pack holds at most
+    // budget tokens plus one overhanging doc (concatenate-and-cut) —
+    // bound the spread by sources × (budget + max doc)
+    val nSources = art.select("source").distinct().count()
+    val maxDoc = art.agg(max("n_tokens")).head().getLong(0)
+    val masses = shards.map(_._4)
+    assert(masses.max - masses.min <= nSources * (256L + maxDoc),
+      s"rank token spread ${masses.max - masses.min} exceeds the structural bound")
+  }
+
   test("pack-range loader reads skip files after clustering; epochs are table versions") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val built = CorpusBuild.run(docs, tmpDir("cb-serve-src")).read()
