@@ -245,14 +245,39 @@ object Warc {
     out.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
   }
 
-  /** Write `recs` as one archive file; gzip iff the name ends `.gz`.
-    * Driver-side utility for single-archive fixtures; the distributed
-    * path is [[writeShards]].
+  /** A gzip member that can be FINISHED without closing the
+    * underlying stream — the building block of the WARC convention of
+    * one gzip member PER RECORD (what makes records individually
+    * seekable and is the layout Common Crawl publishes). `end()` also
+    * releases the native Deflater immediately instead of waiting for
+    * GC ([[java.util.zip.DeflaterOutputStream]]'s `def` field).
+    */
+  private final class MemberGzip(out: OutputStream) extends GZIPOutputStream(out) {
+    def endMember(): Unit = { finish(); `def`.end() }
+  }
+
+  /** Emit one record onto `raw`; for gzip layouts the record becomes
+    * its OWN gzip member (header + trailer per record), so standard
+    * WARC tooling can seek to member boundaries — the in-repo reader
+    * walks multi-member streams natively either way.
+    */
+  private def emitRecord(raw: OutputStream, r: WarcRecord, gz: Boolean): Unit =
+    if (!gz) writeRecord(raw, r)
+    else {
+      val m = new MemberGzip(raw)
+      writeRecord(m, r)
+      m.endMember()
+    }
+
+  /** Write `recs` as one archive file; gzip iff the name ends `.gz`
+    * (one gzip member per record, the WARC convention). Driver-side
+    * utility for single-archive fixtures; the distributed path is
+    * [[writeShards]].
     */
   def writeFile(path: java.nio.file.Path, recs: Seq[WarcRecord]): Unit = {
     val fos = java.nio.file.Files.newOutputStream(path)
-    val out = if (path.toString.endsWith(".gz")) new GZIPOutputStream(fos) else fos
-    try recs.foreach(writeRecord(out, _)) finally out.close()
+    val gz = path.toString.endsWith(".gz")
+    try recs.foreach(emitRecord(fos, _, gz)) finally fos.close()
   }
 
   /** DISTRIBUTED WARC writer — the re-shard path of a real crawl
@@ -274,13 +299,23 @@ object Warc {
     * `fs.create`, so task memory is ONE payload regardless of shard
     * size, and a 100k-shard crawl writes as 100k-task-bucketed work
     * spread over the cluster. Each shard file also gets the spec's
-    * leading `warcinfo` record, derived from its name. Writes go
-    * through the Hadoop FileSystem of `dir` (works on object stores,
-    * not just local disk).
+    * leading `warcinfo` record, derived from its name; gzip shards
+    * carry one gzip member PER RECORD (the WARC convention — standard
+    * tooling expects member boundaries at record boundaries). Writes
+    * go through the Hadoop FileSystem of `dir` (works on object
+    * stores, not just local disk).
     *
-    * Idempotence: re-running overwrites each shard file whole
-    * (`fs.create(path, overwrite)`) — the write is deterministic given
-    * (df, dir), so a retried task rewrites identical bytes.
+    * Task-commit protocol: each shard streams into a task-attempt-
+    * unique HIDDEN temp file (`.<shard>.<attempt>.inprogress` — dot
+    * prefix, so both the batch and streaming readers' file listings
+    * never admit it) and is RENAMED into place only when the shard's
+    * last byte is down. So (a) a speculative or zombie duplicate
+    * attempt can never interleave bytes with the winner — each writes
+    * its own temp file, and whichever publishes last publishes
+    * identical bytes (the write is deterministic given (df, dir));
+    * (b) a task or job that dies mid-shard leaves no truncated shard
+    * where a downstream glob would consume it — the temp is deleted
+    * on the error path and invisible to readers regardless.
     */
   def writeShards(df: DataFrame, dir: String, numTasks: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{octet_length, struct}
@@ -303,30 +338,54 @@ object Warc {
        else cols.repartition(col("shard_file")))
         .sortWithinPartitions(col("shard_file"), col("seq"))
     parted.foreachPartition { (rows: Iterator[Row]) =>
-      val fs = new org.apache.hadoop.fs.Path(baseStr).getFileSystem(hconf.value)
+      val basePath = new org.apache.hadoop.fs.Path(baseStr)
+      val fs = basePath.getFileSystem(hconf.value)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(tc => s"${tc.stageId()}-${tc.taskAttemptId()}").getOrElse("driver")
       var cur: String = null
       var out: OutputStream = null
-      def close(): Unit = if (out != null) { out.close(); out = null }
+      def tmpPath(shard: String) =
+        new org.apache.hadoop.fs.Path(baseStr, s".$shard.$attempt.inprogress")
+      // publish: close, then rename the complete temp into place
+      def commitShard(): Unit = if (out != null) {
+        val (o, shard) = (out, cur)
+        out = null
+        o.close()
+        val fin = new org.apache.hadoop.fs.Path(baseStr, shard)
+        fs.delete(fin, false) // local/HDFS rename won't clobber
+        if (!fs.rename(tmpPath(shard), fin))
+          throw new java.io.IOException(s"shard commit rename failed: $shard")
+      }
+      // error path: best-effort close + drop the temp — never the
+      // published file
+      def abortShard(): Unit = if (out != null) {
+        val (o, shard) = (out, cur)
+        out = null
+        try o.close() catch { case _: java.io.IOException => () }
+        try fs.delete(tmpPath(shard), false)
+        catch { case _: java.io.IOException => () }
+      }
       try {
         rows.foreach { row =>
           val shard = row.getString(0)
           if (shard != cur) {
-            close()
+            commitShard()
             cur = shard
-            val raw = fs.create(new org.apache.hadoop.fs.Path(baseStr, shard), true)
-            out = if (shard.endsWith(".gz")) new GZIPOutputStream(raw) else raw
+            out = fs.create(tmpPath(shard), true)
             // the spec's leading warcinfo record, named for the shard
-            writeRecord(out, WarcRecord("warcinfo", s"<urn:uuid:info-$shard>",
+            emitRecord(out, WarcRecord("warcinfo", s"<urn:uuid:info-$shard>",
               None, Some("2026-01-01T00:00:00Z"),
-              Some("application/warc-fields"), 0L, Array.emptyByteArray))
+              Some("application/warc-fields"), 0L, Array.emptyByteArray),
+              shard.endsWith(".gz"))
           }
           val r = row.getStruct(2)
-          writeRecord(out, WarcRecord(
+          emitRecord(out, WarcRecord(
             r.getString(0), r.getString(1),
             Option(r.getString(2)), Option(r.getString(3)), Option(r.getString(4)),
-            r.getLong(5), r.getAs[Array[Byte]](6)))
+            r.getLong(5), r.getAs[Array[Byte]](6)), cur.endsWith(".gz"))
         }
-      } finally close()
+        commitShard()
+      } catch { case e: Throwable => abortShard(); throw e }
     }
   }
 }

@@ -221,6 +221,67 @@ class WarcSpec extends SparkTestBase {
     assert(nulls == 0, "optional headers must not materialize from nulls")
   }
 
+  test("writeShards gz shards carry one gzip member per record (the seekable WARC layout)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("warc-members")
+    val in = (1L to 3L).map(i => (i, s"doc $i")).toDF("id", "text")
+      .select(lit("m-0.warc.gz").as("shard_file"), $"id".as("seq"),
+        lit("conversion").as("warc_type"),
+        concat(lit("<urn:uuid:doc-"), $"id", lit(">")).as("record_id"),
+        lit(null).cast("string").as("target_uri"),
+        lit(null).cast("string").as("warc_date"),
+        lit("text/plain").as("content_type"),
+        encode($"text", "utf-8").as("payload"))
+    Warc.writeShards(in, dir)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "m-0.warc.gz"))
+    // GZIPOutputStream's fixed 10-byte header (magic, CM=8, FLG=0,
+    // MTIME=0, XFL=0, OS=unknown) marks each member start; deflate
+    // output can't reproduce it by chance at this size
+    val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+    val members = bytes.indices.count(i =>
+      i + header.length <= bytes.length &&
+        header.indices.forall(j => bytes(i + j) == header(j)))
+    assert(members == 4, s"expected 4 gzip members (warcinfo + 3 records), got $members")
+    // and the multi-member stream still decodes whole
+    val gz = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
+    val buf = new java.io.ByteArrayOutputStream(); gz.transferTo(buf)
+    assert(parseBytes(buf.toByteArray).map(_.warcType) ==
+      Seq("warcinfo", "conversion", "conversion", "conversion"))
+  }
+
+  test("writeShards task failure publishes nothing: committed shards survive, no partial or temp files appear") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("warc-abort")
+    def frame(withPoison: Boolean) =
+      (1L to 5L).map(i => (i, s"doc $i")).toDF("id", "text")
+        .select(lit("f-0.warc").as("shard_file"), $"id".as("seq"),
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:uuid:doc-"), $"id", lit(">")).as("record_id"),
+          lit(null).cast("string").as("target_uri"),
+          lit(null).cast("string").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          // the poison row's payload is NULL — the write task blows up
+          // mid-shard, AFTER the temp file opened and 3 records landed
+          (if (withPoison) when($"id" =!= 4L, encode($"text", "utf-8"))
+           else encode($"text", "utf-8")).as("payload"))
+    Warc.writeShards(frame(withPoison = false), dir)
+    val before = Warc.read(spark, dir).count()
+    assert(before == 6, s"5 records + warcinfo, got $before")
+    intercept[Throwable](Warc.writeShards(frame(withPoison = true), dir))
+    // the failed attempt must not have replaced or truncated the
+    // committed shard, nor left any visible or hidden debris
+    assert(Warc.read(spark, dir).count() == before,
+      "failed write must leave the previously committed shard intact")
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      // the local ChecksumFileSystem's .crc sidecar of the committed
+      // shard is Hadoop metadata, not debris
+      .filterNot(n => n == "f-0.warc" || n == ".f-0.warc.crc")
+    assert(leftovers.isEmpty, s"debris after failed write: ${leftovers.toSeq}")
+  }
+
   test("q_warc_ingest reproduces the corpus from bytes alone, across plain and gz shards") {
     val dir = "/root/testdata/sf0.001"
     val got = WarcIngest.qWarcIngest(spark, dir).collect()
