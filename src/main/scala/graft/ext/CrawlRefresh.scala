@@ -197,23 +197,33 @@ object CrawlRefresh {
     warcRows
       .where(col("warc_type") === "conversion")
       .select(UrlOps.canonicalizeUrl(col("target_uri")).as("canon_url"),
-        col("payload").cast("string").as("text"))
+        col("payload").cast("string").as("text"), col("warc_date"))
       .select(
         regexp_extract(col("canon_url"), "example\\.org/([^/?#]+)/([0-9]+)", 2)
           .cast("long").as("doc_id"),
         regexp_extract(col("canon_url"), "example\\.org/([^/?#]+)/([0-9]+)", 1)
           .as("source"),
-        col("text"), col("canon_url"))
+        col("text"), col("canon_url"), col("warc_date"))
 
   /** FRONTIER DEDUP: one hash aggregate on the canonical URL —
-    * duplicate fetches collapse (payloads are identical by contract;
-    * min() keeps the aggregation deterministic regardless) and the
-    * collapse count rides along for the `_url_dup` audit.
+    * duplicate fetches of one page collapse to one document and the
+    * collapse count rides along for the `_url_dup` audit. The keeper
+    * is the LATEST fetch by `warc_date` (ISO-8601 sorts
+    * lexicographically; ties break on the payload itself so the pick
+    * is deterministic) — a real crawl's refetched payloads differ and
+    * the freshest must win. Frames without a `warc_date` column (the
+    * spec's synthetic fetch streams) fall back to min(text), which is
+    * only meaningful under an identical-payload contract.
     */
-  private def frontier(fetches: DataFrame): DataFrame =
+  private def frontier(fetches: DataFrame): DataFrame = {
+    val keeper =
+      if (fetches.columns.contains("warc_date"))
+        max_by(col("text"), struct(col("warc_date"), col("text")))
+      else min(col("text"))
     fetches.groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("source")).as("source"),
-        min(col("text")).as("text"), count(lit(1)).as("n_fetches"))
+        keeper.as("text"), count(lit(1)).as("n_fetches"))
+  }
 
   /** The quality-gate predicate ([[Curation.curate]]'s exact
     * counters) over a (doc_id, source, text) frame.
@@ -611,13 +621,15 @@ object CrawlRefresh {
     "q_crawl_refresh_stream" -> refreshSql,
     // the suppressed run = the batch accounting + exactly one
     // _refetch row (every slice-2 fetch is corpus-known and dropped
-    // by the keyed frontier state before dispositioning)
+    // by the keyed frontier state before dispositioning). The branch
+    // is guarded like _url_dup: zero suppressed fetches ⇒ no row,
+    // mirroring the pipeline, which emits no empty buckets.
     "q_crawl_refresh_suppress" ->
       refreshSql.replace("ORDER BY bucket",
         """UNION ALL
-          |SELECT '_refetch',
-          |  (SELECT COUNT(*) FROM documents
-          |   WHERE CAST(substring(source, 4) AS INT) < 10 AND doc_id % 13 = 0),
-          |  NULL
+          |SELECT '_refetch', cnt, NULL FROM (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+          |  WHERE CAST(substring(source, 4) AS INT) < 10 AND doc_id % 13 = 0)
+          |WHERE cnt > 0
           |ORDER BY bucket""".stripMargin))
 }

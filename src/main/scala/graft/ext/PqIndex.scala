@@ -123,8 +123,25 @@ object PqIndex {
       queryVec(emb), shortlist)
   }
 
-  /** Registry entry: full-shortlist exact mode (see [[annPq]]). */
-  def qAnnPq(s: SparkSession, dir: String): DataFrame = annPq(s, dir, shortlist = 512)
+  /** Corpus-covering shortlist for the on-the-fly exact modes —
+    * same enforcement as [[exactServeParams]] but counted off the
+    * embeddings table itself (memoized; parquet footer count).
+    */
+  private def exactShortlist(s: SparkSession, dir: String): Int = {
+    val n = graft.core.IndexCache.memo[java.lang.Long](
+      s"emb-count:${s.sparkContext.applicationId}:$dir") {
+      Long.box(Tables.load(s, dir, "embeddings").count())
+    }.longValue
+    require(n <= Int.MaxValue, s"exact mode cannot cover $n vectors")
+    math.max(512L, n).toInt
+  }
+
+  /** Registry entry: full-shortlist exact mode (see [[annPq]]);
+    * the shortlist is derived from the corpus count so exactness is
+    * enforced at every SF, never assumed.
+    */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    annPq(s, dir, shortlist = exactShortlist(s, dir))
 
   /** Capped deterministic training sample → sub-codebooks (bounded
     * driver traffic whatever the corpus size; production PQ trains on
@@ -222,13 +239,15 @@ object PqIndex {
     adcShortlistRerank(emb, pruned, trainedCodebooks(emb, dir), query, shortlist)
   }
 
-  /** Registry entry: exhaustive probe + full shortlist — the exact
-    * mode of the composed index (all 16 cells scanned, shortlist ≥
-    * corpus at the gate SFs ⇒ provably exact top-k, same oracle as
-    * q_ann_pq); the pruned nProbe=8 config is asserted in PqSpec.
+  /** Registry entry: exhaustive probe + corpus-covering shortlist —
+    * the exact mode of the composed index (every cell scanned,
+    * shortlist derived from the corpus count ⇒ provably exact top-k,
+    * same oracle as q_ann_pq); the pruned nProbe=8 config is asserted
+    * in PqSpec.
     */
   def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
-    annIvfPq(s, dir, nProbe = 16, shortlist = 512)
+    annIvfPq(s, dir, nProbe = IvfIndex.trainedCentroids(s, dir).length,
+      shortlist = exactShortlist(s, dir))
 
   /** MATERIALIZE the PQ index — the production layout the on-the-fly
     * demos reference: one row per vector holding its coarse cell and
@@ -330,17 +349,46 @@ object PqIndex {
       p
     }
 
+  /** The indexed-vector count of a persisted code table (parquet
+    * footer metadata — no data scan), memoized per artifact. The
+    * EXACT-mode entry points DERIVE their probe/shortlist from the
+    * index itself so the "shortlist covers every candidate"
+    * precondition is enforced rather than assumed — at a larger SF a
+    * fixed shortlist would let ADC misranking push a true top-k
+    * neighbor out of the shortlist while the row is still graded
+    * against an exact oracle.
+    */
+  private def indexedCount(s: SparkSession, indexDir: String): Long =
+    graft.core.IndexCache.memo[java.lang.Long](
+      s"pq-index-count:${s.sparkContext.applicationId}:$indexDir") {
+      Long.box(s.read.parquet(indexDir).count())
+    }.longValue
+
+  /** Exhaustive probe + index-covering shortlist for an exact serving
+    * read: nProbe = every coarse cell, shortlist = the indexed count
+    * (floored at 512 so tiny fixtures keep the production shape).
+    */
+  private[ext] def exactServeParams(s: SparkSession, dir: String,
+                                    indexDir: String): (Int, Int) = {
+    val nCells = IvfIndex.trainedCentroids(s, dir).length
+    val n = indexedCount(s, indexDir)
+    require(n <= Int.MaxValue, s"exact serving mode cannot cover $n vectors")
+    (nCells, math.max(512L, n).toInt)
+  }
+
   /** Registry entry: the persisted-index SERVING path in its exact
     * mode — stage 1 scans only the on-disk code table (cell-pruned,
     * floats-free; plan shape asserted in PqSpec), exhaustive probe +
-    * full shortlist ⇒ provably exact top-k, same oracle as q_ann_pq.
-    * This is the path a real pipeline runs: the graded ANN rows above
-    * rebuild codes on the fly; here the index is a durable artifact
-    * answering many queries.
+    * index-covering shortlist ([[exactServeParams]]) ⇒ provably exact
+    * top-k, same oracle as q_ann_pq. This is the path a real pipeline
+    * runs: the graded ANN rows above rebuild codes on the fly; here
+    * the index is a durable artifact answering many queries.
     */
-  def qAnnPqServe(s: SparkSession, dir: String): DataFrame =
-    qAnnPqIndexed(s, dir, persistedIndexDir(s, dir),
-      nProbe = 16, shortlistN = 512)
+  def qAnnPqServe(s: SparkSession, dir: String): DataFrame = {
+    val idx = persistedIndexDir(s, dir)
+    val (np, sl) = exactServeParams(s, dir, idx)
+    qAnnPqIndexed(s, dir, idx, nProbe = np, shortlistN = sl)
+  }
 
   /** The GROWN index: built over the odd half of the corpus, then the
     * even half (query vector included) APPENDED under the frozen
@@ -382,9 +430,11 @@ object PqIndex {
     * appended half must be indistinguishable from a from-scratch
     * build at query time (same exact top-10 oracle as every PQ row).
     */
-  def qAnnPqAppendServe(s: SparkSession, dir: String): DataFrame =
-    qAnnPqIndexed(s, dir, appendedIndexDir(s, dir)._1,
-      nProbe = 16, shortlistN = 512)
+  def qAnnPqAppendServe(s: SparkSession, dir: String): DataFrame = {
+    val idx = appendedIndexDir(s, dir)._1
+    val (np, sl) = exactServeParams(s, dir, idx)
+    qAnnPqIndexed(s, dir, idx, nProbe = np, shortlistN = sl)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),

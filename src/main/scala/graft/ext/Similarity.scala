@@ -109,8 +109,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, dir)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
-    val shortlist = PqIndex.indexShortlist(s, dir,
-      PqIndex.persistedIndexDir(s, dir), nProbe = 16, shortlistN = 512)
+    val idxDir = PqIndex.persistedIndexDir(s, dir)
+    // exact mode enforced, not assumed: exhaustive probe + a
+    // shortlist derived from the indexed count
+    val (np, sl) = PqIndex.exactServeParams(s, dir, idxDir)
+    val shortlist = PqIndex.indexShortlist(s, dir, idxDir,
+      nProbe = np, shortlistN = sl)
     val top = e.join(broadcast(shortlist.select($"vec_id")), "vec_id")
       .join(broadcast(q))
       .select($"vec_id",
