@@ -268,23 +268,31 @@ object CorpusBuild {
 
   /** PER-RANK SHARD ASSIGNMENT — the loader-facing split a
     * distributed training fleet consumes: every (source, pack) is
-    * assigned to one of `worldSize` ranks by PURE ARITHMETIC
-    * (`(src_num + pack_id) % W` — deterministic, engine-mirrorable,
-    * MAP-SIDE: no global window ranks the packs, which at 100 TB are
-    * ~corpus/budget rows), then one aggregate reports each rank's
-    * load. Because pack ids are contiguous per source, the modulo is
+    * assigned to one of `worldSize` ranks by
+    * `(src_rank + pack_id) % W`, where `src_rank` is a dense rank
+    * over the BOUNDED distinct-source list (sources are ~dozens at
+    * any corpus scale, so the rank window runs over a tiny frame that
+    * then BROADCASTS into the pack grid — never a global window over
+    * the packs themselves, which at 100 TB are ~corpus/budget rows).
+    * Convention-free: any source naming works — nothing is parsed out
+    * of the name, so an unexpected format can never NULL a rank.
+    * Because pack ids are contiguous per source, the modulo is
     * round-robin within every source — each rank draws from every
     * source and the token mass balances to within one pack per
     * source by construction. Reads the artifact alone.
     */
   def qRankShards(s: SparkSession, dir: String): DataFrame = {
     val worldSize = 4
-    artifact(s, dir).read()
+    val packs = artifact(s, dir).read()
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val srcRank = packs.select(col("source")).distinct()
+      .withColumn("src_rank", dense_rank()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("source")))
+        .cast("long"))
+    packs.join(broadcast(srcRank), "source")
       .select(
-        pmod(substring(col("source"), 4, 10).cast("long") + col("pack_id"),
-          lit(worldSize.toLong)).as("rank"),
+        pmod(col("src_rank") + col("pack_id"), lit(worldSize.toLong)).as("rank"),
         col("n_docs"), col("n_tokens"))
       .groupBy(col("rank"))
       .agg(count(lit(1)).as("n_packs"),
@@ -404,10 +412,13 @@ object CorpusBuild {
          |pk AS (
          |  SELECT source, pack_id, COUNT(*) AS n_docs,
          |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-         |  FROM packed GROUP BY source, pack_id)
-         |SELECT (CAST(substring(source, 4) AS BIGINT) + CAST(pack_id AS BIGINT)) % 4 AS rank,
+         |  FROM packed GROUP BY source, pack_id),
+         |sr AS (
+         |  SELECT source, CAST(DENSE_RANK() OVER (ORDER BY source) AS BIGINT) AS src_rank
+         |  FROM (SELECT DISTINCT source FROM pk))
+         |SELECT (sr.src_rank + CAST(pk.pack_id AS BIGINT)) % 4 AS rank,
          |  COUNT(*) AS n_packs,
-         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-         |FROM pk GROUP BY 1 ORDER BY rank""".stripMargin)
+         |  CAST(SUM(pk.n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(pk.n_tokens) AS BIGINT) AS n_tokens
+         |FROM pk JOIN sr USING (source) GROUP BY 1 ORDER BY rank""".stripMargin)
 }
