@@ -22,9 +22,11 @@ import graft.sources.Warc
   *      one canonical URL collapse to one document and are accounted
   *      in the `_url_dup` audit bucket (the first dedup any web
   *      pipeline runs, BEFORE content hashing sees the bytes);
-  *   3. the quality gate ([[Curation.curate]]'s token-count + stopword
-  *      counters) drops junk BEFORE any pairwise work — at 100 TB the
-  *      cheap map-side gate must run first so the dedup tier never
+  *   3. the quality gate — the FULL Gopher structural conjunction
+  *      ([[Curation.gopherCounts]], integer cross-multiplied rules)
+  *      with a PER-RULE audit bucket naming the first failing rule —
+  *      drops junk BEFORE any pairwise work; at 100 TB the cheap
+  *      map-side gate must run first so the dedup tier never
   *      fingerprints rejected bytes;
   *   4. near-dup rejection (exact Jaccard ≥ 1/2 over 3-shingles, the
   *      [[IncrementalDedup]] tier): a gated doc is rejected if it
@@ -225,13 +227,24 @@ object CrawlRefresh {
         keeper.as("text"), count(lit(1)).as("n_fetches"))
   }
 
-  /** The quality-gate predicate ([[Curation.curate]]'s exact
-    * counters) over a (doc_id, source, text) frame.
+  /** The quality gate: the FULL Gopher structural conjunction
+    * ([[Curation.gopherCounts]] — the same integer cross-multiplied
+    * counters `q_gopher_rules` grades, with the corpus-tuned word
+    * bound 20..80), evaluated as a FIRST-FAILING-RULE audit bucket:
+    * NULL = the doc passes every rule; otherwise the bucket names the
+    * rule that killed it — the per-rule accounting a curation team
+    * actually reads (which gate is eating my corpus?). Map-only; rule
+    * order is fixed so the bucket is deterministic.
     */
-  private def gateExpr: Column = {
-    val toks = TextAnalysis.tokens(col("text"))
-    size(toks).cast("long").between(20L, 80L) &&
-      size(filter(toks, t => t.isin(TextAnalysis.qualityStopwords: _*))) >= 1
+  private[graft] def gateBucket: Column = {
+    val c = Curation.gopherCounts(col("text"))
+    when(!c.nWords.between(20L, 80L), "_gate_words")
+      .when(c.sumLen < lit(3L) * c.nWords || c.sumLen > lit(10L) * c.nWords,
+        "_gate_word_len")
+      .when(lit(10L) * c.nSym > c.nWords, "_gate_symbols")
+      .when(lit(2L) * c.nBullet >= c.nLines, "_gate_bullets")
+      .when(lit(10L) * c.nEllipsis > lit(3L) * c.nLines, "_gate_ellipsis")
+      .when(c.nStop < 1L, "_gate_stopword")
   }
 
   /** Disposition of a gated batch against an ORIGIN-SPLIT postings
@@ -283,7 +296,7 @@ object CrawlRefresh {
       .join(rejectOld.withColumn("r_old", lit(true)), Seq("doc_id"), "left")
       .join(rejectNew.withColumn("r_new", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("text"),
-        when(!col("pass_gate"), "_gate_rejected")
+        when(col("gate_bucket").isNotNull, col("gate_bucket"))
           .when(col("r_old"), "_neardup_old")
           .when(col("r_new"), "_neardup_new")
           .otherwise("_admitted").as("bucket"))
@@ -318,9 +331,12 @@ object CrawlRefresh {
     // 1+2. fetches from the WARC bytes; frontier dedup on the canon URL
     val fr = frontier(parseFetches(Warc.read(s, crawlFixture(s, dir))))
       .localCheckpoint(eager = false)
-    // 3. map-side quality gate (curate's exact counters)
+    // 3. map-side quality gate (the full Gopher conjunction, bucketed
+    // by first failing rule)
     val gated = fr
-      .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
+      .select(col("doc_id"), col("source"), col("text"),
+        gateBucket.as("gate_bucket"))
+      .withColumn("pass_gate", col("gate_bucket").isNull)
       .localCheckpoint(eager = false)
     // 4+audit. one disposition frame feeds the merge AND the audit;
     // the one-shot batch sees only corpus-origin postings (exploded
@@ -393,7 +409,9 @@ object CrawlRefresh {
           else fr0.join(corpus.read().select(col("doc_id")), Seq("doc_id"), "left_anti")
             .localCheckpoint()
         val gated = fr
-          .select(col("doc_id"), col("source"), col("text"), gateExpr.as("pass_gate"))
+          .select(col("doc_id"), col("source"), col("text"),
+            gateBucket.as("gate_bucket"))
+          .withColumn("pass_gate", col("gate_bucket").isNull)
           .localCheckpoint()
         val dispo = dispositions(gated, index.read()).localCheckpoint()
         val survivors = dispo
@@ -559,15 +577,31 @@ object CrawlRefresh {
        |  SELECT canon_url, MIN(doc_id) AS doc_id, MIN(source) AS source,
        |    MIN(text) AS text, COUNT(*) AS nf
        |  FROM cf GROUP BY canon_url),
+       |gtc AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '') AS ws,
+       |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+       |  FROM fr),
        |gt AS (
        |  SELECT doc_id, source, text,
-       |    (len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 80
-       |     AND len(list_filter(string_split(text, ' '),
-       |       x -> x IN ${TextAnalysis.stopwordsSql})) >= 1) AS pass_gate
-       |  FROM fr),
+       |    CASE
+       |      WHEN NOT (len(ws) BETWEEN 20 AND 80) THEN '_gate_words'
+       |      WHEN list_sum(list_transform(ws, x -> length(x))) < 3 * len(ws)
+       |        OR list_sum(list_transform(ws, x -> length(x))) > 10 * len(ws)
+       |        THEN '_gate_word_len'
+       |      WHEN 10 * len(list_filter(ws, x -> contains(x, '#'))) > len(ws)
+       |        THEN '_gate_symbols'
+       |      WHEN 2 * len(list_filter(ls, x -> x LIKE '- %')) >= len(ls)
+       |        THEN '_gate_bullets'
+       |      WHEN 10 * len(list_filter(ls, x -> x LIKE '%...')) > 3 * len(ls)
+       |        THEN '_gate_ellipsis'
+       |      WHEN len(list_filter(ws, x -> x IN ${TextAnalysis.stopwordsSql})) < 1
+       |        THEN '_gate_stopword'
+       |    END AS gate_bucket
+       |  FROM gtc),
        |tokn AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |  FROM gt WHERE pass_gate),
+       |  FROM gt WHERE gate_bucket IS NULL),
        |shn AS (
        |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM tokn WHERE len(t) >= 3)),
@@ -596,7 +630,7 @@ object CrawlRefresh {
        |  WHERE 3 * p.c >= sa.sz + sb.sz),
        |dispo AS (
        |  SELECT doc_id, source, text,
-       |    CASE WHEN NOT pass_gate THEN '_gate_rejected'
+       |    CASE WHEN gate_bucket IS NOT NULL THEN gate_bucket
        |         WHEN doc_id IN (SELECT doc_id FROM r_old) THEN '_neardup_old'
        |         WHEN doc_id IN (SELECT doc_id FROM r_new) THEN '_neardup_new'
        |         ELSE '_admitted' END AS bucket

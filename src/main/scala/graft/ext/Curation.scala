@@ -425,22 +425,37 @@ object Curation {
     * web text); the integer-cross-multiplication recipe is the part
     * that survives any threshold at 100 TB.
     */
+  /** The Gopher structural counters of a text column — every ratio is
+    * later compared by integer cross-multiplication, so the counters
+    * are the full engine-exact surface. Shared by [[qGopherRules]]
+    * and the composed crawl refresh's quality gate
+    * ([[CrawlRefresh]]), which must never drift from each other.
+    */
+  private[ext] final case class GopherCounts(
+      nWords: Column, sumLen: Column, nSym: Column,
+      nLines: Column, nBullet: Column, nEllipsis: Column, nStop: Column)
+
+  private[ext] def gopherCounts(text: Column): GopherCounts = {
+    val words = TextAnalysis.tokens(regexp_replace(text, "\n", " "))
+    val lines = filter(split(text, "\n"), l => l =!= lit(""))
+    GopherCounts(
+      nWords = size(words).cast("long"),
+      sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)),
+      nSym = size(filter(words, w => w.contains("#"))).cast("long"),
+      nLines = size(lines).cast("long"),
+      nBullet = size(filter(lines, l => l.startsWith("- "))).cast("long"),
+      nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long"),
+      nStop = size(filter(words,
+        w => w.isin(TextAnalysis.qualityStopwords: _*))).cast("long"))
+  }
+
   def qGopherRules(s: SparkSession, dir: String): DataFrame = {
-    val words = TextAnalysis.tokens(regexp_replace(gopherNoisy, "\n", " "))
-    val lines = filter(split(gopherNoisy, "\n"), l => l =!= lit(""))
-    val nWords = size(words).cast("long")
-    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-    val nSym = size(filter(words, w => w.contains("#"))).cast("long")
-    val nLines = size(lines).cast("long")
-    val nBullet = size(filter(lines, l => l.startsWith("- "))).cast("long")
-    val nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
-    val nStop = size(filter(words,
-      w => w.isin(TextAnalysis.qualityStopwords: _*))).cast("long")
+    val c = gopherCounts(gopherNoisy)
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_len"),
-        nSym.as("n_symbol_words"), nLines.as("n_lines"),
-        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
-        nStop.as("n_stopwords"))
+      .select(col("doc_id"), c.nWords.as("n_words"), c.sumLen.as("sum_word_len"),
+        c.nSym.as("n_symbol_words"), c.nLines.as("n_lines"),
+        c.nBullet.as("n_bullet_lines"), c.nEllipsis.as("n_ellipsis_lines"),
+        c.nStop.as("n_stopwords"))
       .select(col("*"),
         when(col("n_words").between(20L, 100000L) &&
           col("sum_word_len") >= lit(3L) * col("n_words") &&

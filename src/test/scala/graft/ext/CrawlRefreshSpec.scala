@@ -27,7 +27,8 @@ class CrawlRefreshSpec extends SparkTestBase {
     assert(audit.getOrElse("_url_dup", 0L) == nDup,
       s"frontier dedup must collapse exactly the $nDup duplicate fetches")
     assert(audit.getOrElse("_admitted", 0L) > 0, "the refresh must admit something")
-    assert(audit.getOrElse("_gate_rejected", 0L) > 0, "the gate must reject something")
+    val gateRejected = audit.collect { case (b, n) if b.startsWith("_gate_") => n }.sum
+    assert(gateRejected > 0, s"the Gopher gate must reject something: $audit")
 
     // the refreshed table = old corpus + exactly the admitted docs
     val table = CrawlRefresh.corpusTable(spark, dir).read()
