@@ -58,15 +58,15 @@ import graft.sources.Warc
   * its own docs or its co-batch seniors twice).
   *
   * Scale shape: frontier dedup is one hash agg on the canonical key;
-  * gate is map-side; the new×old join drives the batch's postings
-  * against the index (shuffle bounded by the batch, never the
-  * corpus); within-batch pairs use the exact sorted pair expansion
-  * (O(df²) per shared shingle — fine for a gated crawl slice; a
-  * boilerplate-heavy corpus swaps in [[IncrementalDedup]]'s lossless
-  * prefix-filtered candidates + verify, which preserves the exact
-  * pair set this greedy rule needs); the merge touches only admitted
-  * rows. Everything downstream of the parse reuses ONE checkpointed
-  * disposition frame.
+  * gate is map-side; BOTH near-dup tiers run [[IncrementalDedup]]'s
+  * lossless df-ordered PREFIX plan (candidates from prefix×prefix
+  * with the positional filter on both sides, exact array_intersect
+  * verification on the full sets — the same pair set, so the same
+  * oracle): the new×index join is bounded by the batch's prefix
+  * postings, and on a boilerplate-heavy crawl the candidate set is
+  * O(rare-df²), never O(df²) over license/header shingles; the merge
+  * touches only admitted rows. Everything downstream of the parse
+  * reuses ONE checkpointed disposition frame.
   */
 object CrawlRefresh {
 
@@ -152,12 +152,62 @@ object CrawlRefresh {
       p
     }
 
-  /** Full (h, m) postings of the EXISTING corpus, exploded from the
-    * persisted per-doc fingerprint sets of the at-ingest artifact.
+  /** ONE ROW PER INDEXED DOC for the refresh's near-dup index:
+    * `(m, hs, prefix_hs, origin)` — the packed member, the FULL
+    * fingerprint set (exact verification), and the df-ordered PREFIX
+    * (candidate generation; [[IncrementalDedup]]'s lossless
+    * AllPairs/PPJoin shape: only the first ⌊sz/2⌋+1 rarest shingles
+    * under the frozen (df asc, h asc) order can start a qualifying
+    * pair, so boilerplate shingles never enter the candidate join).
+    * `dfreq` is the epoch's FROZEN document-frequency table (unseen
+    * shingles order at df 0); EVERY row ever compared in one refresh
+    * lifecycle must be built under the same dfreq — the prefix
+    * theorem needs one shared total order.
     */
-  private def corpusPostings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${IncrementalDedup.persistedIndexDir(s, dir)}/sets")
-      .select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
+  private[graft] def indexRows(sets: DataFrame, dfreq: Option[DataFrame],
+                               origin: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PairExpand
+    val post = sets.select(col("doc_id"), TextAnalysis.packedMember.as("m"),
+      explode(col("hs")).as("h"))
+    val withDf = dfreq match {
+      case Some(d) => post.join(d, Seq("h"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+      case None => post.withColumn("df", lit(0L))
+    }
+    withDf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("m")).orderBy(col("df"), col("h"))))
+      .where(col("rk") <=
+        floor(col("m").bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+      .groupBy(col("doc_id"), col("m"))
+      .agg(collect_list(col("h")).as("prefix_hs"))
+      .join(sets.select(col("doc_id"), col("hs")), Seq("doc_id"))
+      .select(col("m"), col("hs"), col("prefix_hs"), lit(origin).as("origin"))
+  }
+
+  /** The EXISTING corpus as [[indexRows]], assembled from the
+    * persisted at-ingest artifact ([[IncrementalDedup]]'s `sets/` and
+    * `prefix/` — nothing is refingerprinted here): prefix postings
+    * group back to per-doc arrays and join the full sets by member.
+    */
+  private def corpusIndexRows(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = IncrementalDedup.persistedIndexDir(s, dir)
+    val pref = s.read.parquet(s"$idxDir/prefix")
+      .groupBy(col("m")).agg(collect_list(col("h")).as("prefix_hs"))
+    s.read.parquet(s"$idxDir/sets")
+      .select(TextAnalysis.packedMember.as("m"), col("hs"))
+      .join(pref, Seq("m"))
+      .select(col("m"), col("hs"), col("prefix_hs"), lit("corpus").as("origin"))
+  }
+
+  /** The epoch's frozen df table (size-gated broadcast, the
+    * [[IncrementalDedup.dfSide]] gate).
+    */
+  private def corpusDf(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = IncrementalDedup.persistedIndexDir(s, dir)
+    IncrementalDedup.dfSide(s, dir, s.read.parquet(s"$idxDir/df"))
+  }
 
   /** The REFETCH slice: a later crawl pass re-fetching pages the
     * corpus already holds (src<10 docs with `doc_id % 13 == 0`, messy
@@ -247,46 +297,84 @@ object CrawlRefresh {
       .when(c.nStop < 1L, "_gate_stopword")
   }
 
-  /** Disposition of a gated batch against an ORIGIN-SPLIT postings
-    * index `(h, m, origin)` — the shared core of the batch
+  /** The prefix×prefix candidate pairs of a gated batch against an
+    * origin-split [[indexRows]] index, pre-verification — exposed for
+    * the spec's shrink accounting (on a boilerplate-heavy corpus this
+    * set is the point of the prefix filter: high-df license/header
+    * shingles never generate candidates, where full postings pay
+    * O(corpus-df²)). The per-origin id condition is applied BEFORE
+    * the distinct so replay-shielded pairs never reach verification:
+    * corpus-origin postings pair with any other doc, crawl-origin
+    * postings only with strictly-larger ids (`mo < mn`).
+    */
+  private[ext] def dispoCandidates(newRows: DataFrame, idx: DataFrame): DataFrame = {
+    val s = newRows.sparkSession
+    import s.implicits._
+    import graft.functions.PairExpand
+    newRows.select(explode($"prefix_hs").as("h"), $"m".as("mn"))
+      .join(idx.select(explode($"prefix_hs").as("h"), $"m".as("mo"), $"origin"), "h")
+      .where(when($"origin" === "corpus",
+          shiftrightunsigned($"mo", PairExpand.SzBits) =!=
+            shiftrightunsigned($"mn", PairExpand.SzBits))
+        .otherwise(shiftrightunsigned($"mo", PairExpand.SzBits) <
+          shiftrightunsigned($"mn", PairExpand.SzBits)))
+      .select($"mn", $"mo", $"origin").distinct()
+  }
+
+  /** Disposition of a gated batch against an ORIGIN-SPLIT per-doc
+    * index ([[indexRows]]) — the shared core of the batch
     * [[qCrawlRefresh]] and the streaming [[streamRefresh]]:
     *
-    *  - `origin = 'corpus'` postings (the pre-existing corpus) reject
+    *  - `origin = 'corpus'` rows (the pre-existing corpus) reject
     *    any qualifying match → `_neardup_old`;
-    *  - `origin = 'crawl'` postings (gate-passing docs of EARLIER
+    *  - `origin = 'crawl'` rows (gate-passing docs of EARLIER
     *    micro-batches) reject only STRICTLY-LARGER doc ids →
     *    `_neardup_new` — the within-batch greedy rule stretched
     *    across batches. The strict `<` is also the replay shield: a
-    *    re-delivered batch whose own postings already committed can
+    *    re-delivered batch whose own rows already committed can
     *    never reject itself (self and co-batch-senior matches fail
     *    `mo < mn`), so dispositions are exactly repeatable.
+    *
+    * Mining is the PREFIX-FILTERED plan on every tier (the same
+    * df-ordered AllPairs/PPJoin shape as [[IncrementalDedup]], both
+    * sides positional-filtered, exact array_intersect verification):
+    * new×index candidates come from new-prefix × index-prefix, the
+    * within-batch tier from the batch's own prefix pair expansion —
+    * lossless (same pair set, same oracle), and on a boilerplate-
+    * heavy crawl the candidate join is O(rare-df²), not O(df²).
     */
-  private def dispositions(gated: DataFrame, idx: DataFrame): DataFrame = {
+  private[ext] def dispositions(gated: DataFrame, idx: DataFrame,
+                                dfreq: Option[DataFrame]): DataFrame = {
     val s = gated.sparkSession
     import s.implicits._
     import graft.functions.PairExpand
     val szMask = lit(PairExpand.SzMask)
     val sets = TextAnalysis.docShingleSets(gated.where(col("pass_gate")))
-    val newIdx = sets
-      .select(TextAnalysis.packedMember.as("m"), explode(col("hs")).as("h"))
+    val newRows = indexRows(sets, dfreq, origin = "new")
       .localCheckpoint(eager = false)
-    def minedAgainst(oldIdx: DataFrame, cond: (Column, Column) => Column) =
-      newIdx.select($"h", $"m".as("mn"))
-        .join(oldIdx.select($"h", $"m".as("mo")), "h")
-        .where(cond(shiftrightunsigned($"mo", PairExpand.SzBits),
-          shiftrightunsigned($"mn", PairExpand.SzBits)))
-        .groupBy($"mn", $"mo").agg(count(lit(1)).as("common"))
-        .where(lit(3) * $"common" >=
-          $"mn".bitwiseAND(szMask) + $"mo".bitwiseAND(szMask))
-        .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("doc_id"))
-        .distinct()
-    val rejectOld = minedAgainst(idx.where($"origin" === "corpus"), _ =!= _)
-    val rejectPrev = minedAgainst(idx.where($"origin" === "crawl"), _ < _)
-    val rejectWithin = newIdx
+    // new×index: prefix×prefix candidates, exact-verified on the full
+    // sets both rows already carry
+    val verified = dispoCandidates(newRows, idx)
+      .join(newRows.select($"m".as("mn"), $"hs".as("ha")), "mn")
+      .join(idx.select($"m".as("mo"), $"hs".as("hb")), "mo")
+      .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
+      .where(lit(3) * $"common" >=
+        $"mn".bitwiseAND(szMask) + $"mo".bitwiseAND(szMask))
+      .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("doc_id"), $"origin")
+      .localCheckpoint(eager = false)
+    val rejectOld = verified.where($"origin" === "corpus").select($"doc_id").distinct()
+    val rejectPrev = verified.where($"origin" === "crawl").select($"doc_id").distinct()
+    // within-batch: the SAME prefix filter applies (the theorem needs
+    // only a shared total order); candidates exact-verify identically
+    val rejectWithin = newRows
+      .select(explode($"prefix_hs").as("h"), $"m")
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
       .where(size($"ms") > 1)
       .select(explode(PairExpand($"ms")).as("p"))
-      .groupBy($"p.a".as("pa"), $"p.b".as("pb")).agg(count(lit(1)).as("common"))
+      .select($"p.a".as("pa"), $"p.b".as("pb")).distinct()
+      .join(newRows.select($"m".as("pa"), $"hs".as("ha")), "pa")
+      .join(newRows.select($"m".as("pb"), $"hs".as("hb")), "pb")
+      .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
       .where(lit(3) * $"common" >=
         $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
       .select(shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_id"))
@@ -339,12 +427,11 @@ object CrawlRefresh {
       .withColumn("pass_gate", col("gate_bucket").isNull)
       .localCheckpoint(eager = false)
     // 4+audit. one disposition frame feeds the merge AND the audit;
-    // the one-shot batch sees only corpus-origin postings (exploded
-    // from the persisted per-doc fingerprint sets — the refresh's
-    // inline-exact miner wants FULL postings, where the incremental
-    // miner drives the df-ordered PREFIX postings + verify)
-    val dispo = dispositions(gated,
-        corpusPostings(s, dir).withColumn("origin", lit("corpus")))
+    // the one-shot batch sees only corpus-origin index rows (the
+    // persisted prefix+sets artifact, never refingerprinted), mined
+    // by the df-ordered prefix plan under the epoch's frozen df
+    val dispo = dispositions(gated, corpusIndexRows(s, dir),
+        Some(corpusDf(s, dir)))
       .localCheckpoint(eager = false)
     // 5. idempotent merge of the survivors
     val t = corpusTable(s, dir)
@@ -397,7 +484,8 @@ object CrawlRefresh {
                     checkpoint: String,
                     audit: Option[TxTable] = None,
                     trainingArtifact: Option[(TxTable, DataFrame)] = None,
-                    suppressRefetch: Boolean = false)
+                    suppressRefetch: Boolean = false,
+                    dfreq: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     fetches.writeStream
       .queryName("crawl-refresh")
@@ -413,19 +501,19 @@ object CrawlRefresh {
             gateBucket.as("gate_bucket"))
           .withColumn("pass_gate", col("gate_bucket").isNull)
           .localCheckpoint()
-        val dispo = dispositions(gated, index.read()).localCheckpoint()
+        val dispo = dispositions(gated, index.read(), dfreq).localCheckpoint()
         val survivors = dispo
           .where(col("bucket") === "_admitted")
           .select(col("doc_id"), col("source"), col("text"))
           .localCheckpoint()
         corpus.merge(survivors, Seq("doc_id"))
-        // postings of every gate-PASSING doc (not just admitted): the
-        // batch greedy rule mines pairs over all gated docs, so the
-        // stream must too for stream ≡ batch
+        // index rows of every gate-PASSING doc (not just admitted):
+        // the batch greedy rule mines pairs over all gated docs, so
+        // the stream must too for stream ≡ batch; prefixes are cut
+        // under the SAME frozen dfreq as every earlier row
         index.appendBatch(
-          TextAnalysis.docShingleSets(gated.where(col("pass_gate")))
-            .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"),
-              lit("crawl").as("origin")),
+          indexRows(TextAnalysis.docShingleSets(gated.where(col("pass_gate"))),
+            dfreq, origin = "crawl"),
           "crawl-refresh-idx", batchId)
         // suppressed refetches audit per FETCH under `_refetch` (their
         // `_url_dup` accounting is subsumed — every fetch of a
@@ -474,8 +562,7 @@ object CrawlRefresh {
       corpus.append(Tables.load(s, dir, "documents").where(srcNum < 10)
         .select(col("doc_id"), col("source"), col("text")))
       val index = new TxTable(s, s"$base/index")
-      index.append(corpusPostings(s, dir)
-        .select(col("h"), col("m"), lit("corpus").as("origin")))
+      index.append(corpusIndexRows(s, dir))
       val audit = new TxTable(s, s"$base/audit")
       val src = crawlFixture(s, dir)
       val watch = s"$base/arrivals"
@@ -487,7 +574,8 @@ object CrawlRefresh {
           false, s.sparkContext.hadoopConfiguration)
       def runOnce(): Unit = streamRefresh(
         parseFetches(Warc.readStream(s, watch, maxFilesPerTrigger = 1)),
-        corpus, index, s"$base/ckpt", audit = Some(audit)).awaitTermination()
+        corpus, index, s"$base/ckpt", audit = Some(audit),
+        dfreq = Some(corpusDf(s, dir))).awaitTermination()
       arrive("slice-0.warc.gz"); runOnce()
       arrive("slice-1.warc.gz"); runOnce()
       (corpus, audit)
@@ -516,8 +604,7 @@ object CrawlRefresh {
       corpus.append(Tables.load(s, dir, "documents").where(srcNum < 10)
         .select(col("doc_id"), col("source"), col("text")))
       val index = new TxTable(s, s"$base/index")
-      index.append(corpusPostings(s, dir)
-        .select(col("h"), col("m"), lit("corpus").as("origin")))
+      index.append(corpusIndexRows(s, dir))
       val audit = new TxTable(s, s"$base/audit")
       val watch = s"$base/arrivals"
       fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
@@ -529,7 +616,7 @@ object CrawlRefresh {
       def runOnce(): Unit = streamRefresh(
         parseFetches(Warc.readStream(s, watch, maxFilesPerTrigger = 1)),
         corpus, index, s"$base/ckpt", audit = Some(audit),
-        suppressRefetch = true).awaitTermination()
+        suppressRefetch = true, dfreq = Some(corpusDf(s, dir))).awaitTermination()
       val crawl = crawlFixture(s, dir)
       arrive(crawl, "slice-0.warc.gz"); runOnce()
       arrive(crawl, "slice-1.warc.gz"); runOnce()

@@ -84,7 +84,7 @@ object IncrementalDedup {
     * join; the signal is Σ|hs| — an upper bound on distinct shingles
     * — off blocks the build materializes anyway).
     */
-  private def dfSide(s: SparkSession, dir: String, dfreq: DataFrame): DataFrame = {
+  private[ext] def dfSide(s: SparkSession, dir: String, dfreq: DataFrame): DataFrame = {
     import s.implicits._
     val refs = graft.core.IndexCache.memo[java.lang.Long](
       s"shingle-idx-refs:${s.sparkContext.applicationId}:$dir") {

@@ -62,9 +62,11 @@ class CrawlRefreshSpec extends SparkTestBase {
     val corpus = new graft.core.TxTable(spark, s"$base/corpus")
     corpus.append(Seq((1L, "seed", text(1))).toDF("doc_id", "source", "text"))
     val index = new graft.core.TxTable(spark, s"$base/index")
-    index.append(TextAnalysis.docShingleSets(corpus.read())
-      .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"),
-        lit("corpus").as("origin")))
+    // seed and stream share dfreq=None (all-zero df, the h-asc order)
+    // — one total order per index lifecycle, the prefix theorem's
+    // requirement
+    index.append(CrawlRefresh.indexRows(
+      TextAnalysis.docShingleSets(corpus.read()), None, "corpus"))
 
     // the optional final stage: admitted docs flow into the TRAINING
     // ARTIFACT with a frozen vocab and per-source pack continuation
@@ -181,6 +183,55 @@ class CrawlRefreshSpec extends SparkTestBase {
       .sortBy(_._1.toString)
     assert(sup.sortBy(_._1.toString).toSeq == expected.toSeq,
       s"suppressed ≠ batch+_refetch:\n${sup.toSeq}\nvs\n${expected.toSeq}")
+  }
+
+  test("refresh dispositions ride the prefix filter: boilerplate shingles generate no candidates") {
+    import spark.implicits._
+    import graft.functions.PairExpand
+    // license-header corpus: every doc opens with the same 30-token
+    // boilerplate; tails are unique except doc 101, a true dup of old
+    // doc 1. Full postings would pair every new doc with every old
+    // doc through the header; the df-ordered prefix must not.
+    val header = (1 to 30).map(i => s"license$i").mkString(" ")
+    def tail(k: Long) = (1 to 30).map(i => s"t${k}_$i").mkString(" ")
+    val oldDf = (1L to 10L).map(i => (i, "seed", s"$header ${tail(i)} the"))
+      .toDF("doc_id", "source", "text")
+    val newDf = Seq(
+      (100L, "crawl", s"$header ${tail(100)} the"),
+      (101L, "crawl", s"$header ${tail(1)} the"))
+      .toDF("doc_id", "source", "text")
+    val dfreq = TextAnalysis.docShingleSets(oldDf)
+      .select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val idx = CrawlRefresh.indexRows(
+      TextAnalysis.docShingleSets(oldDf), Some(dfreq), "corpus")
+      .localCheckpoint()
+    val gated = newDf
+      .select(col("doc_id"), col("source"), col("text"),
+        CrawlRefresh.gateBucket.as("gate_bucket"))
+      .withColumn("pass_gate", col("gate_bucket").isNull)
+    assert(gated.where(!col("pass_gate")).count() == 0,
+      "fixture docs must pass the Gopher gate")
+    // shrink accounting: the refresh path's candidate set vs the
+    // full-postings candidate set on the same batch
+    val newRows = CrawlRefresh.indexRows(
+      TextAnalysis.docShingleSets(newDf), Some(dfreq), "new")
+    val prefixCand = CrawlRefresh.dispoCandidates(newRows, idx).count()
+    val fullCand = TextAnalysis.docShingleSets(newDf)
+      .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"))
+      .select(col("h"), col("m").as("mn"))
+      .join(TextAnalysis.docShingleSets(oldDf)
+        .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"))
+        .select(col("h"), col("m").as("mo")), "h")
+      .select(col("mn"), col("mo")).distinct().count()
+    assert(fullCand == 20, s"full postings must pair all 2x10 docs, got $fullCand")
+    assert(prefixCand <= 2,
+      s"prefix candidates must exclude boilerplate-only pairs, got $prefixCand")
+    // and the disposition itself is exact: the dup rejected, the
+    // unique tail admitted
+    val dispo = CrawlRefresh.dispositions(gated, idx, Some(dfreq))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(dispo == Map(100L -> "_admitted", 101L -> "_neardup_old"), dispo.toString)
   }
 
   test("every _neardup_old rejection has a qualifying pair in the incremental miner") {
