@@ -401,6 +401,61 @@ object CrawlRefresh {
           explode(array_repeat(lit("_url_dup"),
             (col("n_fetches") - 1).cast("int"))).as("bucket")))
 
+  /** KEYED CROSS-BATCH FRONTIER STATE for `suppressRefetch` — the
+    * scale-safe corpus-membership probe (the reference analog:
+    * silver's dedup is a state-store LOOKUP per batch, never a table
+    * rescan). At query start the corpus keys seed (a) a driver-held
+    * Bloom filter and (b) a doc_id-BUCKETED key table; each batch's
+    * admitted keys fold into both (the bloom via an executor-
+    * aggregated same-shape batch bloom merged in place — no row ever
+    * collects to the driver; the table via a bucketed append).
+    *
+    * Per trigger the probe is O(batch): bloom-NEGATIVE fetches are
+    * DEFINITELY new and skip the join entirely (a map-side broadcast
+    * probe); only bloom-positive canons (true refetches + ~fpp false
+    * positives) pay the exact anti-join, and its key side scans the
+    * bucketed table with NO exchange — the corpus table itself is
+    * never rescanned or reshuffled per micro-batch. A replayed batch
+    * re-appends its keys (duplicate rows are harmless to an
+    * anti-join); a restart reseeds from the corpus, which already
+    * holds every previously admitted doc.
+    */
+  private[ext] final class FrontierIndex(s: SparkSession, corpus: TxTable,
+                                         tag: String) {
+    import org.apache.spark.util.sketch.BloomFilter
+    private val table = s"graft_frontier_$tag"
+    private val keys0 = corpus.read().select(col("doc_id"))
+    private val expected = math.max(1024L, 2L * keys0.count())
+    // create() allocates the bit array even when the corpus is empty
+    // (stat.bloomFilter over zero rows would not — the ScaleOps NPE)
+    private val bloom = BloomFilter.create(expected, 0.01)
+    if (!keys0.isEmpty)
+      bloom.mergeInPlace(keys0.stat.bloomFilter("doc_id", expected, 0.01))
+    graft.core.Layout.writeBucketed(keys0, table, "doc_id", buckets = 8,
+      path = Some(s"${sys.props("java.io.tmpdir")}/graft_frontier_$tag"))
+
+    /** The batch minus everything corpus-known: negatives pass on the
+      * bloom alone; positives exact-verify against the key table.
+      */
+    def filterNew(fr0: DataFrame): DataFrame = {
+      val bc = s.sparkContext.broadcast(bloom)
+      val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      val fresh = fr0.where(!might(col("doc_id")))
+      val positive = fr0.where(might(col("doc_id")))
+        .join(s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      fresh.unionByName(positive)
+    }
+
+    /** Fold a batch's admitted keys into both probe structures —
+      * O(batch) per trigger.
+      */
+    def admit(keys: DataFrame): Unit = if (!keys.isEmpty) {
+      keys.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(table)
+      bloom.mergeInPlace(keys.stat.bloomFilter("doc_id", expected, 0.01))
+    }
+  }
+
   /** The shared output frame: refreshed per-source corpus accounting
     * plus one count per audit bucket.
     */
@@ -469,16 +524,17 @@ object CrawlRefresh {
     * self, the corpus merge is an idempotent same-key update) but the
     * audit counts it again and a configured training-artifact stage
     * would re-append it (a new batchId defeats the txn guard).
-    * `suppressRefetch = true` closes this: the batch anti-joins the
-    * corpus table's KEYS before dispositioning and the dropped
-    * fetches land in a `_refetch` audit bucket — keyed cross-batch
-    * state, exactly the frontier table a re-crawling feed needs (at
-    * 100 TB, Bloom-prune the key side first — the [[ScaleOps
-    * .bloomDedup]] split — so the per-trigger anti-join probes a
-    * filter, not the corpus). The graded stream-equals-batch law runs
-    * WITHOUT suppression and co-batches each page's fetches, the
-    * crawl convention (a one-shot batch cannot refetch by
-    * construction, so the flag has nothing to equal there).
+    * `suppressRefetch = true` closes this with [[FrontierIndex]] —
+    * keyed cross-batch state, exactly the frontier table a
+    * re-crawling feed needs: corpus-known fetches are dropped before
+    * dispositioning (bloom-negative rows by a map-side probe, bloom-
+    * positive rows by an exact anti-join against the doc_id-bucketed
+    * key table — O(batch) per trigger, the corpus is never rescanned)
+    * and land in a `_refetch` audit bucket. The graded
+    * stream-equals-batch law runs WITHOUT suppression and co-batches
+    * each page's fetches, the crawl convention (a one-shot batch
+    * cannot refetch by construction, so the flag has nothing to equal
+    * there).
     */
   def streamRefresh(fetches: DataFrame, corpus: TxTable, index: TxTable,
                     checkpoint: String,
@@ -486,16 +542,20 @@ object CrawlRefresh {
                     trainingArtifact: Option[(TxTable, DataFrame)] = None,
                     suppressRefetch: Boolean = false,
                     dfreq: Option[DataFrame] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val frontierIdx =
+      if (!suppressRefetch) None
+      else Some(new FrontierIndex(fetches.sparkSession, corpus,
+        java.lang.Long.toHexString(checkpoint.hashCode.toLong & 0xffffffffL)))
     fetches.writeStream
       .queryName("crawl-refresh")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fr0 = frontier(batch).localCheckpoint()
-        val fr =
-          if (!suppressRefetch) fr0
-          else fr0.join(corpus.read().select(col("doc_id")), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
+        val fr = frontierIdx match {
+          case None => fr0
+          case Some(st) => st.filterNew(fr0).localCheckpoint()
+        }
         val gated = fr
           .select(col("doc_id"), col("source"), col("text"),
             gateBucket.as("gate_bucket"))
@@ -507,6 +567,9 @@ object CrawlRefresh {
           .select(col("doc_id"), col("source"), col("text"))
           .localCheckpoint()
         corpus.merge(survivors, Seq("doc_id"))
+        // the admitted keys fold into the frontier probe so a LATER
+        // batch's refetch of them is suppressed too — O(batch)
+        frontierIdx.foreach(_.admit(survivors.select(col("doc_id"))))
         // index rows of every gate-PASSING doc (not just admitted):
         // the batch greedy rule mines pairs over all gated docs, so
         // the stream must too for stream ≡ batch; prefixes are cut
@@ -538,6 +601,7 @@ object CrawlRefresh {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** The graded STREAM-EQUALS-BATCH run: the same crawl slices as
     * [[qCrawlRefresh]], delivered as ≥2 checkpointed micro-batches

@@ -185,6 +185,36 @@ class CrawlRefreshSpec extends SparkTestBase {
       s"suppressed ≠ batch+_refetch:\n${sup.toSeq}\nvs\n${expected.toSeq}")
   }
 
+  test("suppression probe is O(batch): bloom-negatives skip the join, the key table is never re-exchanged") {
+    import spark.implicits._
+    val base = tmpDir("frontier-probe")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append((1L to 1000L).map(i => (i, "seed", s"t$i"))
+      .toDF("doc_id", "source", "text"))
+    val st = new CrawlRefresh.FrontierIndex(spark, corpus, "probe_spec")
+    val batch = (990L to 1010L).map(i => (i, s"u$i")).toDF("doc_id", "text")
+      .localCheckpoint()
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = st.filterNew(batch)
+      val got = probe.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == (1001L to 1010L).map(identity).toSet,
+        s"probe must drop exactly the corpus-known keys: $got")
+      // the exact-verify anti-join must be the ONLY shuffle: its batch
+      // side exchanges to the key table's bucketing, the key side
+      // scans its buckets in place (no exchange, no corpus rescan)
+      val (sh, _) = graft.PlanDump.counts(probe.queryExecution.executedPlan)
+      assert(sh <= 1, s"key side re-exchanged: $sh shuffles in the probe plan")
+      // in-run admissions fold into the probe
+      st.admit(Seq(2000L).toDF("doc_id"))
+      val again = st.filterNew(Seq((2000L, "x"), (2001L, "y")).toDF("doc_id", "text")
+        .localCheckpoint())
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == Set(2001L), s"admitted key must suppress its refetch: $again")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+  }
+
   test("refresh dispositions ride the prefix filter: boilerplate shingles generate no candidates") {
     import spark.implicits._
     import graft.functions.PairExpand
