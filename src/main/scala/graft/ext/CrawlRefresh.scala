@@ -193,9 +193,9 @@ object CrawlRefresh {
     */
   private def corpusIndexRows(s: SparkSession, dir: String): DataFrame = {
     val idxDir = IncrementalDedup.persistedIndexDir(s, dir)
-    val pref = s.read.parquet(s"$idxDir/prefix")
+    val pref = IncrementalDedup.readPart(s, idxDir, "prefix")
       .groupBy(col("m")).agg(collect_list(col("h")).as("prefix_hs"))
-    s.read.parquet(s"$idxDir/sets")
+    IncrementalDedup.readPart(s, idxDir, "sets")
       .select(TextAnalysis.packedMember.as("m"), col("hs"))
       .join(pref, Seq("m"))
       .select(col("m"), col("hs"), col("prefix_hs"), lit("corpus").as("origin"))

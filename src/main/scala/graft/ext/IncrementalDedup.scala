@@ -40,14 +40,46 @@ object IncrementalDedup {
     */
   private def srcNum = substring(col("source"), 4, 10).cast("int")
 
+  /** The number of buckets the persisted index is laid out in — a
+    * cluster-sizing choice at 100 TB (≈ target probe parallelism); 8
+    * keeps the fixture plans readable.
+    */
+  private val IndexBuckets = 8
+
+  /** Catalog table name of one index part — the bucketing METADATA
+    * lives in the session catalog (in-memory), the data at
+    * `$idxDir/$part`; names are derived from the artifact directory
+    * so every artifact (base, grown copies) registers its own.
+    */
+  private def tableName(idxDir: String, part: String): String =
+    "graft_shidx_" + (idxDir + "_" + part).replaceAll("[^a-zA-Z0-9]+", "_")
+      .takeRight(96)
+
+  /** Read one index part: through the catalog when its bucketed table
+    * is registered (this session built or copied the artifact — the
+    * normal path; scans then report HashPartitioning and h-/doc-keyed
+    * joins stop re-exchanging the index side), falling back to the
+    * raw parquet files otherwise (correct, just re-exchanged).
+    */
+  private[ext] def readPart(s: SparkSession, idxDir: String, part: String): DataFrame =
+    if (part != "df" && s.catalog.tableExists(tableName(idxDir, part)))
+      s.table(tableName(idxDir, part))
+    else s.read.parquet(s"$idxDir/$part")
+
   /** The persisted ingest-time artifact of the EXISTING corpus, built
     * once per (session, dir) ([[graft.core.IndexCache]], same
     * lifecycle as the ANN indexes): `sets/` = the per-doc fingerprint
     * sets (exact verification + full-postings consumers like the
-    * crawl refresh), `df/` = the per-shingle document frequencies
-    * that define the global prefix order, `prefix/` = the df-ordered
-    * PREFIX postings (h, packed member) — only the first ⌊sz/2⌋+1
-    * rarest shingles of each doc, the candidate-join side.
+    * crawl refresh), BUCKETED by doc_id; `df/` = the per-shingle
+    * document frequencies that define the global prefix order;
+    * `prefix/` = the df-ordered PREFIX postings (h, packed member) —
+    * only the first ⌊sz/2⌋+1 rarest shingles of each doc, the
+    * candidate-join side, BUCKETED by h. The bucketed layout
+    * ([[graft.core.Layout.writeBucketed]]) is what keeps every
+    * increment and probe from re-exchanging the old side: the
+    * candidate join exchanges only the batch's postings to the
+    * index's bucket count, and the verify join only the candidate
+    * pairs.
     */
   private[graft] def persistedIndexDir(s: SparkSession, dir: String): String =
     graft.core.IndexCache.memo(
@@ -62,7 +94,8 @@ object IncrementalDedup {
       val existing = TextAnalysis.docShingleSets(
           Tables.load(s, dir, "documents").where(srcNum < 10))
         .localCheckpoint(eager = false)
-      existing.write.parquet(s"$p/sets")
+      graft.core.Layout.writeBucketed(existing, tableName(p, "sets"),
+        "doc_id", IndexBuckets, path = Some(s"$p/sets"))
       val post = existing
         .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
       val dfreq = post.groupBy($"h").agg(count(lit(1)).as("df"))
@@ -70,12 +103,13 @@ object IncrementalDedup {
       // df-ordered prefix postings (same size-gated df-side broadcast
       // as qNgramJaccardPrefix — the full dfreq doesn't broadcast at
       // 100 TB, so past the bound the plan takes the shuffle join)
-      post.join(dfSide(s, dir, dfreq), Seq("h"))
+      val prefix = post.join(dfSide(s, dir, dfreq), Seq("h"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"m").orderBy($"df", $"h")))
         .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
         .select($"h", $"m")
-        .write.parquet(s"$p/prefix")
+      graft.core.Layout.writeBucketed(prefix, tableName(p, "prefix"),
+        "h", IndexBuckets, path = Some(s"$p/prefix"))
       p
     }
 
@@ -151,9 +185,14 @@ object IncrementalDedup {
     */
   def appendToIndex(s: SparkSession, dir: String, idxDir: String,
                     batchSets: DataFrame): Unit = {
-    batchSets.write.mode("append").parquet(s"$idxDir/sets")
+    import org.apache.spark.sql.SaveMode
+    batchSets.write.mode(SaveMode.Append)
+      .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(tableName(idxDir, "sets"))
     batchPrefix(s, dir, idxDir, batchSets)
-      .write.mode("append").parquet(s"$idxDir/prefix")
+      .write.mode(SaveMode.Append)
+      .bucketBy(IndexBuckets, "h").sortBy("h")
+      .saveAsTable(tableName(idxDir, "prefix"))
   }
 
   /** The new×old prefix×prefix candidate pairs (dn = new doc, do_ =
@@ -166,7 +205,7 @@ object IncrementalDedup {
     import graft.functions.PairExpand
     val idxDir = persistedIndexDir(s, dir)
     newPrefix(s, dir).select($"h", $"m".as("mn"))
-      .join(s.read.parquet(s"$idxDir/prefix").select($"h", $"m".as("mo")), "h")
+      .join(readPart(s, idxDir, "prefix").select($"h", $"m".as("mo")), "h")
       .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("dn"),
         shiftrightunsigned($"mo", PairExpand.SzBits).as("do_"))
       .distinct()
@@ -202,12 +241,12 @@ object IncrementalDedup {
     // batch × index: prefix × prefix candidate join (both sides
     // positional-filtered), then exact verification on the full sets
     val cross = prefix.select($"h", $"m".as("mn"))
-      .join(s.read.parquet(s"$idxDir/prefix").select($"h", $"m".as("mo")), "h")
+      .join(readPart(s, idxDir, "prefix").select($"h", $"m".as("mo")), "h")
       .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("dn"),
         shiftrightunsigned($"mo", PairExpand.SzBits).as("do_"))
       .distinct()
       .join(sets.select($"doc_id".as("dn"), $"hs".as("ha"), $"sz".as("sza")), "dn")
-      .join(s.read.parquet(s"$idxDir/sets")
+      .join(readPart(s, idxDir, "sets")
         .select($"doc_id".as("do_"), $"hs".as("hb"), $"sz".as("szb")), "do_")
       .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
       .where(lit(3) * $"common" >= $"sza" + $"szb")
@@ -253,10 +292,17 @@ object IncrementalDedup {
       val hp = new org.apache.hadoop.fs.Path(g)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       // the grown index starts as a copy of the base artifact (same
-      // sets/df/prefix; df is the FROZEN epoch order for all appends)
+      // sets/df/prefix; df is the FROZEN epoch order for all appends);
+      // the copy registers its own bucketed tables so appends and
+      // probes against the grown artifact keep the exchange-free plan
       val base = persistedIndexDir(s, dir)
-      Seq("sets", "df", "prefix").foreach(part =>
-        s.read.parquet(s"$base/$part").write.parquet(s"$g/idx/$part"))
+      graft.core.Layout.writeBucketed(readPart(s, base, "sets"),
+        tableName(s"$g/idx", "sets"), "doc_id", IndexBuckets,
+        path = Some(s"$g/idx/sets"))
+      graft.core.Layout.writeBucketed(readPart(s, base, "prefix"),
+        tableName(s"$g/idx", "prefix"), "h", IndexBuckets,
+        path = Some(s"$g/idx/prefix"))
+      s.read.parquet(s"$base/df").write.parquet(s"$g/idx/df")
       val inc1 = TextAnalysis.docShingleSets(
           Tables.load(s, dir, "documents")
             .where(srcNum >= 10 && srcNum <= 14))

@@ -79,6 +79,47 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(dfG == dfB, "append must not touch the epoch's frozen df order")
   }
 
+  test("the bucketed index is never re-exchanged: no shuffle sits above an index scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def isIndexScan(p: SparkPlan): Boolean = p match {
+      case sc: FileSourceScanExec =>
+        sc.relation.location.rootPaths.exists(_.toString.contains("graft_shingleidx"))
+      case _ => false
+    }
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = IncrementalDedup.qIncrementalNearDup(spark, dir)
+        .queryExecution.executedPlan
+      var offenders = 0
+      var indexScans = 0
+      // the precise property: on the path from an index scan UP to
+      // the join that consumes it there is no shuffle — downstream
+      // shuffles (candidate distinct, final sort) are legitimate and
+      // reset at every join boundary on the way down
+      def check(p: SparkPlan, exSinceJoin: Boolean): Unit = {
+        if (isIndexScan(p)) {
+          indexScans += 1
+          if (exSinceJoin) offenders += 1
+        }
+        val childEx = p match {
+          case _: ShuffleExchangeExec => true
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case _ => exSinceJoin
+        }
+        p match { case a: AdaptiveSparkPlanExec => check(a.initialPlan, exSinceJoin); case _ => () }
+        p.children.foreach(check(_, childEx))
+        p.subqueries.foreach(check(_, false))
+      }
+      check(plan, exSinceJoin = false)
+      assert(indexScans > 0, "the plan must actually scan the persisted index")
+      assert(offenders == 0,
+        s"$offenders index scans sit under a re-exchange (old side must scan in place)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+  }
+
   test("prefix candidates shrink on a boilerplate-heavy corpus while the pair set stays exact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
