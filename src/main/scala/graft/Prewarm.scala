@@ -28,6 +28,9 @@ object Prewarm {
       () => graft.ext.CorpusBuild.epoch0Extended(spark, sfDir),
       // crawl-slice WARC shards (messy URIs, duplicate fetches)
       () => graft.ext.CrawlRefresh.crawlFixture(spark, sfDir),
+      // refreshed-corpus serving index (crawl → frozen-quantizer
+      // append → serve; the graded read is the serve, not this build)
+      () => graft.ext.Similarity.refreshedIndexDir(spark, sfDir),
       // re-sharded archives (distributed WARC write round trip)
       () => graft.ext.WarcIngest.reshardFixture(spark, sfDir),
     )

@@ -700,10 +700,12 @@ object CrawlRefresh {
     * drive an INDEPENDENT frontier dedup, the gate mirrors Curation's
     * counters, both near-dup tiers mirror the IncrementalDedup pair
     * SQL, the refreshed corpus is old ∪ admitted. The streaming
-    * variant shares it verbatim (stream ≡ batch).
+    * variant shares it verbatim (stream ≡ batch). The CTE chain up to
+    * `dispo` is exposed so downstream oracles (the refreshed-corpus
+    * RAG row) can rebuild the admitted set without duplicating it.
     */
-  private val refreshSql: String =
-    s"""WITH newd AS (
+  private[ext] val refreshCtes: String =
+    s"""newd AS (
        |  SELECT doc_id, source, text FROM documents
        |  WHERE CAST(substring(source, 4) AS INT) >= 10),
        |fet AS (
@@ -785,7 +787,10 @@ object CrawlRefresh {
        |         WHEN doc_id IN (SELECT doc_id FROM r_old) THEN '_neardup_old'
        |         WHEN doc_id IN (SELECT doc_id FROM r_new) THEN '_neardup_new'
        |         ELSE '_admitted' END AS bucket
-       |  FROM gt),
+       |  FROM gt)""".stripMargin
+
+  private val refreshSql: String =
+    s"""WITH $refreshCtes,
        |refreshed AS (
        |  SELECT source, text FROM documents WHERE CAST(substring(source, 4) AS INT) < 10
        |  UNION ALL

@@ -104,14 +104,20 @@ object Similarity {
     * feeds a full cosine pass — that is the entire point of serving
     * from the index (asserted plan-shape-wise in PqSpec).
     */
-  def qRagIndexed(s: SparkSession, dir: String): DataFrame = {
+  def qRagIndexed(s: SparkSession, dir: String): DataFrame =
+    ragFromIndex(s, dir, PqIndex.persistedIndexDir(s, dir))
+
+  /** The shared index-serving RAG tail — one definition so the
+    * full-corpus ([[qRagIndexed]]) and refreshed-corpus
+    * ([[qRagRefreshed]]) paths can never diverge. Exact mode is
+    * enforced, not assumed: exhaustive probe + a shortlist derived
+    * from the indexed count ([[PqIndex.exactServeParams]]).
+    */
+  private def ragFromIndex(s: SparkSession, dir: String, idxDir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, dir)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
-    val idxDir = PqIndex.persistedIndexDir(s, dir)
-    // exact mode enforced, not assumed: exhaustive probe + a
-    // shortlist derived from the indexed count
     val (np, sl) = PqIndex.exactServeParams(s, dir, idxDir)
     val shortlist = PqIndex.indexShortlist(s, dir, idxDir,
       nProbe = np, shortlistN = sl)
@@ -128,6 +134,46 @@ object Similarity {
         substring(col("text"), 1, 40).as("snippet"))
       .orderBy($"rank")
   }
+
+  /** The REFRESHED-corpus serving index — the serving loop closed
+    * across an increment: the composed crawl refresh
+    * ([[CrawlRefresh.qCrawlRefresh]], idempotent) admits documents;
+    * the index is then built over the OLD corpus slice's embeddings
+    * and the ADMITTED slice's embeddings APPEND under the frozen
+    * quantizers ([[PqIndex.appendIndex]] — old code files immutable,
+    * the q_ann_pq_append lifecycle). Built once per (session, dir).
+    * At 100 TB this is the nightly loop a retrieval fleet runs:
+    * crawl → curate → encode-under-frozen-codebooks → append cells —
+    * never a rebuild, never a full-corpus re-encode.
+    */
+  private[graft] def refreshedIndexDir(s: SparkSession, dir: String): String =
+    graft.core.IndexCache.memo(
+      s"rag-refreshed-idx:${s.sparkContext.applicationId}:$dir") {
+      import s.implicits._
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ragrefreshidx_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      // the refresh's merge runs during the call (idempotent; shares
+      // the session-wide fixtures with the graded refresh rows)
+      CrawlRefresh.qCrawlRefresh(s, dir)
+      val corpus = CrawlRefresh.corpusTable(s, dir).read()
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      def embOf(ids: DataFrame) = emb(s, dir).join(
+        ids.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      PqIndex.appendIndex(s, dir, p, embOf(corpus.where(srcNum < 10)))
+      PqIndex.appendIndex(s, dir, p, embOf(corpus.where(srcNum >= 10)))
+      p
+    }
+
+  /** Registry entry: retrieval over the refreshed corpus served from
+    * the grown index must equal brute force over exactly
+    * old ∪ admitted — crawl → index → serve stays exact across the
+    * increment, oracle-enforced.
+    */
+  def qRagRefreshed(s: SparkSession, dir: String): DataFrame =
+    ragFromIndex(s, dir, refreshedIndexDir(s, dir))
 
   /** Per-label centroid, emitted as (label, dim, sum_scaled, n) with
     * values quantized to floor(x·2²⁰) longs — exact float→double
@@ -384,6 +430,7 @@ object Similarity {
     "q_cosine_topk" -> (qCosineTopK _),
     "q_rag_retrieve" -> (qRagRetrieve _),
     "q_rag_indexed" -> (qRagIndexed _),
+    "q_rag_refreshed" -> (qRagRefreshed _),
     "q_embedding_centroid" -> (qEmbeddingCentroid _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_cosine_dups" -> (qCosineDups _),
@@ -536,6 +583,37 @@ object Similarity {
     "q_cosine_topk" -> exactTopKCosineSql,
     "q_rag_retrieve" -> ragSql,
     "q_rag_indexed" -> ragSql,
+    // brute-force top-5 over EXACTLY old ∪ admitted (the refresh's
+    // dispo CTE chain rebuilds the admitted set independently) — what
+    // serving from the grown index must equal
+    "q_rag_refreshed" ->
+      s"""WITH ${CrawlRefresh.refreshCtes},
+         |rids AS (
+         |  SELECT doc_id FROM documents WHERE CAST(substring(source, 4) AS INT) < 10
+         |  UNION ALL
+         |  SELECT doc_id FROM dispo WHERE bucket = '_admitted'),
+         |$quantCtes,
+         |dot AS (
+         |  SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS d
+         |  FROM qn a JOIN qn b ON a.i = b.i AND b.vec_id = 0
+         |  WHERE a.vec_id <> 0 AND a.vec_id IN (SELECT doc_id FROM rids)
+         |  GROUP BY a.vec_id),
+         |sc AS (
+         |  SELECT dot.vec_id,
+         |    CASE WHEN na.n2 = 0 OR nq.n2 = 0 THEN 0
+         |         ELSE CAST(floor(CAST(d AS DOUBLE) /
+         |                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nq.n2 AS DOUBLE)) * 10000.0)
+         |              AS BIGINT) END AS cosq
+         |  FROM dot JOIN nrm na ON dot.vec_id = na.vec_id
+         |           JOIN nrm nq ON nq.vec_id = 0),
+         |top AS (
+         |  SELECT vec_id, cosq,
+         |    row_number() OVER (ORDER BY cosq DESC, vec_id) AS rank
+         |  FROM sc ORDER BY cosq DESC, vec_id LIMIT 5)
+         |SELECT top.rank, top.vec_id, top.cosq, d.lang,
+         |  substring(d.text, 1, 40) AS snippet
+         |FROM top JOIN documents d ON top.vec_id = d.doc_id
+         |ORDER BY top.rank""".stripMargin,
     "q_ann_lsh" -> exactTopKCosineSql,
     // nearest-of-8-seeds reconstruction: all (vector, seed) quantized
     // dots → cosq → argmax per vector with ties to the lower seed id,

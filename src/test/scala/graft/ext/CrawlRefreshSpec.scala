@@ -264,6 +264,33 @@ class CrawlRefreshSpec extends SparkTestBase {
     assert(dispo == Map(100L -> "_admitted", 101L -> "_neardup_old"), dispo.toString)
   }
 
+  test("rag over the refreshed corpus: grown-index serving equals brute force over old ∪ admitted") {
+    import spark.implicits._
+    val got = Similarity.qRagRefreshed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val corpusIds = CrawlRefresh.corpusTable(spark, dir).read()
+      .select(col("doc_id").as("vec_id"))
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val brute = e.join(corpusIds, Seq("vec_id"), "left_semi")
+      .filter($"vec_id" =!= 0)
+      .join(broadcast(q))
+      .select($"vec_id",
+        graft.functions.QuantizedCosine($"embedding", $"qvec").as("cosq"))
+      .orderBy($"cosq".desc, $"vec_id").limit(5)
+      .collect().zipWithIndex.map { case (r, i) => (i + 1L, r.getLong(0), r.getLong(1)) }
+    assert(got.toSeq == brute.toSeq,
+      s"index serving ≠ brute force:\n  idx=${got.toSeq}\n  bf=${brute.toSeq}")
+    // non-vacuity: the increment really grew the index — admitted
+    // (new-batch) docs' embeddings are being served
+    val admitted = CrawlRefresh.corpusTable(spark, dir).read()
+      .where(substring(col("source"), 4, 10).cast("int") >= 10)
+      .select(col("doc_id").as("vec_id"))
+    val grown = spark.read.parquet(Similarity.refreshedIndexDir(spark, dir))
+      .join(admitted, Seq("vec_id"), "left_semi").count()
+    assert(grown > 0, "the refreshed index must contain admitted docs' embeddings")
+  }
+
   test("every _neardup_old rejection has a qualifying pair in the incremental miner") {
     CrawlRefresh.qCrawlRefresh(spark, dir).collect() // ensure fixtures exist
     // recompute dispositions via the standalone incremental miner: the
