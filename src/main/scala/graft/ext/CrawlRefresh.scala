@@ -186,19 +186,46 @@ object CrawlRefresh {
       .select(col("m"), col("hs"), col("prefix_hs"), lit(origin).as("origin"))
   }
 
-  /** The EXISTING corpus as [[indexRows]], assembled from the
-    * persisted at-ingest artifact ([[IncrementalDedup]]'s `sets/` and
-    * `prefix/` — nothing is refingerprinted here): prefix postings
-    * group back to per-doc arrays and join the full sets by member.
+  /** Split per-doc [[indexRows]] into the two join-side shapes the
+    * miner consumes: prefix POSTINGS `(h, m, origin)` for candidate
+    * generation and per-doc SETS `(doc_id, hs, origin)` for exact
+    * verification.
     */
-  private def corpusIndexRows(s: SparkSession, dir: String): DataFrame = {
+  private[ext] def indexParts(rows: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.PairExpand
+    (rows.select(explode(col("prefix_hs")).as("h"), col("m"), col("origin")),
+      rows.select(shiftrightunsigned(col("m"), PairExpand.SzBits).as("doc_id"),
+        col("hs"), col("origin")))
+  }
+
+  /** The EXISTING corpus's two miner sides read STRAIGHT off the
+    * persisted at-ingest artifact ([[IncrementalDedup]]'s h-bucketed
+    * `prefix/` and doc_id-bucketed `sets/`): nothing is
+    * refingerprinted, nothing is regrouped — the candidate join scans
+    * the prefix buckets in place and the verify join the set buckets,
+    * so the corpus side of the refresh is never re-exchanged (the
+    * same plan property `IncrementalDedupSpec` pins for the
+    * standalone miner).
+    */
+  /** The per-doc index row schema ([[indexRows]]' output) — used to
+    * `create()` the streaming index table before its first append so
+    * trigger 0 can read it empty.
+    */
+  private val indexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("m", LongType),
+      StructField("hs", ArrayType(LongType)),
+      StructField("prefix_hs", ArrayType(LongType)),
+      StructField("origin", StringType)))
+  }
+
+  private def corpusParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val idxDir = IncrementalDedup.persistedIndexDir(s, dir)
-    val pref = IncrementalDedup.readPart(s, idxDir, "prefix")
-      .groupBy(col("m")).agg(collect_list(col("h")).as("prefix_hs"))
-    IncrementalDedup.readPart(s, idxDir, "sets")
-      .select(TextAnalysis.packedMember.as("m"), col("hs"))
-      .join(pref, Seq("m"))
-      .select(col("m"), col("hs"), col("prefix_hs"), lit("corpus").as("origin"))
+    (IncrementalDedup.readPart(s, idxDir, "prefix")
+       .select(col("h"), col("m"), lit("corpus").as("origin")),
+      IncrementalDedup.readPart(s, idxDir, "sets")
+        .select(col("doc_id"), col("hs"), lit("corpus").as("origin")))
   }
 
   /** The epoch's frozen df table (size-gated broadcast, the
@@ -307,12 +334,12 @@ object CrawlRefresh {
     * corpus-origin postings pair with any other doc, crawl-origin
     * postings only with strictly-larger ids (`mo < mn`).
     */
-  private[ext] def dispoCandidates(newRows: DataFrame, idx: DataFrame): DataFrame = {
+  private[ext] def dispoCandidates(newRows: DataFrame, oldPost: DataFrame): DataFrame = {
     val s = newRows.sparkSession
     import s.implicits._
     import graft.functions.PairExpand
     newRows.select(explode($"prefix_hs").as("h"), $"m".as("mn"))
-      .join(idx.select(explode($"prefix_hs").as("h"), $"m".as("mo"), $"origin"), "h")
+      .join(oldPost.select($"h", $"m".as("mo"), $"origin"), "h")
       .where(when($"origin" === "corpus",
           shiftrightunsigned($"mo", PairExpand.SzBits) =!=
             shiftrightunsigned($"mn", PairExpand.SzBits))
@@ -343,7 +370,8 @@ object CrawlRefresh {
     * lossless (same pair set, same oracle), and on a boilerplate-
     * heavy crawl the candidate join is O(rare-df²), not O(df²).
     */
-  private[ext] def dispositions(gated: DataFrame, idx: DataFrame,
+  private[ext] def dispositions(gated: DataFrame,
+                                idxParts: Seq[(DataFrame, DataFrame)],
                                 dfreq: Option[DataFrame]): DataFrame = {
     val s = gated.sparkSession
     import s.implicits._
@@ -352,16 +380,23 @@ object CrawlRefresh {
     val sets = TextAnalysis.docShingleSets(gated.where(col("pass_gate")))
     val newRows = indexRows(sets, dfreq, origin = "new")
       .localCheckpoint(eager = false)
-    // new×index: prefix×prefix candidates, exact-verified on the full
-    // sets both rows already carry
-    val verified = dispoCandidates(newRows, idx)
-      .join(newRows.select($"m".as("mn"), $"hs".as("ha")), "mn")
-      .join(idx.select($"m".as("mo"), $"hs".as("hb")), "mo")
-      .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
-      .where(lit(3) * $"common" >=
-        $"mn".bitwiseAND(szMask) + $"mo".bitwiseAND(szMask))
-      .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("doc_id"), $"origin")
-      .localCheckpoint(eager = false)
+    // new×index per PART (the corpus part's postings/sets arrive
+    // bucketed and are mined without a union that would erase their
+    // partitioning): prefix×prefix candidates, exact-verified on the
+    // full sets — the verify joins by DOC ID so the bucketed set side
+    // also scans in place
+    val verified = idxParts.map { case (oldPost, oldSets) =>
+      dispoCandidates(newRows, oldPost)
+        .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("dn"),
+          shiftrightunsigned($"mo", PairExpand.SzBits).as("do_"),
+          ($"mn".bitwiseAND(szMask) + $"mo".bitwiseAND(szMask)).as("szsum"),
+          $"origin")
+        .join(newRows.select(
+          shiftrightunsigned($"m", PairExpand.SzBits).as("dn"), $"hs".as("ha")), "dn")
+        .join(oldSets.select($"doc_id".as("do_"), $"hs".as("hb")), "do_")
+        .where(lit(3) * size(array_intersect($"ha", $"hb")).cast("long") >= $"szsum")
+        .select($"dn".as("doc_id"), $"origin")
+    }.reduce(_ unionAll _).localCheckpoint(eager = false)
     val rejectOld = verified.where($"origin" === "corpus").select($"doc_id").distinct()
     val rejectPrev = verified.where($"origin" === "crawl").select($"doc_id").distinct()
     // within-batch: the SAME prefix filter applies (the theorem needs
@@ -482,10 +517,11 @@ object CrawlRefresh {
       .withColumn("pass_gate", col("gate_bucket").isNull)
       .localCheckpoint(eager = false)
     // 4+audit. one disposition frame feeds the merge AND the audit;
-    // the one-shot batch sees only corpus-origin index rows (the
-    // persisted prefix+sets artifact, never refingerprinted), mined
-    // by the df-ordered prefix plan under the epoch's frozen df
-    val dispo = dispositions(gated, corpusIndexRows(s, dir),
+    // the one-shot batch sees only the corpus part (the persisted
+    // bucketed prefix+sets artifact, never refingerprinted or
+    // re-exchanged), mined by the df-ordered prefix plan under the
+    // epoch's frozen df
+    val dispo = dispositions(gated, Seq(corpusParts(s, dir)),
         Some(corpusDf(s, dir)))
       .localCheckpoint(eager = false)
     // 5. idempotent merge of the survivors
@@ -536,12 +572,21 @@ object CrawlRefresh {
     * cannot refetch by construction, so the flag has nothing to equal
     * there).
     */
+  /** `baseIndex` optionally supplies the PRE-EXISTING corpus's miner
+    * sides straight from the persisted bucketed artifact
+    * ([[corpusParts]]) so the heavy side of every trigger's candidate
+    * join scans its buckets in place; the TxTable `index` then holds
+    * only the stream's own (crawl-origin) per-doc rows. Without it,
+    * every index row lives in the TxTable (the spec's synthetic
+    * streams) — correct, just re-exchanged.
+    */
   def streamRefresh(fetches: DataFrame, corpus: TxTable, index: TxTable,
                     checkpoint: String,
                     audit: Option[TxTable] = None,
                     trainingArtifact: Option[(TxTable, DataFrame)] = None,
                     suppressRefetch: Boolean = false,
-                    dfreq: Option[DataFrame] = None)
+                    dfreq: Option[DataFrame] = None,
+                    baseIndex: Option[(DataFrame, DataFrame)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val frontierIdx =
       if (!suppressRefetch) None
@@ -561,7 +606,8 @@ object CrawlRefresh {
             gateBucket.as("gate_bucket"))
           .withColumn("pass_gate", col("gate_bucket").isNull)
           .localCheckpoint()
-        val dispo = dispositions(gated, index.read(), dfreq).localCheckpoint()
+        val dispo = dispositions(gated,
+          baseIndex.toSeq :+ indexParts(index.read()), dfreq).localCheckpoint()
         val survivors = dispo
           .where(col("bucket") === "_admitted")
           .select(col("doc_id"), col("source"), col("text"))
@@ -625,8 +671,10 @@ object CrawlRefresh {
       val corpus = new TxTable(s, s"$base/corpus")
       corpus.append(Tables.load(s, dir, "documents").where(srcNum < 10)
         .select(col("doc_id"), col("source"), col("text")))
+      // the corpus side rides the persisted BUCKETED artifact via
+      // baseIndex; the TxTable holds only crawl-origin rows
       val index = new TxTable(s, s"$base/index")
-      index.append(corpusIndexRows(s, dir))
+      index.create(indexSchema)
       val audit = new TxTable(s, s"$base/audit")
       val src = crawlFixture(s, dir)
       val watch = s"$base/arrivals"
@@ -639,7 +687,8 @@ object CrawlRefresh {
       def runOnce(): Unit = streamRefresh(
         parseFetches(Warc.readStream(s, watch, maxFilesPerTrigger = 1)),
         corpus, index, s"$base/ckpt", audit = Some(audit),
-        dfreq = Some(corpusDf(s, dir))).awaitTermination()
+        dfreq = Some(corpusDf(s, dir)),
+        baseIndex = Some(corpusParts(s, dir))).awaitTermination()
       arrive("slice-0.warc.gz"); runOnce()
       arrive("slice-1.warc.gz"); runOnce()
       (corpus, audit)
@@ -668,7 +717,7 @@ object CrawlRefresh {
       corpus.append(Tables.load(s, dir, "documents").where(srcNum < 10)
         .select(col("doc_id"), col("source"), col("text")))
       val index = new TxTable(s, s"$base/index")
-      index.append(corpusIndexRows(s, dir))
+      index.create(indexSchema)
       val audit = new TxTable(s, s"$base/audit")
       val watch = s"$base/arrivals"
       fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
@@ -680,7 +729,8 @@ object CrawlRefresh {
       def runOnce(): Unit = streamRefresh(
         parseFetches(Warc.readStream(s, watch, maxFilesPerTrigger = 1)),
         corpus, index, s"$base/ckpt", audit = Some(audit),
-        suppressRefetch = true, dfreq = Some(corpusDf(s, dir))).awaitTermination()
+        suppressRefetch = true, dfreq = Some(corpusDf(s, dir)),
+        baseIndex = Some(corpusParts(s, dir))).awaitTermination()
       val crawl = crawlFixture(s, dir)
       arrive(crawl, "slice-0.warc.gz"); runOnce()
       arrive(crawl, "slice-1.warc.gz"); runOnce()

@@ -246,7 +246,8 @@ class CrawlRefreshSpec extends SparkTestBase {
     // full-postings candidate set on the same batch
     val newRows = CrawlRefresh.indexRows(
       TextAnalysis.docShingleSets(newDf), Some(dfreq), "new")
-    val prefixCand = CrawlRefresh.dispoCandidates(newRows, idx).count()
+    val prefixCand = CrawlRefresh.dispoCandidates(newRows,
+      CrawlRefresh.indexParts(idx)._1).count()
     val fullCand = TextAnalysis.docShingleSets(newDf)
       .select(explode(col("hs")).as("h"), TextAnalysis.packedMember.as("m"))
       .select(col("h"), col("m").as("mn"))
@@ -259,7 +260,8 @@ class CrawlRefreshSpec extends SparkTestBase {
       s"prefix candidates must exclude boilerplate-only pairs, got $prefixCand")
     // and the disposition itself is exact: the dup rejected, the
     // unique tail admitted
-    val dispo = CrawlRefresh.dispositions(gated, idx, Some(dfreq))
+    val dispo = CrawlRefresh.dispositions(gated,
+        Seq(CrawlRefresh.indexParts(idx)), Some(dfreq))
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(dispo == Map(100L -> "_admitted", 101L -> "_neardup_old"), dispo.toString)
   }
