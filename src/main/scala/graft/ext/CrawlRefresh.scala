@@ -220,7 +220,7 @@ object CrawlRefresh {
       StructField("origin", StringType)))
   }
 
-  private def corpusParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ext] def corpusParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val idxDir = IncrementalDedup.persistedIndexDir(s, dir)
     (IncrementalDedup.readPart(s, idxDir, "prefix")
        .select(col("h"), col("m"), lit("corpus").as("origin")),

@@ -266,6 +266,64 @@ class CrawlRefreshSpec extends SparkTestBase {
     assert(dispo == Map(100L -> "_admitted", 101L -> "_neardup_old"), dispo.toString)
   }
 
+  test("the refresh's corpus side is never re-exchanged: index scans sit directly under their joins") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    CrawlRefresh.qCrawlRefresh(spark, dir).collect() // fixtures + index exist
+    val fetches = CrawlRefresh.parseFetches(
+      graft.sources.Warc.read(spark, CrawlRefresh.crawlFixture(spark, dir)))
+    val gated = fetches
+      .select(col("doc_id"), col("source"), col("text"),
+        CrawlRefresh.gateBucket.as("gate_bucket"))
+      .withColumn("pass_gate", col("gate_bucket").isNull)
+    val idxDir = IncrementalDedup.persistedIndexDir(spark, dir)
+    val dfreq = IncrementalDedup.dfSide(spark, dir,
+      spark.read.parquet(s"$idxDir/df"))
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the disposition frame itself checkpoints its stages (lineage
+      // truncation hides the scans), so pin the plan on the two
+      // index-consuming joins directly: candidate (prefix buckets)
+      // then verify (set buckets)
+      val newRows = CrawlRefresh.indexRows(
+        TextAnalysis.docShingleSets(gated.where(col("pass_gate"))),
+        Some(dfreq), "new")
+      val (oldPost, oldSets) = CrawlRefresh.corpusParts(spark, dir)
+      val szBits = graft.functions.PairExpand.SzBits
+      val plan = CrawlRefresh.dispoCandidates(newRows, oldPost)
+        .withColumn("do_", shiftrightunsigned(col("mo"), szBits))
+        .join(oldSets.select(col("doc_id").as("do_"), col("hs")), "do_")
+        .queryExecution.executedPlan
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case sc: FileSourceScanExec =>
+          sc.relation.location.rootPaths.exists(_.toString.contains("graft_shingleidx"))
+        case _ => false
+      }
+      var offenders = 0
+      var indexScans = 0
+      def check(p: SparkPlan, exSinceJoin: Boolean): Unit = {
+        if (isIndexScan(p)) {
+          indexScans += 1
+          if (exSinceJoin) offenders += 1
+        }
+        val childEx = p match {
+          case _: ShuffleExchangeExec => true
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case _ => exSinceJoin
+        }
+        p match { case a: AdaptiveSparkPlanExec => check(a.initialPlan, exSinceJoin); case _ => () }
+        p.children.foreach(check(_, childEx))
+        p.subqueries.foreach(check(_, false))
+      }
+      check(plan, exSinceJoin = false)
+      assert(indexScans > 0, "the disposition plan must scan the persisted index")
+      assert(offenders == 0,
+        s"$offenders corpus-index scans sit under a re-exchange in the refresh plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+  }
+
   test("rag over the refreshed corpus: grown-index serving equals brute force over old ∪ admitted") {
     import spark.implicits._
     val got = Similarity.qRagRefreshed(spark, dir).collect()
