@@ -372,14 +372,24 @@ object CrawlRefresh {
     */
   private[ext] def dispositions(gated: DataFrame,
                                 idxParts: Seq[(DataFrame, DataFrame)],
-                                dfreq: Option[DataFrame]): DataFrame = {
+                                dfreq: Option[DataFrame]): DataFrame =
+    dispositionsFromRows(gated,
+      indexRows(TextAnalysis.docShingleSets(gated.where(col("pass_gate"))),
+        dfreq, origin = "new").localCheckpoint(eager = false),
+      idxParts)
+
+  /** [[dispositions]] over PRECOMPUTED new-batch index rows — the
+    * streaming path builds them once per trigger and reuses the same
+    * frame for the post-disposition index append, so each batch is
+    * fingerprinted and prefix-cut exactly once.
+    */
+  private[ext] def dispositionsFromRows(gated: DataFrame, newRows: DataFrame,
+                                        idxParts: Seq[(DataFrame, DataFrame)])
+      : DataFrame = {
     val s = gated.sparkSession
     import s.implicits._
     import graft.functions.PairExpand
     val szMask = lit(PairExpand.SzMask)
-    val sets = TextAnalysis.docShingleSets(gated.where(col("pass_gate")))
-    val newRows = indexRows(sets, dfreq, origin = "new")
-      .localCheckpoint(eager = false)
     // new×index per PART (the corpus part's postings/sets arrive
     // bucketed and are mined without a union that would erase their
     // partitioning): prefix×prefix candidates, exact-verified on the
@@ -606,8 +616,13 @@ object CrawlRefresh {
             gateBucket.as("gate_bucket"))
           .withColumn("pass_gate", col("gate_bucket").isNull)
           .localCheckpoint()
-        val dispo = dispositions(gated,
-          baseIndex.toSeq :+ indexParts(index.read()), dfreq).localCheckpoint()
+        // fingerprint + prefix-cut the batch ONCE: the same frame
+        // drives the disposition miner and the index append
+        val newRows = indexRows(
+          TextAnalysis.docShingleSets(gated.where(col("pass_gate"))),
+          dfreq, origin = "crawl").localCheckpoint()
+        val dispo = dispositionsFromRows(gated, newRows,
+          baseIndex.toSeq :+ indexParts(index.read())).localCheckpoint()
         val survivors = dispo
           .where(col("bucket") === "_admitted")
           .select(col("doc_id"), col("source"), col("text"))
@@ -618,12 +633,9 @@ object CrawlRefresh {
         frontierIdx.foreach(_.admit(survivors.select(col("doc_id"))))
         // index rows of every gate-PASSING doc (not just admitted):
         // the batch greedy rule mines pairs over all gated docs, so
-        // the stream must too for stream ≡ batch; prefixes are cut
+        // the stream must too for stream ≡ batch; prefixes were cut
         // under the SAME frozen dfreq as every earlier row
-        index.appendBatch(
-          indexRows(TextAnalysis.docShingleSets(gated.where(col("pass_gate"))),
-            dfreq, origin = "crawl"),
-          "crawl-refresh-idx", batchId)
+        index.appendBatch(newRows, "crawl-refresh-idx", batchId)
         // suppressed refetches audit per FETCH under `_refetch` (their
         // `_url_dup` accounting is subsumed — every fetch of a
         // suppressed canon was already corpus-known)

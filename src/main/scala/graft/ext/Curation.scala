@@ -387,6 +387,104 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** The duplicated long line of the repetition-noise synthesis: 60
+    * DISTINCT words, so its one duplicate carries heavy char mass
+    * (trips the dup-line-CHAR rule) while staying 1 dup in 5 lines
+    * (below the dup-line-COUNT threshold) and repeating no bigram
+    * more than twice (below the top-bigram threshold).
+    */
+  private[ext] val repLongLine: String = (1 to 60).map(i => s"zq$i").mkString(" ")
+
+  /** The repetition-noise synthesis [[qGopherRepetition]] grades
+    * against — each trigger planted on its own modulus class:
+    * `%5==0` repeats one short line 5×, `%7==0` duplicates
+    * [[repLongLine]] once among distinct pad lines, `%11==0` appends
+    * one 2-gram 16×. Both engines synthesize identically.
+    */
+  private def repNoisy: Column = {
+    val d = col("doc_id")
+    val base = col("text")
+    val dupLines = Seq.fill(5)("dup line one").mkString("\n")
+    val withDupLines =
+      when(d % 5 === 0, concat(lit(dupLines + "\n"), base)).otherwise(base)
+    // the bigram chunk lands BEFORE the %7 wrap so composed classes
+    // (%77, %35·11, …) keep the two long lines byte-identical
+    val withBigram = when(d % 11 === 0,
+      concat(withDupLines, lit(" " + Seq.fill(64)("alpha beta").mkString(" "))))
+      .otherwise(withDupLines)
+    when(d % 7 === 0,
+      concat(lit(repLongLine + "\n"), withBigram,
+        lit("\npad one\npad two\n" + repLongLine)))
+      .otherwise(withBigram)
+  }
+
+  /** GOPHER-REPETITION quality filter (Rae et al. 2021, Appendix A —
+    * the repetition half of the rule family, complementing the
+    * structural [[qGopherRules]]): documents dominated by repeated
+    * LINES or repeated N-GRAMS are boilerplate/spam, gated by pure
+    * integer cross-multiplications so the flags are engine-exact:
+    *
+    *   - duplicate-line fraction ≥ 3/10: `10·(L − L_distinct) ≥ 3·L`;
+    *   - duplicate-line CHAR fraction ≥ 1/5 (chars in beyond-first
+    *     occurrences over all line chars): `5·dupChars ≥ lineChars`;
+    *   - top repeated-2-gram char mass ≥ 1/2 of the word chars:
+    *     `2·max(count·len | count ≥ 2) ≥ Σ wordLen` (the max char
+    *     MASS over repeated bigrams — deterministic with no
+    *     most-frequent tie rule; thresholds are parameters of the
+    *     METHOD, tuned to this corpus as in [[qGopherRules]]).
+    *
+    * Rules pass vacuously on empty denominators. Line counters are
+    * higher-order column math (map-only); the bigram pass is one
+    * (doc_id, bigram) count with map-side partial aggregation — per
+    * doc, never corpus-global, so it scales as a plain keyed agg.
+    */
+  def qGopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), repNoisy.as("t"))
+      .localCheckpoint(eager = false)
+    val words = TextAnalysis.tokens(regexp_replace(col("t"), "\n", " "))
+    val lines = filter(split(col("t"), "\n"), l => l =!= lit(""))
+    val lineChars = aggregate(lines, lit(0L), (a, x) => a + length(x))
+    val distinctLineChars =
+      aggregate(array_distinct(lines), lit(0L), (a, x) => a + length(x))
+    val counters = docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"),
+      lineChars.as("chars_lines"),
+      (lineChars - distinctLineChars).as("chars_dup_lines"),
+      aggregate(words, lit(0L), (a, x) => a + length(x)).as("sum_word_len"),
+      words.as("ws"))
+    val bigrams = when(size(col("ws")) >= 2,
+      zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val topMass = counters
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt") * length(col("bg")).cast("long")).as("top_bigram_mass"))
+    counters.drop("ws")
+      .join(topMass, Seq("doc_id"), "left")
+      .withColumn("top_bigram_mass", coalesce(col("top_bigram_mass"), lit(0L)))
+      .select(col("*"),
+        (col("n_lines") > 0L &&
+          lit(10L) * col("n_dup_lines") >= lit(3L) * col("n_lines"))
+          .cast("long").as("r_dup_lines"),
+        (col("chars_lines") > 0L &&
+          lit(5L) * col("chars_dup_lines") >= col("chars_lines"))
+          .cast("long").as("r_dup_line_chars"),
+        (col("sum_word_len") > 0L &&
+          lit(2L) * col("top_bigram_mass") >= col("sum_word_len"))
+          .cast("long").as("r_top_bigram"))
+      .withColumn("passes",
+        (col("r_dup_lines") === 0L && col("r_dup_line_chars") === 0L &&
+          col("r_top_bigram") === 0L).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The deterministic noise synthesis the GOPHER-RULES filter grades
     * against — the testdata text is clean word soup, so each rule's
     * trigger is PLANTED on its own modulus class (the [[TextAnalysis
@@ -486,6 +584,7 @@ object Curation {
     "q_lm_buckets" -> (qLmBuckets _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_gopher_repetition" -> (qGopherRepetition _),
   )
 
   /** Oracle: the three stage mirrors joined — lang-id CASE-chain
@@ -509,6 +608,60 @@ object Curation {
         |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS DOUBLE) AS importance
         |FROM tok JOIN w USING (tk)
         |GROUP BY doc_id ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin,
+    // the same repetition-noise synthesis + integer-exact flags: line
+    // counters via list_distinct, the top repeated-bigram char mass
+    // via a (doc_id, bigram) count with HAVING >= 2
+    "q_gopher_repetition" -> {
+      val dupLinesSql = Seq.fill(5)("'dup line one'").mkString(" || chr(10) || ")
+      val bigramChunkSql = "' " + Seq.fill(64)("alpha beta").mkString(" ") + "'"
+      s"""WITH noisy AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 7 = 0
+         |          THEN '$repLongLine' || chr(10) || t2 || chr(10) || 'pad one' ||
+         |               chr(10) || 'pad two' || chr(10) || '$repLongLine'
+         |          ELSE t2 END) AS t
+         |  FROM (
+         |    SELECT doc_id,
+         |      (CASE WHEN doc_id % 11 = 0 THEN t1 || $bigramChunkSql ELSE t1 END) AS t2
+         |    FROM (
+         |      SELECT doc_id,
+         |        (CASE WHEN doc_id % 5 = 0 THEN $dupLinesSql || chr(10) || text
+         |              ELSE text END) AS t1
+         |      FROM documents))),
+         |cnt AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(replace(t, chr(10), ' '), ' '), x -> x <> '') AS ws,
+         |    list_filter(string_split(t, chr(10)), x -> x <> '') AS ls
+         |  FROM noisy),
+         |m AS (
+         |  SELECT doc_id, ws,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+         |    CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS BIGINT) AS chars_lines,
+         |    CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) -
+         |         COALESCE(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS BIGINT) AS chars_dup_lines,
+         |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len
+         |  FROM cnt),
+         |bg AS (
+         |  SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS b
+         |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM m WHERE len(ws) >= 2)),
+         |bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b HAVING COUNT(*) >= 2),
+         |top AS (SELECT doc_id, CAST(MAX(c * length(b)) AS BIGINT) AS tm FROM bgc GROUP BY doc_id)
+         |SELECT m.doc_id, n_lines, n_dup_lines, chars_lines, chars_dup_lines, sum_word_len,
+         |  CAST(COALESCE(top.tm, 0) AS BIGINT) AS top_bigram_mass,
+         |  CAST(CASE WHEN n_lines > 0 AND 10 * n_dup_lines >= 3 * n_lines
+         |       THEN 1 ELSE 0 END AS BIGINT) AS r_dup_lines,
+         |  CAST(CASE WHEN chars_lines > 0 AND 5 * chars_dup_lines >= chars_lines
+         |       THEN 1 ELSE 0 END AS BIGINT) AS r_dup_line_chars,
+         |  CAST(CASE WHEN sum_word_len > 0 AND 2 * COALESCE(top.tm, 0) >= sum_word_len
+         |       THEN 1 ELSE 0 END AS BIGINT) AS r_top_bigram,
+         |  CAST(CASE WHEN NOT (n_lines > 0 AND 10 * n_dup_lines >= 3 * n_lines)
+         |        AND NOT (chars_lines > 0 AND 5 * chars_dup_lines >= chars_lines)
+         |        AND NOT (sum_word_len > 0 AND 2 * COALESCE(top.tm, 0) >= sum_word_len)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS passes
+         |FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+         |ORDER BY m.doc_id""".stripMargin
+    },
     // the same planted noise + integer cross-multiplied flags; every
     // counter is an integer list_filter/list_sum, engine-exact
     "q_gopher_rules" ->

@@ -178,6 +178,29 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.unset(Curation.LmBroadcastMaxWeightsKey)
   }
 
+  test("q_gopher_repetition: each planted repetition class trips its own rule; clean docs pass") {
+    val rows = Curation.qGopherRepetition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var (dup, chars, bigram, clean) = (0, 0, 0, 0)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      // own-rule trips on PURE classes (composed classes pile noise
+      // into each other's ratio denominators — the oracle mirrors
+      // whatever happens there; this pins each intended trigger)
+      val (m5, m7, m11) = (d % 5 == 0, d % 7 == 0, d % 11 == 0)
+      if (m5 && !m7 && !m11) { assert(r.getAs[Long]("r_dup_lines") == 1L, s"doc $d"); dup += 1 }
+      if (m7 && !m5 && !m11) { assert(r.getAs[Long]("r_dup_line_chars") == 1L, s"doc $d"); chars += 1 }
+      if (m11 && !m5 && !m7) { assert(r.getAs[Long]("r_top_bigram") == 1L, s"doc $d"); bigram += 1 }
+      if (!m5 && !m7 && !m11) {
+        assert(r.getAs[Long]("passes") == 1L,
+          s"clean doc $d rejected: ${r.mkString(",")}")
+        clean += 1
+      }
+    }
+    assert(dup > 0 && chars > 0 && bigram > 0 && clean > 0,
+      s"every class must occur: $dup/$chars/$bigram/$clean")
+  }
+
   test("q_gopher_rules: each planted noise class trips exactly its own rule") {
     val rows = Curation.qGopherRules(spark, dir).collect()
       .map(r => r.getLong(0) -> r).toMap
