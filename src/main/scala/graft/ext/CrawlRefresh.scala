@@ -448,8 +448,9 @@ object CrawlRefresh {
 
   /** KEYED CROSS-BATCH FRONTIER STATE for `suppressRefetch` — the
     * scale-safe corpus-membership probe (the reference analog:
-    * silver's dedup is a state-store LOOKUP per batch, never a table
-    * rescan). At query start the corpus keys seed (a) a driver-held
+    * silver's streaming dedup is a state-store LOOKUP per batch —
+    * `notebooks/medallion/silver.py:22` `dropDuplicates` — never a
+    * table rescan). At query start the corpus keys seed (a) a driver-held
     * Bloom filter and (b) a doc_id-BUCKETED key table; each batch's
     * admitted keys fold into both (the bloom via an executor-
     * aggregated same-shape batch bloom merged in place — no row ever

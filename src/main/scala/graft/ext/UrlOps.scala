@@ -90,8 +90,90 @@ object UrlOps {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_variants"))
       .orderBy(col("canon_url"))
 
+  /** Host of a canonical URL (post-[[canonicalizeUrl]]: lowercased,
+    * default port stripped).
+    */
+  private def hostOf(canon: Column): Column =
+    regexp_extract(canon, "^[a-z0-9+.-]+://([^/:?#]+)", 1)
+
+  /** Varied-host messy-URL synthesis for the domain-level operators:
+    * 21 hosts `h{d%7}.site{d%3}.org` with case noise the
+    * canonicalization must erase before any host logic runs.
+    */
+  private def hostedUrl: Column = {
+    val host = concat(lit("h"), (col("doc_id") % 7).cast("string"),
+      lit(".site"), (col("doc_id") % 3).cast("string"), lit(".org"))
+    concat(lit("https://"),
+      when(col("doc_id") % 2 === 0, host).otherwise(upper(host)),
+      lit("/"), col("source"), lit("/p"), (col("doc_id") % 50).cast("string"))
+  }
+
+  /** The blocklist — a parameter of the METHOD (a real pipeline loads
+    * millions of rules); `site0.org` exercises the subdomain-suffix
+    * match, `h3.site1.org` the exact-host match.
+    */
+  private[ext] val blockedDomains: Seq[String] = Seq("site0.org", "h3.site1.org")
+
+  /** DOMAIN BLOCKLIST FILTER — the first gate every crawl pipeline
+    * runs (robots/abuse/spam domain lists): a document is dropped
+    * when its canonical host equals a blocked domain OR sits under it
+    * (suffix match at label boundaries — blocking `site0.org` blocks
+    * `a.site0.org`, never `notsite0.org`).
+    *
+    * Scale shape: each host explodes into its ≤ label-count DOMAIN
+    * SUFFIXES (pure higher-order column math) and EQUI-joins the
+    * blocklist — the form that scales to millions of rules (an
+    * equi-join key, broadcastable or shuffled by the planner as the
+    * list's size dictates), where a per-rule `endsWith` predicate
+    * join would be a nested loop over the whole list per doc. Output
+    * is the audit: one row per fired rule + `_kept`.
+    */
+  def qDomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), hostOf(canonicalizeUrl(hostedUrl)).as("host"))
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+    val rules = blockedDomains.toDF("rule")
+    val matched = docs
+      .select(col("doc_id"), explode(suffixes).as("sfx"))
+      .join(broadcast(rules), col("sfx") === col("rule"))
+      .groupBy(col("doc_id")).agg(min(col("rule")).as("rule"))
+    docs.join(matched, Seq("doc_id"), "left")
+      .groupBy(coalesce(col("rule"), lit("_kept")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** PER-HOST CAP (the FineWeb-style URL-level balance pass): keep at
+    * most `cap` documents per canonical host — smallest doc_ids win,
+    * deterministic — so no single domain dominates the corpus mix.
+    * Output is the exact kept set (host, doc_id, rank), which pins
+    * the election, not just the counts.
+    *
+    * Scale shape: the rank-within-host window's `rk <= cap` filter
+    * plans as two-phase `WindowGroupLimit` — each map partition
+    * forwards only its local top-`cap` per host, so a skewed hot host
+    * costs O(cap) rows per partition across the exchange, never its
+    * full document count.
+    */
+  def qHostCap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 3
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), hostOf(canonicalizeUrl(hostedUrl)).as("host"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+      .select(col("host"), col("doc_id"), col("rk"))
+      .orderBy(col("host"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_url_canon" -> (qUrlCanon _))
+    "q_url_canon" -> (qUrlCanon _),
+    "q_domain_blocklist" -> (qDomainBlocklist _),
+    "q_host_cap" -> (qHostCap _))
 
   /** The DuckDB mirror of [[canonicalizeUrl]], as a SELECT fragment:
     * given an input relation with a `url` column plus `carry` columns,
@@ -124,8 +206,42 @@ object UrlOps {
        |      FROM $input))""".stripMargin
   }
 
+  /** The hosted-URL synthesis + canonical host, as a WITH-clause body
+    * shared by the two domain-operator oracles.
+    */
+  private def hostCtes: String =
+    s"""m AS (
+       |  SELECT doc_id,
+       |    'https://' ||
+       |    (CASE WHEN doc_id % 2 = 0
+       |          THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.site' || CAST(doc_id % 3 AS VARCHAR) || '.org'
+       |          ELSE upper('h' || CAST(doc_id % 7 AS VARCHAR) || '.site' || CAST(doc_id % 3 AS VARCHAR) || '.org') END) ||
+       |    '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) AS url
+       |  FROM documents),
+       |c AS (
+       |  ${canonSelectSql("m", Seq("doc_id"))}),
+       |h AS (SELECT doc_id, regexp_extract(canon_url, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host FROM c)""".stripMargin
+
   /** Same synthesis + same normalization, in DuckDB's dialect. */
   val oracle: Map[String, String] = Map(
+    // suffix match expressed as the equivalent LIKE over the rule list
+    // (the Spark side explodes label-boundary suffixes and equi-joins)
+    "q_domain_blocklist" ->
+      s"""WITH $hostCtes,
+         |bl AS (SELECT * FROM (VALUES ${blockedDomains.map(d => s"('$d')").mkString(", ")}) AS t(rule)),
+         |mt AS (
+         |  SELECT doc_id, MIN(rule) AS rule
+         |  FROM h JOIN bl ON h.host = bl.rule OR h.host LIKE '%.' || bl.rule
+         |  GROUP BY doc_id)
+         |SELECT COALESCE(rule, '_kept') AS bucket, COUNT(*) AS n_docs
+         |FROM h LEFT JOIN mt USING (doc_id)
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_host_cap" ->
+      s"""WITH $hostCtes,
+         |r AS (SELECT host, doc_id,
+         |        CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) AS rk
+         |      FROM h)
+         |SELECT host, doc_id, rk FROM r WHERE rk <= 3 ORDER BY host, rk""".stripMargin,
     "q_url_canon" ->
       s"""WITH m AS (
         |  SELECT doc_id,

@@ -72,6 +72,50 @@ class UrlOpsSpec extends SparkTestBase {
       "SQL UDF must equal the Scala column composition on every input")
   }
 
+  test("q_domain_blocklist: label-boundary suffix semantics, exhaustive accounting") {
+    val out = UrlOps.qDomainBlocklist(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // recompute the ground truth from the synthesis convention
+    def hostRule(d: Long): Option[String] = {
+      val host = s"h${d % 7}.site${d % 3}.org"
+      UrlOps.blockedDomains.filter(r => host == r || host.endsWith("." + r)).sorted.headOption
+    }
+    val expect = docs.groupBy(d => hostRule(d).getOrElse("_kept"))
+      .map { case (b, ds) => b -> ds.length.toLong }
+    assert(out == expect, s"got $out expected $expect")
+    // both match modes fired: subdomain-suffix (site0.org) and exact
+    // host (h3.site1.org), and something survived
+    assert(out.contains("site0.org") && out.contains("h3.site1.org") &&
+      out.getOrElse("_kept", 0L) > 0L)
+    // label-boundary law on the expression itself: notsite0.org must
+    // NOT match the site0.org rule
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tricky = Seq((1L, "srcx")).toDF("doc_id", "source")
+      .select(explode(transform(
+        sequence(lit(0), size(split(lit("a.notsite0.org"), "\\.")) - 1),
+        i => array_join(slice(split(lit("a.notsite0.org"), "\\."), i + 1,
+          size(split(lit("a.notsite0.org"), "\\."))), "."))).as("sfx"))
+      .collect().map(_.getString(0)).toSet
+    assert(!tricky.contains("site0.org"),
+      "suffix explosion must respect label boundaries")
+  }
+
+  test("q_host_cap keeps exactly the cap smallest doc_ids per host") {
+    val out = UrlOps.qHostCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = docs.groupBy(d => s"h${d % 7}.site${d % 3}.org").toSeq
+      .flatMap { case (h, ds) =>
+        ds.sorted.take(3).zipWithIndex.map { case (d, i) => (h, d, i + 1L) }
+      }.toSet
+    assert(out.toSet == expect)
+    assert(out.groupBy(_._1).forall(_._2.length <= 3))
+  }
+
   test("q_url_canon: variants collapse losslessly onto min-doc_id keepers") {
     val out = UrlOps.qUrlCanon(spark, dir).collect()
     val docs = graft.core.Tables.load(spark, dir, "documents").count()
