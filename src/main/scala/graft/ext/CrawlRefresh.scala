@@ -307,14 +307,23 @@ object CrawlRefresh {
   /** The quality gate: the FULL Gopher structural conjunction
     * ([[Curation.gopherCounts]] — the same integer cross-multiplied
     * counters `q_gopher_rules` grades, with the corpus-tuned word
-    * bound 20..80), evaluated as a FIRST-FAILING-RULE audit bucket:
-    * NULL = the doc passes every rule; otherwise the bucket names the
-    * rule that killed it — the per-rule accounting a curation team
-    * actually reads (which gate is eating my corpus?). Map-only; rule
-    * order is fixed so the bucket is deterministic.
+    * bound 20..80) PLUS the map-side half of the repetition family
+    * (duplicate-line fraction and duplicate-line char fraction, the
+    * `q_gopher_repetition` rules that are pure higher-order column
+    * math; the top-bigram rule needs a per-doc aggregate and stays a
+    * standalone pass). Evaluated as a FIRST-FAILING-RULE audit
+    * bucket: NULL = the doc passes every rule; otherwise the bucket
+    * names the rule that killed it — the per-rule accounting a
+    * curation team actually reads (which gate is eating my corpus?).
+    * Map-only; rule order is fixed so the bucket is deterministic.
     */
   private[graft] def gateBucket: Column = {
     val c = Curation.gopherCounts(col("text"))
+    val lines = filter(split(col("text"), "\n"), l => l =!= lit(""))
+    val dupLines = (size(lines) - size(array_distinct(lines))).cast("long")
+    val lineChars = aggregate(lines, lit(0L), (a, x) => a + length(x))
+    val dupLineChars =
+      lineChars - aggregate(array_distinct(lines), lit(0L), (a, x) => a + length(x))
     when(!c.nWords.between(20L, 80L), "_gate_words")
       .when(c.sumLen < lit(3L) * c.nWords || c.sumLen > lit(10L) * c.nWords,
         "_gate_word_len")
@@ -322,6 +331,8 @@ object CrawlRefresh {
       .when(lit(2L) * c.nBullet >= c.nLines, "_gate_bullets")
       .when(lit(10L) * c.nEllipsis > lit(3L) * c.nLines, "_gate_ellipsis")
       .when(c.nStop < 1L, "_gate_stopword")
+      .when(lit(10L) * dupLines >= lit(3L) * c.nLines, "_gate_dup_lines")
+      .when(lit(5L) * dupLineChars >= lineChars, "_gate_dup_line_chars")
   }
 
   /** The prefix×prefix candidate pairs of a gated batch against an
@@ -813,6 +824,12 @@ object CrawlRefresh {
        |        THEN '_gate_ellipsis'
        |      WHEN len(list_filter(ws, x -> x IN ${TextAnalysis.stopwordsSql})) < 1
        |        THEN '_gate_stopword'
+       |      WHEN 10 * (len(ls) - len(list_distinct(ls))) >= 3 * len(ls)
+       |        THEN '_gate_dup_lines'
+       |      WHEN 5 * (COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) -
+       |                COALESCE(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0))
+       |           >= COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+       |        THEN '_gate_dup_line_chars'
        |    END AS gate_bucket
        |  FROM gtc),
        |tokn AS (

@@ -83,14 +83,17 @@ class CrawlRefreshSpec extends SparkTestBase {
       corpus, index, s"$base/ckpt",
       trainingArtifact = Some((artifact, frozenVocab))).awaitTermination()
 
-    // wave 1: near-dup of the seed, a unique doc, a gate failure, and
-    // an intra-batch near-dup pair (smaller id wins)
+    // wave 1: near-dup of the seed, a unique doc, a gate failure, an
+    // intra-batch near-dup pair (smaller id wins), and a doc that
+    // passes every STRUCTURAL rule but is killed by the wired
+    // repetition rule (5 copies of one 25-word stopword-bearing line)
     stream.addData(Seq(
       (10L, "crawl", nearDup(1)),
       (11L, "crawl", text(11)),
       (12L, "crawl", "too short entirely"),
       (13L, "crawl", text(13)),
-      (14L, "crawl", nearDup(13))))
+      (14L, "crawl", nearDup(13)),
+      (15L, "crawl", Seq.fill(5)("the alpha beta gamma delta").mkString("\n"))))
     run()
     val ids1 = corpus.read().select("doc_id").collect().map(_.getLong(0)).sorted
     assert(ids1.toSeq == Seq(1L, 11L, 13L), s"wave 1 admitted $ids1")
