@@ -103,6 +103,31 @@ class UrlOpsSpec extends SparkTestBase {
       "suffix explosion must respect label boundaries")
   }
 
+  test("suffix explosion equals the endsWith reference on 300 randomized hosts (seeded)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(2026)
+    val labels = Seq("a", "b", "site0", "notsite0", "x0", "org", "net", "h3", "site1")
+    def host() = (1 to (1 + rnd.nextInt(4)))
+      .map(_ => labels(rnd.nextInt(labels.length))).mkString(".")
+    val hosts = (1 to 300).map(i => (i.toLong, host()))
+    // 'org' is a TLD-level rule — the aggressive stressor
+    val rules = Seq("site0.org", "h3.site1.org", "b.net", "org")
+    def ref(h: String): Option[String] =
+      rules.filter(r => h == r || h.endsWith("." + r)).sorted.headOption
+    val df = hosts.toDF("id", "host")
+    val lab = split(col("host"), "\\.")
+    val sfx = transform(sequence(lit(0), size(lab) - 1),
+      i => array_join(slice(lab, i + 1, size(lab)), "."))
+    val got = df.select(col("id"), explode(sfx).as("sfx"))
+      .join(broadcast(rules.toDF("rule")), col("sfx") === col("rule"))
+      .groupBy("id").agg(min("rule").as("rule"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hosts.foreach { case (id, h) =>
+      assert(got.get(id) == ref(h), s"host $h: got ${got.get(id)} expected ${ref(h)}")
+    }
+  }
+
   test("q_host_cap keeps exactly the cap smallest doc_ids per host") {
     val out = UrlOps.qHostCap(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
