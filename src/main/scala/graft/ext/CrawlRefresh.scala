@@ -482,21 +482,30 @@ object CrawlRefresh {
     import org.apache.spark.util.sketch.BloomFilter
     private val table = s"graft_frontier_$tag"
     private val keys0 = corpus.read().select(col("doc_id"))
-    private val expected = math.max(1024L, 2L * keys0.count())
+    private val seedExpected = math.max(1024L, 2L * keys0.count())
     // create() allocates the bit array even when the corpus is empty
     // (stat.bloomFilter over zero rows would not — the ScaleOps NPE)
-    private val bloom = BloomFilter.create(expected, 0.01)
+    private val seed = BloomFilter.create(seedExpected, 0.01)
     if (!keys0.isEmpty)
-      bloom.mergeInPlace(keys0.stat.bloomFilter("doc_id", expected, 0.01))
+      seed.mergeInPlace(keys0.stat.bloomFilter("doc_id", seedExpected, 0.01))
+    // in-run admissions get their OWN fixed-shape filter (~1.2 MB):
+    // per-trigger bloom aggregation must never ship a corpus-sized
+    // bit array (at 10⁹ corpus keys the seed is ~GB — built once per
+    // run, never per batch). Overflowing the fixed expectation only
+    // degrades fpp → more rows take the exact join; never wrong.
+    private val RecentExpected = 1L << 20
+    private val recent = BloomFilter.create(RecentExpected, 0.01)
     graft.core.Layout.writeBucketed(keys0, table, "doc_id", buckets = 8,
       path = Some(s"${sys.props("java.io.tmpdir")}/graft_frontier_$tag"))
 
     /** The batch minus everything corpus-known: negatives pass on the
-      * bloom alone; positives exact-verify against the key table.
+      * blooms alone; positives exact-verify against the key table.
       */
     def filterNew(fr0: DataFrame): DataFrame = {
-      val bc = s.sparkContext.broadcast(bloom)
-      val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      val bcSeed = s.sparkContext.broadcast(seed)
+      val bcRecent = s.sparkContext.broadcast(recent)
+      val might = udf((k: java.lang.Long) => k != null &&
+        (bcSeed.value.mightContainLong(k) || bcRecent.value.mightContainLong(k)))
       val fresh = fr0.where(!might(col("doc_id")))
       val positive = fr0.where(might(col("doc_id")))
         .join(s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -504,12 +513,13 @@ object CrawlRefresh {
     }
 
     /** Fold a batch's admitted keys into both probe structures —
-      * O(batch) per trigger.
+      * O(batch) rows per trigger, and the shipped bloom partials are
+      * the fixed recent-admissions shape, never corpus-sized.
       */
     def admit(keys: DataFrame): Unit = if (!keys.isEmpty) {
       keys.write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(table)
-      bloom.mergeInPlace(keys.stat.bloomFilter("doc_id", expected, 0.01))
+      recent.mergeInPlace(keys.stat.bloomFilter("doc_id", RecentExpected, 0.01))
     }
   }
 
