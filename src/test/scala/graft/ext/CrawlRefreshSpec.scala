@@ -327,6 +327,16 @@ class CrawlRefreshSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
   }
 
+  test("the refresh's df-side gate: broadcast and shuffle branches land identical accounting") {
+    val default = CrawlRefresh.qCrawlRefresh(spark, dir).collect().map(_.toSeq)
+    spark.conf.set(TextAnalysis.PrefixBroadcastMaxRefsKey, "1")
+    try {
+      val shuffled = CrawlRefresh.qCrawlRefresh(spark, dir).collect().map(_.toSeq)
+      assert(shuffled.toSeq == default.toSeq,
+        "forcing the df shuffle-join branch must not move the refresh accounting")
+    } finally spark.conf.unset(TextAnalysis.PrefixBroadcastMaxRefsKey)
+  }
+
   test("rag over the refreshed corpus: grown-index serving equals brute force over old ∪ admitted") {
     import spark.implicits._
     val got = Similarity.qRagRefreshed(spark, dir).collect()
