@@ -623,7 +623,9 @@ object CrawlRefresh {
     val frontierIdx =
       if (!suppressRefetch) None
       else Some(new FrontierIndex(fetches.sparkSession, corpus,
-        java.lang.Long.toHexString(checkpoint.hashCode.toLong & 0xffffffffL)))
+        // sanitized checkpoint suffix + hash: readable AND collision-safe
+        checkpoint.replaceAll("[^a-zA-Z0-9]+", "_").takeRight(48) + "_" +
+          java.lang.Long.toHexString(checkpoint.hashCode.toLong & 0xffffffffL)))
     fetches.writeStream
       .queryName("crawl-refresh")
       .option("checkpointLocation", checkpoint)
