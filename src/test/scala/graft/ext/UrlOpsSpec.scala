@@ -128,6 +128,12 @@ class UrlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_host_cap plans the two-phase WindowGroupLimit (the skew guard is real, not assumed)") {
+    val plan = UrlOps.qHostCap(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rk <= cap must plan as two-phase WindowGroupLimit")
+  }
+
   test("q_host_cap keeps exactly the cap smallest doc_ids per host") {
     val out = UrlOps.qHostCap(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
