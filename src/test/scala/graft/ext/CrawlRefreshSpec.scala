@@ -218,6 +218,26 @@ class CrawlRefreshSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
   }
 
+  test("two frontier indexes in one session are isolated: no shared suppression state") {
+    import spark.implicits._
+    val base = tmpDir("frontier-iso")
+    val c1 = new graft.core.TxTable(spark, s"$base/c1")
+    c1.append((1L to 10L).map(i => (i, "a", s"t$i")).toDF("doc_id", "source", "text"))
+    val c2 = new graft.core.TxTable(spark, s"$base/c2")
+    c2.append((101L to 110L).map(i => (i, "b", s"t$i")).toDF("doc_id", "source", "text"))
+    val f1 = new CrawlRefresh.FrontierIndex(spark, c1, "iso_a")
+    val f2 = new CrawlRefresh.FrontierIndex(spark, c2, "iso_b")
+    f1.admit(Seq(500L).toDF("doc_id"))
+    val probe = Seq((500L, "x"), (1L, "y"), (101L, "z")).toDF("doc_id", "text")
+      .localCheckpoint()
+    val via1 = f1.filterNew(probe).select("doc_id").collect().map(_.getLong(0)).toSet
+    val via2 = f2.filterNew(probe).select("doc_id").collect().map(_.getLong(0)).toSet
+    // f1 knows its corpus (1) and its admission (500), not f2's corpus
+    assert(via1 == Set(101L), s"f1 kept $via1")
+    // f2 knows only its own corpus (101) — f1's admission must not leak
+    assert(via2 == Set(500L, 1L), s"f2 kept $via2")
+  }
+
   test("refresh dispositions ride the prefix filter: boilerplate shingles generate no candidates") {
     import spark.implicits._
     import graft.functions.PairExpand
