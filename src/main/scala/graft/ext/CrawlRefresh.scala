@@ -610,7 +610,12 @@ object CrawlRefresh {
     * join scans its buckets in place; the TxTable `index` then holds
     * only the stream's own (crawl-origin) per-doc rows. Without it,
     * every index row lives in the TxTable (the spec's synthetic
-    * streams) — correct, just re-exchanged.
+    * streams) — correct, just re-exchanged. The crawl-origin rows
+    * accumulate over a run (per-trigger probe cost grows with the
+    * run's cumulative gate-passers, never with the corpus); the epoch
+    * rebuild that refreshes the frozen df order also folds them into
+    * the bucketed corpus artifact, resetting that accumulation — the
+    * same epoch story as the PQ codebooks and the corpus vocabulary.
     */
   def streamRefresh(fetches: DataFrame, corpus: TxTable, index: TxTable,
                     checkpoint: String,
