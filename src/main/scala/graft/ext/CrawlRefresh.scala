@@ -115,12 +115,22 @@ object CrawlRefresh {
         .otherwise(concat(lit("?ref="), (col("doc_id") % 10).cast("string"))),
       when(col("doc_id") % 3 === 1, "#frag").otherwise(""))
 
+  /** The boilerplate-spam payload planted on `doc_id % 41 == 0` crawl
+    * docs: passes every STRUCTURAL gate rule (25 words, sane lengths,
+    * stopword) and dies on the wired repetition rule — so the
+    * `_gate_dup_lines` bucket is exercised by the GRADED oracle rows,
+    * not only by the spec.
+    */
+  private[ext] val repetitiveDoc: String =
+    Seq.fill(5)("the alpha beta gamma delta").mkString("\n")
+
   /** The crawl-slice WARC fixture: the src10+ documents framed as 2
     * doc_id-RANGE shards (`slice-0` = lower half, `slice-1` = upper —
-    * the arrival order the streaming law needs) with messy URIs and a
-    * duplicate fetch for every `doc_id % 37 == 0` doc, written by the
-    * DISTRIBUTED [[Warc.writeShards]] path. Built once per (session,
-    * dir); returns the directory.
+    * the arrival order the streaming law needs) with messy URIs, a
+    * duplicate fetch for every `doc_id % 37 == 0` doc, and the
+    * [[repetitiveDoc]] payload on every `doc_id % 41 == 0` doc,
+    * written by the DISTRIBUTED [[Warc.writeShards]] path. Built once
+    * per (session, dir); returns the directory.
     */
   private[graft] def crawlFixture(s: SparkSession, dir: String): String =
     IndexCache.memo(s"crawl-fixture:${s.sparkContext.applicationId}:$dir") {
@@ -147,7 +157,8 @@ object CrawlRefresh {
           messyUri(dup).as("target_uri"),
           lit("2026-01-01T00:00:00Z").as("warc_date"),
           lit("text/plain").as("content_type"),
-          encode(col("text"), "utf-8").as("payload"))
+          encode(when(col("doc_id") % 41 === 0, lit(repetitiveDoc))
+            .otherwise(col("text")), "utf-8").as("payload"))
       Warc.writeShards(recs(dup = false).unionAll(recs(dup = true)), p)
       p
     }
@@ -797,7 +808,11 @@ object CrawlRefresh {
     */
   private[ext] val refreshCtes: String =
     s"""newd AS (
-       |  SELECT doc_id, source, text FROM documents
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 41 = 0
+       |         THEN ${Seq.fill(5)("'the alpha beta gamma delta'").mkString(" || chr(10) || ")}
+       |         ELSE text END AS text
+       |  FROM documents
        |  WHERE CAST(substring(source, 4) AS INT) >= 10),
        |fet AS (
        |  SELECT doc_id, source, text,
