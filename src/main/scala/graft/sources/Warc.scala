@@ -221,6 +221,23 @@ object Warc {
     when(m =!= "", m.cast("int"))
   }
 
+  /** Value of HTTP header `name` (case-insensitive) in a `response`
+    * payload's header block — the block BEFORE the first CRLFCRLF, so
+    * a body that happens to contain `Name:` lines can never spoof a
+    * header. NULL when the header (or the block terminator) is
+    * absent. Pure column expressions.
+    */
+  def httpHeader(payload: org.apache.spark.sql.Column,
+                 name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val s = payload.cast("string")
+    val at = locate("\r\n\r\n", s)
+    val head = when(at > 0, s.substr(lit(1), at - 1)).otherwise(lit(""))
+    val m = regexp_extract(head,
+      "(?i)(?:^|\r\n)" + java.util.regex.Pattern.quote(name) + ":[ \t]*([^\r\n]*)", 1)
+    when(m =!= "", trim(m))
+  }
+
   def httpBody(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val s = payload.cast("string")
@@ -254,19 +271,25 @@ object Warc {
     */
   private final class MemberGzip(out: OutputStream) extends GZIPOutputStream(out) {
     def endMember(): Unit = { finish(); `def`.end() }
+    // abandon a half-written member: release the native Deflater NOW
+    // (end() is the only thing that frees it before GC finalization)
+    def abortMember(): Unit = `def`.end()
   }
 
   /** Emit one record onto `raw`; for gzip layouts the record becomes
     * its OWN gzip member (header + trailer per record), so standard
     * WARC tooling can seek to member boundaries — the in-repo reader
-    * walks multi-member streams natively either way.
+    * walks multi-member streams natively either way. If framing
+    * throws mid-member (e.g. a null payload), the member's native
+    * Deflater is released immediately rather than leaking until GC.
     */
   private def emitRecord(raw: OutputStream, r: WarcRecord, gz: Boolean): Unit =
     if (!gz) writeRecord(raw, r)
     else {
       val m = new MemberGzip(raw)
-      writeRecord(m, r)
-      m.endMember()
+      var ok = false
+      try { writeRecord(m, r); m.endMember(); ok = true }
+      finally if (!ok) m.abortMember()
     }
 
   /** Write `recs` as one archive file; gzip iff the name ends `.gz`
@@ -315,7 +338,11 @@ object Warc {
     * identical bytes (the write is deterministic given (df, dir));
     * (b) a task or job that dies mid-shard leaves no truncated shard
     * where a downstream glob would consume it — the temp is deleted
-    * on the error path and invisible to readers regardless.
+    * on the error path and invisible to readers regardless;
+    * (c) a re-run over existing output replaces each shard in ONE
+    * rename-with-overwrite (FileContext) — there is no delete-then-
+    * rename window in which a crash destroys the previously published
+    * shard while its replacement is still hidden.
     */
   def writeShards(df: DataFrame, dir: String, numTasks: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{octet_length, struct}
@@ -340,6 +367,13 @@ object Warc {
     parted.foreachPartition { (rows: Iterator[Row]) =>
       val basePath = new org.apache.hadoop.fs.Path(baseStr)
       val fs = basePath.getFileSystem(hconf.value)
+      // FileContext gives rename-with-OVERWRITE: a single atomic
+      // replace of any previously published shard. The FileSystem
+      // delete-then-rename alternative has a crash window between the
+      // two calls that destroys the live shard while its replacement
+      // is still a hidden temp — exactly Layout.replaceDir's hazard.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        basePath.toUri, hconf.value)
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(tc => s"${tc.stageId()}-${tc.taskAttemptId()}").getOrElse("driver")
       var cur: String = null
@@ -351,10 +385,8 @@ object Warc {
         val (o, shard) = (out, cur)
         out = null
         o.close()
-        val fin = new org.apache.hadoop.fs.Path(baseStr, shard)
-        fs.delete(fin, false) // local/HDFS rename won't clobber
-        if (!fs.rename(tmpPath(shard), fin))
-          throw new java.io.IOException(s"shard commit rename failed: $shard")
+        fc.rename(tmpPath(shard), new org.apache.hadoop.fs.Path(baseStr, shard),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
       // error path: best-effort close + drop the temp — never the
       // published file

@@ -103,6 +103,27 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("httpHeader reads the header block only, case-insensitively, and never the body") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val payloads = Seq(
+      // mixed-case name, parameterized value, tab after the colon
+      "HTTP/1.1 200 OK\r\ncOntent-Type:\ttext/plain; charset=utf-8\r\n\r\nbody",
+      // a body line that LOOKS like the header must not be read
+      "HTTP/1.0 200 OK\r\nServer: x\r\n\r\nContent-Type: spoofed/inside-body",
+      // no CRLFCRLF terminator at all: no header block, NULL
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\nbroken",
+      // header absent
+      "HTTP/1.1 204 No Content\r\nServer: y\r\n\r\n")
+    val got = payloads.map(_.getBytes(StandardCharsets.UTF_8)).toDF("payload")
+      .select(Warc.httpHeader(col("payload"), "Content-Type").as("ct"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) == "text/plain; charset=utf-8", s"got ${got(0)}")
+    assert(got(1) == null, "a body line must never spoof a header")
+    assert(got(2) == null, "an unterminated header block yields no headers")
+    assert(got(3) == null)
+  }
+
   test("streaming WARC source admits shards incrementally and restarts from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("warc-stream")
