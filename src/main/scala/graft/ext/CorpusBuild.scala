@@ -310,9 +310,12 @@ object CorpusBuild {
   /** The whole build recomputed in SQL: curation mirror → pair mirror
     * → vocab mirror → encode counts → md5 order → packing window.
     * Parameterized by a CTE-name prefix and the input predicate so two
-    * epochs (different corpus slices) can be rebuilt in one oracle.
+    * epochs (different corpus slices) can be rebuilt in one oracle —
+    * and shared with [[CrawlRefresh]]'s `q_corpus_refreshed`, whose
+    * oracle extends an epoch built here with the refresh's admitted
+    * docs.
     */
-  private def buildCtes(p: String = "", pred: String = "TRUE"): String =
+  private[ext] def buildCtes(p: String = "", pred: String = "TRUE"): String =
     s"""${p}q AS (
          |  SELECT doc_id, source, text,
          |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,

@@ -124,13 +124,44 @@ object CrawlRefresh {
   private[ext] val repetitiveDoc: String =
     Seq.fill(5)("the alpha beta gamma delta").mkString("\n")
 
+  /** The bigram-spam payload planted on `doc_id % 43 == 0` crawl
+    * docs: one line (so both dup-line rules pass), 62 words in
+    * bounds, a stopword — it passes every map-side rule and ONLY the
+    * per-doc-aggregate top-bigram rule catches it ("alpha beta" ×25
+    * carries 250 of ~274 word chars), so the `_gate_top_bigram`
+    * bucket is oracle-graded end to end.
+    */
+  private[ext] val bigramSpamDoc: String =
+    "the quick brown fox jumps over a lazy dog near the riverbank " +
+      Seq.fill(25)("alpha beta").mkString(" ")
+
+  /** The HTTP preamble of a `response`-record fetch (Common-Crawl-
+    * shaped raw crawl output): [[parseFetches]] must strip it and
+    * recover the identical payload text.
+    */
+  private val httpOk: String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+
   /** The crawl-slice WARC fixture: the src10+ documents framed as 2
     * doc_id-RANGE shards (`slice-0` = lower half, `slice-1` = upper —
-    * the arrival order the streaming law needs) with messy URIs, a
-    * duplicate fetch for every `doc_id % 37 == 0` doc, and the
-    * [[repetitiveDoc]] payload on every `doc_id % 41 == 0` doc,
-    * written by the DISTRIBUTED [[Warc.writeShards]] path. Built once
-    * per (session, dir); returns the directory.
+    * the arrival order the streaming law needs) with messy URIs,
+    * written by the DISTRIBUTED [[Warc.writeShards]] path. The mix a
+    * real crawl feed delivers, each class on its own modulus:
+    *
+    *  - ODD doc_ids arrive as `WARC-Type: response` records (raw HTTP
+    *    bytes — status line + headers + CRLFCRLF + body) that
+    *    [[parseFetches]] must header-strip; even ids as `conversion`;
+    *  - `% 37`: a DUPLICATE fetch one day LATER whose payload is
+    *    `"refreshed: "`-prefixed — the frontier's latest-wins keeper
+    *    is graded (keep the refetched payload, count the `_url_dup`);
+    *  - `% 41`: the [[repetitiveDoc]] payload (dup-line gate rule);
+    *  - `% 43`: the [[bigramSpamDoc]] payload (top-bigram gate rule);
+    *  - `% 53`: an EXTRA `404` response of the same page; `% 59`: an
+    *    extra `image/png` 200 response — both must be DROPPED by the
+    *    parse gates (kept by mistake, they shift `_url_dup` or the
+    *    keeper and break the oracle hash).
+    *
+    * Built once per (session, dir); returns the directory.
     */
   private[graft] def crawlFixture(s: SparkSession, dir: String): String =
     IndexCache.memo(s"crawl-fixture:${s.sparkContext.applicationId}:$dir") {
@@ -145,21 +176,53 @@ object CrawlRefresh {
       // (production slices arrive already time-sharded)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
       val sharded = newDocs.withColumn("half", ntile(2).over(w) - 1)
-      def recs(dup: Boolean) = sharded
-        .where(if (dup) col("doc_id") % 37 === 0 else lit(true))
-        .select(
-          concat(lit("slice-"), col("half").cast("string"), lit(".warc.gz"))
-            .as("shard_file"),
-          (col("doc_id") * 2 + (if (dup) 1 else 0)).as("seq"),
-          lit("conversion").as("warc_type"),
-          concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"),
-            lit(if (dup) "-dup>" else ">")).as("record_id"),
-          messyUri(dup).as("target_uri"),
-          lit("2026-01-01T00:00:00Z").as("warc_date"),
-          lit("text/plain").as("content_type"),
-          encode(when(col("doc_id") % 41 === 0, lit(repetitiveDoc))
-            .otherwise(col("text")), "utf-8").as("payload"))
-      Warc.writeShards(recs(dup = false).unionAll(recs(dup = true)), p)
+      val shardFile =
+        concat(lit("slice-"), col("half").cast("string"), lit(".warc.gz"))
+      val isResp = col("doc_id") % 2 === 1
+      def recs(dup: Boolean) = {
+        val baseText = when(col("doc_id") % 41 === 0, lit(repetitiveDoc))
+          .when(col("doc_id") % 43 === 0, lit(bigramSpamDoc))
+          .otherwise(col("text"))
+        val fetchText =
+          if (dup) concat(lit("refreshed: "), baseText) else baseText
+        sharded
+          .where(if (dup) col("doc_id") % 37 === 0 else lit(true))
+          .select(
+            shardFile.as("shard_file"),
+            (col("doc_id") * 4 + (if (dup) 1 else 0)).as("seq"),
+            when(isResp, "response").otherwise("conversion").as("warc_type"),
+            concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"),
+              lit(if (dup) "-dup>" else ">")).as("record_id"),
+            messyUri(dup).as("target_uri"),
+            lit(if (dup) "2026-01-02T00:00:00Z" else "2026-01-01T00:00:00Z")
+              .as("warc_date"),
+            when(isResp, "application/http; msgtype=response")
+              .otherwise("text/plain").as("content_type"),
+            encode(when(isResp, concat(lit(httpOk), fetchText))
+              .otherwise(fetchText), "utf-8").as("payload"))
+      }
+      // parse-gate noise: records the refresh must DROP (note the 404
+      // is the LATEST fetch of its page — kept by mistake it would
+      // also steal the latest-wins keeper)
+      def noise(mod: Int, seqOff: Int, idTag: String, payload: String) =
+        sharded.where(col("doc_id") % mod === 0)
+          .select(
+            shardFile.as("shard_file"),
+            (col("doc_id") * 4 + seqOff).as("seq"),
+            lit("response").as("warc_type"),
+            concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"),
+              lit(s"-$idTag>")).as("record_id"),
+            messyUri(dup = false).as("target_uri"),
+            lit("2026-01-03T00:00:00Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            encode(lit(payload), "utf-8").as("payload"))
+      val noise404 = noise(53, 2, "err",
+        "HTTP/1.0 404 Not Found\r\nContent-Type: text/html\r\n\r\n<html>gone</html>")
+      val noiseBin = noise(59, 3, "img",
+        "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG-ish fake bytes")
+      Warc.writeShards(
+        recs(dup = false).unionAll(recs(dup = true))
+          .unionAll(noise404).unionAll(noiseBin), p)
       p
     }
 
@@ -277,56 +340,85 @@ object CrawlRefresh {
       p
     }
 
-  /** Parse WARC conversion records into FETCH rows: canonicalize the
-    * target URI ([[UrlOps.canonicalizeUrl]] — pure codegen'd columns)
-    * and derive the document identity FROM THE CANONICAL FORM (the
-    * messy raw URI does not parse positionally). Works on batch and
-    * streaming frames alike.
+  /** Parse WARC records into FETCH rows: canonicalize the target URI
+    * ([[UrlOps.canonicalizeUrl]] — pure codegen'd columns) and derive
+    * the document identity FROM THE CANONICAL FORM (the messy raw URI
+    * does not parse positionally). Two record shapes feed the
+    * refresh, both pure column math:
+    *
+    *  - `conversion` (WET-style): the payload IS the text;
+    *  - `response` (raw crawl output, Common-Crawl-shaped): the
+    *    payload is the raw HTTP response — the text is the body after
+    *    the first CRLFCRLF ([[Warc.httpBody]]), gated on status 200
+    *    ([[Warc.httpStatus]], any HTTP/x.y status line) and a
+    *    `text/`-prefixed HTTP Content-Type ([[Warc.httpHeader]], read
+    *    from the header block only). Non-200 and non-text responses
+    *    are dropped — the standard crawl-ingest convention.
+    *
+    * Works on batch and streaming frames alike.
     */
-  private[graft] def parseFetches(warcRows: DataFrame): DataFrame =
+  private[graft] def parseFetches(warcRows: DataFrame): DataFrame = {
+    val isConv = col("warc_type") === "conversion"
+    val keep = isConv ||
+      (col("warc_type") === "response" &&
+        Warc.httpStatus(col("payload")) === 200 &&
+        lower(coalesce(Warc.httpHeader(col("payload"), "Content-Type"),
+          lit(""))).startsWith("text/"))
     warcRows
-      .where(col("warc_type") === "conversion")
+      .where(keep)
       .select(UrlOps.canonicalizeUrl(col("target_uri")).as("canon_url"),
-        col("payload").cast("string").as("text"), col("warc_date"))
+        when(isConv, col("payload").cast("string"))
+          .otherwise(Warc.httpBody(col("payload"))).as("text"),
+        col("warc_date"))
       .select(
         regexp_extract(col("canon_url"), "example\\.org/([^/?#]+)/([0-9]+)", 2)
           .cast("long").as("doc_id"),
         regexp_extract(col("canon_url"), "example\\.org/([^/?#]+)/([0-9]+)", 1)
           .as("source"),
         col("text"), col("canon_url"), col("warc_date"))
+  }
 
   /** FRONTIER DEDUP: one hash aggregate on the canonical URL —
     * duplicate fetches of one page collapse to one document and the
     * collapse count rides along for the `_url_dup` audit. The keeper
-    * is the LATEST fetch by `warc_date` (ISO-8601 sorts
-    * lexicographically; ties break on the payload itself so the pick
-    * is deterministic) — a real crawl's refetched payloads differ and
-    * the freshest must win. Frames without a `warc_date` column (the
-    * spec's synthetic fetch streams) fall back to min(text), which is
-    * only meaningful under an identical-payload contract.
+    * is ONE WHOLE ROW — the LATEST fetch by `warc_date` (ISO-8601
+    * sorts lexicographically; remaining ties break on (text, doc_id,
+    * source) so the pick is total-ordered) — a real crawl's refetched
+    * payloads differ and the freshest must win, and electing fields
+    * from different rows of the group could stitch a chimera document
+    * no fetch ever delivered. Frames without a `warc_date` column
+    * (the spec's synthetic fetch streams) fall back to per-field min,
+    * which is only meaningful under an identical-payload contract.
     */
-  private def frontier(fetches: DataFrame): DataFrame = {
-    val keeper =
-      if (fetches.columns.contains("warc_date"))
-        max_by(col("text"), struct(col("warc_date"), col("text")))
-      else min(col("text"))
-    fetches.groupBy(col("canon_url"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("source")).as("source"),
-        keeper.as("text"), count(lit(1)).as("n_fetches"))
-  }
+  private def frontier(fetches: DataFrame): DataFrame =
+    if (fetches.columns.contains("warc_date"))
+      fetches.groupBy(col("canon_url"))
+        .agg(
+          max_by(struct(col("doc_id"), col("source"), col("text")),
+            struct(col("warc_date"), col("text"), col("doc_id"), col("source")))
+            .as("k"),
+          count(lit(1)).as("n_fetches"))
+        .select(col("canon_url"), col("k.doc_id").as("doc_id"),
+          col("k.source").as("source"), col("k.text").as("text"),
+          col("n_fetches"))
+    else
+      fetches.groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("source")).as("source"),
+          min(col("text")).as("text"), count(lit(1)).as("n_fetches"))
 
-  /** The quality gate: the FULL Gopher structural conjunction
-    * ([[Curation.gopherCounts]] — the same integer cross-multiplied
-    * counters `q_gopher_rules` grades, with the corpus-tuned word
-    * bound 20..80) PLUS the map-side half of the repetition family
-    * (duplicate-line fraction and duplicate-line char fraction, the
-    * `q_gopher_repetition` rules that are pure higher-order column
-    * math; the top-bigram rule needs a per-doc aggregate and stays a
-    * standalone pass). Evaluated as a FIRST-FAILING-RULE audit
-    * bucket: NULL = the doc passes every rule; otherwise the bucket
-    * names the rule that killed it — the per-rule accounting a
-    * curation team actually reads (which gate is eating my corpus?).
-    * Map-only; rule order is fixed so the bucket is deterministic.
+  /** The MAP-SIDE half of the quality gate: the FULL Gopher
+    * structural conjunction ([[Curation.gopherCounts]] — the same
+    * integer cross-multiplied counters `q_gopher_rules` grades, with
+    * the corpus-tuned word bound 20..80) PLUS the map-side half of
+    * the repetition family (duplicate-line fraction and
+    * duplicate-line char fraction, the `q_gopher_repetition` rules
+    * that are pure higher-order column math; the top-bigram rule
+    * needs a per-doc aggregate and is folded in by [[gate]]).
+    * Evaluated as a FIRST-FAILING-RULE audit bucket: NULL = the doc
+    * passes every map-side rule; otherwise the bucket names the rule
+    * that killed it — the per-rule accounting a curation team
+    * actually reads (which gate is eating my corpus?). Map-only;
+    * rule order is fixed so the bucket is deterministic.
     */
   private[graft] def gateBucket: Column = {
     val c = Curation.gopherCounts(col("text"))
@@ -344,6 +436,49 @@ object CrawlRefresh {
       .when(c.nStop < 1L, "_gate_stopword")
       .when(lit(10L) * dupLines >= lit(3L) * c.nLines, "_gate_dup_lines")
       .when(lit(5L) * dupLineChars >= lineChars, "_gate_dup_line_chars")
+  }
+
+  /** The FULL gate over a frontier frame: the map-side conjunction
+    * ([[gateBucket]]) plus the TOP-BIGRAM repetition rule — the one
+    * Gopher rule that needs a per-doc aggregate (`q_gopher_repetition`
+    * semantics: max char mass over ≥2-count 2-grams vs half the word
+    * chars), evaluated as the LAST first-failing bucket
+    * `_gate_top_bigram` so the map-side rule order is untouched.
+    *
+    * Scale shape: the aggregate runs ONLY over map-side passers and
+    * is one (doc_id, bigram) keyed count with map-side partials —
+    * O(batch) per trigger, per-doc keyed, never corpus-global — then
+    * one per-doc max joined back. Output: (doc_id, source, text,
+    * gate_bucket, pass_gate).
+    */
+  private[graft] def gate(fr: DataFrame): DataFrame = {
+    val ws = TextAnalysis.tokens(regexp_replace(col("text"), "\n", " "))
+    val mapped = fr.select(col("doc_id"), col("source"), col("text"),
+      gateBucket.as("gate_bucket"),
+      aggregate(ws, lit(0L), (a, x) => a + length(x)).as("sum_word_len"))
+    val cand = mapped.where(col("gate_bucket").isNull)
+      .select(col("doc_id"), ws.as("ws"))
+    val bigrams = when(size(col("ws")) >= 2,
+      zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val top = cand
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt") * length(col("bg")).cast("long"))
+        .as("top_bigram_mass"))
+    mapped.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("text"),
+        when(col("gate_bucket").isNotNull, col("gate_bucket"))
+          .when(col("sum_word_len") > 0L &&
+            lit(2L) * coalesce(col("top_bigram_mass"), lit(0L)) >=
+              col("sum_word_len"),
+            "_gate_top_bigram").as("gate_bucket"))
+      .withColumn("pass_gate", col("gate_bucket").isNull)
   }
 
   /** The prefix×prefix candidate pairs of a gated batch against an
@@ -485,52 +620,186 @@ object CrawlRefresh {
     * bucketed table with NO exchange — the corpus table itself is
     * never rescanned or reshuffled per micro-batch. A replayed batch
     * re-appends its keys (duplicate rows are harmless to an
-    * anti-join); a restart reseeds from the corpus, which already
-    * holds every previously admitted doc.
+    * anti-join). RESTARTS are O(delta): the frontier artifact (bloom
+    * bytes + bucketed key table) persists per tag, and a new query
+    * start folds in only the corpus CHANGE FEED since the artifact's
+    * watermark version — a frequently-restarted feed never pays a
+    * per-restart corpus rescan (full reseed remains the fallback for
+    * a different/rebuilt corpus or a non-feed-readable range).
     */
   private[ext] final class FrontierIndex(s: SparkSession, corpus: TxTable,
                                          tag: String) {
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.util.sketch.BloomFilter
     private val table = s"graft_frontier_$tag"
-    private val keys0 = corpus.read().select(col("doc_id"))
-    private val seedExpected = math.max(1024L, 2L * keys0.count())
-    // create() allocates the bit array even when the corpus is empty
-    // (stat.bloomFilter over zero rows would not — the ScaleOps NPE)
-    private val seed = BloomFilter.create(seedExpected, 0.01)
-    if (!keys0.isEmpty)
-      seed.mergeInPlace(keys0.stat.bloomFilter("doc_id", seedExpected, 0.01))
+    private val dataPath = s"${sys.props("java.io.tmpdir")}/graft_frontier_$tag"
+    private val statePath = new Path(dataPath + ".state")
+    private val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the seed's expected-keys is CAPPED so neither driver heap nor
+    // the one-per-run broadcast scales linearly with corpus keys —
+    // past the cap the bloom's fpp degrades gracefully (more rows
+    // take the exact bucketed join; never a wrong answer)
+    private val seedCap = s.conf
+      .get("spark.graft.frontier.seedExpectedCap", (1L << 26).toString).toLong
+
+    /** Broadcast-discipline + reseed-cost instrumentation (spec'd:
+      * the corpus-sized seed broadcasts exactly once per run; a
+      * restart reseed reads only the corpus DELTA, never the corpus).
+      */
+    private[ext] var seedBroadcasts = 0
+    private[ext] var recentBroadcasts = 0
+    private[ext] var seededFromDelta = false
+    private[ext] var seedScanCount = 0L
+
+    private def metaFile = new Path(statePath, "meta.properties")
+    private def bloomFile = new Path(statePath, "bloom.bin")
+
+    private def writeState(bf: BloomFilter, expected: Long, version: Long): Unit = {
+      fs.mkdirs(statePath)
+      // bloom first, meta last: a crash between the two leaves an
+      // OLDER meta version with a NEWER bloom — re-folding that delta
+      // is idempotent (bloom merge + duplicate key rows are harmless),
+      // and a torn bloom fails readFrom and falls back to full reseed
+      val bo = fs.create(bloomFile, true)
+      try bf.writeTo(bo) finally bo.close()
+      val mo = fs.create(metaFile, true)
+      try mo.write(
+        s"corpusPath=${corpus.tablePath}\nversion=$version\nexpected=$expected\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mo.close()
+    }
+
+    private def readMeta(): Option[Map[String, String]] =
+      if (!fs.exists(metaFile)) None
+      else {
+        val len = fs.getFileStatus(metaFile).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(metaFile)
+        try in.readFully(0, buf) finally in.close()
+        val txt = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        Some(txt.split("\n").iterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap)
+      }
+
+    /** Full O(corpus) seed — first run of a tag, or any state the
+      * restart path cannot trust (different corpus, rebuilt table,
+      * torn bloom, a non-feed-readable version range).
+      */
+    private def fullSeed(): BloomFilter = {
+      val keys0 = corpus.read().select(col("doc_id"))
+      val n = keys0.count()
+      seedScanCount = n
+      val expected = math.max(1024L, math.min(2L * n, seedCap))
+      // create() allocates the bit array even when the corpus is empty
+      // (stat.bloomFilter over zero rows would not — the ScaleOps NPE)
+      val bf = BloomFilter.create(expected, 0.01)
+      if (n > 0)
+        bf.mergeInPlace(keys0.stat.bloomFilter("doc_id", expected, 0.01))
+      graft.core.Layout.writeBucketed(keys0.withColumn("batch_id", lit(-1L)),
+        table, "doc_id", buckets = 8, path = Some(dataPath))
+      writeState(bf, expected, corpus.version)
+      bf
+    }
+
+    /** Restart path: the persisted frontier artifact (bloom bytes +
+      * bucketed key table) plus the corpus CHANGE FEED since its
+      * watermark version — O(delta), never O(corpus). Valid only for
+      * the same corpus table at a version ≥ the watermark with a
+      * feed-readable range; anything else falls back to [[fullSeed]].
+      * Keys admitted but never merged into the corpus die with their
+      * run (documented: a restart reseeds corpus-known state only).
+      */
+    private def deltaSeed(): Option[BloomFilter] =
+      try readMeta().flatMap { m =>
+        val v0 = m.get("version").map(_.toLong)
+        val expected = m.get("expected").map(_.toLong)
+        val cur = corpus.version
+        if (!m.get("corpusPath").contains(corpus.tablePath) ||
+            v0.isEmpty || expected.isEmpty || v0.exists(_ > cur) ||
+            !s.catalog.tableExists(table) || !fs.exists(bloomFile)) None
+        else {
+          val in = fs.open(bloomFile)
+          val bf = try BloomFilter.readFrom(in) finally in.close()
+          if (cur > v0.get) {
+            val delta = corpus.readChangeFeed(v0.get, cur)
+              .where(col(TxTable.ChangeTypeCol) === "insert")
+              .select(col("doc_id")).distinct()
+              .localCheckpoint()
+            seedScanCount = delta.count()
+            if (seedScanCount > 0) {
+              delta.withColumn("batch_id", lit(-1L))
+                .write.mode(org.apache.spark.sql.SaveMode.Append)
+                .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(table)
+              bf.mergeInPlace(
+                delta.stat.bloomFilter("doc_id", expected.get, 0.01))
+            }
+            writeState(bf, expected.get, cur)
+          } else seedScanCount = 0L
+          seededFromDelta = true
+          Some(bf)
+        }
+      } catch {
+        // non-feed-readable range (an overwrite/restore in between),
+        // torn bloom bytes, unreadable meta — reseed from scratch
+        case _: IllegalStateException | _: java.io.IOException |
+             _: NumberFormatException => None
+      }
+
+    private val seed: BloomFilter = deltaSeed().getOrElse(fullSeed())
+    // ONE broadcast of the corpus-sized seed per run — per-trigger
+    // re-broadcast would re-ship ~GB at 10⁹ keys for an immutable
+    // bit array (the r11 verdict's named O(corpus)-per-trigger cost)
+    private val bcSeed = { seedBroadcasts += 1; s.sparkContext.broadcast(seed) }
+
     // in-run admissions get their OWN fixed-shape filter (~1.2 MB):
     // per-trigger bloom aggregation must never ship a corpus-sized
-    // bit array (at 10⁹ corpus keys the seed is ~GB — built once per
-    // run, never per batch). Overflowing the fixed expectation only
-    // degrades fpp → more rows take the exact join; never wrong.
+    // bit array. Overflowing the fixed expectation only degrades fpp
+    // → more rows take the exact join; never wrong.
     private val RecentExpected = 1L << 20
     private val recent = BloomFilter.create(RecentExpected, 0.01)
-    graft.core.Layout.writeBucketed(keys0, table, "doc_id", buckets = 8,
-      path = Some(s"${sys.props("java.io.tmpdir")}/graft_frontier_$tag"))
+    // re-broadcast ONLY when an admit mutates it (fixed ~1.2 MB each)
+    @volatile private var bcRecent = {
+      recentBroadcasts += 1; s.sparkContext.broadcast(recent)
+    }
 
     /** The batch minus everything corpus-known: negatives pass on the
-      * blooms alone; positives exact-verify against the key table.
+      * blooms alone (map-side probes of the per-run broadcasts);
+      * positives exact-verify against the bucketed key table. Keys
+      * admitted by THIS `batchId` are excluded from suppression: a
+      * replayed trigger that already merged+admitted its own
+      * survivors re-dispositions them (the merge is idempotent by
+      * key) instead of mis-booking them `_refetch`. Residual: a
+      * replay across a full QUERY RESTART reseeds those keys from the
+      * corpus untagged, so only same-run replays carry the exclusion.
       */
-    def filterNew(fr0: DataFrame): DataFrame = {
-      val bcSeed = s.sparkContext.broadcast(seed)
-      val bcRecent = s.sparkContext.broadcast(recent)
+    def filterNew(fr0: DataFrame, batchId: Long = -2L): DataFrame = {
+      val (bcS, bcR) = (bcSeed, bcRecent)
       val might = udf((k: java.lang.Long) => k != null &&
-        (bcSeed.value.mightContainLong(k) || bcRecent.value.mightContainLong(k)))
+        (bcS.value.mightContainLong(k) || bcR.value.mightContainLong(k)))
       val fresh = fr0.where(!might(col("doc_id")))
+      val known = s.table(table)
+        .where(col("batch_id") =!= lit(batchId)).select(col("doc_id"))
       val positive = fr0.where(might(col("doc_id")))
-        .join(s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(known, Seq("doc_id"), "left_anti")
       fresh.unionByName(positive)
     }
 
     /** Fold a batch's admitted keys into both probe structures —
       * O(batch) rows per trigger, and the shipped bloom partials are
-      * the fixed recent-admissions shape, never corpus-sized.
+      * the fixed recent-admissions shape, never corpus-sized. Keys
+      * are tagged with the admitting `batchId` for the replay
+      * exclusion above.
       */
-    def admit(keys: DataFrame): Unit = if (!keys.isEmpty) {
-      keys.write.mode(org.apache.spark.sql.SaveMode.Append)
+    def admit(keys: DataFrame, batchId: Long = -1L): Unit = if (!keys.isEmpty) {
+      keys.withColumn("batch_id", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(table)
       recent.mergeInPlace(keys.stat.bloomFilter("doc_id", RecentExpected, 0.01))
+      val old = bcRecent
+      bcRecent = { recentBroadcasts += 1; s.sparkContext.broadcast(recent) }
+      // executor copies of the superseded snapshot are dropped; any
+      // straggler frame still holding it re-fetches from the driver
+      old.unpersist(blocking = false)
     }
   }
 
@@ -552,13 +821,9 @@ object CrawlRefresh {
     // 1+2. fetches from the WARC bytes; frontier dedup on the canon URL
     val fr = frontier(parseFetches(Warc.read(s, crawlFixture(s, dir))))
       .localCheckpoint(eager = false)
-    // 3. map-side quality gate (the full Gopher conjunction, bucketed
-    // by first failing rule)
-    val gated = fr
-      .select(col("doc_id"), col("source"), col("text"),
-        gateBucket.as("gate_bucket"))
-      .withColumn("pass_gate", col("gate_bucket").isNull)
-      .localCheckpoint(eager = false)
+    // 3. quality gate (the full Gopher conjunction incl. the keyed
+    // top-bigram rule, bucketed by first failing rule)
+    val gated = gate(fr).localCheckpoint(eager = false)
     // 4+audit. one disposition frame feeds the merge AND the audit;
     // the one-shot batch sees only the corpus part (the persisted
     // bucketed prefix+sets artifact, never refingerprinted or
@@ -649,13 +914,9 @@ object CrawlRefresh {
         val fr0 = frontier(batch).localCheckpoint()
         val fr = frontierIdx match {
           case None => fr0
-          case Some(st) => st.filterNew(fr0).localCheckpoint()
+          case Some(st) => st.filterNew(fr0, batchId).localCheckpoint()
         }
-        val gated = fr
-          .select(col("doc_id"), col("source"), col("text"),
-            gateBucket.as("gate_bucket"))
-          .withColumn("pass_gate", col("gate_bucket").isNull)
-          .localCheckpoint()
+        val gated = gate(fr).localCheckpoint()
         // fingerprint + prefix-cut the batch ONCE: the same frame
         // drives the disposition miner and the index append
         val newRows = indexRows(
@@ -670,7 +931,7 @@ object CrawlRefresh {
         corpus.merge(survivors, Seq("doc_id"))
         // the admitted keys fold into the frontier probe so a LATER
         // batch's refetch of them is suppressed too — O(batch)
-        frontierIdx.foreach(_.admit(survivors.select(col("doc_id"))))
+        frontierIdx.foreach(_.admit(survivors.select(col("doc_id")), batchId))
         // index rows of every gate-PASSING doc (not just admitted):
         // the batch greedy rule mines pairs over all gated docs, so
         // the stream must too for stream ≡ batch; prefixes were cut
@@ -711,9 +972,15 @@ object CrawlRefresh {
     * oracle-enforced end to end (parse, frontier, gate, both near-dup
     * tiers, merge, audit).
     */
-  def qCrawlRefreshStream(s: SparkSession, dir: String): DataFrame = {
-    val (corpus, audit) = IndexCache.memo(
-      s"crawl-stream:${s.sparkContext.applicationId}:$dir") {
+  /** The graded streaming run's state: corpus, audit, AND the chained
+    * TRAINING ARTIFACT — an epoch-0 artifact built over the existing
+    * corpus whose frozen vocabulary encodes every admitted batch
+    * ([[CorpusBuild.appendIncrement]] under a (writerId, batchId)
+    * txn). Built once per (session, dir); both streaming rows read it.
+    */
+  private def crawlStreamState(s: SparkSession, dir: String)
+      : (TxTable, TxTable, TxTable) =
+    IndexCache.memo(s"crawl-stream:${s.sparkContext.applicationId}:$dir") {
       val tag = (dir + "_" + s.sparkContext.applicationId)
         .replaceAll("[^a-zA-Z0-9]+", "_")
       val base = s"${sys.props("java.io.tmpdir")}/graft_crawlstream_$tag"
@@ -728,6 +995,13 @@ object CrawlRefresh {
       val index = new TxTable(s, s"$base/index")
       index.create(indexSchema)
       val audit = new TxTable(s, s"$base/audit")
+      // the training tail: epoch-0 artifact over the EXISTING corpus;
+      // its shipped frozen vocab encodes every admitted increment
+      val artifact = CorpusBuild.run(
+        Tables.load(s, dir, "documents").where(srcNum < 10)
+          .select(col("doc_id"), col("source"), col("text")),
+        s"$base/artifact")
+      val vocab = s.read.parquet(s"$base/artifact.vocab")
       val src = crawlFixture(s, dir)
       val watch = s"$base/arrivals"
       fs.mkdirs(new org.apache.hadoop.fs.Path(watch))
@@ -739,14 +1013,36 @@ object CrawlRefresh {
       def runOnce(): Unit = streamRefresh(
         parseFetches(Warc.readStream(s, watch, maxFilesPerTrigger = 1)),
         corpus, index, s"$base/ckpt", audit = Some(audit),
+        trainingArtifact = Some((artifact, vocab)),
         dfreq = Some(corpusDf(s, dir)),
         baseIndex = Some(corpusParts(s, dir))).awaitTermination()
       arrive("slice-0.warc.gz"); runOnce()
       arrive("slice-1.warc.gz"); runOnce()
-      (corpus, audit)
+      (corpus, audit, artifact)
     }
+
+  def qCrawlRefreshStream(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, audit, _) = crawlStreamState(s, dir)
     accounting(corpus, audit.read())
   }
+
+  /** The TRAINING-ARTIFACT TAIL of the streaming refresh, graded:
+    * per-doc pack assignment, token count and UNK count over the
+    * artifact that the crawl→gate→dedup→merge chain EXTENDED batch by
+    * batch — each admitted micro-batch encoded under epoch 0's frozen
+    * vocabulary and packed CONTINUING each source's token stream
+    * ([[CorpusBuild.appendIncrement]]). The oracle rebuilds epoch 0
+    * from the raw corpus ([[CorpusBuild.buildCtes]]) and replays the
+    * increment per arrival slice (the fixture's ntile halves), so any
+    * drift in admission, encoding, shuffle order, pack continuation
+    * or replay shielding breaks the hash — the crawl → tokenize →
+    * pack exactness law a nightly training-data feed relies on.
+    */
+  def qCorpusRefreshed(s: SparkSession, dir: String): DataFrame =
+    crawlStreamState(s, dir)._3.read()
+      .select(col("doc_id"), col("source"), col("pack_id"), col("n_tokens"),
+        size(filter(col("token_ids"), x => x === -1L)).cast("long").as("n_unk"))
+      .orderBy(col("doc_id"))
 
   /** The graded REFETCH-SUPPRESSION run: the same two slices as
     * [[qCrawlRefreshStream]] plus a THIRD arrival that re-fetches
@@ -795,7 +1091,8 @@ object CrawlRefresh {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_refresh" -> (qCrawlRefresh _),
     "q_crawl_refresh_stream" -> (qCrawlRefreshStream _),
-    "q_crawl_refresh_suppress" -> (qCrawlRefreshSuppress _))
+    "q_crawl_refresh_suppress" -> (qCrawlRefreshSuppress _),
+    "q_corpus_refreshed" -> (qCorpusRefreshed _))
 
   /** Oracle: the whole refresh recomputed from the parquet corpus —
     * the fetch synthesis + the [[UrlOps]] canonicalization mirror
@@ -811,11 +1108,12 @@ object CrawlRefresh {
        |  SELECT doc_id, source,
        |    CASE WHEN doc_id % 41 = 0
        |         THEN ${Seq.fill(5)("'the alpha beta gamma delta'").mkString(" || chr(10) || ")}
+       |         WHEN doc_id % 43 = 0 THEN '$bigramSpamDoc'
        |         ELSE text END AS text
        |  FROM documents
        |  WHERE CAST(substring(source, 4) AS INT) >= 10),
        |fet AS (
-       |  SELECT doc_id, source, text,
+       |  SELECT doc_id, source, text, '2026-01-01T00:00:00Z' AS wd,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
        |    (CASE WHEN doc_id % 3 = 0 THEN 'EXAMPLE.org' ELSE 'example.org' END) ||
        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
@@ -826,20 +1124,27 @@ object CrawlRefresh {
        |    (CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END) AS url
        |  FROM newd
        |  UNION ALL
-       |  SELECT doc_id, source, text,
+       |  SELECT doc_id, source, 'refreshed: ' || text AS text,
+       |    '2026-01-02T00:00:00Z' AS wd,
        |    'HTTPS://EXAMPLE.org:443/' || source || '/' || CAST(doc_id AS VARCHAR) ||
        |    '?utm_medium=z&ref=' || CAST(doc_id % 10 AS VARCHAR) || '#dup' AS url
        |  FROM newd WHERE doc_id % 37 = 0),
        |cf AS (
-       |  ${UrlOps.canonSelectSql("fet", Seq("doc_id", "source", "text"))}),
+       |  ${UrlOps.canonSelectSql("fet", Seq("doc_id", "source", "text", "wd"))}),
        |fr AS (
        |  SELECT canon_url, MIN(doc_id) AS doc_id, MIN(source) AS source,
-       |    MIN(text) AS text, COUNT(*) AS nf
+       |    max_by(text, wd || text) AS text, COUNT(*) AS nf
        |  FROM cf GROUP BY canon_url),
        |gtc AS (
        |  SELECT doc_id, source, text,
        |    list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '') AS ws,
-       |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+       |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+       |    CASE WHEN len(list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '')) >= 2
+       |         THEN list_transform(
+       |           range(len(list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '')) - 1),
+       |           i -> list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '')[i + 1] ||
+       |             ' ' || list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '')[i + 2])
+       |         ELSE [] END AS bgs
        |  FROM fr),
        |gt AS (
        |  SELECT doc_id, source, text,
@@ -862,6 +1167,12 @@ object CrawlRefresh {
        |                COALESCE(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0))
        |           >= COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
        |        THEN '_gate_dup_line_chars'
+       |      WHEN 2 * COALESCE(list_max(list_transform(list_distinct(bgs),
+       |             b -> CASE WHEN len(list_filter(bgs, x -> x = b)) >= 2
+       |                       THEN len(list_filter(bgs, x -> x = b)) * length(b)
+       |                       ELSE 0 END)), 0)
+       |           >= list_sum(list_transform(ws, x -> length(x)))
+       |        THEN '_gate_top_bigram'
        |    END AS gate_bucket
        |  FROM gtc),
        |tokn AS (
@@ -933,5 +1244,48 @@ object CrawlRefresh {
           |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
           |  WHERE CAST(substring(source, 4) AS INT) < 10 AND doc_id % 13 = 0)
           |WHERE cnt > 0
-          |ORDER BY bucket""".stripMargin))
+          |ORDER BY bucket""".stripMargin),
+    // the training tail: epoch 0 rebuilt from the raw corpus
+    // (CorpusBuild's CTE chain over src0-9), extended with the
+    // refresh's admitted set (the refreshCtes dispo chain) encoded
+    // under epoch 0's frozen vocab and packed per source CONTINUING
+    // the stored stream — the per-batch offsets collapse to one
+    // running sum ordered by (arrival half, shuffle_key, doc_id)
+    "q_corpus_refreshed" ->
+      s"""WITH $refreshCtes,
+         |${CorpusBuild.buildCtes("c_", "CAST(substring(source, 4) AS INT) < 10")},
+         |halves AS (
+         |  SELECT doc_id, NTILE(2) OVER (ORDER BY doc_id) - 1 AS half FROM newd),
+         |inc0 AS (
+         |  SELECT d.doc_id, d.source, d.text, h.half
+         |  FROM dispo d JOIN halves h USING (doc_id)
+         |  WHERE d.bucket = '_admitted'),
+         |itok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         |  FROM inc0),
+         |ienc AS (
+         |  SELECT itok.doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN c_voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |  FROM itok LEFT JOIN c_voc ON itok.term = c_voc.term
+         |  GROUP BY itok.doc_id),
+         |ikey AS (
+         |  SELECT inc0.doc_id, inc0.source, inc0.half, ienc.n_tokens, ienc.n_unk,
+         |    md5('epoch0:' || CAST(inc0.doc_id AS VARCHAR)) AS sk
+         |  FROM inc0 JOIN ienc USING (doc_id)),
+         |base0 AS (SELECT source, SUM(n_tokens) AS cum0 FROM c_packed GROUP BY source),
+         |ipacked AS (
+         |  SELECT k.doc_id, k.source, k.n_tokens, k.n_unk,
+         |    (COALESCE(b.cum0, 0) + SUM(k.n_tokens) OVER (PARTITION BY k.source
+         |       ORDER BY k.half, k.sk, k.doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - k.n_tokens)
+         |      // 256 AS pack_id
+         |  FROM ikey k LEFT JOIN base0 b ON k.source = b.source)
+         |SELECT doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, n_unk
+         |FROM c_packed
+         |UNION ALL
+         |SELECT doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, n_unk
+         |FROM ipacked
+         |ORDER BY doc_id""".stripMargin)
 }

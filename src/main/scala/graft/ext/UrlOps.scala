@@ -170,10 +170,30 @@ object UrlOps {
       .orderBy(col("host"), col("rk"))
   }
 
+  /** The LOADER-FACING host-cap row: per-host kept/dropped
+    * accounting under the same cap-3 election as [[qHostCap]].
+    * [[qHostCap]]'s exact kept set is the LAW (it pins the election
+    * row by row) but is corpus-sized at 100 TB; this aggregate is
+    * O(hosts) — the artifact a curation dashboard or loader actually
+    * consumes at scale. One map-side-partial hash aggregate on the
+    * canonical host; no window, no per-doc output.
+    */
+  def qHostCapStats(s: SparkSession, dir: String): DataFrame = {
+    val cap = 3L
+    Tables.load(s, dir, "documents")
+      .select(hostOf(canonicalizeUrl(hostedUrl)).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+      .select(col("host"), col("n_docs"),
+        least(col("n_docs"), lit(cap)).as("n_kept"),
+        (col("n_docs") - least(col("n_docs"), lit(cap))).as("n_dropped"))
+      .orderBy(col("host"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canon" -> (qUrlCanon _),
     "q_domain_blocklist" -> (qDomainBlocklist _),
-    "q_host_cap" -> (qHostCap _))
+    "q_host_cap" -> (qHostCap _),
+    "q_host_cap_stats" -> (qHostCapStats _))
 
   /** The DuckDB mirror of [[canonicalizeUrl]], as a SELECT fragment:
     * given an input relation with a `url` column plus `carry` columns,
@@ -242,6 +262,12 @@ object UrlOps {
          |        CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) AS rk
          |      FROM h)
          |SELECT host, doc_id, rk FROM r WHERE rk <= 3 ORDER BY host, rk""".stripMargin,
+    "q_host_cap_stats" ->
+      s"""WITH $hostCtes
+         |SELECT host, COUNT(*) AS n_docs,
+         |  CAST(LEAST(COUNT(*), 3) AS BIGINT) AS n_kept,
+         |  CAST(COUNT(*) - LEAST(COUNT(*), 3) AS BIGINT) AS n_dropped
+         |FROM h GROUP BY host ORDER BY host""".stripMargin,
     "q_url_canon" ->
       s"""WITH m AS (
         |  SELECT doc_id,

@@ -166,6 +166,34 @@ class CrawlRefreshSpec extends SparkTestBase {
     assert(a3.toSeq == Seq((11L, "_refetch")), s"audit: ${a3.toSeq}")
   }
 
+  test("parseFetches: response records are header-stripped; non-200 and non-text responses drop; latest fetch wins") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val parsed = CrawlRefresh.parseFetches(
+      graft.sources.Warc.read(spark, CrawlRefresh.crawlFixture(spark, dir)))
+      .localCheckpoint()
+    // every doc's parsed text equals its payload text — the HTTP
+    // preamble of odd-id response records never leaks into the text
+    assert(parsed.where(col("text").startsWith("HTTP/")).count() == 0)
+    // the 404 and image noise records were dropped: fetch count per
+    // doc is 1 + (1 if %37), regardless of %53/%59 membership
+    val counts = parsed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .join(docs.where(srcNum >= 10).select(col("doc_id")), Seq("doc_id"))
+    assert(counts.where(col("doc_id") % 37 === 0 && col("n") =!= 2).count() == 0)
+    assert(counts.where(col("doc_id") % 37 =!= 0 && col("n") =!= 1).count() == 0)
+    val n53 = docs.where(srcNum >= 10 && col("doc_id") % 53 === 0).count()
+    assert(n53 > 0, "fixture must contain %53 noise docs for the drop law to bite")
+    // latest-wins: a %37 doc's keeper is the day-2 'refreshed: ' payload
+    val dispo = CrawlRefresh.qCrawlRefresh(spark, dir) // builds the corpus table
+    dispo.collect()
+    val kept37 = CrawlRefresh.corpusTable(spark, dir).read()
+      .where(srcNum >= 10 && col("doc_id") % 37 === 0)
+    assert(kept37.count() > 0, "some refetched doc must be admitted")
+    assert(kept37.where(!col("text").startsWith("refreshed: ")).count() == 0,
+      "the frontier keeper must be the LATEST fetch's payload")
+  }
+
   test("stream equals batch: the 2-micro-batch checkpointed refresh lands the identical accounting frame") {
     val batch = CrawlRefresh.qCrawlRefresh(spark, dir).collect().map(_.toSeq)
     val stream = CrawlRefresh.qCrawlRefreshStream(spark, dir).collect().map(_.toSeq)
@@ -216,6 +244,84 @@ class CrawlRefreshSpec extends SparkTestBase {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(again == Set(2001L), s"admitted key must suppress its refetch: $again")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+  }
+
+  test("the corpus-seeded bloom broadcasts exactly once per run; recent re-broadcasts only on admit") {
+    import spark.implicits._
+    val base = tmpDir("frontier-bc")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append((1L to 100L).map(i => (i, "seed", s"t$i"))
+      .toDF("doc_id", "source", "text"))
+    val st = new CrawlRefresh.FrontierIndex(spark, corpus, "bc_spec")
+    (1 to 3).foreach { i =>
+      st.filterNew((1L to 5L).map(k => (k * 1000L + i, s"u$k"))
+        .toDF("doc_id", "text").localCheckpoint()).collect()
+    }
+    // three triggers, ONE corpus-sized seed broadcast (the constructor's)
+    assert(st.seedBroadcasts == 1,
+      s"seed bloom must broadcast once per run, saw ${st.seedBroadcasts}")
+    val rb0 = st.recentBroadcasts
+    st.filterNew(Seq((7777L, "x")).toDF("doc_id", "text").localCheckpoint()).collect()
+    assert(st.recentBroadcasts == rb0,
+      "a trigger without admissions must not re-broadcast the recent bloom")
+    st.admit(Seq(7777L).toDF("doc_id"))
+    assert(st.recentBroadcasts == rb0 + 1,
+      "an admit must refresh the fixed-shape recent broadcast exactly once")
+  }
+
+  test("a frontier restart reseeds O(delta): persisted artifact + corpus change feed, not a corpus rescan") {
+    import spark.implicits._
+    val base = tmpDir("frontier-delta")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append((1L to 500L).map(i => (i, "seed", s"t$i"))
+      .toDF("doc_id", "source", "text"))
+    val run1 = new CrawlRefresh.FrontierIndex(spark, corpus, "delta_spec")
+    assert(!run1.seededFromDelta && run1.seedScanCount == 500L,
+      "first run seeds from the full corpus")
+    // the run admits docs by MERGING them into the corpus (the
+    // streamRefresh survivors path) — exactly what the next restart
+    // must pick up from the change feed
+    corpus.merge(Seq((901L, "crawl", "x"), (902L, "crawl", "y"))
+      .toDF("doc_id", "source", "text"), Seq("doc_id"))
+    val run2 = new CrawlRefresh.FrontierIndex(spark, corpus, "delta_spec")
+    assert(run2.seededFromDelta, "restart must reseed from the persisted artifact")
+    assert(run2.seedScanCount == 2L,
+      s"restart must read only the 2-key delta, scanned ${run2.seedScanCount}")
+    val kept = run2.filterNew(
+      Seq((1L, "a"), (901L, "b"), (902L, "c"), (903L, "d"))
+        .toDF("doc_id", "text").localCheckpoint())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(903L),
+      s"delta-reseeded state must suppress old AND delta keys: kept $kept")
+    // a restart with nothing new folds nothing and scans nothing
+    val run3 = new CrawlRefresh.FrontierIndex(spark, corpus, "delta_spec")
+    assert(run3.seededFromDelta && run3.seedScanCount == 0L)
+    // a DIFFERENT corpus under the same tag must not trust the state
+    val other = new graft.core.TxTable(spark, s"$base/other")
+    other.append(Seq((5L, "o", "z")).toDF("doc_id", "source", "text"))
+    val run4 = new CrawlRefresh.FrontierIndex(spark, other, "delta_spec")
+    assert(!run4.seededFromDelta, "a corpus swap must force a full reseed")
+  }
+
+  test("a replayed batch's own admitted keys are not suppressed; later batches suppress them") {
+    import spark.implicits._
+    val base = tmpDir("frontier-replay")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append(Seq((1L, "seed", "t1")).toDF("doc_id", "source", "text"))
+    val st = new CrawlRefresh.FrontierIndex(spark, corpus, "replay_spec")
+    // batch 7 admitted doc 42, then the trigger is REPLAYED before its
+    // audit committed: the replay must re-see 42 (and re-disposition
+    // it via the idempotent merge), not book it _refetch
+    st.admit(Seq(42L).toDF("doc_id"), batchId = 7L)
+    val replay = st.filterNew(Seq((42L, "x"), (1L, "y")).toDF("doc_id", "text")
+      .localCheckpoint(), batchId = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == Set(42L),
+      s"batch 7's replay must re-see its own key but not the corpus key: $replay")
+    val later = st.filterNew(Seq((42L, "x")).toDF("doc_id", "text")
+      .localCheckpoint(), batchId = 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(later.isEmpty, s"batch 8 must suppress batch 7's admission: $later")
   }
 
   test("two frontier indexes in one session are isolated: no shared suppression state") {
