@@ -634,7 +634,15 @@ object CrawlRefresh {
     private val table = s"graft_frontier_$tag"
     private val dataPath = s"${sys.props("java.io.tmpdir")}/graft_frontier_$tag"
     private val statePath = new Path(dataPath + ".state")
-    private val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // RAW fs for the state files (no .crc sidecars): the bloom's own
+    // deserialization and the guarded meta parse already catch torn
+    // bytes, and checksum sidecars would make an out-of-band repair
+    // (or crash-window write) unreadable instead of recoverable
+    private val fs = statePath.getFileSystem(
+      s.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     // the seed's expected-keys is CAPPED so neither driver heap nor
     // the one-per-run broadcast scales linearly with corpus keys —
     // past the cap the bloom's fpp degrades gracefully (more rows
@@ -740,9 +748,11 @@ object CrawlRefresh {
         }
       } catch {
         // non-feed-readable range (an overwrite/restore in between),
-        // torn bloom bytes, unreadable meta — reseed from scratch
-        case _: IllegalStateException | _: java.io.IOException |
-             _: NumberFormatException => None
+        // torn bloom bytes (IOException or a buffer under-run inside
+        // the sketch deserializer), unreadable meta — ANY unreadable
+        // state falls back to the full reseed rather than crashing a
+        // stream start on a recoverable artifact
+        case scala.util.control.NonFatal(_) => None
       }
 
     private val seed: BloomFilter = deltaSeed().getOrElse(fullSeed())
@@ -1088,11 +1098,61 @@ object CrawlRefresh {
     accounting(corpus, audit.read())
   }
 
+  /** WET EXTRACTION — the Common Crawl derived-format job: raw crawl
+    * shards (mixed `conversion`/`response` records, noise fetches) in,
+    * text-only WET `conversion` records out, re-sharded PER SOURCE
+    * through the distributed [[Warc.writeShards]] writer. The graded
+    * output parses the WET shards BACK and accounts per doc — record
+    * count and payload byte mass — so the whole loop is one hash:
+    * the HTTP header strip (a leaked preamble inflates bytes), the
+    * status/content-type drop gates (a kept 404/png adds records),
+    * and both write→read framing passes. Per-RECORD, no frontier
+    * dedup — WET preserves every kept fetch, exactly as the upstream
+    * format does.
+    *
+    * Scale shape: parse is file-granular, the re-shard is one hash
+    * repartition on the target shard + in-task streaming emit
+    * ([[Warc.writeShards]]'s contract), the accounting one keyed agg.
+    */
+  def qWarcWet(s: SparkSession, dir: String): DataFrame = {
+    val wetDir = IndexCache.memo(s"warc-wet:${s.sparkContext.applicationId}:$dir") {
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]+", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_warcwet_$tag"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val fetches = parseFetches(Warc.read(s, crawlFixture(s, dir)))
+      // seq disambiguates the refetch (day-2) record of a page; the
+      // record id carries it too (WARC ids must be unique)
+      val dupBit = when(col("warc_date") === "2026-01-02T00:00:00Z", 1L)
+        .otherwise(0L)
+      Warc.writeShards(
+        fetches.select(
+          concat(lit("wet-"), col("source"), lit(".warc.gz")).as("shard_file"),
+          (col("doc_id") * 2 + dupBit).as("seq"),
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:uuid:wet-"), col("doc_id").cast("string"), lit("-"),
+            dupBit.cast("string"), lit(">")).as("record_id"),
+          col("canon_url").as("target_uri"),
+          col("warc_date"),
+          lit("text/plain").as("content_type"),
+          encode(col("text"), "utf-8").as("payload")),
+        p)
+      p
+    }
+    parseFetches(Warc.read(s, wetDir))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_refresh" -> (qCrawlRefresh _),
     "q_crawl_refresh_stream" -> (qCrawlRefreshStream _),
     "q_crawl_refresh_suppress" -> (qCrawlRefreshSuppress _),
-    "q_corpus_refreshed" -> (qCorpusRefreshed _))
+    "q_corpus_refreshed" -> (qCorpusRefreshed _),
+    "q_warc_wet" -> (qWarcWet _))
 
   /** Oracle: the whole refresh recomputed from the parquet corpus —
     * the fetch synthesis + the [[UrlOps]] canonicalization mirror
@@ -1103,7 +1163,10 @@ object CrawlRefresh {
     * `dispo` is exposed so downstream oracles (the refreshed-corpus
     * RAG row) can rebuild the admitted set without duplicating it.
     */
-  private[ext] val refreshCtes: String =
+  /** The crawl-slice payload synthesis mirror (the `newd` CTE) —
+    * shared by [[refreshCtes]] and the WET-extraction oracle.
+    */
+  private val newdCte: String =
     s"""newd AS (
        |  SELECT doc_id, source,
        |    CASE WHEN doc_id % 41 = 0
@@ -1111,7 +1174,10 @@ object CrawlRefresh {
        |         WHEN doc_id % 43 = 0 THEN '$bigramSpamDoc'
        |         ELSE text END AS text
        |  FROM documents
-       |  WHERE CAST(substring(source, 4) AS INT) >= 10),
+       |  WHERE CAST(substring(source, 4) AS INT) >= 10)""".stripMargin
+
+  private[ext] val refreshCtes: String =
+    s"""$newdCte,
        |fet AS (
        |  SELECT doc_id, source, text, '2026-01-01T00:00:00Z' AS wd,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
@@ -1287,5 +1353,18 @@ object CrawlRefresh {
          |SELECT doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
          |  CAST(n_tokens AS BIGINT) AS n_tokens, n_unk
          |FROM ipacked
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    // WET accounting from the synthesis alone: every doc contributes
+    // its base fetch; %37 docs also the day-2 'refreshed: '-prefixed
+    // refetch (11 extra chars); the %53/%59 noise fetches contribute
+    // NOTHING (dropped at parse — kept by mistake they'd add records)
+    "q_warc_wet" ->
+      s"""WITH $newdCte
+         |SELECT doc_id,
+         |  CAST(1 + (CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_records,
+         |  CAST(strlen(text) +
+         |    (CASE WHEN doc_id % 37 = 0 THEN 11 + strlen(text) ELSE 0 END)
+         |    AS BIGINT) AS sum_bytes
+         |FROM newd ORDER BY doc_id""".stripMargin)
 }

@@ -216,6 +216,54 @@ object StreamOps {
       .transformWithState(new RunningCountProcessor(ttl), mode, OutputMode.Update())
   }
 
+  case class CapDoc(host: String, docId: Long)
+
+  /** STREAMING PER-HOST CAP — the live twin of the batch
+    * [[graft.ext.UrlOps.qHostCap]] (FineWeb-style URL-level balance):
+    * admit at most `cap` documents per canonical host ACROSS
+    * micro-batches — first batches win; within a batch the smallest
+    * doc ids win (deterministic election, matching the batch
+    * operator when arrival follows doc_id order). State is ONE
+    * counter per host (`ValueState[Long]` on `transformWithState` —
+    * fixed-size, RocksDB-backed), so a crawl feed's host universe
+    * costs 8 bytes of state per host, and the engine's per-batch
+    * state versioning makes replays exactly repeatable. Append mode:
+    * admitted docs emit once, capped hosts simply stop emitting.
+    */
+  class HostCapProcessor(cap: Int)
+    extends StatefulProcessor[String, CapDoc, CapDoc] {
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CapDoc],
+                                 timerValues: TimerValues): Iterator[CapDoc] = {
+      val n = if (admitted.exists()) admitted.get() else 0L
+      val room = math.max(0L, cap - n).toInt
+      // bound the in-memory sort to the admissible prefix + overflow
+      // detection: a hot host's batch rows beyond `room` only need
+      // counting, not keeping — but the ELECTION needs the smallest
+      // ids, so sort the batch's rows for this key (one host's rows
+      // in one batch: bounded by the micro-batch, not the corpus)
+      val sorted = rows.toArray.sortBy(_.docId)
+      val admit = sorted.take(room)
+      admitted.update(n + admit.length)
+      admit.iterator
+    }
+  }
+
+  /** [[HostCapProcessor]] wired to a stream of (host, docId) rows. */
+  def hostCapStream(docs: Dataset[CapDoc], cap: Int): Dataset[CapDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.host)
+      .transformWithState(new HostCapProcessor(cap), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class FunnelEvent(userId: Long, eventTime: Timestamp, eventType: String)
   case class FunnelState(firstView: Long, firstClick: Long, firstPurchase: Long)
   case class FunnelOut(userId: Long, reachedView: Boolean, reachedClick: Boolean,

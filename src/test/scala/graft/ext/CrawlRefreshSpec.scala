@@ -303,6 +303,46 @@ class CrawlRefreshSpec extends SparkTestBase {
     assert(!run4.seededFromDelta, "a corpus swap must force a full reseed")
   }
 
+  test("torn frontier state: a stale meta refolds its delta idempotently; a torn bloom forces a full reseed") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = tmpDir("frontier-torn")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append((1L to 200L).map(i => (i, "seed", s"t$i"))
+      .toDF("doc_id", "source", "text"))
+    val v1 = corpus.version
+    new CrawlRefresh.FrontierIndex(spark, corpus, "torn_spec") // full seed at v1
+    corpus.merge(Seq((901L, "crawl", "x"), (902L, "crawl", "y"))
+      .toDF("doc_id", "source", "text"), Seq("doc_id"))
+    val v2 = corpus.version
+    val run2 = new CrawlRefresh.FrontierIndex(spark, corpus, "torn_spec")
+    assert(run2.seededFromDelta && run2.seedScanCount == 2L)
+    val stateDir = Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_frontier_torn_spec.state")
+    val metaP = stateDir.resolve("meta.properties")
+    // the documented crash window: bloom written at v2, meta still at
+    // v1 — the next start refolds (v1, v2] AGAIN; bloom merge and
+    // duplicate key rows are idempotent, the kept set must not move
+    Files.writeString(metaP, new String(Files.readAllBytes(metaP))
+      .replace(s"version=$v2", s"version=$v1"))
+    val run3 = new CrawlRefresh.FrontierIndex(spark, corpus, "torn_spec")
+    assert(run3.seededFromDelta && run3.seedScanCount == 2L,
+      "a stale meta must refold exactly its delta")
+    val kept = run3.filterNew(
+      Seq((1L, "a"), (901L, "b"), (902L, "c"), (903L, "d"))
+        .toDF("doc_id", "text").localCheckpoint())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(903L), s"refolded state must still suppress exactly: $kept")
+    // a torn bloom (partial write) must not be trusted: full reseed
+    Files.write(stateDir.resolve("bloom.bin"), Array[Byte](1, 2, 3))
+    val run4 = new CrawlRefresh.FrontierIndex(spark, corpus, "torn_spec")
+    assert(!run4.seededFromDelta, "a torn bloom must force the full reseed")
+    val kept4 = run4.filterNew(
+      Seq((902L, "c"), (903L, "d")).toDF("doc_id", "text").localCheckpoint())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept4 == Set(903L))
+  }
+
   test("a replayed batch's own admitted keys are not suppressed; later batches suppress them") {
     import spark.implicits._
     val base = tmpDir("frontier-replay")

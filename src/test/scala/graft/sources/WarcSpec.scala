@@ -272,6 +272,41 @@ class WarcSpec extends SparkTestBase {
       Seq("warcinfo", "conversion", "conversion", "conversion"))
   }
 
+  test("writeShards re-run over existing output replaces each shard atomically, leaving no stale bytes or temps") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def frame(tagged: String, n: Long) = (1L to n).toDF("id")
+      .select(
+        when($"id" % 2 === 0, "r-0.warc.gz").otherwise("r-1.warc").as("shard_file"),
+        $"id".as("seq"),
+        lit("conversion").as("warc_type"),
+        concat(lit(s"<urn:uuid:$tagged-"), $"id", lit(">")).as("record_id"),
+        concat(lit("https://example.org/src/"), $"id").as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("text/plain").as("content_type"),
+        encode(concat(lit(s"$tagged doc "), $"id"), "utf-8").as("payload"))
+    val dir = tmpDir("warc-rerun")
+    Warc.writeShards(frame("old", 6L), dir)
+    // the re-run writes FEWER, DIFFERENT records into the same shard
+    // names — the overwrite-rename must leave exactly the new content
+    Warc.writeShards(frame("new", 4L), dir)
+    val back = Warc.read(spark, dir).where($"warc_type" === "conversion")
+      .select($"record_id", $"payload").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1),
+        StandardCharsets.UTF_8)))
+    assert(back.map(_._1).sorted.toSeq ==
+      (1L to 4L).map(i => s"<urn:uuid:new-$i>"),
+      s"stale records survived the re-run: ${back.map(_._1).sorted.toSeq}")
+    back.foreach { case (id, text) =>
+      assert(text.startsWith("new doc "), s"stale payload behind $id: $text")
+    }
+    // hidden files = Hadoop's local .crc sidecars; readers skip them
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.sorted.toSeq == Seq("r-0.warc.gz", "r-1.warc"),
+      s"unexpected files after re-run: ${files.toSeq}")
+  }
+
   test("writeShards task failure publishes nothing: committed shards survive, no partial or temp files appear") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -416,6 +416,66 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("hostCapStream admits at most cap docs per host across batches and a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val overrides = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    val ckpt = tmpDir("hostcap-ckpt")
+    val outDir = tmpDir("hostcap-out")
+    val stream = MemoryStream[StreamOps.CapDoc]
+    // foreachBatch parquet append: the memory sink cannot recover
+    // from a checkpoint, and the restart IS the point of this test
+    def run(): Unit = {
+      val q = StreamOps.hostCapStream(stream.toDS(), cap = 3)
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      // wave 1: host a gets 2 (under cap), b gets 4 in one batch — the
+      // smallest 3 ids win the within-batch election
+      stream.addData(
+        StreamOps.CapDoc("a", 10L), StreamOps.CapDoc("a", 11L),
+        StreamOps.CapDoc("b", 20L), StreamOps.CapDoc("b", 23L),
+        StreamOps.CapDoc("b", 21L), StreamOps.CapDoc("b", 22L))
+      run()
+      // wave 2 ACROSS A RESTART: a gets 3 more — only 1 admitted (the
+      // smallest of the batch; earlier batches already hold 2); b is
+      // full and admits nothing
+      stream.addData(
+        StreamOps.CapDoc("a", 5L), StreamOps.CapDoc("a", 6L),
+        StreamOps.CapDoc("a", 7L), StreamOps.CapDoc("b", 19L))
+      run()
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[Long]("docId"))).toSet
+      assert(got == Set(("a", 10L), ("a", 11L), ("b", 20L), ("b", 21L),
+        ("b", 22L), ("a", 5L)),
+        s"cap election wrong: $got")
+      // the boundary semantics are deliberate: FIRST-BATCH wins (b
+      // admitted 20,21,22 — 19 arrived a batch too late), where the
+      // batch operator's global election would keep 19,20,21 — the
+      // standard live-vs-backfill split. The cap law itself is exact:
+      val perHost = got.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(perHost == Map("a" -> 3, "b" -> 3), s"per-host counts: $perHost")
+    } finally {
+      prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(old => spark.conf.set(k, old))
+      }
+    }
+  }
+
   test("funnelStages advances the per-user view->click->purchase machine across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
