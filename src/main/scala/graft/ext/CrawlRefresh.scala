@@ -1114,8 +1114,8 @@ object CrawlRefresh {
     * repartition on the target shard + in-task streaming emit
     * ([[Warc.writeShards]]'s contract), the accounting one keyed agg.
     */
-  def qWarcWet(s: SparkSession, dir: String): DataFrame = {
-    val wetDir = IndexCache.memo(s"warc-wet:${s.sparkContext.applicationId}:$dir") {
+  private[graft] def wetFixture(s: SparkSession, dir: String): String =
+    IndexCache.memo(s"warc-wet:${s.sparkContext.applicationId}:$dir") {
       val tag = (dir + "_" + s.sparkContext.applicationId)
         .replaceAll("[^a-zA-Z0-9]+", "_")
       val p = s"${sys.props("java.io.tmpdir")}/graft_warcwet_$tag"
@@ -1140,12 +1140,13 @@ object CrawlRefresh {
         p)
       p
     }
-    parseFetches(Warc.read(s, wetDir))
+
+  def qWarcWet(s: SparkSession, dir: String): DataFrame =
+    parseFetches(Warc.read(s, wetFixture(s, dir)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_records"),
         sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_refresh" -> (qCrawlRefresh _),
