@@ -729,18 +729,28 @@ object CrawlRefresh {
           val in = fs.open(bloomFile)
           val bf = try BloomFilter.readFrom(in) finally in.close()
           if (cur > v0.get) {
-            val delta = corpus.readChangeFeed(v0.get, cur)
+            val deltaAll = corpus.readChangeFeed(v0.get, cur)
               .where(col(TxTable.ChangeTypeCol) === "insert")
               .select(col("doc_id")).distinct()
               .localCheckpoint()
-            seedScanCount = delta.count()
-            if (seedScanCount > 0) {
-              delta.withColumn("batch_id", lit(-1L))
+            // the bloom folds the WHOLE delta (merges are idempotent);
+            // the TABLE appends only keys it doesn't already hold —
+            // an admitted key keeps its batch tag across the restart
+            // (the replay exclusion depends on it) and no duplicate
+            // row accrues per restart. The probe is delta ×
+            // bucketed-table — O(delta).
+            val fresh = deltaAll
+              .join(s.table(table).select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            seedScanCount = fresh.count()
+            if (!deltaAll.isEmpty)
+              bf.mergeInPlace(
+                deltaAll.stat.bloomFilter("doc_id", expected.get, 0.01))
+            if (seedScanCount > 0)
+              fresh.withColumn("batch_id", lit(-1L))
                 .write.mode(org.apache.spark.sql.SaveMode.Append)
                 .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(table)
-              bf.mergeInPlace(
-                delta.stat.bloomFilter("doc_id", expected.get, 0.01))
-            }
             writeState(bf, expected.get, cur)
           } else seedScanCount = 0L
           seededFromDelta = true
@@ -778,9 +788,13 @@ object CrawlRefresh {
       * admitted by THIS `batchId` are excluded from suppression: a
       * replayed trigger that already merged+admitted its own
       * survivors re-dispositions them (the merge is idempotent by
-      * key) instead of mis-booking them `_refetch`. Residual: a
-      * replay across a full QUERY RESTART reseeds those keys from the
-      * corpus untagged, so only same-run replays carry the exclusion.
+      * key) instead of mis-booking them `_refetch`. The tags live in
+      * the PERSISTED key table, so the exclusion also survives a
+      * query restart that reseeds via the delta path (the admitted
+      * rows keep their batchId; the delta fold only appends
+      * corpus-known keys as `-1`). Residual: a FULL reseed (new
+      * catalog/corpus swap) rebuilds every key untagged, so only
+      * that path loses the exclusion.
       */
     def filterNew(fr0: DataFrame, batchId: Long = -2L): DataFrame = {
       val (bcS, bcR) = (bcSeed, bcRecent)

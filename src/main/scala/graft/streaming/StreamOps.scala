@@ -216,7 +216,7 @@ object StreamOps {
       .transformWithState(new RunningCountProcessor(ttl), mode, OutputMode.Update())
   }
 
-  case class CapDoc(host: String, docId: Long)
+  case class CapDoc(host: String, docId: Long, payload: String = "")
 
   /** STREAMING PER-HOST CAP — the live twin of the batch
     * [[graft.ext.UrlOps.qHostCap]] (FineWeb-style URL-level balance):

@@ -194,6 +194,61 @@ class CrawlRefreshSpec extends SparkTestBase {
       "the frontier keeper must be the LATEST fetch's payload")
   }
 
+  test("hostCapStream composes upstream of streamRefresh: capped hosts never reach the corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val overrides = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    def text(k: Long): String =
+      (1 to 24).map(i => s"h${k}_$i").patch(3, Seq("the"), 0).mkString(" ")
+    val base = tmpDir("hostcap-refresh")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append(Seq((1L, "seed", text(1))).toDF("doc_id", "source", "text"))
+    val index = new graft.core.TxTable(spark, s"$base/index")
+    index.append(CrawlRefresh.indexRows(
+      TextAnalysis.docShingleSets(corpus.read()), None, "corpus"))
+    // the frontier-policy stage (per-host cap, the FineWeb balance
+    // pass) runs UPSTREAM of the content pipeline, in the same
+    // streaming query: capped docs never get parsed, gated or mined
+    val stream = MemoryStream[(String, Long, String)]
+    def run(): Unit = CrawlRefresh.streamRefresh(
+      StreamOps.hostCapStream(
+        stream.toDS().map { case (h, id, t) => StreamOps.CapDoc(h, id, t) },
+        cap = 2)
+        .toDF()
+        .select(col("docId").as("doc_id"), lit("crawl").as("source"),
+          col("payload").as("text"),
+          concat(lit("https://"), col("host"), lit("/p"),
+            col("docId").cast("string")).as("canon_url")),
+      corpus, index, s"$base/ckpt").awaitTermination()
+    try {
+      // host a over-delivers in one batch (smallest 2 ids win); b under
+      stream.addData(("a", 12L, text(12)), ("a", 10L, text(10)),
+        ("a", 11L, text(11)), ("b", 20L, text(20)))
+      run()
+      val ids1 = corpus.read().select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids1.toSeq == Seq(1L, 10L, 11L, 20L),
+        s"cap must drop doc 12 before the refresh: ${ids1.toSeq}")
+      // a later batch: a is full (9 capped out), b admits one more
+      stream.addData(("a", 9L, text(9)), ("b", 21L, text(21)))
+      run()
+      val ids2 = corpus.read().select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids2.toSeq == Seq(1L, 10L, 11L, 20L, 21L),
+        s"capped host must stay capped across batches: ${ids2.toSeq}")
+    } finally {
+      prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(old => spark.conf.set(k, old))
+      }
+    }
+  }
+
   test("stream equals batch: the 2-micro-batch checkpointed refresh lands the identical accounting frame") {
     val batch = CrawlRefresh.qCrawlRefresh(spark, dir).collect().map(_.toSeq)
     val stream = CrawlRefresh.qCrawlRefreshStream(spark, dir).collect().map(_.toSeq)
@@ -321,13 +376,14 @@ class CrawlRefreshSpec extends SparkTestBase {
       s"${sys.props("java.io.tmpdir")}/graft_frontier_torn_spec.state")
     val metaP = stateDir.resolve("meta.properties")
     // the documented crash window: bloom written at v2, meta still at
-    // v1 — the next start refolds (v1, v2] AGAIN; bloom merge and
-    // duplicate key rows are idempotent, the kept set must not move
+    // v1 — the next start re-reads (v1, v2] but the table-side
+    // anti-join drops the already-folded keys, so nothing re-appends
+    // and the kept set must not move
     Files.writeString(metaP, new String(Files.readAllBytes(metaP))
       .replace(s"version=$v2", s"version=$v1"))
     val run3 = new CrawlRefresh.FrontierIndex(spark, corpus, "torn_spec")
-    assert(run3.seededFromDelta && run3.seedScanCount == 2L,
-      "a stale meta must refold exactly its delta")
+    assert(run3.seededFromDelta && run3.seedScanCount == 0L,
+      s"a stale-meta refold must append nothing new, got ${run3.seedScanCount}")
     val kept = run3.filterNew(
       Seq((1L, "a"), (901L, "b"), (902L, "c"), (903L, "d"))
         .toDF("doc_id", "text").localCheckpoint())
@@ -362,6 +418,22 @@ class CrawlRefreshSpec extends SparkTestBase {
       .localCheckpoint(), batchId = 8L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(later.isEmpty, s"batch 8 must suppress batch 7's admission: $later")
+    // the exclusion SURVIVES a query restart through the delta reseed:
+    // the admitted key's batch tag lives in the persisted table, so a
+    // checkpoint-replayed batch 7 after the restart still re-sees 42
+    corpus.merge(Seq((42L, "crawl", "x")).toDF("doc_id", "source", "text"),
+      Seq("doc_id")) // the run also merged it — what the delta folds
+    val st2 = new CrawlRefresh.FrontierIndex(spark, corpus, "replay_spec")
+    assert(st2.seededFromDelta, "restart must take the delta path for this law")
+    val replay2 = st2.filterNew(Seq((42L, "x"), (1L, "y"))
+      .toDF("doc_id", "text").localCheckpoint(), batchId = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay2 == Set(42L),
+      s"the batch tag must survive a delta-reseeded restart: $replay2")
+    val later2 = st2.filterNew(Seq((42L, "x")).toDF("doc_id", "text")
+      .localCheckpoint(), batchId = 9L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(later2.isEmpty)
   }
 
   test("two frontier indexes in one session are isolated: no shared suppression state") {
