@@ -124,6 +124,56 @@ class WarcSpec extends SparkTestBase {
     assert(got(3) == null)
   }
 
+  test("HTTP split agrees with a reference model over 300 randomized responses (seeded)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def rndCase(s: String) =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+    val names = Seq("Content-Type", "Server", "X-Crawl-Id", "Location")
+    def genResponse(): String = {
+      val status =
+        if (rnd.nextInt(10) == 0) "NOT-HTTP-AT-ALL"
+        else s"HTTP/1.${rnd.nextInt(2)} ${100 + rnd.nextInt(500)} Some Reason"
+      val headers = names.filter(_ => rnd.nextBoolean()).map { n =>
+        val pad = if (rnd.nextBoolean()) " " else "\t "
+        s"${rndCase(n)}:$pad value-${rnd.nextInt(100)}" +
+          (if (n == "Content-Type" && rnd.nextBoolean()) "; charset=utf-8" else "")
+      }
+      val body = rnd.nextInt(4) match {
+        case 0 => ""
+        case 1 => "plain body " + rnd.nextInt(1000)
+        case 2 => "spoof\r\nContent-Type: body/spoof\r\n\r\nmore" // header-shaped body
+        case _ => "multi\r\n\r\nblank\r\n\r\nlines"
+      }
+      val terminator = if (rnd.nextInt(8) == 0) "" else "\r\n\r\n"
+      (status +: headers).mkString("\r\n") + terminator + body
+    }
+    // plain-Scala reference model of the three column exprs
+    def model(p: String): (Option[Int], String, Option[String]) = {
+      val at = p.indexOf("\r\n\r\n")
+      val body = if (at >= 0) p.substring(at + 4) else ""
+      val head = if (at >= 0) p.substring(0, at) else ""
+      val status = "^HTTP/[0-9.]+ ([0-9]{3})".r.findFirstMatchIn(p).map(_.group(1).toInt)
+      val ct = "(?i)(?:^|\r\n)Content-Type:[ \t]*([^\r\n]*)".r
+        .findFirstMatchIn(head).map(_.group(1).trim)
+      (status, body, ct)
+    }
+    val cases = (1 to 300).map(_ => genResponse())
+    val got = cases.map(_.getBytes(StandardCharsets.UTF_8)).toDF("payload")
+      .select(Warc.httpStatus(col("payload")).as("st"),
+        Warc.httpBody(col("payload")).as("body"),
+        Warc.httpHeader(col("payload"), "Content-Type").as("ct"))
+      .collect()
+    cases.zip(got).foreach { case (p, r) =>
+      val (st, body, ct) = model(p)
+      assert((if (r.isNullAt(0)) None else Some(r.getInt(0))) == st, s"status of ${p.take(60)}")
+      assert(r.getString(1) == body, s"body of ${p.take(60)}")
+      assert((if (r.isNullAt(2)) None else Some(r.getString(2))) ==
+        ct.filter(_.nonEmpty), s"content-type of ${p.take(60)}")
+    }
+  }
+
   test("streaming WARC source admits shards incrementally and restarts from the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("warc-stream")
