@@ -170,6 +170,64 @@ object UrlOps {
       .orderBy(col("host"), col("rk"))
   }
 
+  /** The robots-style rule table — a parameter of the METHOD (a real
+    * pipeline loads per-host rule sets fetched from robots.txt):
+    * (host, path prefix, allow?) with the standard LONGEST-MATCH-WINS
+    * resolution and allow-beats-disallow on equal length (the
+    * published Google/RFC 9309 tie rule). The set exercises every
+    * behavior class: a whole-host disallow with a longer re-allow, a
+    * stem disallow, a deep per-page disallow, and an allow override.
+    */
+  private[ext] val robotsRules: Seq[(String, String, Boolean)] = Seq(
+    ("h1.site1.org", "/", false),
+    ("h1.site1.org", "/src1", true),
+    ("h2.site2.org", "/src", false),
+    ("h0.site0.org", "/src1", false),
+    ("h3.site0.org", "/src11/p2", false),
+    ("h4.site1.org", "/src", false),
+    ("h4.site1.org", "/src12", true))
+
+  /** ROBOTS EXCLUSION FILTER — the compliance gate a crawl pipeline
+    * runs before any fetch enters the corpus: per URL, the longest
+    * matching (host, path-prefix) rule decides, allow winning ties
+    * (RFC 9309 resolution). Output pins the per-doc election: the
+    * winning rule and the verdict, NULL rule = no rule matched
+    * (allowed by default).
+    *
+    * Scale shape: robots prefixes are STRING prefixes (not
+    * segment-aligned), so each URL's path explodes into its character
+    * prefixes BOUNDED by the longest rule (here ${"≤"}10 chars; a real
+    * engine caps rule length the same way) and EQUI-joins the rule
+    * table on (host, prefix) — broadcast or shuffle as the rule
+    * list's size dictates, never a per-rule `startsWith` nested loop
+    * over millions of rules. Resolution is one per-doc max_by on
+    * (prefix length, allow) — map-side partials, no window.
+    */
+  def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = robotsRules.toDF("rhost", "rprefix", "allow")
+    val maxLen = robotsRules.map(_._2.length).max
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        hostOf(canonicalizeUrl(hostedUrl)).as("host"),
+        concat(lit("/"), col("source"), lit("/p"),
+          (col("doc_id") % 50).cast("string")).as("path"))
+    val prefixes =
+      expr(s"transform(sequence(1, least(length(path), $maxLen)), i -> substr(path, 1, i))")
+    val winner = docs
+      .select(col("doc_id"), col("host"), explode(prefixes).as("prefix"))
+      .join(broadcast(rules),
+        col("host") === col("rhost") && col("prefix") === col("rprefix"))
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("rprefix").as("rule"), col("allow")),
+        struct(length(col("rprefix")), col("allow"))).as("w"))
+    docs.join(winner, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"), col("w.rule").as("rule"),
+        when(col("w.allow").isNull || col("w.allow"), "allow")
+          .otherwise("block").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The LOADER-FACING host-cap row: per-host kept/dropped
     * accounting under the same cap-3 election as [[qHostCap]].
     * [[qHostCap]]'s exact kept set is the LAW (it pins the election
@@ -193,7 +251,8 @@ object UrlOps {
     "q_url_canon" -> (qUrlCanon _),
     "q_domain_blocklist" -> (qDomainBlocklist _),
     "q_host_cap" -> (qHostCap _),
-    "q_host_cap_stats" -> (qHostCapStats _))
+    "q_host_cap_stats" -> (qHostCapStats _),
+    "q_robots_filter" -> (qRobotsFilter _))
 
   /** The DuckDB mirror of [[canonicalizeUrl]], as a SELECT fragment:
     * given an input relation with a `url` column plus `carry` columns,
@@ -268,6 +327,26 @@ object UrlOps {
          |  CAST(LEAST(COUNT(*), 3) AS BIGINT) AS n_kept,
          |  CAST(COUNT(*) - LEAST(COUNT(*), 3) AS BIGINT) AS n_dropped
          |FROM h GROUP BY host ORDER BY host""".stripMargin,
+    // string-prefix match expressed as the equivalent LIKE (the Spark
+    // side explodes bounded path prefixes and equi-joins); longest
+    // match wins, allow beats disallow at equal length
+    "q_robots_filter" ->
+      s"""WITH $hostCtes,
+         |p AS (
+         |  SELECT d.doc_id, h.host,
+         |    '/' || d.source || '/p' || CAST(d.doc_id % 50 AS VARCHAR) AS path
+         |  FROM documents d JOIN h ON d.doc_id = h.doc_id),
+         |r AS (SELECT * FROM (VALUES ${robotsRules.map { case (h, pfx, a) =>
+             s"('$h', '$pfx', $a)" }.mkString(", ")}) AS t(rhost, prefix, allow)),
+         |mt AS (
+         |  SELECT p.doc_id, r.prefix, r.allow,
+         |    row_number() OVER (PARTITION BY p.doc_id
+         |      ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+         |  FROM p JOIN r ON p.host = r.rhost AND p.path LIKE r.prefix || '%')
+         |SELECT p.doc_id, p.host, w.prefix AS rule,
+         |  CASE WHEN w.allow IS NULL OR w.allow THEN 'allow' ELSE 'block' END AS verdict
+         |FROM p LEFT JOIN (SELECT * FROM mt WHERE rn = 1) w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_url_canon" ->
       s"""WITH m AS (
         |  SELECT doc_id,

@@ -147,6 +147,32 @@ class UrlOpsSpec extends SparkTestBase {
     assert(out.groupBy(_._1).forall(_._2.length <= 3))
   }
 
+  test("q_robots_filter: longest match wins, allow beats disallow on ties — vs a plain-Scala model") {
+    val out = UrlOps.qRobotsFilter(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getString(2)), r.getString(3)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent model: string-prefix match, (length, allow) max
+    val expect = docs.map { case (d, src) =>
+      val host = s"h${d % 7}.site${d % 3}.org"
+      val path = s"/$src/p${d % 50}"
+      val hits = UrlOps.robotsRules
+        .filter { case (h, pfx, _) => h == host && path.startsWith(pfx) }
+      val win = hits.sortBy { case (_, pfx, allow) => (pfx.length, allow) }.lastOption
+      (d, win.map(_._2),
+        if (win.forall(_._3)) "allow" else "block")
+    }.sortBy(_._1)
+    assert(out.toSeq == expect.toSeq)
+    // non-vacuity: a longer ALLOW must have overridden a disallow
+    val overridden = docs.exists { case (d, src) =>
+      d % 7 == 1 && d % 3 == 1 && src.startsWith("src1")
+    }
+    assert(overridden, "fixture must exercise the allow-override class")
+    assert(out.exists(_._3 == "block") && out.exists(_._3 == "allow"))
+  }
+
   test("q_url_canon: variants collapse losslessly onto min-doc_id keepers") {
     val out = UrlOps.qUrlCanon(spark, dir).collect()
     val docs = graft.core.Tables.load(spark, dir, "documents").count()
