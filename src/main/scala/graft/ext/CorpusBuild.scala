@@ -125,6 +125,51 @@ object CorpusBuild {
     f"${x.head().getLong(0)}%x"
   }
 
+  /** DRIVER-HELD PER-SOURCE OFFSET STATE for a continuously-extended
+    * artifact: the exact `sum(n_tokens)` per source, synced to the
+    * artifact's commit log. First use pays one full aggregate; every
+    * later sync folds only the CHANGE FEED since the last-seen
+    * version — O(delta) per trigger, where re-aggregating the stored
+    * artifact is O(artifact) (at 100 TB, a full table pass per
+    * micro-batch). The map is bounded by the source universe (~dozens
+    * at any corpus scale — the same bound [[qRankShards]] leans on).
+    * A txn-skipped replay commits no version, so the fold sees each
+    * append exactly once; a non-feed-readable range (compaction is
+    * invisible; an overwrite throws) falls back to one full re-sync.
+    */
+  final class OffsetTracker(t: TxTable) {
+    private var seenVersion: Long = -1L
+    private val cum = scala.collection.mutable.Map.empty[String, Long]
+    private[ext] var lastFoldMode: String = "none" // "full" | "delta"
+
+    private def fold(rows: DataFrame): Unit =
+      rows.groupBy(col("source")).agg(sum(col("n_tokens")).as("s"))
+        .collect().foreach { r =>
+          val src = r.getString(0)
+          cum.update(src, cum.getOrElse(src, 0L) + r.getLong(1))
+        }
+
+    /** The synced offsets as a (source, cum0) frame. */
+    def offsets(): DataFrame = {
+      val s = org.apache.spark.sql.SparkSession.active
+      val cur = t.version
+      if (seenVersion < 0) {
+        cum.clear(); fold(t.read()); seenVersion = cur; lastFoldMode = "full"
+      } else if (cur > seenVersion) {
+        try {
+          fold(t.readChangeFeed(seenVersion, cur)
+            .where(col(TxTable.ChangeTypeCol) === "insert"))
+          lastFoldMode = "delta"
+        } catch { case scala.util.control.NonFatal(_) =>
+          cum.clear(); fold(t.read()); lastFoldMode = "full"
+        }
+        seenVersion = cur
+      } else lastFoldMode = "none"
+      import s.implicits._
+      cum.toSeq.toDF("source", "cum0")
+    }
+  }
+
   /** INCREMENTAL EXTENSION — the nightly shape: newly-admitted docs
     * (e.g. [[CrawlRefresh.streamRefresh]] survivors) are encoded with
     * the artifact's FROZEN vocabulary (training-serving consistency:
@@ -134,10 +179,14 @@ object CorpusBuild {
     * per-source cum offset is recovered EXACTLY from the stored
     * artifact (`sum(n_tokens)`), so pack ids extend the existing
     * sequence and old rows are never rewritten (append-only commit).
+    * A continuous caller passes an [[OffsetTracker]] so each trigger
+    * pays O(delta) for the offsets instead of re-aggregating the
+    * whole stored artifact.
     */
   def appendIncrement(t: TxTable, newDocs: DataFrame, vocab: DataFrame,
                       budget: Int = 256, seed: String = "epoch0",
-                      txn: Option[TxTable.TxnId] = None): Unit = {
+                      txn: Option[TxTable.TxnId] = None,
+                      tracker: Option[OffsetTracker] = None): Unit = {
     val s = newDocs.sparkSession
     import s.implicits._
     // provenance guard: an increment must extend the artifact under
@@ -164,9 +213,11 @@ object CorpusBuild {
         md5(concat(lit(seed), lit(":"), $"doc_id".cast("string")))
           .as("shuffle_key"),
         size($"token_ids").cast("long").as("n_tokens"), $"token_ids")
-    // exact per-source continuation offsets from the artifact itself
-    val offsets = t.read().groupBy($"source")
-      .agg(sum($"n_tokens").as("cum0"))
+    // exact per-source continuation offsets — from the tracker's
+    // O(delta) fold when one is supplied, else one artifact aggregate
+    val offsets = tracker.fold(
+      t.read().groupBy($"source").agg(sum($"n_tokens").as("cum0")))(
+      _.offsets())
     val w = Window.partitionBy($"source").orderBy($"shuffle_key", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = keyed

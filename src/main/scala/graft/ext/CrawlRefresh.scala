@@ -925,6 +925,12 @@ object CrawlRefresh {
                     dfreq: Option[DataFrame] = None,
                     baseIndex: Option[(DataFrame, DataFrame)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-run offset state for the artifact tail: each trigger's pack
+    // continuation folds the artifact's change feed (O(delta)), never
+    // re-aggregates the stored artifact (O(artifact) at 100 TB)
+    val offsetTracker = trainingArtifact.map { case (artifact, _) =>
+      new CorpusBuild.OffsetTracker(artifact)
+    }
     val frontierIdx =
       if (!suppressRefetch) None
       else Some(new FrontierIndex(fetches.sparkSession, corpus,
@@ -978,7 +984,8 @@ object CrawlRefresh {
         // (writerId, batchId)-transactional so replays append once
         trainingArtifact.foreach { case (artifact, vocab) =>
           CorpusBuild.appendIncrement(artifact, survivors, vocab,
-            txn = Some(TxTable.TxnId("crawl-refresh-corpus", batchId)))
+            txn = Some(TxTable.TxnId("crawl-refresh-corpus", batchId)),
+            tracker = offsetTracker)
         }
         ()
       }

@@ -157,6 +157,43 @@ class CorpusBuildSpec extends SparkTestBase {
     }
   }
 
+  test("OffsetTracker: one full sync, then change-feed folds — offsets stay exact and O(delta)") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+    val t = CorpusBuild.run(base, tmpDir("cb-tracker"))
+    val vocab = TextAnalysis.vocabOf(
+      base.join(t.read().select("doc_id"), Seq("doc_id")))
+    def fullOffsets() = t.read()
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("cum0"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tracker = new CorpusBuild.OffsetTracker(t)
+    def trackerOffsets() = tracker.offsets().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trackerOffsets() == fullOffsets())
+    assert(tracker.lastFoldMode == "full", "first use pays the one full sync")
+    // two increments through the tracker path: each later sync must
+    // fold ONLY the change feed, and stay exact
+    val inc1 = docs.where(col("doc_id") % 3 === 0).limit(10)
+      .select(col("doc_id"), col("source"), col("text"))
+    CorpusBuild.appendIncrement(t, inc1, vocab, tracker = Some(tracker))
+    val inc2 = docs.where(col("doc_id") % 3 === 0).orderBy(col("doc_id").desc)
+      .limit(10).select(col("doc_id"), col("source"), col("text"))
+    CorpusBuild.appendIncrement(t, inc2, vocab, tracker = Some(tracker))
+    assert(trackerOffsets() == fullOffsets(),
+      "folded offsets must equal the full artifact aggregate")
+    assert(tracker.lastFoldMode == "delta",
+      "a later sync must ride the change feed, not re-read the artifact")
+    // no new commits ⇒ no fold at all
+    assert(trackerOffsets() == fullOffsets() && tracker.lastFoldMode == "none")
+    // and the pack grid built through the tracker is the SAME as the
+    // one the full-aggregate path would build: per-source packs stay
+    // contiguous from 0 (the continuation law)
+    t.read().collect().groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val packs = rs.map(_.getAs[Long]("pack_id")).distinct.sorted
+      assert(packs.head == 0L && packs.toSeq == (0L to packs.last).toSeq)
+    }
+  }
+
   test("epoch lifecycle: ids never move within an epoch, may move across epochs, and the rebuild recovers UNK mass") {
     import org.apache.spark.sql.functions._
     val (t0, preIncrementVersion) = CorpusBuild.epoch0Extended(spark, dir)
