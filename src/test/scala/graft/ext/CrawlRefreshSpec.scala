@@ -436,6 +436,31 @@ class CrawlRefreshSpec extends SparkTestBase {
     assert(later2.isEmpty)
   }
 
+  test("filterNew equals exact set difference over randomized corpora and admissions (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1912)
+    val corpusKeys = Seq.fill(300)(rnd.nextLong().abs % 100000L).distinct
+    val base = tmpDir("frontier-fuzz")
+    val corpus = new graft.core.TxTable(spark, s"$base/corpus")
+    corpus.append(corpusKeys.map(k => (k, "seed", s"t$k"))
+      .toDF("doc_id", "source", "text"))
+    val st = new CrawlRefresh.FrontierIndex(spark, corpus, "fuzz_spec")
+    val admitted = Seq.fill(60)(rnd.nextLong().abs % 100000L).distinct
+    st.admit(admitted.toDF("doc_id"), batchId = 1L)
+    // batches drawn from the same universe: heavy overlap with both
+    // the corpus and the admissions, plus genuinely-new keys
+    (1 to 5).foreach { i =>
+      val batch = Seq.fill(120)(rnd.nextLong().abs % 100000L).distinct
+      val got = st.filterNew(batch.map(k => (k, s"u$k")).toDF("doc_id", "text")
+        .localCheckpoint(), batchId = 100L + i)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expect = batch.toSet -- corpusKeys -- admitted
+      assert(got == expect,
+        s"round $i: bloom+anti-join drifted from exact set difference — " +
+          s"extra=${got -- expect}, missing=${expect -- got}")
+    }
+  }
+
   test("two frontier indexes in one session are isolated: no shared suppression state") {
     import spark.implicits._
     val base = tmpDir("frontier-iso")
