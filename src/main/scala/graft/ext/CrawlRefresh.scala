@@ -240,7 +240,6 @@ object CrawlRefresh {
     */
   private[graft] def indexRows(sets: DataFrame, dfreq: Option[DataFrame],
                                origin: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.PairExpand
     val post = sets.select(col("doc_id"), TextAnalysis.packedMember.as("m"),
       explode(col("hs")).as("h"))
@@ -249,15 +248,26 @@ object CrawlRefresh {
         .withColumn("df", coalesce(col("df"), lit(0L)))
       case None => post.withColumn("df", lit(0L))
     }
+    // ONE aggregate builds both sides of the per-doc row: collect the
+    // (df, h) pairs per doc, sort once in the group (lexicographic
+    // struct order = the df-asc, h-asc prefix order; h is distinct per
+    // doc so there are no ties), cut the prefix by slice, and recover
+    // the full set by re-sorting the h's (ShingleHashes emits sorted
+    // distinct hashes, so array_sort over the same elements is
+    // byte-identical to the input hs). Replaces a window (exchange +
+    // partition-wide sort + rk filter) + a groupBy + a join back to
+    // the sets frame — two fewer plan legs per evaluation, same rows.
     withDf
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("m")).orderBy(col("df"), col("h"))))
-      .where(col("rk") <=
-        floor(col("m").bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
-      .groupBy(col("doc_id"), col("m"))
-      .agg(collect_list(col("h")).as("prefix_hs"))
-      .join(sets.select(col("doc_id"), col("hs")), Seq("doc_id"))
-      .select(col("m"), col("hs"), col("prefix_hs"), lit(origin).as("origin"))
+      .groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .select(col("m"),
+        array_sort(transform(col("dh"), x => x.getField("h"))).as("hs"),
+        transform(
+          slice(col("dh"), lit(1),
+            (floor(col("m").bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+              .cast("int")),
+          x => x.getField("h")).as("prefix_hs"),
+        lit(origin).as("origin"))
   }
 
   /** Split per-doc [[indexRows]] into the two join-side shapes the
@@ -439,44 +449,28 @@ object CrawlRefresh {
   }
 
   /** The FULL gate over a frontier frame: the map-side conjunction
-    * ([[gateBucket]]) plus the TOP-BIGRAM repetition rule — the one
-    * Gopher rule that needs a per-doc aggregate (`q_gopher_repetition`
-    * semantics: max char mass over ≥2-count 2-grams vs half the word
-    * chars), evaluated as the LAST first-failing bucket
-    * `_gate_top_bigram` so the map-side rule order is untouched.
+    * ([[gateBucket]]) plus the TOP-BIGRAM repetition rule
+    * (`q_gopher_repetition` semantics: max char mass over ≥2-count
+    * 2-grams vs half the word chars), evaluated as the LAST
+    * first-failing bucket `_gate_top_bigram` so the map-side rule
+    * order is untouched.
     *
-    * Scale shape: the aggregate runs ONLY over map-side passers and
-    * is one (doc_id, bigram) keyed count with map-side partials —
-    * O(batch) per trigger, per-doc keyed, never corpus-global — then
-    * one per-doc max joined back. Output: (doc_id, source, text,
+    * Scale shape: the ENTIRE gate is now one map pass — the bigram
+    * rule rides [[Curation.topBigramMass]]'s per-doc sorted-run walk
+    * (a doc is one row; its bigram multiset never leaves the task)
+    * instead of a (doc_id, bigram) keyed agg + per-doc max + join-back
+    * that shuffled the batch twice per trigger. The rule is evaluated
+    * lazily: the `when` chain short-circuits it for docs an earlier
+    * (cheaper) rule already killed. Output: (doc_id, source, text,
     * gate_bucket, pass_gate).
     */
   private[graft] def gate(fr: DataFrame): DataFrame = {
     val ws = TextAnalysis.tokens(regexp_replace(col("text"), "\n", " "))
-    val mapped = fr.select(col("doc_id"), col("source"), col("text"),
-      gateBucket.as("gate_bucket"),
-      aggregate(ws, lit(0L), (a, x) => a + length(x)).as("sum_word_len"))
-    val cand = mapped.where(col("gate_bucket").isNull)
-      .select(col("doc_id"), ws.as("ws"))
-    val bigrams = when(size(col("ws")) >= 2,
-      zip_with(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
-    val top = cand
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2)
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt") * length(col("bg")).cast("long"))
-        .as("top_bigram_mass"))
-    mapped.join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("text"),
-        when(col("gate_bucket").isNotNull, col("gate_bucket"))
-          .when(col("sum_word_len") > 0L &&
-            lit(2L) * coalesce(col("top_bigram_mass"), lit(0L)) >=
-              col("sum_word_len"),
+    val sumWordLen = aggregate(ws, lit(0L), (a, x) => a + length(x))
+    fr.select(col("doc_id"), col("source"), col("text"),
+        gateBucket
+          .when(sumWordLen > 0L &&
+            lit(2L) * Curation.topBigramMass(ws) >= sumWordLen,
             "_gate_top_bigram").as("gate_bucket"))
       .withColumn("pass_gate", col("gate_bucket").isNull)
   }
@@ -563,9 +557,13 @@ object CrawlRefresh {
         .join(oldSets.select($"doc_id".as("do_"), $"hs".as("hb")), "do_")
         .where(lit(3) * size(array_intersect($"ha", $"hb")).cast("long") >= $"szsum")
         .select($"dn".as("doc_id"), $"origin")
-    }.reduce(_ unionAll _).localCheckpoint(eager = false)
-    val rejectOld = verified.where($"origin" === "corpus").select($"doc_id").distinct()
-    val rejectPrev = verified.where($"origin" === "crawl").select($"doc_id").distinct()
+    }.reduce(_ unionAll _)
+    // ONE per-doc aggregate folds both index-tier verdicts (was two
+    // filter+distinct legs and two separate joins back to the batch):
+    // r_old = any corpus-origin match, r_prev = any earlier-crawl match
+    val idxVerdict = verified.groupBy($"doc_id")
+      .agg(max($"origin" === "corpus").as("r_old"),
+        max($"origin" === "crawl").as("r_prev"))
     // within-batch: the SAME prefix filter applies (the theorem needs
     // only a shared total order); candidates exact-verify identically
     val rejectWithin = newRows
@@ -581,14 +579,13 @@ object CrawlRefresh {
         $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
       .select(shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_id"))
       .distinct()
-    val rejectNew = rejectWithin.unionAll(rejectPrev).distinct()
     gated
-      .join(rejectOld.withColumn("r_old", lit(true)), Seq("doc_id"), "left")
-      .join(rejectNew.withColumn("r_new", lit(true)), Seq("doc_id"), "left")
+      .join(idxVerdict, Seq("doc_id"), "left")
+      .join(rejectWithin.withColumn("r_within", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("text"),
         when(col("gate_bucket").isNotNull, col("gate_bucket"))
           .when(col("r_old"), "_neardup_old")
-          .when(col("r_new"), "_neardup_new")
+          .when(col("r_prev") || col("r_within"), "_neardup_new")
           .otherwise("_admitted").as("bucket"))
   }
 
@@ -1168,6 +1165,49 @@ object CrawlRefresh {
       .agg(count(lit(1)).as("n_records"),
         sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
       .orderBy(col("doc_id"))
+
+  /** TEMPORARY (optimization round): per-stage timing of the batch
+    * refresh — one action per stage, printed. Removed with
+    * graft.ProfileScratch.
+    */
+  def profileStages(s: SparkSession, dir: String): Unit = {
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val raw = time("warc read+parse")(
+      { val d = parseFetches(Warc.read(s, crawlFixture(s, dir))); noop(d); d })
+    val fr = time("frontier agg")(
+      { val d = frontier(raw).localCheckpoint(eager = false); noop(d); d })
+    time("  gate: map-side bucket only")(
+      noop(fr.select(col("doc_id"), gateBucket.as("b"))))
+    val gated = time("gate")(
+      { val d = gate(fr).localCheckpoint(eager = false); noop(d); d })
+    val parts = time("corpusParts read")(
+      { val p = corpusParts(s, dir); noop(p._1); noop(p._2); p })
+    val dfq = time("corpusDf")(
+      { val d = corpusDf(s, dir); noop(d); d })
+    // sub-stages of dispositions
+    val newRows = time("  dispo: newRows (fingerprint+prefix)")(
+      { val d = indexRows(TextAnalysis.docShingleSets(gated.where(col("pass_gate"))),
+          Some(dfq), origin = "new").localCheckpoint(eager = false); noop(d); d })
+    time("  dispo: candidates vs corpus")(
+      noop(dispoCandidates(newRows, parts._1)))
+    time("  dispo: full dispositionsFromRows")(
+      noop(dispositionsFromRows(gated, newRows, Seq(parts))))
+    val dispo = time("dispositions")(
+      { val d = dispositions(gated, Seq(parts), Some(dfq))
+          .localCheckpoint(eager = false); noop(d); d })
+    val t = corpusTable(s, dir)
+    time("merge")(
+      t.merge(dispo.where(col("bucket") === "_admitted")
+        .select(col("doc_id"), col("source"), col("text")), Seq("doc_id")))
+    time("accounting")(noop(accounting(t, auditRows(fr, dispo))))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_refresh" -> (qCrawlRefresh _),

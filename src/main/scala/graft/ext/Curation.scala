@@ -418,6 +418,41 @@ object Curation {
       .otherwise(withBigram)
   }
 
+  /** Max char MASS over repeated 2-grams — `max(count·len | count ≥ 2)`,
+    * 0 when no bigram repeats — computed ENTIRELY MAP-SIDE: sort the
+    * doc's bigram array, walk equal runs with one `aggregate` HOF.
+    * Replaces the (doc_id, bigram) keyed aggregate + per-doc max +
+    * join-back (2 shuffles + a join per evaluation): a document is
+    * already ONE row, so its bigram multiset never needs to leave the
+    * task — the per-doc sort is O(n log n) in the row's own task and
+    * the memory envelope is the row itself, unchanged. Exact integer
+    * arithmetic, same values as the keyed form (asserted in
+    * CurationSpec).
+    */
+  private[ext] def topBigramMass(ws: Column): Column = {
+    val bgs = when(size(ws) >= 2,
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    // fold the finished run into best: run ≥ 2 contributes run·len(prev)
+    def close(acc: Column): Column = greatest(acc.getField("best"),
+      when(acc.getField("run") >= 2L,
+        acc.getField("run") * length(acc.getField("prev")).cast("long"))
+        .otherwise(lit(0L)))
+    aggregate(array_sort(bgs),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) =>
+        when(x === acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1L).as("run"),
+            acc.getField("best").as("best")))
+        .otherwise(
+          struct(x.as("prev"), lit(1L).as("run"), close(acc).as("best"))),
+      acc => close(acc))
+  }
+
   /** GOPHER-REPETITION quality filter (Rae et al. 2021, Appendix A —
     * the repetition half of the rule family, complementing the
     * structural [[qGopherRules]]): documents dominated by repeated
@@ -433,10 +468,11 @@ object Curation {
     *     most-frequent tie rule; thresholds are parameters of the
     *     METHOD, tuned to this corpus as in [[qGopherRules]]).
     *
-    * Rules pass vacuously on empty denominators. Line counters are
-    * higher-order column math (map-only); the bigram pass is one
-    * (doc_id, bigram) count with map-side partial aggregation — per
-    * doc, never corpus-global, so it scales as a plain keyed agg.
+    * Rules pass vacuously on empty denominators. ALL counters are
+    * higher-order column math (map-only) — the bigram rule included,
+    * via [[topBigramMass]]'s sorted-run walk, so the whole filter is
+    * one map pass plus the output sort (it was a (doc_id, bigram)
+    * keyed agg + per-doc max + join-back: 3 shuffles).
     */
   def qGopherRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -453,22 +489,8 @@ object Curation {
       lineChars.as("chars_lines"),
       (lineChars - distinctLineChars).as("chars_dup_lines"),
       aggregate(words, lit(0L), (a, x) => a + length(x)).as("sum_word_len"),
-      words.as("ws"))
-    val bigrams = when(size(col("ws")) >= 2,
-      zip_with(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
-    val topMass = counters
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2)
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt") * length(col("bg")).cast("long")).as("top_bigram_mass"))
-    counters.drop("ws")
-      .join(topMass, Seq("doc_id"), "left")
-      .withColumn("top_bigram_mass", coalesce(col("top_bigram_mass"), lit(0L)))
+      topBigramMass(words).as("top_bigram_mass"))
+    counters
       .select(col("*"),
         (col("n_lines") > 0L &&
           lit(10L) * col("n_dup_lines") >= lit(3L) * col("n_lines"))

@@ -66,12 +66,16 @@ object DedupClusters {
   private[ext] def componentsViaStarContraction(vertices: DataFrame,
       edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // canonical (lo, hi) pairs, self-loops and duplicates dropped
+    // LAZY checkpoints throughout the loop: the round's first action
+    // (the count) both computes and materializes the round — one job
+    // per round instead of eager-checkpoint + count (two passes over
+    // the same tiny-per-round edge set, pure fixed cost × O(log n))
     var e = edges.select(
         least(col("a").cast("long"), col("b").cast("long")).as("lo"),
         greatest(col("a").cast("long"), col("b").cast("long")).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // Both star ops need each edge row joined with its center's
     // neighborhood minimum — expressed as ONE unbounded window
@@ -99,30 +103,55 @@ object DedupClusters {
     // itself onto m(u) = min of those neighbors (all < u); the
     // (m, u) self-hook rides as a second projection of the same
     // windowed frame, deduped by the round's distinct
-    def smallStar(cur: DataFrame): DataFrame = {
+    // `dedup = false` for an inner step whose output feeds another
+    // (duplicate-blind) window min — skips that step's distinct
+    // exchange; the OUTER step always dedups so the convergence
+    // check compares true sets
+    def smallStar(cur: DataFrame, dedup: Boolean = true): DataFrame = {
       val withM = cur.withColumn("m",
         min(col("lo")).over(Window.partitionBy(col("hi"))))
       val moved = withM.where(col("lo") =!= col("m"))
         .select(col("m").as("lo"), col("lo").as("hi"))
       val self = withM.select(col("m").as("lo"), col("hi"))
-      moved.unionAll(self).distinct()
+      val u = moved.unionAll(self)
+      if (dedup) u.distinct() else u
     }
 
     var converged = false
     var iter = 0
-    var eCount = -1L // lazily filled; carried across rounds (1 job saved/round)
+    val profile = sys.env.contains("GRAFT_PROFILE_CC")
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // EXACT set-equality check: |A| = |B| ∧ A∖B = ∅ ⟺ A = B (both
-      // sides deduped). The count gate short-circuits the except join
-      // away from every strictly-contracting round; counts come off
-      // checkpointed partitions, and the previous round's is reused.
-      if (eCount < 0) eCount = e.count()
-      val nextCount = next.count()
-      converged = nextCount == eCount &&
-        next.except(e).limit(1).count() == 0
+      val tR = System.nanoTime()
+      // TWO star-pairs per materialized round: the checkpoint barrier
+      // (and its job-scheduling fixed cost) amortizes over two
+      // contraction steps — both ops converge monotonically to the one
+      // star-forest fixpoint (Kiveris et al. §3), so fixpoint detection
+      // across double-steps finds exactly the same forest.
+      val next = smallStar(largeStar(smallStar(largeStar(e), dedup = false)))
+        .localCheckpoint(false)
+      // EXACT fixpoint test, one aggregate pass: a canonical (lo<hi)
+      // edge set is invariant under BOTH star ops iff it is a star
+      // forest — every hi appears exactly once and no node is both a
+      // lo and a hi (roots then hold their star's minimum by
+      // construction, since emitted edges always point at a
+      // neighborhood min). One node-keyed aggregate over 2|E| skinny
+      // rows, and its action doubles as the round's checkpoint
+      // materialization — this replaces the count + except(e)
+      // set-equality check, whose count gate never fired on tree
+      // graphs (contraction preserves |E| = n − k there), leaving a
+      // two-sided shuffle join per round.
+      val viol = next
+        .select(col("hi").as("node"), lit(1L).as("ish"), lit(0L).as("isl"))
+        .unionAll(next
+          .select(col("lo").as("node"), lit(0L).as("ish"), lit(1L).as("isl")))
+        .groupBy(col("node"))
+        .agg(sum(col("ish")).as("h"), sum(col("isl")).as("l"))
+        .where(col("h") > 1 || (col("h") > 0 && col("l") > 0))
+        .limit(1).count()
+      converged = viol == 0
+      if (profile)
+        println(f"[cc] round $iter: ${(System.nanoTime() - tR) / 1e9}%.2f s, viol=$viol")
       e = next
-      eCount = nextCount
       iter += 1
     }
     if (!converged)

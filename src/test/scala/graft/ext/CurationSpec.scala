@@ -201,6 +201,45 @@ class CurationSpec extends SparkTestBase {
       s"every class must occur: $dup/$chars/$bigram/$clean")
   }
 
+  test("topBigramMass map-side run-walk equals the keyed-aggregate reference") {
+    import spark.implicits._
+    // the optimization that made the bigram rule map-side must be
+    // value-exact against the (doc_id, bigram) groupBy form it replaced
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokens(regexp_replace(col("text"), "\n", " ")).as("ws"))
+    val mapSide = docs
+      .select(col("doc_id"), Curation.topBigramMass(col("ws")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigrams = when(size(col("ws")) >= 2,
+      zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val keyed = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt") * length(col("bg")).cast("long")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapSide.nonEmpty)
+    mapSide.foreach { case (d, m) =>
+      assert(m == keyed.getOrElse(d, 0L), s"doc $d: map-side $m != keyed ${keyed.get(d)}")
+    }
+    // and on a crafted edge row: ties, singleton runs, empty arrays
+    val edge = Seq(
+      (1L, "a b a b a b"),        // "a b"×3 (mass 9), "b a"×2 (mass 6)
+      (2L, "x y z"),              // no repeats -> 0
+      (3L, ""),                   // no tokens -> 0
+      (4L, "w w w w")             // "w w"×3 -> 9
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.topBigramMass(
+        TextAnalysis.tokens(col("text"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge == Map(1L -> 9L, 2L -> 0L, 3L -> 0L, 4L -> 9L), edge.toString)
+  }
+
   test("q_gopher_rules: each planted noise class trips exactly its own rule") {
     val rows = Curation.qGopherRules(spark, dir).collect()
       .map(r => r.getLong(0) -> r).toMap
