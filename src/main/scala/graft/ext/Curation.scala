@@ -189,10 +189,12 @@ object Curation {
       .join(gatedWeights(weights, Curation.ClassifyBroadcastMaxWeightsKey), Seq("tk"))
       .groupBy(col("doc_id"), col("label"), col("cls"))
       .agg(sum(col("w")).as("score"))
-    val rkw = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cls"))
-    scored.withColumn("rk", row_number().over(rkw))
-      .where(col("rk") === 1)
+    // argmax as an AGGREGATE, not a rank window: min over (-score, cls)
+    // is exactly (score desc, cls asc) rank 1 — a hash agg instead of
+    // an exchange + partition sort + row_number + filter
+    scored
+      .groupBy(col("doc_id"), col("label"))
+      .agg(min_by(col("cls"), struct(negate(col("score")), col("cls"))).as("cls"))
       .groupBy(col("label"), col("cls"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("label"), col("cls").as("pred_label"), col("n_docs"))

@@ -153,11 +153,11 @@ object GraphRank {
         .join(lab.select(col("doc_id").as("dst"), col("lab").as("nlab")), "dst")
         .where(col("nlab").isNotNull)
         .groupBy(col("src"), col("nlab")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("n").desc, col("nlab"))
-      val best = votes.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("src").as("doc_id"), col("nlab").as("best"))
+      // argmax as an aggregate: min over (-n, nlab) = (n desc, nlab asc)
+      // rank 1 — replaces the rank window's exchange + sort per round
+      val best = votes.groupBy(col("src"))
+        .agg(min_by(col("nlab"), struct(negate(col("n")), col("nlab"))).as("best"))
+        .select(col("src").as("doc_id"), col("best"))
       lab = lab.join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lab"), col("best")).as("lab"))
         // per-round lineage cut — see qPagerank; the static 26-exchange

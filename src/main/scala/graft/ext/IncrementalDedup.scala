@@ -103,11 +103,8 @@ object IncrementalDedup {
       // df-ordered prefix postings (same size-gated df-side broadcast
       // as qNgramJaccardPrefix — the full dfreq doesn't broadcast at
       // 100 TB, so past the bound the plan takes the shuffle join)
-      val prefix = post.join(dfSide(s, dir, dfreq), Seq("h"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"m").orderBy($"df", $"h")))
-        .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
-        .select($"h", $"m")
+      val prefix = TextAnalysis.prefixPostings(
+        post.join(dfSide(s, dir, dfreq), Seq("h")))
       graft.core.Layout.writeBucketed(prefix, tableName(p, "prefix"),
         "h", IndexBuckets, path = Some(s"$p/prefix"))
       p
@@ -155,14 +152,10 @@ object IncrementalDedup {
                           batchSets: DataFrame): DataFrame = {
     import s.implicits._
     import graft.functions.PairExpand
-    batchSets
+    TextAnalysis.prefixPostings(batchSets
       .select(TextAnalysis.packedMember.as("m"), explode($"hs").as("h"))
       .join(dfSide(s, dir, s.read.parquet(s"$idxDir/df")), Seq("h"), "left")
-      .withColumn("df", coalesce($"df", lit(0L)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"m").orderBy($"df", $"h")))
-      .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
-      .select($"h", $"m")
+      .withColumn("df", coalesce($"df", lit(0L))))
   }
 
   /** The full new batch's prefix postings against the base index

@@ -131,6 +131,30 @@ object TextAnalysis {
     when(size(ds) <= maxBucket, clique(ds)).otherwise(star)
   }
 
+  /** df-ordered PREFIX postings `(h, m)` from df-annotated postings
+    * `(m, h, df)`: each packed member keeps only its first
+    * ⌊sz/2⌋+1 shingles under the global (df asc, h asc) order — the
+    * AllPairs/PPJoin prefix. ONE aggregate: collect the (df, h) pairs
+    * per member, sort in the group (lexicographic struct order = the
+    * prefix order; h is distinct per doc so there are no ties), cut by
+    * slice, re-explode. Replaces the row_number window form — an
+    * exchange plus a partition-wide sort plus a rank filter — with an
+    * exchange plus an in-group array_sort; at scale the window sorted
+    * the same rows, it just also paid the rank machinery and a wider
+    * sort span than any one document.
+    */
+  private[ext] def prefixPostings(withDf: DataFrame): DataFrame = {
+    import graft.functions.PairExpand
+    withDf.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .select(col("m"), explode(transform(
+        slice(col("dh"), lit(1),
+          (floor(col("m").bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+            .cast("int")),
+        x => x.getField("h"))).as("h"))
+      .select(col("h"), col("m"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
 
   /** UDTF axis (explode): global token frequencies, top 30. */
@@ -293,12 +317,9 @@ object TextAnalysis {
     }.longValue
     val maxRefs = s.conf.get(TextAnalysis.PrefixBroadcastMaxRefsKey,
       TextAnalysis.PrefixBroadcastMaxRefsDefault.toString).toLong
-    val prefix =
-      (if (refs <= maxRefs) idx.join(broadcast(dfreq), "h")
-       else idx.join(dfreq, "h"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"m").orderBy($"df", $"h")))
-      .where($"rk" <= floor($"m".bitwiseAND(lit(PairExpand.SzMask)) / lit(2)) + 1)
+    val prefix = prefixPostings(
+      if (refs <= maxRefs) idx.join(broadcast(dfreq), "h")
+      else idx.join(dfreq, "h"))
     val cand = prefix
       .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
       .where(size($"ms") > 1)
