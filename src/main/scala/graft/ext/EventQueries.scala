@@ -368,16 +368,28 @@ object EventQueries {
   def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
+    import graft.functions.PairExpand
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 8))
-    val basket = ev(s, dir)
+    // ONE pass builds the per-user basket: the JSON parse + the
+    // (user, item) distinct collapse into a single groupBy(user) with
+    // collect_set — and the pair expansion is the codegen'd
+    // [[PairExpand]] kernel over each user's sorted item set instead
+    // of a basket⋈basket self-join (which re-parsed and re-shuffled
+    // the basket table on both sides). Same O(Σ basket²) pair work,
+    // one exchange and one scan instead of four. The materialized
+    // basket frame (lazy local checkpoint, per evaluation) then feeds
+    // the user count, the item counts and the pair counts without
+    // recomputing the parse.
+    val baskets = ev(s, dir)
       .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
-      .where($"item".isNotNull).distinct()
-    val nUsers = basket.select($"user_id").distinct()
-      .agg(count(lit(1)).as("n_users"))
-    val itemCounts = basket.groupBy($"item").agg(count(lit(1)).as("n_item"))
-    val pairs = basket.as("a").join(basket.as("b"),
-        $"a.user_id" === $"b.user_id" && $"a.item" < $"b.item")
-      .groupBy($"a.item".as("k1"), $"b.item".as("k2"))
+      .where($"item".isNotNull)
+      .groupBy($"user_id").agg(array_sort(collect_set($"item")).as("items"))
+      .localCheckpoint(eager = false)
+    val nUsers = baskets.agg(count(lit(1)).as("n_users"))
+    val itemCounts = baskets.select(explode($"items").as("item"))
+      .groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(explode(PairExpand($"items")).as("p"))
+      .groupBy($"p.a".as("k1"), $"p.b".as("k2"))
       .agg(count(lit(1)).as("n_pair"))
     pairs
       .join(broadcast(itemCounts.select($"item".as("k1"), $"n_item".as("n_k1"))), "k1")

@@ -390,12 +390,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sh <= 5, s"triangle count grew beyond its bounded joins: $sh")
   }
 
-  test("q_basket_pairs: basket self-join + metric joins broadcast; top-N is TakeOrdered") {
+  test("q_basket_pairs: one basket pass + PairExpand; metric joins broadcast; top-N is TakeOrdered") {
     val (sh, bc) = shape("q_basket_pairs")
-    // the static plan repeats the basket-distinct subtree under each
-    // consumer (pair join sides, item counts, corpus size); AQE's
-    // stage cache collapses the repeats at runtime, as in q_classify
-    assert(sh <= 9, s"basket mining grew beyond its aggregates: $sh")
+    // one groupBy(user) basket build (collect_set folds the JSON parse
+    // and the (user, item) distinct into a single exchange), PairExpand
+    // over the sorted item set instead of a basket self-join, then the
+    // item-count and pair-count aggregates off the checkpointed baskets
+    assert(sh <= 5, s"basket mining grew beyond its aggregates: $sh")
     assert(bc >= 2, s"item-count and corpus-size tables must broadcast, got $bc")
     val plan = SparkEntry.queries("q_basket_pairs")(spark, dir)
       .queryExecution.executedPlan.toString
