@@ -241,7 +241,7 @@ object DedupClusters {
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select($"doc_id".as("id"))
-    val pairs = TextAnalysis.qNgramJaccard(s, dir)
+    val pairs = TextAnalysis.jaccardPairsTable(s, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
     connectedComponents(docs, pairs)
       .select($"id".as("doc_id"), $"component",
@@ -308,7 +308,7 @@ object DedupClusters {
     val docs = Tables.load(s, dir, "documents")
     val comp = connectedComponents(
       docs.select($"doc_id".as("id")),
-      TextAnalysis.qNgramJaccard(s, dir).select($"doc_a".as("a"), $"doc_b".as("b")))
+      TextAnalysis.jaccardPairsTable(s, dir).select($"doc_a".as("a"), $"doc_b".as("b")))
     val quality = docs.select($"doc_id",
       org.apache.spark.sql.functions.size(TextAnalysis.tokens($"text"))
         .cast("long").as("n_tokens"))
@@ -339,7 +339,7 @@ object DedupClusters {
   def qLeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select($"doc_id".as("id"))
-    val pairs = TextAnalysis.qNgramJaccard(s, dir)
+    val pairs = TextAnalysis.jaccardPairsTable(s, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
     val h4 = substring(md5($"component".cast("string").cast("binary")), 1, 4)
     connectedComponents(docs, pairs)
