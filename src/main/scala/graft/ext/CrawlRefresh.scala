@@ -1166,49 +1166,6 @@ object CrawlRefresh {
         sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
       .orderBy(col("doc_id"))
 
-  /** TEMPORARY (optimization round): per-stage timing of the batch
-    * refresh — one action per stage, printed. Removed with
-    * graft.ProfileScratch.
-    */
-  def profileStages(s: SparkSession, dir: String): Unit = {
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    val raw = time("warc read+parse")(
-      { val d = parseFetches(Warc.read(s, crawlFixture(s, dir))); noop(d); d })
-    val fr = time("frontier agg")(
-      { val d = frontier(raw).localCheckpoint(eager = false); noop(d); d })
-    time("  gate: map-side bucket only")(
-      noop(fr.select(col("doc_id"), gateBucket.as("b"))))
-    val gated = time("gate")(
-      { val d = gate(fr).localCheckpoint(eager = false); noop(d); d })
-    val parts = time("corpusParts read")(
-      { val p = corpusParts(s, dir); noop(p._1); noop(p._2); p })
-    val dfq = time("corpusDf")(
-      { val d = corpusDf(s, dir); noop(d); d })
-    // sub-stages of dispositions
-    val newRows = time("  dispo: newRows (fingerprint+prefix)")(
-      { val d = indexRows(TextAnalysis.docShingleSets(gated.where(col("pass_gate"))),
-          Some(dfq), origin = "new").localCheckpoint(eager = false); noop(d); d })
-    time("  dispo: candidates vs corpus")(
-      noop(dispoCandidates(newRows, parts._1)))
-    time("  dispo: full dispositionsFromRows")(
-      noop(dispositionsFromRows(gated, newRows, Seq(parts))))
-    val dispo = time("dispositions")(
-      { val d = dispositions(gated, Seq(parts), Some(dfq))
-          .localCheckpoint(eager = false); noop(d); d })
-    val t = corpusTable(s, dir)
-    time("merge")(
-      t.merge(dispo.where(col("bucket") === "_admitted")
-        .select(col("doc_id"), col("source"), col("text")), Seq("doc_id")))
-    time("accounting")(noop(accounting(t, auditRows(fr, dispo))))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_refresh" -> (qCrawlRefresh _),
     "q_crawl_refresh_stream" -> (qCrawlRefreshStream _),

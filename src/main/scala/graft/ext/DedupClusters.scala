@@ -58,18 +58,20 @@ object DedupClusters {
     * Each round is a bounded number of hash shuffles over the
     * CURRENT edge set (which only shrinks modulo dedup), with a
     * `localCheckpoint` lineage cut per round — the same iterative
-    * hygiene as [[GraphRank]]. Convergence is verified exactly
-    * (equal cardinality + empty difference), not by a heuristic
-    * metric; `maxIter` is a runaway bound that O(log n) convergence
-    * never reaches on real data (2⁵⁰ nodes ≫ any corpus).
+    * hygiene as [[GraphRank]]. Convergence is verified EXACTLY via
+    * the structural fixpoint characterization (the edge set is a
+    * canonical star forest — see the in-loop proof note), not by a
+    * heuristic metric; `maxIter` is a runaway bound that O(log n)
+    * convergence never reaches on real data (2⁵⁰ nodes ≫ any corpus).
     */
   private[ext] def componentsViaStarContraction(vertices: DataFrame,
       edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    // canonical (lo, hi) pairs, self-loops and duplicates dropped
-    // LAZY checkpoints throughout the loop: the round's first action
-    // (the count) both computes and materializes the round — one job
-    // per round instead of eager-checkpoint + count (two passes over
-    // the same tiny-per-round edge set, pure fixed cost × O(log n))
+    // canonical (lo, hi) pairs, self-loops and duplicates dropped.
+    // LAZY checkpoints throughout the loop: the round's one action
+    // (the fixpoint check) both computes and materializes the round —
+    // one job per round instead of eager-checkpoint + count + except
+    // (three passes over the same tiny-per-round edge set, pure fixed
+    // cost × O(log n))
     var e = edges.select(
         least(col("a").cast("long"), col("b").cast("long")).as("lo"),
         greatest(col("a").cast("long"), col("b").cast("long")).as("hi"))
@@ -119,9 +121,7 @@ object DedupClusters {
 
     var converged = false
     var iter = 0
-    val profile = sys.env.contains("GRAFT_PROFILE_CC")
     while (!converged && iter < maxIter) {
-      val tR = System.nanoTime()
       // TWO star-pairs per materialized round: the checkpoint barrier
       // (and its job-scheduling fixed cost) amortizes over two
       // contraction steps — both ops converge monotonically to the one
@@ -149,8 +149,6 @@ object DedupClusters {
         .where(col("h") > 1 || (col("h") > 0 && col("l") > 0))
         .limit(1).count()
       converged = viol == 0
-      if (profile)
-        println(f"[cc] round $iter: ${(System.nanoTime() - tR) / 1e9}%.2f s, viol=$viol")
       e = next
       iter += 1
     }
