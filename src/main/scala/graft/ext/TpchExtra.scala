@@ -314,14 +314,22 @@ object TpchExtra {
   def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS")
-    val perOrder = t(s, dir, "lineitem")
+    // two-level aggregate instead of two filtered countDistincts: the
+    // distinct-aggregate form planned an Expand that doubled the joined
+    // fact rows before the exchange; level 1 collapses to one row per
+    // (order, supplier) with map-side partials, level 2 counts plain
+    // rows — strictly fewer bytes through both exchanges, same result
+    val perOrderSupp = t(s, dir, "lineitem")
       .join(t(s, dir, "orders").where($"o_orderstatus" === "F")
         .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(late).as("late_any"))
+    val perOrder = perOrderSupp
       .groupBy($"l_orderkey")
       .agg(
-        countDistinct($"l_suppkey").as("n_supps"),
-        countDistinct(when(late, $"l_suppkey")).as("n_late_supps"),
-        min(when(late, $"l_suppkey")).as("late_supp"))
+        count(lit(1)).as("n_supps"),
+        count(when($"late_any", lit(1))).as("n_late_supps"),
+        min(when($"late_any", $"l_suppkey")).as("late_supp"))
       .where($"n_late_supps" === 1 && $"n_supps" >= 2)
     perOrder
       .join(broadcast(t(s, dir, "supplier")), $"late_supp" === $"s_suppkey")
