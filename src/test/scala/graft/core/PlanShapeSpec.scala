@@ -128,6 +128,9 @@ class PlanShapeSpec extends SparkTestBase {
     // plan string (plan truncation yielding 0 must fail, not pass)
     val factScans = "lineitem\\.parquet".r.findAllIn(plan).size
     assert(factScans == 1, s"expected exactly one observable lineitem scan, got $factScans")
+    // the two-level aggregate must keep the filtered-countDistinct
+    // Expand (which doubled every joined fact row) out of the plan
+    assert(!plan.contains("Expand"), "q21 regressed to an Expand-planned distinct aggregate")
   }
 
   test("q_source_mix: the mixing decision is a map-side predicate (output sort only)") {
