@@ -378,14 +378,23 @@ object TpchExtra {
   def q2MinSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // drop non-qualifying parts from the fact BEFORE the (partkey,
+    // suppkey) distinct's exchange (guide §3.2: reduce the big side
+    // first): the size filter keeps ~1/10 of parts, so the broadcast
+    // semi-join shrinks the distinct's shuffle by the same factor —
+    // the inner join against the filtered part table follows anyway,
+    // so the row set is unchanged
+    val qualParts = t(s, dir, "part").where($"p_size" % 10 === 0)
     val supply = t(s, dir, "lineitem")
+      .join(broadcast(qualParts.select($"p_partkey".as("qp"))),
+        $"l_partkey" === $"qp", "left_semi")
       .select($"l_partkey", $"l_suppkey").distinct()
     val sr = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
       .where($"r_name" === "AMERICA")
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
-    t(s, dir, "part").where($"p_size" % 10 === 0)
+    qualParts
       .join(supply, $"p_partkey" === $"l_partkey")
       .join(broadcast(sr), $"l_suppkey" === $"s_suppkey")
       .select($"p_partkey", $"p_name", $"s_name", $"s_acctbal", $"n_name")
