@@ -1624,18 +1624,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val touchedRows = logicalize(snap, readState(snap.copy(files = touched)))
     if (touched.nonEmpty) touchedRows.persist()
     val (stagedSurv, stagedCdf) = try {
-      val surv =
-        if (touched.isEmpty) Seq.empty[(String, Option[FileStats])]
-        else stageData(physicalize(snap,
-          touchedRows.where(not(coalesce(predicate, lit(false))))))
-      val cdf = stageData(physicalize(snap,
+      val cdfFrame = physicalize(snap,
         touchedRows.where(predicate)
           .withColumn(ChangeTypeCol, lit("delete"))
           .unionByName(
             logicalize(snap, readStagedNew).withColumn(ChangeTypeCol, lit("insert")),
-            allowMissingColumns = true)),
-        prefix = "cdf", collectStats = false)
-      (surv, cdf)
+            allowMissingColumns = true))
+      if (touched.isEmpty)
+        (Seq.empty[(String, Option[FileStats])],
+          stageData(cdfFrame, prefix = "cdf", collectStats = false))
+      else stageDataAndCdf(physicalize(snap,
+        touchedRows.where(not(coalesce(predicate, lit(false))))), cdfFrame)
     } finally if (touched.nonEmpty) touchedRows.unpersist()
     val mayMatch = addsMayMatchPredicate(snap, predicate)
     fireBeforeCommitHook()
@@ -2044,11 +2043,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val snap = state()
     val source = computeGenerated(snap, physicalize(snap, source0))
     val keys = keys0.map(physicalName(snap, _))
-    val dupes = source.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dupes == 0,
+    // one job: dup-key proof + conflict-rule key ranges + identity
+    // high-water (was three sequential aggregates over the source)
+    val (mayMatch, identitySync) = auditSourceKeys(snap, source, keys,
       s"merge source has duplicate keys on (${keys0.mkString(", ")}) — " +
-        "a multi-match replace would be row-order-dependent")
+        "a multi-match replace would be row-order-dependent",
+      syncIdentity = true)
     // the append path re-maps from the ORIGINAL surface frame: the
     // already-physicalized one would trip the retired-name guard
     if (snap.files.isEmpty) { append(source0); return }
@@ -2087,13 +2087,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
         case Some(sv) => recomputeGenerated(snap, sv)
           .unionByName(source, allowMissingColumns = true)
       }
-      val s1 = stageData(data)
       // row-level change record, committed ATOMICALLY with the
       // rewrite: replaced target rows (pre-image), their replacements
       // (post-image), and genuinely new keys (insert) — what lets an
       // incremental consumer survive an upstream merge
       // (readChangeFeed) instead of hard-failing on the removes
-      val s2 = {
+      val cdfFrame = {
         import org.apache.spark.sql.functions.lit
         val pre = touchedRows.as("t")
           .join(srcKeys.as("s"), keyCond("t", "s"), "left_semi")
@@ -2105,19 +2104,17 @@ class TxTable(spark: SparkSession, val tablePath: String,
         val ins = source.as("t")
           .join(tgtKeys.as("s"), keyCond("t", "s"), "left_anti")
           .withColumn(ChangeTypeCol, lit("insert"))
-        stageData(pre.unionByName(post, allowMissingColumns = true)
-          .unionByName(ins, allowMissingColumns = true),
-          prefix = "cdf", collectStats = false)
+        pre.unionByName(post, allowMissingColumns = true)
+          .unionByName(ins, allowMissingColumns = true)
       }
+      val (s1, s2) = stageDataAndCdf(data, cdfFrame)
       (s1, s2, data)
     } finally if (touched.nonEmpty) touchedRows.unpersist()
     // snap's constraint set is authoritative: any concurrent DDL bumps
     // the version and the strict rule below aborts the merge anyway
     enforceConstraints(effectiveChecks(snap), staged,
       mergeSchemas(snap.schema, newData.schema, widenOn(snap)), staged ++ stagedCdf, "merge into")
-    val mayMatch = addsMayMatchKeys(source, keys)
     fireBeforeCommitHook()
-    val identitySync = identitySyncActions(snap, source)
     commitLoop(s"merge into $tablePath") { st =>
       requireRenamesStable(snap, st, staged ++ stagedCdf, "merge into")
       // LOGICAL conflict rule (Delta's ConcurrentAppend/DeleteRead
@@ -2280,11 +2277,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
           s"$tablePath — explicit-values inserts write existing columns only " +
           "(or opt in with withSchemaEvolution())")
     }
-    val dupes = source0.groupBy(keys.map(k => col(s"`$k`")): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dupes == 0,
+    // one job: dup-key proof + the conflict-rule key ranges the commit
+    // needs when no by-source clause is present (was two aggregates)
+    val (auditMayMatch, _) = auditSourceKeys(snap,
+      physicalize(snap, source0), keys.map(physicalName(snap, _)),
       s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
-        "a multi-match clause application would be row-order-dependent")
+        "a multi-match clause application would be row-order-dependent",
+      syncIdentity = false)
     // replay gate: a (writer, batch) already in the log means this
     // merge's effect landed — re-running (crash between commit and the
     // caller's ack) must be a no-op, the append idempotency contract
@@ -2449,15 +2448,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val cdfData = (Seq(preUpd, postUpd, preDel) ++
         physInsert.map(_.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
         .reduce(_.unionByName(_, allowMissingColumns = true))
-      val staged = stageData(newData)
-      val stagedCdf = stageData(cdfData, prefix = "cdf", collectStats = false)
+      val (staged, stagedCdf) = stageDataAndCdf(newData, cdfData)
       enforceConstraints(effectiveChecks(snap), staged,
         mergeSchemas(snap.schema, newData.schema, widenOn(snap)), staged ++ stagedCdf,
         "conditional merge into")
       val mayMatch: Seq[(String, Option[FileStats])] => Boolean =
         if (bySource.nonEmpty) _.nonEmpty // by-source reads every unmatched row
-        else addsMayMatchKeys(physicalize(snap, source0),
-          keys.map(physicalName(snap, _)))
+        else auditMayMatch
       fireBeforeCommitHook()
       val identitySync = identitySyncActions(snap, newData)
       commitLoop(s"conditional merge into $tablePath") { st =>
@@ -2537,11 +2534,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val snap = state()
     val source = physicalize(snap, source0)
     val keys = keys0.map(physicalName(snap, _))
-    val dupes = source.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dupes == 0,
+    // one job: dup-key proof + the conflict-rule key ranges the commit
+    // needs (was two sequential aggregates over the source)
+    val (mayMatch, _) = auditSourceKeys(snap, source, keys,
       s"mergeScd2 source has duplicate keys on (${keys0.mkString(", ")}) — " +
-        "a key's new current row must be unique")
+        "a key's new current row must be unique",
+      syncIdentity = false)
     if (snap.files.isEmpty) {
       // seed via the ORIGINAL surface frame (append re-maps it)
       append(source0.withColumn(ScdFromCol, lit(version))
@@ -2627,22 +2625,18 @@ class TxTable(spark: SparkSession, val tablePath: String,
         // allowMissingColumns: under evolution the rewritten history
         // rows lack the new attributes (they read NULL); otherwise the
         // schemas are identical and the flag is inert
-        val s1 = stageData(rewritten
-          .unionByName(newRows, allowMissingColumns = true))
-        val s2 = stageData(
+        stageDataAndCdf(
+          rewritten.unionByName(newRows, allowMissingColumns = true),
           closingPre.withColumn(ChangeTypeCol, lit("update_preimage"))
             .unionByName(closingPre.withColumn(ScdToCol, lit(version))
               .withColumn(ChangeTypeCol, lit("update_postimage")),
               allowMissingColumns = true)
             .unionByName(newRows.withColumn(ChangeTypeCol, lit("insert")),
-              allowMissingColumns = true),
-          prefix = "cdf", collectStats = false)
-        (s1, s2)
+              allowMissingColumns = true))
       } finally if (touched.nonEmpty) touchedRows.unpersist()
       val evolved = mergeSchemas(snap.schema, stamped.schema, widenOn(snap))
       enforceConstraints(effectiveChecks(snap), staged,
         evolved, staged ++ stagedCdf, "scd2 merge into")
-      val mayMatch = addsMayMatchKeys(source, keys)
       fireBeforeCommitHook()
       commitLoop(s"scd2 merge into $tablePath") { st =>
         requireRenamesStable(snap, st, staged ++ stagedCdf, "scd2 merge into")
@@ -2705,11 +2699,11 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val touchedRows = logicalize(snap,
       readState(snap.copy(files = touched))).persist()
     val (staged, stagedCdf) = try {
-      (stageData(physicalize(snap,
-          touchedRows.where(not(coalesce(predicate, lit(false)))))),
-        stageData(physicalize(snap, touchedRows.where(predicate)
-          .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete"))),
-          prefix = "cdf", collectStats = false))
+      stageDataAndCdf(
+        physicalize(snap,
+          touchedRows.where(not(coalesce(predicate, lit(false))))),
+        physicalize(snap, touchedRows.where(predicate)
+          .withColumn(ChangeTypeCol, org.apache.spark.sql.functions.lit("delete"))))
     } finally touchedRows.unpersist()
     val mayMatch = addsMayMatchPredicate(snap, predicate)
     fireBeforeCommitHook()
@@ -2759,12 +2753,12 @@ class TxTable(spark: SparkSession, val tablePath: String,
       if (touched.isEmpty) return
       val touchedRows = readState(snap.copy(files = touched)).persist()
       val (staged, stagedCdf) = try {
-        (stageData(recomputeGenerated(snap, touchedRows.as("t")
-            .join(dead.as("s"), keyCond("t", "s"), "left_anti"))),
-          stageData(touchedRows.as("t")
+        stageDataAndCdf(
+          recomputeGenerated(snap, touchedRows.as("t")
+            .join(dead.as("s"), keyCond("t", "s"), "left_anti")),
+          touchedRows.as("t")
             .join(dead.as("s"), keyCond("t", "s"), "left_semi")
-            .withColumn(ChangeTypeCol, lit("delete")),
-            prefix = "cdf", collectStats = false))
+            .withColumn(ChangeTypeCol, lit("delete")))
       } finally touchedRows.unpersist()
       val mayMatch = addsMayMatchKeys(dead, keyCols)
       fireBeforeCommitHook()
@@ -2846,15 +2840,16 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val rewriteFiles = rewrite.map(_._1)
       // past-threshold files materialize: survivors = rows their OLD
       // vector kept minus the new matches; their fresh sidecars die
-      val staged =
-        if (rewriteFiles.isEmpty) Seq.empty[(String, Option[FileStats])]
-        else stageData(physicalize(snap,
+      val cdfFrame = physicalize(snap, hits.drop(DvFileCol, DvIdxCol)
+        .withColumn(ChangeTypeCol, lit("delete")))
+      val (staged, stagedCdf) =
+        if (rewriteFiles.isEmpty)
+          (Seq.empty[(String, Option[FileStats])],
+            stageData(cdfFrame, prefix = "cdf", collectStats = false))
+        else stageDataAndCdf(physicalize(snap,
           logicalize(snap, readState(snap.copy(files = rewriteFiles)))
-            .where(not(coalesce(predicate, lit(false))))))
+            .where(not(coalesce(predicate, lit(false))))), cdfFrame)
       rewrite.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
-      val stagedCdf = stageData(physicalize(snap, hits.drop(DvFileCol, DvIdxCol)
-        .withColumn(ChangeTypeCol, lit("delete"))),
-        prefix = "cdf", collectStats = false)
       val mayMatch = addsMayMatchPredicate(snap, predicate)
       fireBeforeCommitHook()
       commitLoop(s"merge-on-read delete from $tablePath") { st =>
@@ -2990,10 +2985,10 @@ class TxTable(spark: SparkSession, val tablePath: String,
       val post = recomputeGenerated(snap, physicalize(snap,
         applySet(touchedRows.where(cond))
           .withColumn(ChangeTypeCol, lit("update_postimage"))), setPhys)
-      (stageData(recomputeGenerated(snap,
-          physicalize(snap, applySet(touchedRows)), setPhys)),
-        stageData(pre.unionByName(post, allowMissingColumns = true),
-          prefix = "cdf", collectStats = false))
+      stageDataAndCdf(
+        recomputeGenerated(snap,
+          physicalize(snap, applySet(touchedRows)), setPhys),
+        pre.unionByName(post, allowMissingColumns = true))
     } finally touchedRows.unpersist()
     enforceConstraints(effectiveChecks(snap), staged, schema,
       staged ++ stagedCdf, "update of")
@@ -3101,14 +3096,13 @@ class TxTable(spark: SparkSession, val tablePath: String,
       rewrite.foreach { case (_, dv, _) => fsv.delete(new Path(root, dv), false) }
       val setPhys = set.keySet.map(physicalName(snap, _))
       val updatedRows = applySet(hits.drop(DvFileCol, DvIdxCol))
-      val stagedNew = stageData(recomputeGenerated(snap,
-        physicalize(snap, updatedRows), setPhys))
       val pre = physicalize(snap, hits.drop(DvFileCol, DvIdxCol)
         .withColumn(ChangeTypeCol, lit("update_preimage")))
       val post = recomputeGenerated(snap, physicalize(snap,
         updatedRows.withColumn(ChangeTypeCol, lit("update_postimage"))), setPhys)
-      val stagedCdf = stageData(pre.unionByName(post, allowMissingColumns = true),
-        prefix = "cdf", collectStats = false)
+      val (stagedNew, stagedCdf) = stageDataAndCdf(
+        recomputeGenerated(snap, physicalize(snap, updatedRows), setPhys),
+        pre.unionByName(post, allowMissingColumns = true))
       try enforceConstraints(effectiveChecks(snap), stagedNew ++ stagedSurvivors,
         schema, stagedNew ++ stagedSurvivors ++ stagedCdf, "update of")
       catch { case e: Throwable =>
@@ -3409,6 +3403,70 @@ class TxTable(spark: SparkSession, val tablePath: String,
       }
   }
 
+  /** ONE aggregate job over the (persisted) merge source that proves
+    * key uniqueness AND collects everything else the commit needs from
+    * the source: the key-range shapes for [[addsMayMatchKeys]]'
+    * conflict closure and (for [[merge]]) the identity high-water
+    * sync. Replaces three sequential driver-blocking jobs — the
+    * duplicate-key count, the min/max/null-count aggregate and the
+    * per-identity-column aggregate — with a single two-level
+    * aggregation: level 1 groups by the key tuple (count per group +
+    * per-group identity extremes), level 2 folds to one row. Each
+    * piece is value-identical to what it replaces: max(group count)
+    * > 1 ⟺ the old dup probe fired; min/max over distinct key tuples
+    * equal min/max over rows; the null-component sum over distinct
+    * tuples is > 0 iff the per-row sum was (the only use); identity
+    * extremes fold exactly.
+    */
+  private def auditSourceKeys(st: State, source: DataFrame, keys: Seq[String],
+      dupMsg: => String, syncIdentity: Boolean)
+      : (Seq[(String, Option[FileStats])] => Boolean, Seq[Action]) = {
+    import org.apache.spark.sql.GraftColumnBridge.{CmpShape, PredShape}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    val idCols =
+      if (!syncIdentity) Nil
+      else st.identity.toSeq.sortBy(_._1)
+        .filter { case (n, _) => source.columns.contains(n) }
+    val inner = source.groupBy(keys.map(k => col(s"`$k`")): _*)
+      .agg(count(lit(1)).as("__gcnt"),
+        idCols.map { case (n, (_, step, _)) =>
+          (if (step > 0) max(col(s"`$n`")) else min(col(s"`$n`")))
+            .as(s"__gid_$n")
+        }: _*)
+    val aggs = (max(col("__gcnt")) +:
+      keys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`"))))) ++
+      Seq(keys.map(k => sum(when(col(s"`$k`").isNull, 1L).otherwise(0L)))
+        .reduce(_ + _)) ++
+      idCols.map { case (n, (_, step, _)) =>
+        if (step > 0) max(col(s"`__gid_$n`")) else min(col(s"`__gid_$n`"))
+      }
+    val row = inner.agg(aggs.head, aggs.drop(1): _*).collect().head
+    require(row.isNullAt(0) || row.getLong(0) <= 1L, dupMsg)
+    val nnullIdx = 1 + 2 * keys.size
+    val hasNullKey = !row.isNullAt(nnullIdx) && row.getLong(nnullIdx) > 0L
+    val shapes: Seq[PredShape] = keys.zipWithIndex.flatMap { case (k, i) =>
+      val (mn, mx) = (row.get(1 + 2 * i), row.get(2 + 2 * i))
+      if (mn == null || mx == null) Nil
+      else Seq(CmpShape(k, ">=", mn), CmpShape(k, "<=", mx))
+    }
+    val mayMatch: Seq[(String, Option[FileStats])] => Boolean = adds =>
+      (hasNullKey && adds.nonEmpty) ||
+      shapes.isEmpty || { // no usable bounds (empty/all-null source): conservative
+        val stats = adds.collect { case (p, Some(s)) => p -> s }.toMap
+        TxTable.filesToRead(adds.map(_._1), stats, shapes).nonEmpty
+      }
+    val idActions = idCols.zipWithIndex.flatMap { case ((n, (_, step, hw)), i) =>
+      val idx = nnullIdx + 1 + i
+      if (row.isNullAt(idx)) Nil
+      else {
+        val mx = row.getLong(idx)
+        val ahead = if (step > 0) mx > hw else mx < hw
+        if (ahead) Seq(IdentityHw(n, mx)) else Nil
+      }
+    }
+    (mayMatch, idActions)
+  }
+
   // ---- commit machinery ----
 
   /** Write df's rows as uniquely-named parquet files in the table root
@@ -3459,13 +3517,7 @@ class TxTable(spark: SparkSession, val tablePath: String,
     val writer = out.write.mode("overwrite")
     (if (partitionBy.isEmpty) writer else writer.partitionBy(dirs: _*))
       .parquet(staging.toString)
-    def leaves(p: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
-      fsv.listStatus(p).iterator.flatMap { st =>
-        if (st.isDirectory) leaves(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Iterator(st)
-        else Iterator.empty
-      }
-    val names = leaves(staging)
+    val names = parquetLeaves(fsv, staging)
       .map { part =>
         val name = s"$prefix-${UUID.randomUUID()}.parquet"
         val target = new Path(root, name)
@@ -3490,6 +3542,67 @@ class TxTable(spark: SparkSession, val tablePath: String,
       if (blooms.nonEmpty) buildBloomSidecars(kept.map(_._1), blooms)
     }
     kept
+  }
+
+  private def parquetLeaves(fsv: FileSystem, p: Path)
+      : Iterator[org.apache.hadoop.fs.FileStatus] =
+    fsv.listStatus(p).iterator.flatMap { st =>
+      if (st.isDirectory) parquetLeaves(fsv, st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Iterator(st)
+      else Iterator.empty
+    }
+
+  /** Stage a rewrite's data files AND its row-level change record in
+    * ONE write job (was: two sequential driver-blocking writes, the
+    * per-verb floor under every merge/update/delete). The two frames
+    * union under a `__gstage` split directory that the partitioned
+    * write drops from the files; a union concatenates its children's
+    * partitions, so every task still writes exactly one single-sided
+    * file and the file set matches the two separate writes'. The
+    * change-record-only columns (`_change_type`) ride along in the
+    * data files as all-null physical columns — invisible to every
+    * reader, because data reads apply the manifest schema
+    * ([[relationFor]]/[[dvFilteredRead]]) and sidecar builds look
+    * columns up by name; the committed Meta schema comes from the
+    * logical frame and never sees them. Empty-part dropping and bloom
+    * sidecars apply to the data half exactly as in [[stageData]];
+    * change files skip footer stats as before.
+    */
+  private def stageDataAndCdf(data: DataFrame, cdf: DataFrame)
+      : (Seq[(String, Option[FileStats])], Seq[(String, Option[FileStats])]) = {
+    import org.apache.spark.sql.functions.lit
+    val fsv = fs
+    fsv.mkdirs(root)
+    val clash = (data.columns ++ cdf.columns).filter(_ == "__gstage")
+    require(clash.isEmpty,
+      "column name __gstage collides with the fused staging split column")
+    val staging = new Path(root, s"_staging-${UUID.randomUUID()}")
+    data.withColumn("__gstage", lit("d"))
+      .unionByName(cdf.withColumn("__gstage", lit("c")),
+        allowMissingColumns = true)
+      .write.mode("overwrite").partitionBy("__gstage").parquet(staging.toString)
+    def stagePart(sub: String, prefix: String, collectStats: Boolean)
+        : Vector[(String, Option[FileStats])] = {
+      val dir = new Path(staging, s"__gstage=$sub")
+      if (!fsv.exists(dir)) Vector.empty
+      else parquetLeaves(fsv, dir).map { part =>
+        val name = s"$prefix-${UUID.randomUUID()}.parquet"
+        val target = new Path(root, name)
+        if (!fsv.rename(part.getPath, target))
+          throw new java.io.IOException(s"failed to stage ${part.getPath} -> $name")
+        name -> (if (collectStats) footerStats(target) else None)
+      }.toVector
+    }
+    val dataNames = stagePart("d", "part", collectStats = true)
+    val cdfNames = stagePart("c", "cdf", collectStats = false)
+    fsv.delete(staging, true)
+    val (empty, kept) = dataNames.partition(_._2.exists(_.rows == 0L))
+    empty.foreach { case (f, _) => fsv.delete(new Path(root, f), false) }
+    if (kept.nonEmpty) {
+      val blooms = state().blooms
+      if (blooms.nonEmpty) buildBloomSidecars(kept.map(_._1), blooms)
+    }
+    (kept, cdfNames)
   }
 
   /** Per-file (rows, per-column min/max/nullCount) from the parquet
