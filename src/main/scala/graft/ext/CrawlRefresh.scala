@@ -430,9 +430,16 @@ object CrawlRefresh {
     * actually reads (which gate is eating my corpus?). Map-only;
     * rule order is fixed so the bucket is deterministic.
     */
-  private[graft] def gateBucket: Column = {
+  private[graft] def gateBucket: Column =
+    gateBucketOver(filter(split(col("text"), "\n"), l => l =!= lit("")))
+
+  /** [[gateBucket]] with the non-empty line array supplied by the
+    * caller — [[gate]] binds it once in its own projection so the
+    * text splits exactly once per row GUARANTEED, instead of leaving
+    * the four `lines` uses to codegen subexpression elimination.
+    */
+  private[graft] def gateBucketOver(lines: Column): Column = {
     val c = Curation.gopherCounts(col("text"))
-    val lines = filter(split(col("text"), "\n"), l => l =!= lit(""))
     val dupLines = (size(lines) - size(array_distinct(lines))).cast("long")
     val lineChars = aggregate(lines, lit(0L), (a, x) => a + length(x))
     val dupLineChars =
@@ -467,8 +474,13 @@ object CrawlRefresh {
   private[graft] def gate(fr: DataFrame): DataFrame = {
     val ws = TextAnalysis.tokens(regexp_replace(col("text"), "\n", " "))
     val sumWordLen = aggregate(ws, lit(0L), (a, x) => a + length(x))
-    fr.select(col("doc_id"), col("source"), col("text"),
-        gateBucket
+    // `__lines` binds the split ONCE in its own projection (the
+    // dup-line rules reference it four times; an inlined expression
+    // would rely on codegen subexpression elimination to dedup)
+    fr.withColumn("__lines",
+        filter(split(col("text"), "\n"), l => l =!= lit("")))
+      .select(col("doc_id"), col("source"), col("text"),
+        gateBucketOver(col("__lines"))
           .when(sumWordLen > 0L &&
             lit(2L) * Curation.topBigramMass(ws) >= sumWordLen,
             "_gate_top_bigram").as("gate_bucket"))
@@ -545,8 +557,23 @@ object CrawlRefresh {
     // bucketed and are mined without a union that would erase their
     // partitioning): prefix×prefix candidates, exact-verified on the
     // full sets — the verify joins by DOC ID so the bucketed set side
-    // also scans in place
-    val verified = idxParts.map { case (oldPost, oldSets) =>
+    // also scans in place.
+    // The WITHIN-BATCH tier rides the same machinery as a third
+    // origin part (was its own groupBy(h) + PairExpand leg + a second
+    // join back to the batch): the batch's prefix postings pair
+    // against themselves under the non-corpus rule `mo < mn`, which
+    // IS the within-batch greedy rule (reject the larger doc of a
+    // qualifying pair; self-pairs fail the strict `<`), and the pair
+    // set is identical to the bucket expansion's — both emit exactly
+    // the prefix×prefix co-occurrences. One exchange of the batch
+    // postings now serves all three tiers (reused subtree), and the
+    // verdicts fold in the ONE per-doc aggregate below.
+    val withinPart = (
+      newRows.select(explode($"prefix_hs").as("h"), $"m",
+        lit("within").as("origin")),
+      newRows.select(shiftrightunsigned($"m", PairExpand.SzBits).as("doc_id"),
+        $"hs", lit("within").as("origin")))
+    val verified = (idxParts :+ withinPart).map { case (oldPost, oldSets) =>
       dispoCandidates(newRows, oldPost)
         .select(shiftrightunsigned($"mn", PairExpand.SzBits).as("dn"),
           shiftrightunsigned($"mo", PairExpand.SzBits).as("do_"),
@@ -558,30 +585,16 @@ object CrawlRefresh {
         .where(lit(3) * size(array_intersect($"ha", $"hb")).cast("long") >= $"szsum")
         .select($"dn".as("doc_id"), $"origin")
     }.reduce(_ unionAll _)
-    // ONE per-doc aggregate folds both index-tier verdicts (was two
+    // ONE per-doc aggregate folds all three tier verdicts (was two
     // filter+distinct legs and two separate joins back to the batch):
-    // r_old = any corpus-origin match, r_prev = any earlier-crawl match
+    // r_old = any corpus-origin match, r_prev = any earlier-crawl
+    // match, r_within = any senior co-batch match
     val idxVerdict = verified.groupBy($"doc_id")
       .agg(max($"origin" === "corpus").as("r_old"),
-        max($"origin" === "crawl").as("r_prev"))
-    // within-batch: the SAME prefix filter applies (the theorem needs
-    // only a shared total order); candidates exact-verify identically
-    val rejectWithin = newRows
-      .select(explode($"prefix_hs").as("h"), $"m")
-      .groupBy($"h").agg(array_sort(collect_list($"m")).as("ms"))
-      .where(size($"ms") > 1)
-      .select(explode(PairExpand($"ms")).as("p"))
-      .select($"p.a".as("pa"), $"p.b".as("pb")).distinct()
-      .join(newRows.select($"m".as("pa"), $"hs".as("ha")), "pa")
-      .join(newRows.select($"m".as("pb"), $"hs".as("hb")), "pb")
-      .withColumn("common", size(array_intersect($"ha", $"hb")).cast("long"))
-      .where(lit(3) * $"common" >=
-        $"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask))
-      .select(shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_id"))
-      .distinct()
+        max($"origin" === "crawl").as("r_prev"),
+        max($"origin" === "within").as("r_within"))
     gated
       .join(idxVerdict, Seq("doc_id"), "left")
-      .join(rejectWithin.withColumn("r_within", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("text"),
         when(col("gate_bucket").isNotNull, col("gate_bucket"))
           .when(col("r_old"), "_neardup_old")
