@@ -92,13 +92,21 @@ object DedupClusters {
     // m(u) = min(Γ(u) ∪ {u}) — emitted edges (v, m) keep v > m.
     // NO dedup here: min-aggregates downstream are duplicate-blind
     // and the round's single distinct runs after small-star.
-    def largeStar(cur: DataFrame): DataFrame = {
+    // `obs` (when given) counts the rows the op MOVED — rows whose
+    // emitted lo differs from their center u; zero moves ⟺ the op
+    // was the row-wise identity on its input (for v > u rows
+    // m ≤ u < v, so no lo = hi drop can hide a change).
+    def largeStar(cur: DataFrame,
+        obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
       val sym = cur.select(col("lo").as("u"), col("hi").as("v"))
         .unionAll(cur.select(col("hi").as("u"), col("lo").as("v")))
       val m = least(col("u"), min(col("v")).over(Window.partitionBy(col("u"))))
-      sym.select(m.as("lo"), col("v").as("hi"), col("u"))
+      val kept = sym.select(m.as("lo"), col("v").as("hi"), col("u"))
         .where(col("hi") > col("u") && col("lo") =!= col("hi"))
-        .drop("u")
+      val watched = obs.map(o => kept.observe(o,
+        sum(when(col("lo") =!= col("u"), 1L).otherwise(0L)).as("moved")))
+        .getOrElse(kept)
+      watched.drop("u")
     }
 
     // small-star: every node u hooks its SMALLER neighbors and
@@ -108,12 +116,17 @@ object DedupClusters {
     // `dedup = false` for an inner step whose output feeds another
     // (duplicate-blind) window min — skips that step's distinct
     // exchange; the OUTER step always dedups so the convergence
-    // check compares true sets
-    def smallStar(cur: DataFrame, dedup: Boolean = true): DataFrame = {
+    // check compares true sets.
+    // `obs` counts the moved branch's rows: zero ⟺ every row had
+    // lo = m, i.e. the self branch re-emitted the input unchanged.
+    def smallStar(cur: DataFrame, dedup: Boolean = true,
+        obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
       val withM = cur.withColumn("m",
         min(col("lo")).over(Window.partitionBy(col("hi"))))
-      val moved = withM.where(col("lo") =!= col("m"))
+      val moved0 = withM.where(col("lo") =!= col("m"))
         .select(col("m").as("lo"), col("lo").as("hi"))
+      val moved = obs.map(o =>
+        moved0.observe(o, count(lit(1)).as("moved"))).getOrElse(moved0)
       val self = withM.select(col("m").as("lo"), col("hi"))
       val u = moved.unionAll(self)
       if (dedup) u.distinct() else u
@@ -127,28 +140,31 @@ object DedupClusters {
       // contraction steps — both ops converge monotonically to the one
       // star-forest fixpoint (Kiveris et al. §3), so fixpoint detection
       // across double-steps finds exactly the same forest.
-      val next = smallStar(largeStar(smallStar(largeStar(e), dedup = false)))
-        .localCheckpoint(false)
-      // EXACT fixpoint test, one aggregate pass: a canonical (lo<hi)
-      // edge set is invariant under BOTH star ops iff it is a star
-      // forest — every hi appears exactly once and no node is both a
-      // lo and a hi (roots then hold their star's minimum by
-      // construction, since emitted edges always point at a
-      // neighborhood min). One node-keyed aggregate over 2|E| skinny
-      // rows, and its action doubles as the round's checkpoint
-      // materialization — this replaces the count + except(e)
-      // set-equality check, whose count gate never fired on tree
-      // graphs (contraction preserves |E| = n − k there), leaving a
-      // two-sided shuffle join per round.
-      val viol = next
-        .select(col("hi").as("node"), lit(1L).as("ish"), lit(0L).as("isl"))
-        .unionAll(next
-          .select(col("lo").as("node"), lit(0L).as("ish"), lit(1L).as("isl")))
-        .groupBy(col("node"))
-        .agg(sum(col("ish")).as("h"), sum(col("isl")).as("l"))
-        .where(col("h") > 1 || (col("h") > 0 && col("l") > 0))
-        .limit(1).count()
-      converged = viol == 0
+      //
+      // EXACT fixpoint test with NO check pass at all: the round's
+      // one job is the EAGER checkpoint materialization, and two
+      // Observation counters on the SECOND star-pair ride it for
+      // free (map-side accumulators — no exchange, where the previous
+      // node-keyed star-forest aggregate shuffled 2|E| rows per
+      // round). Zero moves in large₂ AND small₂ means both ops were
+      // the row-wise identity on e₁ (= small₁(large₁(e))): e₁ is
+      // then invariant under BOTH ops ⟺ e₁ is the star forest (the
+      // same characterization the aggregate checked — every emitted
+      // edge points at a neighborhood min, so a non-forest always
+      // moves some row), and `next` = distinct(e₁) = that forest.
+      // Detection cost is unchanged in rounds: a forest formed by e₁
+      // is seen this round; one formed only at small₂'s output is
+      // seen next round after four identity steps over forest edges
+      // (the same one-round lag the previous check had for forests
+      // formed mid-round).
+      val l2Obs = org.apache.spark.sql.Observation()
+      val s2Obs = org.apache.spark.sql.Observation()
+      val e1 = smallStar(largeStar(e), dedup = false)
+      val next = smallStar(largeStar(e1, Some(l2Obs)), obs = Some(s2Obs))
+        .localCheckpoint(true)
+      def moves(o: org.apache.spark.sql.Observation): Long =
+        o.get.get("moved").map(_.asInstanceOf[Long]).getOrElse(0L)
+      converged = moves(l2Obs) == 0L && moves(s2Obs) == 0L
       e = next
       iter += 1
     }
