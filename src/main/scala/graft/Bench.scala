@@ -101,10 +101,26 @@ object Bench {
       s"\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"runs","policy":"min2",$load,"runs":$pairs}""")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"policy":"min2",$load,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // artifact-build accounting (r12 verdict, "What's wrong" #1): the
+    // one-time in-process artifact builds (mined pair tables, trained
+    // LM counts) run inside the first consumer's run1, which min-of-2
+    // then discards — this line makes that cost visible in every
+    // capture instead of silently flattering the steady-state rows
+    val builds = graft.core.ArtifactCost.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"artifact_builds","unit":"sec","builds":$builds}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"policy":"min2",$load,"queries":$qs,"failed":$failed,"artifact_builds":$builds,"sf":"$sfDir"}"""
+    println(fullLine)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":${failedNames.isEmpty},"queries_n":${results.size},"policy":"min2",$load,"sf":"$sfDir"}""")
+    // the full per-query map also lands in a FILE: the 197-entry map
+    // line overflows the driver's ~3.5 KB tail window, which left
+    // PERF_r12.per_query empty — a file survives regardless of tail
+    // luck (r12 verdict, "What's wrong" #4)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench_perquery.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     // a partial run must not look like a faster one: non-zero exit when
     // any query failed, so automated total-comparisons can't misread it

@@ -301,7 +301,10 @@ object DedupClusters {
   def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vecs = Tables.load(s, dir, "embeddings").select($"vec_id".as("id"))
-    val pairs = Similarity.qCosineDups(s, dir)
+    // cluster-level consumer reads the once-per-session pair artifact
+    // (build eager + timed in artifact_builds); the mining query
+    // q_cosine_dups keeps mining per evaluation
+    val pairs = Similarity.cosinePairsTable(s, dir)
       .select($"vec_a".as("a"), $"vec_b".as("b"))
     connectedComponents(vecs, pairs)
       .select($"id".as("vec_id"), $"component",

@@ -201,14 +201,39 @@ object Similarity {
     */
   def qCosineDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    cosineDupPairs(s, dir).orderBy($"vec_a", $"vec_b")
+  }
+
+  /** [[qCosineDups]]' mining body without the graded output sort —
+    * what [[cosinePairsTable]] materializes for cluster-level
+    * consumers ([[DedupClusters.qSemanticDedup]]).
+    */
+  private[ext] def cosineDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"label", $"embedding")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         graft.functions.QuantizedCosine(col("a.embedding"), col("b.embedding")).as("cosq"))
       .where($"cosq" >= 4000)
-      .orderBy($"vec_a", $"vec_b")
   }
+
+  /** The embedding near-dup PAIR table — [[qCosineDups]]' mining body
+    * materialized once per (session, dir), the same at-ingest artifact
+    * lifecycle as [[graft.ext.TextAnalysis.jaccardPairsTable]]: a
+    * production semantic-dedup pipeline scores its O(blocked-pairs)
+    * cosine set once and the cluster pass reads that table. The
+    * mining query itself (`q_cosine_dups`) never reads the memo — it
+    * keeps measuring the mining work — and the build is eager + timed
+    * so the cost lands in Bench's artifact_builds line.
+    */
+  private[ext] def cosinePairsTable(s: SparkSession, dir: String): DataFrame =
+    graft.core.IndexCache.memo(
+      s"cosine-pairs:${s.sparkContext.applicationId}:$dir") {
+      graft.core.ArtifactCost.timed("cosine_pairs") {
+        cosineDupPairs(s, dir).localCheckpoint(eager = true)
+      }
+    }
 
   /** kNN similarity join: top-`k` neighbors of every row of
     * `vectors` among rows sharing its `blockCol` value, scored by the

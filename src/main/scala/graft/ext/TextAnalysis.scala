@@ -262,10 +262,21 @@ object TextAnalysis {
   private[ext] def jaccardPairsTable(s: SparkSession, dir: String): DataFrame =
     graft.core.IndexCache.memo(
       s"jaccard-pairs:${s.sparkContext.applicationId}:$dir") {
-      qNgramJaccard(s, dir).localCheckpoint(eager = false)
+      // EAGER + timed: the build runs inside the first consumer's
+      // run1 either way; the eager checkpoint makes its cost a
+      // measured, reported number (Bench's artifact_builds line)
+      // instead of an invisible slice of a discarded run
+      graft.core.ArtifactCost.timed("jaccard_pairs") {
+        ngramJaccardPairs(s, dir).localCheckpoint(eager = true)
+      }
     }
 
-  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** [[qNgramJaccard]]'s mining body WITHOUT the graded query's
+    * output sort — what [[jaccardPairsTable]] materializes: every
+    * cluster-level consumer groups or joins the pairs, so the global
+    * (doc_a, doc_b) order would be a pure checkpoint-time sort tax.
+    */
+  private[ext] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.PairExpand
     val szMask = lit(PairExpand.SzMask)
@@ -284,7 +295,11 @@ object TextAnalysis {
         shiftrightunsigned($"pb", PairExpand.SzBits).as("doc_b"),
         $"common",
         ($"pa".bitwiseAND(szMask) + $"pb".bitwiseAND(szMask) - $"common").as("union_sz"))
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramJaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
   /** Lossless prefix-filtered variant of [[qNgramJaccard]] (the
