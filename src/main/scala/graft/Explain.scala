@@ -7,6 +7,11 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    val usage = "usage: Explain <sfDir> q1 q2 ...  |  " +
+      "Explain --out <dir> <suffix> <sfDir> q1 q2 ..."
+    if (args.headOption.contains("--out") && args.length < 3) {
+      System.err.println(usage); sys.exit(2)
+    }
     val (outDir, suffix, rest) =
       if (args.headOption.contains("--out"))
         (Some(args(1)), args(2), args.drop(3))

@@ -364,6 +364,14 @@ object EventQueries {
     * engine-exact convention: integer counts, one IEEE divide
     * quantized to DECIMAL(18,8) ([[graft.ext.Curation.qDsirWeights]]).
     * Output: the top item pairs with conf(k1→k2) and lift.
+    *
+    * CONTRACT (shared with every [[graft.functions.PairExpand]] call
+    * site): one user's DISTINCT-item basket must stay under
+    * [[graft.functions.PairExpand.MaxPairs]] pairs (~11,586 distinct
+    * items) — a larger basket fails LOUDLY with the offending size,
+    * never silently. A log where one "user" legitimately holds more
+    * distinct items than that is a bot/default-id artifact to filter
+    * upstream, not a basket.
     */
   def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
